@@ -1,0 +1,255 @@
+package graft.api
+
+import java.io.File
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.spatial.StFunctions
+
+/** Spark-native analogue of the reference `Table`
+  * (ref: datum/table.py:9-104, datum/postgis/table.py, datum/oracle_stgeom/table.py).
+  *
+  * The reference reflects schema from catalog tables and builds SQL strings;
+  * here "reflection" is the parquet footer (free — no catalog query) and
+  * `read(...)` composes a lazy Catalyst plan, so projection/filter/limit
+  * pushdown happen in the optimizer rather than a remote DBMS.
+  *
+  * Geometry model (ref datum/postgis/table.py:92-114,
+  * datum/oracle_stgeom/table.py:90-147): at most one geometry column,
+  * traveling as WKT text with a table-level SRID. We detect the geometry
+  * column by name convention (wkt/geom/geometry/shape of string type) —
+  * the parquet analogue of the reference's geometry_columns catalog lookup.
+  */
+class Table(val db: Database, val qualified: String) {
+  // "schema.table" split, ref datum/table.py:16-22
+  val (schemaName: Option[String], name: String) =
+    qualified.split("\\.", 2) match {
+      case Array(s, t) => (Some(s), t)
+      case Array(t)    => (None, t)
+    }
+
+  def path: String = db.pathOf(qualified)
+  def df: DataFrame = db.spark.read.parquet(path)
+
+  /** Coarse-type view of the schema (ref FIELD_TYPE_MAP,
+    * datum/postgis/table.py:7-21, datum/oracle_stgeom/table.py:10-32):
+    * numeric→num, string→text, date/timestamp→date, geometry column→geom.
+    */
+  def metadata: Seq[(String, String)] = df.schema.fields.toSeq.map { f =>
+    val coarse =
+      if (geomField.contains(f.name)) "geom"
+      else f.dataType match {
+        case _: NumericType                => "num"
+        case StringType                    => "text"
+        case DateType | _: TimestampType | TimestampNTZType => "date"
+        case _                             => "other"
+      }
+    f.name -> coarse
+  }
+
+  def fields: Seq[String] = df.schema.fieldNames.toSeq
+
+  /** ≤1 geometry column per table (ref raises LookupError on multiple,
+    * datum/oracle_stgeom/table.py:189-196).
+    */
+  def geomField: Option[String] = {
+    val cands = df.schema.fields.collect {
+      case f if Table.GeomNames.contains(f.name.toLowerCase) && f.dataType == StringType => f.name
+    }
+    if (cands.length > 1) throw new IllegalStateException("Multiple geometry fields")
+    cands.headOption
+  }
+
+  def nonGeomFields: Seq[String] = fields.filterNot(geomField.contains)
+
+  /** Table SRID — sidecar property file analogue of the reference's
+    * geometry_columns / sde.spatial_references lookup
+    * (ref datum/postgis/table.py:101-103, datum/oracle_stgeom/table.py:90-104).
+    */
+  def srid: Int = prop("srid").map(_.toInt).getOrElse(0)
+
+  /** OGC geometry type, sniffed from data when not declared
+    * (ref datum/postgis/table.py:105-114; oracle decodes an eflags bitmask,
+    * datum/oracle_stgeom/table.py:106-147 — our sidecar replaces both).
+    */
+  def geomType: Option[String] = prop("geom_type").orElse {
+    geomField.flatMap { g =>
+      df.select(regexp_extract(col(g), "^[A-Z]+", 0).as("t"))
+        .filter(col("t") =!= "").limit(1).collect().headOption.map(_.getString(0))
+    }
+  }
+
+  /** PK discovery analogue (ref datum/postgis/table.py:116-128 joins
+    * pg_index⋈pg_attribute; our convention: a column literally named `id`,
+    * or declared in the sidecar).
+    */
+  def pkField: Option[String] =
+    prop("pk").orElse(fields.find(_.equalsIgnoreCase("id")))
+
+  /** OBJECTID-style probe (ref datum/oracle_stgeom/table.py:170-187). */
+  def objectIdField: Option[String] = fields.find(_.toUpperCase.startsWith("OBJECTID"))
+
+  def count: Long = df.count()
+
+  /** The flagship read (ref datum/table.py:68-86; postgis
+    * datum/postgis/table.py:130-168; oracle datum/oracle_stgeom/table.py:230-315).
+    *
+    * `where` and `sort` are SQL text in the reference (passed through to the
+    * backend); here they parse via Catalyst (`expr`) so user predicates keep
+    * SQL semantics AND get pushed into the parquet scan by the optimizer —
+    * the pushdown the reference delegated to its DBMS.
+    *
+    * Ordering note: the reference's oracle adapter silently ignores `sort`
+    * (param accepted at datum/oracle_stgeom/table.py:230-231, never used) and
+    * applies ROWNUM-limit before ordering — we treat both as bugs and apply
+    * sort-then-limit uniformly (Catalyst fuses them into a top-K,
+    * TakeOrderedAndProject — strictly better than either backend got).
+    *
+    * Scale: select/filter/limit compose into a single parquet scan with
+    * PushedFilters + pruned ReadSchema; a sorted limit is a per-partition
+    * top-K + driver merge, no global shuffle.
+    */
+  def read(
+      fields: Seq[String] = Nil,
+      aliases: Map[String, String] = Map.empty,
+      geomFieldArg: Option[String] = None,
+      toSrid: Option[Int] = None,
+      returnGeom: Boolean = true,
+      limit: Option[Int] = None,
+      where: Option[String] = None,
+      sort: Seq[String] = Nil): DataFrame = {
+
+    val gf = geomFieldArg.orElse(geomField)
+    val base = if (fields.nonEmpty) fields else this.fields
+    // geometry handling: serialize WKT (identity here — canonical storage is
+    // WKT) + optional reprojection (ref postgis ST_Transform in SELECT list,
+    // datum/postgis/table.py:54-59; oracle client-side pyproj,
+    // datum/oracle_stgeom/table.py:307-313)
+    val selected: Seq[Column] = {
+      val nonGeom = base.filterNot(gf.contains)
+      val geomCols: Seq[Column] = gf match {
+        case Some(g) if returnGeom =>
+          val c = toSrid match {
+            case Some(to) if to != srid => StFunctions.stTransform(col(g), lit(srid), lit(to))
+            case _                      => col(g)
+          }
+          Seq(c.as(g))
+        case _ => Nil
+      }
+      nonGeom.map(col) ++ geomCols
+    }
+
+    var out = df.select(selected: _*)
+    // aliases appended as AS (ref datum/postgis/table.py:140-149)
+    out = aliases.foldLeft(out) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+    out = where.map(w => out.filter(expr(w))).getOrElse(out)
+    if (sort.nonEmpty) out = out.orderBy(sort.map(Table.sortExpr): _*)
+    limit.map(out.limit).getOrElse(out)
+  }
+
+  /** Append write (ref datum/table.py:88-89; postgis chunked multi-row
+    * INSERT, datum/postgis/table.py:228-304; oracle executemany,
+    * datum/oracle_stgeom/table.py:365-487).
+    *
+    * chunkSize maps to `maxRecordsPerFile` — the reference chunked to bound
+    * a single INSERT statement; we chunk to bound output file size, the
+    * Spark-native reason to chunk. Writes are task-parallel: on a cluster
+    * each partition writes its own files under the job's output committer
+    * (the transactional analogue of the reference's per-chunk commit).
+    *
+    * Unknown-field validation mirrors ref datum/postgis/table.py:259-262.
+    */
+  def write(rows: DataFrame, fromSrid: Option[Int] = None, chunkSize: Int = 0): Unit = {
+    val target = df.schema
+    val unknown = rows.schema.fieldNames.filterNot(target.fieldNames.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(s"Field ${unknown.head} does not exist")
+
+    // geometry preparation (ref _prepare_geom): multi-cast when target is
+    // MULTI, empty-geom literal for nulls, reprojection from fromSrid
+    val prepared = geomField.filter(rows.schema.fieldNames.contains) match {
+      case Some(g) =>
+        var c: Column = col(g)
+        fromSrid.filter(_ != srid).foreach { from =>
+          c = StFunctions.stTransform(c, lit(from), lit(srid))
+        }
+        geomType.filter(_.startsWith("MULTI")).foreach { gt =>
+          c = StFunctions.stMulti(c) // ref datum/postgis/table.py:247-254
+        }
+        // ref datum/oracle_stgeom/table.py:320-322: None → '<TYPE> EMPTY'
+        c = coalesce(c, lit(geomType.map(t => s"$t EMPTY").getOrElse("GEOMETRYCOLLECTION EMPTY")))
+        rows.withColumn(g, c)
+      case None => rows
+    }
+    // align column order + fill missing with nulls (field set from rows,
+    // ref datum/postgis/table.py:238)
+    val aligned = prepared.select(target.fields.toSeq.map { f =>
+      if (prepared.schema.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
+    val w = aligned.write.mode("append")
+    (if (chunkSize > 0) w.option("maxRecordsPerFile", chunkSize.toLong) else w).parquet(path)
+  }
+
+  /** TRUNCATE (ref datum/table.py:91-93, datum/postgis/table.py:170-177):
+    * overwrite with an empty frame of the same schema — idempotent, atomic
+    * per the parquet commit protocol.
+    */
+  def delete(cascade: Boolean = false): Unit = {
+    val schema = df.schema
+    db.spark.createDataFrame(db.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Index façade (ref datum/table.py:98-104, datum/postgis/table.py:309-334,
+    * auto-name `t_f1_f2_idx`). Parquet has no b-tree; the physical analogue
+    * is clustering: sort-within-partitions on the keys so row-group min/max
+    * stats act as a zone map and predicate pushdown can skip row groups. At
+    * 100 TB this is the difference between scanning every row group and
+    * skipping most of them.
+    */
+  def createIndex(idxFields: Seq[String]): String = {
+    val idxName = (name +: idxFields :+ "idx").mkString("_")
+    val current = df
+    val clustered = current.repartitionByRange(idxFields.map(col): _*)
+      .sortWithinPartitions(idxFields.map(col): _*)
+    val tmp = path + ".idx_tmp"
+    clustered.write.mode("overwrite").parquet(tmp)
+    db.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    deleteDir(new File(tmp))
+    idxName
+  }
+  def dropIndex(idxFields: Seq[String]): Unit = () // clustering is harmless to keep
+
+  private def deleteDir(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteDir)
+    f.delete(): Unit
+  }
+
+  private def prop(key: String): Option[String] = {
+    val f = new File(path + ".properties")
+    if (!f.exists()) None
+    else {
+      val p = new java.util.Properties()
+      val in = new java.io.FileInputStream(f)
+      try p.load(in) finally in.close()
+      Option(p.getProperty(key))
+    }
+  }
+}
+
+object Table {
+  val GeomNames = Set("wkt", "geom", "geometry", "shape")
+
+  /** Parse "col DESC" / "col ASC" / bare expr sort specs (the reference
+    * passes these through as SQL text, datum/postgis/table.py:159-163).
+    */
+  def sortExpr(spec: String): Column = {
+    val t = spec.trim
+    val lower = t.toLowerCase
+    if (lower.endsWith(" desc")) expr(t.substring(0, t.length - 5)).desc
+    else if (lower.endsWith(" asc")) expr(t.substring(0, t.length - 4)).asc
+    else expr(t).asc
+  }
+}

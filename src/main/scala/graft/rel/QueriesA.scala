@@ -1,0 +1,72 @@
+package graft.rel
+
+import org.apache.spark.sql.SparkSession
+import graft.api.Datum
+
+/** Group A — the reference's read surface (SURVEY.md §2.4.A), exercised
+  * through the [[graft.api.Table]] façade so the declared queries cover the
+  * same code path a library user gets (`table.read(fields, aliases, where,
+  * sort, limit)`, ref datum/table.py:68-86).
+  *
+  * Scale notes: every query here compiles to a single parquet scan —
+  * projection prunes ReadSchema, `where` lands in PushedFilters, and
+  * sort+limit fuses into TakeOrderedAndProject (per-partition top-K, no
+  * global sort shuffle). Verified via `.explain` in ReadSurfaceSpec.
+  */
+object QueriesA {
+  private def db(s: SparkSession, dir: String) = {
+    implicit val sp: SparkSession = s
+    Datum.connect(s"parquet://$dir")
+  }
+
+  val all: Map[String, Q.Fn] = Map(
+    // read(fields=[...], aliases={c_name→customer_name}) — ref projection+AS
+    // (datum/postgis/table.py:140-149)
+    "a1_read_project_alias" -> ((s, dir) =>
+      db(s, dir).table("customer").read(
+        fields = Seq("c_custkey", "c_name"),
+        aliases = Map("c_name" -> "customer_name"),
+        sort = Seq("c_custkey"))),
+
+    // read(where=...) — raw SQL predicate passthrough
+    // (ref datum/postgis/table.py:157-158)
+    "a2_read_filter" -> ((s, dir) =>
+      db(s, dir).table("orders").read(
+        fields = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+        where = Some("o_totalprice > 100000 AND o_orderstatus = 'O'"),
+        sort = Seq("o_orderkey"))),
+
+    // read(sort=[...], limit=n) — ref datum/postgis/table.py:159-166; the
+    // oracle adapter dropped sort and pre-applied ROWNUM (bugs we fix)
+    "a3_read_sort_limit" -> ((s, dir) =>
+      db(s, dir).table("lineitem").read(
+        fields = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"),
+        sort = Seq("l_shipdate DESC", "l_orderkey", "l_linenumber"),
+        limit = Some(100))),
+
+    // table.count — ref datum/table.py:59-61 (uniform Long, unlike the
+    // reference's property-vs-method inconsistency)
+    "a4_count" -> ((s, dir) => {
+      import s.implicits._
+      Seq(db(s, dir).table("lineitem").count).toDF("n")
+    }),
+
+    // read() no-args = SELECT * (ref datum/postgis/table.py:156)
+    "a5_read_star" -> ((s, dir) =>
+      db(s, dir).table("nation").read(sort = Seq("n_nationkey")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_read_project_alias" ->
+      "SELECT c_custkey, c_name AS customer_name FROM customer ORDER BY c_custkey",
+    "a2_read_filter" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders " +
+        "WHERE o_totalprice > 100000 AND o_orderstatus = 'O' ORDER BY o_orderkey"),
+    "a3_read_sort_limit" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate " +
+        "FROM lineitem ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 100"),
+    "a4_count" -> "SELECT count(*) AS n FROM lineitem",
+    "a5_read_star" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+  )
+}

@@ -1,0 +1,161 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Q._
+
+/** Group B — the relational core implied by the reference's internal catalog
+  * SQL (SURVEY.md §2.3/§2.4.B): equi-joins (ref pg_index⋈pg_attribute,
+  * datum/postgis/table.py:116-128; sde.layers⋈spatial_references,
+  * datum/oracle_stgeom/table.py:90-104), an anti-join (NOT IN subquery,
+  * datum/oracle_stgeom/database.py:52-61), conjunctive predicates, and
+  * aggregation — widened to the standard relational algebra a Spark user
+  * expects (window, set ops, rollup).
+  *
+  * Scale notes per query:
+  *  - dimension sides (region/nation/customer/part ≤ ~2% of fact size) are
+  *    explicitly `broadcast()` so the fact table never shuffles for a join;
+  *  - groupBy aggregates use exact decimal sums (see [[Q]]) which partial-
+  *    aggregate map-side — one shuffle of (group-key, 128-bit buffer);
+  *  - the window top-K partitions by a low-cardinality key; at 100 TB the
+  *    same plan holds because rank() is computed per-partition after a
+  *    hash-partitioned sort, no global sort.
+  */
+object QueriesB {
+
+  val all: Map[String, Fn] = Map(
+    // b1: orders ⋈ customer (ref #19/#20 shape). Customer is the dimension —
+    // broadcast it; orders streams through unshuffled.
+    "b1_join_inner" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        .select(o("o_orderkey"), c("c_custkey"), c("c_name"), o("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // b2: 4-way star join lineitem⋈orders⋈customer⋈nation⋈region → revenue
+    // per region. All dims broadcast: the fact table is scanned once with
+    // zero join shuffles; the single shuffle is the 5-group aggregate.
+    "b2_join_multiway" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name").as("r_name"))
+        .agg(
+          dbl(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")
+    }),
+
+    // b3: customers with no orders — ref NOT IN subquery shape
+    // (datum/oracle_stgeom/database.py:52-61) as a left-anti hash join.
+    "b3_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // b4: parts that appear in lineitem — left-semi (EXISTS).
+    "b4_semi_join" -> ((s, dir) => {
+      val p = t(s, dir, "part"); val l = t(s, dir, "lineitem")
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name").orderBy("p_partkey")
+    }),
+
+    // b5: TPC-H Q1 shape — exact decimal sums, partial+final hash agg.
+    "b5_group_agg" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val sumQty = sum(dec2(col("l_quantity")))
+      l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dbl(sumQty).as("sum_qty"),
+          dbl(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+          dbl(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))).as("sum_disc_price"),
+          (dbl(sumQty) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // b6: distinct customer count over orders — partial-aggregated
+    // count(distinct) (Catalyst expands to a two-phase exact distinct).
+    "b6_distinct" -> ((s, dir) =>
+      t(s, dir, "orders").agg(countDistinct(col("o_custkey")).as("n"))),
+
+    // b7: top-3 orders by totalprice within each orderpriority — window
+    // top-K; tie-broken by o_orderkey for a total order.
+    "b7_topk_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // b8: UNION (distinct) then EXCEPT of customer-key sets.
+    "b8_set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val rich = c.filter(col("c_acctbal") > 7000).select("c_custkey")
+      val bld  = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val near = c.filter(col("c_nationkey") < 5).select("c_custkey")
+      rich.union(bld).distinct().except(near).orderBy("c_custkey")
+    }),
+
+    // b9: ROLLUP(returnflag, linestatus) — NULLS FIRST pinned explicitly
+    // (Spark's ASC default) so both engines order subtotal rows identically.
+    "b9_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dbl(sum(dec2(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "b1_join_inner" ->
+      ("SELECT o_orderkey, c_custkey, c_name, o_totalprice FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+    "b2_join_multiway" ->
+      ("SELECT r_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_items FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name ORDER BY r_name"),
+    "b3_anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN " +
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 200000) ORDER BY c_custkey"),
+    "b4_semi_join" ->
+      ("SELECT p_partkey, p_name FROM part " +
+        "WHERE p_partkey IN (SELECT l_partkey FROM lineitem) ORDER BY p_partkey"),
+    "b5_group_agg" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty, " +
+        "count(*) AS count_order " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "b6_distinct" -> "SELECT count(DISTINCT o_custkey) AS n FROM orders",
+    "b7_topk_window" ->
+      ("SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (" +
+        "SELECT o_orderpriority, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn"),
+    "b8_set_ops" ->
+      ("SELECT c_custkey FROM (" +
+        "SELECT c_custkey FROM customer WHERE c_acctbal > 7000 " +
+        "UNION SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') " +
+        "EXCEPT SELECT c_custkey FROM customer WHERE c_nationkey < 5 ORDER BY c_custkey"),
+    "b9_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+  )
+}

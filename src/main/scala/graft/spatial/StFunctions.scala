@@ -1,0 +1,124 @@
+package graft.spatial
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftglue.Bridge.{column, expression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Spatial scalar function surface (SURVEY.md §2.5, reference functions
+  * #27-#35). Two tiers:
+  *
+  *  - **String-level ops** (m-scrub, NaN scrub, MULTI wrap, type sniff) are
+  *    pure built-in `regexp_replace`/`concat` compositions — fully inside
+  *    whole-stage codegen, byte-identical to what a SQL engine computes on
+  *    the same strings (the reference literally regexes WKT text,
+  *    datum/oracle_stgeom/table.py:33-34,210-223).
+  *  - **Geometry ops** (parse/normalize, force-2D, curve linearization,
+  *    reprojection) are custom Catalyst `Expression`s over the JTS kernel
+  *    ([[Wkt]]) — null-safe, evaluated per-row on executors with no
+  *    serialization overhead beyond the string itself. They use
+  *    `CodegenFallback` (the JTS call dominates; codegen of the wrapper
+  *    would not measurably help, same tradeoff Spark itself makes for
+  *    its `st_*` WKB expressions' non-arithmetic paths).
+  */
+object StFunctions {
+
+  // ---- custom expressions -------------------------------------------------
+
+  abstract class WktUnary extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    def op(s: String): String
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(op(v.asInstanceOf[UTF8String].toString))
+  }
+
+  /** WKT → canonical WKT via JTS parse∘write (ST_GeomFromText + ST_AsText,
+    * ref datum/postgis/table.py:179-181, 54-59).
+    */
+  case class StNormalizeWkt(child: Expression) extends WktUnary {
+    override def op(s: String): String = Wkt.normalize(s)
+    override protected def withNewChildInternal(c: Expression): StNormalizeWkt = copy(c)
+    override def prettyName: String = "st_normalize_wkt"
+  }
+
+  /** Drop Z/M dimensions after NaN→0 scrub (ST_Force2D,
+    * ref datum/postgis/table.py:183-187).
+    */
+  case class StForce2D(child: Expression) extends WktUnary {
+    override def op(s: String): String = Wkt.force2D(s)
+    override protected def withNewChildInternal(c: Expression): StForce2D = copy(c)
+    override def prettyName: String = "st_force2d"
+  }
+
+  /** Circular-arc linearization (ST_CurveToLine,
+    * ref datum/postgis/table.py:189-191).
+    */
+  case class StCurveToLine(child: Expression) extends WktUnary {
+    override def op(s: String): String = Wkt.curveToLine(s)
+    override protected def withNewChildInternal(c: Expression): StCurveToLine = copy(c)
+    override def prettyName: String = "st_curve_to_line"
+  }
+
+  /** Reprojection wkt × fromSrid × toSrid → wkt (ST_Transform / pyproj,
+    * ref datum/oracle_stgeom/table.py:307-313, util.py:5-19).
+    */
+  case class StTransform(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(wkt: Any, from: Any, to: Any): Any =
+      UTF8String.fromString(
+        Wkt.transform(wkt.asInstanceOf[UTF8String].toString,
+          from.asInstanceOf[Int], to.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): StTransform = copy(f, s, t)
+    override def prettyName: String = "st_transform"
+  }
+
+  // ---- Column API ---------------------------------------------------------
+
+  def stNormalizeWkt(c: Column): Column = column(StNormalizeWkt(expression(c)))
+  def stAsText(c: Column): Column = stNormalizeWkt(c) // canonical storage is WKT
+  def stGeomFromText(c: Column): Column = stNormalizeWkt(c)
+  def stForce2DJts(c: Column): Column = column(StForce2D(expression(c)))
+  def stCurveToLine(c: Column): Column = column(StCurveToLine(expression(c)))
+  def stTransform(c: Column, from: Column, to: Column): Column =
+    column(StTransform(expression(c), expression(from), expression(to)))
+
+  /** String-level force-2D for the POINT Z fixture shape: 'NaN'→'0' then
+    * drop the third ordinate. Kept regex-only (no JTS) so a SQL oracle can
+    * reproduce it byte-for-byte (SURVEY.md §7.3 #4). Built-ins → codegen'd.
+    */
+  def stForce2DPoint(c: Column): Column = {
+    val scrubbed = regexp_replace(c, "NaN", "0")
+    regexp_replace(scrubbed,
+      "^POINT Z ?\\(\\s*(\\S+)\\s+(\\S+)\\s+\\S+\\s*\\)$", "POINT ($1 $2)")
+  }
+
+  /** M-value scrub: drop ' M' type modifier and ' 1.#QNAN000' ordinates
+    * (ref MSUFFIX/MVALUE regexes, datum/oracle_stgeom/table.py:33-34,
+    * 210-223, 289-297). No lookahead (RE2-safe ⇒ oracle-reproducible).
+    */
+  def mScrub(c: Column): Column =
+    regexp_replace(regexp_replace(c, " M \\(", " ("), " 1\\.#QNAN000", "")
+
+  /** Wrap single geometry as MULTI when the target column is MULTI
+    * (ref datum/postgis/table.py:198-199,247-254). String-level.
+    */
+  def stMulti(c: Column): Column = {
+    val p = instr(c, "(")
+    val alreadyMulti = c.startsWith("MULTI") || c.startsWith("GEOMETRYCOLLECTION")
+    when(alreadyMulti || p === 0, c).otherwise(
+      concat(lit("MULTI"), trim(substring(c, lit(1), p - 1)), lit(" ("),
+        substr(c, p, length(c)), lit(")")))
+  }
+
+  /** Geometry type token from WKT (ref datum/postgis/table.py:241-242). */
+  def wktGeomType(c: Column): Column = regexp_extract(c, "^[A-Z]+", 0)
+
+  /** Null → '<TYPE> EMPTY' (ref datum/oracle_stgeom/table.py:320-322). */
+  def emptyWkt(c: Column, geomType: String): Column =
+    coalesce(c, lit(s"$geomType EMPTY"))
+}

@@ -1,0 +1,134 @@
+package graft.spatial
+
+import org.locationtech.jts.geom._
+import org.locationtech.jts.io.{WKTReader, WKTWriter}
+
+/** JTS-backed WKT geometry kernel (jts-core ships on the Spark classpath).
+  *
+  * The reference treats geometry as WKT *text* end-to-end — serialized by the
+  * backend (`ST_AsText`, datum/postgis/table.py:54-59;
+  * `SDO_UTIL.TO_WKTGEOMETRY`, datum/oracle_stgeom/database.py:93-95), munged
+  * with regexes client-side, parsed by the backend on write
+  * (`ST_GeomFromText`, datum/postgis/table.py:179-181). We keep WKT strings
+  * as the canonical interchange (DuckDB-comparable) and use JTS only where
+  * real geometry math is needed.
+  *
+  * All methods are pure and thread-safe (fresh reader/writer per call —
+  * JTS readers are not thread-safe; cost is negligible vs parse itself).
+  */
+object Wkt {
+  private val gf = new GeometryFactory()
+
+  def parse(wkt: String): Geometry = new WKTReader(gf).read(wkt)
+
+  def write(g: Geometry): String = new WKTWriter().write(g)
+
+  /** parse ∘ write normalization (d1 roundtrip). */
+  def normalize(wkt: String): String = write(parse(wkt))
+
+  /** Force 2D: drop Z ordinates (ref ST_Force2D after 'NaN'→'0' scrub,
+    * datum/postgis/table.py:183-187, datum/oracle_stgeom/table.py:324-328).
+    */
+  def force2D(wkt: String): String = {
+    val g = parse(wkt.replace("NaN", "0"))
+    g.apply(new CoordinateSequenceFilter {
+      private var changed = false
+      override def filter(seq: CoordinateSequence, i: Int): Unit = {
+        if (seq.getDimension > 2) { seq.setOrdinate(i, 2, Double.NaN); changed = true }
+      }
+      override def isDone: Boolean = false
+      override def isGeometryChanged: Boolean = changed
+    })
+    new WKTWriter(2).write(g)
+  }
+
+  /** Wrap a single geometry as its MULTI counterpart when the target column
+    * type is MULTI (ref ST_Multi decision, datum/postgis/table.py:247-254,
+    * datum/oracle_stgeom/table.py:390-410). String-level (no JTS roundtrip)
+    * so the output stays byte-comparable with SQL-engine string ops.
+    */
+  def multi(wkt: String): String = {
+    val t = wkt.trim
+    if (t.startsWith("MULTI") || t.startsWith("GEOMETRYCOLLECTION")) t
+    else {
+      val p = t.indexOf('(')
+      if (p < 0) t // e.g. 'POINT EMPTY'
+      else {
+        val typ = t.substring(0, p).trim
+        s"MULTI$typ (${t.substring(p)})"
+      }
+    }
+  }
+
+  /** OGC type token from WKT (ref re.match('[A-Z]+', wkt),
+    * datum/postgis/table.py:241-242).
+    */
+  def geomTypeOf(wkt: String): String = wkt.trim.takeWhile(c => c.isLetter).toUpperCase
+
+  /** Linearize circular arcs: CIRCULARSTRING(p0 p1 p2, ...) → LINESTRING
+    * sampled along each 3-point arc (ref delegates to backend
+    * ST_CurveToLine / SDO_GEOM, datum/postgis/table.py:189-191 — JTS has no
+    * curve types, so we approximate with `segmentsPerArc` chords; documented
+    * approximation, curves never occur in the driver data).
+    */
+  def curveToLine(wkt: String, segmentsPerArc: Int = 32): String = {
+    val t = wkt.trim
+    if (!t.startsWith("CIRCULARSTRING")) normalize(t)
+    else {
+      val inner = t.substring(t.indexOf('(') + 1, t.lastIndexOf(')'))
+      val pts = inner.split(",").map { s =>
+        val Array(x, y) = s.trim.split("\\s+").map(_.toDouble)
+        new Coordinate(x, y)
+      }
+      require(pts.length >= 3 && pts.length % 2 == 1, s"bad CIRCULARSTRING arity ${pts.length}")
+      val out = scala.collection.mutable.ArrayBuffer[Coordinate](pts.head)
+      var i = 0
+      while (i + 2 < pts.length) {
+        out ++= sampleArc(pts(i), pts(i + 1), pts(i + 2), segmentsPerArc).tail
+        i += 2
+      }
+      write(gf.createLineString(out.toArray))
+    }
+  }
+
+  /** Sample the circular arc through (p0, p1, p2) with n chords. */
+  private def sampleArc(p0: Coordinate, p1: Coordinate, p2: Coordinate, n: Int): Seq[Coordinate] = {
+    // circumcenter of the three points
+    val ax = p0.x; val ay = p0.y; val bx = p1.x; val by = p1.y; val cx = p2.x; val cy = p2.y
+    val d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if (math.abs(d) < 1e-12) return Seq(p0, p1, p2) // collinear → straight
+    val ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay) +
+      (cx * cx + cy * cy) * (ay - by)) / d
+    val uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx) +
+      (cx * cx + cy * cy) * (bx - ax)) / d
+    val r = math.hypot(ax - ux, ay - uy)
+    val a0 = math.atan2(ay - uy, ax - ux)
+    val a1 = math.atan2(by - uy, bx - ux)
+    val a2 = math.atan2(cy - uy, cx - ux)
+    // sweep from a0 through a1 to a2
+    def norm(a: Double) = { var x = a; while (x < 0) x += 2 * math.Pi; while (x >= 2 * math.Pi) x -= 2 * math.Pi; x }
+    val ccwTo1 = norm(a1 - a0); val ccwTo2 = norm(a2 - a0)
+    val ccw = ccwTo1 <= ccwTo2 // p1 lies on the ccw path to p2
+    val sweep = if (ccw) ccwTo2 else ccwTo2 - 2 * math.Pi
+    (0 to n).map { k =>
+      val a = a0 + sweep * k / n
+      new Coordinate(ux + r * math.cos(a), uy + r * math.sin(a))
+    }
+  }
+
+  /** Reproject every coordinate of a WKT geometry (ref client-side per-row
+    * pyproj transform, datum/oracle_stgeom/table.py:307-313).
+    */
+  def transform(wkt: String, fromSrid: Int, toSrid: Int): String = {
+    if (fromSrid == toSrid) return wkt
+    val g = parse(wkt)
+    g.apply(new CoordinateFilter {
+      override def filter(c: Coordinate): Unit = {
+        val (x, y) = Projection.transform(c.x, c.y, fromSrid, toSrid)
+        c.x = x; c.y = y
+      }
+    })
+    g.geometryChanged()
+    write(g)
+  }
+}
