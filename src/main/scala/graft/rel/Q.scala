@@ -28,6 +28,22 @@ object Q {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Load the `events` table. Its `ts` is parquet TIMESTAMP(NANOS), which
+    * Spark only reads via `spark.sql.legacy.parquet.nanosAsLong=true` (set
+    * in Verify/Bench/test sessions); the actual values are µs-precision, so
+    * ns→µs truncation is lossless and matches DuckDB (whose TIMESTAMP is µs).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case _ => raw
+    }
+  }
+
   /** Exact 2-decimal view of a money/quantity double. */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 

@@ -1,0 +1,131 @@
+package graft.rel
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.api.{Datum, Database}
+import Q._
+
+/** Group C — the reference's write/DDL surface (SURVEY.md §2.4.C, §2.2):
+  * chunked append (ref datum/postgis/table.py:228-304), truncate+reload (ref
+  * datum/table.py:91-93), coarse-typed CREATE TABLE (ref
+  * datum/postgis/database.py:75-98), views / materialized views (ref
+  * datum/postgis/database.py:108-126), and the index façade (ref
+  * datum/postgis/table.py:309-334 → parquet clustering).
+  *
+  * Each query performs the mutation against a scratch database under
+  * target/fixtures/out (never the read-only testdata), then returns the
+  * read-back — which IS SQL-predictable, so even the write path gets a
+  * DuckDB oracle. Queries re-overwrite their own scratch tables first, so
+  * they are idempotent across verify/bench runs.
+  *
+  * Scale: appends are task-parallel file writes under the parquet commit
+  * protocol (the cluster analogue of the reference's per-chunk commit);
+  * `chunkSize` bounds output file size via maxRecordsPerFile; truncate is
+  * an atomic overwrite; "index" = repartitionByRange + sortWithinPartitions
+  * so row-group min/max stats give zone-map skipping at 100 TB.
+  */
+object QueriesC {
+  private val ScratchRoot = "/root/repo/target/fixtures/out"
+
+  private def scratch(s: SparkSession): Database = {
+    implicit val sp: SparkSession = s
+    new java.io.File(ScratchRoot).mkdirs()
+    Datum.connect(s"parquet://$ScratchRoot")
+  }
+
+  val all: Map[String, Fn] = Map(
+    // c1: seed table, append the same 25 rows with chunk_size=7 (ragged
+    // final chunk, ref chunking arithmetic datum/postgis/table.py:268-273),
+    // read back → nation ∪ nation.
+    "c1_append_chunked" -> ((s, dir) => {
+      val db = scratch(s)
+      val nation = t(s, dir, "nation")
+      nation.write.mode("overwrite").parquet(db.pathOf("c1_nation"))
+      db.table("c1_nation").write(nation, chunkSize = 7)
+      db.table("c1_nation").read(sort = Seq("n_nationkey", "n_name"))
+    }),
+
+    // c2: ETL reload idiom — truncate then write (ref delete+write,
+    // datum/table.py:88-93), read back → exactly nation.
+    "c2_truncate_reload" -> ((s, dir) => {
+      val db = scratch(s)
+      val nation = t(s, dir, "nation")
+      nation.write.mode("overwrite").parquet(db.pathOf("c2_nation"))
+      val tbl = db.table("c2_nation")
+      tbl.delete()
+      assert(tbl.count == 0L, "truncate must leave zero rows")
+      tbl.write(nation)
+      tbl.read(sort = Seq("n_nationkey"))
+    }),
+
+    // c3: coarse-typed CREATE TABLE with auto id (ref
+    // datum/postgis/database.py:75-98); output = reflected coarse schema.
+    "c3_create_table_coarse" -> ((s, dir) => {
+      val db = scratch(s)
+      db.dropTable("c3_coarse")
+      db.createTable("c3_coarse",
+        Seq("measure" -> "num", "label" -> "text", "seen_at" -> "date", "shape" -> "geom"))
+      import s.implicits._
+      db.table("c3_coarse").metadata.toDF("field", "coarse").orderBy("field")
+    }),
+
+    // c4: materialized view = parquet snapshot of a SELECT (ref
+    // datum/postgis/database.py:118-126), read back through the catalog.
+    "c4_mview" -> ((s, dir) => {
+      val db = scratch(s)
+      t(s, dir, "customer").write.mode("overwrite").parquet(db.pathOf("c4_customer"))
+      db.createMView("c4_top_nations",
+        """SELECT c_nationkey, count(*) AS n_customers,
+          |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+          |FROM c4_customer GROUP BY c_nationkey""".stripMargin)
+      db.table("c4_top_nations").read(sort = Seq("c_nationkey"))
+    }),
+
+    // c5: session-scoped logical view + raw-SQL execute over it (ref
+    // create_view datum/postgis/database.py:108-116 + db.execute
+    // datum/database.py:44-45).
+    "c5_view_execute" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val db = Datum.connect(s"parquet://$dir")
+      db.createView("c5_open_orders",
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'")
+      db.execute(
+        "SELECT o_custkey, count(*) AS n_open FROM c5_open_orders GROUP BY o_custkey")
+        .orderBy("o_custkey")
+    }),
+
+    // c6: index façade — cluster by l_shipdate (zone-map effect), verify the
+    // data is preserved and a pushed-down range filter reads correctly.
+    "c6_index_cluster" -> ((s, dir) => {
+      val db = scratch(s)
+      t(s, dir, "lineitem").write.mode("overwrite").parquet(db.pathOf("c6_lineitem"))
+      val tbl = db.table("c6_lineitem")
+      tbl.createIndex(Seq("l_shipdate"))
+      tbl.read(
+        fields = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
+        where = Some("l_shipdate >= TIMESTAMP'2000-01-01 00:00:00'"),
+        sort = Seq("l_orderkey", "l_linenumber"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "c1_append_chunked" ->
+      ("SELECT * FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation) " +
+        "ORDER BY n_nationkey, n_name"),
+    "c2_truncate_reload" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "c3_create_table_coarse" ->
+      ("SELECT * FROM (VALUES ('id','num'),('measure','num'),('label','text')," +
+        "('seen_at','date'),('shape','geom')) AS t(field, coarse) ORDER BY field"),
+    "c4_mview" ->
+      ("SELECT c_nationkey, count(*) AS n_customers, " +
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"),
+    "c5_view_execute" ->
+      ("SELECT o_custkey, count(*) AS n_open FROM orders WHERE o_orderstatus = 'O' " +
+        "GROUP BY o_custkey ORDER BY o_custkey"),
+    "c6_index_cluster" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' " +
+        "ORDER BY l_orderkey, l_linenumber")
+  )
+}
