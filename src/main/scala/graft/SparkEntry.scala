@@ -17,11 +17,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    rel.QueriesA.all ++ rel.QueriesB.all ++ rel.QueriesC.all
+    rel.QueriesA.all ++ rel.QueriesB.all ++ rel.QueriesC.all ++
+      spatial.QueriesD.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check.
     */
   def oracleSql: Map[String, String] =
-    rel.QueriesA.oracle ++ rel.QueriesB.oracle ++ rel.QueriesC.oracle
+    rel.QueriesA.oracle ++ rel.QueriesB.oracle ++ rel.QueriesC.oracle ++
+      spatial.QueriesD.oracle
 }

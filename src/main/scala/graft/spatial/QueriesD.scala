@@ -1,0 +1,120 @@
+package graft.spatial
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.Datum
+import graft.rel.Q._
+
+/** Group D — the reference's spatial WKT surface (SURVEY.md §2.4.D, §2.5).
+  *
+  * The driver tables carry no geometry, so WKT inputs are synthesized as a
+  * pure function of `nation.n_nationkey` (FIXTURES.md §3): 25 points inside
+  * the EPSG:2272 (PA State Plane South, ftUS) extent of Philadelphia — the
+  * reference's home CRS (ref datum/oracle_stgeom/table.py:205-207).
+  *
+  * d2/d3/d4 are deliberately **string-level** (regex/concat, no JTS
+  * roundtrip): the reference literally regexes WKT text (m-scrub regexes,
+  * datum/oracle_stgeom/table.py:33-34,210-223), and staying textual keeps
+  * the results byte-comparable with a SQL oracle (SURVEY.md §7.3 #4).
+  * d1 exercises the JTS parse∘write kernel; d5/d6 the geometry-math paths
+  * (reprojection, curve linearization) that no SQL engine reproduces —
+  * they are validated by golden fixtures in SpatialSpec instead.
+  *
+  * Scale: every spatial function here is a scalar per-row expression —
+  * embarrassingly parallel, no shuffle, stays inside the scan stage.
+  */
+object QueriesD {
+
+  /** Deterministic WKT fixture columns derived from nation (25 rows). */
+  def geo(s: SparkSession, dir: String): DataFrame = {
+    val gid = (col("n_nationkey") + 1).cast("int")
+    val x = (lit(2660000) + gid * 1000).cast("int")
+    val y = (lit(220000) + gid * 500).cast("int")
+    val x2 = (x + 100).cast("int"); val y2 = (y + 100).cast("int")
+    t(s, dir, "nation").select(
+      gid.as("gid"), x.as("x"), y.as("y"),
+      concat(lit("POINT("), x, lit(" "), y, lit(")")).as("wkt_raw"),
+      concat(lit("POINT Z ("), x, lit(" "), y, lit(" NaN)")).as("wkt_z"),
+      concat(lit("POINT M ("), x, lit(" "), y, lit(" 1.#QNAN000)")).as("wkt_m"),
+      when((gid % 6) === 3,
+        concat(lit("POLYGON (("), x, lit(" "), y, lit(", "), x2, lit(" "), y,
+          lit(", "), x2, lit(" "), y2, lit(", "), x, lit(" "), y, lit("))")))
+        .otherwise(concat(lit("POINT ("), x, lit(" "), y, lit(")"))).as("wkt_mixed"),
+      when((gid % 6) === 3, lit("MULTIPOLYGON")).otherwise(lit("POINT")).as("geom_type"))
+  }
+
+  val all: Map[String, Fn] = Map(
+    // d1: ST_GeomFromText → ST_AsText identity through the JTS kernel
+    // (ref datum/postgis/table.py:179-181, :54-59). Input has no space
+    // after POINT; canonical output does — proves a real parse∘write.
+    "d1_wkt_roundtrip" -> ((s, dir) =>
+      geo(s, dir).select(col("gid"),
+        StFunctions.stAsText(col("wkt_raw")).as("wkt")).orderBy("gid")),
+
+    // d2: NaN→0 scrub + force-2D (ref datum/postgis/table.py:183-187),
+    // string-level for oracle parity.
+    "d2_force_2d" -> ((s, dir) =>
+      geo(s, dir).select(col("gid"),
+        StFunctions.stForce2DPoint(col("wkt_z")).as("wkt")).orderBy("gid")),
+
+    // d3: M-value scrub (ref datum/oracle_stgeom/table.py:33-34,210-223).
+    "d3_m_scrub" -> ((s, dir) =>
+      geo(s, dir).select(col("gid"),
+        StFunctions.mScrub(col("wkt_m")).as("wkt")).orderBy("gid")),
+
+    // d4: POLYGON→MULTIPOLYGON iff the target column type is MULTI
+    // (ref decision logic datum/postgis/table.py:247-254).
+    "d4_multi_cast" -> ((s, dir) =>
+      geo(s, dir).select(col("gid"), col("geom_type"),
+        when(col("geom_type").startsWith("MULTI"), StFunctions.stMulti(col("wkt_mixed")))
+          .otherwise(col("wkt_mixed")).as("wkt")).orderBy("gid")),
+
+    // d5 (no-oracle): EPSG:2272 → 4326 reprojection through the full
+    // façade path — scratch table + sidecar SRID + table.read(toSrid=...)
+    // (ref datum/oracle_stgeom/table.py:307-313). Hand-rolled LCC math,
+    // golden-point validated in SpatialSpec.
+    "d5_transform_2272_4326" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val root = "/root/repo/target/fixtures/out"
+      new java.io.File(root).mkdirs()
+      val db = Datum.connect(s"parquet://$root")
+      geo(s, dir).select(col("gid"),
+        concat(lit("POINT ("), col("x"), lit(" "), col("y"), lit(")")).as("wkt"))
+        .write.mode("overwrite").parquet(db.pathOf("d5_geo"))
+      val props = new java.io.File(root, "d5_geo.parquet.properties")
+      java.nio.file.Files.writeString(props.toPath, "srid=2272\ngeom_type=POINT\n")
+      db.table("d5_geo").read(toSrid = Some(4326), sort = Seq("gid"))
+    }),
+
+    // d6 (no-oracle): CIRCULARSTRING linearization (ref ST_CurveToLine,
+    // datum/postgis/table.py:189-191) — JTS has no curves; 32-chord
+    // approximation, geometric properties asserted in SpatialSpec.
+    "d6_curve_to_line" -> ((s, dir) =>
+      geo(s, dir).select(col("gid"),
+        StFunctions.stCurveToLine(
+          concat(lit("CIRCULARSTRING("), col("x"), lit(" "), col("y"), lit(", "),
+            col("x") + 50, lit(" "), col("y") + 50, lit(", "),
+            col("x") + 100, lit(" "), col("y"), lit(")"))).as("wkt"))
+        .orderBy("gid"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d1_wkt_roundtrip" ->
+      ("SELECT n_nationkey + 1 AS gid, 'POINT (' || (2660000 + (n_nationkey+1)*1000) || ' ' || " +
+        "(220000 + (n_nationkey+1)*500) || ')' AS wkt FROM nation ORDER BY gid"),
+    "d2_force_2d" ->
+      ("SELECT n_nationkey + 1 AS gid, 'POINT (' || (2660000 + (n_nationkey+1)*1000) || ' ' || " +
+        "(220000 + (n_nationkey+1)*500) || ')' AS wkt FROM nation ORDER BY gid"),
+    "d3_m_scrub" ->
+      ("SELECT n_nationkey + 1 AS gid, 'POINT (' || (2660000 + (n_nationkey+1)*1000) || ' ' || " +
+        "(220000 + (n_nationkey+1)*500) || ')' AS wkt FROM nation ORDER BY gid"),
+    "d4_multi_cast" ->
+      ("WITH g AS (SELECT n_nationkey + 1 AS gid, " +
+        "2660000 + (n_nationkey+1)*1000 AS x, 220000 + (n_nationkey+1)*500 AS y " +
+        "FROM nation) " +
+        "SELECT gid, CASE WHEN gid % 6 = 3 THEN 'MULTIPOLYGON' ELSE 'POINT' END AS geom_type, " +
+        "CASE WHEN gid % 6 = 3 THEN 'MULTIPOLYGON (((' || x || ' ' || y || ', ' || (x+100) || ' ' || y || ', ' || " +
+        "(x+100) || ' ' || (y+100) || ', ' || x || ' ' || y || ')))' ELSE 'POINT (' || x || ' ' || y || ')' END AS wkt " +
+        "FROM g ORDER BY gid")
+  )
+}
