@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora (BASELINE.json
+  * north star; the reference has no analogue — its "dedup" story is the
+  * truncate-and-reload ETL idiom).
+  *
+  * Hashing is md5-based throughout: identical lowercase-hex output in every
+  * engine, so DuckDB oracles reproduce signatures byte-for-byte, and at
+  * cluster scale md5 is a cheap, uniformly-distributed shuffle key.
+  *
+  * Scale design:
+  *  - exact dedup = one hash-partitioned window/groupBy on the digest —
+  *    a single shuffle of (digest, id), never the document bodies;
+  *  - minhash signatures are **array-native** (`transform`/`array_min`
+  *    HOFs): computed inside the scan stage with NO explode and NO
+  *    shuffle — the per-doc k×shingles work is embarrassingly parallel;
+  *    only the final signature→cluster grouping shuffles k hashes per doc;
+  *  - banded-LSH near-dup (minhashBands) shuffles (band-digest, id) pairs —
+  *    candidate pairs emerge from equi-joins on band digest, the standard
+  *    O(n·bands) alternative to the O(n²) pair join;
+  *  - simhash is explode + one 32-column integer aggregate (partial
+  *    map-side combine keeps the shuffle at 32 ints per doc).
+  */
+object Dedup {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles; empty array when the doc is shorter than n. */
+  def shingles(text: Column, n: Int): Column = {
+    val tok = tokens(text)
+    when(size(tok) >= n,
+      transform(sequence(lit(0), size(tok) - n),
+        i => concat_ws(" ", slice(tok, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** k-permutation minhash signature columns s0..s(k-1) — min over
+    * md5("j|" + shingle) per permutation j, computed array-native.
+    */
+  def minhashSig(sh: Column, k: Int): Seq[Column] =
+    (0 until k).map { j =>
+      array_min(transform(sh, x => md5(concat(lit(s"$j|"), x)))).as(s"s$j")
+    }
+
+  /** Exact-duplicate clustering: cluster id = min doc id sharing the text
+    * digest. One shuffle on the digest.
+    */
+  def exactClusters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol)))
+    df.select(col(idCol),
+      min(col(idCol)).over(w).as("cluster_id"))
+      .withColumn("is_dup", col(idCol) =!= col("cluster_id"))
+  }
+
+  /** Near-duplicate clustering by full-signature equality: docs whose k
+    * minhashes all agree land in one cluster (≈ Jaccard ≥ high threshold).
+    */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 4): DataFrame = {
+    val sig = df.select(col(idCol) +: minhashSig(shingles(col(textCol), n), k): _*)
+    val sigCols = (0 until k).map(j => col(s"s$j"))
+    val w = Window.partitionBy(sigCols: _*)
+    sig.select(col(idCol), concat_ws("|", sigCols: _*).as("signature"),
+        min(col(idCol)).over(w).as("cluster_id"))
+      .withColumn("is_dup", col(idCol) =!= col("cluster_id"))
+  }
+
+  /** Banded LSH candidate pairs: split a k=bands×rows signature into bands,
+    * join on (band index, band digest). Returns candidate id pairs (a<b).
+    * This is the scale path: O(n·bands) shuffle instead of O(n²) compare.
+    */
+  def minhashBandPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = df.select(col(idCol) +: minhashSig(shingles(col(textCol), n), k): _*)
+    val banded = sig.select(col(idCol), explode(array(
+      (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|",
+            (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*)).as("digest"))
+      }: _*)).as("bd"))
+      .select(col(idCol), col("bd.band"), col("bd.digest"))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.digest") === col("r.digest") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b")).distinct()
+  }
+
+  /** 32-bit simhash over whitespace tokens. Bit j (= 4·(p−1)+b) is set iff
+    * the signed count of bit b of hex digit p of md5(token) is positive.
+    * Integer arithmetic only ⇒ engine-portable.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val withDigits = (1 to 8).foldLeft(toks) { (d, p) =>
+      d.withColumn(s"d$p", expr(s"instr('0123456789abcdef', substring(h, $p, 1)) - 1"))
+    }
+    val bitSums = (0 until 32).map { j =>
+      val p = j / 4 + 1; val b = j % 4
+      sum(when(shiftright(col(s"d$p"), b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = withDigits.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 32).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col(idCol), sim.as("simhash"))
+  }
+
+  /** Document fingerprint: md5 of the 3 lexicographically-smallest shingle
+    * digests (a min-k sketch — winnowing-style selection, stable under
+    * content reordering). Array-native, no shuffle.
+    */
+  def fingerprint(text: Column, n: Int = 3): Column =
+    md5(concat_ws("",
+      slice(array_sort(transform(shingles(text, n), x => md5(x))), 1, 3)))
+}

@@ -1,0 +1,82 @@
+package graft.llm
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (BASELINE.json north star): treat image /
+  * audio / video payloads as opaque `binary` columns with typed metadata,
+  * and run decode / feature-extraction as **partition-batched typed
+  * transforms** (`Dataset.mapPartitions` — the JVM analogue of a
+  * Pandas-UDF-over-mapInPandas pipeline: one iterator per partition, so a
+  * real decoder would amortize codec/model initialization per batch, not
+  * per row).
+  *
+  * The decode step itself is a STUB by design — no image/audio codecs exist
+  * in this environment — implemented as a deterministic pure function of
+  * the payload bytes, so the surrounding Spark plumbing (binary schema,
+  * partitioning, batch iteration, typed output schema) is fully real and
+  * testable, and even SQL-oracle-checkable.
+  *
+  * Scale: mapPartitions preserves partitioning (no shuffle); binary
+  * payloads stream through the parquet reader in columnar batches; at
+  * 100 TB the decode stage is a pure map — bounded-memory per partition,
+  * trivially parallel across executors.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, media: Array[Byte])
+  case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int, fingerprint: String)
+
+  /** Build a media table from documents: payload = UTF-8 bytes of the text
+    * (stand-in for real image/audio/video bytes), modality assigned
+    * deterministically.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      col("text").cast("binary").as("media"))
+
+  /** STUBBED decoder: deterministic fake metadata from the payload bytes.
+    * A real implementation would replace ONLY the body of this function
+    * (e.g. javax.imageio / ffmpeg bindings); the signature and the Spark
+    * plumbing around it stay as-is.
+    */
+  def decodeOne(row: MediaRow): MediaMeta = {
+    val nBytes = row.media.length.toLong
+    val md = MessageDigest.getInstance("MD5")
+    val fp = md.digest(row.media).take(4).map("%02x".format(_)).mkString
+    val width = (64 + (nBytes * 7) % 512).toInt
+    val height = (64 + (nBytes * 13) % 512).toInt
+    val frames = row.media_type match {
+      case "image" => 1
+      case "audio" => (nBytes % 30 + 1).toInt
+      case _       => (nBytes % 120 + 1).toInt
+    }
+    MediaMeta(row.doc_id, row.media_type, nBytes, width, height, frames, fp)
+  }
+
+  /** Partition-batched decode: one iterator per partition (batch shape),
+    * codec state would be initialized once per partition here.
+    */
+  def decode(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      // per-partition init would go here (codec handles, model weights…)
+      batch.map(decodeOne)
+    }
+  }
+
+  /** Frame sampling for video-typed rows: every k-th byte-slice stands in
+    * for every k-th frame — array output shape matches a real sampler.
+    */
+  def sampleFrames(media: DataFrame, every: Int = 10): DataFrame =
+    media.withColumn("frames",
+      when(col("media_type") === "video",
+        transform(sequence(lit(0), (length(col("media")) - 1) / every),
+          i => substr(col("media").cast("string"), lit(1) + i * every, lit(4))))
+        .otherwise(array().cast("array<string>")))
+}

@@ -1,0 +1,266 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.rel.Q._
+import Similarity._
+
+/** Group E — LLM-data-pipeline operators (SURVEY.md §2.4.E + BASELINE.json
+  * north star): dedup (exact / minhash / simhash / n-gram Jaccard /
+  * embedding near-dup), similarity search (brute-force + sign-LSH ANN),
+  * text analysis (lang-ID, quality, tokens, fingerprint), multimodal
+  * columns. Every query — including the ANN and multimodal paths — carries
+  * a DuckDB oracle; cross-engine portability comes from md5 hashing and
+  * fixed-order IEEE double arithmetic (see [[Similarity]] / [[Dedup]]).
+  */
+object QueriesE {
+  private val Dims = 64
+
+  /** Explicit left-to-right dot-product chain for the DuckDB oracle —
+    * exactly the fold order of Spark's `aggregate` HOF: 0.0 + t1 + t2 + ….
+    */
+  private def sqlDot(a: String, b: String): String =
+    "0.0 + " + (1 to Dims).map(i => s"$a.embedding[$i]::DOUBLE * $b.embedding[$i]::DOUBLE").mkString(" + ")
+  private def sqlNorm(a: String): String = s"sqrt(${sqlDot(a, a)})"
+  private def sqlCos(a: String, b: String): String =
+    s"(${sqlDot(a, b)}) / ((${sqlNorm(a)}) * (${sqlNorm(b)}))"
+
+  /** ±1-sign dot chain for LSH plane j (same signs as Similarity.signPlanes). */
+  private def sqlPlaneDot(a: String, j: Int): String = {
+    val signs = Similarity.signPlanes(4, Dims)(j)
+    "0.0" + (1 to Dims).map { i =>
+      val op = if (signs(i - 1) > 0) "+" else "-"
+      s" $op $a.embedding[$i]::DOUBLE"
+    }.mkString
+  }
+  private def sqlBucket(a: String): String =
+    (0 until 4).map(j => s"(CASE WHEN (${sqlPlaneDot(a, j)}) > 0.0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+
+  /** DuckDB shingle list (word n-grams) for the `documents` table. */
+  private def sqlShingles(n: Int): String =
+    s"list_transform(range(len(string_split(text,' ')) - ${n - 1}), " +
+      s"i -> array_to_string(string_split(text,' ')[i+1:i+$n], ' '))"
+
+  val all: Map[String, Fn] = Map(
+    // e1: exact dedup — cluster by text digest, single shuffle on md5.
+    "e1_dedup_exact" -> ((s, dir) =>
+      Dedup.exactClusters(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // e2: minhash near-dup — array-native signatures (no explode, no
+    // shuffle until the k-hash-per-doc cluster grouping).
+    "e2_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashClusters(t(s, dir, "documents"), "doc_id", "text", n = 3, k = 4)
+        .select("doc_id", "signature", "cluster_id", "is_dup").orderBy("doc_id")),
+
+    // e3: per-language corpus stats (exact integer sums).
+    "e3_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        sum(TextStats.wsTokens(col("text"))).as("total_tokens"))
+        .orderBy("lang")),
+
+    // e4: brute-force cosine top-10 around vec_id=0 — the exact baseline;
+    // scalar HOF math in-scan, top-k via TakeOrderedAndProject.
+    "e4_similarity_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding")).as("q")))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .select(col("vec_id"), cosine(asDouble(col("embedding")), col("q")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+    }),
+
+    // e5: multimodal equi-join docs ⋈ embeddings (doc_id = vec_id).
+    "e5_multimodal_join" -> ((s, dir) => {
+      val d = t(s, dir, "documents"); val e = t(s, dir, "embeddings")
+      d.join(e, d("doc_id") === e("vec_id"))
+        .filter(col("label") < 3)
+        .select(col("doc_id"), col("lang"), col("label"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // e6: 32-bit simhash per doc (integer-portable bit majority).
+    "e6_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+
+    // e7: pairwise n-gram Jaccard within one source shard (distinct word
+    // 2-grams; inner-join candidate generation — the exact small-N check
+    // that validates the banded-LSH scale path).
+    "e7_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("source") === "src0")
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("text"), 2))).as("sh"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= 0.05)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // e8: embedding near-dup pairs (cos > 0.4) — brute pair join at test
+    // scale; the LSH bucket (e9) is the 10⁹-vector path.
+    "e8_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.as("a"); val b = e.as("b")
+      a.join(b, col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          cosine(asDouble(col("a.embedding")), asDouble(col("b.embedding"))).as("cos"))
+        .filter(col("cos") > 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // e9: sign-LSH ANN — bucket by 4 deterministic ±1 hyperplanes, rank
+    // candidates sharing the query's bucket. Candidate generation is an
+    // equi-join on bucket id: shuffle-bounded at any scale.
+    "e9_ann_lsh" -> ((s, dir) => {
+      val planes = signPlanes(4, Dims)
+      val e = t(s, dir, "embeddings")
+        .withColumn("emb", asDouble(col("embedding")))
+        .withColumn("bucket", lshBucket(col("emb"), planes))
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("emb").as("q"), col("bucket").as("qbucket")))
+      e.join(q, col("bucket") === col("qbucket"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("bucket"), cosine(col("emb"), col("q")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(5)
+    }),
+
+    // e10: language-ID heuristic (marker-profile argmax).
+    "e10_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextStats.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // e11: quality score (length/punct/stopword gates).
+    "e11_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.qualityScore(col("text"), col("n_chars")).as("score"))
+        .orderBy("doc_id")),
+
+    // e12: token counting — whitespace + BPE-ish regex boundaries.
+    "e12_token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.wsTokens(col("text")).as("ws_tokens"),
+          TextStats.regexTokens(col("text")).as("re_tokens"))
+        .orderBy("doc_id")),
+
+    // e13: min-k sketch fingerprint (md5 of 3 smallest shingle digests).
+    "e13_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.fingerprint(col("text"), 3).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // e14: multimodal binary decode — partition-batched typed transform
+    // over opaque binary payloads (stub decoder, real plumbing).
+    "e14_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decode(s, Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .toDF().orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e1_dedup_exact" ->
+      ("SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id, " +
+        "doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup " +
+        "FROM documents ORDER BY doc_id"),
+    "e2_dedup_minhash" ->
+      ("WITH sig AS (SELECT doc_id, " +
+        (0 until 4).map(j =>
+          s"list_aggregate(list_transform(${sqlShingles(3)}, x -> md5('$j|' || x)), 'min') AS s$j")
+          .mkString(", ") +
+        " FROM documents) " +
+        "SELECT doc_id, s0 || '|' || s1 || '|' || s2 || '|' || s3 AS signature, " +
+        "min(doc_id) OVER (PARTITION BY s0, s1, s2, s3) AS cluster_id, " +
+        "doc_id <> min(doc_id) OVER (PARTITION BY s0, s1, s2, s3) AS is_dup " +
+        "FROM sig ORDER BY doc_id"),
+    "e3_text_stats" ->
+      ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars, " +
+        "CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "e4_similarity_topk" ->
+      ("WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) " +
+        s"SELECT e.vec_id, (${sqlDot("e", "q")}) / (${sqlNorm("e")} * ${sqlNorm("q")}) AS cos " +
+        "FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id LIMIT 10"),
+    "e5_multimodal_join" ->
+      ("SELECT doc_id, lang, label, n_chars FROM documents " +
+        "JOIN embeddings ON doc_id = vec_id WHERE label < 3 ORDER BY doc_id"),
+    "e6_simhash" ->
+      ("WITH w AS (SELECT doc_id, md5(unnest(string_split(text,' '))) AS h FROM documents), " +
+        "d AS (SELECT doc_id, " +
+        (1 to 8).map(p => s"strpos('0123456789abcdef', substr(h,$p,1)) - 1 AS d$p").mkString(", ") +
+        " FROM w), " +
+        "bits AS (SELECT doc_id, " +
+        (0 until 32).map { j =>
+          val p = j / 4 + 1; val b = j % 4
+          s"sum(CASE WHEN (d$p >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+        }.mkString(", ") +
+        " FROM d GROUP BY doc_id) " +
+        "SELECT doc_id, CAST(" +
+        (0 until 32).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") +
+        " AS BIGINT) AS simhash FROM bits ORDER BY doc_id"),
+    "e7_ngram_jaccard" ->
+      ("WITH sh AS (SELECT doc_id, unnest(list_distinct(" + sqlShingles(2) + ")) AS sh " +
+        "FROM documents WHERE source = 'src0'), " +
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+        "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS jaccard " +
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+        "WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= 0.05 ORDER BY id_a, id_b"),
+    "e8_embed_neardup" ->
+      (s"SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${sqlCos("a", "b")} AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        s"WHERE (${sqlCos("a", "b")}) > 0.4 ORDER BY id_a, id_b"),
+    "e9_ann_lsh" ->
+      ("WITH be AS (SELECT vec_id, embedding, " + sqlBucket("embeddings") +
+        " AS bucket FROM embeddings), " +
+        "q AS (SELECT embedding, bucket FROM be WHERE vec_id = 0) " +
+        s"SELECT e.vec_id, e.bucket, (${sqlDot("e", "q")}) / (${sqlNorm("e")} * ${sqlNorm("q")}) AS cos " +
+        "FROM be e, q WHERE e.bucket = q.bucket AND e.vec_id <> 0 " +
+        "ORDER BY cos DESC, e.vec_id LIMIT 5"),
+    "e10_langid" ->
+      ("SELECT doc_id, lang, CASE " +
+        TextStats.LangMarkers.map { case (l, ws) =>
+          val inList = ws.map(w => s"'$w'").mkString(", ")
+          s"WHEN len(list_filter(string_split(text,' '), t -> t IN ($inList))) = best THEN '$l' "
+        }.mkString +
+        "ELSE 'zh' END AS pred_lang FROM (SELECT *, greatest(" +
+        TextStats.LangMarkers.map { case (_, ws) =>
+          val inList = ws.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(string_split(text,' '), t -> t IN ($inList)))"
+        }.mkString(", ") +
+        ") AS best FROM documents) ORDER BY doc_id"),
+    "e11_quality_score" ->
+      ("SELECT doc_id, 0.4 * least(1.0, n_chars::DOUBLE / 500.0) + " +
+        "0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')))::DOUBLE / length(text)::DOUBLE) + " +
+        "0.3 * (len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to')))::DOUBLE / len(string_split(text,' '))::DOUBLE) " +
+        "AS score FROM documents ORDER BY doc_id"),
+    "e12_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens " +
+        "FROM documents ORDER BY doc_id"),
+    "e13_fingerprint" ->
+      ("SELECT doc_id, md5(array_to_string(list_sort(list_transform(" + sqlShingles(3) +
+        ", x -> md5(x)))[1:3], '')) AS fingerprint FROM documents ORDER BY doc_id"),
+    "e14_multimodal_decode" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
+        "ELSE 'video' END AS media_type, CAST(n_chars AS BIGINT) AS n_bytes, " +
+        "CAST(64 + (n_chars * 7) % 512 AS INTEGER) AS width, " +
+        "CAST(64 + (n_chars * 13) % 512 AS INTEGER) AS height, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN n_chars % 30 + 1 " +
+        "ELSE n_chars % 120 + 1 END AS INTEGER) AS n_frames, " +
+        "substr(md5(text), 1, 8) AS fingerprint FROM documents ORDER BY doc_id")
+  )
+}
