@@ -18,12 +18,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rel.QueriesA.all ++ rel.QueriesB.all ++ rel.QueriesC.all ++
-      spatial.QueriesD.all ++ llm.QueriesE.all
+      spatial.QueriesD.all ++ llm.QueriesE.all ++ stream.QueriesF.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check.
     */
   def oracleSql: Map[String, String] =
     rel.QueriesA.oracle ++ rel.QueriesB.oracle ++ rel.QueriesC.oracle ++
-      spatial.QueriesD.oracle ++ llm.QueriesE.oracle
+      spatial.QueriesD.oracle ++ llm.QueriesE.oracle ++ stream.QueriesF.oracle
 }

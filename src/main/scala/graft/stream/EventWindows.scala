@@ -1,0 +1,102 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.rel.Q.dec2
+
+/** Event-time windowing over the `events` stream table (SURVEY.md §2.4.F).
+  * The reference has no streaming surface at all — this is the north-star
+  * extension, built on Structured Streaming: the same `groupBy(window(…))`
+  * plans run identically in batch (verified against the DuckDB oracle) and
+  * as micro-batch streams (verified via MemoryStream in StreamingSpec),
+  * which is exactly Spark's unified-engine contract.
+  *
+  * Scale: windowed aggregation shuffles on (window, key) with map-side
+  * partial aggregation; state for open windows lives in the state store,
+  * and the watermark bounds state size — without it a 100 TB/day stream
+  * would accumulate state forever. Session windows merge per (user, gap)
+  * in the state store; the batch equivalent is a gaps-and-islands window
+  * function over a per-user sort.
+  */
+object EventWindows {
+
+  /** Event-time columns must be TIMESTAMP (LTZ) for windows/watermarks;
+    * the session is pinned UTC so the NTZ→LTZ cast preserves wall-clock
+    * values and epoch arithmetic exactly.
+    */
+  private def ltz(events: DataFrame): DataFrame =
+    events.withColumn("ts", col("ts").cast(TimestampType))
+
+  /** Tumbling event-time windows: (epoch_start, event_type, n, sum_value). */
+  def tumbling(events0: DataFrame, width: String = "10 minutes"): DataFrame = {
+    val events = ltz(events0)
+    events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").cast("long").as("epoch_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Sliding windows (width, slide): each event lands in width/slide windows. */
+  def sliding(events0: DataFrame, width: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame = {
+    val events = ltz(events0)
+    events.groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").cast("long").as("epoch_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Session windows: gap-based per-user sessions
+    * (session = maximal run of events with < gap between neighbors).
+    */
+  def sessions(events0: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    val events = ltz(events0)
+    events.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").cast("long").as("session_start"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** The streaming schema of events.parquet under nanosAsLong (ts arrives
+    * as raw int64 nanoseconds; see graft.rel.Q.events).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Read events as a micro-batch stream from its parquet file. */
+  def readStreamEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema)
+      .parquet(s"$dir/events.*") // glob: the file source requires a dir/glob
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Streaming tumbling aggregation with a late-data watermark: in append
+    * mode only windows finalized by the watermark (max event time − delay)
+    * are emitted — the batch-SQL-predictable subset. Runs the stream to
+    * completion into a memory sink and returns the materialized result.
+    */
+  def tumblingWithWatermark(spark: SparkSession, dir: String,
+      delay: String = "15 minutes", width: String = "10 minutes",
+      sinkName: String = "f4_sink"): DataFrame = {
+    val agg = tumblingStream(readStreamEvents(spark, dir), delay, width)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(sinkName).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
+  /** The watermarked streaming plan itself (separated for MemoryStream tests). */
+  def tumblingStream(events: DataFrame, delay: String, width: String): DataFrame =
+    ltz(events)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").cast("long").as("epoch_start"), col("event_type"),
+        col("n"), col("sum_value"))
+}

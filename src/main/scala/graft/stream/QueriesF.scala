@@ -1,0 +1,87 @@
+package graft.stream
+
+import org.apache.spark.sql.functions._
+import graft.rel.Q._
+
+/** Group F — event-time windowing queries (SURVEY.md §2.4.F) + the props
+  * JSON surface. f1–f3 and f5 run as batch plans with DuckDB oracles
+  * (manual epoch-bucket arithmetic keeps both engines on exact integer
+  * window assignment); f4 actually executes a Structured Streaming query
+  * with a watermark and is oracle-checked against the SQL-predictable
+  * "finalized windows" subset: window_end ≤ max(event_time) − delay.
+  */
+object QueriesF {
+
+  val all: Map[String, Fn] = Map(
+    // f1: 10-minute tumbling counts/sums per event type.
+    "f1_tumbling_agg" -> ((s, dir) =>
+      EventWindows.tumbling(events(s, dir)).orderBy("epoch_start", "event_type")),
+
+    // f2: 10-minute windows sliding every 5 — each event in 2 windows.
+    "f2_sliding_window" -> ((s, dir) =>
+      EventWindows.sliding(events(s, dir)).orderBy("epoch_start", "event_type")),
+
+    // f3: per-user sessions with a 30-minute gap.
+    "f3_session_window" -> ((s, dir) =>
+      EventWindows.sessions(events(s, dir)).orderBy("user_id", "session_start")),
+
+    // f4: real Structured Streaming run (file micro-batches + 15-minute
+    // watermark, append mode): emits exactly the windows the watermark
+    // finalized. MemoryStream late-drop semantics are in StreamingSpec.
+    "f4_watermark_late" -> ((s, dir) =>
+      EventWindows.tumblingWithWatermark(s, dir)
+        .orderBy("epoch_start", "event_type")),
+
+    // f5: JSON props column — extract $.k and aggregate per event type
+    // (the events table's semi-structured surface, FIXTURES.md §1).
+    "f5_props_json" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type"))
+  )
+
+  /** Shared oracle fragments: es = whole seconds since epoch (exact integer
+    * bucket arithmetic; both engines assign by floor).
+    */
+  private val EsEvents =
+    "SELECT event_type, user_id, value, ts, " +
+      "date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS es, " +
+      "epoch_us(ts) AS us FROM events"
+
+  private val SumVal = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
+
+  val oracle: Map[String, String] = Map(
+    "f1_tumbling_agg" ->
+      (s"WITH e AS ($EsEvents) " +
+        s"SELECT es - es % 600 AS epoch_start, event_type, count(*) AS n, $SumVal " +
+        "FROM e GROUP BY 1, 2 ORDER BY 1, 2"),
+    "f2_sliding_window" ->
+      (s"WITH e AS ($EsEvents), " +
+        "w AS (SELECT es - es % 300 AS epoch_start, event_type, value FROM e " +
+        "UNION ALL SELECT es - es % 300 - 300, event_type, value FROM e) " +
+        s"SELECT epoch_start, event_type, count(*) AS n, $SumVal " +
+        "FROM w GROUP BY 1, 2 ORDER BY 1, 2"),
+    "f3_session_window" ->
+      (s"WITH e AS ($EsEvents), " +
+        "flagged AS (SELECT user_id, value, es, us, CASE WHEN us - lag(us) OVER " +
+        "(PARTITION BY user_id ORDER BY us) >= 1800000000 OR lag(us) OVER " +
+        "(PARTITION BY user_id ORDER BY us) IS NULL THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "sess AS (SELECT user_id, value, es, sum(new_s) OVER " +
+        "(PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) " +
+        "SELECT user_id, min(es) AS session_start, count(*) AS n_events, $SumVal " +
+        "FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start")
+        .replace("$SumVal", SumVal),
+    "f4_watermark_late" ->
+      (s"WITH e AS ($EsEvents), m AS (SELECT max(us) AS mu FROM e) " +
+        s"SELECT es - es % 600 AS epoch_start, event_type, count(*) AS n, $SumVal " +
+        "FROM e, m WHERE (es - es % 600 + 600) * 1000000 <= mu - 900000000 " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "f5_props_json" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type")
+  )
+}
