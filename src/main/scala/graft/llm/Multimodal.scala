@@ -76,7 +76,7 @@ object Multimodal {
   def sampleFrames(media: DataFrame, every: Int = 10): DataFrame =
     media.withColumn("frames",
       when(col("media_type") === "video",
-        transform(sequence(lit(0), (length(col("media")) - 1) / every),
+        transform(sequence(lit(0), ((length(col("media")) - 1) / every).cast("int")),
           i => substr(col("media").cast("string"), lit(1) + i * every, lit(4))))
         .otherwise(array().cast("array<string>")))
 }

@@ -108,13 +108,17 @@ object QueriesE {
     }),
 
     // e8: embedding near-dup pairs (cos > 0.4) — brute pair join at test
-    // scale; the LSH bucket (e9) is the 10⁹-vector path.
+    // scale; the LSH bucket (e9) is the 10⁹-vector path. Norms are
+    // precomputed once per vector BEFORE the pair join (n·d work instead
+    // of n²·d; bit-identical since sqrt(dot) is the same double either way).
     "e8_embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .withColumn("nrm", norm(col("emb")))
       val a = e.as("a"); val b = e.as("b")
       a.join(b, col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          cosine(asDouble(col("a.embedding")), asDouble(col("b.embedding"))).as("cos"))
+          (dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
         .filter(col("cos") > 0.4)
         .orderBy("id_a", "id_b")
     }),

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.api.Datum
+
+/** Façade semantics (SURVEY.md §2.1): read/write/DDL against sf0.001. */
+class ApiSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  implicit lazy val sp: org.apache.spark.sql.SparkSession = spark
+  lazy val db = Datum.connect(s"parquet://${TestSpark.Sf}")
+
+  test("parseUrl splits scheme and path; bare path defaults to parquet") {
+    assert(Datum.parseUrl("parquet:///x/y") == ("parquet", "/x/y"))
+    assert(Datum.parseUrl("/x/y") == ("parquet", "/x/y"))
+    assertThrows[IllegalArgumentException](Datum.connect("oracle-stgeom://h/db"))
+  }
+
+  test("tables lists base tables sorted (ref datum/postgis/database.py:60-69)") {
+    val ts = db.tables
+    assert(ts == ts.sorted)
+    assert(ts.contains("lineitem") && ts.contains("nation"))
+  }
+
+  test("read: projection + alias + where + sort + limit compose") {
+    val out = db.table("customer").read(
+      fields = Seq("c_custkey", "c_name", "c_acctbal"),
+      aliases = Map("c_name" -> "nm"),
+      where = Some("c_acctbal > 5000"),
+      sort = Seq("c_acctbal DESC", "c_custkey"),
+      limit = Some(10))
+    val rows = out.collect()
+    assert(out.columns.toSeq == Seq("c_custkey", "nm", "c_acctbal"))
+    assert(rows.length == 10)
+    val bals = rows.map(_.getAs[Double]("c_acctbal"))
+    assert(bals.sameElements(bals.sortBy(-(_: Double))), "sorted desc")
+    assert(bals.forall(_ > 5000))
+  }
+
+  test("read() no-args is SELECT * (ref datum/postgis/table.py:156)") {
+    assert(db.table("nation").read().columns.toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(db.table("nation").read().count() == 25)
+  }
+
+  test("count returns Long uniformly (ref property/method quirk fixed)") {
+    assert(db.table("region").count == 5L)
+  }
+
+  test("metadata maps to coarse types (ref FIELD_TYPE_MAP)") {
+    val m = db.table("orders").metadata.toMap
+    assert(m("o_orderkey") == "num" && m("o_orderstatus") == "text" &&
+      m("o_orderdate") == "date")
+  }
+
+  test("write rejects unknown fields (ref datum/postgis/table.py:259-262)") {
+    val scratch = scratchDb()
+    db.table("nation").df.write.mode("overwrite").parquet(scratch.pathOf("w1"))
+    val bad = db.table("nation").df.withColumnRenamed("n_name", "nope")
+    val e = intercept[IllegalArgumentException](scratch.table("w1").write(bad))
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("write fills missing fields with null; chunk append counts add up") {
+    val scratch = scratchDb()
+    db.table("nation").df.write.mode("overwrite").parquet(scratch.pathOf("w2"))
+    val t = scratch.table("w2")
+    t.write(db.table("nation").df.select("n_nationkey", "n_name"), chunkSize = 7)
+    assert(t.count == 50)
+    assert(t.df.filter(col("n_regionkey").isNull).count() == 25)
+  }
+
+  test("delete truncates; table becomes empty with same schema") {
+    val scratch = scratchDb()
+    db.table("region").df.write.mode("overwrite").parquet(scratch.pathOf("w3"))
+    val t = scratch.table("w3")
+    t.delete()
+    assert(t.count == 0 && t.fields == Seq("r_regionkey", "r_name"))
+  }
+
+  test("geometry column detected by name; srid/geom_type from sidecar") {
+    val scratch = scratchDb()
+    db.table("nation").df
+      .withColumn("wkt", concat(lit("POINT ("), col("n_nationkey"), lit(" 1)")))
+      .write.mode("overwrite").parquet(scratch.pathOf("g1"))
+    java.nio.file.Files.writeString(
+      new java.io.File(scratch.root, "g1.parquet.properties").toPath,
+      "srid=2272\ngeom_type=POINT\n")
+    val t = scratch.table("g1")
+    assert(t.geomField.contains("wkt") && t.srid == 2272 && t.geomType.contains("POINT"))
+    assert(t.nonGeomFields == Seq("n_nationkey", "n_name", "n_regionkey"))
+    // returnGeom=false drops the geometry (ref return_geom flag)
+    assert(!t.read(returnGeom = false).columns.contains("wkt"))
+  }
+
+  test("createIndex clusters without losing rows") {
+    val scratch = scratchDb()
+    db.table("customer").df.write.mode("overwrite").parquet(scratch.pathOf("i1"))
+    val t = scratch.table("i1")
+    val before = t.count
+    t.createIndex(Seq("c_acctbal"))
+    assert(t.count == before)
+  }
+
+  test("execute runs full Spark SQL over registered tables") {
+    val n = db.execute("SELECT count(*) AS n FROM lineitem").collect()(0).getLong(0)
+    assert(n == 6000L)
+  }
+
+  private var scratchN = 0
+  private def scratchDb() = {
+    scratchN += 1
+    val root = s"/root/repo/target/fixtures/test/api$scratchN"
+    new java.io.File(root).mkdirs()
+    Datum.connect(s"parquet://$root")
+  }
+}

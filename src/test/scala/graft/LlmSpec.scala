@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+
+/** Dedup / similarity / text-analysis operators over crafted corpora. */
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+    (4L, "completely different words about spark shuffles and joins"),
+    (5L, "a tiny doc")
+  ).toDF("doc_id", "text")
+
+  test("exactClusters: identical texts share a cluster, others don't") {
+    val m = Dedup.exactClusters(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(m(1L) == ((1L, false)) && m(2L) == ((1L, true)))
+    assert(m(3L) == ((3L, false)) && m(4L) == ((4L, false)))
+  }
+
+  test("minhashClusters: exact dups cluster; disjoint texts never do") {
+    val m = Dedup.minhashClusters(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m(2L) == 1L, "identical text must share signature")
+    assert(m(4L) == 4L && m(5L) == 5L)
+  }
+
+  test("minhashBandPairs: banded LSH surfaces the near-dup candidate pair") {
+    val pairs = Dedup.minhashBandPairs(corpus, "doc_id", "text",
+      n = 2, bands = 8, rowsPerBand = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dup always collides")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"8 single-row bands should catch an 8/9-shingle overlap; got $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "disjoint text must not collide")
+  }
+
+  test("simhash: identical text → identical hash; near-dup → small hamming") {
+    val m = Dedup.simhash(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    val hamming = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    val hammingFar = java.lang.Long.bitCount(m(1L) ^ m(4L))
+    assert(hamming < hammingFar, s"near-dup hamming $hamming !< unrelated $hammingFar")
+  }
+
+  test("fingerprint: stable, text-keyed, order-sensitive only beyond min-k") {
+    val fp = corpus.select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(4L))
+  }
+
+  test("vecDot native kernel is bit-identical to the HOF formulation") {
+    val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select(Similarity.asDouble(col("embedding")).as("emb")).limit(100)
+    val diff = e.select(
+      (Similarity.dot(col("emb"), col("emb")) -
+        Similarity.dotHof(col("emb"), col("emb"))).as("d"))
+      .agg(sum(abs(col("d")))).collect()(0).getDouble(0)
+    assert(diff == 0.0, "native and HOF dot must agree bitwise")
+  }
+
+  test("cosine: self-similarity is exactly 1.0 on unit-normalizable vectors") {
+    val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select(Similarity.asDouble(col("embedding")).as("emb")).limit(10)
+    val cos = e.select(Similarity.cosine(col("emb"), col("emb")).as("c")).collect()
+    cos.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("lshBucket: deterministic and within 4-bit range") {
+    val planes = Similarity.signPlanes(4, 64)
+    assert(planes.flatten.forall(v => v == 1.0 || v == -1.0))
+    val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb"))
+    val buckets = e.select(Similarity.lshBucket(col("emb"), planes).as("b"))
+      .agg(min("b"), max("b")).collect()(0)
+    assert(buckets.getInt(0) >= 0 && buckets.getInt(1) <= 15)
+  }
+
+  test("langId: argmax of marker profiles with deterministic tie-break") {
+    val df = Seq((1L, "the the the fast"), (2L, "data stream hash merge"),
+      (3L, "zzz yyy")).toDF("doc_id", "text")
+    val m = df.select(col("doc_id"), TextStats.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "en" && m(2L) == "de")
+    assert(m(3L) == "en", "all-zero counts tie-break to first profile")
+  }
+
+  test("qualityScore within [0,1]; longer clean text scores higher") {
+    val df = Seq((1L, "the quick brown fox and the lazy dog of the hill", 500L),
+      (2L, "x!@# $%^", 8L)).toDF("doc_id", "text", "n_chars")
+    val m = df.select(col("doc_id"),
+      TextStats.qualityScore(col("text"), col("n_chars")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) > m(2L) && m.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("token counts: whitespace vs BPE-ish regex boundaries") {
+    val df = Seq((1L, "hello world42 it's x")).toDF("doc_id", "text")
+    val r = df.select(TextStats.wsTokens(col("text")).as("ws"),
+      TextStats.regexTokens(col("text")).as("re")).collect()(0)
+    assert(r.getLong(0) == 4)           // whitespace tokens
+    assert(r.getLong(1) == 7)           // hello|world|42|it|'|s|x
+  }
+
+  test("multimodal decode: deterministic stub metadata, batch plumbing") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").limit(20)
+    val out = Multimodal.decode(spark, Multimodal.mediaFromDocuments(docs)).collect()
+    assert(out.length == 20)
+    out.foreach { m =>
+      assert(Set("image", "audio", "video").contains(m.media_type))
+      assert(m.width >= 64 && m.width < 576 && m.fingerprint.length == 8)
+      assert(m.media_type != "image" || m.n_frames == 1)
+    }
+  }
+
+  test("frame sampling only applies to video rows") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").limit(9)
+    val media = Multimodal.mediaFromDocuments(docs)
+    val out = Multimodal.sampleFrames(media).collect()
+    out.foreach { r =>
+      val frames = r.getAs[scala.collection.Seq[String]]("frames")
+      if (r.getAs[String]("media_type") == "video") assert(frames.nonEmpty)
+      else assert(frames.isEmpty)
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.stream.EventWindows
+
+/** Structured Streaming semantics that the batch oracle can't check:
+  * watermark-driven late-data drops across micro-batches (SURVEY.md §2.4
+  * f4, FIXTURES.md §5).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  case class Ev(ts: Timestamp, event_type: String, value: Double)
+  private def at(min: Long) = new Timestamp(min * 60 * 1000)
+
+  test("watermark drops late rows; append emits only finalized windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev](org.apache.spark.sql.Encoders.product[Ev], spark.sqlContext)
+    val agg = EventWindows.tumblingStream(mem.toDF(), "15 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_sink").start()
+    try {
+      // batch 1: three events in window [0,10) + one at 25min → max=25,
+      // watermark after batch = 10min → window [0,10) finalizes
+      mem.addData(Ev(at(1), "a", 1.0), Ev(at(2), "a", 1.0), Ev(at(5), "a", 1.0),
+        Ev(at(25), "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event at 3min (window already finalized → dropped)
+      // + one at 55min → watermark 40min → window [20,30) finalizes
+      mem.addData(Ev(at(3), "a", 99.0), Ev(at(55), "a", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("wm_sink")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.contains(0L), s"window [0,10) must be emitted; got $rows")
+    assert(rows(0L) == ((3L, 3.0)), s"late row must NOT count: ${rows(0L)}")
+    assert(rows.contains(1200L) && rows(1200L) == ((1L, 1.0)), "window [20,30) finalized")
+    assert(!rows.contains(3000L), "window [50,60) still open (watermark 40min)")
+  }
+
+  test("batch and streaming tumbling plans agree on the finalized subset") {
+    val batch = graft.stream.QueriesF.all("f1_tumbling_agg")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val streamed = graft.stream.QueriesF.all("f4_watermark_late")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed.nonEmpty, "stream must emit finalized windows")
+    streamed.foreach { case (k, v) =>
+      assert(batch(k) == v, s"stream window $k disagrees with batch: $v vs ${batch(k)}")
+    }
+    assert(streamed.size < batch.size, "tail windows past the watermark stay open")
+  }
+}
