@@ -182,9 +182,16 @@ class Table(val db: Database, val qualified: String) {
       case None => rows
     }
     // align column order + fill missing with nulls (field set from rows,
-    // ref datum/postgis/table.py:238)
+    // ref datum/postgis/table.py:238). A missing PK column is auto-filled
+    // (ref SDE.GDB_UTIL.NEXT_ROWID / id serial injection,
+    // datum/oracle_stgeom/table.py:437-443, datum/postgis/database.py:91-93)
+    // with monotonically_increasing_id — unique across tasks by
+    // construction (partition id in the high bits), though not dense, the
+    // documented tradeoff for a coordination-free cluster-wide id.
     val aligned = prepared.select(target.fields.toSeq.map { f =>
       if (prepared.schema.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else if (pkField.contains(f.name))
+        monotonically_increasing_id().cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
 

@@ -53,7 +53,18 @@ object QueriesA {
 
     // read() no-args = SELECT * (ref datum/postgis/table.py:156)
     "a5_read_star" -> ((s, dir) =>
-      db(s, dir).table("nation").read(sort = Seq("n_nationkey")))
+      db(s, dir).table("nation").read(sort = Seq("n_nationkey"))),
+
+    // ISO-8601 datetime serialization with microseconds + forced UTC offset
+    // (ref strftime('%Y-%m-%dT%H:%M:%S.%f+00:00'),
+    // datum/oracle_stgeom/table.py:355-358)
+    "a6_iso_dates" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.rel.Q.events(s, dir)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'+00:00'").as("iso"))
+        .orderBy("event_id").limit(500)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -67,6 +78,9 @@ object QueriesA {
         "FROM lineitem ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 100"),
     "a4_count" -> "SELECT count(*) AS n FROM lineitem",
     "a5_read_star" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "a6_iso_dates" ->
+      ("SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f+00:00') AS iso " +
+        "FROM events ORDER BY event_id LIMIT 500")
   )
 }

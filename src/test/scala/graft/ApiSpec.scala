@@ -102,6 +102,17 @@ class ApiSpec extends AnyFunSuite {
     assert(t.count == before)
   }
 
+  test("write auto-fills a missing pk column (ref NEXT_ROWID / id serial)") {
+    val scratch = scratchDb()
+    scratch.dropTable("w4")
+    scratch.createTable("w4", Seq("label" -> "text"))
+    val t = scratch.table("w4")
+    t.write(spark.createDataFrame(Seq(Tuple1("a"), Tuple1("b"))).toDF("label"))
+    assert(t.count == 2)
+    val ids = t.df.select("id").collect().map(_.getLong(0))
+    assert(ids.distinct.length == 2, "auto ids must be unique")
+  }
+
   test("execute runs full Spark SQL over registered tables") {
     val n = db.execute("SELECT count(*) AS n FROM lineitem").collect()(0).getLong(0)
     assert(n == 6000L)
