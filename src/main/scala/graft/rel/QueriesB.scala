@@ -106,6 +106,21 @@ object QueriesB {
       rich.union(bld).distinct().except(near).orderBy("c_custkey")
     }),
 
+    // b10: skew-salted join + two-phase aggregate — result-identical to the
+    // plain join/groupBy (the oracle IS the plain SQL), but each hot
+    // custkey's rows spread over 8 shuffle partitions. Decimal sums make
+    // the salted regroup value-identical.
+    "b10_skew_salted_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_custkey", "o_totalprice")
+      val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .withColumnRenamed("c_custkey", "o_custkey")
+      val joined = Skew.saltedJoin(o, c, "o_custkey", buckets = 8)
+      joined.groupBy("c_mktsegment")
+        .agg(dbl(sum(dec2(col("o_totalprice")))).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
     // b9: ROLLUP(returnflag, linestatus) — NULLS FIRST pinned explicitly
     // (Spark's ASC default) so both engines order subtotal rows identically.
     "b9_rollup" -> ((s, dir) =>
@@ -152,6 +167,11 @@ object QueriesB {
         "SELECT c_custkey FROM customer WHERE c_acctbal > 7000 " +
         "UNION SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') " +
         "EXCEPT SELECT c_custkey FROM customer WHERE c_nationkey < 5 ORDER BY c_custkey"),
+    "b10_skew_salted_agg" ->
+      ("SELECT c_mktsegment, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "b9_rollup" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n " +

@@ -94,6 +94,22 @@ object QueriesC {
         .orderBy("o_custkey")
     }),
 
+    // c7: hive-style date partitioning — the 100 TB layout for event data.
+    // Writes events partitioned by day; the read-back filter becomes a
+    // PartitionFilter (directory pruning: one day's files scanned, not 30).
+    "c7_partition_pruning" -> ((s, dir) => {
+      val db = scratch(s)
+      events(s, dir)
+        .withColumn("event_date", col("ts").cast("date"))
+        .select("event_id", "user_id", "event_type", "value", "event_date")
+        .write.mode("overwrite").partitionBy("event_date")
+        .parquet(db.pathOf("c7_events"))
+      s.read.parquet(db.pathOf("c7_events"))
+        .filter(col("event_date") === "2024-01-15")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
     // c6: index façade — cluster by l_shipdate (zone-map effect), verify the
     // data is preserved and a pushed-down range filter reads correctly.
     "c6_index_cluster" -> ((s, dir) => {
@@ -123,6 +139,9 @@ object QueriesC {
     "c5_view_execute" ->
       ("SELECT o_custkey, count(*) AS n_open FROM orders WHERE o_orderstatus = 'O' " +
         "GROUP BY o_custkey ORDER BY o_custkey"),
+    "c7_partition_pruning" ->
+      ("SELECT event_id, user_id, event_type, value FROM events " +
+        "WHERE CAST(ts AS DATE) = DATE '2024-01-15' ORDER BY event_id"),
     "c6_index_cluster" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem " +
         "WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' " +

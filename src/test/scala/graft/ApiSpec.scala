@@ -113,6 +113,15 @@ class ApiSpec extends AnyFunSuite {
     assert(ids.distinct.length == 2, "auto ids must be unique")
   }
 
+  test("salted join is result-identical to the plain join") {
+    val o = db.table("orders").df.select("o_custkey", "o_totalprice")
+    val c = db.table("customer").df.select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = o.join(c, "o_custkey").count()
+    val salted = graft.rel.Skew.saltedJoin(o, c, "o_custkey", 8).count()
+    assert(plain == salted)
+  }
+
   test("execute runs full Spark SQL over registered tables") {
     val n = db.execute("SELECT count(*) AS n FROM lineitem").collect()(0).getLong(0)
     assert(n == 6000L)
