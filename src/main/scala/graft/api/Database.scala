@@ -24,6 +24,11 @@ import org.apache.spark.sql.types._
   */
 class Database(val spark: SparkSession, val root: String) {
 
+  // the reference's users write ST_* SQL against the backend
+  // (datum/postgis/table.py:54-59 etc.) — restore that spelling for
+  // db.execute / spark.sql
+  graft.functions.GraftFunctions.register(spark)
+
   /** List base tables, sorted (ref datum/postgis/database.py:60-69 filters
     * BASE TABLE; datum/oracle_stgeom/database.py:52-61 sorts client-side and
     * anti-joins views — we exclude views by construction).

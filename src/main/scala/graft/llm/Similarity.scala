@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity kernel (BASELINE.json north star: similarity search
@@ -61,4 +61,52 @@ object Similarity {
       val plane = array(p.toSeq.map(lit): _*)
       when(dot(emb, plane) > 0.0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Squared L2 distance to a constant centroid:
+    * ‖x−c‖² = x·x − 2·x·c + ‖c‖² (‖c‖² folded at plan time).
+    */
+  private def l2sq(emb: Column, c: Array[Double]): Column = {
+    val cc = array(c.toSeq.map(lit): _*)
+    dot(emb, emb) - lit(2.0) * dot(emb, cc) + lit(c.map(v => v * v).sum)
+  }
+
+  /** IVF list assignment: index of the nearest centroid (argmin by
+    * (distance, index) struct min — deterministic tie-break).
+    */
+  def ivfAssign(emb: Column, centroids: Array[Array[Double]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (c, j) =>
+      struct(l2sq(emb, c).as("d"), lit(j).as("j"))
+    }: _*)).getField("j")
+
+  /** IVF-style ANN: partition vectors into `nlist` inverted lists by
+    * nearest centroid, probe the query's `nprobe` closest lists, rank by
+    * cosine inside them.
+    *
+    * Centroids here are the first `nlist` vectors by id — a deterministic
+    * stand-in for a k-means training step (at production scale: train
+    * centroids offline on a sample, broadcast them; assignment stays this
+    * same scan-local argmin expression). Candidate generation is an
+    * equi-join on list id ⇒ shuffle-bounded like the LSH path, with
+    * recall/probe tunable via nprobe.
+    */
+  def ivfTopK(embeddings: DataFrame, idCol: String, queryId: Long,
+      nlist: Int = 8, nprobe: Int = 2, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions.{col, broadcast}
+    val base = embeddings.select(col(idCol), asDouble(col("embedding")).as("emb"))
+    val centroids: Array[Array[Double]] = base.orderBy(col(idCol)).limit(nlist)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val listed = base.withColumn("list_id", ivfAssign(col("emb"), centroids))
+    val qRow = base.filter(col(idCol) === queryId).collect()(0)
+    val q = qRow.getSeq[Double](1).toArray
+    val probeLists = centroids.zipWithIndex
+      .map { case (c, j) =>
+        val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum; (d, j)
+      }.sortBy(identity).take(nprobe).map(_._2)
+    val qDf = broadcast(base.filter(col(idCol) === queryId).select(col("emb").as("q")))
+    listed.filter(col("list_id").isin(probeLists.map(_.asInstanceOf[Any]): _*))
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(qDf)
+      .select(col(idCol), col("list_id"), cosine(col("emb"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol)).limit(k)
+  }
 }

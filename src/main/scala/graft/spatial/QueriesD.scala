@@ -86,6 +86,17 @@ object QueriesD {
       db.table("d5_geo").read(toSrid = Some(4326), sort = Seq("gid"))
     }),
 
+    // d7: the same normalization as d1, but through the raw-SQL surface —
+    // db.execute with the registered st_* functions (the way reference
+    // users actually spelled spatial ops).
+    "d7_sql_spatial" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val db = Datum.connect(s"parquet://$dir")
+      geo(s, dir).createOrReplaceTempView("d7_geo")
+      db.execute(
+        "SELECT gid, st_normalize_wkt(wkt_raw) AS wkt FROM d7_geo ORDER BY gid")
+    }),
+
     // d6 (no-oracle): CIRCULARSTRING linearization (ref ST_CurveToLine,
     // datum/postgis/table.py:189-191) — JTS has no curves; 32-chord
     // approximation, geometric properties asserted in SpatialSpec.
@@ -100,6 +111,9 @@ object QueriesD {
 
   val oracle: Map[String, String] = Map(
     "d1_wkt_roundtrip" ->
+      ("SELECT n_nationkey + 1 AS gid, 'POINT (' || (2660000 + (n_nationkey+1)*1000) || ' ' || " +
+        "(220000 + (n_nationkey+1)*500) || ')' AS wkt FROM nation ORDER BY gid"),
+    "d7_sql_spatial" ->
       ("SELECT n_nationkey + 1 AS gid, 'POINT (' || (2660000 + (n_nationkey+1)*1000) || ' ' || " +
         "(220000 + (n_nationkey+1)*500) || ')' AS wkt FROM nation ORDER BY gid"),
     "d2_force_2d" ->

@@ -83,6 +83,28 @@ class LlmSpec extends AnyFunSuite {
     assert(buckets.getInt(0) >= 0 && buckets.getInt(1) <= 15)
   }
 
+  test("ivfTopK: deterministic, ranked, candidates confined to probed lists") {
+    val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val r1 = Similarity.ivfTopK(e, "vec_id", queryId = 0, nlist = 8, nprobe = 3, k = 5).collect()
+    val r2 = Similarity.ivfTopK(e, "vec_id", queryId = 0, nlist = 8, nprobe = 3, k = 5).collect()
+    assert(r1.map(_.getLong(0)).sameElements(r2.map(_.getLong(0))), "deterministic")
+    assert(r1.length == 5)
+    val cs = r1.map(_.getDouble(2))
+    assert(cs.sameElements(cs.sortBy(-(_: Double))), "cos descending")
+    assert(r1.map(_.getInt(1)).distinct.length <= 3, "only probed lists")
+  }
+
+  test("SQL registration exposes st_*/vec_dot to spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT st_normalize_wkt('POINT(1 2)') AS w, " +
+        "st_transform('POINT (2660000 220000)', 2272, 4326) AS t, " +
+        "vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()(0)
+    assert(r.getString(0) == "POINT (1 2)")
+    assert(r.getString(1).startsWith("POINT (-75."))
+    assert(r.getDouble(2) == 11.0)
+  }
+
   test("langId: argmax of marker profiles with deterministic tie-break") {
     val df = Seq((1L, "the the the fast"), (2L, "data stream hash merge"),
       (3L, "zzz yyy")).toDF("doc_id", "text")
