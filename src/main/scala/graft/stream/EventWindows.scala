@@ -1,6 +1,6 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.rel.Q.dec2
@@ -88,6 +88,55 @@ object EventWindows {
       .format("memory").queryName(sinkName).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(sinkName)
+  }
+
+  /** Input/output rows for the custom-state operator. */
+  case class UserEvent(user_id: Long, us: Long, cents: Long)
+  case class UserState(user_id: Long, n_events: Long, sum_value: Double, last_us: Long)
+
+  /** Custom per-key streaming state via flatMapGroupsWithState: a running
+    * (count, exact-cents sum, max event time) per user, emitted on every
+    * update. Money is accumulated as integer cents so the state is
+    * **order-independent** — the converged state equals the batch
+    * groupBy/agg exactly (that is f6's DuckDB oracle), no matter how rows
+    * interleave across micro-batches or partitions.
+    *
+    * Scale: state is 24 bytes per user in the state store, shuffled once
+    * per batch on user_id; this is the template for sessionization /
+    * fraud-counter / feature-freshness state at production event rates.
+    */
+  def userRunningStats(spark: SparkSession, events: DataFrame): Dataset[UserState] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val typed = ltz(events).select(
+      col("user_id"),
+      unix_micros(col("ts")).as("us"),
+      round(col("value") * 100).cast("long").as("cents")).as[UserEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[(Long, Long, Long)]) => {
+          var (n, cents, maxUs) = state.getOption.getOrElse((0L, 0L, Long.MinValue))
+          rows.foreach { r =>
+            n += 1; cents += r.cents; if (r.us > maxUs) maxUs = r.us
+          }
+          state.update((n, cents, maxUs))
+          Iterator(UserState(uid, n, cents / 100.0, maxUs))
+        })
+  }
+
+  /** Run the stateful operator over the events file stream to completion;
+    * the last emitted update per user is the converged state.
+    */
+  def userRunningStatsBatchEnd(spark: SparkSession, dir: String,
+      sinkName: String = "f6_sink"): DataFrame = {
+    val out = userRunningStats(spark, readStreamEvents(spark, dir))
+    val q = out.toDF().writeStream.outputMode("update")
+      .format("memory").queryName(sinkName).start()
+    try q.processAllAvailable() finally q.stop()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+    spark.table(sinkName)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
   /** The watermarked streaming plan itself (separated for MemoryStream tests). */

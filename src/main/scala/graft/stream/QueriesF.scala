@@ -32,6 +32,12 @@ object QueriesF {
       EventWindows.tumblingWithWatermark(s, dir)
         .orderBy("epoch_start", "event_type")),
 
+    // f6: custom streaming state (flatMapGroupsWithState) — converged
+    // per-user running stats; exact-cents state makes the final state
+    // equal the batch aggregate bit-for-bit (the oracle).
+    "f6_stateful_running" -> ((s, dir) =>
+      EventWindows.userRunningStatsBatchEnd(s, dir).orderBy("user_id")),
+
     // f5: JSON props column — extract $.k and aggregate per event type
     // (the events table's semi-structured surface, FIXTURES.md §1).
     "f5_props_json" -> ((s, dir) =>
@@ -79,6 +85,10 @@ object QueriesF {
         s"SELECT es - es % 600 AS epoch_start, event_type, count(*) AS n, $SumVal " +
         "FROM e, m WHERE (es - es % 600 + 600) * 1000000 <= mu - 900000000 " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "f6_stateful_running" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, " +
+        "max(epoch_us(ts)) AS last_us FROM events GROUP BY user_id ORDER BY user_id"),
     "f5_props_json" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k " +

@@ -42,6 +42,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows.contains(3000L), "window [50,60) still open (watermark 40min)")
   }
 
+  test("flatMapGroupsWithState accumulates per-user state across batches") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Double)](
+      org.apache.spark.sql.Encoders.product[(Long, java.sql.Timestamp, Double)], spark.sqlContext)
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+    val out = EventWindows.userRunningStats(spark, events)
+    val q = out.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("state_sink").start()
+    try {
+      mem.addData((1L, at(1), 10.0), (1L, at(2), 5.5))
+      q.processAllAvailable()
+      mem.addData((1L, at(3), 0.25), (2L, at(4), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("state_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+    assert(last(1L) == ((1L, 3L, 15.75)), s"state must span batches: ${last(1L)}")
+    assert(last(2L) == ((2L, 1L, 1.0)))
+  }
+
   test("batch and streaming tumbling plans agree on the finalized subset") {
     val batch = graft.stream.QueriesF.all("f1_tumbling_agg")(spark, TestSpark.Sf)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
