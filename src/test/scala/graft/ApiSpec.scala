@@ -113,6 +113,30 @@ class ApiSpec extends AnyFunSuite {
     assert(ids.distinct.length == 2, "auto ids must be unique")
   }
 
+  test("write geometry prep: reprojection, MULTI cast, null -> EMPTY (ref _prepare_geom)") {
+    val scratch = scratchDb()
+    // target table: MULTIPOLYGON column in EPSG:2272
+    spark.createDataFrame(Seq((1L, "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))")))
+      .toDF("gid", "wkt").write.mode("overwrite").parquet(scratch.pathOf("gw"))
+    java.nio.file.Files.writeString(
+      new java.io.File(scratch.root, "gw.parquet.properties").toPath,
+      "srid=2272\ngeom_type=MULTIPOLYGON\n")
+    val t = scratch.table("gw")
+    // incoming rows: WGS84 polygon (needs reprojection + MULTI wrap) and a
+    // null geometry (needs the EMPTY literal, ref oracle_stgeom:320-322)
+    val rows = spark.createDataFrame(Seq(
+      (2L, "POLYGON ((-75.16 39.95, -75.15 39.95, -75.15 39.96, -75.16 39.95))"),
+      (3L, null.asInstanceOf[String]))).toDF("gid", "wkt")
+    t.write(rows, fromSrid = Some(4326))
+    val got = t.df.orderBy("gid").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(2L).startsWith("MULTIPOLYGON ((("), s"reprojected+wrapped: ${got(2L)}")
+    // reprojected coords must land in the Philadelphia 2272 extent (ftUS)
+    val nums = "-?\\d+\\.?\\d*".r.findAllIn(got(2L)).map(_.toDouble).toSeq
+    assert(nums.grouped(2).forall { case Seq(x, y) => x > 2.6e6 && x < 2.8e6 && y > 2e5 && y < 3.2e5 },
+      s"coords out of extent: ${got(2L)}")
+    assert(got(3L) == "MULTIPOLYGON EMPTY")
+  }
+
   test("salted join is result-identical to the plain join") {
     val o = db.table("orders").df.select("o_custkey", "o_totalprice")
     val c = db.table("customer").df.select("c_custkey", "c_mktsegment")
