@@ -63,8 +63,15 @@ class Database(val spark: SparkSession, val root: String) {
   def registerAll(): Unit = tables.foreach(register)
 
   def register(name: String): Unit = if (!registered.contains(name)) {
-    spark.read.parquet(pathOf(name)).createOrReplaceTempView(name)
-    registered += name
+    // one unreadable table (e.g. exotic parquet types in a session missing
+    // a legacy read flag) must not take down SQL over every other table
+    try {
+      spark.read.parquet(pathOf(name)).createOrReplaceTempView(name)
+      registered += name
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[graft] skipping unreadable table '$name': ${e.getMessage}")
+    }
   }
 
   /** Raw SQL passthrough (ref datum/database.py:44-45;

@@ -43,17 +43,18 @@ object Skew {
     saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
   }
 
-  /** Two-phase aggregate: partial on (keys, salt), final on keys.
-    * `partial` and `finalAgg` must be a decomposable pair (sum/sum,
-    * count/sum, min/min, …).
+  /** Two-phase salted sum/count: partial (sum, count) per (keys, salt),
+    * then re-sum per keys. With decimal inputs the result is value-exact vs
+    * the direct groupBy (decimal addition is associative), while each hot
+    * key's partials spread over `buckets` shuffle partitions.
+    * Output: keys ++ (`<name>` = exact sum cast double, `n` = count).
     */
-  def saltedAggregate(df: DataFrame, keys: Seq[String], buckets: Int,
-      partials: Seq[(Column, String)], finals: Seq[String] => Seq[Column]): DataFrame = {
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: Column,
+      name: String, buckets: Int): DataFrame = {
     val salted = df.withColumn("_salt", rowSalt(df, buckets))
-    val phase1 = salted.groupBy((keys :+ "_salt").map(col): _*)
-      .agg(partials.head._1.as(partials.head._2),
-        partials.tail.map { case (c, n) => c.as(n) }: _*)
-    phase1.groupBy(keys.map(col): _*)
-      .agg(finals(partials.map(_._2)).head, finals(partials.map(_._2)).tail: _*)
+    salted.groupBy((keys :+ "_salt").map(col): _*)
+      .agg(sum(valueCol.cast("decimal(18,2)")).as("_psum"), count(lit(1)).as("_pn"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_psum")).cast("double").as(name), sum(col("_pn")).as("n"))
   }
 }

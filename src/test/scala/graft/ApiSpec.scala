@@ -146,6 +146,18 @@ class ApiSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("saltedSum equals the direct groupBy sum exactly") {
+    val o = db.table("orders").df
+    val direct = o.groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = graft.rel.Skew.saltedSum(o.select("o_custkey", "o_totalprice"),
+      Seq("o_custkey"), col("o_totalprice"), "rev", buckets = 8)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(direct == salted)
+  }
+
   test("execute runs full Spark SQL over registered tables") {
     val n = db.execute("SELECT count(*) AS n FROM lineitem").collect()(0).getLong(0)
     assert(n == 6000L)
