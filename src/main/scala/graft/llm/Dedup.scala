@@ -111,6 +111,23 @@ object Dedup {
     agg.select(col(idCol), sim.as("simhash"))
   }
 
+  /** Rabin–Karp rolling-hash fingerprint (winnowing-style): polynomial
+    * hash of every `w`-char window, fingerprint = the minimum hash. With
+    * w=8 and base 31 the polynomial Σ c_j·31^(w−1−j) stays < 2⁶³ for ASCII
+    * so the integer arithmetic is exact and engine-portable (no modulo).
+    * Array-native (no explode): scan-local at any scale.
+    */
+  def rollingFingerprint(text: Column, w: Int = 8): Column = {
+    val pows = Array.iterate(1L, w)(_ * 31L) // 31^0 .. 31^(w-1)
+    val windowHash = (i: Column) =>
+      (0 until w).map { j =>
+        ascii(substr(text, i + lit(j + 1), lit(1))) * lit(pows(w - 1 - j))
+      }.reduce(_ + _)
+    when(length(text) >= w,
+      array_min(transform(sequence(lit(0), length(text) - w), windowHash)))
+      .otherwise(lit(null).cast("long"))
+  }
+
   /** Document fingerprint: md5 of the 3 lexicographically-smallest shingle
     * digests (a min-k sketch — winnowing-style selection, stable under
     * content reordering). Array-native, no shuffle.

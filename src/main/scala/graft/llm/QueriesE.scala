@@ -166,6 +166,13 @@ object QueriesE {
         .select(col("doc_id"), Dedup.fingerprint(col("text"), 3).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // e15: rolling-hash (Rabin–Karp) fingerprint — min 8-char window hash,
+    // exact 63-bit integer arithmetic, portable to any SQL engine.
+    "e15_rolling_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.rollingFingerprint(col("text")).as("rh"))
+        .orderBy("doc_id")),
+
     // e14: multimodal binary decode — partition-batched typed transform
     // over opaque binary payloads (stub decoder, real plumbing).
     "e14_multimodal_decode" -> ((s, dir) =>
@@ -258,6 +265,16 @@ object QueriesE {
     "e13_fingerprint" ->
       ("SELECT doc_id, md5(array_to_string(list_sort(list_transform(" + sqlShingles(3) +
         ", x -> md5(x)))[1:3], '')) AS fingerprint FROM documents ORDER BY doc_id"),
+    "e15_rolling_fingerprint" -> {
+      val w = 8
+      val pows = Array.iterate(1L, w)(_ * 31L)
+      val terms = (0 until w)
+        .map(j => s"ascii(substr(text, i + ${j + 1}, 1))::BIGINT * ${pows(w - 1 - j)}::BIGINT")
+        .mkString(" + ")
+      "SELECT doc_id, CASE WHEN length(text) >= 8 THEN " +
+        s"list_aggregate(list_transform(range(length(text) - 7), i -> $terms), 'min') " +
+        "ELSE NULL END AS rh FROM documents ORDER BY doc_id"
+    },
     "e14_multimodal_decode" ->
       ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
         "ELSE 'video' END AS media_type, CAST(n_chars AS BIGINT) AS n_bytes, " +

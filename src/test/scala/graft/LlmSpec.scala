@@ -56,6 +56,22 @@ class LlmSpec extends AnyFunSuite {
     assert(fp(1L) == fp(2L) && fp(1L) != fp(4L))
   }
 
+  test("rollingFingerprint: stable, min-window hash, null under window size") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "short")).toDF("doc_id", "text")
+    val m = df.select(col("doc_id"), Dedup.rollingFingerprint(col("text")).as("rh"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(m(1L) == m(2L) && m(1L).nonEmpty)
+    assert(m(3L).isEmpty, "texts shorter than the window have no fingerprint")
+    // the min-window property: fingerprint of a superstring can only be <=
+    val sup = Seq((4L, "AAAA the quick brown fox jumps over the lazy dog ZZZZ"))
+      .toDF("doc_id", "text")
+      .select(Dedup.rollingFingerprint(col("text"))).collect()(0).getLong(0)
+    assert(sup <= m(1L).get.asInstanceOf[Long])
+  }
+
   test("vecDot native kernel is bit-identical to the HOF formulation") {
     val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
       .select(Similarity.asDouble(col("embedding")).as("emb")).limit(100)
