@@ -1,0 +1,51 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join: for each left row, the latest right row of the
+  * same key with `rightTs <= leftTs`. The reference has no temporal
+  * operators; this is the canonical event-enrichment primitive a pipeline
+  * over the `events` table needs (attribute a purchase to the last prior
+  * view, join a trade to the prevailing quote, …).
+  *
+  * Built by **composition** (preference tier (a) — no custom SparkPlan
+  * needed): union both sides tagged, one hash-partition + sort per key,
+  * then `last_value(…, ignoreNulls)` over the running window. Right rows
+  * sort before left rows at equal timestamps, giving `<=` semantics.
+  *
+  * Scale: exactly one shuffle of each input (partition by key, sort by
+  * (ts, tag)) — the same cost profile as a sort-merge join, with no
+  * per-row subqueries and no skew beyond the key distribution itself
+  * (salt hot keys upstream via [[Skew]] if needed). This is the standard
+  * large-scale formulation; a dedicated SparkPlan would only save the
+  * union's column padding.
+  */
+object AsOf {
+
+  /** Inner as-of join. Output: left rows (original columns) + the matched
+    * right row's columns (prefixed `asof_`); left rows with no prior right
+    * row are dropped (inner semantics, like DuckDB's ASOF JOIN).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val rStruct = struct(right.columns.map(col): _*)
+    val l = left.withColumn("_ts", col(leftTs)).withColumn("_tag", lit(1))
+      .withColumn("_r", lit(null).cast(right.select(rStruct).schema.head.dataType))
+    val r = right.select(
+      col(key), col(rightTs).as("_ts"), lit(0).as("_tag"), rStruct.as("_r"))
+    val rPadded = l.columns.foldLeft(r) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
+    }.select(l.columns.map(col): _*)
+
+    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(rPadded)
+      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1 && col("_match").isNotNull)
+
+    val rightOut = right.columns.map(c => col(s"_match.$c").as(s"asof_$c"))
+    matched.select(left.columns.map(col) ++ rightOut: _*)
+  }
+}

@@ -38,6 +38,23 @@ object QueriesF {
     "f6_stateful_running" -> ((s, dir) =>
       EventWindows.userRunningStatsBatchEnd(s, dir).orderBy("user_id")),
 
+    // f7: as-of join — attribute each purchase to the user's latest prior
+    // view (composition-based sort-merge as-of; DuckDB's native ASOF JOIN
+    // is the oracle).
+    "f7_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.rel.AsOf.asofJoin(purchases, views, "user_id", "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("view_event_id"),
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("asof_ts").cast("timestamp"))).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // f5: JSON props column — extract $.k and aggregate per event type
     // (the events table's semi-structured surface, FIXTURES.md §1).
     "f5_props_json" -> ((s, dir) =>
@@ -89,6 +106,13 @@ object QueriesF {
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, " +
         "max(epoch_us(ts)) AS last_us FROM events GROUP BY user_id ORDER BY user_id"),
+    "f7_asof_join" ->
+      ("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+        "v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') " +
+        "SELECT p.event_id, p.user_id, v.event_id AS view_event_id, " +
+        "epoch_us(p.ts) - epoch_us(v.ts) AS gap_us " +
+        "FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts " +
+        "ORDER BY p.event_id"),
     "f5_props_json" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k " +

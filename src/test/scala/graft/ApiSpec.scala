@@ -137,6 +137,20 @@ class ApiSpec extends AnyFunSuite {
     assert(got(3L) == "MULTIPOLYGON EMPTY")
   }
 
+  test("asofJoin: <= boundary, latest-prior match, inner drop semantics") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(min * 60000)
+    val l = spark.createDataFrame(Seq(
+      (101L, 1L, ts(10)), (102L, 1L, ts(20)), (103L, 2L, ts(5)))).toDF("lid", "user_id", "ts")
+    val r = spark.createDataFrame(Seq(
+      (201L, 1L, ts(10)), (202L, 1L, ts(15)), (203L, 2L, ts(6)))).toDF("rid", "user_id", "ts")
+    val out = graft.rel.AsOf.asofJoin(l, r, "user_id", "ts", "ts")
+      .select("lid", "asof_rid").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(out(101L) == 201L, "equal timestamps match (<= semantics)")
+    assert(out(102L) == 202L, "latest prior wins")
+    assert(!out.contains(103L), "no prior right row -> dropped (inner)")
+  }
+
   test("salted join is result-identical to the plain join") {
     val o = db.table("orders").df.select("o_custkey", "o_totalprice")
     val c = db.table("customer").df.select("c_custkey", "c_mktsegment")
