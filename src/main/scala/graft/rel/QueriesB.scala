@@ -121,6 +121,24 @@ object QueriesB {
         .orderBy("c_mktsegment")
     }),
 
+    // b11: CUBE — all grouping sets over (returnflag, linestatus).
+    "b11_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dbl(sum(dec2(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // b12 (no-oracle): sketch aggregates — HyperLogLog distinct estimate +
+    // approximate percentiles next to their exact values. At 100 TB these
+    // sketches replace exact distinct/percentile (fixed-size partial state,
+    // one narrow shuffle); the exact columns exist to expose the error.
+    "b12_approx_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"),
+        dbl(expr("percentile(l_extendedprice, 0.5)")).as("exact_p50"))),
+
     // b9: ROLLUP(returnflag, linestatus) — NULLS FIRST pinned explicitly
     // (Spark's ASC default) so both engines order subtotal rows identically.
     "b9_rollup" -> ((s, dir) =>
@@ -172,6 +190,11 @@ object QueriesB {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
         "count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "b11_cube" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
     "b9_rollup" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n " +

@@ -172,6 +172,14 @@ class ApiSpec extends AnyFunSuite {
     assert(direct == salted)
   }
 
+  test("sketch aggregates land within tolerance of exact values") {
+    val r = graft.rel.QueriesB.all("b12_approx_stats")(spark, TestSpark.Sf).collect()(0)
+    val (approxD, exactD) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approxD - exactD) / exactD < 0.1, s"HLL error: $approxD vs $exactD")
+    val (approxP, exactP) = (r.getDouble(2), r.getDouble(3))
+    assert(math.abs(approxP - exactP) / exactP < 0.05, s"p50 error: $approxP vs $exactP")
+  }
+
   test("execute runs full Spark SQL over registered tables") {
     val n = db.execute("SELECT count(*) AS n FROM lineitem").collect()(0).getLong(0)
     assert(n == 6000L)
