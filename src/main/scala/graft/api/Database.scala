@@ -22,7 +22,8 @@ import org.apache.spark.sql.types._
   *    refresh = rewrite, reads are plain scans that benefit from column
   *    pruning and predicate pushdown like any other table.
   */
-class Database(val spark: SparkSession, val root: String) {
+class Database(val spark: SparkSession, val root: String,
+    val format: String = "parquet") {
 
   // the reference's users write ST_* SQL against the backend
   // (datum/postgis/table.py:54-59 etc.) — restore that spelling for
@@ -36,8 +37,8 @@ class Database(val spark: SparkSession, val root: String) {
   def tables: Seq[String] = {
     val d = new File(root)
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet"))
-      .map(_.getName.stripSuffix(".parquet"))
+      .filter(f => f.getName.endsWith(s".$format"))
+      .map(_.getName.stripSuffix(s".$format"))
       .sorted.toSeq
   }
 
@@ -51,7 +52,7 @@ class Database(val spark: SparkSession, val root: String) {
       case Array(s, t) => s"$s/$t"
       case Array(t)    => t
     }
-    s"$root/$rel.parquet"
+    s"$root/$rel.$format"
   }
 
   private var registered = Set.empty[String]
@@ -66,11 +67,36 @@ class Database(val spark: SparkSession, val root: String) {
     // one unreadable table (e.g. exotic parquet types in a session missing
     // a legacy read flag) must not take down SQL over every other table
     try {
-      spark.read.parquet(pathOf(name)).createOrReplaceTempView(name)
+      load(name).createOrReplaceTempView(name)
       registered += name
     } catch {
       case e: Exception =>
         System.err.println(s"[graft] skipping unreadable table '$name': ${e.getMessage}")
+    }
+  }
+
+  /** Read a table in this database's format. csv/json get header +
+    * schema inference — the "reflection" analogue for schemaless formats
+    * (parquet reflects from footers for free).
+    */
+  private[api] def load(name: String): org.apache.spark.sql.DataFrame = format match {
+    case "parquet" => spark.read.parquet(pathOf(name))
+    case "csv"     => spark.read.option("header", "true").option("inferSchema", "true").csv(pathOf(name))
+    case "json"    => spark.read.json(pathOf(name))
+  }
+
+  /** Save a DataFrame as a table of this database (the public "create
+    * table as select" / export path; also the write primitive behind
+    * Table.write/delete).
+    */
+  def store(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String, chunkSize: Int = 0): Unit = {
+    val w0 = df.write.mode(mode)
+    val w = if (chunkSize > 0) w0.option("maxRecordsPerFile", chunkSize.toLong) else w0
+    format match {
+      case "parquet" => w.parquet(pathOf(name))
+      case "csv"     => w.option("header", "true").csv(pathOf(name))
+      case "json"    => w.json(pathOf(name))
     }
   }
 
@@ -102,8 +128,8 @@ class Database(val spark: SparkSession, val root: String) {
       val schema = StructType(
         StructField("id", LongType, nullable = false) +:
           cols.map { case (n, c) => StructField(n, coarseToSpark(c)) })
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .write.mode("overwrite").parquet(path)
+      store(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+        name, "overwrite")
     }
   }
 
@@ -126,7 +152,7 @@ class Database(val spark: SparkSession, val root: String) {
     */
   def createMView(name: String, select: String): Unit = {
     registerAll()
-    spark.sql(select).write.mode("overwrite").parquet(pathOf(name))
+    store(spark.sql(select), name, "overwrite")
     register(name)
   }
   def dropMView(name: String): Unit = dropTable(name)

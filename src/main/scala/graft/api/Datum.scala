@@ -26,9 +26,14 @@ object Datum {
     val (scheme, path) = parseUrl(url)
     scheme match {
       case "parquet" | "file" => new Database(spark, path)
+      // the scheme map is open like the reference's ADAPTER_CLASS_MAP:
+      // csv/json directories of <table>.<ext> (header + declared-or-inferred
+      // schema). Parquet stays the recommended scale format (columnar,
+      // predicate pushdown, stats); csv/json are ingest/interchange tiers.
+      case "csv" | "json"     => new Database(spark, path, scheme)
       case other =>
         throw new IllegalArgumentException(
-          s"Unsupported scheme '$other' (supported: parquet). " +
+          s"Unsupported scheme '$other' (supported: parquet, csv, json). " +
             "Ref behavior: datum/database.py:16-20 KeyError on unknown scheme.")
     }
   }

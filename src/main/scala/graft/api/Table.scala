@@ -29,7 +29,7 @@ class Table(val db: Database, val qualified: String) {
     }
 
   def path: String = db.pathOf(qualified)
-  def df: DataFrame = db.spark.read.parquet(path)
+  def df: DataFrame = db.load(qualified)
 
   /** Coarse-type view of the schema (ref FIELD_TYPE_MAP,
     * datum/postgis/table.py:7-21, datum/oracle_stgeom/table.py:10-32):
@@ -195,8 +195,7 @@ class Table(val db: Database, val qualified: String) {
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
 
-    val w = aligned.write.mode("append")
-    (if (chunkSize > 0) w.option("maxRecordsPerFile", chunkSize.toLong) else w).parquet(path)
+    db.store(aligned, qualified, "append", chunkSize)
   }
 
   /** TRUNCATE (ref datum/table.py:91-93, datum/postgis/table.py:170-177):
@@ -205,8 +204,9 @@ class Table(val db: Database, val qualified: String) {
     */
   def delete(cascade: Boolean = false): Unit = {
     val schema = df.schema
-    db.spark.createDataFrame(db.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .write.mode("overwrite").parquet(path)
+    db.store(db.spark.createDataFrame(
+      db.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      qualified, "overwrite")
   }
 
   /** Index façade (ref datum/table.py:98-104, datum/postgis/table.py:309-334,
@@ -223,7 +223,7 @@ class Table(val db: Database, val qualified: String) {
       .sortWithinPartitions(idxFields.map(col): _*)
     val tmp = path + ".idx_tmp"
     clustered.write.mode("overwrite").parquet(tmp)
-    db.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    db.store(db.spark.read.parquet(tmp), qualified, "overwrite")
     deleteDir(new File(tmp))
     idxName
   }

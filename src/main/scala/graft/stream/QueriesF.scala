@@ -55,6 +55,22 @@ object QueriesF {
         .orderBy("event_id")
     }),
 
+    // f8: range join — purchases within 5 minutes after a view by the same
+    // user (equi key + interval condition: one sort-merge join, interval
+    // post-filtered; see rel.RangeJoin for the keyless binned variant).
+    "f8_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+      p.join(v, col("user_id") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("p_ts") < col("v_ts") + expr("INTERVAL 5 MINUTES"))
+        .select(col("p_id"), col("user_id"), col("v_id"))
+        .orderBy("p_id", "v_id")
+    }),
+
     // f5: JSON props column — extract $.k and aggregate per event type
     // (the events table's semi-structured surface, FIXTURES.md §1).
     "f5_props_json" -> ((s, dir) =>
@@ -113,6 +129,12 @@ object QueriesF {
         "epoch_us(p.ts) - epoch_us(v.ts) AS gap_us " +
         "FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts " +
         "ORDER BY p.event_id"),
+    "f8_range_join" ->
+      ("SELECT p.event_id AS p_id, p.user_id, v.event_id AS v_id " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
+        "ON p.user_id = v.user_id AND v.ts <= p.ts AND p.ts < v.ts + INTERVAL 5 MINUTE " +
+        "ORDER BY p_id, v_id"),
     "f5_props_json" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k " +

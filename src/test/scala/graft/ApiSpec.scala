@@ -180,6 +180,70 @@ class ApiSpec extends AnyFunSuite {
     assert(math.abs(approxP - exactP) / exactP < 0.05, s"p50 error: $approxP vs $exactP")
   }
 
+  test("csv and json schemes: full facade over non-parquet sources") {
+    for (fmt <- Seq("csv", "json")) {
+      val root = s"/root/repo/target/fixtures/test/fmt_$fmt"
+      new java.io.File(root).mkdirs()
+      val fdb = Datum.connect(s"$fmt://$root")
+      fdb.store(db.table("nation").df, "nation", "overwrite")
+      assert(fdb.tables == Seq("nation"))
+      val t = fdb.table("nation")
+      assert(t.count == 25)
+      val rows = t.read(fields = Seq("n_nationkey", "n_name"),
+        where = Some("n_nationkey < 5"), sort = Seq("n_nationkey")).collect()
+      assert(rows.length == 5 && rows.head.get(1) == "NATION_0")
+      t.write(db.table("nation").df.limit(3))
+      assert(t.count == 28, s"$fmt append")
+      val n = fdb.execute("SELECT count(*) AS n FROM nation").collect()(0).getLong(0)
+      assert(n == 28)
+    }
+  }
+
+  test("binned interval join equals the naive inequality join") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000)
+    val l = spark.createDataFrame(Seq((1L, ts(100)), (2L, ts(301)), (3L, ts(650))))
+      .toDF("lid", "l_ts")
+    val r = spark.createDataFrame(Seq((10L, ts(40)), (11L, ts(99)), (12L, ts(300)), (13L, ts(600))))
+      .toDF("rid", "r_ts")
+    val naive = l.crossJoin(r)
+      .filter(col("r_ts") <= col("l_ts") &&
+        col("r_ts") > col("l_ts") - expr("INTERVAL 120 SECONDS"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val binned = graft.rel.RangeJoin.binnedIntervalJoin(l, r, "l_ts", "r_ts", 120)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(binned == naive && naive.nonEmpty, s"binned=$binned naive=$naive")
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // dirs persist — clear them or saveAsTable hits LOCATION_ALREADY_EXISTS
+    for (t <- Seq("b_orders", "b_customer")) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"/root/repo/target/warehouse/$t"))
+    }
+    db.table("orders").df.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_orders")
+    db.table("customer").df.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("b_customer")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("execute runs full Spark SQL over registered tables") {
     val n = db.execute("SELECT count(*) AS n FROM lineitem").collect()(0).getLong(0)
     assert(n == 6000L)
