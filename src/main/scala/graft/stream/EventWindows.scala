@@ -139,6 +139,26 @@ object EventWindows {
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Streaming deduplication: drop repeated event ids, with the watermark
+    * bounding the dedup state (ids older than the watermark are forgotten —
+    * the only way streaming dedup survives unbounded streams).
+    */
+  def dedupStream(events: DataFrame, delay: String = "15 minutes"): DataFrame =
+    ltz(events)
+      .withWatermark("ts", delay)
+      .dropDuplicates("event_id")
+
+  /** Exactly-once parquet file sink: append-mode stream into a directory
+    * with a checkpoint — on restart the checkpoint resumes from the last
+    * committed batch, never duplicating output files (the production
+    * landing-zone pattern; memory sinks are for tests only).
+    */
+  def toParquetSink(df: DataFrame, outDir: String, checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet").option("path", outDir).start()
+
   /** The watermarked streaming plan itself (separated for MemoryStream tests). */
   def tumblingStream(events: DataFrame, delay: String, width: String): DataFrame =
     ltz(events)

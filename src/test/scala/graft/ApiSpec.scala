@@ -244,6 +244,17 @@ class ApiSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("read pushes projection and predicate into the parquet scan") {
+    val plan = db.table("orders").read(
+      fields = Seq("o_orderkey", "o_totalprice"),
+      where = Some("o_totalprice > 100000"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000.0)]"),
+      s"predicate must reach the scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"scan must read only projected columns:\n$plan")
+  }
+
   test("execute runs full Spark SQL over registered tables") {
     val n = db.execute("SELECT count(*) AS n FROM lineitem").collect()(0).getLong(0)
     assert(n == 6000L)

@@ -63,6 +63,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(2L) == ((2L, 1L, 1.0)))
   }
 
+  test("streaming dedup drops repeated event ids across batches") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Double)](
+      org.apache.spark.sql.Encoders.product[(Long, java.sql.Timestamp, Double)], spark.sqlContext)
+    val events = mem.toDF().toDF("event_id", "ts", "value")
+    val q = EventWindows.dedupStream(events).writeStream
+      .outputMode("append").format("memory").queryName("dd_sink").start()
+    try {
+      mem.addData((1L, at(1), 1.0), (2L, at(2), 2.0), (1L, at(1), 1.0))
+      q.processAllAvailable()
+      mem.addData((2L, at(2), 2.0), (3L, at(3), 3.0)) // dup of batch-1 id
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dd_sink").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)), s"got ${ids.mkString(",")}")
+  }
+
+  test("parquet file sink with checkpoint lands exactly-once output") {
+    val base = "/root/repo/target/fixtures/test/sink"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val q = EventWindows.toParquetSink(
+      EventWindows.readStreamEvents(spark, TestSpark.Sf), out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.read.parquet(out).count()
+    assert(n == 1000L, s"all sf0.001 events land once, got $n")
+    // restart against the same checkpoint: no new data -> no duplicates
+    val q2 = EventWindows.toParquetSink(
+      EventWindows.readStreamEvents(spark, TestSpark.Sf), out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out).count() == 1000L, "restart must not duplicate")
+  }
+
   test("batch and streaming tumbling plans agree on the finalized subset") {
     val batch = graft.stream.QueriesF.all("f1_tumbling_agg")(spark, TestSpark.Sf)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
