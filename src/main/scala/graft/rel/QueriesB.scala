@@ -139,6 +139,31 @@ object QueriesB {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"),
         dbl(expr("percentile(l_extendedprice, 0.5)")).as("exact_p50"))),
 
+    // b13: pivot — order counts per status × priority, fixed value list
+    // (explicit values keep the output schema static: the scale-safe form —
+    // dynamic pivot needs a values scan first).
+    "b13_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+          "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+        .orderBy("o_orderstatus")),
+
+    // b14: unpivot/melt — lineitem measures to (metric, value) long form.
+    "b14_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
     // b9: ROLLUP(returnflag, linestatus) — NULLS FIRST pinned explicitly
     // (Spark's ASC default) so both engines order subtotal rows identically.
     "b9_rollup" -> ((s, dir) =>
@@ -195,6 +220,21 @@ object QueriesB {
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "b13_pivot" ->
+      ("SELECT o_orderstatus, " +
+        "count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1, " +
+        "count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2, " +
+        "count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3, " +
+        "count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4, " +
+        "count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5 " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "b14_unpivot" ->
+      ("SELECT l_orderkey, l_linenumber, metric, value FROM (" +
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value " +
+        "FROM lineitem WHERE l_orderkey < 100 " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice " +
+        "FROM lineitem WHERE l_orderkey < 100) " +
+        "ORDER BY l_orderkey, l_linenumber, metric"),
     "b9_rollup" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n " +

@@ -71,6 +71,22 @@ object QueriesF {
         .orderBy("p_id", "v_id")
     }),
 
+    // f9: time-series gap-fill — dense 10-minute grid per event_type with
+    // zero-filled empty buckets (sequence over the observed span ×
+    // distinct types, left join onto f1's sparse aggregate). At scale the
+    // grid is generated, never materialized from the fact table.
+    "f9_gapfill" -> ((s, dir) => {
+      val sparse = EventWindows.tumbling(events(s, dir))
+      val span = sparse.agg(min("epoch_start").as("lo"), max("epoch_start").as("hi"))
+      val grid = span.select(explode(sequence(col("lo"), col("hi"), lit(600L))).as("epoch_start"))
+        .crossJoin(sparse.select("event_type").distinct())
+      grid.join(sparse, Seq("epoch_start", "event_type"), "left")
+        .select(col("epoch_start"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("epoch_start", "event_type")
+    }),
+
     // f5: JSON props column — extract $.k and aggregate per event type
     // (the events table's semi-structured surface, FIXTURES.md §1).
     "f5_props_json" -> ((s, dir) =>
@@ -135,6 +151,18 @@ object QueriesF {
         "JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
         "ON p.user_id = v.user_id AND v.ts <= p.ts AND p.ts < v.ts + INTERVAL 5 MINUTE " +
         "ORDER BY p_id, v_id"),
+    "f9_gapfill" ->
+      (s"WITH e AS ($EsEvents), " +
+        "sparse AS (SELECT es - es % 600 AS epoch_start, event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM e GROUP BY 1, 2), " +
+        "grid AS (SELECT unnest(range((SELECT min(epoch_start) FROM sparse), " +
+        "(SELECT max(epoch_start) FROM sparse) + 1, 600)) AS epoch_start), " +
+        "types AS (SELECT DISTINCT event_type FROM sparse) " +
+        "SELECT g.epoch_start, t.event_type, coalesce(s.n, 0) AS n, " +
+        "coalesce(s.sum_value, 0.0) AS sum_value " +
+        "FROM grid g CROSS JOIN types t LEFT JOIN sparse s " +
+        "ON s.epoch_start = g.epoch_start AND s.event_type = t.event_type " +
+        "ORDER BY g.epoch_start, t.event_type"),
     "f5_props_json" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k " +
