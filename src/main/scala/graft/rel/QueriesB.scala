@@ -151,6 +151,9 @@ object QueriesB {
         .withColumnsRenamed(Map(
           "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
           "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+        // pivot leaves NULL where a (status, priority) cell has no rows;
+        // the SQL FILTER form counts 0 — align on 0
+        .na.fill(0L, Seq("p1", "p2", "p3", "p4", "p5"))
         .orderBy("o_orderstatus")),
 
     // b14: unpivot/melt — lineitem measures to (metric, value) long form.

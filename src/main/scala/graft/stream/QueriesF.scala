@@ -77,9 +77,14 @@ object QueriesF {
     // grid is generated, never materialized from the fact table.
     "f9_gapfill" -> ((s, dir) => {
       val sparse = EventWindows.tumbling(events(s, dir))
-      val span = sparse.agg(min("epoch_start").as("lo"), max("epoch_start").as("hi"))
-      val grid = span.select(explode(sequence(col("lo"), col("hi"), lit(600L))).as("epoch_start"))
-        .crossJoin(sparse.select("event_type").distinct())
+      // one eager stats pass (min/max/type-set in a single aggregate) so the
+      // fact table isn't re-scanned for span and types at execution time
+      val stats = sparse.agg(min("epoch_start"), max("epoch_start"),
+        collect_set("event_type")).collect()(0)
+      val (lo, hi) = (stats.getLong(0), stats.getLong(1))
+      val types = stats.getSeq[String](2).sorted
+      val grid = s.range(lo, hi + 1, 600).toDF("epoch_start")
+        .crossJoin(s.createDataFrame(types.map(Tuple1(_))).toDF("event_type"))
       grid.join(sparse, Seq("epoch_start", "event_type"), "left")
         .select(col("epoch_start"), col("event_type"),
           coalesce(col("n"), lit(0L)).as("n"),
@@ -153,8 +158,7 @@ object QueriesF {
         "ORDER BY p_id, v_id"),
     "f9_gapfill" ->
       (s"WITH e AS ($EsEvents), " +
-        "sparse AS (SELECT es - es % 600 AS epoch_start, event_type, count(*) AS n, " +
-        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM e GROUP BY 1, 2), " +
+        s"sparse AS (SELECT es - es % 600 AS epoch_start, event_type, count(*) AS n, $SumVal FROM e GROUP BY 1, 2), " +
         "grid AS (SELECT unnest(range((SELECT min(epoch_start) FROM sparse), " +
         "(SELECT max(epoch_start) FROM sparse) + 1, 600)) AS epoch_start), " +
         "types AS (SELECT DISTINCT event_type FROM sparse) " +
