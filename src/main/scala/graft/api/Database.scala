@@ -162,6 +162,25 @@ class Database(val spark: SparkSession, val root: String,
     */
   def truncate(name: String): Unit = table(name).delete()
 
+  /** Bucketed managed table (catalog-resident, unlike the path-based
+    * tables above): pre-shuffles data into `buckets` files per bucket key
+    * so joins/aggregations on those keys execute with NO exchange —
+    * co-located sort-merge. This is the physical-design lever for a fact
+    * table joined on the same key by every query at 100 TB; bucket
+    * metadata lives in the session catalog (persist it with a metastore
+    * in production).
+    */
+  def createBucketedTable(name: String, df: DataFrame, buckets: Int,
+      keys: Seq[String]): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // the in-memory catalog forgets tables across sessions but warehouse
+    // dirs persist — clear to avoid LOCATION_ALREADY_EXISTS
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    deleteRecursively(new File(wh, name))
+    df.write.bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*).saveAsTable(name)
+  }
+
   /** Commit / close (ref datum/database.py:47-51). Parquet writes are
     * committed per-job by the output committer, so `save` is a no-op.
     */

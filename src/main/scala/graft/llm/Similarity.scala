@@ -78,23 +78,47 @@ object Similarity {
       struct(l2sq(emb, c).as("d"), lit(j).as("j"))
     }: _*)).getField("j")
 
+  /** Deterministic Lloyd's k-means over the embedding column: init =
+    * first `k` vectors by id, `iters` rounds of (scan-local argmin
+    * assignment → groupBy-mean update). Every step is a DataFrame job —
+    * at 10⁹ vectors each iteration is one scan + one k×dims aggregate —
+    * and fully deterministic (no RNG; mean uses Spark's avg per dim,
+    * stable given the fixed assignment).
+    */
+  def kmeansCentroids(base: DataFrame, idCol: String,
+      k: Int, iters: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.functions.{col, avg}
+    var centroids: Array[Array[Double]] = base.orderBy(col(idCol)).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val dims = centroids.head.length
+    (1 to iters).foreach { _ =>
+      val assigned = base.withColumn("_list", ivfAssign(col("emb"), centroids))
+      val dimCols = (0 until dims).map(d => avg(col("emb").getItem(d)).as(s"d$d"))
+      val updated = assigned.groupBy("_list").agg(dimCols.head, dimCols.tail: _*)
+        .collect().map(r => r.getInt(0) -> (0 until dims).map(d => r.getDouble(d + 1)).toArray)
+        .toMap
+      // empty lists keep their previous centroid
+      centroids = centroids.zipWithIndex.map { case (c, j) => updated.getOrElse(j, c) }
+    }
+    centroids
+  }
+
   /** IVF-style ANN: partition vectors into `nlist` inverted lists by
     * nearest centroid, probe the query's `nprobe` closest lists, rank by
     * cosine inside them.
     *
-    * Centroids here are the first `nlist` vectors by id — a deterministic
-    * stand-in for a k-means training step (at production scale: train
-    * centroids offline on a sample, broadcast them; assignment stays this
-    * same scan-local argmin expression). Candidate generation is an
-    * equi-join on list id ⇒ shuffle-bounded like the LSH path, with
-    * recall/probe tunable via nprobe.
+    * Centroids are k-means-trained ([[kmeansCentroids]], deterministic
+    * init + Lloyd iterations); at production scale train on a sample,
+    * broadcast, and reuse — assignment stays this same scan-local argmin
+    * expression. Candidate generation is an equi-join on list id ⇒
+    * shuffle-bounded like the LSH path, recall tunable via nprobe.
     */
   def ivfTopK(embeddings: DataFrame, idCol: String, queryId: Long,
-      nlist: Int = 8, nprobe: Int = 2, k: Int = 5): DataFrame = {
+      nlist: Int = 8, nprobe: Int = 2, k: Int = 5,
+      trainIters: Int = 3): DataFrame = {
     import org.apache.spark.sql.functions.{col, broadcast}
     val base = embeddings.select(col(idCol), asDouble(col("embedding")).as("emb"))
-    val centroids: Array[Array[Double]] = base.orderBy(col(idCol)).limit(nlist)
-      .collect().map(_.getSeq[Double](1).toArray)
+    val centroids = kmeansCentroids(base, idCol, nlist, trainIters)
     val listed = base.withColumn("list_id", ivfAssign(col("emb"), centroids))
     val qRow = base.filter(col(idCol) === queryId).collect()(0)
     val q = qRow.getSeq[Double](1).toArray

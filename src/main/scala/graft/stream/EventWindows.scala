@@ -85,8 +85,9 @@ object EventWindows {
       sinkName: String = "f4_sink"): DataFrame = {
     val agg = tumblingStream(readStreamEvents(spark, dir), delay, width)
     val q = agg.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .format("memory").queryName(sinkName).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.awaitTermination() finally q.stop()
     spark.table(sinkName)
   }
 
@@ -131,8 +132,9 @@ object EventWindows {
       sinkName: String = "f6_sink"): DataFrame = {
     val out = userRunningStats(spark, readStreamEvents(spark, dir))
     val q = out.toDF().writeStream.outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .format("memory").queryName(sinkName).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.awaitTermination() finally q.stop()
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
     spark.table(sinkName)

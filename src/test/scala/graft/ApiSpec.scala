@@ -216,21 +216,8 @@ class ApiSpec extends AnyFunSuite {
   }
 
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_customer")
-    // the in-memory catalog forgets tables between JVMs but the warehouse
-    // dirs persist — clear them or saveAsTable hits LOCATION_ALREADY_EXISTS
-    for (t <- Seq("b_orders", "b_customer")) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(s"/root/repo/target/warehouse/$t"))
-    }
-    db.table("orders").df.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .saveAsTable("b_orders")
-    db.table("customer").df.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .saveAsTable("b_customer")
+    db.createBucketedTable("b_orders", db.table("orders").df, 8, Seq("o_custkey"))
+    db.createBucketedTable("b_customer", db.table("customer").df, 8, Seq("c_custkey"))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
