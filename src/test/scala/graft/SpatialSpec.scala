@@ -69,6 +69,41 @@ class SpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("projection: standard parallels are distortion-free (defining LCC property)") {
+    // On a Lambert Conformal Conic the scale factor is exactly 1 along the
+    // two standard parallels (40°58' and 39°56' for EPSG:2272). Compare a
+    // small east-west ground distance on the ellipsoid with its projected
+    // length — independent of the implementation's internal constants.
+    val a = 6378137.0; val e2 = 2 * (1 / 298.257222101) - math.pow(1 / 298.257222101, 2)
+    for (latDeg <- Seq(40.0 + 58.0 / 60.0, 39.0 + 56.0 / 60.0)) {
+      val lat = math.toRadians(latDeg)
+      val nu = a / math.sqrt(1 - e2 * math.sin(lat) * math.sin(lat)) // prime vertical radius
+      val dLon = 1e-4 // radians, ~8.5 m of arc
+      val groundM = nu * math.cos(lat) * dLon
+      val (x1, y1) = Projection.forward(-77.0, latDeg)
+      val (x2, y2) = Projection.forward(-77.0 + math.toDegrees(dLon), latDeg)
+      val projM = math.hypot(x2 - x1, y2 - y1) * Projection.FtUs
+      assert(math.abs(projM / groundM - 1.0) < 1e-7,
+        s"scale at standard parallel $latDeg: ${projM / groundM}")
+    }
+    // and strictly > 1 away from the parallels (outside the secant band)
+    val lat = 41.5; val latR = math.toRadians(lat)
+    val nu = a / math.sqrt(1 - e2 * math.sin(latR) * math.sin(latR))
+    val groundM = nu * math.cos(latR) * 1e-4
+    val (x1, y1) = Projection.forward(-77.0, lat)
+    val (x2, y2) = Projection.forward(-77.0 + math.toDegrees(1e-4), lat)
+    assert(math.hypot(x2 - x1, y2 - y1) * Projection.FtUs / groundM > 1.0)
+  }
+
+  test("projection: meridians project to straight lines (conic property)") {
+    // three points on one meridian must be collinear in the projected plane
+    val pts = Seq(39.0, 40.0, 41.0).map(la => Projection.forward(-76.0, la))
+    val Seq((x1, y1), (x2, y2), (x3, y3)) = pts
+    val cross = (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)
+    val span = math.hypot(x3 - x1, y3 - y1)
+    assert(math.abs(cross) / (span * span) < 1e-9, s"meridian bends: $cross")
+  }
+
   test("projection: unsupported SRID pair raises, identity passes through") {
     assert(Projection.transform(1.0, 2.0, 4326, 4326) == ((1.0, 2.0)))
     assertThrows[IllegalArgumentException](Projection.transform(0, 0, 4326, 3857))
