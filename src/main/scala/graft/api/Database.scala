@@ -55,21 +55,24 @@ class Database(val spark: SparkSession, val root: String,
     s"$root/$rel.$format"
   }
 
-  private var registered = Set.empty[String]
-
   /** Register all physical tables as temp views so raw SQL can reference
     * them (ref `db.execute`, datum/database.py:44-45 — the backend SQL
     * surface is replaced by the full Spark SQL surface).
+    *
+    * Always re-registers (createOrReplace): temp views are session-global,
+    * so two Database instances over different roots would otherwise fight
+    * over names and `execute` could silently read the other database's
+    * table. The cost is one footer/schema read per table per call —
+    * correctness over micro-optimization (the reference had per-connection
+    * namespaces for free; this restores that semantic).
     */
   def registerAll(): Unit = tables.foreach(register)
 
-  def register(name: String): Unit = if (!registered.contains(name)) {
+  def register(name: String): Unit = {
     // one unreadable table (e.g. exotic parquet types in a session missing
     // a legacy read flag) must not take down SQL over every other table
-    try {
-      load(name).createOrReplaceTempView(name)
-      registered += name
-    } catch {
+    try load(name).createOrReplaceTempView(name)
+    catch {
       case e: Exception =>
         System.err.println(s"[graft] skipping unreadable table '$name': ${e.getMessage}")
     }
@@ -136,7 +139,7 @@ class Database(val spark: SparkSession, val root: String,
   def dropTable(name: String): Unit = {
     // ref datum/postgis/database.py:100-103 (DROP TABLE IF EXISTS)
     deleteRecursively(new File(pathOf(name)))
-    registered -= name
+    if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name): Unit
   }
 
   /** Session-scoped logical view (ref datum/postgis/database.py:108-116). */

@@ -242,6 +242,16 @@ class ApiSpec extends AnyFunSuite {
       s"scan must read only projected columns:\n$plan")
   }
 
+  test("two databases in one session: execute reads each db's own tables") {
+    val root = "/root/repo/target/fixtures/test/iso"
+    new java.io.File(root).mkdirs()
+    val other = Datum.connect(s"parquet://$root")
+    other.store(db.table("nation").df.limit(3), "nation", "overwrite")
+    assert(other.execute("SELECT count(*) AS n FROM nation").collect()(0).getLong(0) == 3)
+    // the original database must still see ITS nation, not the 3-row one
+    assert(db.execute("SELECT count(*) AS n FROM nation").collect()(0).getLong(0) == 25)
+  }
+
   test("execute runs full Spark SQL over registered tables") {
     val n = db.execute("SELECT count(*) AS n FROM lineitem").collect()(0).getLong(0)
     assert(n == 6000L)
