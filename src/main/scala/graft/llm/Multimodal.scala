@@ -70,6 +70,34 @@ object Multimodal {
     }
   }
 
+  /** Feature extraction over the binary payload: an 8-dim embedding derived
+    * from the payload digest — deterministic, engine-portable (hex-digit
+    * arithmetic, no UDF, fully codegen'd), and exactly what a real
+    * extractor's *plumbing* looks like (per-row binary → fixed-dim vector).
+    * Feature i = (int of md5-hex chars [8i, 8i+8) / 2³²) − 0.5 ∈ [−0.5, 0.5).
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val feats = (0 until 4).map { i =>
+      val v = expr(s"CAST(conv(substring(md5(media), ${8 * i + 1}, 8), 16, 10) AS BIGINT)")
+      (v.cast("double") / lit(4294967296.0) - lit(0.5)).as(s"f$i")
+    }
+    media.select(col("doc_id") +: feats: _*)
+  }
+
+  /** STUBBED resize: deterministic payload re-shaping to a target (w, h) —
+    * output byte length is w·h/64 (truncate or cycle-pad), metadata updated.
+    * A real implementation swaps only the byte-mapping expression; the
+    * schema/partitioning contract stays.
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val targetLen = math.max(1, w * h / 64)
+    media
+      .withColumn("media",
+        substr(rpad(col("media").cast("string"), targetLen, "#"), lit(1), lit(targetLen))
+          .cast("binary"))
+      .withColumn("width", lit(w)).withColumn("height", lit(h))
+  }
+
   /** Frame sampling for video-typed rows: every k-th byte-slice stands in
     * for every k-th frame — array output shape matches a real sampler.
     */

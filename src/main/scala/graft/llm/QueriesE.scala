@@ -177,7 +177,13 @@ object QueriesE {
     // over opaque binary payloads (stub decoder, real plumbing).
     "e14_multimodal_decode" -> ((s, dir) =>
       Multimodal.decode(s, Multimodal.mediaFromDocuments(t(s, dir, "documents")))
-        .toDF().orderBy("doc_id"))
+        .toDF().orderBy("doc_id")),
+
+    // e16: binary → fixed-dim feature vector (digest-derived, codegen'd
+    // hex arithmetic — the feature-extraction plumbing, exactly portable).
+    "e16_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -274,6 +280,17 @@ object QueriesE {
       "SELECT doc_id, CASE WHEN length(text) >= 8 THEN " +
         s"list_aggregate(list_transform(range(length(text) - 7), i -> $terms), 'min') " +
         "ELSE NULL END AS rh FROM documents ORDER BY doc_id"
+    },
+    "e16_multimodal_features" -> {
+      // hex-substring → integer via digit arithmetic (engine-portable)
+      def hexVal(start: Int): String =
+        "(" + (0 until 8).map { j =>
+          s"(strpos('0123456789abcdef', substr(md5(text), ${start + j}, 1)) - 1)::BIGINT * ${1L << (4 * (7 - j))}::BIGINT"
+        }.mkString(" + ") + ")"
+      "SELECT doc_id, " +
+        (0 until 4).map(i =>
+          s"CAST(${hexVal(8 * i + 1)} AS DOUBLE) / 4294967296.0 - 0.5 AS f$i").mkString(", ") +
+        " FROM documents ORDER BY doc_id"
     },
     "e14_multimodal_decode" ->
       ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +

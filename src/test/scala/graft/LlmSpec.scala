@@ -158,6 +158,27 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("resize reshapes payloads to the target geometry deterministically") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").limit(5)
+    val out = Multimodal.resize(Multimodal.mediaFromDocuments(docs), 128, 128).collect()
+    out.foreach { r =>
+      assert(r.getAs[Array[Byte]]("media").length == 128 * 128 / 64)
+      assert(r.getAs[Int]("width") == 128 && r.getAs[Int]("height") == 128)
+    }
+  }
+
+  test("extractFeatures: 4-dim digest features in [-0.5, 0.5)") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").limit(20)
+    val out = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs)).collect()
+    out.foreach { r =>
+      (1 to 4).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= -0.5 && v < 0.5, s"f${i - 1}=$v out of range")
+      }
+    }
+    assert(out.map(_.getDouble(1)).distinct.length > 10, "features vary per doc")
+  }
+
   test("frame sampling only applies to video rows") {
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").limit(9)
     val media = Multimodal.mediaFromDocuments(docs)
