@@ -13,17 +13,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb one-time session/codegen startup so per-query numbers measure
-    // the queries, not JVM warm-up
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
-    spark.range(100).selectExpr("sum(id)").collect()
+    // the queries, not JVM warm-up (guarded: a bad warm-up table must not
+    // abort the whole bench — queries are individually guarded below)
+    try {
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+      spark.range(100).selectExpr("sum(id)").collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

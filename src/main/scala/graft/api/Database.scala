@@ -86,6 +86,8 @@ class Database(val spark: SparkSession, val root: String,
     case "parquet" => spark.read.parquet(pathOf(name))
     case "csv"     => spark.read.option("header", "true").option("inferSchema", "true").csv(pathOf(name))
     case "json"    => spark.read.json(pathOf(name))
+    case other     => throw new IllegalArgumentException(
+      s"unsupported format '$other' (supported: parquet, csv, json)")
   }
 
   /** Save a DataFrame as a table of this database (the public "create
@@ -100,6 +102,8 @@ class Database(val spark: SparkSession, val root: String,
       case "parquet" => w.parquet(pathOf(name))
       case "csv"     => w.option("header", "true").csv(pathOf(name))
       case "json"    => w.json(pathOf(name))
+      case other     => throw new IllegalArgumentException(
+        s"unsupported format '$other' (supported: parquet, csv, json)")
     }
   }
 
@@ -190,7 +194,7 @@ class Database(val spark: SparkSession, val root: String,
   def save(): Unit = ()
   def close(): Unit = () // session lifecycle owned by caller
 
-  private def deleteRecursively(f: File): Unit = {
+  private[api] def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }

@@ -121,6 +121,17 @@ class Table(val db: Database, val qualified: String) {
 
     val gf = geomFieldArg.orElse(geomField)
     val base = if (fields.nonEmpty) fields else this.fields
+
+    // SQL-engine evaluation order (what the reference's backend gave it):
+    // WHERE sees base columns (SQL forbids aliases there); ORDER BY may
+    // reference base columns, non-selected columns, or aliases — so filter
+    // and sort run on the base frame with alias columns added alongside,
+    // and the projection happens last.
+    var cur = df
+    where.foreach(w => cur = cur.filter(expr(w)))
+    aliases.foreach { case (from, to) => cur = cur.withColumn(to, col(from)) }
+    if (sort.nonEmpty) cur = cur.orderBy(sort.map(Table.sortExpr): _*)
+
     // geometry handling: serialize WKT (identity here — canonical storage is
     // WKT) + optional reprojection (ref postgis ST_Transform in SELECT list,
     // datum/postgis/table.py:54-59; oracle client-side pyproj,
@@ -136,14 +147,10 @@ class Table(val db: Database, val qualified: String) {
           Seq(c.as(g))
         case _ => Nil
       }
-      nonGeom.map(col) ++ geomCols
+      // aliases applied in the projection (ref datum/postgis/table.py:140-149)
+      nonGeom.map(f => aliases.get(f).map(col).getOrElse(col(f))) ++ geomCols
     }
-
-    var out = df.select(selected: _*)
-    // aliases appended as AS (ref datum/postgis/table.py:140-149)
-    out = aliases.foldLeft(out) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
-    out = where.map(w => out.filter(expr(w))).getOrElse(out)
-    if (sort.nonEmpty) out = out.orderBy(sort.map(Table.sortExpr): _*)
+    val out = cur.select(selected: _*)
     limit.map(out.limit).getOrElse(out)
   }
 
@@ -185,13 +192,20 @@ class Table(val db: Database, val qualified: String) {
     // ref datum/postgis/table.py:238). A missing PK column is auto-filled
     // (ref SDE.GDB_UTIL.NEXT_ROWID / id serial injection,
     // datum/oracle_stgeom/table.py:437-443, datum/postgis/database.py:91-93)
-    // with monotonically_increasing_id — unique across tasks by
-    // construction (partition id in the high bits), though not dense, the
-    // documented tradeoff for a coordination-free cluster-wide id.
+    // with monotonically_increasing_id offset past the current max id —
+    // per-job ids are unique across tasks (partition id in the high bits)
+    // and the offset keeps successive appends disjoint (not dense, and
+    // concurrent writers may still collide — the documented tradeoff for a
+    // coordination-free cluster-wide id vs the reference's sequence).
+    val needsPk = pkField.exists(pk => !rows.schema.fieldNames.contains(pk))
+    val pkOffset: Long = if (needsPk) {
+      val r = df.agg(max(col(pkField.get).cast("long"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+    } else 0L
     val aligned = prepared.select(target.fields.toSeq.map { f =>
       if (prepared.schema.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else if (pkField.contains(f.name))
-        monotonically_increasing_id().cast(f.dataType).as(f.name)
+        (monotonically_increasing_id() + lit(pkOffset)).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
 
@@ -224,15 +238,10 @@ class Table(val db: Database, val qualified: String) {
     val tmp = path + ".idx_tmp"
     clustered.write.mode("overwrite").parquet(tmp)
     db.store(db.spark.read.parquet(tmp), qualified, "overwrite")
-    deleteDir(new File(tmp))
+    db.deleteRecursively(new File(tmp))
     idxName
   }
   def dropIndex(idxFields: Seq[String]): Unit = () // clustering is harmless to keep
-
-  private def deleteDir(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteDir)
-    f.delete(): Unit
-  }
 
   private def prop(key: String): Option[String] = {
     val f = new File(path + ".properties")

@@ -25,10 +25,13 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData].toDoubleArray()
     val b = r.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(a.length, b.length)
+    // fail loudly: a silent partial dot product would mask a data bug
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"vec_dot: dimension mismatch (${a.length} vs ${b.length})")
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a(i) * b(i); i += 1 }
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
     acc
   }
 
@@ -36,7 +39,11 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     nullSafeCodeGen(ctx, ev, (l, r) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |int $n = $l.numElements();
+         |if ($n != $r.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: dimension mismatch (" + $n + " vs " + $r.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $l.getDouble($i) * $r.getDouble($i);

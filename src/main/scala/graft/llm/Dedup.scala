@@ -64,8 +64,12 @@ object Dedup {
     val sig = df.select(col(idCol) +: minhashSig(shingles(col(textCol), n), k): _*)
     val sigCols = (0 until k).map(j => col(s"s$j"))
     val w = Window.partitionBy(sigCols: _*)
+    // docs shorter than n tokens have NULL signatures — they carry no
+    // similarity evidence and must each stay their own cluster, not be
+    // lumped together by null-grouping
     sig.select(col(idCol), concat_ws("|", sigCols: _*).as("signature"),
-        min(col(idCol)).over(w).as("cluster_id"))
+        when(col("s0").isNull, col(idCol))
+          .otherwise(min(col(idCol)).over(w)).as("cluster_id"))
       .withColumn("is_dup", col(idCol) =!= col("cluster_id"))
   }
 
@@ -77,6 +81,7 @@ object Dedup {
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val k = bands * rowsPerBand
     val sig = df.select(col(idCol) +: minhashSig(shingles(col(textCol), n), k): _*)
+      .filter(col("s0").isNotNull) // short docs carry no similarity evidence
     val banded = sig.select(col(idCol), explode(array(
       (0 until bands).map { b =>
         struct(lit(b).as("band"),

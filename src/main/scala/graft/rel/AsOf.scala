@@ -31,15 +31,21 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String): DataFrame = {
     val rStruct = struct(right.columns.map(col): _*)
-    val l = left.withColumn("_ts", col(leftTs)).withColumn("_tag", lit(1))
+    // null event times carry no ordering information: SQL ASOF semantics
+    // (p.ts >= NULL is never true) drop them — filter both sides up front
+    // so a null-ts right row can't sort first and masquerade as a match
+    val l = left.filter(col(leftTs).isNotNull)
+      .withColumn("_ts", col(leftTs)).withColumn("_tag", lit(1))
       .withColumn("_r", lit(null).cast(right.select(rStruct).schema.head.dataType))
-    val r = right.select(
+    val r = right.filter(col(rightTs).isNotNull).select(
       col(key), col(rightTs).as("_ts"), lit(0).as("_tag"), rStruct.as("_r"))
     val rPadded = l.columns.foldLeft(r) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
     }.select(l.columns.map(col): _*)
 
-    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_tag"))
+    // _r as the final sort key makes ties among equal-ts right rows
+    // deterministic (struct comparison by field order)
+    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_tag"), col("_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(rPadded)
       .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))

@@ -31,6 +31,12 @@ object StFunctions {
   abstract class WktUnary extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
     def op(s: String): String
+    // analysis-time type check (ExpectsInputTypes is private[sql])
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
     override def nullSafeEval(v: Any): Any =
       UTF8String.fromString(op(v.asInstanceOf[UTF8String].toString))
   }
@@ -68,10 +74,22 @@ object StFunctions {
   case class StTransform(first: Expression, second: Expression, third: Expression)
       extends TernaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val intLike: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+      val ok = first.dataType == StringType &&
+        Seq(second, third).forall(e => intLike.contains(e.dataType))
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (STRING, INT, INT), got " +
+          s"(${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql})")
+    }
+    private def asInt(v: Any): Int = v match {
+      case i: Int => i; case l: Long => l.toInt; case s: Short => s.toInt; case b: Byte => b.toInt
+    }
     override def nullSafeEval(wkt: Any, from: Any, to: Any): Any =
       UTF8String.fromString(
-        Wkt.transform(wkt.asInstanceOf[UTF8String].toString,
-          from.asInstanceOf[Int], to.asInstanceOf[Int]))
+        Wkt.transform(wkt.asInstanceOf[UTF8String].toString, asInt(from), asInt(to)))
     override protected def withNewChildrenInternal(
         f: Expression, s: Expression, t: Expression): StTransform = copy(f, s, t)
     override def prettyName: String = "st_transform"

@@ -37,6 +37,22 @@ class ApiSpec extends AnyFunSuite {
     assert(bals.forall(_ > 5000))
   }
 
+  test("read: where/sort may reference unselected columns and aliases (SQL semantics)") {
+    // predicate on a column NOT in the projection
+    val a = db.table("customer").read(
+      fields = Seq("c_custkey"), where = Some("c_acctbal > 5000"))
+    assert(a.columns.toSeq == Seq("c_custkey") && a.count() > 0)
+    // sort by an alias
+    val b = db.table("customer").read(
+      fields = Seq("c_custkey", "c_name"), aliases = Map("c_name" -> "nm"),
+      sort = Seq("nm DESC"), limit = Some(3)).collect()
+    assert(b.map(_.getString(1)).sameElements(b.map(_.getString(1)).sorted.reverse))
+    // sort by an unselected base column
+    val c = db.table("customer").read(
+      fields = Seq("c_custkey"), sort = Seq("c_acctbal DESC"), limit = Some(1))
+    assert(c.columns.toSeq == Seq("c_custkey"))
+  }
+
   test("read() no-args is SELECT * (ref datum/postgis/table.py:156)") {
     assert(db.table("nation").read().columns.toSeq ==
       Seq("n_nationkey", "n_name", "n_regionkey"))
@@ -111,6 +127,10 @@ class ApiSpec extends AnyFunSuite {
     assert(t.count == 2)
     val ids = t.df.select("id").collect().map(_.getLong(0))
     assert(ids.distinct.length == 2, "auto ids must be unique")
+    // a SECOND append must not reuse ids (ref serial semantics)
+    t.write(spark.createDataFrame(Seq(Tuple1("c"))).toDF("label"))
+    val all = t.df.select("id").collect().map(_.getLong(0))
+    assert(all.distinct.length == 3, s"ids must stay unique across appends: ${all.mkString(",")}")
   }
 
   test("write geometry prep: reprojection, MULTI cast, null -> EMPTY (ref _prepare_geom)") {

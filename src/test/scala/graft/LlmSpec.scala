@@ -31,6 +31,14 @@ class LlmSpec extends AnyFunSuite {
     assert(m(4L) == 4L && m(5L) == 5L)
   }
 
+  test("minhash: short docs (null signature) are never lumped as duplicates") {
+    val shorts = Seq((1L, "one"), (2L, "two"), (3L, "abc")).toDF("doc_id", "text")
+    val m = Dedup.minhashClusters(shorts, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    m.foreach { case (id, (cid, dup)) => assert(cid == id && !dup, s"doc $id: ($cid,$dup)") }
+    assert(Dedup.minhashBandPairs(shorts, "doc_id", "text").count() == 0)
+  }
+
   test("minhashBandPairs: banded LSH surfaces the near-dup candidate pair") {
     val pairs = Dedup.minhashBandPairs(corpus, "doc_id", "text",
       n = 2, bands = 8, rowsPerBand = 1)
