@@ -95,13 +95,18 @@ class Database(val spark: SparkSession, val root: String,
     * Table.write/delete).
     */
   def store(df: org.apache.spark.sql.DataFrame, name: String,
-      mode: String, chunkSize: Int = 0): Unit = {
+      mode: String, chunkSize: Int = 0): Unit =
+    storeAt(df, pathOf(name), mode, chunkSize)
+
+  /** Format-dispatched write to an explicit path (staging dirs etc.). */
+  private[api] def storeAt(df: org.apache.spark.sql.DataFrame, path: String,
+      mode: String = "overwrite", chunkSize: Int = 0): Unit = {
     val w0 = df.write.mode(mode)
     val w = if (chunkSize > 0) w0.option("maxRecordsPerFile", chunkSize.toLong) else w0
     format match {
-      case "parquet" => w.parquet(pathOf(name))
-      case "csv"     => w.option("header", "true").csv(pathOf(name))
-      case "json"    => w.json(pathOf(name))
+      case "parquet" => w.parquet(path)
+      case "csv"     => w.option("header", "true").csv(path)
+      case "json"    => w.json(path)
       case other     => throw new IllegalArgumentException(
         s"unsupported format '$other' (supported: parquet, csv, json)")
     }

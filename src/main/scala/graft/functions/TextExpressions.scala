@@ -1,0 +1,116 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftglue.Bridge.{column, expression}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-sketch kernels.
+  *
+  * The composable minhash formulation (`array_min(transform(shingles, x =>
+  * md5(j || "|" || x)))` per permutation j — [[graft.llm.Dedup.minhashSig]],
+  * kept as the executable spec) interprets one lambda per shingle per
+  * permutation and re-materializes the shingle array for every permutation
+  * column — measured ~14 s for k=8 over 5k docs at sf0.1, which made the
+  * banded-LSH candidate query the slowest in the bench. This expression
+  * computes all k minima in ONE pass over the tokens with a reused MD5
+  * instance: identical values (same md5 hex, same ASCII string ordering —
+  * lowercase hex compares identically as UTF-16, UTF-8 bytes, or DuckDB
+  * varchar), ~50× less per-row overhead.
+  *
+  * Scale: per-row scalar with no shuffle; codegen calls the static kernel,
+  * so the surrounding stage stays in WholeStageCodegen.
+  */
+case class MinhashSig(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // null for null text AND for docs shorter than n tokens (no shingles ⇒ no
+  // similarity evidence), mirroring array_min-of-empty in the HOF spec
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashKernel.sigArrayData(input.asInstanceOf[UTF8String].toString, n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.MinhashKernel.sigArrayData($c.toString(), $n, $k);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinhashKernel {
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+  private val Hex = "0123456789abcdef".toCharArray
+
+  private def md5Hex(d: MessageDigest, s: String): String = {
+    d.reset()
+    val bytes = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = Hex((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = Hex(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** k minhash values over word n-gram shingles of `text`, or null when the
+    * doc has no shingles. Exactly `min_x md5(j + "|" + x)` per permutation
+    * j — the same tokenization (`split(" ", -1)`, trailing empties kept) and
+    * the same bytes hashed as the Spark HOF spec and the DuckDB oracle.
+    */
+  def sig(text: String, n: Int, k: Int): Array[String] = {
+    val tokens = text.split(" ", -1)
+    if (tokens.length < n) return null
+    val d = md5.get()
+    val mins = new Array[String](k)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= tokens.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      val shingle = sb.toString
+      var p = 0
+      while (p < k) {
+        val h = md5Hex(d, p.toString + "|" + shingle)
+        if (mins(p) == null || h.compareTo(mins(p)) < 0) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
+  /** [[sig]] boxed as Catalyst ArrayData (codegen entry point). */
+  def sigArrayData(text: String, n: Int, k: Int): ArrayData = {
+    val s = sig(text, n, k)
+    if (s == null) null
+    else new GenericArrayData(s.map(UTF8String.fromString(_).asInstanceOf[Any]))
+  }
+}
+
+object TextExpressions {
+  /** Single-pass k-permutation minhash signature of a text column
+    * (array<string> of lowercase md5 hex minima; null when no shingles).
+    */
+  def minhashSig(text: Column, n: Int, k: Int): Column =
+    column(MinhashSig(expression(text), n, k))
+}

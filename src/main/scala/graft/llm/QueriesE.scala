@@ -15,6 +15,9 @@ import Similarity._
 object QueriesE {
   private val Dims = 64
 
+  /** e7 shingle document-frequency cap (bounds join-key fan-out). */
+  private val E7DfCap = 25
+
   /** Explicit left-to-right dot-product chain for the DuckDB oracle —
     * exactly the fold order of Spark's `aggregate` HOF: 0.0 + t1 + t2 + ….
     */
@@ -24,16 +27,26 @@ object QueriesE {
   private def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)}) / ((${sqlNorm(a)}) * (${sqlNorm(b)}))"
 
+  /** Total sign-LSH planes shared by e8/e9 (signPlanes is prefix-stable:
+    * plane j is the same vector for any total count, so widening the plane
+    * pool never perturbs existing buckets).
+    */
+  private val NPlanes = 8
+
   /** ±1-sign dot chain for LSH plane j (same signs as Similarity.signPlanes). */
   private def sqlPlaneDot(a: String, j: Int): String = {
-    val signs = Similarity.signPlanes(4, Dims)(j)
+    val signs = Similarity.signPlanes(NPlanes, Dims)(j)
     "0.0" + (1 to Dims).map { i =>
       val op = if (signs(i - 1) > 0) "+" else "-"
       s" $op $a.embedding[$i]::DOUBLE"
     }.mkString
   }
-  private def sqlBucket(a: String): String =
-    (0 until 4).map(j => s"(CASE WHEN (${sqlPlaneDot(a, j)}) > 0.0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+
+  /** Bucket id over planes [offset, offset+n): bit j ⇔ sign of plane offset+j. */
+  private def sqlBucket(a: String, offset: Int = 0, n: Int = NPlanes): String =
+    (0 until n).map(j =>
+      s"(CASE WHEN (${sqlPlaneDot(a, offset + j)}) > 0.0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
 
   /** DuckDB shingle list (word n-grams) for the `documents` table. */
   private def sqlShingles(n: Int): String =
@@ -88,11 +101,26 @@ object QueriesE {
 
     // e7: pairwise n-gram Jaccard within one source shard (distinct word
     // 2-grams; inner-join candidate generation — the exact small-N check
-    // that validates the banded-LSH scale path).
+    // that validates the banded-LSH scale path, e17).
+    //
+    // Document-frequency cap (df ≤ E7DfCap, a declared parameter applied
+    // identically in the oracle): shingles appearing in more than E7DfCap
+    // docs are dropped from the shingle universe BEFORE the self-join, so
+    // the max fan-out of any join key is bounded — without it one common
+    // 2-gram ("of the") makes a single key quadratic at corpus scale.
+    // Jaccard is then over the rare-shingle universe (sizes and
+    // intersections both capped — self-consistent), the standard
+    // formulation for near-dup detection since high-df shingles carry no
+    // similarity signal anyway. The df aggregation itself is safe on a
+    // skewed key: partial map-side combine reduces each hot shingle to one
+    // row per partition.
     "e7_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("source") === "src0")
-      val sh = docs.select(col("doc_id"),
+      val sh0 = docs.select(col("doc_id"),
         explode(array_distinct(Dedup.shingles(col("text"), 2))).as("sh"))
+      val keep = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= E7DfCap).select("sh")
+      val sh = sh0.join(keep, "sh")
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val a = sh.as("a"); val b = sh.as("b")
       val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -107,36 +135,83 @@ object QueriesE {
         .orderBy("id_a", "id_b")
     }),
 
-    // e8: embedding near-dup pairs (cos > 0.4) — brute pair join at test
-    // scale; the LSH bucket (e9) is the 10⁹-vector path. Norms are
-    // precomputed once per vector BEFORE the pair join (n·d work instead
-    // of n²·d; bit-identical since sqrt(dot) is the same double either way).
+    // e8: embedding near-dup pairs (cos > 0.4) via banded sign-LSH
+    // candidate generation: 2 bands × 4 planes; a pair is a candidate iff
+    // its bucket matches in SOME band (OR-amplified recall), then the exact
+    // cosine filters candidates. Every join is an equi-join — (band,
+    // bucket) for candidates, vec_id for the verify lookups — so the plan
+    // is shuffle-bounded at any scale (the former all-pairs `a.vec_id <
+    // b.vec_id` formulation was a BroadcastNestedLoopJoin, O(n²) examined
+    // rows). Norms precomputed once per vector (n·d, not n²·d).
     "e8_embed_neardup" -> ((s, dir) => {
+      val planes = signPlanes(NPlanes, Dims)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
         .withColumn("nrm", norm(col("emb")))
-      val a = e.as("a"); val b = e.as("b")
-      a.join(b, col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+      val banded = e.select(col("vec_id"),
+          explode(bandedBuckets(col("emb"), planes, bands = 2)).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b")).distinct()
+      cand.join(e.as("a"), col("id_a") === col("a.vec_id"))
+        .join(e.as("b"), col("id_b") === col("b.vec_id"))
+        .select(col("id_a"), col("id_b"),
           (dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
         .filter(col("cos") > 0.4)
         .orderBy("id_a", "id_b")
     }),
 
-    // e9: sign-LSH ANN — bucket by 4 deterministic ±1 hyperplanes, rank
-    // candidates sharing the query's bucket. Candidate generation is an
-    // equi-join on bucket id: shuffle-bounded at any scale.
+    // e9: sign-LSH ANN — bucket by 8 deterministic ±1 hyperplanes (256
+    // buckets ⇒ candidates ≈ n/256, sub-linear sooner as n grows) with
+    // multi-probe: the query probes its own bucket plus the 8 buckets at
+    // Hamming distance 1, recovering the recall a finer hash costs.
+    // Candidate generation stays an equi-join of the scan against a
+    // 9-row broadcast probe list: shuffle-bounded at any scale.
     "e9_ann_lsh" -> ((s, dir) => {
-      val planes = signPlanes(4, Dims)
+      val planes = signPlanes(NPlanes, Dims)
       val e = t(s, dir, "embeddings")
         .withColumn("emb", asDouble(col("embedding")))
         .withColumn("bucket", lshBucket(col("emb"), planes))
+      val probeMasks = 0 +: (0 until NPlanes).map(1 << _)
       val q = broadcast(e.filter(col("vec_id") === 0)
-        .select(col("emb").as("q"), col("bucket").as("qbucket")))
+        .select(col("emb").as("q"),
+          explode(array(probeMasks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+            .as("qbucket")))
       e.join(q, col("bucket") === col("qbucket"))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("bucket"), cosine(col("emb"), col("q")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id")).limit(5)
+    }),
+
+    // e17: the 100 TB near-dup path, verified end-to-end — banded-minhash
+    // LSH candidates (4 bands × 2 rows, k=8 permutations; equi-join on
+    // (band, digest), O(n·bands) shuffle) followed by exact-Jaccard
+    // verification of the candidates only (equi-joins on doc id + shingle).
+    // This promotes the Dedup.minhashBandPairs library path to a declared,
+    // oracle-checked query: candidates that truly share ≥ half their
+    // 3-gram shingle set are reported with their exact Jaccard.
+    "e17_neardup_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashBandPairs(docs, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 2)
+      // exact verification via per-doc shingle ARRAYS (one row per doc,
+      // set-intersection in-row): an exploded shingle⋈shingle verify would
+      // multiply every candidate pair by its shingle count — O(cands×|doc|)
+      // shuffle rows; array_intersect keeps it O(cands) rows with the
+      // set work done scan-local per pair.
+      val shArr = docs.select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"), 3)).as("shs"))
+      val i = size(array_intersect(col("a.shs"), col("b.shs")))
+      cand
+        .join(shArr.as("a"), col("id_a") === col("a.doc_id"))
+        .join(shArr.as("b"), col("id_b") === col("b.doc_id"))
+        .select(col("id_a"), col("id_b"),
+          (i.cast("double") /
+            (size(col("a.shs")) + size(col("b.shs")) - i).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
     }),
 
     // e10: language-ID heuristic (marker-profile argmax).
@@ -188,8 +263,10 @@ object QueriesE {
 
   val oracle: Map[String, String] = Map(
     "e1_dedup_exact" ->
-      ("SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id, " +
-        "doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup " +
+      ("SELECT doc_id, CASE WHEN text IS NULL THEN doc_id ELSE " +
+        "min(doc_id) OVER (PARTITION BY md5(text)) END AS cluster_id, " +
+        "doc_id <> (CASE WHEN text IS NULL THEN doc_id ELSE " +
+        "min(doc_id) OVER (PARTITION BY md5(text)) END) AS is_dup " +
         "FROM documents ORDER BY doc_id"),
     "e2_dedup_minhash" ->
       ("WITH sig AS (SELECT doc_id, " +
@@ -228,8 +305,10 @@ object QueriesE {
         (0 until 32).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") +
         " AS BIGINT) AS simhash FROM bits ORDER BY doc_id"),
     "e7_ngram_jaccard" ->
-      ("WITH sh AS (SELECT doc_id, unnest(list_distinct(" + sqlShingles(2) + ")) AS sh " +
+      ("WITH sh0 AS (SELECT doc_id, unnest(list_distinct(" + sqlShingles(2) + ")) AS sh " +
         "FROM documents WHERE source = 'src0'), " +
+        s"keep AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh) WHERE df <= $E7DfCap), " +
+        "sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN keep ON sh0.sh = keep.sh), " +
         "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
         "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
         "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
@@ -237,16 +316,41 @@ object QueriesE {
         "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
         "WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= 0.05 ORDER BY id_a, id_b"),
     "e8_embed_neardup" ->
-      (s"SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${sqlCos("a", "b")} AS cos " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+      ("WITH be AS (SELECT vec_id, embedding, " + sqlBucket("embeddings", 0, 4) +
+        " AS b0, " + sqlBucket("embeddings", 4, 4) + " AS b1 FROM embeddings) " +
+        s"SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${sqlCos("a", "b")} AS cos " +
+        "FROM be a JOIN be b ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1) " +
         s"WHERE (${sqlCos("a", "b")}) > 0.4 ORDER BY id_a, id_b"),
-    "e9_ann_lsh" ->
-      ("WITH be AS (SELECT vec_id, embedding, " + sqlBucket("embeddings") +
+    "e9_ann_lsh" -> {
+      val probes = (0 +: (0 until NPlanes).map(1 << _).toList)
+        .map(m => s"xor(bucket, $m)").mkString(", ")
+      "WITH be AS (SELECT vec_id, embedding, " + sqlBucket("embeddings") +
         " AS bucket FROM embeddings), " +
-        "q AS (SELECT embedding, bucket FROM be WHERE vec_id = 0) " +
+        s"q AS (SELECT embedding, unnest([$probes]) AS qbucket FROM be WHERE vec_id = 0) " +
         s"SELECT e.vec_id, e.bucket, (${sqlDot("e", "q")}) / (${sqlNorm("e")} * ${sqlNorm("q")}) AS cos " +
-        "FROM be e, q WHERE e.bucket = q.bucket AND e.vec_id <> 0 " +
-        "ORDER BY cos DESC, e.vec_id LIMIT 5"),
+        "FROM be e, q WHERE e.bucket = q.qbucket AND e.vec_id <> 0 " +
+        "ORDER BY cos DESC, e.vec_id LIMIT 5"
+    },
+    "e17_neardup_lsh" ->
+      ("WITH sig AS (SELECT doc_id, " +
+        (0 until 8).map(j =>
+          s"list_aggregate(list_transform(${sqlShingles(3)}, x -> md5('$j|' || x)), 'min') AS s$j")
+          .mkString(", ") +
+        " FROM documents), " +
+        "nn AS (SELECT * FROM sig WHERE s0 IS NOT NULL), " +
+        "banded AS (" +
+        (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(s${2 * b} || '|' || s${2 * b + 1}) AS digest FROM nn")
+          .mkString(" UNION ALL ") + "), " +
+        "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b FROM banded l " +
+        "JOIN banded r ON l.band = r.band AND l.digest = r.digest AND l.doc_id < r.doc_id), " +
+        "sh AS (SELECT doc_id, list_distinct(" + sqlShingles(3) + ") AS shs FROM documents) " +
+        "SELECT id_a, id_b, len(list_intersect(a.shs, b.shs))::DOUBLE / " +
+        "(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE AS jaccard " +
+        "FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b " +
+        "WHERE len(list_intersect(a.shs, b.shs))::DOUBLE / " +
+        "(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE >= 0.5 " +
+        "ORDER BY id_a, id_b"),
     "e10_langid" ->
       ("SELECT doc_id, lang, CASE " +
         TextStats.LangMarkers.map { case (l, ws) =>

@@ -62,6 +62,22 @@ object Similarity {
       when(dot(emb, plane) > 0.0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Banded sign-LSH: split `planes` into `bands` disjoint groups and emit
+    * an array of (band, bucket) structs per row (explode downstream). This
+    * is the OR-amplification of the hash family — near neighbors collide in
+    * SOME band with high probability even when no single bucket holds them —
+    * and candidate generation stays an equi-join on (band, bucket):
+    * shuffle-bounded at any scale, never a nested loop.
+    */
+  def bandedBuckets(emb: Column, planes: Array[Array[Double]], bands: Int): Column = {
+    require(planes.length % bands == 0, "planes must split evenly into bands")
+    val per = planes.length / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        lshBucket(emb, planes.slice(b * per, (b + 1) * per)).as("bucket"))
+    }: _*)
+  }
+
   /** Squared L2 distance to a constant centroid:
     * ‖x−c‖² = x·x − 2·x·c + ‖c‖² (‖c‖² folded at plan time).
     */

@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** left ⋈ right where `rightTs ∈ [leftTs − windowSec, leftTs]`, no equi
-    * key. Columns of both inputs must be disjoint.
+  /** left ⋈ right where `rightTs ∈ (leftTs − windowSec, leftTs]` (half-open:
+    * a right row exactly windowSec before the left row is excluded — see the
+    * `>` in the interval filter and the matching assertion in ApiSpec), no
+    * equi key. Columns of both inputs must be disjoint.
     */
   def binnedIntervalJoin(left: DataFrame, right: DataFrame,
       leftTs: String, rightTs: String, windowSec: Long): DataFrame = {

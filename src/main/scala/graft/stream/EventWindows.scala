@@ -75,6 +75,22 @@ object EventWindows {
       .parquet(s"$dir/events.*") // glob: the file source requires a dir/glob
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n`, restoring
+    * the caller's setting afterwards. A stateful micro-batch job pays
+    * per-partition state-store overhead (load/commit/snapshot) every
+    * trigger; the state in these queries is tiny (per-window/per-user
+    * counters), so 32 state stores are pure overhead — 8 partitions keep
+    * the same exact results (aggregates are exact-decimal and
+    * order-independent) at a fraction of the trigger cost. On a real
+    * cluster size this to the state volume, not the core count.
+    */
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Streaming tumbling aggregation with a late-data watermark: in append
     * mode only windows finalized by the watermark (max event time − delay)
     * are emitted — the batch-SQL-predictable subset. Runs the stream to
@@ -82,7 +98,7 @@ object EventWindows {
     */
   def tumblingWithWatermark(spark: SparkSession, dir: String,
       delay: String = "15 minutes", width: String = "10 minutes",
-      sinkName: String = "f4_sink"): DataFrame = {
+      sinkName: String = "f4_sink"): DataFrame = withShufflePartitions(spark, 8) {
     val agg = tumblingStream(readStreamEvents(spark, dir), delay, width)
     val q = agg.writeStream.outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -129,7 +145,7 @@ object EventWindows {
     * the last emitted update per user is the converged state.
     */
   def userRunningStatsBatchEnd(spark: SparkSession, dir: String,
-      sinkName: String = "f6_sink"): DataFrame = {
+      sinkName: String = "f6_sink"): DataFrame = withShufflePartitions(spark, 8) {
     val out = userRunningStats(spark, readStreamEvents(spark, dir))
     val q = out.toDF().writeStream.outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

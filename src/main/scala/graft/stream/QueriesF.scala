@@ -76,7 +76,11 @@ object QueriesF {
     // distinct types, left join onto f1's sparse aggregate). At scale the
     // grid is generated, never materialized from the fact table.
     "f9_gapfill" -> ((s, dir) => {
-      val sparse = EventWindows.tumbling(events(s, dir))
+      // persist the sparse aggregate: it is consumed twice (the eager stats
+      // collect below and the grid join) — without caching the fact table
+      // would be scanned and aggregated twice. The cached frame is tiny
+      // (one row per (window, type), ~8k rows at sf0.1).
+      val sparse = EventWindows.tumbling(events(s, dir)).persist()
       // one eager stats pass (min/max/type-set in a single aggregate) so the
       // fact table isn't re-scanned for span and types at execution time
       val stats = sparse.agg(min("epoch_start"), max("epoch_start"),

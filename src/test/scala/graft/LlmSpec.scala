@@ -31,6 +31,40 @@ class LlmSpec extends AnyFunSuite {
     assert(m(4L) == 4L && m(5L) == 5L)
   }
 
+  test("native minhash kernel is bit-identical to the HOF executable spec") {
+    // real corpus text (includes punctuation, repeated shingles, multi-space
+    // oddities if any) — the kernel must reproduce the composable
+    // formulation's md5 minima exactly, per permutation
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    val k = 8
+    val hof = docs.select(col("doc_id") +: Dedup.minhashSig(Dedup.shingles(col("text"), 3), k): _*)
+    val native = docs.select(col("doc_id"),
+      graft.functions.TextExpressions.minhashSig(col("text"), 3, k).as("sig"))
+    val joined = hof.join(native, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val sig = if (r.isNullAt(k + 1)) null else r.getSeq[String](k + 1)
+      (0 until k).foreach { j =>
+        val spec = if (r.isNullAt(j + 1)) null else r.getString(j + 1)
+        val nat = if (sig == null) null else sig(j)
+        assert(spec == nat, s"doc ${r.getLong(0)} perm $j: $spec != $nat")
+      }
+    }
+  }
+
+  test("native minhash kernel: null and short-doc semantics match the spec") {
+    val edge = Seq((1L, "one two"), (2L, ""), (3L, "a b c"), (4L, "x  y z w"))
+      .toDF("doc_id", "text")
+    val m = edge.select(col("doc_id"),
+      graft.functions.TextExpressions.minhashSig(col("text"), 3, 2).as("sig"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    assert(m(1L) == null, "fewer than n tokens => null")
+    assert(m(2L) == null, "empty text => single empty token => null")
+    assert(m(3L) != null && m(3L).length == 2)
+    assert(m(4L) != null, "double space yields empty tokens but still >= n of them")
+  }
+
   test("minhash: short docs (null signature) are never lumped as duplicates") {
     val shorts = Seq((1L, "one"), (2L, "two"), (3L, "abc")).toDF("doc_id", "text")
     val m = Dedup.minhashClusters(shorts, "doc_id", "text")
