@@ -2,6 +2,7 @@ package graft.api
 
 import java.io.File
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, expr, lit}
 import org.apache.spark.sql.types._
 
 /** Spark-native analogue of the reference `Database` adapter
@@ -33,13 +34,27 @@ class Database(val spark: SparkSession, val root: String,
   /** List base tables, sorted (ref datum/postgis/database.py:60-69 filters
     * BASE TABLE; datum/oracle_stgeom/database.py:52-61 sorts client-side and
     * anti-joins views — we exclude views by construction).
+    *
+    * Schema-qualified tables are listed too: a subdirectory `s/` holding
+    * `t.parquet` appears as `s.t` (the layout pathOf/createTable already
+    * write — ref lists per-schema, datum/postgis/database.py:60-69). One
+    * level only, matching the reference's flat schema namespace; table
+    * dirs themselves end in `.format` so they are never mistaken for
+    * schemas.
     */
   def tables: Seq[String] = {
     val d = new File(root)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(s".$format"))
+    val entries = Option(d.listFiles()).getOrElse(Array.empty)
+    val top = entries.filter(f => f.getName.endsWith(s".$format"))
       .map(_.getName.stripSuffix(s".$format"))
-      .sorted.toSeq
+    val nested = entries
+      .filter(f => f.isDirectory && !f.getName.endsWith(s".$format"))
+      .flatMap { sd =>
+        Option(sd.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.endsWith(s".$format"))
+          .map(f => s"${sd.getName}.${f.getName.stripSuffix(s".$format")}")
+      }
+    (top ++ nested).sorted.toSeq
   }
 
   /** `db.table(name)` / `db['name']` sugar (ref datum/database.py:28-30,53-55). */
@@ -68,10 +83,18 @@ class Database(val spark: SparkSession, val root: String,
     */
   def registerAll(): Unit = tables.foreach(register)
 
+  /** SQL view name for a (possibly schema-qualified) table: dots are
+    * invalid in temp-view names, so `sales.orders` registers as
+    * `sales_orders` (documented sanitization; a literal `sales_orders`
+    * base table would collide — last registered wins, as in any flat
+    * namespace).
+    */
+  def viewNameOf(name: String): String = name.replace('.', '_')
+
   def register(name: String): Unit = {
     // one unreadable table (e.g. exotic parquet types in a session missing
     // a legacy read flag) must not take down SQL over every other table
-    try load(name).createOrReplaceTempView(name)
+    try load(name).createOrReplaceTempView(viewNameOf(name))
     catch {
       case e: Exception =>
         System.err.println(s"[graft] skipping unreadable table '$name': ${e.getMessage}")
@@ -113,10 +136,71 @@ class Database(val spark: SparkSession, val root: String,
   }
 
   /** Raw SQL passthrough (ref datum/database.py:44-45;
-    * datum/postgis/database.py:43-55). Returns a lazy DataFrame instead of
-    * the reference's eager fetchall list-of-dicts.
+    * datum/postgis/database.py:43-55). SELECT (and any other pure query)
+    * returns a lazy DataFrame instead of the reference's eager fetchall
+    * list-of-dicts.
+    *
+    * DML mirrors the reference's rowcount semantics
+    * (ref datum/oracle_stgeom/database.py:28-38 returns `cursor.rowcount`
+    * for non-SELECT): `DELETE FROM t [WHERE p]` and
+    * `INSERT INTO t [(cols)] VALUES …|SELECT …` are executed against the
+    * parquet tables and return a one-row `rowcount` frame. DELETE keeps
+    * rows where the predicate is FALSE or NULL (SQL deletes only TRUE) and
+    * swaps the rewritten table in atomically; INSERT routes through
+    * `Table.write` (type alignment, unknown-field validation, auto-PK).
+    * The DELETE predicate is a plain-column predicate (no subqueries) —
+    * the reference's backend did arbitrary SQL here; this covers the
+    * façade's documented surface.
     */
-  def execute(stmt: String): DataFrame = { registerAll(); spark.sql(stmt) }
+  def execute(stmt: String): DataFrame = stmt.trim match {
+    case Database.DeleteRe(tbl, where) =>
+      val t = load(tbl)
+      val total = t.count()
+      val kept = Option(where) match {
+        case Some(w) => t.filter(!coalesce(expr(w), lit(false)))
+        case None    => t.limit(0)
+      }
+      val keptN = kept.count()
+      replaceTable(tbl, kept)
+      rowcount(total - keptN)
+    case Database.InsertRe(tbl, colList, body) =>
+      registerAll()
+      val rows0 = spark.sql(body)
+      val rows = Option(colList) match {
+        case Some(cl) => rows0.toDF(cl.split(",").map(_.trim).toSeq: _*)
+        case None =>
+          val target = load(tbl).schema
+          require(rows0.columns.length == target.fields.length,
+            s"INSERT INTO $tbl: ${rows0.columns.length} values for ${target.fields.length} columns")
+          rows0.toDF(target.fieldNames.toSeq: _*)
+      }
+      rows.persist() // consumed twice: the count and the append
+      try { val n = rows.count(); table(tbl).write(rows); rowcount(n) }
+      finally { rows.unpersist(); () }
+    case _ => registerAll(); spark.sql(stmt)
+  }
+
+  private def rowcount(n: Long): DataFrame =
+    spark.sql(s"SELECT CAST($n AS BIGINT) AS rowcount")
+
+  /** Atomically replace a table's contents: staged write + directory swap
+    * (one data pass; the original survives any crash before the swap
+    * completes). Used by DELETE-rewrite and index clustering.
+    */
+  private[api] def replaceTable(name: String, df: DataFrame): Unit = {
+    val path = pathOf(name)
+    val tmp = new File(path + ".stage_tmp"); val bak = new File(path + ".stage_bak")
+    deleteRecursively(tmp); deleteRecursively(bak)
+    storeAt(df, tmp.getPath)
+    val orig = new File(path)
+    if (orig.exists() && !orig.renameTo(bak))
+      throw new java.io.IOException(s"replaceTable: cannot stage $path")
+    if (!tmp.renameTo(orig)) {
+      bak.renameTo(orig) // roll back; table untouched
+      throw new java.io.IOException(s"replaceTable: cannot swap $tmp into place")
+    }
+    deleteRecursively(bak)
+  }
 
   /** Coarse → concrete types for CREATE TABLE
     * (ref datum/postgis/database.py:75-98: num→numeric, text→text,
@@ -148,7 +232,8 @@ class Database(val spark: SparkSession, val root: String,
   def dropTable(name: String): Unit = {
     // ref datum/postgis/database.py:100-103 (DROP TABLE IF EXISTS)
     deleteRecursively(new File(pathOf(name)))
-    if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name): Unit
+    val v = viewNameOf(name)
+    if (spark.catalog.tableExists(v)) spark.catalog.dropTempView(v): Unit
   }
 
   /** Session-scoped logical view (ref datum/postgis/database.py:108-116). */
@@ -203,4 +288,14 @@ class Database(val spark: SparkSession, val root: String,
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }
+}
+
+object Database {
+  /** `DELETE FROM t [WHERE p]` — full-statement match, optional `;`. */
+  private val DeleteRe =
+    """(?is)DELETE\s+FROM\s+([A-Za-z0-9_.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+
+  /** `INSERT INTO t [(c1, c2)] VALUES …|SELECT …` — full-statement match. */
+  private val InsertRe =
+    """(?is)INSERT\s+INTO\s+([A-Za-z0-9_.]+)\s*(?:\(([^)]*)\)\s*)?((?:VALUES|SELECT)\s.+?)\s*;?\s*""".r
 }

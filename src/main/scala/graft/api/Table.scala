@@ -234,22 +234,11 @@ class Table(val db: Database, val qualified: String) {
     val idxName = (name +: idxFields :+ "idx").mkString("_")
     val clustered = df.repartitionByRange(idxFields.map(col): _*)
       .sortWithinPartitions(idxFields.map(col): _*)
-    // single clustered write + atomic directory swap: one table-pass (read +
-    // write once) instead of the naive write-tmp/read-back/write-again, which
-    // at 100 TB would cost 3 passes and leave a window where the table is
-    // deleted mid-overwrite. Renames within one filesystem are atomic; the
-    // .bak copy survives until the swap has fully succeeded.
-    val tmp = new File(path + ".idx_tmp"); val bak = new File(path + ".idx_bak")
-    db.deleteRecursively(tmp); db.deleteRecursively(bak)
-    db.storeAt(clustered, tmp.getPath)
-    val orig = new File(path)
-    if (!orig.renameTo(bak))
-      throw new java.io.IOException(s"createIndex: cannot stage $path")
-    if (!tmp.renameTo(orig)) {
-      bak.renameTo(orig) // roll back; table untouched
-      throw new java.io.IOException(s"createIndex: cannot swap $tmp into place")
-    }
-    db.deleteRecursively(bak)
+    // single clustered write + atomic directory swap (Database.replaceTable):
+    // one table-pass (read + write once) instead of the naive
+    // write-tmp/read-back/write-again, which at 100 TB would cost 3 passes
+    // and leave a window where the table is deleted mid-overwrite.
+    db.replaceTable(qualified, clustered)
     idxName
   }
   def dropIndex(idxFields: Seq[String]): Unit = () // clustering is harmless to keep

@@ -1,89 +1,221 @@
 package graft.spatial
 
-/** Hand-rolled coordinate reprojection for the reference's home CRS pair:
-  * EPSG:2272 (NAD83 / Pennsylvania South, US survey foot) ↔ EPSG:4326.
+/** Hand-rolled coordinate reprojection.
   *
-  * The reference reprojects client-side with pyproj (ref
-  * datum/oracle_stgeom/table.py:307-313) because `SDE.ST_Transform` "can't
-  * transform between coordinate systems based on different datums" (comment
-  * at datum/oracle_stgeom/table.py:205-207); its shipped `WktTransformer`
-  * is actually broken (`partial` used but never imported,
-  * datum/oracle_stgeom/util.py:10). No proj library exists in this offline
-  * environment, so the Lambert Conformal Conic (2SP) math is implemented
-  * directly from the published EPSG parameters (EPSG:2272 / SPCS83 PA South
-  * zone 3702) and Snyder's "Map Projections — A Working Manual" formulas
-  * (USGS PP 1395, pp. 107-109), which are public.
+  * The reference reprojects client-side with pyproj between ARBITRARY CRS
+  * pairs (ref datum/oracle_stgeom/table.py:307-313) because
+  * `SDE.ST_Transform` "can't transform between coordinate systems based on
+  * different datums" (comment at datum/oracle_stgeom/table.py:205-207); its
+  * shipped `WktTransformer` is actually broken (`partial` used but never
+  * imported, datum/oracle_stgeom/util.py:10). No proj library exists in this
+  * offline environment, so the projection math is implemented directly from
+  * the published EPSG parameters and Snyder's "Map Projections — A Working
+  * Manual" (USGS PP 1395) formulas, which are public:
   *
-  * NAD83 vs WGS84 datum shift is treated as identity (≤ ~1 m, standard
-  * practice absent a grid shift file) — documented approximation.
+  *  - EPSG:2272 (NAD83 / Pennsylvania South, ftUS) — Lambert Conformal
+  *    Conic 2SP, Snyder pp. 107-109: the reference's home CRS.
+  *  - Transverse Mercator family, Snyder pp. 60-64 (series forms): all
+  *    WGS84 UTM zones (EPSG:326xx north / 327xx south) and NAD83 UTM
+  *    (EPSG:269xx) — the projection underlying most real-world SRIDs
+  *    (UTM + the TM-based US state-plane zones).
+  *
+  * Any supported pair transforms by routing through geographic coordinates
+  * (EPSG:4326): `from.toGeo` then `to.fromGeo`. NAD83 vs WGS84 datum shift
+  * is treated as identity (≤ ~1 m, standard practice absent a grid shift
+  * file) — documented approximation.
   *
   * Pure double math, thread-safe, allocation-free: safe to call from
-  * codegen'd expressions on executors at any scale.
+  * expressions on executors at any scale.
   */
 object Projection {
-  // GRS80 ellipsoid
-  private val A  = 6378137.0
-  private val F  = 1.0 / 298.257222101
-  private val E2 = 2 * F - F * F
-  private val E  = math.sqrt(E2)
 
-  // EPSG:2272 Lambert Conformal Conic (2SP) parameters
-  private val Lat0 = math.toRadians(39.0 + 20.0 / 60.0)   // latitude of false origin 39°20'N
-  private val Lon0 = math.toRadians(-(77.0 + 45.0 / 60.0)) // central meridian 77°45'W
-  private val Lat1 = math.toRadians(40.0 + 58.0 / 60.0)   // std parallel 1 40°58'N
-  private val Lat2 = math.toRadians(39.0 + 56.0 / 60.0)   // std parallel 2 39°56'N
-  private val FEm  = 600000.0                              // false easting (metres)
-  private val FNm  = 0.0
+  /** A projected (or geographic) CRS: projected units ↔ (lonDeg, latDeg). */
+  sealed trait Crs {
+    def toGeo(x: Double, y: Double): (Double, Double)
+    def fromGeo(lonDeg: Double, latDeg: Double): (Double, Double)
+  }
+
+  /** EPSG:4326 — identity endpoints for the geographic hub. */
+  case object Geographic extends Crs {
+    def toGeo(x: Double, y: Double): (Double, Double) = (x, y)
+    def fromGeo(lonDeg: Double, latDeg: Double): (Double, Double) = (lonDeg, latDeg)
+  }
+
+  // GRS80 ellipsoid (NAD83); WGS84 differs only in 1/f's 9th significant digit
+  private val A = 6378137.0
+  private val Grs80InvF = 298.257222101
+  private val Wgs84InvF = 298.257223563
+
   /** US survey foot (exact: 1200/3937 m). */
   val FtUs: Double = 1200.0 / 3937.0
 
-  private def m(lat: Double) = math.cos(lat) / math.sqrt(1 - E2 * math.sin(lat) * math.sin(lat))
-  private def t(lat: Double) = {
-    val es = E * math.sin(lat)
-    math.tan(math.Pi / 4 - lat / 2) / math.pow((1 - es) / (1 + es), E / 2)
+  // ---- EPSG:2272 Lambert Conformal Conic (2SP), Snyder pp. 107-109 --------
+
+  private object Lcc2272 extends Crs {
+    private val F_ = 1.0 / Grs80InvF
+    private val E2 = 2 * F_ - F_ * F_
+    private val E = math.sqrt(E2)
+
+    // EPSG:2272 parameters (SPCS83 PA South zone 3702)
+    private val Lat0 = math.toRadians(39.0 + 20.0 / 60.0)    // false origin 39°20'N
+    private val Lon0 = math.toRadians(-(77.0 + 45.0 / 60.0)) // central meridian 77°45'W
+    private val Lat1 = math.toRadians(40.0 + 58.0 / 60.0)    // std parallel 1
+    private val Lat2 = math.toRadians(39.0 + 56.0 / 60.0)    // std parallel 2
+    private val FEm = 600000.0                               // false easting (m)
+    private val FNm = 0.0
+
+    private def m(lat: Double) =
+      math.cos(lat) / math.sqrt(1 - E2 * math.sin(lat) * math.sin(lat))
+    private def t(lat: Double) = {
+      val es = E * math.sin(lat)
+      math.tan(math.Pi / 4 - lat / 2) / math.pow((1 - es) / (1 + es), E / 2)
+    }
+
+    private val N_ =
+      (math.log(m(Lat1)) - math.log(m(Lat2))) / (math.log(t(Lat1)) - math.log(t(Lat2)))
+    private val Fc = m(Lat1) / (N_ * math.pow(t(Lat1), N_))
+    private val Rho0 = A * Fc * math.pow(t(Lat0), N_)
+
+    /** (lonDeg, latDeg) → (eastingFtUS, northingFtUS). */
+    def fromGeo(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lat = math.toRadians(latDeg); val lon = math.toRadians(lonDeg)
+      val rho = A * Fc * math.pow(t(lat), N_)
+      val th = N_ * (lon - Lon0)
+      val e_m = FEm + rho * math.sin(th)
+      val n_m = FNm + Rho0 - rho * math.cos(th)
+      (e_m / FtUs, n_m / FtUs)
+    }
+
+    /** (eastingFtUS, northingFtUS) → (lonDeg, latDeg). */
+    def toGeo(eFt: Double, nFt: Double): (Double, Double) = {
+      val x = eFt * FtUs - FEm
+      val y = Rho0 - (nFt * FtUs - FNm)
+      val rho = math.signum(N_) * math.sqrt(x * x + y * y)
+      val tp = math.pow(rho / (A * Fc), 1 / N_)
+      val th = math.atan2(x, y)
+      val lon = th / N_ + Lon0
+      // iterate φ = π/2 − 2·atan(t′·((1−e·sinφ)/(1+e·sinφ))^(e/2))
+      var lat = math.Pi / 2 - 2 * math.atan(tp)
+      var i = 0
+      while (i < 15) {
+        val es = E * math.sin(lat)
+        val next = math.Pi / 2 - 2 * math.atan(tp * math.pow((1 - es) / (1 + es), E / 2))
+        if (math.abs(next - lat) < 1e-14) { lat = next; i = 15 } else { lat = next; i += 1 }
+      }
+      (math.toDegrees(lon), math.toDegrees(lat))
+    }
   }
 
-  private val N_ = (math.log(m(Lat1)) - math.log(m(Lat2))) / (math.log(t(Lat1)) - math.log(t(Lat2)))
-  private val Fc = m(Lat1) / (N_ * math.pow(t(Lat1), N_))
-  private val Rho0 = A * Fc * math.pow(t(Lat0), N_)
+  // ---- Transverse Mercator (series form), Snyder pp. 60-64 ----------------
+
+  /** Ellipsoidal TM via Snyder eq. 8-9..8-25 (the USGS/EPSG series form,
+    * sub-mm accurate within ±4° of the central meridian — every UTM zone).
+    * Units are metres (UTM); a units factor could scale for ftUS TM zones.
+    */
+  final case class TransverseMercator(invF: Double, lon0Deg: Double,
+      k0: Double, fe: Double, fn: Double, lat0Deg: Double = 0.0) extends Crs {
+    private val f = 1.0 / invF
+    private val e2 = 2 * f - f * f
+    private val ep2 = e2 / (1 - e2)
+    private val lon0 = math.toRadians(lon0Deg)
+
+    // meridian arc M(φ), Snyder eq. 3-21
+    private val m0c = 1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256
+    private val m2c = 3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024
+    private val m4c = 15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024
+    private val m6c = 35 * e2 * e2 * e2 / 3072
+    private def meridianArc(lat: Double): Double =
+      A * (m0c * lat - m2c * math.sin(2 * lat) +
+        m4c * math.sin(4 * lat) - m6c * math.sin(6 * lat))
+    private val m0 = meridianArc(math.toRadians(lat0Deg))
+
+    /** Snyder eq. 8-9..8-15. */
+    def fromGeo(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lat = math.toRadians(latDeg); val lon = math.toRadians(lonDeg)
+      val sinLat = math.sin(lat); val cosLat = math.cos(lat); val tanLat = math.tan(lat)
+      val nu = A / math.sqrt(1 - e2 * sinLat * sinLat)
+      val t = tanLat * tanLat
+      val c = ep2 * cosLat * cosLat
+      val aa = (lon - lon0) * cosLat
+      val aa2 = aa * aa; val aa3 = aa2 * aa; val aa4 = aa2 * aa2
+      val aa5 = aa4 * aa; val aa6 = aa4 * aa2
+      val x = fe + k0 * nu * (aa + (1 - t + c) * aa3 / 6 +
+        (5 - 18 * t + t * t + 72 * c - 58 * ep2) * aa5 / 120)
+      val y = fn + k0 * (meridianArc(lat) - m0 + nu * tanLat * (aa2 / 2 +
+        (5 - t + 9 * c + 4 * c * c) * aa4 / 24 +
+        (61 - 58 * t + t * t + 600 * c - 330 * ep2) * aa6 / 720))
+      (x, y)
+    }
+
+    /** Snyder eq. 8-18..8-25 (footpoint-latitude series). */
+    def toGeo(x: Double, y: Double): (Double, Double) = {
+      val m = m0 + (y - fn) / k0
+      val mu = m / (A * m0c)
+      val se = math.sqrt(1 - e2)
+      val e1 = (1 - se) / (1 + se)
+      val e1_2 = e1 * e1; val e1_3 = e1_2 * e1; val e1_4 = e1_2 * e1_2
+      val phi1 = mu + (3 * e1 / 2 - 27 * e1_3 / 32) * math.sin(2 * mu) +
+        (21 * e1_2 / 16 - 55 * e1_4 / 32) * math.sin(4 * mu) +
+        (151 * e1_3 / 96) * math.sin(6 * mu) +
+        (1097 * e1_4 / 512) * math.sin(8 * mu)
+      val sin1 = math.sin(phi1); val cos1 = math.cos(phi1); val tan1 = math.tan(phi1)
+      val c1 = ep2 * cos1 * cos1
+      val t1 = tan1 * tan1
+      val oneMinus = 1 - e2 * sin1 * sin1
+      val n1 = A / math.sqrt(oneMinus)
+      val r1 = A * (1 - e2) / (oneMinus * math.sqrt(oneMinus))
+      val d = (x - fe) / (n1 * k0)
+      val d2 = d * d; val d3 = d2 * d; val d4 = d2 * d2; val d5 = d4 * d; val d6 = d4 * d2
+      val lat = phi1 - (n1 * tan1 / r1) * (d2 / 2 -
+        (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * d4 / 24 +
+        (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1) * d6 / 720)
+      val lon = lon0 + (d - (1 + 2 * t1 + c1) * d3 / 6 +
+        (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1) * d5 / 120) / cos1
+      (math.toDegrees(lon), math.toDegrees(lat))
+    }
+  }
+
+  /** UTM zone: central meridian 6·zone − 183, k0 = 0.9996, FE = 500 km,
+    * FN = 0 (north) / 10 000 km (south).
+    */
+  private def utm(zone: Int, north: Boolean, invF: Double): TransverseMercator =
+    TransverseMercator(invF, 6.0 * zone - 183.0, 0.9996, 500000.0,
+      if (north) 0.0 else 10000000.0)
+
+  /** SRID → CRS (EPSG parameter registry — public). */
+  def crsFor(srid: Int): Option[Crs] = srid match {
+    case 4326                          => Some(Geographic)
+    case 2272                          => Some(Lcc2272)
+    case z if z >= 32601 && z <= 32660 => Some(utm(z - 32600, north = true, Wgs84InvF))
+    case z if z >= 32701 && z <= 32760 => Some(utm(z - 32700, north = false, Wgs84InvF))
+    case z if z >= 26901 && z <= 26923 => Some(utm(z - 26900, north = true, Grs80InvF))
+    case _                             => None
+  }
+
+  /** Supported-SRID probe (for callers that want to validate up front). */
+  def supported(srid: Int): Boolean = crsFor(srid).isDefined
 
   /** (lonDeg, latDeg) → (eastingFtUS, northingFtUS) in EPSG:2272. */
-  def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
-    val lat = math.toRadians(latDeg); val lon = math.toRadians(lonDeg)
-    val rho = A * Fc * math.pow(t(lat), N_)
-    val th  = N_ * (lon - Lon0)
-    val e_m = FEm + rho * math.sin(th)
-    val n_m = FNm + Rho0 - rho * math.cos(th)
-    (e_m / FtUs, n_m / FtUs)
-  }
+  def forward(lonDeg: Double, latDeg: Double): (Double, Double) =
+    Lcc2272.fromGeo(lonDeg, latDeg)
 
   /** (eastingFtUS, northingFtUS) in EPSG:2272 → (lonDeg, latDeg). */
-  def inverse(eFt: Double, nFt: Double): (Double, Double) = {
-    val x = eFt * FtUs - FEm
-    val y = Rho0 - (nFt * FtUs - FNm)
-    val rho = math.signum(N_) * math.sqrt(x * x + y * y)
-    val tp  = math.pow(rho / (A * Fc), 1 / N_)
-    val th  = math.atan2(x, y)
-    val lon = th / N_ + Lon0
-    // iterate φ = π/2 − 2·atan(t′·((1−e·sinφ)/(1+e·sinφ))^(e/2))
-    var lat = math.Pi / 2 - 2 * math.atan(tp)
-    var i = 0
-    while (i < 15) {
-      val es = E * math.sin(lat)
-      val next = math.Pi / 2 - 2 * math.atan(tp * math.pow((1 - es) / (1 + es), E / 2))
-      if (math.abs(next - lat) < 1e-14) { lat = next; i = 15 } else { lat = next; i += 1 }
-    }
-    (math.toDegrees(lon), math.toDegrees(lat))
-  }
+  def inverse(eFt: Double, nFt: Double): (Double, Double) =
+    Lcc2272.toGeo(eFt, nFt)
 
-  /** Transform a coordinate between the supported SRIDs. */
+  /** Transform a coordinate between any two supported SRIDs (route through
+    * the geographic hub; projected→projected composes inverse∘forward).
+    */
   def transform(x: Double, y: Double, fromSrid: Int, toSrid: Int): (Double, Double) =
-    (fromSrid, toSrid) match {
-      case (a, b) if a == b => (x, y)
-      case (2272, 4326)     => inverse(x, y)
-      case (4326, 2272)     => forward(x, y)
+    if (fromSrid == toSrid) (x, y)
+    else (crsFor(fromSrid), crsFor(toSrid)) match {
+      case (Some(from), Some(to)) =>
+        val (lon, lat) = from.toGeo(x, y)
+        to.fromGeo(lon, lat)
       case _ =>
+        val bad = Seq(fromSrid -> crsFor(fromSrid), toSrid -> crsFor(toSrid))
+          .collect { case (s, None) => s }.mkString(", ")
         throw new IllegalArgumentException(
-          s"Unsupported transform $fromSrid→$toSrid (supported: 2272↔4326)")
+          s"Unsupported SRID(s) $bad (supported: 4326, 2272, UTM 326xx/327xx/269xx)")
     }
 }

@@ -106,7 +106,26 @@ object QueriesD {
           concat(lit("CIRCULARSTRING("), col("x"), lit(" "), col("y"), lit(", "),
             col("x") + 50, lit(" "), col("y") + 50, lit(", "),
             col("x") + 100, lit(" "), col("y"), lit(")"))).as("wkt"))
-        .orderBy("gid"))
+        .orderBy("gid")),
+
+    // d8 (no-oracle): projected→projected reprojection through the façade —
+    // EPSG:2272 (ftUS State Plane) to EPSG:26918 (NAD83 UTM 18N, metres),
+    // routed via the geographic hub (the any-CRS capability the reference
+    // delegated to pyproj, datum/oracle_stgeom/table.py:307-313).
+    // Transverse Mercator math validated by defining-property tests in
+    // SpatialSpec (Simpson meridian arc, conformality, round-trip).
+    "d8_transform_utm" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val root = "/root/repo/target/fixtures/out"
+      new java.io.File(root).mkdirs()
+      val db = Datum.connect(s"parquet://$root")
+      geo(s, dir).select(col("gid"),
+        concat(lit("POINT ("), col("x"), lit(" "), col("y"), lit(")")).as("wkt"))
+        .write.mode("overwrite").parquet(db.pathOf("d8_geo"))
+      val props = new java.io.File(root, "d8_geo.parquet.properties")
+      java.nio.file.Files.writeString(props.toPath, "srid=2272\ngeom_type=POINT\n")
+      db.table("d8_geo").read(toSrid = Some(26918), sort = Seq("gid"))
+    })
   )
 
   val oracle: Map[String, String] = Map(

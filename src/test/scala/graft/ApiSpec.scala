@@ -277,6 +277,73 @@ class ApiSpec extends AnyFunSuite {
     assert(n == 6000L)
   }
 
+  test("schema-qualified tables: listed, readable, and SQL-visible (ref per-schema listing)") {
+    val scratch = scratchDb()
+    scratch.store(db.table("nation").df.limit(4), "sales.orders", "overwrite")
+    assert(scratch.tables.contains("sales.orders"))
+    assert(scratch.table("sales.orders").count == 4)
+    // dotted names register under a sanitized view name for raw SQL
+    val n = scratch.execute("SELECT count(*) AS n FROM sales_orders").collect()(0).getLong(0)
+    assert(n == 4)
+    scratch.dropTable("sales.orders")
+    assert(!scratch.tables.contains("sales.orders"))
+  }
+
+  test("execute DML: DELETE returns rowcount; removes only TRUE-predicate rows") {
+    val scratch = scratchDb()
+    scratch.store(db.table("nation").df, "del1", "overwrite")
+    val out = scratch.execute("DELETE FROM del1 WHERE n_regionkey = 0")
+    assert(out.columns.toSeq == Seq("rowcount"))
+    assert(out.collect()(0).getLong(0) == 5)
+    assert(scratch.table("del1").count == 20)
+    assert(scratch.table("del1").df.filter(col("n_regionkey") === 0).count() == 0)
+    // DELETE without WHERE empties the table but keeps the schema
+    val rc2 = scratch.execute("DELETE FROM del1").collect()(0).getLong(0)
+    assert(rc2 == 20 && scratch.table("del1").count == 0)
+    assert(scratch.table("del1").fields == Seq("n_nationkey", "n_name", "n_regionkey"))
+  }
+
+  test("execute DML: INSERT VALUES / INSERT SELECT return inserted counts (ref rowcount)") {
+    val scratch = scratchDb()
+    scratch.store(db.table("region").df, "ins1", "overwrite")
+    val rc = scratch.execute("INSERT INTO ins1 VALUES (100, 'ZZZ'), (101, 'YYY')")
+      .collect()(0).getLong(0)
+    assert(rc == 2 && scratch.table("ins1").count == 7)
+    val rc2 = scratch.execute(
+      "INSERT INTO ins1 (r_regionkey, r_name) SELECT r_regionkey + 200, r_name FROM ins1")
+      .collect()(0).getLong(0)
+    assert(rc2 == 7 && scratch.table("ins1").count == 14)
+    // SELECT through the same entry point still returns a plain result frame
+    assert(scratch.execute("SELECT count(*) AS n FROM ins1").collect()(0).getLong(0) == 14)
+  }
+
+  test("jdbc scheme: Derby round-trip through the full facade (ref live-DB adapter)") {
+    val jdb = Datum.connect("jdbc:derby:memory:graftjdbc;create=true")
+    jdb.store(db.table("region").df, "REGIONJ", "overwrite")
+    assert(jdb.tables.contains("REGIONJ"))
+    assert(jdb.table("REGIONJ").count == 5)
+    // append through the Table.write facade (type alignment + validation)
+    jdb.table("REGIONJ").write(
+      spark.createDataFrame(Seq((100L, "ZZZ"))).toDF("r_regionkey", "r_name"))
+    assert(jdb.table("REGIONJ").count == 6)
+    // raw SQL over registered backend tables
+    assert(jdb.execute("SELECT count(*) AS n FROM REGIONJ").collect()(0).getLong(0) == 6)
+    // DML semantics work against the live backend too
+    val rc = jdb.execute("DELETE FROM REGIONJ WHERE r_regionkey >= 100").collect()(0).getLong(0)
+    assert(rc == 1 && jdb.table("REGIONJ").count == 5)
+    jdb.dropTable("REGIONJ")
+    assert(!jdb.tables.contains("REGIONJ"))
+  }
+
+  test("parseCredentialUrl extracts user/password/host/db (ref datum/util.py:8-17)") {
+    assert(Datum.parseCredentialUrl("alice:s3cr3t@dbhost:5432/warehouse") ==
+      ((Some("alice"), Some("s3cr3t"), "dbhost:5432", "warehouse")))
+    assert(Datum.parseCredentialUrl("dbhost/warehouse") ==
+      ((None, None, "dbhost", "warehouse")))
+    assert(Datum.parseCredentialUrl("bob@dbhost/w") ==
+      ((Some("bob"), None, "dbhost", "w")))
+  }
+
   private var scratchN = 0
   private def scratchDb() = {
     scratchN += 1

@@ -109,6 +109,94 @@ class SpatialSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Projection.transform(0, 0, 4326, 3857))
   }
 
+  // ---- Transverse Mercator family (Snyder pp. 60-64) ------------------------
+
+  test("TM: forward∘inverse is identity within 1e-8 deg (~1 mm) across zones/hemispheres") {
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      (32618, -78.0, -72.0, 35.0, 45.0),  // UTM 18N WGS84 (± zone edges)
+      (26918, -78.0, -72.0, 35.0, 45.0),  // UTM 18N NAD83
+      (32734, 18.0, 24.0, -36.0, -30.0))  // UTM 34S WGS84
+    for ((srid, lo1, lo2, la1, la2) <- cases; _ <- 1 to 50) {
+      val lo = lo1 + rnd.nextDouble() * (lo2 - lo1)
+      val la = la1 + rnd.nextDouble() * (la2 - la1)
+      val (x, y) = Projection.transform(lo, la, 4326, srid)
+      val (lo2b, la2b) = Projection.transform(x, y, srid, 4326)
+      // the series inverse (footpoint latitude, Snyder 8-18..8-25) truncates
+      // at ~1e-9 deg; 1e-8 deg ≈ 1 mm on the ground
+      assert(math.abs(lo2b - lo) < 1e-8 && math.abs(la2b - la) < 1e-8,
+        s"srid $srid ($lo,$la) -> ($lo2b,$la2b)")
+    }
+  }
+
+  test("TM: central meridian -> FE exactly; northing = k0 * meridian arc (Simpson)") {
+    // On the central meridian A = 0, so easting must be exactly the false
+    // easting and northing k0·M(φ). M is checked against a NUMERICAL
+    // integral of the meridian radius (independent of the series form):
+    // M(φ) = ∫ a(1−e²)/(1−e²sin²t)^(3/2) dt
+    val a = 6378137.0; val f = 1 / 298.257223563; val e2 = 2 * f - f * f
+    def integrand(t: Double) = a * (1 - e2) / math.pow(1 - e2 * math.sin(t) * math.sin(t), 1.5)
+    def simpson(hi: Double, n: Int): Double = {
+      val h = hi / n
+      val s = integrand(0) + integrand(hi) +
+        (1 until n).map(i => (if (i % 2 == 1) 4.0 else 2.0) * integrand(i * h)).sum
+      s * h / 3
+    }
+    for (latDeg <- Seq(10.0, 40.0, 70.0)) {
+      val (x, y) = Projection.transform(-75.0, latDeg, 4326, 32618) // CM of zone 18
+      assert(math.abs(x - 500000.0) < 1e-6, s"easting on CM: $x")
+      val arc = simpson(math.toRadians(latDeg), 20000)
+      assert(math.abs(y - 0.9996 * arc) < 0.005,
+        s"northing at $latDeg: $y vs ${0.9996 * arc}")
+    }
+  }
+
+  test("TM: conformal — east and north scale factors agree off the CM") {
+    // conformality (the defining property): local scale is isotropic.
+    // ground distances from the ellipsoid radii (ν for E-W, ρ for N-S).
+    val a = 6378137.0; val f = 1 / 298.257223563; val e2 = 2 * f - f * f
+    for ((lon, lat) <- Seq((-74.0, 40.0), (-76.5, 42.0), (-72.5, 37.0))) {
+      val latR = math.toRadians(lat)
+      val w = math.sqrt(1 - e2 * math.sin(latR) * math.sin(latR))
+      val nu = a / w
+      val rho = a * (1 - e2) / (w * w * w)
+      val d = 1e-6 // radians
+      val (x0, y0) = Projection.transform(lon, lat, 4326, 32618)
+      val (xe, ye) = Projection.transform(lon + math.toDegrees(d), lat, 4326, 32618)
+      val (xn, yn) = Projection.transform(lon, lat + math.toDegrees(d), 4326, 32618)
+      val scaleE = math.hypot(xe - x0, ye - y0) / (nu * math.cos(latR) * d)
+      val scaleN = math.hypot(xn - x0, yn - y0) / (rho * d)
+      assert(math.abs(scaleE / scaleN - 1.0) < 1e-6,
+        s"anisotropy at ($lon,$lat): E=$scaleE N=$scaleN")
+      assert(scaleE > 0.9995 && scaleE < 1.001, s"scale magnitude $scaleE")
+    }
+  }
+
+  test("TM: Philadelphia lands in the public UTM 18N window") {
+    // public approximate coordinate: City Hall ≈ (486.0 km E, 4422.8 km N)
+    val (e, n) = Projection.transform(-75.1635, 39.9524, 4326, 32618)
+    assert(math.abs(e - 486000) < 3000, s"easting $e")
+    assert(math.abs(n - 4423000) < 6000, s"northing $n")
+    // NAD83 variant differs only by the ellipsoid's 1/f in the 9th digit
+    val (e83, n83) = Projection.transform(-75.1635, 39.9524, 4326, 26918)
+    assert(math.abs(e83 - e) < 0.01 && math.abs(n83 - n) < 0.01)
+  }
+
+  test("TM: southern hemisphere applies the 10,000 km false northing") {
+    val (e, n) = Projection.transform(18.4, -33.9, 4326, 32734) // Cape Town, 34S
+    assert(n > 6200000 && n < 6300000, s"northing $n") // 10⁷ − k0·|arc(−33.9°)|
+    assert(e > 200000 && e < 300000, s"easting $e")
+  }
+
+  test("projected→projected routes through the geographic hub (2272 → UTM)") {
+    val (lccE, lccN) = Projection.forward(-75.1635, 39.9524)
+    val direct = Projection.transform(-75.1635, 39.9524, 4326, 26918)
+    val routed = Projection.transform(lccE, lccN, 2272, 26918)
+    assert(math.abs(routed._1 - direct._1) < 1e-4 &&
+      math.abs(routed._2 - direct._2) < 1e-4,
+      s"routed $routed vs direct $direct")
+  }
+
   test("wkt transform reprojects every coordinate") {
     val out = Wkt.transform("LINESTRING (2660000 220000, 2700000 250000)", 2272, 4326)
     val g = Wkt.parse(out)
