@@ -74,14 +74,32 @@ class Database(val spark: SparkSession, val root: String,
     * them (ref `db.execute`, datum/database.py:44-45 — the backend SQL
     * surface is replaced by the full Spark SQL surface).
     *
-    * Always re-registers (createOrReplace): temp views are session-global,
-    * so two Database instances over different roots would otherwise fight
-    * over names and `execute` could silently read the other database's
-    * table. The cost is one footer/schema read per table per call —
-    * correctness over micro-optimization (the reference had per-connection
-    * namespaces for free; this restores that semantic).
+    * Temp views are session-global, so two Database instances over
+    * different roots would otherwise fight over names and `execute` could
+    * silently read the other database's table; re-registering on every
+    * call restores the reference's per-connection namespace semantics but
+    * costs one footer/schema read per table per call. The re-registration
+    * is therefore SKIPPED when this instance already owns the session's
+    * views, no write has happened since (`dirty`), and the table listing
+    * is unchanged — for a many-table warehouse that turns the per-`execute`
+    * tax into a directory listing. Any write through this façade
+    * (store/replace/drop/create) marks the namespace dirty because a
+    * registered view caches its file listing and would go stale.
     */
-  def registerAll(): Unit = tables.foreach(register)
+  def registerAll(): Unit = {
+    val ts = tables
+    val owner = Database.sessionOwner.get(spark)
+    val fresh = owner != null && (owner._1 eq this) && !dirty && owner._2 == ts
+    if (!fresh) {
+      ts.foreach(register)
+      dirty = false
+      Database.sessionOwner.put(spark, (this, ts))
+    }
+  }
+
+  /** Set when this façade has written since the last registerAll. */
+  @volatile protected var dirty: Boolean = true
+  protected def markDirty(): Unit = dirty = true
 
   /** SQL view name for a (possibly schema-qualified) table: dots are
     * invalid in temp-view names, so `sales.orders` registers as
@@ -118,8 +136,10 @@ class Database(val spark: SparkSession, val root: String,
     * Table.write/delete).
     */
   def store(df: org.apache.spark.sql.DataFrame, name: String,
-      mode: String, chunkSize: Int = 0): Unit =
+      mode: String, chunkSize: Int = 0): Unit = {
     storeAt(df, pathOf(name), mode, chunkSize)
+    markDirty()
+  }
 
   /** Format-dispatched write to an explicit path (staging dirs etc.). */
   private[api] def storeAt(df: org.apache.spark.sql.DataFrame, path: String,
@@ -200,6 +220,7 @@ class Database(val spark: SparkSession, val root: String,
       throw new java.io.IOException(s"replaceTable: cannot swap $tmp into place")
     }
     deleteRecursively(bak)
+    markDirty()
   }
 
   /** Coarse → concrete types for CREATE TABLE
@@ -234,6 +255,7 @@ class Database(val spark: SparkSession, val root: String,
     deleteRecursively(new File(pathOf(name)))
     val v = viewNameOf(name)
     if (spark.catalog.tableExists(v)) spark.catalog.dropTempView(v): Unit
+    markDirty()
   }
 
   /** Session-scoped logical view (ref datum/postgis/database.py:108-116). */
@@ -291,6 +313,13 @@ class Database(val spark: SparkSession, val root: String,
 }
 
 object Database {
+  /** Which Database instance's table views currently own each session's
+    * temp-view namespace (plus the table listing it registered) — the
+    * registerAll skip-token.
+    */
+  private val sessionOwner =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (Database, Seq[String])]()
+
   /** `DELETE FROM t [WHERE p]` — full-statement match, optional `;`. */
   private val DeleteRe =
     """(?is)DELETE\s+FROM\s+([A-Za-z0-9_.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r

@@ -56,6 +56,7 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
     // multi-row INSERT, datum/postgis/table.py:228-304)
     val w2 = if (chunkSize > 0) w.option("batchsize", chunkSize.toString) else w
     w2.save()
+    markDirty()
   }
 
   /** JDBC replace: materialize first (persist), then overwrite — reading
@@ -92,5 +93,6 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
     } finally conn.close()
     val v = viewNameOf(name)
     if (spark.catalog.tableExists(v)) spark.catalog.dropTempView(v): Unit
+    markDirty()
   }
 }

@@ -214,6 +214,18 @@ object QueriesE {
         .orderBy("id_a", "id_b")
     }),
 
+    // e18 (no-oracle): IVF ANN — deterministic Lloyd k-means partitions
+    // vectors into 8 inverted lists; the query probes its 2 nearest lists
+    // and ranks by exact cosine inside them. Candidate generation is a
+    // scan-local list-id filter (equi semantics, shuffle-bounded); training
+    // cost per iteration is one scan + a k×dims aggregate. Deterministic
+    // (first-k init, fixed iteration count) but the iterative training has
+    // no tractable SQL oracle — rows-only check; invariants (list count,
+    // probe behavior, determinism) are unit-tested in LlmSpec.
+    "e18_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", queryId = 0,
+        nlist = 8, nprobe = 2, k = 5)),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")

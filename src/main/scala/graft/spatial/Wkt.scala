@@ -65,31 +65,97 @@ object Wkt {
     */
   def geomTypeOf(wkt: String): String = wkt.trim.takeWhile(c => c.isLetter).toUpperCase
 
-  /** Linearize circular arcs: CIRCULARSTRING(p0 p1 p2, ...) → LINESTRING
-    * sampled along each 3-point arc (ref delegates to backend
-    * ST_CurveToLine / SDO_GEOM, datum/postgis/table.py:189-191 — JTS has no
-    * curve types, so we approximate with `segmentsPerArc` chords; documented
-    * approximation, curves never occur in the driver data).
+  /** Linearize curve geometries (ref delegates to backend ST_CurveToLine /
+    * SDO_GEOM, datum/postgis/table.py:189-191 — JTS has no curve types, so
+    * each 3-point arc is approximated with `segmentsPerArc` chords;
+    * documented approximation, curves never occur in the driver data).
+    *
+    *  - CIRCULARSTRING(p0 p1 p2, …)           → LINESTRING
+    *  - COMPOUNDCURVE(seg, seg, …)            → LINESTRING (segments are
+    *    CIRCULARSTRINGs or bare point lists; shared endpoints fused)
+    *  - CURVEPOLYGON(ring, ring, …)           → POLYGON (rings may be any
+    *    curve segment type; first ring is the shell, rest are holes)
+    *  - anything else                          → normalized unchanged
     */
   def curveToLine(wkt: String, segmentsPerArc: Int = 32): String = {
     val t = wkt.trim
-    if (!t.startsWith("CIRCULARSTRING")) normalize(t)
-    else {
-      val inner = t.substring(t.indexOf('(') + 1, t.lastIndexOf(')'))
-      val pts = inner.split(",").map { s =>
-        val Array(x, y) = s.trim.split("\\s+").map(_.toDouble)
-        new Coordinate(x, y)
-      }
-      require(pts.length >= 3 && pts.length % 2 == 1, s"bad CIRCULARSTRING arity ${pts.length}")
-      val out = scala.collection.mutable.ArrayBuffer[Coordinate](pts.head)
-      var i = 0
-      while (i + 2 < pts.length) {
-        out ++= sampleArc(pts(i), pts(i + 1), pts(i + 2), segmentsPerArc).tail
-        i += 2
-      }
-      write(gf.createLineString(out.toArray))
-    }
+    val up = t.toUpperCase
+    if (up.startsWith("CIRCULARSTRING"))
+      write(gf.createLineString(circularCoords(innerOf(t), segmentsPerArc)))
+    else if (up.startsWith("COMPOUNDCURVE"))
+      write(gf.createLineString(compoundCoords(innerOf(t), segmentsPerArc)))
+    else if (up.startsWith("CURVEPOLYGON")) {
+      val rings = splitTopLevel(innerOf(t)).map(r => closeRing(segmentCoords(r, segmentsPerArc)))
+      val shell = gf.createLinearRing(rings.head)
+      val holes = rings.tail.map(gf.createLinearRing)
+      write(gf.createPolygon(shell, holes.toArray))
+    } else normalize(t)
   }
+
+  /** Content between the first '(' and the matching final ')'. */
+  private def innerOf(s: String): String =
+    s.substring(s.indexOf('(') + 1, s.lastIndexOf(')'))
+
+  /** Split on commas at parenthesis depth 0. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.map(_.trim).toSeq
+  }
+
+  /** One curve segment (CIRCULARSTRING, nested COMPOUNDCURVE, or a bare
+    * parenthesized point list) → linearized coordinates.
+    */
+  private def segmentCoords(seg: String, n: Int): Array[Coordinate] = {
+    val up = seg.toUpperCase
+    if (up.startsWith("CIRCULARSTRING")) circularCoords(innerOf(seg), n)
+    else if (up.startsWith("COMPOUNDCURVE")) compoundCoords(innerOf(seg), n)
+    else plainCoords(if (seg.startsWith("(")) innerOf(seg) else seg)
+  }
+
+  private def plainCoords(inner: String): Array[Coordinate] =
+    inner.split(",").map { s =>
+      val Array(x, y) = s.trim.split("\\s+").map(_.toDouble)
+      new Coordinate(x, y)
+    }
+
+  private def circularCoords(inner: String, n: Int): Array[Coordinate] = {
+    val pts = plainCoords(inner)
+    require(pts.length >= 3 && pts.length % 2 == 1, s"bad CIRCULARSTRING arity ${pts.length}")
+    val out = scala.collection.mutable.ArrayBuffer[Coordinate](pts.head)
+    var i = 0
+    while (i + 2 < pts.length) {
+      out ++= sampleArc(pts(i), pts(i + 1), pts(i + 2), n).tail
+      i += 2
+    }
+    out.toArray
+  }
+
+  /** Concatenate component segments, fusing the shared endpoints. */
+  private def compoundCoords(inner: String, n: Int): Array[Coordinate] = {
+    val segs = splitTopLevel(inner).map(segmentCoords(_, n))
+    val out = scala.collection.mutable.ArrayBuffer[Coordinate](segs.head: _*)
+    segs.tail.foreach(out ++= _.tail)
+    out.toArray
+  }
+
+  /** Arc endpoints are re-derived from center+angle, so a closed curve ring
+    * can land ~1e-10 off its start — JTS requires EXACT closure.
+    */
+  private def closeRing(c: Array[Coordinate]): Array[Coordinate] =
+    if (c.head.equals2D(c.last)) c
+    else { c(c.length - 1) = c.head.copy(); c }
 
   /** Sample the circular arc through (p0, p1, p2) with n chords. */
   private def sampleArc(p0: Coordinate, p1: Coordinate, p2: Coordinate, n: Int): Seq[Coordinate] = {

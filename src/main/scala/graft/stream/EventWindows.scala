@@ -171,11 +171,51 @@ object EventWindows {
     * committed batch, never duplicating output files (the production
     * landing-zone pattern; memory sinks are for tests only).
     */
-  def toParquetSink(df: DataFrame, outDir: String, checkpointDir: String):
-      org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream.outputMode("append")
+  def toParquetSink(df: DataFrame, outDir: String, checkpointDir: String,
+      availableNow: Boolean = false):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .format("parquet").option("path", outDir).start()
+      .format("parquet").option("path", outDir)
+    (if (availableNow)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else w).start()
+  }
+
+  /** End-to-end streaming dedup into the exactly-once parquet sink: the
+    * events stream unioned with itself (every event arrives twice),
+    * watermark-bounded `dropDuplicates(event_id)`, checkpointed file sink,
+    * result read back from the sink. Output is deterministic regardless of
+    * micro-batch split: a duplicate either hits live dedup state (dropped),
+    * or arrives older than the watermark after its key was evicted and is
+    * dropped as late data — every unique event is emitted exactly once, so
+    * the sink holds exactly the distinct events (= the DuckDB oracle).
+    *
+    * Scale: dedup state shuffles on event_id and the watermark bounds it to
+    * the late-arrival horizon; the sink's checkpoint gives exactly-once
+    * output across restarts — the production ingestion-landing pattern.
+    */
+  def dedupToParquet(spark: SparkSession, dir: String,
+      outRoot: String = "/root/repo/target/fixtures/out/f10"): DataFrame =
+    withShufflePartitions(spark, 8) {
+      val out = new java.io.File(outRoot, "sink")
+      val chk = new java.io.File(outRoot, "chk")
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete(): Unit
+      }
+      // self-contained declared query: re-run from a clean slate (the
+      // checkpoint's job is restart-resume within one logical run)
+      wipe(out); wipe(chk)
+      val doubled = readStreamEvents(spark, dir).union(readStreamEvents(spark, dir))
+      val deduped = dedupStream(doubled)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      val q = toParquetSink(deduped, out.getPath, chk.getPath, availableNow = true)
+      try q.awaitTermination() finally q.stop()
+      spark.read.parquet(out.getPath)
+    }
 
   /** The watermarked streaming plan itself (separated for MemoryStream tests). */
   def tumblingStream(events: DataFrame, delay: String, width: String): DataFrame =

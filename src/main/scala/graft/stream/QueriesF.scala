@@ -104,7 +104,14 @@ object QueriesF {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // f10: streaming dedup end-to-end — doubled input stream, watermarked
+    // dropDuplicates, checkpointed exactly-once parquet sink, read back.
+    // Oracle = the distinct events themselves (event_id is unique, so the
+    // dedup must reduce the doubled stream exactly to the source).
+    "f10_stream_dedup" -> ((s, dir) =>
+      EventWindows.dedupToParquet(s, dir).orderBy("event_id"))
   )
 
   /** Shared oracle fragments: es = whole seconds since epoch (exact integer
@@ -174,6 +181,9 @@ object QueriesF {
     "f5_props_json" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k " +
-        "FROM events GROUP BY event_type ORDER BY event_type")
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "f10_stream_dedup" ->
+      ("SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value, props " +
+        "FROM events ORDER BY event_id")
   )
 }

@@ -50,6 +50,37 @@ class SpatialSpec extends AnyFunSuite {
     assert(Wkt.curveToLine("POINT (1 2)") == "POINT (1 2)")
   }
 
+  test("curveToLine: COMPOUNDCURVE fuses arc and straight segments") {
+    val out = Wkt.curveToLine("COMPOUNDCURVE(CIRCULARSTRING(0 0, 1 1, 2 0), (2 0, 4 0))")
+    val g = Wkt.parse(out)
+    assert(g.getGeometryType == "LineString")
+    val cs = g.getCoordinates
+    assert(cs.head.equals2D(new org.locationtech.jts.geom.Coordinate(0, 0)))
+    assert(cs.last.equals2D(new org.locationtech.jts.geom.Coordinate(4, 0)))
+    // arc points lie on the circle through (0 0),(1 1),(2 0): center (1,0), r 1
+    cs.filter(c => c.x <= 2.0).foreach { c =>
+      assert(math.abs(math.hypot(c.x - 1, c.y) - 1.0) < 1e-9, s"off circle: $c")
+    }
+    // the straight tail is present and straight
+    assert(cs.count(c => c.x > 2.0 + 1e-9) >= 1)
+  }
+
+  test("curveToLine: CURVEPOLYGON linearizes shell and holes (area check)") {
+    // full circular ring: two arcs around center (2,0), r=2
+    val shellOnly = Wkt.curveToLine(
+      "CURVEPOLYGON(CIRCULARSTRING(0 0, 2 2, 4 0, 2 -2, 0 0))", segmentsPerArc = 256)
+    val g = Wkt.parse(shellOnly)
+    assert(g.getGeometryType == "Polygon" && g.isValid)
+    assert(math.abs(g.getArea - math.Pi * 4) / (math.Pi * 4) < 1e-3,
+      s"area ${g.getArea} vs ${math.Pi * 4}")
+    // straight shell + circular hole
+    val holed = Wkt.parse(Wkt.curveToLine(
+      "CURVEPOLYGON((0 0, 10 0, 10 10, 0 10, 0 0), " +
+        "CIRCULARSTRING(4 5, 5 6, 6 5, 5 4, 4 5))", segmentsPerArc = 256))
+    assert(holed.isValid)
+    assert(math.abs(holed.getArea - (100 - math.Pi)) < 0.01, s"area ${holed.getArea}")
+  }
+
   test("projection: Philadelphia City Hall lands where SPCS PA-South says") {
     // public approximate coordinate: (-75.1635°, 39.9524°) ≈ E 2,694,000 ft,
     // N 236,000 ft (NAD83 ftUS)
