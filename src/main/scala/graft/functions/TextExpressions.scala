@@ -105,6 +105,73 @@ object MinhashKernel {
     if (s == null) null
     else new GenericArrayData(s.map(UTF8String.fromString(_).asInstanceOf[Any]))
   }
+
+  private val Empty = new GenericArrayData(Array.empty[Any])
+  def emptyArray(): ArrayData = Empty
+
+  /** Distinct word n-gram shingles, first-occurrence order — the same
+    * tokenization and joining as [[sig]]; value-identical to
+    * `array_distinct(transform(...))` over the HOF spec (codegen entry
+    * point for [[DistinctShingles]]).
+    */
+  def distinctShingles(text: String, n: Int): ArrayData = {
+    val tokens = text.split(" ", -1)
+    if (tokens.length < n) return Empty
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= tokens.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      seen.add(sb.toString): Unit
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Distinct word n-gram shingles in one pass (first-occurrence order) —
+  * value-identical to `array_distinct(Dedup.shingles(text, n))` (the HOF
+  * executable spec, pinned by LlmSpec) without the per-element interpreted
+  * lambdas and the O(tokens²) re-evaluation of the token array inside the
+  * lambda. Empty array for docs shorter than n tokens AND for null text
+  * (mirroring the spec's `when(size < n, …).otherwise(empty)` null fold).
+  */
+case class DistinctShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) MinhashKernel.emptyArray()
+    else MinhashKernel.distinctShingles(v.asInstanceOf[UTF8String].toString, n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+         |${c.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  ${c.isNull} ? graft.functions.MinhashKernel.emptyArray()
+         |    : graft.functions.MinhashKernel.distinctShingles(${c.value}.toString(), $n);
+       """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctShingles =
+    copy(child = newChild)
+  override def prettyName: String = "distinct_shingles"
 }
 
 object TextExpressions {
@@ -113,4 +180,8 @@ object TextExpressions {
     */
   def minhashSig(text: Column, n: Int, k: Int): Column =
     column(MinhashSig(expression(text), n, k))
+
+  /** Distinct word n-gram shingles (one pass, first-occurrence order). */
+  def distinctShingles(text: Column, n: Int): Column =
+    column(DistinctShingles(expression(text), n))
 }

@@ -117,7 +117,7 @@ object QueriesE {
     "e7_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("source") === "src0")
       val sh0 = docs.select(col("doc_id"),
-        explode(array_distinct(Dedup.shingles(col("text"), 2))).as("sh"))
+        explode(graft.functions.TextExpressions.distinctShingles(col("text"), 2)).as("sh"))
       val keep = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= E7DfCap).select("sh")
       val sh = sh0.join(keep, "sh")
@@ -202,7 +202,7 @@ object QueriesE {
       // shuffle rows; array_intersect keeps it O(cands) rows with the
       // set work done scan-local per pair.
       val shArr = docs.select(col("doc_id"),
-        array_distinct(Dedup.shingles(col("text"), 3)).as("shs"))
+        graft.functions.TextExpressions.distinctShingles(col("text"), 3).as("shs"))
       val i = size(array_intersect(col("a.shs"), col("b.shs")))
       cand
         .join(shArr.as("a"), col("id_a") === col("a.doc_id"))

@@ -53,6 +53,28 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("native distinctShingles is value-identical to array_distinct(HOF shingles)") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    for (n <- Seq(2, 3)) {
+      val joined = docs.select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"), n)).as("spec"),
+        graft.functions.TextExpressions.distinctShingles(col("text"), n).as("native"))
+        .collect()
+      assert(joined.nonEmpty)
+      joined.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"doc ${r.getLong(0)} n=$n")
+      }
+    }
+    // edge semantics: short docs and null text give the spec's empty array
+    val edge = Seq((1L, "a b"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val e = edge.select(
+      graft.functions.TextExpressions.distinctShingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(e.forall(_.isEmpty))
+  }
+
   test("native minhash kernel: null and short-doc semantics match the spec") {
     val edge = Seq((1L, "one two"), (2L, ""), (3L, "a b c"), (4L, "x  y z w"))
       .toDF("doc_id", "text")
