@@ -232,7 +232,12 @@ class Table(val db: Database, val qualified: String) {
     */
   def createIndex(idxFields: Seq[String]): String = {
     val idxName = (name +: idxFields :+ "idx").mkString("_")
-    val clustered = df.repartitionByRange(idxFields.map(col): _*)
+    // output partitioning follows the input layout: one range partition per
+    // input file keeps file sizes roughly stable (a small table clusters to
+    // one sorted file; a 100 TB table keeps its thousands of partitions)
+    // instead of always fanning out to spark.sql.shuffle.partitions files
+    val nParts = math.max(1, df.inputFiles.length)
+    val clustered = df.repartitionByRange(nParts, idxFields.map(col): _*)
       .sortWithinPartitions(idxFields.map(col): _*)
     // single clustered write + atomic directory swap (Database.replaceTable):
     // one table-pass (read + write once) instead of the naive

@@ -100,6 +100,11 @@ object Dedup {
             (0 until rowsPerBand).map(r => col("_sig").getItem(b * rowsPerBand + r)): _*)).as("digest"))
       }: _*)).as("bd"))
       .select(col(idCol), col("bd.band"), col("bd.digest"))
+      // both sides of the self-join read the cached digests instead of
+      // re-running the signature pass over the corpus; the relation is
+      // bands rows × (id, int, 32-char digest) per doc — small relative to
+      // the documents themselves at any scale
+      .persist()
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.digest") === col("r.digest") &&
         col(s"l.$idCol") < col(s"r.$idCol"))

@@ -133,7 +133,12 @@ object Similarity {
       nlist: Int = 8, nprobe: Int = 2, k: Int = 5,
       trainIters: Int = 3): DataFrame = {
     import org.apache.spark.sql.functions.{col, broadcast}
+    // the float→double training set is consumed trainIters+2 times (init,
+    // each Lloyd iteration, the query lookup, the probe scan) — persist it
+    // once instead of re-reading + re-casting the source per job. This is
+    // the production shape too: training data is the reuse hot spot.
     val base = embeddings.select(col(idCol), asDouble(col("embedding")).as("emb"))
+      .persist()
     val centroids = kmeansCentroids(base, idCol, nlist, trainIters)
     val listed = base.withColumn("list_id", ivfAssign(col("emb"), centroids))
     val qRow = base.filter(col(idCol) === queryId).collect()(0)
