@@ -111,6 +111,45 @@ object Dedup {
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b")).distinct()
   }
 
+  /** Connected components over an undirected candidate-pair graph:
+    * cluster id = min node id reachable from each node. The standard
+    * "near-dup pairs → dedup clusters" closure a training pipeline needs
+    * (pairs alone under-remove: A~B, B~C must collapse to one cluster).
+    *
+    * Iterative min-label propagation: each round joins labels to the edge
+    * list and takes the min of (own label, neighbours' labels), until a
+    * fixpoint. Every round is one shuffle join + one aggregation —
+    * the classic DataFrame connected-components shape; rounds needed =
+    * graph diameter (near-dup clusters are shallow, typically ≤ 3).
+    * The fixpoint (min id per component) is deterministic regardless of
+    * iteration or partition order. `maxIters` bounds runaway graphs; the
+    * loop exits early when a round changes nothing.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // neighbour labels: edge dst carries its current label to src
+      val nbr = edges.join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "nbr_label"), "dst")
+        .groupBy(col("src").as("id")).agg(min("nbr_label").as("nbr_min"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist()
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   /** 32-bit simhash over whitespace tokens. Bit j (= 4·(p−1)+b) is set iff
     * the signed count of bit b of hex digit p of md5(token) is positive.
     * Integer arithmetic only ⇒ engine-portable.

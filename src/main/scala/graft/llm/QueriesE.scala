@@ -48,6 +48,53 @@ object QueriesE {
       s"(CASE WHEN (${sqlPlaneDot(a, offset + j)}) > 0.0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
 
+  /** Banded-LSH candidates verified by exact Jaccard ≥ 0.5 — the shared
+    * near-dup pair graph behind e17 (pairs) and e19 (components).
+    * Verification uses per-doc shingle ARRAYS (one row per doc,
+    * set-intersection in-row): an exploded shingle⋈shingle verify would
+    * multiply every candidate pair by its shingle count — O(cands×|doc|)
+    * shuffle rows; array_intersect keeps it O(cands) rows with the set
+    * work scan-local per pair.
+    */
+  private def lshVerifiedPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cand = Dedup.minhashBandPairs(docs, "doc_id", "text",
+      n = 3, bands = 4, rowsPerBand = 2)
+    val shArr = docs.select(col("doc_id"),
+      graft.functions.TextExpressions.distinctShingles(col("text"), 3).as("shs"))
+    val i = size(array_intersect(col("a.shs"), col("b.shs")))
+    cand
+      .join(shArr.as("a"), col("id_a") === col("a.doc_id"))
+      .join(shArr.as("b"), col("id_b") === col("b.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (i.cast("double") /
+          (size(col("a.shs")) + size(col("b.shs")) - i).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** DuckDB CTE chain reproducing [[lshVerifiedPairs]] byte-for-byte:
+    * minhash signatures → band digests → candidate pairs → exact-Jaccard
+    * verified `vpairs(id_a, id_b, jaccard)`.
+    */
+  private lazy val sqlLshPairCtes: String =
+    "sig AS (SELECT doc_id, " +
+      (0 until 8).map(j =>
+        s"list_aggregate(list_transform(${sqlShingles(3)}, x -> md5('$j|' || x)), 'min') AS s$j")
+        .mkString(", ") +
+      " FROM documents), " +
+      "nn AS (SELECT * FROM sig WHERE s0 IS NOT NULL), " +
+      "banded AS (" +
+      (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(s${2 * b} || '|' || s${2 * b + 1}) AS digest FROM nn")
+        .mkString(" UNION ALL ") + "), " +
+      "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b FROM banded l " +
+      "JOIN banded r ON l.band = r.band AND l.digest = r.digest AND l.doc_id < r.doc_id), " +
+      "sh AS (SELECT doc_id, list_distinct(" + sqlShingles(3) + ") AS shs FROM documents), " +
+      "vpairs AS (SELECT id_a, id_b, len(list_intersect(a.shs, b.shs))::DOUBLE / " +
+      "(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE AS jaccard " +
+      "FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b " +
+      "WHERE len(list_intersect(a.shs, b.shs))::DOUBLE / " +
+      "(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE >= 0.5)"
+
   /** DuckDB shingle list (word n-grams) for the `documents` table. */
   private def sqlShingles(n: Int): String =
     s"list_transform(range(len(string_split(text,' ')) - ${n - 1}), " +
@@ -192,26 +239,21 @@ object QueriesE {
     // This promotes the Dedup.minhashBandPairs library path to a declared,
     // oracle-checked query: candidates that truly share ≥ half their
     // 3-gram shingle set are reported with their exact Jaccard.
-    "e17_neardup_lsh" -> ((s, dir) => {
+    "e17_neardup_lsh" -> ((s, dir) =>
+      lshVerifiedPairs(t(s, dir, "documents")).orderBy("id_a", "id_b")),
+
+    // e19: near-dup CLUSTERS — connected components over the e17 pair
+    // graph (pairs alone under-remove: A~B, B~C must collapse into one
+    // cluster). Iterative min-label propagation, one shuffle join per
+    // round, rounds = graph diameter; the DuckDB oracle reproduces the
+    // closure with a recursive CTE. This is the end deliverable a
+    // training-data dedup pipeline keeps: doc → cluster representative.
+    "e19_neardup_components" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val cand = Dedup.minhashBandPairs(docs, "doc_id", "text",
-        n = 3, bands = 4, rowsPerBand = 2)
-      // exact verification via per-doc shingle ARRAYS (one row per doc,
-      // set-intersection in-row): an exploded shingle⋈shingle verify would
-      // multiply every candidate pair by its shingle count — O(cands×|doc|)
-      // shuffle rows; array_intersect keeps it O(cands) rows with the
-      // set work done scan-local per pair.
-      val shArr = docs.select(col("doc_id"),
-        graft.functions.TextExpressions.distinctShingles(col("text"), 3).as("shs"))
-      val i = size(array_intersect(col("a.shs"), col("b.shs")))
-      cand
-        .join(shArr.as("a"), col("id_a") === col("a.doc_id"))
-        .join(shArr.as("b"), col("id_b") === col("b.doc_id"))
-        .select(col("id_a"), col("id_b"),
-          (i.cast("double") /
-            (size(col("a.shs")) + size(col("b.shs")) - i).cast("double")).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("id_a", "id_b")
+      Dedup.connectedComponents(docs, "doc_id", lshVerifiedPairs(docs))
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          (col("cluster_id") =!= col("id")).as("is_dup"))
+        .orderBy("doc_id")
     }),
 
     // e18 (no-oracle): IVF ANN — deterministic Lloyd k-means partitions
@@ -344,25 +386,17 @@ object QueriesE {
         "ORDER BY cos DESC, e.vec_id LIMIT 5"
     },
     "e17_neardup_lsh" ->
-      ("WITH sig AS (SELECT doc_id, " +
-        (0 until 8).map(j =>
-          s"list_aggregate(list_transform(${sqlShingles(3)}, x -> md5('$j|' || x)), 'min') AS s$j")
-          .mkString(", ") +
-        " FROM documents), " +
-        "nn AS (SELECT * FROM sig WHERE s0 IS NOT NULL), " +
-        "banded AS (" +
-        (0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band, md5(s${2 * b} || '|' || s${2 * b + 1}) AS digest FROM nn")
-          .mkString(" UNION ALL ") + "), " +
-        "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b FROM banded l " +
-        "JOIN banded r ON l.band = r.band AND l.digest = r.digest AND l.doc_id < r.doc_id), " +
-        "sh AS (SELECT doc_id, list_distinct(" + sqlShingles(3) + ") AS shs FROM documents) " +
-        "SELECT id_a, id_b, len(list_intersect(a.shs, b.shs))::DOUBLE / " +
-        "(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE AS jaccard " +
-        "FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b " +
-        "WHERE len(list_intersect(a.shs, b.shs))::DOUBLE / " +
-        "(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE >= 0.5 " +
-        "ORDER BY id_a, id_b"),
+      s"WITH $sqlLshPairCtes SELECT id_a, id_b, jaccard FROM vpairs ORDER BY id_a, id_b",
+    "e19_neardup_components" ->
+      (s"WITH RECURSIVE $sqlLshPairCtes, " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs " +
+        "UNION ALL SELECT id_b, id_a FROM vpairs), " +
+        // transitive closure: every reachable id is a candidate root; the
+        // component representative is the minimum reachable id
+        "reach(id, root) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.src, r.root FROM reach r JOIN edges e ON e.dst = r.id) " +
+        "SELECT id AS doc_id, min(root) AS cluster_id, min(root) <> id AS is_dup " +
+        "FROM reach GROUP BY id ORDER BY doc_id"),
     "e10_langid" ->
       ("SELECT doc_id, lang, CASE " +
         TextStats.LangMarkers.map { case (l, ws) =>

@@ -31,6 +31,15 @@ class LlmSpec extends AnyFunSuite {
     assert(m(4L) == 4L && m(5L) == 5L)
   }
 
+  test("connectedComponents: chains collapse to min-id clusters; isolated stay alone") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // chain 1-2-3 (transitive closure needed), pair 4-5, isolated 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val m = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
   test("native minhash kernel is bit-identical to the HOF executable spec") {
     // real corpus text (includes punctuation, repeated shingles, multi-space
     // oddities if any) — the kernel must reproduce the composable
