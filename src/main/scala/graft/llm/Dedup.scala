@@ -129,16 +129,27 @@ object Dedup {
       pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label")).persist()
+      .persist()
+    // iterate ONLY over nodes that appear in an edge: an isolated node's
+    // label never changes, and in a dedup graph paired nodes are a small
+    // fraction of the corpus — propagating labels for every document every
+    // round would shuffle the whole id space per iteration for nothing.
+    // Isolated nodes rejoin as their own cluster at the end.
+    // seed with the first propagation round folded in (min of self and
+    // direct neighbours): size-2 clusters — the common dedup case — are
+    // already converged and pay only the no-change check
+    var labels = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("_m"))
+      .select(col("id"), least(col("id"), col("_m")).as("label")).persist()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // neighbour labels: edge dst carries its current label to src
+      // neighbour labels: edge dst carries its current label to src; every
+      // iterated node has ≥1 neighbour, so the join is inner
       val nbr = edges.join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "nbr_label"), "dst")
         .groupBy(col("src").as("id")).agg(min("nbr_label").as("nbr_min"))
-      val next = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      val next = labels.join(nbr, "id")
+        .select(col("id"), least(col("label"), col("nbr_min")).as("label"))
         .persist()
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label")).limit(1).count()
@@ -147,7 +158,10 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    labels.withColumnRenamed("label", "cluster_id")
+    edges.unpersist()
+    nodes.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("label", "cluster_id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   /** 32-bit simhash over whitespace tokens. Bit j (= 4·(p−1)+b) is set iff

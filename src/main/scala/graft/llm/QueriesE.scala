@@ -71,16 +71,16 @@ object QueriesE {
       .filter(col("jaccard") >= 0.5)
   }
 
-  /** DuckDB CTE chain reproducing [[lshVerifiedPairs]] byte-for-byte:
-    * minhash signatures → band digests → candidate pairs → exact-Jaccard
-    * verified `vpairs(id_a, id_b, jaccard)`.
+  /** DuckDB CTE chain reproducing [[lshVerifiedPairs]] byte-for-byte over
+    * source relation `src`: minhash signatures → band digests → candidate
+    * pairs → exact-Jaccard verified `vpairs(id_a, id_b, jaccard)`.
     */
-  private lazy val sqlLshPairCtes: String =
+  private def sqlLshPairCtesOver(src: String): String =
     "sig AS (SELECT doc_id, " +
       (0 until 8).map(j =>
         s"list_aggregate(list_transform(${sqlShingles(3)}, x -> md5('$j|' || x)), 'min') AS s$j")
         .mkString(", ") +
-      " FROM documents), " +
+      s" FROM $src), " +
       "nn AS (SELECT * FROM sig WHERE s0 IS NOT NULL), " +
       "banded AS (" +
       (0 until 4).map(b =>
@@ -88,12 +88,20 @@ object QueriesE {
         .mkString(" UNION ALL ") + "), " +
       "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b FROM banded l " +
       "JOIN banded r ON l.band = r.band AND l.digest = r.digest AND l.doc_id < r.doc_id), " +
-      "sh AS (SELECT doc_id, list_distinct(" + sqlShingles(3) + ") AS shs FROM documents), " +
+      s"sh AS (SELECT doc_id, list_distinct(${sqlShingles(3)}) AS shs FROM $src), " +
       "vpairs AS (SELECT id_a, id_b, len(list_intersect(a.shs, b.shs))::DOUBLE / " +
       "(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE AS jaccard " +
       "FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b " +
       "WHERE len(list_intersect(a.shs, b.shs))::DOUBLE / " +
       "(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE >= 0.5)"
+
+  private lazy val sqlLshPairCtes: String = sqlLshPairCtesOver("documents")
+
+  /** The e11 quality score as DuckDB SQL (shared by e11 and e20). */
+  private val sqlQualityExpr: String =
+    "0.4 * least(1.0, n_chars::DOUBLE / 500.0) + " +
+      "0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')))::DOUBLE / length(text)::DOUBLE) + " +
+      "0.3 * (len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to')))::DOUBLE / len(string_split(text,' '))::DOUBLE)"
 
   /** DuckDB shingle list (word n-grams) for the `documents` table. */
   private def sqlShingles(n: Int): String =
@@ -268,6 +276,36 @@ object QueriesE {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", queryId = 0,
         nlist = 8, nprobe = 2, k = 5)),
 
+    // e20: the full training-data prep pipeline as ONE declared query —
+    // language gate → quality gate → exact dedup (min-id per text digest)
+    // → near-dup dedup (keep each LSH component's representative) →
+    // per-source corpus stats. Composes the individually-verified stages
+    // (e11 scoring, e1 exact dedup, e17/e19 near-dup closure) into the
+    // deliverable shape: "what survives cleaning, and how many tokens is
+    // it". Every stage is the scale-path formulation (window on digest,
+    // banded LSH, component propagation). At 100 TB the cleaned corpus
+    // (`exact`) would be checkpointed to storage between stages; here the
+    // consumers re-derive it (cheap at bench scale, and Catalyst prunes
+    // each consumer's columns independently).
+    "e20_corpus_prep" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val gated = docs.filter(col("lang") === "en" &&
+        TextStats.qualityScore(col("text"), col("n_chars")) >= 0.5)
+      val w = Window.partitionBy(md5(col("text")))
+      val exact = gated
+        .withColumn("_min_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("_min_id")).drop("_min_id")
+      val comps = Dedup.connectedComponents(exact, "doc_id", lshVerifiedPairs(exact))
+      val reps = exact.join(
+        comps.filter(col("id") === col("cluster_id")).select(col("id").as("doc_id")),
+        "doc_id")
+      reps.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextStats.wsTokens(col("text"))).as("total_tokens"))
+        .orderBy("source")
+    }),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -397,6 +435,21 @@ object QueriesE {
         "UNION SELECT e.src, r.root FROM reach r JOIN edges e ON e.dst = r.id) " +
         "SELECT id AS doc_id, min(root) AS cluster_id, min(root) <> id AS is_dup " +
         "FROM reach GROUP BY id ORDER BY doc_id"),
+    "e20_corpus_prep" ->
+      ("WITH RECURSIVE " +
+        s"gated AS (SELECT * FROM documents WHERE lang = 'en' AND ($sqlQualityExpr) >= 0.5), " +
+        "exact AS (SELECT * FROM gated QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))), " +
+        sqlLshPairCtesOver("exact") + ", " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs " +
+        "UNION ALL SELECT id_b, id_a FROM vpairs), " +
+        "reach(id, root) AS (SELECT doc_id, doc_id FROM exact " +
+        "UNION SELECT e.src, r.root FROM reach r JOIN edges e ON e.dst = r.id), " +
+        "comp AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY id), " +
+        "reps AS (SELECT exact.* FROM exact JOIN comp ON comp.id = exact.doc_id " +
+        "AND comp.cluster_id = exact.doc_id) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens " +
+        "FROM reps GROUP BY source ORDER BY source"),
     "e10_langid" ->
       ("SELECT doc_id, lang, CASE " +
         TextStats.LangMarkers.map { case (l, ws) =>
@@ -410,10 +463,7 @@ object QueriesE {
         }.mkString(", ") +
         ") AS best FROM documents) ORDER BY doc_id"),
     "e11_quality_score" ->
-      ("SELECT doc_id, 0.4 * least(1.0, n_chars::DOUBLE / 500.0) + " +
-        "0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')))::DOUBLE / length(text)::DOUBLE) + " +
-        "0.3 * (len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to')))::DOUBLE / len(string_split(text,' '))::DOUBLE) " +
-        "AS score FROM documents ORDER BY doc_id"),
+      s"SELECT doc_id, $sqlQualityExpr AS score FROM documents ORDER BY doc_id",
     "e12_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens " +
