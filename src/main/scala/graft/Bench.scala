@@ -15,11 +15,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb one-time session/codegen startup so per-query numbers measure
-    // the queries, not JVM warm-up (guarded: a bad warm-up table must not
-    // abort the whole bench — queries are individually guarded below)
+    // the queries, not JVM warm-up: load the janino compiler + JIT the
+    // compile path on each heavy plan family (scan, window, generate,
+    // hash join, array HOF, native kernels) over a few in-memory rows.
+    // (guarded: warm-up failure must not abort the bench — queries are
+    // individually guarded below)
     try {
       spark.read.parquet(s"$sfDir/nation.parquet").count()
-      spark.range(100).selectExpr("sum(id)").collect()
+      val warm = spark.range(64).selectExpr("id", "id % 7 AS k",
+        "'the quick brown fox jumps over the lazy dog' AS text")
+      warm.selectExpr("explode(split(text, ' ')) AS w").groupBy("w").count().count()
+      warm.as("a").join(warm.as("b"), "k").count()
+      warm.selectExpr("sum(k) OVER (PARTITION BY k ORDER BY id) AS s",
+        "md5(text) AS h").count()
+      warm.select(
+        graft.functions.TextExpressions.minhashSig(
+          org.apache.spark.sql.functions.col("text"), 3, 8)).count()
     } catch { case NonFatal(_) => () }
     // a failing query is reported explicitly in an "errors" object (and its
     // elapsed-until-failure time kept) — never silently emitted as a normal

@@ -23,6 +23,16 @@ import graft.spatial.StFunctions._
 object GraftFunctions {
   private type Builder = Seq[Expression] => Expression
 
+  /** Literal int argument (e.g. the n/k of minhash_sig) — must be foldable. */
+  private def intArg(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: n/k arguments must be literals")
+    e.eval(null) match {
+      case i: Int => i; case l: Long => l.toInt; case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(s"$fn: integer literal expected, got $other")
+    }
+  }
+
   val all: Seq[(String, Builder)] = Seq(
     "st_normalize_wkt" -> (es => StNormalizeWkt(es.head)),
     "st_astext"        -> (es => StNormalizeWkt(es.head)),
@@ -30,7 +40,13 @@ object GraftFunctions {
     "st_force2d"       -> (es => StForce2D(es.head)),
     "st_curvetoline"   -> (es => StCurveToLine(es.head)),
     "st_transform"     -> (es => StTransform(es(0), es(1), es(2))),
-    "vec_dot"          -> (es => graft.functions.VecDot(es(0), es(1))))
+    "vec_dot"          -> (es => graft.functions.VecDot(es(0), es(1))),
+    // text-sketch kernels for SQL users: minhash_sig(text, n, k),
+    // distinct_shingles(text, n)
+    "minhash_sig"      -> (es => MinhashSig(es(0),
+      intArg(es(1), "minhash_sig"), intArg(es(2), "minhash_sig"))),
+    "distinct_shingles" -> (es => DistinctShingles(es(0),
+      intArg(es(1), "distinct_shingles"))))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit = all.foreach { case (name, b) =>

@@ -31,6 +31,17 @@ class LlmSpec extends AnyFunSuite {
     assert(m(4L) == 4L && m(5L) == 5L)
   }
 
+  test("SQL surface: minhash_sig and distinct_shingles callable from raw SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    corpus.createOrReplaceTempView("gf_docs")
+    val r = spark.sql(
+      "SELECT doc_id, size(distinct_shingles(text, 3)) AS ns, " +
+        "minhash_sig(text, 3, 2)[0] AS s0 FROM gf_docs ORDER BY doc_id").collect()
+    assert(r.length == 5)
+    assert(r.head.getInt(1) > 0)
+    assert(r.head.getString(2).matches("[0-9a-f]{32}"))
+  }
+
   test("connectedComponents: chains collapse to min-id clusters; isolated stay alone") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // chain 1-2-3 (transitive closure needed), pair 4-5, isolated 6
