@@ -100,10 +100,13 @@ object Multimodal {
 
   /** Frame sampling for video-typed rows: every k-th byte-slice stands in
     * for every k-th frame — array output shape matches a real sampler.
+    * Empty payloads yield no frames (guards the integer division below —
+    * Spark's `/` truncates toward zero, so (0−1)/k would otherwise emit a
+    * single empty frame).
     */
   def sampleFrames(media: DataFrame, every: Int = 10): DataFrame =
     media.withColumn("frames",
-      when(col("media_type") === "video",
+      when(col("media_type") === "video" && length(col("media")) > 0,
         transform(sequence(lit(0), ((length(col("media")) - 1) / every).cast("int")),
           i => substr(col("media").cast("string"), lit(1) + i * every, lit(4))))
         .otherwise(array().cast("array<string>")))

@@ -350,7 +350,32 @@ object QueriesE {
     // hex arithmetic — the feature-extraction plumbing, exactly portable).
     "e16_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(t(s, dir, "documents")))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // e21: resize plumbing — deterministic payload re-shaping to a target
+    // box (stub byte-mapping, real schema/metadata contract); the oracle
+    // reproduces the byte mapping so the whole path is hash-checked.
+    "e21_multimodal_resize" -> ((s, dir) => {
+      val m = Multimodal.resize(
+        Multimodal.mediaFromDocuments(t(s, dir, "documents")), 128, 96)
+      m.select(col("doc_id"), col("media_type"),
+        length(col("media")).cast("long").as("n_bytes"),
+        col("width"), col("height"),
+        substring(md5(col("media")), 1, 8).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // e22: frame sampling — every-kth-slice stand-in for video frame
+    // extraction; digest of the frame list keeps the oracle comparison
+    // scalar while covering every sampled frame byte.
+    "e22_frame_sample" -> ((s, dir) => {
+      val m = Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(t(s, dir, "documents")), every = 10)
+      m.select(col("doc_id"), col("media_type"),
+        size(col("frames")).as("n_frames"),
+        md5(concat_ws("|", col("frames"))).as("frames_digest"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -499,6 +524,22 @@ object QueriesE {
         "CAST(64 + (n_chars * 13) % 512 AS INTEGER) AS height, " +
         "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN n_chars % 30 + 1 " +
         "ELSE n_chars % 120 + 1 END AS INTEGER) AS n_frames, " +
-        "substr(md5(text), 1, 8) AS fingerprint FROM documents ORDER BY doc_id")
+        "substr(md5(text), 1, 8) AS fingerprint FROM documents ORDER BY doc_id"),
+    "e21_multimodal_resize" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
+        "ELSE 'video' END AS media_type, " +
+        "CAST(octet_length(rpad(text, 192, '#')::BLOB) AS BIGINT) AS n_bytes, " +
+        "128 AS width, 96 AS height, " +
+        "substr(md5(rpad(text, 192, '#')), 1, 8) AS fp " +
+        "FROM documents ORDER BY doc_id"),
+    "e22_frame_sample" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
+        "ELSE 'video' END AS media_type, " +
+        "CAST(CASE WHEN doc_id % 3 = 2 AND octet_length(text::BLOB) > 0 " +
+        "THEN (octet_length(text::BLOB) - 1) // 10 + 1 ELSE 0 END AS INTEGER) AS n_frames, " +
+        "md5(CASE WHEN doc_id % 3 = 2 AND octet_length(text::BLOB) > 0 " +
+        "THEN array_to_string(list_transform(range((octet_length(text::BLOB) - 1) // 10 + 1), " +
+        "i -> substr(text, CAST(1 + i * 10 AS INTEGER), 4)), '|') ELSE '' END) AS frames_digest " +
+        "FROM documents ORDER BY doc_id")
   )
 }
