@@ -335,6 +335,19 @@ class ApiSpec extends AnyFunSuite {
     assert(!jdb.tables.contains("REGIONJ"))
   }
 
+  test("jdbc createTable: coarse types + auto id against the live backend") {
+    val jdb = Datum.connect("jdbc:derby:memory:graftjdbc2;create=true")
+    jdb.dropTable("COARSE1")
+    jdb.createTable("COARSE1", Seq("label" -> "text", "score" -> "num"))
+    assert(jdb.tables.contains("COARSE1"))
+    val t = jdb.table("COARSE1")
+    assert(t.fields.map(_.toLowerCase) == Seq("id", "label", "score"))
+    // idempotent (IF NOT EXISTS semantics)
+    jdb.createTable("COARSE1", Seq("other" -> "text"))
+    assert(jdb.table("COARSE1").fields.map(_.toLowerCase) == Seq("id", "label", "score"))
+    jdb.dropTable("COARSE1")
+  }
+
   test("parseCredentialUrl extracts user/password/host/db (ref datum/util.py:8-17)") {
     assert(Datum.parseCredentialUrl("alice:s3cr3t@dbhost:5432/warehouse") ==
       ((Some("alice"), Some("s3cr3t"), "dbhost:5432", "warehouse")))

@@ -95,6 +95,32 @@ class LlmSpec extends AnyFunSuite {
     assert(e.forall(_.isEmpty))
   }
 
+  test("kernels match HOF spec on randomized adversarial text (unicode, spacing)") {
+    val rnd = new scala.util.Random(4242)
+    val alphabets = Seq("abc de f", "αβγ δε", "汉字 文本", "a  b   c", " lead", "trail ",
+      "x\ty", "emoji 🙂 mix", "")
+    val texts = (1 to 60).map { i =>
+      val parts = (0 to rnd.nextInt(12)).map(_ => alphabets(rnd.nextInt(alphabets.length)))
+      (i.toLong, parts.mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val k = 4
+    val cmp = df.select(
+      (Dedup.minhashSig(Dedup.shingles(col("text"), 2), k) :+
+        graft.functions.TextExpressions.minhashSig(col("text"), 2, k).as("nat") :+
+        array_distinct(Dedup.shingles(col("text"), 2)).as("spec_sh") :+
+        graft.functions.TextExpressions.distinctShingles(col("text"), 2).as("nat_sh")): _*)
+      .collect()
+    cmp.foreach { r =>
+      val nat = if (r.isNullAt(k)) null else r.getSeq[String](k)
+      (0 until k).foreach { j =>
+        val spec = if (r.isNullAt(j)) null else r.getString(j)
+        assert(spec == (if (nat == null) null else nat(j)))
+      }
+      assert(r.getSeq[String](k + 1) == r.getSeq[String](k + 2))
+    }
+  }
+
   test("native minhash kernel: null and short-doc semantics match the spec") {
     val edge = Seq((1L, "one two"), (2L, ""), (3L, "a b c"), (4L, "x  y z w"))
       .toDF("doc_id", "text")
