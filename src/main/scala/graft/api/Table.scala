@@ -248,6 +248,49 @@ class Table(val db: Database, val qualified: String) {
   }
   def dropIndex(idxFields: Seq[String]): Unit = () // clustering is harmless to keep
 
+  /** Z-order (Morton) clustering — the multi-dimensional analogue of
+    * [[createIndex]]: interleaves the bits of each key's min/max-normalized
+    * value so row-group bounding boxes stay COMPACT in EVERY indexed
+    * dimension. A linear range-cluster on (x, y) serves only predicates on
+    * x (every row group spans all of y); after Z-ordering a predicate on
+    * EITHER column prunes most row groups via parquet min/max stats — the
+    * standard physical-design lever for spatial and (key, time) workloads
+    * at 100 TB (same public design as Delta/Iceberg Z-ordering).
+    *
+    * Domain bounds come from one aggregate job (2·dims driver scalars);
+    * the Z value is pure built-in column arithmetic (codegen'd, in-scan),
+    * and the rewrite is the same single-pass atomic swap as createIndex.
+    * Keys must be numeric/timestamp-castable; nulls cluster together.
+    */
+  def createZOrderIndex(idxFields: Seq[String], bitsPerDim: Int = 16): String = {
+    require(idxFields.nonEmpty, "createZOrderIndex: at least one field")
+    val cur = df
+    val aggs = idxFields.flatMap(f => Seq(
+      min(col(f).cast("double")).as(s"mn_$f"), max(col(f).cast("double")).as(s"mx_$f")))
+    val row = cur.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val scale = (1 << bitsPerDim) - 1
+    val normed = idxFields.zipWithIndex.map { case (f, i) =>
+      val mn = row.getDouble(2 * i); val mx = row.getDouble(2 * i + 1)
+      val span = if (mx > mn) mx - mn else 1.0
+      least(lit(scale), greatest(lit(0),
+        ((col(f).cast("double") - lit(mn)) / lit(span) * lit(scale.toDouble)).cast("int")))
+    }
+    val d = idxFields.length
+    val z = (0 until bitsPerDim).flatMap { b =>
+      normed.zipWithIndex.map { case (n, i) =>
+        // bit b of dimension i lands at interleaved position b*d + i
+        shiftleft(shiftright(n, b).bitwiseAND(lit(1)).cast("long"), b * d + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+    val nParts = math.max(1, cur.inputFiles.length)
+    val clustered = cur.withColumn("_z", z)
+      .repartitionByRange(nParts, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+    db.replaceTable(qualified, clustered)
+    (name +: idxFields :+ "zidx").mkString("_")
+  }
+
   private def prop(key: String): Option[String] = {
     val f = new File(path + ".properties")
     if (!f.exists()) None

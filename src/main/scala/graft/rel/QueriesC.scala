@@ -121,6 +121,24 @@ object QueriesC {
         fields = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
         where = Some("l_shipdate >= TIMESTAMP'2000-01-01 00:00:00'"),
         sort = Seq("l_orderkey", "l_linenumber"))
+    }),
+
+    // c8: Z-order clustering — the multi-dimensional index analogue: after
+    // Morton-interleaving (user_id, value), row-group min/max boxes are
+    // compact in BOTH dimensions, so the two-sided predicate below can
+    // prune row groups on either column (a linear cluster serves only its
+    // leading key). Data is preserved exactly; the oracle is the plain
+    // filter. Box-compactness itself is asserted in ApiSpec.
+    "c8_zorder_cluster" -> ((s, dir) => {
+      val db = scratch(s)
+      t(s, dir, "events").select("event_id", "user_id", "value")
+        .write.mode("overwrite").parquet(db.pathOf("c8_events"))
+      val tbl = db.table("c8_events")
+      tbl.createZOrderIndex(Seq("user_id", "value"))
+      tbl.read(
+        fields = Seq("event_id", "user_id", "value"),
+        where = Some("user_id < 100 AND value >= 50.0"),
+        sort = Seq("event_id"))
     })
   )
 
@@ -145,6 +163,9 @@ object QueriesC {
     "c6_index_cluster" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem " +
         "WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' " +
-        "ORDER BY l_orderkey, l_linenumber")
+        "ORDER BY l_orderkey, l_linenumber"),
+    "c8_zorder_cluster" ->
+      ("SELECT event_id, user_id, value FROM events " +
+        "WHERE user_id < 100 AND value >= 50.0 ORDER BY event_id")
   )
 }

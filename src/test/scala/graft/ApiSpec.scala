@@ -118,6 +118,34 @@ class ApiSpec extends AnyFunSuite {
     assert(t.count == before)
   }
 
+  test("createZOrderIndex: row-group boxes compact in EVERY dim (vs linear sort)") {
+    val scratch = scratchDb()
+    // 64×64 uniform grid; 16 output files → ideal quadrant span = 0.25
+    val grid = spark.range(4096).selectExpr("id",
+      "CAST(id % 64 AS DOUBLE) AS x", "CAST(id DIV 64 AS DOUBLE) AS y")
+    def avgSpans(name: String): (Double, Double) = {
+      val spans = scratch.table(name).df
+        .groupBy(input_file_name()).agg(
+          (max(col("x")) - min(col("x"))).as("xs"),
+          (max(col("y")) - min(col("y"))).as("ys"))
+        .collect()
+      (spans.map(_.getDouble(1)).sum / spans.length / 63.0,
+        spans.map(_.getDouble(2)).sum / spans.length / 63.0)
+    }
+    grid.repartition(16).write.mode("overwrite").parquet(scratch.pathOf("z1"))
+    scratch.table("z1").createZOrderIndex(Seq("x", "y"))
+    assert(scratch.table("z1").count == 4096)
+    val (zx, zy) = avgSpans("z1")
+    // Z-order: BOTH dims compact → predicates on either column prune files
+    assert(zx < 0.45 && zy < 0.45, s"z-order spans x=$zx y=$zy")
+    // contrast: lexicographic range-cluster serves only the leading column —
+    // every file spans (nearly) the whole y domain
+    grid.repartition(16).write.mode("overwrite").parquet(scratch.pathOf("z2"))
+    scratch.table("z2").createIndex(Seq("x", "y"))
+    val (_, ly) = avgSpans("z2")
+    assert(ly > 0.8, s"linear y span $ly should be ~full domain")
+  }
+
   test("write auto-fills a missing pk column (ref NEXT_ROWID / id serial)") {
     val scratch = scratchDb()
     scratch.dropTable("w4")
