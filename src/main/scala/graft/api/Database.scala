@@ -125,10 +125,11 @@ class Database(val spark: SparkSession, val root: String,
     */
   private[api] def load(name: String): org.apache.spark.sql.DataFrame = format match {
     case "parquet" => spark.read.parquet(pathOf(name))
+    case "orc"     => spark.read.orc(pathOf(name))
     case "csv"     => spark.read.option("header", "true").option("inferSchema", "true").csv(pathOf(name))
     case "json"    => spark.read.json(pathOf(name))
     case other     => throw new IllegalArgumentException(
-      s"unsupported format '$other' (supported: parquet, csv, json)")
+      s"unsupported format '$other' (supported: parquet, orc, csv, json)")
   }
 
   /** Save a DataFrame as a table of this database (the public "create
@@ -148,10 +149,11 @@ class Database(val spark: SparkSession, val root: String,
     val w = if (chunkSize > 0) w0.option("maxRecordsPerFile", chunkSize.toLong) else w0
     format match {
       case "parquet" => w.parquet(path)
+      case "orc"     => w.orc(path)
       case "csv"     => w.option("header", "true").csv(path)
       case "json"    => w.json(path)
       case other     => throw new IllegalArgumentException(
-        s"unsupported format '$other' (supported: parquet, csv, json)")
+        s"unsupported format '$other' (supported: parquet, orc, csv, json)")
     }
   }
 

@@ -55,10 +55,11 @@ object Datum {
     scheme match {
       case "parquet" | "file" => new Database(spark, path)
       // the scheme map is open like the reference's ADAPTER_CLASS_MAP:
+      // orc is the second columnar tier (stats + pushdown like parquet);
       // csv/json directories of <table>.<ext> (header + declared-or-inferred
-      // schema). Parquet stays the recommended scale format (columnar,
-      // predicate pushdown, stats); csv/json are ingest/interchange tiers.
-      case "csv" | "json"     => new Database(spark, path, scheme)
+      // schema) are ingest/interchange tiers. Parquet stays the recommended
+      // scale format.
+      case "orc" | "csv" | "json" => new Database(spark, path, scheme)
       // the reference's postgis scheme: full credential URL → live backend
       // (ref datum/database.py:16-20, datum/postgis/database.py:7-20)
       case "postgresql" =>

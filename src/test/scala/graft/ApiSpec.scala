@@ -228,8 +228,8 @@ class ApiSpec extends AnyFunSuite {
     assert(math.abs(approxP - exactP) / exactP < 0.05, s"p50 error: $approxP vs $exactP")
   }
 
-  test("csv and json schemes: full facade over non-parquet sources") {
-    for (fmt <- Seq("csv", "json")) {
+  test("orc, csv and json schemes: full facade over non-parquet sources") {
+    for (fmt <- Seq("orc", "csv", "json")) {
       val root = s"/root/repo/target/fixtures/test/fmt_$fmt"
       new java.io.File(root).mkdirs()
       val fdb = Datum.connect(s"$fmt://$root")
