@@ -47,8 +47,11 @@ class Database(val spark: SparkSession, val root: String,
     val entries = Option(d.listFiles()).getOrElse(Array.empty)
     val top = entries.filter(f => f.getName.endsWith(s".$format"))
       .map(_.getName.stripSuffix(s".$format"))
+    // a schema dir is a PLAIN name: staging/backup dirs from replaceTable
+    // (`t.parquet.stage_tmp`) contain the format suffix mid-name and must
+    // not surface their part-files as phantom schema tables
     val nested = entries
-      .filter(f => f.isDirectory && !f.getName.endsWith(s".$format"))
+      .filter(f => f.isDirectory && !f.getName.contains(s".$format"))
       .flatMap { sd =>
         Option(sd.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.endsWith(s".$format"))
@@ -88,18 +91,22 @@ class Database(val spark: SparkSession, val root: String,
     */
   def registerAll(): Unit = {
     val ts = tables
+    val epoch = Database.writeEpoch(spark, root)
     val owner = Database.sessionOwner.get(spark)
-    val fresh = owner != null && (owner._1 eq this) && !dirty && owner._2 == ts
+    val fresh = owner != null && (owner._1 eq this) &&
+      owner._2 == epoch && owner._3 == ts
     if (!fresh) {
       ts.foreach(register)
-      dirty = false
-      Database.sessionOwner.put(spark, (this, ts))
+      Database.sessionOwner.put(spark, (this, epoch, ts))
     }
   }
 
-  /** Set when this façade has written since the last registerAll. */
-  @volatile protected var dirty: Boolean = true
-  protected def markDirty(): Unit = dirty = true
+  /** Invalidate cached registrations after a write. The epoch is keyed by
+    * (session, root), so a SECOND Database instance over the same root
+    * writing through ITS façade also invalidates this instance's views —
+    * only out-of-band file writes (no façade involved) escape detection.
+    */
+  protected def markDirty(): Unit = Database.bumpWriteEpoch(spark, root)
 
   /** SQL view name for a (possibly schema-qualified) table: dots are
     * invalid in temp-view names, so `sales.orders` registers as
@@ -316,17 +323,33 @@ class Database(val spark: SparkSession, val root: String,
 
 object Database {
   /** Which Database instance's table views currently own each session's
-    * temp-view namespace (plus the table listing it registered) — the
-    * registerAll skip-token.
+    * temp-view namespace (plus the write epoch and table listing it
+    * registered under) — the registerAll skip-token.
     */
   private val sessionOwner =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, (Database, Seq[String])]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (Database, Long, Seq[String])]()
+
+  /** Per-(session, root) write counters — bumped by every façade write so
+    * cached registrations from ANY instance over that root invalidate.
+    */
+  private val writeEpochs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
+  private def writeEpoch(spark: SparkSession, root: String): Long =
+    Option(writeEpochs.get((spark, root))).map(_.longValue).getOrElse(0L)
+
+  private def bumpWriteEpoch(spark: SparkSession, root: String): Unit = {
+    writeEpochs.merge((spark, root), java.lang.Long.valueOf(1L),
+      (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue)): Unit
+  }
 
   /** `DELETE FROM t [WHERE p]` — full-statement match, optional `;`. */
   private val DeleteRe =
     """(?is)DELETE\s+FROM\s+([A-Za-z0-9_.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
 
-  /** `INSERT INTO t [(c1, c2)] VALUES …|SELECT …` — full-statement match. */
+  /** `INSERT INTO t [(c1, c2)] VALUES …|SELECT …` — full-statement match
+    * (`\b` after the keyword: `VALUES(…)` with no space is common SQL).
+    */
   private val InsertRe =
-    """(?is)INSERT\s+INTO\s+([A-Za-z0-9_.]+)\s*(?:\(([^)]*)\)\s*)?((?:VALUES|SELECT)\s.+?)\s*;?\s*""".r
+    """(?is)INSERT\s+INTO\s+([A-Za-z0-9_.]+)\s*(?:\(([^)]*)\)\s*)?((?:VALUES|SELECT)\b.+?)\s*;?\s*""".r
 }

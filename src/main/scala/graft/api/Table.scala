@@ -264,19 +264,28 @@ class Table(val db: Database, val qualified: String) {
     */
   def createZOrderIndex(idxFields: Seq[String], bitsPerDim: Int = 16): String = {
     require(idxFields.nonEmpty, "createZOrderIndex: at least one field")
+    // the interleaved value must fit a non-negative long: cap bits so
+    // dims*bits ≤ 63 (4 dims → 15 bits, 6 dims → 10 bits — still far finer
+    // than any row-group granularity)
+    val usableBits = math.min(bitsPerDim, 63 / idxFields.length)
+    require(usableBits >= 1,
+      s"createZOrderIndex: too many fields (${idxFields.length}) for a 63-bit Z value")
     val cur = df
     val aggs = idxFields.flatMap(f => Seq(
       min(col(f).cast("double")).as(s"mn_$f"), max(col(f).cast("double")).as(s"mx_$f")))
     val row = cur.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val scale = (1 << bitsPerDim) - 1
+    val scale = (1 << usableBits) - 1
     val normed = idxFields.zipWithIndex.map { case (f, i) =>
-      val mn = row.getDouble(2 * i); val mx = row.getDouble(2 * i + 1)
+      // empty table / all-null key: degenerate bounds, every row lands in
+      // bucket 0 (clustering is a no-op, not an error)
+      val mn = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+      val mx = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
       val span = if (mx > mn) mx - mn else 1.0
       least(lit(scale), greatest(lit(0),
         ((col(f).cast("double") - lit(mn)) / lit(span) * lit(scale.toDouble)).cast("int")))
     }
     val d = idxFields.length
-    val z = (0 until bitsPerDim).flatMap { b =>
+    val z = (0 until usableBits).flatMap { b =>
       normed.zipWithIndex.map { case (n, i) =>
         // bit b of dimension i lands at interleaved position b*d + i
         shiftleft(shiftright(n, b).bitwiseAND(lit(1)).cast("long"), b * d + i)

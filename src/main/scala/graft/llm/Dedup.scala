@@ -122,11 +122,19 @@ object Dedup {
     * the classic DataFrame connected-components shape; rounds needed =
     * graph diameter (near-dup clusters are shallow, typically ≤ 3).
     * The fixpoint (min id per component) is deterministic regardless of
-    * iteration or partition order. `maxIters` bounds runaway graphs; the
-    * loop exits early when a round changes nothing.
+    * iteration or partition order. The loop exits when a round changes
+    * nothing; exceeding `maxIters` raises (a truncated propagation would
+    * silently mislabel deep chains).
+    *
+    * Cache lifetime: the returned plan references the final `labels` frame
+    * (and `minhashBandPairs`-style callers reference their digest caches);
+    * they stay persisted for the session — deliberately, since unpersisting
+    * before the caller's action would force a full lineage recompute.
+    * DataFrame persist is MEMORY_AND_DISK and LRU-evictable, so the cost is
+    * bounded.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
-      pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+      pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -142,7 +150,7 @@ object Dedup {
       .select(col("id"), least(col("id"), col("_m")).as("label")).persist()
     var converged = false
     var i = 0
-    while (!converged && i < maxIters) {
+    while (!converged && i <= maxIters) {
       // neighbour labels: edge dst carries its current label to src; every
       // iterated node has ≥1 neighbour, so the join is inner
       val nbr = edges.join(labels.withColumnRenamed("id", "dst")
@@ -158,6 +166,11 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // silently truncated propagation would return WRONG clusters (and
+    // diverge from the oracle's full transitive closure) — fail loudly
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxIters iterations " +
+        "(component diameter exceeds maxIters — raise it)")
     edges.unpersist()
     nodes.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("label", "cluster_id"), Seq("id"), "left")

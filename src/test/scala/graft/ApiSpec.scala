@@ -341,8 +341,24 @@ class ApiSpec extends AnyFunSuite {
       "INSERT INTO ins1 (r_regionkey, r_name) SELECT r_regionkey + 200, r_name FROM ins1")
       .collect()(0).getLong(0)
     assert(rc2 == 7 && scratch.table("ins1").count == 14)
+    // no space after VALUES — common SQL style, must hit the same DML path
+    val rc3 = scratch.execute("INSERT INTO ins1 VALUES(300, 'WWW')").collect()(0).getLong(0)
+    assert(rc3 == 1 && scratch.table("ins1").count == 15)
     // SELECT through the same entry point still returns a plain result frame
-    assert(scratch.execute("SELECT count(*) AS n FROM ins1").collect()(0).getLong(0) == 14)
+    assert(scratch.execute("SELECT count(*) AS n FROM ins1").collect()(0).getLong(0) == 15)
+  }
+
+  test("execute sees writes made through a SECOND facade over the same root") {
+    val root = "/root/repo/target/fixtures/test/epoch"
+    new java.io.File(root).mkdirs()
+    val a = Datum.connect(s"parquet://$root")
+    val b = Datum.connect(s"parquet://$root")
+    a.store(db.table("region").df, "r_epoch", "overwrite")
+    assert(a.execute("SELECT count(*) AS n FROM r_epoch").collect()(0).getLong(0) == 5)
+    // b's write must invalidate a's cached registration (same-root epoch),
+    // or a would serve a stale file listing for the overwritten table
+    b.store(db.table("region").df.limit(2), "r_epoch", "overwrite")
+    assert(a.execute("SELECT count(*) AS n FROM r_epoch").collect()(0).getLong(0) == 2)
   }
 
   test("jdbc scheme: Derby round-trip through the full facade (ref live-DB adapter)") {
