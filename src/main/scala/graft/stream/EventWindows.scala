@@ -217,6 +217,26 @@ object EventWindows {
       spark.read.parquet(out.getPath)
     }
 
+  /** Stream-stream attribution join: purchases ⋈ views on the user key with
+    * the view inside `(p_ts − windowSec, p_ts]` — the STREAMING form of the
+    * batch range join (QueriesF f8 / rel.RangeJoin). Both sides carry
+    * watermarks and the join condition bounds event-time distance, so Spark
+    * can expire buffered rows on both sides: state is capped at
+    * (watermark delay + window) of data per side — the requirement for an
+    * unbounded stream-stream join to run forever. Inner join in append
+    * mode: a pair is emitted once both sides have arrived.
+    *
+    * Column contract: purchases(p_id, user_id, p_ts), views(v_id, v_user,
+    * v_ts), timestamps already event-time typed.
+    */
+  def attributionJoinStream(purchases: DataFrame, views: DataFrame,
+      delay: String = "15 minutes", windowSec: Long = 300): DataFrame = {
+    val p = purchases.withWatermark("p_ts", delay)
+    val v = views.withWatermark("v_ts", delay)
+    p.join(v, expr(
+      s"user_id = v_user AND v_ts <= p_ts AND p_ts < v_ts + INTERVAL $windowSec SECONDS"))
+  }
+
   /** The watermarked streaming plan itself (separated for MemoryStream tests). */
   def tumblingStream(events: DataFrame, delay: String, width: String): DataFrame =
     ltz(events)

@@ -42,6 +42,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows.contains(3000L), "window [50,60) still open (watermark 40min)")
   }
 
+  test("stream-stream interval join matches the batch range join on the same data") {
+    import spark.implicits._
+    val pMem = MemoryStream[(Long, Long, Timestamp)](
+      org.apache.spark.sql.Encoders.product[(Long, Long, Timestamp)], spark.sqlContext)
+    val vMem = MemoryStream[(Long, Long, Timestamp)](
+      org.apache.spark.sql.Encoders.product[(Long, Long, Timestamp)], spark.sqlContext)
+    val joined = EventWindows.attributionJoinStream(
+      pMem.toDF().toDF("p_id", "user_id", "p_ts"),
+      vMem.toDF().toDF("v_id", "v_user", "v_ts"))
+      .select("p_id", "v_id")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_sink").start()
+    val views = Seq((101L, 1L, at(1)), (102L, 2L, at(2)))
+    val purchases = Seq(
+      (201L, 1L, at(4)), // 3 min after view 101 -> pair
+      (202L, 1L, at(6)), // exactly windowSec after 101: p_ts < v_ts+5min fails -> no pair
+      (203L, 2L, at(3))) // 1 min after view 102 -> pair
+    try {
+      vMem.addData(views: _*); pMem.addData(purchases.take(1): _*)
+      q.processAllAvailable()
+      pMem.addData(purchases.drop(1): _*) // late-arriving purchases join buffered views
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssj_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch cross-check: the same data through the batch formulation
+    val batch = purchases.toDF("p_id", "user_id", "p_ts")
+      .join(views.toDF("v_id", "v_user", "v_ts"),
+        org.apache.spark.sql.functions.expr(
+          "user_id = v_user AND v_ts <= p_ts AND p_ts < v_ts + INTERVAL 300 SECONDS"))
+      .select("p_id", "v_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed == Set((201L, 101L), (203L, 102L)))
+  }
+
   test("flatMapGroupsWithState accumulates per-user state across batches") {
     import spark.implicits._
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Double)](
