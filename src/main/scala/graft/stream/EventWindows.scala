@@ -237,6 +237,28 @@ object EventWindows {
       s"user_id = v_user AND v_ts <= p_ts AND p_ts < v_ts + INTERVAL $windowSec SECONDS"))
   }
 
+  /** Run the stream-stream attribution join over the events file stream to
+    * completion (purchases and views as two independent file sources): a
+    * REAL streaming execution of the f8 range-join semantics — the oracle
+    * is the identical batch SQL. Inner join emits a pair once both sides
+    * arrive; no pair is lost across micro-batch splits because rows are
+    * only evicted when the other side's watermark proves no future match.
+    */
+  def attributionJoinBatchEnd(spark: SparkSession, dir: String,
+      sinkName: String = "f11_sink"): DataFrame = withShufflePartitions(spark, 8) {
+    val p = readStreamEvents(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = readStreamEvents(spark, dir).filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val joined = attributionJoinStream(p, v)
+      .select(col("p_id"), col("user_id"), col("v_id"))
+    val q = joined.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName(sinkName).start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(sinkName)
+  }
+
   /** The watermarked streaming plan itself (separated for MemoryStream tests). */
   def tumblingStream(events: DataFrame, delay: String, width: String): DataFrame =
     ltz(events)

@@ -111,7 +111,14 @@ object QueriesF {
     // Oracle = the distinct events themselves (event_id is unique, so the
     // dedup must reduce the doubled stream exactly to the source).
     "f10_stream_dedup" -> ((s, dir) =>
-      EventWindows.dedupToParquet(s, dir).orderBy("event_id"))
+      EventWindows.dedupToParquet(s, dir).orderBy("event_id")),
+
+    // f11: the f8 range join executed as a REAL stream-stream join
+    // (purchases ⋈ views, watermark-bounded state on both sides) — same
+    // oracle SQL as the batch form; proves the unified-engine contract on
+    // the join path like f4 does for windowed aggregation.
+    "f11_stream_range_join" -> ((s, dir) =>
+      EventWindows.attributionJoinBatchEnd(s, dir).orderBy("p_id", "v_id"))
   )
 
   /** Shared oracle fragments: es = whole seconds since epoch (exact integer
@@ -184,6 +191,12 @@ object QueriesF {
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "f10_stream_dedup" ->
       ("SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value, props " +
-        "FROM events ORDER BY event_id")
+        "FROM events ORDER BY event_id"),
+    "f11_stream_range_join" ->
+      ("SELECT p.event_id AS p_id, p.user_id, v.event_id AS v_id " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
+        "ON p.user_id = v.user_id AND v.ts <= p.ts AND p.ts < v.ts + INTERVAL 5 MINUTE " +
+        "ORDER BY p_id, v_id")
   )
 }
