@@ -18,10 +18,30 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  /** Queries whose plans intentionally contain a BroadcastNestedLoopJoin:
+    *  - e4/e18: crossJoin against a BROADCAST SINGLE-ROW frame (the query
+    *    vector) — O(n·1), the designed "compare every row to one constant"
+    *    shape;
+    *  - f9: the time-grid × event-types cross product IS the gap-fill
+    *    output (dense grid generation), not a join explosion — its row
+    *    count equals the result size by definition.
+    * Everything else must be nested-loop-free: an unlisted
+    * BNLJ/CartesianProduct is exactly the O(n²) regression class the
+    * round-1 audit flagged (e8's old pair join).
+    */
+  private val SingleRowCrossJoins =
+    Set("e4_similarity_topk", "e18_ann_ivf", "f9_gapfill")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, TestSpark.Sf)
       assert(df.columns.nonEmpty)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — O(n*m) at scale")
+      if (!SingleRowCrossJoins.contains(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin — nested loop at scale")
       val n = df.count()
       assert(n >= 0)
     }
