@@ -99,12 +99,8 @@ object EventWindows {
   def tumblingWithWatermark(spark: SparkSession, dir: String,
       delay: String = "15 minutes", width: String = "10 minutes",
       sinkName: String = "f4_sink"): DataFrame = withShufflePartitions(spark, 8) {
-    val agg = tumblingStream(readStreamEvents(spark, dir), delay, width)
-    val q = agg.writeStream.outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .format("memory").queryName(sinkName).start()
-    try q.awaitTermination() finally q.stop()
-    spark.table(sinkName)
+    runToMemorySink(
+      tumblingStream(readStreamEvents(spark, dir), delay, width), "append", sinkName)
   }
 
   /** Input/output rows for the custom-state operator. */
@@ -146,15 +142,11 @@ object EventWindows {
     */
   def userRunningStatsBatchEnd(spark: SparkSession, dir: String,
       sinkName: String = "f6_sink"): DataFrame = withShufflePartitions(spark, 8) {
-    val out = userRunningStats(spark, readStreamEvents(spark, dir))
-    val q = out.toDF().writeStream.outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .format("memory").queryName(sinkName).start()
-    try q.awaitTermination() finally q.stop()
+    val sink = runToMemorySink(
+      userRunningStats(spark, readStreamEvents(spark, dir)).toDF(), "update", sinkName)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
-    spark.table(sinkName)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
   /** Streaming deduplication: drop repeated event ids, with the watermark
@@ -217,6 +209,23 @@ object EventWindows {
       spark.read.parquet(out.getPath)
     }
 
+  /** The purchases/views projections shared by the batch range join (f8)
+    * and its streaming twin (f11): p(p_id, user_id, p_ts) ⋈ v(v_id,
+    * v_user, v_ts) — one definition so the batch query and the stream stay
+    * provably on the same inputs.
+    */
+  def purchasesViews(ev: DataFrame): (DataFrame, DataFrame) = (
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts")),
+    ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts")))
+
+  /** The shared range-join condition: same user, view within
+    * `[p_ts − windowSec, p_ts)`-mirrored bounds `v_ts ≤ p_ts < v_ts + w`.
+    */
+  def rangeJoinCond(windowSec: Long): org.apache.spark.sql.Column =
+    expr(s"user_id = v_user AND v_ts <= p_ts AND p_ts < v_ts + INTERVAL $windowSec SECONDS")
+
   /** Stream-stream attribution join: purchases ⋈ views on the user key with
     * the view inside `(p_ts − windowSec, p_ts]` — the STREAMING form of the
     * batch range join (QueriesF f8 / rel.RangeJoin). Both sides carry
@@ -226,6 +235,12 @@ object EventWindows {
     * unbounded stream-stream join to run forever. Inner join in append
     * mode: a pair is emitted once both sides have arrived.
     *
+    * Completeness contract (standard streaming semantics): pairs are
+    * complete for input that arrives within the watermark tolerance —
+    * a row older than `delay` behind the max event time already seen is
+    * late input and is dropped before the join, losing its pairs. Size
+    * `delay` to the source's real out-of-orderness.
+    *
     * Column contract: purchases(p_id, user_id, p_ts), views(v_id, v_user,
     * v_ts), timestamps already event-time typed.
     */
@@ -233,30 +248,37 @@ object EventWindows {
       delay: String = "15 minutes", windowSec: Long = 300): DataFrame = {
     val p = purchases.withWatermark("p_ts", delay)
     val v = views.withWatermark("v_ts", delay)
-    p.join(v, expr(
-      s"user_id = v_user AND v_ts <= p_ts AND p_ts < v_ts + INTERVAL $windowSec SECONDS"))
+    p.join(v, rangeJoinCond(windowSec))
+  }
+
+  /** Run a streaming plan to completion into a memory sink and return the
+    * materialized table — the shared run-to-end protocol behind the
+    * oracle-checked streaming queries (f4/f6/f11).
+    */
+  private def runToMemorySink(df: DataFrame, mode: String,
+      sinkName: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName(sinkName).start()
+    try q.awaitTermination() finally q.stop()
+    df.sparkSession.table(sinkName)
   }
 
   /** Run the stream-stream attribution join over the events file stream to
     * completion (purchases and views as two independent file sources): a
     * REAL streaming execution of the f8 range-join semantics — the oracle
-    * is the identical batch SQL. Inner join emits a pair once both sides
-    * arrive; no pair is lost across micro-batch splits because rows are
-    * only evicted when the other side's watermark proves no future match.
+    * is the identical batch SQL. Oracle-exactness holds because AvailableNow
+    * with no file cap processes the events file in one micro-batch, so no
+    * input can be late relative to the watermark; with throttled sources
+    * the general contract applies (see [[attributionJoinStream]]: input
+    * later than the watermark tolerance loses its pairs).
     */
   def attributionJoinBatchEnd(spark: SparkSession, dir: String,
       sinkName: String = "f11_sink"): DataFrame = withShufflePartitions(spark, 8) {
-    val p = readStreamEvents(spark, dir).filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
-    val v = readStreamEvents(spark, dir).filter(col("event_type") === "view")
-      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val (p, v) = purchasesViews(readStreamEvents(spark, dir))
     val joined = attributionJoinStream(p, v)
       .select(col("p_id"), col("user_id"), col("v_id"))
-    val q = joined.writeStream.outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .format("memory").queryName(sinkName).start()
-    try q.awaitTermination() finally q.stop()
-    spark.table(sinkName)
+    runToMemorySink(joined, "append", sinkName)
   }
 
   /** The watermarked streaming plan itself (separated for MemoryStream tests). */

@@ -58,15 +58,12 @@ object QueriesF {
     // f8: range join — purchases within 5 minutes after a view by the same
     // user (equi key + interval condition: one sort-merge join, interval
     // post-filtered; see rel.RangeJoin for the keyless binned variant).
+    // Projections and predicate are shared with the streaming twin f11
+    // (EventWindows.purchasesViews / rangeJoinCond) so the two can never
+    // silently diverge.
     "f8_range_join" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
-      val v = ev.filter(col("event_type") === "view")
-        .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
-      p.join(v, col("user_id") === col("v_user") &&
-          col("v_ts") <= col("p_ts") &&
-          col("p_ts") < col("v_ts") + expr("INTERVAL 5 MINUTES"))
+      val (p, v) = EventWindows.purchasesViews(events(s, dir))
+      p.join(v, EventWindows.rangeJoinCond(300))
         .select(col("p_id"), col("user_id"), col("v_id"))
         .orderBy("p_id", "v_id")
     }),
@@ -131,6 +128,16 @@ object QueriesF {
 
   private val SumVal = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
 
+  /** One oracle for the range-join semantics — f8 (batch) and f11 (real
+    * stream-stream run) must stay identical by construction.
+    */
+  private val RangeJoinSql =
+    "SELECT p.event_id AS p_id, p.user_id, v.event_id AS v_id " +
+      "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+      "JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
+      "ON p.user_id = v.user_id AND v.ts <= p.ts AND p.ts < v.ts + INTERVAL 5 MINUTE " +
+      "ORDER BY p_id, v_id"
+
   val oracle: Map[String, String] = Map(
     "f1_tumbling_agg" ->
       (s"WITH e AS ($EsEvents) " +
@@ -168,12 +175,7 @@ object QueriesF {
         "epoch_us(p.ts) - epoch_us(v.ts) AS gap_us " +
         "FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts " +
         "ORDER BY p.event_id"),
-    "f8_range_join" ->
-      ("SELECT p.event_id AS p_id, p.user_id, v.event_id AS v_id " +
-        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
-        "JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
-        "ON p.user_id = v.user_id AND v.ts <= p.ts AND p.ts < v.ts + INTERVAL 5 MINUTE " +
-        "ORDER BY p_id, v_id"),
+    "f8_range_join" -> RangeJoinSql,
     "f9_gapfill" ->
       (s"WITH e AS ($EsEvents), " +
         s"sparse AS (SELECT es - es % 600 AS epoch_start, event_type, count(*) AS n, $SumVal FROM e GROUP BY 1, 2), " +
@@ -192,11 +194,6 @@ object QueriesF {
     "f10_stream_dedup" ->
       ("SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value, props " +
         "FROM events ORDER BY event_id"),
-    "f11_stream_range_join" ->
-      ("SELECT p.event_id AS p_id, p.user_id, v.event_id AS v_id " +
-        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
-        "JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
-        "ON p.user_id = v.user_id AND v.ts <= p.ts AND p.ts < v.ts + INTERVAL 5 MINUTE " +
-        "ORDER BY p_id, v_id")
+    "f11_stream_range_join" -> RangeJoinSql
   )
 }

@@ -64,6 +64,13 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       pMem.addData(purchases.drop(1): _*) // late-arriving purchases join buffered views
       q.processAllAvailable()
+      // the EXECUTED streaming plan must be the equi-keyed symmetric hash
+      // join operator — the smoke sweep can only see batch plans, so the
+      // stream-stream join's shape is pinned here
+      val exec = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(exec.contains("StreamingSymmetricHashJoin"),
+        s"expected StreamingSymmetricHashJoin in:\n$exec")
     } finally q.stop()
     val streamed = spark.table("ssj_sink").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
