@@ -67,6 +67,22 @@ object MinhashKernel {
     new String(out)
   }
 
+  /** The i-th word n-gram shingle (space-joined tokens [i, i+n)) — the one
+    * shingle construction shared by [[sig]] and [[distinctShingles]], and
+    * the exact string the HOF spec's `concat_ws(" ", slice(...))` builds.
+    */
+  private def shingleAt(tokens: Array[String], i: Int, n: Int,
+      sb: java.lang.StringBuilder): String = {
+    sb.setLength(0)
+    var j = 0
+    while (j < n) {
+      if (j > 0) sb.append(' ')
+      sb.append(tokens(i + j))
+      j += 1
+    }
+    sb.toString
+  }
+
   /** k minhash values over word n-gram shingles of `text`, or null when the
     * doc has no shingles. Exactly `min_x md5(j + "|" + x)` per permutation
     * j — the same tokenization (`split(" ", -1)`, trailing empties kept) and
@@ -80,14 +96,7 @@ object MinhashKernel {
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i <= tokens.length - n) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(tokens(i + j))
-        j += 1
-      }
-      val shingle = sb.toString
+      val shingle = shingleAt(tokens, i, n, sb)
       var p = 0
       while (p < k) {
         val h = md5Hex(d, p.toString + "|" + shingle)
@@ -121,14 +130,7 @@ object MinhashKernel {
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i <= tokens.length - n) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(tokens(i + j))
-        j += 1
-      }
-      seen.add(sb.toString): Unit
+      seen.add(shingleAt(tokens, i, n, sb)): Unit
       i += 1
     }
     val out = new Array[Any](seen.size)

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.functions._
+import graft.functions.TextExpressions
 import graft.rel.Q._
 import Similarity._
 
@@ -17,6 +18,16 @@ object QueriesE {
 
   /** e7 shingle document-frequency cap (bounds join-key fan-out). */
   private val E7DfCap = 25
+
+  /** Banded-minhash LSH parameters shared by the Spark pipeline
+    * ([[lshVerifiedPairs]]) and its DuckDB oracle ([[sqlLshPairCtesOver]]) —
+    * one definition so the two sides cannot drift.
+    */
+  private val LshNgram = 3
+  private val LshBands = 4
+  private val LshRows = 2
+  private val LshK = LshBands * LshRows
+  private val LshJaccard = 0.5
 
   /** Explicit left-to-right dot-product chain for the DuckDB oracle —
     * exactly the fold order of Spark's `aggregate` HOF: 0.0 + t1 + t2 + ….
@@ -58,9 +69,9 @@ object QueriesE {
     */
   private def lshVerifiedPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val cand = Dedup.minhashBandPairs(docs, "doc_id", "text",
-      n = 3, bands = 4, rowsPerBand = 2)
+      n = LshNgram, bands = LshBands, rowsPerBand = LshRows)
     val shArr = docs.select(col("doc_id"),
-      graft.functions.TextExpressions.distinctShingles(col("text"), 3).as("shs"))
+      TextExpressions.distinctShingles(col("text"), LshNgram).as("shs"))
     val i = size(array_intersect(col("a.shs"), col("b.shs")))
     cand
       .join(shArr.as("a"), col("id_a") === col("a.doc_id"))
@@ -68,7 +79,7 @@ object QueriesE {
       .select(col("id_a"), col("id_b"),
         (i.cast("double") /
           (size(col("a.shs")) + size(col("b.shs")) - i).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= LshJaccard)
   }
 
   /** DuckDB CTE chain reproducing [[lshVerifiedPairs]] byte-for-byte over
@@ -77,23 +88,24 @@ object QueriesE {
     */
   private def sqlLshPairCtesOver(src: String): String =
     "sig AS (SELECT doc_id, " +
-      (0 until 8).map(j =>
-        s"list_aggregate(list_transform(${sqlShingles(3)}, x -> md5('$j|' || x)), 'min') AS s$j")
+      (0 until LshK).map(j =>
+        s"list_aggregate(list_transform(${sqlShingles(LshNgram)}, x -> md5('$j|' || x)), 'min') AS s$j")
         .mkString(", ") +
       s" FROM $src), " +
       "nn AS (SELECT * FROM sig WHERE s0 IS NOT NULL), " +
       "banded AS (" +
-      (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, md5(s${2 * b} || '|' || s${2 * b + 1}) AS digest FROM nn")
-        .mkString(" UNION ALL ") + "), " +
+      (0 until LshBands).map { b =>
+        val digest = (0 until LshRows).map(r => s"s${b * LshRows + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($digest) AS digest FROM nn"
+      }.mkString(" UNION ALL ") + "), " +
       "cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b FROM banded l " +
       "JOIN banded r ON l.band = r.band AND l.digest = r.digest AND l.doc_id < r.doc_id), " +
-      s"sh AS (SELECT doc_id, list_distinct(${sqlShingles(3)}) AS shs FROM $src), " +
+      s"sh AS (SELECT doc_id, list_distinct(${sqlShingles(LshNgram)}) AS shs FROM $src), " +
       "vpairs AS (SELECT id_a, id_b, len(list_intersect(a.shs, b.shs))::DOUBLE / " +
       "(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE AS jaccard " +
       "FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b " +
       "WHERE len(list_intersect(a.shs, b.shs))::DOUBLE / " +
-      "(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE >= 0.5)"
+      s"(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE >= $LshJaccard)"
 
   private lazy val sqlLshPairCtes: String = sqlLshPairCtesOver("documents")
 
@@ -172,7 +184,7 @@ object QueriesE {
     "e7_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("source") === "src0")
       val sh0 = docs.select(col("doc_id"),
-        explode(graft.functions.TextExpressions.distinctShingles(col("text"), 2)).as("sh"))
+        explode(TextExpressions.distinctShingles(col("text"), 2)).as("sh"))
       val keep = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= E7DfCap).select("sh")
       val sh = sh0.join(keep, "sh")
