@@ -62,16 +62,22 @@ object Dedup {
 
   /** Near-duplicate clustering by full-signature equality: docs whose k
     * minhashes all agree land in one cluster (≈ Jaccard ≥ high threshold).
+    * Signatures come from the native one-pass kernel (bit-identical to the
+    * [[minhashSig]] HOF spec — pinned by LlmSpec — at a fraction of the
+    * per-row cost).
     */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 4): DataFrame = {
-    val sig = df.select(col(idCol) +: minhashSig(shingles(col(textCol), n), k): _*)
-    val sigCols = (0 until k).map(j => col(s"s$j"))
-    val w = Window.partitionBy(sigCols: _*)
+    val sig = df.select(col(idCol),
+      graft.functions.TextExpressions.minhashSig(col(textCol), n, k).as("_sig"))
+    val sigCols = (0 until k).map(j => col("_sig").getItem(j).as(s"s$j"))
+    val named = sig.select(col(idCol) +: sigCols: _*)
+    val w = Window.partitionBy((0 until k).map(j => col(s"s$j")): _*)
     // docs shorter than n tokens have NULL signatures — they carry no
     // similarity evidence and must each stay their own cluster, not be
     // lumped together by null-grouping
-    sig.select(col(idCol), concat_ws("|", sigCols: _*).as("signature"),
+    named.select(col(idCol),
+        concat_ws("|", (0 until k).map(j => col(s"s$j")): _*).as("signature"),
         when(col("s0").isNull, col(idCol))
           .otherwise(min(col(idCol)).over(w)).as("cluster_id"))
       .withColumn("is_dup", col(idCol) =!= col("cluster_id"))
