@@ -41,7 +41,7 @@ object Bench {
         case NonFatal(e) =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
             .replaceAll("[\\\\\"\\n\\r\\t]", " ").take(160))
-      }
+      } finally Caches.drain() // free per-query tracked intermediates
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

@@ -91,13 +91,25 @@ class Database(val spark: SparkSession, val root: String,
     */
   def registerAll(): Unit = {
     val ts = tables
+    // two table names may sanitize to one view name (`sales.orders` vs a
+    // base table `sales_orders`) — last-registered-wins would silently
+    // serve the wrong table to execute(), so fail loudly instead
+    val collisions = ts.groupBy(viewNameOf).filter(_._2.lengthCompare(1) > 0)
+    if (collisions.nonEmpty) {
+      val msg = collisions.map { case (v, names) =>
+        s"${names.mkString(", ")} all register as temp view '$v'"
+      }.mkString("; ")
+      throw new IllegalStateException(
+        s"ambiguous SQL table names under $root: $msg — rename one of them")
+    }
     val epoch = Database.writeEpoch(spark, root)
     val owner = Database.sessionOwner.get(spark)
-    val fresh = owner != null && (owner._1 eq this) &&
+    val fresh = owner != null && (owner._1.get eq this) &&
       owner._2 == epoch && owner._3 == ts
     if (!fresh) {
       ts.foreach(register)
-      Database.sessionOwner.put(spark, (this, epoch, ts))
+      Database.sessionOwner.put(spark,
+        (new java.lang.ref.WeakReference(this), epoch, ts))
     }
   }
 
@@ -325,21 +337,38 @@ object Database {
   /** Which Database instance's table views currently own each session's
     * temp-view namespace (plus the write epoch and table listing it
     * registered under) — the registerAll skip-token.
+    *
+    * Weakly keyed by session so a stopped/dropped SparkSession (and its
+    * façades) can be garbage-collected in a long-lived multi-session
+    * process; the Database side sits behind a WeakReference because a
+    * strong value → Database → spark edge would pin the weak key forever.
     */
-  private val sessionOwner =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, (Database, Long, Seq[String])]()
+  private val sessionOwner: java.util.Map[
+      SparkSession, (java.lang.ref.WeakReference[Database], Long, Seq[String])] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[
+        SparkSession, (java.lang.ref.WeakReference[Database], Long, Seq[String])]())
 
   /** Per-(session, root) write counters — bumped by every façade write so
     * cached registrations from ANY instance over that root invalidate.
+    * Outer map weakly keyed by session (values hold only strings/longs,
+    * so they never pin the key).
     */
-  private val writeEpochs =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+  private val writeEpochs: java.util.Map[
+      SparkSession, java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[
+        SparkSession, java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]())
+
+  private def epochsOf(spark: SparkSession) =
+    writeEpochs.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
 
   private def writeEpoch(spark: SparkSession, root: String): Long =
-    Option(writeEpochs.get((spark, root))).map(_.longValue).getOrElse(0L)
+    Option(epochsOf(spark).get(root)).map(_.longValue).getOrElse(0L)
 
   private def bumpWriteEpoch(spark: SparkSession, root: String): Unit = {
-    writeEpochs.merge((spark, root), java.lang.Long.valueOf(1L),
+    epochsOf(spark).merge(root, java.lang.Long.valueOf(1L),
       (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue)): Unit
   }
 

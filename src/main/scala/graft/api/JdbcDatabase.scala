@@ -59,16 +59,38 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
     markDirty()
   }
 
-  /** JDBC replace: materialize first (persist), then overwrite — reading
-    * lazily from the table being overwritten would race the truncate. At
-    * production scale stage into a side table and SQL-rename instead.
+  /** JDBC replace via a staging table: write the replacement rows to a
+    * side table first (the source table is still intact, so the lazy scan
+    * feeding `df` cannot race its own rewrite), then swap the contents in
+    * one backend transaction (DELETE + INSERT..SELECT). The target table's
+    * DDL — backend column types, constraints, indexes — is preserved, and
+    * a crash before commit leaves the original rows untouched. Spark's
+    * `mode("overwrite")` would instead drop and recreate the table with
+    * Spark-inferred types and is not crash-safe.
     */
   override private[api] def replaceTable(name: String, df: DataFrame): Unit = {
-    val cached = df.persist()
+    val stage = name + "_GRAFT_STAGE"
+    store(df, stage, "overwrite")
+    val conn = connection()
     try {
-      cached.count(): Unit
-      store(cached, name, "overwrite")
-    } finally { cached.unpersist(); () }
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(s"DELETE FROM $name"): Unit
+        st.executeUpdate(s"INSERT INTO $name SELECT * FROM $stage"): Unit
+        conn.commit()
+      } catch {
+        case e: java.sql.SQLException => conn.rollback(); throw e
+      } finally st.close()
+    } finally conn.close()
+    val cleanup = connection()
+    try {
+      val st = cleanup.createStatement()
+      try st.executeUpdate(s"DROP TABLE $stage"): Unit
+      catch { case _: java.sql.SQLException => () } // best-effort cleanup
+      finally st.close()
+    } finally cleanup.close()
+    markDirty()
   }
 
   override def createTable(name: String, cols: Seq[(String, String)]): Unit = {

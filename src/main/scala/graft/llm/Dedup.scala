@@ -109,8 +109,9 @@ object Dedup {
       // both sides of the self-join read the cached digests instead of
       // re-running the signature pass over the corpus; the relation is
       // bands rows × (id, int, 32-char digest) per doc — small relative to
-      // the documents themselves at any scale
-      .persist()
+      // the documents themselves at any scale. Tracked: Caches.drain()
+      // frees it once the caller has materialized the result.
+      .transform(graft.Caches.persistTracked)
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.digest") === col("r.digest") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
@@ -134,10 +135,9 @@ object Dedup {
     *
     * Cache lifetime: the returned plan references the final `labels` frame
     * (and `minhashBandPairs`-style callers reference their digest caches);
-    * they stay persisted for the session — deliberately, since unpersisting
-    * before the caller's action would force a full lineage recompute.
-    * DataFrame persist is MEMORY_AND_DISK and LRU-evictable, so the cost is
-    * bounded.
+    * unpersisting before the caller's action would force a full lineage
+    * recompute, so they are registered with [[graft.Caches]] and freed by
+    * the harness's per-query `drain()` after the result materializes.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
       pairs: DataFrame, maxIters: Int = 50): DataFrame = {
@@ -178,6 +178,7 @@ object Dedup {
       s"connectedComponents: not converged after $maxIters iterations " +
         "(component diameter exceeds maxIters — raise it)")
     edges.unpersist()
+    graft.Caches.register(labels)
     nodes.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("label", "cluster_id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))

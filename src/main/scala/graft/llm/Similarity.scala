@@ -137,8 +137,10 @@ object Similarity {
     // each Lloyd iteration, the query lookup, the probe scan) — persist it
     // once instead of re-reading + re-casting the source per job. This is
     // the production shape too: training data is the reuse hot spot.
-    val base = embeddings.select(col(idCol), asDouble(col("embedding")).as("emb"))
-      .persist()
+    // Tracked: the returned probe plan still reads it, so it is freed by
+    // the harness's per-query Caches.drain(), not here.
+    val base = graft.Caches.persistTracked(
+      embeddings.select(col(idCol), asDouble(col("embedding")).as("emb")))
     val centroids = kmeansCentroids(base, idCol, nlist, trainIters)
     val listed = base.withColumn("list_id", ivfAssign(col("emb"), centroids))
     val qRow = base.filter(col(idCol) === queryId).collect()(0)

@@ -77,7 +77,9 @@ object QueriesF {
       // collect below and the grid join) — without caching the fact table
       // would be scanned and aggregated twice. The cached frame is tiny
       // (one row per (window, type), ~8k rows at sf0.1).
-      val sparse = EventWindows.tumbling(events(s, dir)).persist()
+      // tracked: the returned plan joins onto it, so it is freed by the
+      // harness's per-query Caches.drain() after materialization
+      val sparse = graft.Caches.persistTracked(EventWindows.tumbling(events(s, dir)))
       // one eager stats pass (min/max/type-set in a single aggregate) so the
       // fact table isn't re-scanned for span and types at execution time
       val stats = sparse.agg(min("epoch_start"), max("epoch_start"),

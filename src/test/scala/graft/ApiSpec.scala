@@ -392,6 +392,38 @@ class ApiSpec extends AnyFunSuite {
     jdb.dropTable("COARSE1")
   }
 
+  test("jdbc DELETE preserves backend DDL (staged transactional replace)") {
+    val url = "jdbc:derby:memory:graftjdbc3;create=true"
+    val jdb = Datum.connect(url)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE DDLT (id BIGINT PRIMARY KEY, name VARCHAR(32))")
+      st.executeUpdate("INSERT INTO DDLT VALUES (1,'a'),(2,'b'),(3,'c')")
+      st.close()
+      val rc = jdb.execute("DELETE FROM DDLT WHERE id = 2").collect()(0).getLong(0)
+      assert(rc == 1 && jdb.table("DDLT").count == 2)
+      // the primary key survived the replace — Spark's mode("overwrite")
+      // would have dropped and recreated the table without it
+      val rs = conn.getMetaData.getPrimaryKeys(null, null, "DDLT")
+      assert(rs.next() && rs.getString("COLUMN_NAME") == "ID")
+      // the staging table was cleaned up
+      assert(!jdb.tables.exists(_.contains("GRAFT_STAGE")))
+    } finally conn.close()
+  }
+
+  test("ambiguous view names fail loudly instead of last-registered-wins") {
+    val scratch = scratchDb()
+    scratch.store(db.table("region").df, "sales.orders", "overwrite")
+    scratch.store(db.table("region").df.limit(2), "sales_orders", "overwrite")
+    // both names sanitize to temp view `sales_orders`: execute() could
+    // silently serve either table — must refuse instead
+    val e = intercept[IllegalStateException](
+      scratch.execute("SELECT count(*) AS n FROM sales_orders"))
+    assert(e.getMessage.contains("sales.orders") &&
+      e.getMessage.contains("sales_orders"))
+  }
+
   test("parseCredentialUrl extracts user/password/host/db (ref datum/util.py:8-17)") {
     assert(Datum.parseCredentialUrl("alice:s3cr3t@dbhost:5432/warehouse") ==
       ((Some("alice"), Some("s3cr3t"), "dbhost:5432", "warehouse")))

@@ -152,6 +152,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.sameElements(Array(1L, 2L, 3L)), s"got ${ids.mkString(",")}")
   }
 
+  test("stream dedup keys include the event-time column (state eviction)") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Double)](
+      org.apache.spark.sql.Encoders.product[(Long, java.sql.Timestamp, Double)], spark.sqlContext)
+    val events = mem.toDF().toDF("event_id", "ts", "value")
+    // Spark only evicts dedup state whose event-time key falls behind the
+    // watermark; deduping on event_id alone would grow state forever
+    val keys = EventWindows.dedupStream(events).queryExecution.analyzed.collect {
+      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate =>
+        d.keys.map(_.name)
+    }.flatten
+    assert(keys.contains("event_id") && keys.contains("ts"),
+      s"dedup keys must include the watermark column, got $keys")
+  }
+
   test("parquet file sink with checkpoint lands exactly-once output") {
     val base = "/root/repo/target/fixtures/test/sink"
     def rm(f: java.io.File): Unit = {
