@@ -232,11 +232,13 @@ class Table(val db: Database, val qualified: String) {
     */
   def createIndex(idxFields: Seq[String]): String = {
     val idxName = (name +: idxFields :+ "idx").mkString("_")
-    // output partitioning follows the input layout: one range partition per
-    // input file keeps file sizes roughly stable (a small table clusters to
-    // one sorted file; a 100 TB table keeps its thousands of partitions)
-    // instead of always fanning out to spark.sql.shuffle.partitions files
-    val nParts = math.max(1, df.inputFiles.length)
+    // output partitioning follows the input layout — one range partition
+    // per input file keeps file sizes roughly stable (a 100 TB table keeps
+    // its thousands of partitions) — but never below the cluster's
+    // parallelism: a table that arrived as one file would otherwise sort
+    // and write on a single task while every other core idles
+    val nParts = math.max(df.sparkSession.sparkContext.defaultParallelism,
+      df.inputFiles.length)
     val clustered = df.repartitionByRange(nParts, idxFields.map(col): _*)
       .sortWithinPartitions(idxFields.map(col): _*)
     // single clustered write + atomic directory swap (Database.replaceTable):
@@ -291,7 +293,10 @@ class Table(val db: Database, val qualified: String) {
         shiftleft(shiftright(n, b).bitwiseAND(lit(1)).cast("long"), b * d + i)
       }
     }.reduce(_.bitwiseOR(_))
-    val nParts = math.max(1, cur.inputFiles.length)
+    // same floor as createIndex: single-file tables must not serialize the
+    // whole rewrite onto one task
+    val nParts = math.max(cur.sparkSession.sparkContext.defaultParallelism,
+      cur.inputFiles.length)
     val clustered = cur.withColumn("_z", z)
       .repartitionByRange(nParts, col("_z"))
       .sortWithinPartitions("_z")

@@ -38,6 +38,14 @@ object QueriesE {
   private def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)}) / ((${sqlNorm(a)}) * (${sqlNorm(b)}))"
 
+  /** e24 redaction patterns — shared verbatim by the Spark query and its
+    * DuckDB oracle; RE2-safe (no lookaround/backreferences), so Java regex
+    * and RE2 produce identical matches.
+    */
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+  private val UrlRe = "https?://[a-z0-9./]+"
+  private val PhoneRe = "555-[0-9]{4}"
+
   /** Total sign-LSH planes shared by e8/e9 (signPlanes is prefix-stable:
     * plane j is the same vector for any total count, so widening the plane
     * pool never perturbs existing buckets).
@@ -318,6 +326,56 @@ object QueriesE {
         .orderBy("source")
     }),
 
+    // e23: int8 symmetric quantization of the embedding column — the
+    // standard storage/serving compression for vector corpora (scale =
+    // max|x|/127 per vector, q_i = round(x_i/scale)). Emits the scale, the
+    // exact integer norm of the quantized vector, and the reconstruction
+    // error. All per-row scalar arithmetic in fixed fold order (explicit
+    // left-to-right chains, matching the oracle) — in-scan, no shuffle,
+    // codegen'd; at 10⁹ vectors this is a pure map stage.
+    "e23_embed_quantize" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      // max|x| via explicit greatest(...) over the 64 dims — codegen'd,
+      // no HOF lambda; guard keeps a zero vector from dividing by zero
+      val maxAbs = greatest((0 until Dims).map(i => abs(col("emb").getItem(i))): _*)
+      val scaled = e.withColumn("scale", greatest(maxAbs, lit(1e-30)) / 127.0)
+      val qi = (i: Int) => round(col("emb").getItem(i) / col("scale")).cast("long")
+      val qnorm2 = (0 until Dims).map(i => qi(i) * qi(i)).reduce(_ + _)
+      val errTerm = (i: Int) => {
+        val r = col("emb").getItem(i) - qi(i).cast("double") * col("scale")
+        r * r
+      }
+      val err = (lit(0.0) +: (0 until Dims).map(errTerm)).reduce(_ + _)
+      scaled.select(col("vec_id"), col("scale"),
+        qnorm2.as("qnorm2"), err.as("err")).orderBy("vec_id")
+    }),
+
+    // e24: PII scrub — regex redaction of emails, URLs, and phone-shaped
+    // tokens, the standard pre-training privacy pass. The fixture plants
+    // deterministic PII (derived from doc_id) in front of each document so
+    // the scrub provably fires; patterns are RE2-safe (no lookaround) and
+    // applied in a fixed order in both engines. Scalar regex in-scan —
+    // embarrassingly parallel at any corpus size.
+    "e24_pii_scrub" -> ((s, dir) => {
+      val planted = concat(
+        lit("contact user"), col("doc_id"), lit("@mail.example.com or 555-"),
+        lpad((col("doc_id") * 7) % 10000, 4, "0"),
+        lit(" see https://ex.example/p/"), col("doc_id"), lit(" "), col("text"))
+      val scrubbed =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(planted, EmailRe, "[EMAIL]"),
+            UrlRe, "[URL]"),
+          PhoneRe, "[PHONE]")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(scrubbed, java.util.regex.Pattern.quote("[EMAIL]"))).minus(1).as("n_emails"),
+        size(split(scrubbed, java.util.regex.Pattern.quote("[URL]"))).minus(1).as("n_urls"),
+        size(split(scrubbed, java.util.regex.Pattern.quote("[PHONE]"))).minus(1).as("n_phones"),
+        md5(scrubbed).as("scrubbed_md5")).orderBy("doc_id")
+    }),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -487,6 +545,33 @@ object QueriesE {
         "SELECT source, count(*) AS n_docs, " +
         "CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens " +
         "FROM reps GROUP BY source ORDER BY source"),
+    "e23_embed_quantize" -> {
+      // per-row scale, then explicit left-to-right chains mirroring the
+      // Spark expressions term-for-term
+      val sqlScale = "greatest(" +
+        (1 to Dims).map(i => s"abs(embedding[$i]::DOUBLE)").mkString("greatest(", ", ", ")") +
+        ", 1e-30) / 127.0"
+      def sqlQ(i: Int) = s"CAST(round(embedding[$i]::DOUBLE / scale) AS BIGINT)"
+      val sqlQnorm2 = (1 to Dims).map(i => s"${sqlQ(i)} * ${sqlQ(i)}").mkString(" + ")
+      val sqlErr = "0.0 + " + (1 to Dims).map { i =>
+        val r = s"(embedding[$i]::DOUBLE - (${sqlQ(i)}::DOUBLE * scale))"
+        s"$r * $r"
+      }.mkString(" + ")
+      s"WITH sc AS (SELECT vec_id, embedding, $sqlScale AS scale FROM embeddings) " +
+        s"SELECT vec_id, scale, CAST($sqlQnorm2 AS BIGINT) AS qnorm2, $sqlErr AS err " +
+        "FROM sc ORDER BY vec_id"
+    },
+    "e24_pii_scrub" ->
+      ("WITH p AS (SELECT doc_id, 'contact user' || doc_id || '@mail.example.com or 555-' || " +
+        "lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') || ' see https://ex.example/p/' || " +
+        "doc_id || ' ' || text AS planted FROM documents), " +
+        "s AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(planted, " +
+        s"'$EmailRe', '[EMAIL]', 'g'), '$UrlRe', '[URL]', 'g'), '$PhoneRe', '[PHONE]', 'g') " +
+        "AS scrubbed FROM p) " +
+        "SELECT doc_id, CAST(len(string_split(scrubbed, '[EMAIL]')) - 1 AS INT) AS n_emails, " +
+        "CAST(len(string_split(scrubbed, '[URL]')) - 1 AS INT) AS n_urls, " +
+        "CAST(len(string_split(scrubbed, '[PHONE]')) - 1 AS INT) AS n_phones, " +
+        "md5(scrubbed) AS scrubbed_md5 FROM s ORDER BY doc_id"),
     "e10_langid" ->
       ("SELECT doc_id, lang, CASE " +
         TextStats.LangMarkers.map { case (l, ws) =>

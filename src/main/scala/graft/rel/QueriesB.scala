@@ -87,6 +87,26 @@ object QueriesB {
 
     // b7: top-3 orders by totalprice within each orderpriority — window
     // top-K; tie-broken by o_orderkey for a total order.
+    // b15: sequential window functions — lag/lead/first_value over each
+    // customer's order history (deterministic frame: orderdate then the
+    // unique orderkey). delta is a single exactly-rounded double
+    // subtraction of stored values — engine-portable without decimal
+    // staging. Explicit 0.0 defaults at partition edges: the driver's
+    // comparator reads NULL doubles as NaN and NaN ≠ NaN, so oracle-checked
+    // double columns must never be NULL. One shuffle on o_custkey serves
+    // all three functions.
+    "b15_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1, 0.0).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1, 0.0).over(w).as("next_price"),
+          first_value(col("o_totalprice")).over(w).as("first_price"))
+        .withColumn("delta", col("o_totalprice") - col("prev_price"))
+        .orderBy("o_orderkey")
+    }),
+
     "b7_topk_window" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -203,6 +223,14 @@ object QueriesB {
         "count(*) AS count_order " +
         "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "b6_distinct" -> "SELECT count(DISTINCT o_custkey) AS n FROM orders",
+    "b15_window_lag" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, " +
+        "lag(o_totalprice, 1, 0.0) OVER w AS prev_price, " +
+        "lead(o_totalprice, 1, 0.0) OVER w AS next_price, " +
+        "first_value(o_totalprice) OVER w AS first_price, " +
+        "o_totalprice - lag(o_totalprice, 1, 0.0) OVER w AS delta " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_orderkey"),
     "b7_topk_window" ->
       ("SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (" +
         "SELECT o_orderpriority, o_orderkey, o_totalprice, " +

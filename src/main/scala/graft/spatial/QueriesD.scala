@@ -108,6 +108,30 @@ object QueriesD {
             col("x") + 100, lit(" "), col("y"), lit(")"))).as("wkt"))
         .orderBy("gid")),
 
+    // d9: grid-partitioned bbox spatial join — points (derived from
+    // customer) aggregated per containing rectangle (derived from nation).
+    // Candidates come from an equi-join on grid cell (SpatialJoin.bboxJoin)
+    // so the plan is shuffle-bounded at any scale — the distributed-spatial
+    // standard — and the exact containment filter keeps it precise. The
+    // oracle is the plain BETWEEN join: same result, any plan.
+    "d9_bbox_join" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey"),
+        (lit(2650000) + (col("c_custkey") * 7919) % 40000).as("px"),
+        (lit(210000) + (col("c_custkey") * 5081) % 30000).as("py"))
+      val gid = (col("n_nationkey") + 1).cast("int")
+      val boxes = t(s, dir, "nation").select(
+        gid.as("gid"),
+        (lit(2650000) + gid * 1500).as("xmin"),
+        (lit(2650000) + gid * 1500 + 2000).as("xmax"),
+        (lit(210000) + gid * 1100).as("ymin"),
+        (lit(210000) + gid * 1100 + 1600).as("ymax"))
+      SpatialJoin.bboxJoin(pts, boxes, cell = 2000)
+        .groupBy("gid")
+        .agg(count(lit(1)).as("n_pts"), sum(col("c_custkey")).as("sum_keys"))
+        .orderBy("gid")
+    }),
+
     // d8 (no-oracle): projected→projected reprojection through the façade —
     // EPSG:2272 (ftUS State Plane) to EPSG:26918 (NAD83 UTM 18N, metres),
     // routed via the geographic hub (the any-CRS capability the reference
@@ -141,6 +165,17 @@ object QueriesD {
     "d3_m_scrub" ->
       ("SELECT n_nationkey + 1 AS gid, 'POINT (' || (2660000 + (n_nationkey+1)*1000) || ' ' || " +
         "(220000 + (n_nationkey+1)*500) || ')' AS wkt FROM nation ORDER BY gid"),
+    "d9_bbox_join" ->
+      ("WITH pts AS (SELECT c_custkey, 2650000 + (c_custkey * 7919) % 40000 AS px, " +
+        "210000 + (c_custkey * 5081) % 30000 AS py FROM customer), " +
+        "boxes AS (SELECT n_nationkey + 1 AS gid, " +
+        "2650000 + (n_nationkey + 1) * 1500 AS xmin, " +
+        "2650000 + (n_nationkey + 1) * 1500 + 2000 AS xmax, " +
+        "210000 + (n_nationkey + 1) * 1100 AS ymin, " +
+        "210000 + (n_nationkey + 1) * 1100 + 1600 AS ymax FROM nation) " +
+        "SELECT gid, count(*) AS n_pts, CAST(sum(c_custkey) AS BIGINT) AS sum_keys " +
+        "FROM pts JOIN boxes ON px BETWEEN xmin AND xmax AND py BETWEEN ymin AND ymax " +
+        "GROUP BY gid ORDER BY gid"),
     "d4_multi_cast" ->
       ("WITH g AS (SELECT n_nationkey + 1 AS gid, " +
         "2660000 + (n_nationkey+1)*1000 AS x, 220000 + (n_nationkey+1)*500 AS y " +

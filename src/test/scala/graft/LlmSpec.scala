@@ -299,4 +299,28 @@ class LlmSpec extends AnyFunSuite {
       else assert(frames.isEmpty)
     }
   }
+
+  test("e23 quantization: |q| ≤ 127 and reconstruction error is bounded") {
+    val out = graft.llm.QueriesE.all("e23_embed_quantize")(spark, TestSpark.Sf).collect()
+    assert(out.length > 0)
+    out.foreach { r =>
+      val scale = r.getDouble(1); val qnorm2 = r.getLong(2); val err = r.getDouble(3)
+      assert(scale > 0, "scale positive")
+      // 64 dims, each |q_i| ≤ 127 ⇒ qnorm2 ≤ 64·127²
+      assert(qnorm2 >= 0 && qnorm2 <= 64L * 127 * 127, s"qnorm2=$qnorm2")
+      // per-dim rounding error ≤ scale/2 ⇒ err ≤ 64·(scale/2)²
+      assert(err >= 0 && err <= 64 * (scale / 2) * (scale / 2) * 1.0000001,
+        s"err=$err vs bound=${64 * (scale / 2) * (scale / 2)}")
+    }
+  }
+
+  test("e24 pii scrub: planted email/url/phone all redacted exactly once") {
+    val out = graft.llm.QueriesE.all("e24_pii_scrub")(spark, TestSpark.Sf).collect()
+    assert(out.length > 0)
+    out.foreach { r =>
+      assert(r.getInt(1) == 1, s"doc ${r.getLong(0)}: n_emails=${r.getInt(1)}")
+      assert(r.getInt(2) == 1, s"doc ${r.getLong(0)}: n_urls=${r.getInt(2)}")
+      assert(r.getInt(3) == 1, s"doc ${r.getLong(0)}: n_phones=${r.getInt(3)}")
+    }
+  }
 }

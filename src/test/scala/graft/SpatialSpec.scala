@@ -1,13 +1,14 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.spatial.{Projection, Wkt}
+import graft.spatial.{Projection, SpatialJoin, Wkt}
 
 /** WKT kernel + projection math (SURVEY.md §2.5, reference edge cases from
   * FIXTURES.md §3: NaN coords, ' M' values, '1.#QNAN000', curves, EMPTY,
   * MULTI/single mismatch).
   */
 class SpatialSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
 
   test("normalize: parse∘write canonicalizes formatting") {
     assert(Wkt.normalize("POINT(1 2)") == "POINT (1 2)")
@@ -243,5 +244,39 @@ class SpatialSpec extends AnyFunSuite {
       val w = s"POINT ($x $y)"
       assert(Wkt.normalize(w) == w)
     }
+  }
+
+  test("bboxJoin matches the brute-force containment join for any cell size") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(10000).toLong, rnd.nextInt(8000).toLong))
+      .toDF("pid", "px", "py")
+    val boxes = (1 to 20).map { g =>
+      val x0 = rnd.nextInt(9000).toLong; val y0 = rnd.nextInt(7000).toLong
+      (g.toLong, x0, x0 + rnd.nextInt(1500) + 1, y0, y0 + rnd.nextInt(1200) + 1)
+    }.toDF("gid", "xmin", "xmax", "ymin", "ymax")
+    val brute = pts.join(boxes,
+        col("px") >= col("xmin") && col("px") <= col("xmax") &&
+        col("py") >= col("ymin") && col("py") <= col("ymax"))
+      .select("pid", "gid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // correctness must not depend on the cell size (including cells much
+    // smaller than a box)
+    for (cell <- Seq(250, 1000, 4000)) {
+      val got = SpatialJoin.bboxJoin(pts, boxes, cell)
+        .select("pid", "gid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute, s"cell=$cell: ${got.size} vs ${brute.size} pairs")
+    }
+  }
+
+  test("bboxJoin candidate generation is an equi-join (no nested loop)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val pts = Seq((1L, 5L, 5L)).toDF("pid", "px", "py")
+    val boxes = Seq((1L, 0L, 10L, 0L, 10L)).toDF("gid", "xmin", "xmax", "ymin", "ymax")
+    val plan = SpatialJoin.bboxJoin(pts, boxes, 100).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bboxJoin must join on grid cells:\n$plan")
   }
 }
