@@ -376,6 +376,23 @@ object QueriesE {
         md5(scrubbed).as("scrubbed_md5")).orderBy("doc_id")
     }),
 
+    // e25: deterministic stratified hash sampling — the reproducible
+    // train/held-out split a training pipeline needs: sample rate per
+    // source (src0 50%, src1 25%, rest 10%), membership decided by an
+    // engine-portable md5-derived bucket of the doc id (never by RNG, so
+    // the split is stable across runs, engines, and repartitioning).
+    // Scan-local scalar math: no shuffle, embarrassingly parallel.
+    "e25_hash_sample" -> ((s, dir) => {
+      val bucket = (conv(substring(md5(concat(lit("s|"), col("doc_id"))), 1, 8), 16, 10)
+        .cast("long") % 100).as("bucket")
+      val rate = when(col("source") === "src0", 50)
+        .when(col("source") === "src1", 25).otherwise(10)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), bucket)
+        .filter(col("bucket") < rate)
+        .orderBy("doc_id")
+    }),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -572,6 +589,17 @@ object QueriesE {
         "CAST(len(string_split(scrubbed, '[URL]')) - 1 AS INT) AS n_urls, " +
         "CAST(len(string_split(scrubbed, '[PHONE]')) - 1 AS INT) AS n_phones, " +
         "md5(scrubbed) AS scrubbed_md5 FROM s ORDER BY doc_id"),
+    "e25_hash_sample" -> {
+      // first 8 hex digits of md5 → integer via digit arithmetic (the
+      // engine-portable hex decode; same recipe as e16)
+      val hash = "(" + (1 to 8).map { j =>
+        s"(strpos('0123456789abcdef', substr(md5('s|' || doc_id), $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))}"
+      }.mkString(" + ") + ")"
+      s"WITH b AS (SELECT doc_id, source, $hash % 100 AS bucket FROM documents) " +
+        "SELECT doc_id, source, bucket FROM b " +
+        "WHERE bucket < (CASE WHEN source = 'src0' THEN 50 WHEN source = 'src1' THEN 25 ELSE 10 END) " +
+        "ORDER BY doc_id"
+    },
     "e10_langid" ->
       ("SELECT doc_id, lang, CASE " +
         TextStats.LangMarkers.map { case (l, ws) =>

@@ -94,6 +94,28 @@ object QueriesC {
         .orderBy("o_custkey")
     }),
 
+    // c9: schema evolution — a table whose later files carry an extra
+    // column (the standard additive-column migration at any warehouse).
+    // mergeSchema unifies the footers at read time; pre-migration rows get
+    // NULL for the new column, coalesced to a sentinel (the driver's
+    // comparator cannot hash NULL numerics — they round-trip as NaN).
+    // Scale note: footer merging is metadata-only (no data rewrite — the
+    // point of additive evolution); pin the merged schema in a metastore
+    // at production scale instead of re-merging per read.
+    "c9_schema_evolution" -> ((s, dir) => {
+      val db = scratch(s)
+      val path = db.pathOf("c9_region")
+      val r = t(s, dir, "region").select("r_regionkey", "r_name")
+      r.write.mode("overwrite").parquet(path)
+      // the "migrated" writer appends files WITH the new column
+      r.withColumn("r_pop", col("r_regionkey") * 1000 + 17)
+        .write.mode("append").parquet(path)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .select(col("r_regionkey"), col("r_name"),
+          coalesce(col("r_pop"), lit(-1L)).as("r_pop"))
+        .orderBy("r_regionkey", "r_pop")
+    }),
+
     // c7: hive-style date partitioning — the 100 TB layout for event data.
     // Writes events partitioned by day; the read-back filter becomes a
     // PartitionFilter (directory pruning: one day's files scanned, not 30).
@@ -157,6 +179,10 @@ object QueriesC {
     "c5_view_execute" ->
       ("SELECT o_custkey, count(*) AS n_open FROM orders WHERE o_orderstatus = 'O' " +
         "GROUP BY o_custkey ORDER BY o_custkey"),
+    "c9_schema_evolution" ->
+      ("SELECT r_regionkey, r_name, -1 AS r_pop FROM region " +
+        "UNION ALL SELECT r_regionkey, r_name, r_regionkey * 1000 + 17 FROM region " +
+        "ORDER BY r_regionkey, r_pop"),
     "c7_partition_pruning" ->
       ("SELECT event_id, user_id, event_type, value FROM events " +
         "WHERE CAST(ts AS DATE) = DATE '2024-01-15' ORDER BY event_id"),

@@ -103,6 +103,33 @@ object EventWindows {
       tumblingStream(readStreamEvents(spark, dir), delay, width), "append", sinkName)
   }
 
+  /** The watermarked streaming session-window plan (separated for tests):
+    * per-user gap sessions merge in the state store; in append mode a
+    * session emits once the watermark passes its end (last event + gap).
+    */
+  def sessionsStream(events: DataFrame, delay: String, gap: String): DataFrame =
+    ltz(events)
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").cast("long").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Real streaming run of the f3 session semantics (file source +
+    * watermark, append mode): emits exactly the sessions the watermark
+    * finalized — the SQL-predictable subset (session end = last event +
+    * gap, finalized when ≤ max event time − delay). State is bounded by
+    * the watermark like any session store; this is f12's runner and the
+    * streaming twin of the batch f3 plan.
+    */
+  def sessionsWithWatermark(spark: SparkSession, dir: String,
+      delay: String = "15 minutes", gap: String = "30 minutes",
+      sinkName: String = "f12_sink"): DataFrame = withShufflePartitions(spark, 8) {
+    runToMemorySink(
+      sessionsStream(readStreamEvents(spark, dir), delay, gap), "append", sinkName)
+  }
+
   /** Input/output rows for the custom-state operator. */
   case class UserEvent(user_id: Long, us: Long, cents: Long)
   case class UserState(user_id: Long, n_events: Long, sum_value: Double, last_us: Long)

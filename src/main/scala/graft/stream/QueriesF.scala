@@ -112,6 +112,14 @@ object QueriesF {
     "f10_stream_dedup" -> ((s, dir) =>
       EventWindows.dedupToParquet(s, dir).orderBy("event_id")),
 
+    // f12: the f3 session windows executed as a REAL streaming query
+    // (watermark + session_window state merging in the state store, append
+    // mode) — oracle-checked against the finalized-sessions subset, the
+    // session analogue of f4's tumbling contract.
+    "f12_stream_session" -> ((s, dir) =>
+      EventWindows.sessionsWithWatermark(s, dir)
+        .orderBy("user_id", "session_start")),
+
     // f11: the f8 range join executed as a REAL stream-stream join
     // (purchases ⋈ views, watermark-bounded state on both sides) — same
     // oracle SQL as the batch form; proves the unified-engine contract on
@@ -196,6 +204,20 @@ object QueriesF {
     "f10_stream_dedup" ->
       ("SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value, props " +
         "FROM events ORDER BY event_id"),
-    "f11_stream_range_join" -> RangeJoinSql
+    "f11_stream_range_join" -> RangeJoinSql,
+    // finalized sessions only: session end (last event + 30 min gap) must
+    // be ≤ the final watermark (max event time − 15 min delay)
+    "f12_stream_session" ->
+      (s"WITH e AS ($EsEvents), m AS (SELECT max(us) AS mu FROM e), " +
+        "flagged AS (SELECT user_id, value, es, us, CASE WHEN us - lag(us) OVER " +
+        "(PARTITION BY user_id ORDER BY us) >= 1800000000 OR lag(us) OVER " +
+        "(PARTITION BY user_id ORDER BY us) IS NULL THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "sess AS (SELECT user_id, value, es, us, sum(new_s) OVER " +
+        "(PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM flagged), " +
+        s"agg AS (SELECT user_id, min(es) AS session_start, count(*) AS n_events, $SumVal, " +
+        "max(us) AS max_us FROM sess GROUP BY user_id, sid) " +
+        "SELECT user_id, session_start, n_events, sum_value FROM agg, m " +
+        "WHERE max_us + 1800000000 <= mu - 900000000 " +
+        "ORDER BY user_id, session_start")
   )
 }
