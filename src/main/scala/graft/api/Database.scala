@@ -79,21 +79,36 @@ class Database(val spark: SparkSession, val root: String,
     *
     * Temp views are session-global, so two Database instances over
     * different roots would otherwise fight over names and `execute` could
-    * silently read the other database's table; re-registering on every
-    * call restores the reference's per-connection namespace semantics but
-    * costs one footer/schema read per table per call. The re-registration
-    * is therefore SKIPPED when this instance already owns the session's
-    * views, no write has happened since (`dirty`), and the table listing
-    * is unchanged — for a many-table warehouse that turns the per-`execute`
-    * tax into a directory listing. Any write through this façade
-    * (store/replace/drop/create) marks the namespace dirty because a
-    * registered view caches its file listing and would go stale.
+    * silently read the other database's table; re-registering restores the
+    * reference's per-connection namespace semantics but costs one
+    * footer/schema read per table. Two optimizations keep that tax off the
+    * hot path: registration is SKIPPED while this instance owns the
+    * session's views, no write has happened since (`dirty`), and the table
+    * listing is unchanged; and `execute`/`createView`/`createMView` parse
+    * their SQL and register only the relations it references
+    * (O(#referenced), not O(#tables) — see [[ensureRegistered]]). Any
+    * write through this façade (store/replace/drop/create) marks the
+    * namespace dirty because a registered view caches its file listing and
+    * would go stale.
     */
-  def registerAll(): Unit = {
+  def registerAll(): Unit = ensureRegistered(None)
+
+  /** Register the tables a statement needs (all of them when `needed` is
+    * None). Registration costs one schema/footer read per table, so
+    * `execute` narrows it to the relations its SQL actually references —
+    * O(#referenced), not O(#tables), per statement on a fresh façade (the
+    * many-table-warehouse tax). Bookkeeping: the session token remembers
+    * which tables THIS instance registered under the current write epoch;
+    * anything outside that set is (re-)registered on demand, so stale
+    * views left by other instances/epochs can never serve a statement
+    * that references them.
+    */
+  private[api] def ensureRegistered(needed: Option[Set[String]]): Unit = {
     val ts = tables
     // two table names may sanitize to one view name (`sales.orders` vs a
     // base table `sales_orders`) — last-registered-wins would silently
-    // serve the wrong table to execute(), so fail loudly instead
+    // serve the wrong table to execute(), so fail loudly instead (string
+    // check over the listing: no I/O)
     val collisions = ts.groupBy(viewNameOf).filter(_._2.lengthCompare(1) > 0)
     if (collisions.nonEmpty) {
       val msg = collisions.map { case (v, names) =>
@@ -102,16 +117,35 @@ class Database(val spark: SparkSession, val root: String,
       throw new IllegalStateException(
         s"ambiguous SQL table names under $root: $msg — rename one of them")
     }
+    val want: Set[String] = needed match {
+      case None       => ts.toSet
+      case Some(rels) => ts.filter(t => rels.contains(viewNameOf(t).toLowerCase)).toSet
+    }
     val epoch = Database.writeEpoch(spark, root)
     val owner = Database.sessionOwner.get(spark)
-    val fresh = owner != null && (owner._1.get eq this) &&
+    val sameCtx = owner != null && (owner._1.get eq this) &&
       owner._2 == epoch && owner._3 == ts
-    if (!fresh) {
-      ts.foreach(register)
+    val have: Set[String] = if (sameCtx) owner._4 else Set.empty
+    val missing = want -- have
+    if (!sameCtx || missing.nonEmpty) {
+      missing.foreach(register)
       Database.sessionOwner.put(spark,
-        (new java.lang.ref.WeakReference(this), epoch, ts))
+        (new java.lang.ref.WeakReference(this), epoch, ts, have ++ missing))
     }
   }
+
+  /** Relation names referenced by a SQL statement (lower-cased, dotted),
+    * including inside subquery expressions; None when parsing fails (the
+    * caller then registers everything — the conservative fallback).
+    */
+  private def referencedRelations(stmt: String): Option[Set[String]] =
+    try {
+      val plan = spark.sessionState.sqlParser.parsePlan(stmt)
+      Some(plan.collectWithSubqueries {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          u.multipartIdentifier.mkString(".").toLowerCase
+      }.toSet)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Invalidate cached registrations after a write. The epoch is keyed by
     * (session, root), so a SECOND Database instance over the same root
@@ -205,7 +239,7 @@ class Database(val spark: SparkSession, val root: String,
       replaceTable(tbl, kept)
       rowcount(total - keptN)
     case Database.InsertRe(tbl, colList, body) =>
-      registerAll()
+      ensureRegistered(referencedRelations(body))
       val rows0 = spark.sql(body)
       val rows = Option(colList) match {
         case Some(cl) => rows0.toDF(cl.split(",").map(_.trim).toSeq: _*)
@@ -218,7 +252,7 @@ class Database(val spark: SparkSession, val root: String,
       rows.persist() // consumed twice: the count and the append
       try { val n = rows.count(); table(tbl).write(rows); rowcount(n) }
       finally { rows.unpersist(); () }
-    case _ => registerAll(); spark.sql(stmt)
+    case _ => ensureRegistered(referencedRelations(stmt)); spark.sql(stmt)
   }
 
   private def rowcount(n: Long): DataFrame =
@@ -281,7 +315,8 @@ class Database(val spark: SparkSession, val root: String,
 
   /** Session-scoped logical view (ref datum/postgis/database.py:108-116). */
   def createView(name: String, select: String): Unit = {
-    registerAll(); spark.sql(select).createOrReplaceTempView(name)
+    ensureRegistered(referencedRelations(select))
+    spark.sql(select).createOrReplaceTempView(name)
   }
   def dropView(name: String): Unit = spark.catalog.dropTempView(name)
 
@@ -291,7 +326,7 @@ class Database(val spark: SparkSession, val root: String,
     * readers get columnar scans + stats.
     */
   def createMView(name: String, select: String): Unit = {
-    registerAll()
+    ensureRegistered(referencedRelations(select))
     store(spark.sql(select), name, "overwrite")
     register(name)
   }
@@ -344,10 +379,12 @@ object Database {
     * strong value → Database → spark edge would pin the weak key forever.
     */
   private val sessionOwner: java.util.Map[
-      SparkSession, (java.lang.ref.WeakReference[Database], Long, Seq[String])] =
+      SparkSession,
+      (java.lang.ref.WeakReference[Database], Long, Seq[String], Set[String])] =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[
-        SparkSession, (java.lang.ref.WeakReference[Database], Long, Seq[String])]())
+        SparkSession,
+        (java.lang.ref.WeakReference[Database], Long, Seq[String], Set[String])]())
 
   /** Per-(session, root) write counters — bumped by every façade write so
     * cached registrations from ANY instance over that root invalidate.

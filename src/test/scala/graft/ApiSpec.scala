@@ -424,6 +424,21 @@ class ApiSpec extends AnyFunSuite {
       e.getMessage.contains("sales_orders"))
   }
 
+  test("execute registers only the relations its SQL references") {
+    val scratch = scratchDb()
+    scratch.store(db.table("region").df, "exe_x", "overwrite")
+    scratch.store(db.table("nation").df, "exe_y", "overwrite")
+    // canary: plant a wrong view under exe_y's view name, then run a
+    // statement that references only exe_x — the canary must survive
+    // (registering everything would overwrite it)
+    spark.range(1).toDF("canary").createOrReplaceTempView("exe_y")
+    assert(scratch.execute("SELECT count(*) AS n FROM exe_x").collect()(0).getLong(0) == 5)
+    assert(spark.table("exe_y").columns.toSeq == Seq("canary"),
+      "unreferenced table must not be registered")
+    // a statement that DOES reference exe_y replaces the canary on demand
+    assert(scratch.execute("SELECT count(*) AS n FROM exe_y").collect()(0).getLong(0) == 25)
+  }
+
   test("parseCredentialUrl extracts user/password/host/db (ref datum/util.py:8-17)") {
     assert(Datum.parseCredentialUrl("alice:s3cr3t@dbhost:5432/warehouse") ==
       ((Some("alice"), Some("s3cr3t"), "dbhost:5432", "warehouse")))
