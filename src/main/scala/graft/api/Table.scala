@@ -250,6 +250,25 @@ class Table(val db: Database, val qualified: String) {
   }
   def dropIndex(idxFields: Seq[String]): Unit = () // clustering is harmless to keep
 
+  /** Small-files compaction: merge this table's files into ~`targetMB`
+    * outputs WITHOUT a shuffle (`coalesce` folds existing partitions) and
+    * atomically swap the result in (`Database.replaceTable`). Chunked
+    * appends and streaming sinks accrete small files; at 100 TB unmerged
+    * small files dominate open/seek cost and crush scan throughput — this
+    * is the standard maintenance job, and keeping it shuffle-free means
+    * one read + one write, no exchange. Row order within merged files
+    * follows partition concatenation (compaction is layout maintenance,
+    * not clustering — use createIndex/createZOrderIndex to order).
+    * Returns the output file-group count.
+    */
+  def compact(targetMB: Int = 128): Int = {
+    val bytes = Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.length).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / (targetMB.toLong << 20)).toInt)
+    db.replaceTable(qualified, df.coalesce(n))
+    n
+  }
+
   /** Z-order (Morton) clustering — the multi-dimensional analogue of
     * [[createIndex]]: interleaves the bits of each key's min/max-normalized
     * value so row-group bounding boxes stay COMPACT in EVERY indexed

@@ -94,6 +94,19 @@ object QueriesC {
         .orderBy("o_custkey")
     }),
 
+    // c10: small-files compaction — chunked ingest leaves many tiny files
+    // (maxRecordsPerFile=2 here); compact() folds them shuffle-free
+    // (coalesce) and swaps atomically. Content is unchanged — the oracle is
+    // the source itself; the file-count collapse is asserted in ApiSpec.
+    "c10_compact_small_files" -> ((s, dir) => {
+      val db = scratch(s)
+      db.store(t(s, dir, "nation").repartition(5), "c10_nation", "overwrite",
+        chunkSize = 2)
+      val tbl = db.table("c10_nation")
+      tbl.compact()
+      tbl.read(sort = Seq("n_nationkey"))
+    }),
+
     // c9: schema evolution — a table whose later files carry an extra
     // column (the standard additive-column migration at any warehouse).
     // mergeSchema unifies the footers at read time; pre-migration rows get
@@ -179,6 +192,7 @@ object QueriesC {
     "c5_view_execute" ->
       ("SELECT o_custkey, count(*) AS n_open FROM orders WHERE o_orderstatus = 'O' " +
         "GROUP BY o_custkey ORDER BY o_custkey"),
+    "c10_compact_small_files" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "c9_schema_evolution" ->
       ("SELECT r_regionkey, r_name, -1 AS r_pop FROM region " +
         "UNION ALL SELECT r_regionkey, r_name, r_regionkey * 1000 + 17 FROM region " +

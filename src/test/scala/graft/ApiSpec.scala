@@ -424,6 +424,20 @@ class ApiSpec extends AnyFunSuite {
       e.getMessage.contains("sales_orders"))
   }
 
+  test("compact merges small files shuffle-free without changing content") {
+    val scratch = scratchDb()
+    scratch.store(db.table("nation").df.repartition(5), "cmp1", "overwrite",
+      chunkSize = 2)
+    val dir = new java.io.File(scratch.pathOf("cmp1"))
+    def parts = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts >= 10, s"chunked write must leave many small files, got $parts")
+    val n = scratch.table("cmp1").compact()
+    assert(n == 1, s"25 tiny rows must fold to one file group, got $n")
+    assert(parts == 1, s"compacted table must hold one data file, got $parts")
+    val rows = scratch.table("cmp1").read(sort = Seq("n_nationkey")).collect()
+    assert(rows.length == 25 && rows.map(_.getAs[Int]("n_nationkey")).toSeq == (0 to 24))
+  }
+
   test("execute registers only the relations its SQL references") {
     val scratch = scratchDb()
     scratch.store(db.table("region").df, "exe_x", "overwrite")
