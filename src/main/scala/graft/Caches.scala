@@ -14,8 +14,10 @@ import org.apache.spark.sql.DataFrame
   * a new set of cached relations per query for the life of the session.
   *
   * Contract: operators register what they persist via [[persistTracked]] /
-  * [[register]]; the per-query harnesses (Verify, Bench, specs) call
-  * [[drain]] after each query's result is fully materialized.
+  * [[register]]; the per-query harnesses (Verify, Bench, and the smoke
+  * sweep) call [[drain]] after each query's result is fully materialized.
+  * Tests that call tracked operators directly may skip draining — their
+  * sf0.001 caches are tiny and die with the suite JVM.
   */
 object Caches {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()

@@ -105,21 +105,26 @@ class Database(val spark: SparkSession, val root: String,
     */
   private[api] def ensureRegistered(needed: Option[Set[String]]): Unit = {
     val ts = tables
+    val want: Set[String] = needed match {
+      case None       => ts.toSet
+      case Some(rels) => ts.filter(t => rels.contains(viewNameOf(t).toLowerCase)).toSet
+    }
     // two table names may sanitize to one view name (`sales.orders` vs a
     // base table `sales_orders`) — last-registered-wins would silently
     // serve the wrong table to execute(), so fail loudly instead (string
-    // check over the listing: no I/O)
-    val collisions = ts.groupBy(viewNameOf).filter(_._2.lengthCompare(1) > 0)
+    // check over the listing: no I/O). Only statements that actually
+    // reference an ambiguous name fail; the rest of the database stays
+    // usable.
+    val collisions = ts.groupBy(viewNameOf)
+      .filter { case (_, names) =>
+        names.lengthCompare(1) > 0 && names.exists(want)
+      }
     if (collisions.nonEmpty) {
       val msg = collisions.map { case (v, names) =>
         s"${names.mkString(", ")} all register as temp view '$v'"
       }.mkString("; ")
       throw new IllegalStateException(
         s"ambiguous SQL table names under $root: $msg — rename one of them")
-    }
-    val want: Set[String] = needed match {
-      case None       => ts.toSet
-      case Some(rels) => ts.filter(t => rels.contains(viewNameOf(t).toLowerCase)).toSet
     }
     val epoch = Database.writeEpoch(spark, root)
     val owner = Database.sessionOwner.get(spark)

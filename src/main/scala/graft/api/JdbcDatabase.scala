@@ -71,25 +71,31 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
   override private[api] def replaceTable(name: String, df: DataFrame): Unit = {
     val stage = name + "_GRAFT_STAGE"
     store(df, stage, "overwrite")
-    val conn = connection()
     try {
-      conn.setAutoCommit(false)
-      val st = conn.createStatement()
+      val conn = connection()
       try {
-        st.executeUpdate(s"DELETE FROM $name"): Unit
-        st.executeUpdate(s"INSERT INTO $name SELECT * FROM $stage"): Unit
-        conn.commit()
-      } catch {
-        case e: java.sql.SQLException => conn.rollback(); throw e
-      } finally st.close()
-    } finally conn.close()
-    val cleanup = connection()
-    try {
-      val st = cleanup.createStatement()
-      try st.executeUpdate(s"DROP TABLE $stage"): Unit
-      catch { case _: java.sql.SQLException => () } // best-effort cleanup
-      finally st.close()
-    } finally cleanup.close()
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        try {
+          st.executeUpdate(s"DELETE FROM $name"): Unit
+          st.executeUpdate(s"INSERT INTO $name SELECT * FROM $stage"): Unit
+          conn.commit()
+        } catch {
+          case e: java.sql.SQLException => conn.rollback(); throw e
+        } finally st.close()
+      } finally conn.close()
+    } finally {
+      // drop the stage whether the swap committed or not — a failed swap
+      // (e.g. an FK violation on the DELETE) must not leave a phantom
+      // *_GRAFT_STAGE table in the backend catalog
+      val cleanup = connection()
+      try {
+        val st = cleanup.createStatement()
+        try st.executeUpdate(s"DROP TABLE $stage"): Unit
+        catch { case _: java.sql.SQLException => () } // best-effort cleanup
+        finally st.close()
+      } finally cleanup.close()
+    }
     markDirty()
   }
 

@@ -232,13 +232,7 @@ class Table(val db: Database, val qualified: String) {
     */
   def createIndex(idxFields: Seq[String]): String = {
     val idxName = (name +: idxFields :+ "idx").mkString("_")
-    // output partitioning follows the input layout — one range partition
-    // per input file keeps file sizes roughly stable (a 100 TB table keeps
-    // its thousands of partitions) — but never below the cluster's
-    // parallelism: a table that arrived as one file would otherwise sort
-    // and write on a single task while every other core idles
-    val nParts = math.max(df.sparkSession.sparkContext.defaultParallelism,
-      df.inputFiles.length)
+    val nParts = clusterPartitions(df)
     val clustered = df.repartitionByRange(nParts, idxFields.map(col): _*)
       .sortWithinPartitions(idxFields.map(col): _*)
     // single clustered write + atomic directory swap (Database.replaceTable):
@@ -249,6 +243,22 @@ class Table(val db: Database, val qualified: String) {
     idxName
   }
   def dropIndex(idxFields: Seq[String]): Unit = () // clustering is harmless to keep
+
+  /** Range-partition count for a clustered rewrite: one partition per
+    * input file keeps file sizes roughly stable (a 100 TB table keeps its
+    * thousands of partitions), and a table that arrived as FEW LARGE files
+    * still fans out to ~128 MB units so the sort and write parallelize —
+    * without ever fragmenting a small table into per-core confetti (the
+    * old defaultParallelism floor turned a 25-row table into 32 files;
+    * clustering output should be the thing compaction produces, not the
+    * thing it fixes).
+    */
+  private def clusterPartitions(cur: DataFrame): Int = {
+    val bytes = Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.length).sum
+    val bySize = math.ceil(bytes.toDouble / (128L << 20)).toInt
+    math.max(1, math.max(cur.inputFiles.length, bySize))
+  }
 
   /** Small-files compaction: merge this table's files into ~`targetMB`
     * outputs WITHOUT a shuffle (`coalesce` folds existing partitions) and
@@ -312,10 +322,7 @@ class Table(val db: Database, val qualified: String) {
         shiftleft(shiftright(n, b).bitwiseAND(lit(1)).cast("long"), b * d + i)
       }
     }.reduce(_.bitwiseOR(_))
-    // same floor as createIndex: single-file tables must not serialize the
-    // whole rewrite onto one task
-    val nParts = math.max(cur.sparkSession.sparkContext.defaultParallelism,
-      cur.inputFiles.length)
+    val nParts = clusterPartitions(cur)
     val clustered = cur.withColumn("_z", z)
       .repartitionByRange(nParts, col("_z"))
       .sortWithinPartitions("_z")

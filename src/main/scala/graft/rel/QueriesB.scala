@@ -85,8 +85,6 @@ object QueriesB {
     "b6_distinct" -> ((s, dir) =>
       t(s, dir, "orders").agg(countDistinct(col("o_custkey")).as("n"))),
 
-    // b7: top-3 orders by totalprice within each orderpriority — window
-    // top-K; tie-broken by o_orderkey for a total order.
     // b15: sequential window functions — lag/lead/first_value over each
     // customer's order history (deterministic frame: orderdate then the
     // unique orderkey). delta is a single exactly-rounded double
@@ -107,6 +105,8 @@ object QueriesB {
         .orderBy("o_orderkey")
     }),
 
+    // b7: top-3 orders by totalprice within each orderpriority — window
+    // top-K; tie-broken by o_orderkey for a total order.
     "b7_topk_window" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))

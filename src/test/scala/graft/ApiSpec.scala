@@ -422,6 +422,11 @@ class ApiSpec extends AnyFunSuite {
       scratch.execute("SELECT count(*) AS n FROM sales_orders"))
     assert(e.getMessage.contains("sales.orders") &&
       e.getMessage.contains("sales_orders"))
+    // the rest of the database stays usable: statements that reference
+    // neither colliding name must not be poisoned by the ambiguity
+    scratch.store(db.table("region").df, "unrelated", "overwrite")
+    assert(scratch.execute("SELECT count(*) AS n FROM unrelated")
+      .collect()(0).getLong(0) == 5)
   }
 
   test("compact merges small files shuffle-free without changing content") {

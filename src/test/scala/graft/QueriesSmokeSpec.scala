@@ -44,6 +44,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
           s"$name plans a BroadcastNestedLoopJoin — nested loop at scale")
       val n = df.count()
       assert(n >= 0)
+      Caches.drain() // free per-query tracked intermediates, like the harnesses
     }
   }
 }
