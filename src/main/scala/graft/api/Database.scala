@@ -112,10 +112,11 @@ class Database(val spark: SparkSession, val root: String,
     // two table names may sanitize to one view name (`sales.orders` vs a
     // base table `sales_orders`) — last-registered-wins would silently
     // serve the wrong table to execute(), so fail loudly instead (string
-    // check over the listing: no I/O). Only statements that actually
-    // reference an ambiguous name fail; the rest of the database stays
-    // usable.
-    val collisions = ts.groupBy(viewNameOf)
+    // check over the listing: no I/O). Spark temp-view names are
+    // case-insensitive, so `Orders` vs `orders` collide too — compare
+    // lower-cased. Only statements that actually reference an ambiguous
+    // name fail; the rest of the database stays usable.
+    val collisions = ts.groupBy(viewNameOf(_).toLowerCase)
       .filter { case (_, names) =>
         names.lengthCompare(1) > 0 && names.exists(want)
       }
@@ -200,10 +201,14 @@ class Database(val spark: SparkSession, val root: String,
     markDirty()
   }
 
-  /** Format-dispatched write to an explicit path (staging dirs etc.). */
+  /** Format-dispatched write to an explicit path (staging dirs etc.).
+    * `partitionBy` reproduces a hive layout (`col=value/` subdirectories).
+    */
   private[api] def storeAt(df: org.apache.spark.sql.DataFrame, path: String,
-      mode: String = "overwrite", chunkSize: Int = 0): Unit = {
-    val w0 = df.write.mode(mode)
+      mode: String = "overwrite", chunkSize: Int = 0,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w1 = df.write.mode(mode)
+    val w0 = if (partitionBy.nonEmpty) w1.partitionBy(partitionBy: _*) else w1
     val w = if (chunkSize > 0) w0.option("maxRecordsPerFile", chunkSize.toLong) else w0
     format match {
       case "parquet" => w.parquet(path)
@@ -265,22 +270,45 @@ class Database(val spark: SparkSession, val root: String,
 
   /** Atomically replace a table's contents: staged write + directory swap
     * (one data pass; the original survives any crash before the swap
-    * completes). Used by DELETE-rewrite and index clustering.
+    * completes). Used by DELETE-rewrite and index clustering. A
+    * hive-partitioned layout (`col=value/` subdirectories) is PRESERVED:
+    * the rewrite writes with the same `partitionBy` columns, so a DELETE
+    * or re-cluster of a day-partitioned 100 TB table keeps its partition
+    * pruning instead of silently flattening to one directory.
     */
-  private[api] def replaceTable(name: String, df: DataFrame): Unit = {
-    val path = pathOf(name)
+  private[api] def replaceTable(name: String, df: DataFrame): Unit =
+    replaceAt(pathOf(name), df, Database.partitionColsOf(pathOf(name)))
+
+  /** Staged write + atomic directory swap at an explicit path (the
+    * primitive behind [[replaceTable]] and per-partition compaction).
+    */
+  private[api] def replaceAt(path: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Unit = {
     val tmp = new File(path + ".stage_tmp"); val bak = new File(path + ".stage_bak")
     deleteRecursively(tmp); deleteRecursively(bak)
-    storeAt(df, tmp.getPath)
+    storeAt(df, tmp.getPath, partitionBy = partitionBy)
     val orig = new File(path)
     if (orig.exists() && !orig.renameTo(bak))
-      throw new java.io.IOException(s"replaceTable: cannot stage $path")
+      throw new java.io.IOException(s"replaceAt: cannot stage $path")
     if (!tmp.renameTo(orig)) {
       bak.renameTo(orig) // roll back; table untouched
-      throw new java.io.IOException(s"replaceTable: cannot swap $tmp into place")
+      throw new java.io.IOException(s"replaceAt: cannot swap $tmp into place")
     }
     deleteRecursively(bak)
     markDirty()
+  }
+
+  /** Format-dispatched read of an explicit directory (a single hive
+    * partition's leaf dir, staging dirs — partition columns are NOT
+    * inferred because the path points below them).
+    */
+  private[api] def loadDir(path: String): DataFrame = format match {
+    case "parquet" => spark.read.parquet(path)
+    case "orc"     => spark.read.orc(path)
+    case "csv"     => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    case "json"    => spark.read.json(path)
+    case other     => throw new IllegalArgumentException(
+      s"unsupported format '$other' (supported: parquet, orc, csv, json)")
   }
 
   /** Coarse → concrete types for CREATE TABLE
@@ -413,6 +441,50 @@ object Database {
     epochsOf(spark).merge(root, java.lang.Long.valueOf(1L),
       (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue)): Unit
   }
+
+  /** Hive partition columns of a table directory, outermost first —
+    * derived from the `col=value` subdirectory names (one probe path;
+    * layouts are uniform by construction). Empty for flat tables.
+    */
+  private[api] def partitionColsOf(path: String): Seq[String] = {
+    @annotation.tailrec
+    def walk(dir: File, acc: List[String]): List[String] = {
+      val sub = Option(dir.listFiles()).getOrElse(Array.empty)
+        .find(d => d.isDirectory && d.getName.contains("="))
+      sub match {
+        case Some(s) => walk(s, acc :+ s.getName.takeWhile(_ != '='))
+        case None    => acc
+      }
+    }
+    walk(new File(path), Nil)
+  }
+
+  /** Leaf data directories of a hive-partitioned table (the dirs that hold
+    * actual data files); the table dir itself when flat.
+    */
+  private[api] def leafDirsOf(path: String): Seq[File] = {
+    def walk(dir: File): Seq[File] = {
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.contains("="))
+      if (parts.isEmpty) Seq(dir) else parts.toSeq.flatMap(walk)
+    }
+    walk(new File(path))
+  }
+
+  /** Bytes of data files under a table directory, recursive — a
+    * hive-partitioned table keeps its data one level (or more) down, so a
+    * non-recursive listing would report 0 and missize every maintenance
+    * job. Commit markers (`_SUCCESS`, dotfiles) excluded.
+    */
+  private[api] def dataBytes(path: String): Long = {
+    def walk(f: File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else if (isDataFile(f.getName)) f.length else 0L
+    walk(new File(path))
+  }
+
+  private[api] def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
 
   /** `DELETE FROM t [WHERE p]` — full-statement match, optional `;`. */
   private val DeleteRe =

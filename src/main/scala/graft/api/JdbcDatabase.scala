@@ -70,6 +70,12 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
     */
   override private[api] def replaceTable(name: String, df: DataFrame): Unit = {
     val stage = name + "_GRAFT_STAGE"
+    // refuse rather than silently overwrite-and-drop a pre-existing user
+    // table that happens to carry the stage name
+    if (tables.exists(_.equalsIgnoreCase(stage)))
+      throw new IllegalStateException(
+        s"staging table '$stage' already exists in the backend — " +
+          "drop or rename it before replacing " + name)
     store(df, stage, "overwrite")
     try {
       val conn = connection()
@@ -77,8 +83,19 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
         conn.setAutoCommit(false)
         val st = conn.createStatement()
         try {
+          // explicit column lists on both sides: the INSERT maps by NAME,
+          // so a df whose column order differs from the backend DDL still
+          // lands each value in its own column (a bare SELECT * is
+          // positional). Names are quoted with the backend's quote string —
+          // Spark's JDBC writer creates quoted (case-exact) columns, so an
+          // unquoted list would case-fold past them; the frame's reported
+          // names ARE the backend names (load() reflects them).
+          val q = Option(conn.getMetaData.getIdentifierQuoteString)
+            .map(_.trim).filter(_.nonEmpty).getOrElse("")
+          val cols = df.schema.fieldNames.map(c => s"$q$c$q").mkString(", ")
           st.executeUpdate(s"DELETE FROM $name"): Unit
-          st.executeUpdate(s"INSERT INTO $name SELECT * FROM $stage"): Unit
+          st.executeUpdate(
+            s"INSERT INTO $name ($cols) SELECT $cols FROM $stage"): Unit
           conn.commit()
         } catch {
           case e: java.sql.SQLException => conn.rollback(); throw e

@@ -254,8 +254,10 @@ class Table(val db: Database, val qualified: String) {
     * thing it fixes).
     */
   private def clusterPartitions(cur: DataFrame): Int = {
-    val bytes = Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.isFile).map(_.length).sum
+    // recursive: a hive-partitioned table keeps its files below
+    // `col=value/` subdirectories — a flat listing would see 0 bytes and
+    // collapse the 128 MB fan-out
+    val bytes = Database.dataBytes(path)
     val bySize = math.ceil(bytes.toDouble / (128L << 20)).toInt
     math.max(1, math.max(cur.inputFiles.length, bySize))
   }
@@ -272,11 +274,32 @@ class Table(val db: Database, val qualified: String) {
     * Returns the output file-group count.
     */
   def compact(targetMB: Int = 128): Int = {
-    val bytes = Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.isFile).map(_.length).sum
-    val n = math.max(1, math.ceil(bytes.toDouble / (targetMB.toLong << 20)).toInt)
-    db.replaceTable(qualified, df.coalesce(n))
-    n
+    val pcols = Database.partitionColsOf(path)
+    if (pcols.isEmpty) {
+      val bytes = Database.dataBytes(path)
+      val n = math.max(1, math.ceil(bytes.toDouble / (targetMB.toLong << 20)).toInt)
+      db.replaceTable(qualified, df.coalesce(n))
+      n
+    } else {
+      // hive-partitioned layout: merge each leaf partition directory IN
+      // PLACE (independent staged swaps), preserving the layout and its
+      // pruning. Partitions already at/below the target file count are
+      // skipped entirely — on a 100 TB day-partitioned table only the
+      // recently-appended fragmented days pay any I/O, and each
+      // partition's merge stays shuffle-free (coalesce of its own files).
+      var outFiles = 0
+      Database.leafDirsOf(path).foreach { leaf =>
+        val files = Option(leaf.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && Database.isDataFile(f.getName))
+        val bytes = files.map(_.length).sum
+        val n = math.max(1, math.ceil(bytes.toDouble / (targetMB.toLong << 20)).toInt)
+        if (files.length > n) {
+          db.replaceAt(leaf.getPath, db.loadDir(leaf.getPath).coalesce(n))
+          outFiles += n
+        } else outFiles += files.length
+      }
+      outFiles
+    }
   }
 
   /** Z-order (Morton) clustering — the multi-dimensional analogue of

@@ -443,6 +443,69 @@ class ApiSpec extends AnyFunSuite {
     assert(rows.length == 25 && rows.map(_.getAs[Int]("n_nationkey")).toSeq == (0 to 24))
   }
 
+  test("compact preserves hive-partitioned layouts (per-partition merge)") {
+    val scratch = scratchDb()
+    val path = scratch.pathOf("cmp2")
+    db.table("nation").df.withColumn("r", col("n_regionkey"))
+      .repartition(5).write.partitionBy("r").mode("overwrite").parquet(path)
+    def partDirs = new java.io.File(path).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("r="))
+    def leafFiles(d: java.io.File) =
+      d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(partDirs.length == 5)
+    assert(partDirs.map(leafFiles(_).length).sum > 5,
+      "the 5-way repartition must fragment each partition dir")
+    val n = scratch.table("cmp2").compact()
+    assert(n == 5, s"one merged file per partition, got $n")
+    assert(partDirs.length == 5, "partition layout must survive compaction")
+    assert(partDirs.forall(leafFiles(_).length == 1))
+    val rows = scratch.table("cmp2").df
+    assert(rows.count() == 25 && rows.columns.contains("r"))
+  }
+
+  test("DELETE on a partitioned table preserves the partition layout") {
+    val scratch = scratchDb()
+    val path = scratch.pathOf("del_p")
+    db.table("nation").df.withColumn("r", col("n_regionkey"))
+      .write.partitionBy("r").mode("overwrite").parquet(path)
+    val rc = scratch.execute("DELETE FROM del_p WHERE n_nationkey < 5")
+      .collect()(0).getLong(0)
+    assert(rc == 5)
+    val after = new java.io.File(path).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("r="))
+    assert(after.nonEmpty, "hive layout must survive the rewrite")
+    assert(scratch.table("del_p").count == 20)
+  }
+
+  test("case-only view collisions fail loudly (temp views are case-insensitive)") {
+    val scratch = scratchDb()
+    scratch.store(db.table("region").df, "Cased", "overwrite")
+    scratch.store(db.table("region").df.limit(2), "cased", "overwrite")
+    val e = intercept[IllegalStateException](
+      scratch.execute("SELECT count(*) AS n FROM cased"))
+    assert(e.getMessage.contains("Cased") && e.getMessage.contains("cased"))
+  }
+
+  test("jdbc replace refuses when the staging name is already a user table") {
+    val url = "jdbc:derby:memory:graftjdbc4;create=true"
+    val jdb = Datum.connect(url)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE GUARDT (id BIGINT, name VARCHAR(8))")
+      st.executeUpdate("INSERT INTO GUARDT VALUES (1,'a'),(2,'b')")
+      st.executeUpdate("CREATE TABLE GUARDT_GRAFT_STAGE (x INT)")
+      st.executeUpdate("INSERT INTO GUARDT_GRAFT_STAGE VALUES (42)")
+      st.close()
+      val e = intercept[IllegalStateException](
+        jdb.execute("DELETE FROM GUARDT WHERE id = 1"))
+      assert(e.getMessage.contains("GUARDT_GRAFT_STAGE"))
+      // both the target and the pre-existing user table are untouched
+      assert(jdb.table("GUARDT").count == 2)
+      assert(jdb.table("GUARDT_GRAFT_STAGE").count == 1)
+    } finally conn.close()
+  }
+
   test("execute registers only the relations its SQL references") {
     val scratch = scratchDb()
     scratch.store(db.table("region").df, "exe_x", "overwrite")
