@@ -393,6 +393,77 @@ object QueriesE {
         .orderBy("doc_id")
     }),
 
+    // e26: repetition-quality signals (the Gopher/C4 repetition filters,
+    // word-level because the corpus is single-line): top-bigram fraction
+    // (mode 2-gram count / total 2-grams) and duplicate-trigram fraction
+    // (1 − distinct/total 3-grams). The mode needs a (doc, gram) count —
+    // one shuffle keyed by (doc_id, gram), skew-free by construction (every
+    // key carries its doc_id); the trigram side is scan-local array
+    // arithmetic. Ratios are single int→double divisions; the flag is a
+    // fixed-threshold OR — all engine-portable.
+    "e26_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bc = docs
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val b2 = bc.groupBy("doc_id")
+        .agg(max(col("c")).as("top2"), sum(col("c")).as("n2"))
+      val t3 = docs.select(col("doc_id"),
+        size(Dedup.shingles(col("text"), 3)).cast("long").as("n3"),
+        size(TextExpressions.distinctShingles(col("text"), 3)).cast("long").as("d3"))
+      val topFrac = when(col("n2") > 0,
+        col("top2").cast("double") / col("n2").cast("double")).otherwise(0.0)
+      val dupFrac = when(col("n3") > 0,
+        (col("n3") - col("d3")).cast("double") / col("n3").cast("double")).otherwise(0.0)
+      b2.join(t3, "doc_id")
+        .select(col("doc_id"),
+          topFrac.as("top_bigram_frac"),
+          dupFrac.as("dup_trigram_frac"),
+          (topFrac > 0.1 || dupFrac > 0.1).as("flagged"))
+        .orderBy("doc_id")
+    }),
+
+    // e27: eval-set decontamination — flag training docs sharing a distinct
+    // word 4-gram with the held-out set (doc_id % 97 = 0, the deterministic
+    // benchmark stand-in). The eval side is tiny by construction (~1% of
+    // the corpus), so its exploded shingles BROADCAST: contamination checks
+    // at 100 TB are one map-side hash join over the training scan — no
+    // shuffle of the training corpus at all. 4-grams are the signal size:
+    // 3-grams collide by chance, 5-grams only catch verbatim copies.
+    "e27_decontaminate" -> ((s, dir) => {
+      val sh = t(s, dir, "documents").select(col("doc_id"),
+        explode(TextExpressions.distinctShingles(col("text"), 4)).as("g"))
+      val ev = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), col("g"))
+      val tr = sh.filter(col("doc_id") % 97 =!= 0)
+      tr.join(broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_shared_grams"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+        .orderBy("doc_id")
+    }),
+
+    // e28: canonical-document selection — the step after near-dup
+    // clustering a real pipeline needs: inside each LSH component keep the
+    // HIGHEST-QUALITY member (argmax e11 score, ties to the lower doc_id),
+    // not blindly the min-id. Composes the verified components (e19) with
+    // the verified score (e11); the keep decision is one row_number window
+    // over (cluster, score desc) — per-cluster partitions, no skew beyond
+    // cluster size.
+    "e28_canonical_keep" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val comps = Dedup.connectedComponents(docs, "doc_id", lshVerifiedPairs(docs))
+      val scored = docs.select(col("doc_id"),
+        TextStats.qualityScore(col("text"), col("n_chars")).as("score"))
+      val w = Window.partitionBy("cluster_id").orderBy(col("score").desc, col("doc_id"))
+      comps.select(col("id").as("doc_id"), col("cluster_id"))
+        .join(scored, "doc_id")
+        .withColumn("keep", row_number().over(w) === 1)
+        .select("doc_id", "cluster_id", "score", "keep")
+        .orderBy("doc_id")
+    }),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -600,6 +671,37 @@ object QueriesE {
         "WHERE bucket < (CASE WHEN source = 'src0' THEN 50 WHEN source = 'src1' THEN 25 ELSE 10 END) " +
         "ORDER BY doc_id"
     },
+    "e26_repetition" -> {
+      val frac = (num: String, den: String) =>
+        s"CASE WHEN $den > 0 THEN ($num)::DOUBLE / $den::DOUBLE ELSE 0.0 END"
+      val top = frac("top2", "n2"); val dup = frac("n3 - d3", "n3")
+      "WITH bc AS (SELECT doc_id, g, count(*) AS c FROM " +
+        s"(SELECT doc_id, unnest(${sqlShingles(2)}) AS g FROM documents) GROUP BY 1, 2), " +
+        "b2 AS (SELECT doc_id, max(c) AS top2, sum(c) AS n2 FROM bc GROUP BY doc_id), " +
+        s"t3 AS (SELECT doc_id, len(${sqlShingles(3)}) AS n3, " +
+        s"len(list_distinct(${sqlShingles(3)})) AS d3 FROM documents) " +
+        s"SELECT doc_id, $top AS top_bigram_frac, $dup AS dup_trigram_frac, " +
+        s"(($top) > 0.1 OR ($dup) > 0.1) AS flagged " +
+        "FROM b2 JOIN t3 USING (doc_id) ORDER BY doc_id"
+    },
+    "e27_decontaminate" ->
+      (s"WITH sh AS (SELECT doc_id, unnest(list_distinct(${sqlShingles(4)})) AS g FROM documents), " +
+        "ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE doc_id % 97 = 0), " +
+        "tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0) " +
+        "SELECT doc_id, count(DISTINCT tr.g) AS n_shared_grams, " +
+        "count(DISTINCT eval_id) AS n_eval_docs " +
+        "FROM tr JOIN ev ON tr.g = ev.g GROUP BY doc_id ORDER BY doc_id"),
+    "e28_canonical_keep" ->
+      (s"WITH RECURSIVE $sqlLshPairCtes, " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs " +
+        "UNION ALL SELECT id_b, id_a FROM vpairs), " +
+        "reach(id, root) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.src, r.root FROM reach r JOIN edges e ON e.dst = r.id), " +
+        "comp AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY id), " +
+        s"scored AS (SELECT doc_id, $sqlQualityExpr AS score FROM documents) " +
+        "SELECT comp.id AS doc_id, cluster_id, score, " +
+        "row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, comp.id) = 1 AS keep " +
+        "FROM comp JOIN scored ON scored.doc_id = comp.id ORDER BY doc_id"),
     "e10_langid" ->
       ("SELECT doc_id, lang, CASE " +
         TextStats.LangMarkers.map { case (l, ws) =>

@@ -145,6 +145,37 @@ object QueriesC {
         .orderBy("event_id")
     }),
 
+    // c11: INCREMENTAL materialized-view refresh — the mview (daily
+    // per-type aggregate) is built from the pre-cutoff history, then late
+    // days arrive and ONLY the affected day-partitions are recomputed and
+    // swapped in (dynamic partition overwrite). The read-back must equal a
+    // full recompute over all events (the oracle) — proving refresh(delta)
+    // ≡ rebuild(all). At 100 TB: refresh cost is O(delta days), not
+    // O(history).
+    "c11_mview_incremental" -> ((s, dir) => {
+      val db = scratch(s)
+      val ev = events(s, dir)
+        .withColumn("day", date_format(col("ts").cast("date"), "yyyy-MM-dd"))
+      val agg = (e: org.apache.spark.sql.DataFrame) =>
+        e.groupBy("day", "event_type").agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
+      val cutoff = "2024-01-25"
+      db.dropTable("c11_daily")
+      db.createMViewPartitioned("c11_daily",
+        agg(ev.filter(col("day") < cutoff)), Seq("day"))
+      // the delta: all events of the late days; its aggregate IS the full
+      // refreshed content of exactly those partitions
+      db.refreshMViewPartitions("c11_daily",
+        agg(ev.filter(col("day") >= cutoff)), Seq("day"))
+      // partition-column inference types `day=2024-01-25` as DATE on read;
+      // cast back to the oracle's string form (lossless either way)
+      db.table("c11_daily")
+        .read(fields = Seq("day", "event_type", "n", "sum_value"))
+        .withColumn("day", date_format(col("day").cast("date"), "yyyy-MM-dd"))
+        .orderBy("day", "event_type")
+    }),
+
     // c6: index façade — cluster by l_shipdate (zone-map effect), verify the
     // data is preserved and a pushed-down range filter reads correctly.
     "c6_index_cluster" -> ((s, dir) => {
@@ -200,6 +231,10 @@ object QueriesC {
     "c7_partition_pruning" ->
       ("SELECT event_id, user_id, event_type, value FROM events " +
         "WHERE CAST(ts AS DATE) = DATE '2024-01-15' ORDER BY event_id"),
+    "c11_mview_incremental" ->
+      ("SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, " +
+        "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "c6_index_cluster" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem " +
         "WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' " +

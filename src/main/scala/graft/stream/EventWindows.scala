@@ -242,6 +242,106 @@ object EventWindows {
       spark.read.parquet(out.getPath)
     }
 
+  /** Stream-static enrichment: the streaming events join a static broadcast
+    * dimension (customer → market segment) and aggregate per (segment,
+    * event_type) in complete mode. The static side is planned per
+    * micro-batch as an ordinary broadcast hash join — NO join state in the
+    * state store and no shuffle of the stream side; only the tiny
+    * (segment × type) aggregate keeps state. This is the standard
+    * enrichment shape for reference data at production stream rates (the
+    * dimension re-resolves every batch, so slowly-changing dims stay
+    * current without restarts).
+    */
+  def enrichedSegmentStats(spark: SparkSession, dir: String,
+      sinkName: String = "f13_sink"): DataFrame = withShufflePartitions(spark, 8) {
+    val cust = broadcast(spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val enriched = readStreamEvents(spark, dir)
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+    runToMemorySink(enriched, "complete", sinkName)
+  }
+
+  /** CDC-style upsert sink via foreachBatch: each micro-batch merges
+    * "latest event per user" into a keyed parquet state table — read
+    * current state, union the batch's per-key winners, keep the argmax per
+    * key by (event time, event_id), swap the directory atomically. This is
+    * the standard pattern for maintaining a latest-state serving table from
+    * an event stream on a plain-file warehouse (what MERGE INTO does on
+    * table formats with transactions). Determinism: the winner per user is
+    * a total order (us DESC, event_id DESC), so any batch interleaving
+    * converges to the same state — the batch argmax is the oracle.
+    *
+    * Scale: state table is one row per key; the per-batch merge shuffles
+    * (existing ∪ batch-winners) on user_id only — batch winners are already
+    * reduced map-side by the inner argmax before touching the state table.
+    */
+  def upsertLatestToParquet(spark: SparkSession, dir: String,
+      outRoot: String = "/root/repo/target/fixtures/out/f14"): DataFrame =
+    withShufflePartitions(spark, 8) {
+      val state = new java.io.File(outRoot, "state")
+      val stage = new java.io.File(outRoot, "state_stage")
+      val chk = new java.io.File(outRoot, "chk")
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete(): Unit
+      }
+      // self-contained declared query: clean slate per logical run
+      wipe(state); wipe(stage); wipe(chk); new java.io.File(outRoot).mkdirs()
+      val stream = readStreamEvents(spark, dir).select(col("user_id"),
+        col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      val q = stream.writeStream
+        .option("checkpointLocation", chk.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          upsertMerge(batch, state, stage)
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.read.parquet(state.getPath)
+    }
+
+  /** Argmax per user by (event time, event_id) — the upsert winner rule. */
+  private def latestPerUser(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("event_id").desc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** One upsert step (the foreachBatch body, separated for unit tests):
+    * reduce the batch to its per-key winners, merge with the current state
+    * table, keep the overall winner per key, and swap the state directory
+    * atomically (stage + rename — never overwrite the directory being
+    * read). Applying this per batch in ANY interleaving converges to the
+    * global argmax, because max over a total order is associative.
+    */
+  def upsertMerge(batch: DataFrame, state: java.io.File,
+      stage: java.io.File): Unit = {
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    val sp = batch.sparkSession
+    val winners = latestPerUser(batch)
+    val merged =
+      if (state.exists())
+        latestPerUser(sp.read.parquet(state.getPath).unionByName(winners))
+      else winners
+    wipe(stage)
+    merged.coalesce(1).write.parquet(stage.getPath)
+    wipe(state)
+    if (!stage.renameTo(state))
+      throw new java.io.IOException(s"upsert swap failed: $stage -> $state")
+    ()
+  }
+
   /** The purchases/views projections shared by the batch range join (f8)
     * and its streaming twin (f11): p(p_id, user_id, p_ts) ⋈ v(v_id,
     * v_user, v_ts) — one definition so the batch query and the stream stay

@@ -125,7 +125,21 @@ object QueriesF {
     // oracle SQL as the batch form; proves the unified-engine contract on
     // the join path like f4 does for windowed aggregation.
     "f11_stream_range_join" -> ((s, dir) =>
-      EventWindows.attributionJoinBatchEnd(s, dir).orderBy("p_id", "v_id"))
+      EventWindows.attributionJoinBatchEnd(s, dir).orderBy("p_id", "v_id")),
+
+    // f13: stream-static enrichment — the events stream broadcast-joins a
+    // static dimension (customer → segment) per micro-batch, then a tiny
+    // (segment × type) aggregate in complete mode. No join state, no
+    // stream-side shuffle; the converged table equals the batch join+agg
+    // (the oracle).
+    "f13_stream_static_join" -> ((s, dir) =>
+      EventWindows.enrichedSegmentStats(s, dir).orderBy("segment", "event_type")),
+
+    // f14: CDC upsert sink — foreachBatch merges each batch's per-user
+    // argmax into a keyed parquet state table (read-merge-atomic-swap);
+    // final state = latest event per user, the batch window argmax oracle.
+    "f14_stream_upsert" -> ((s, dir) =>
+      EventWindows.upsertLatestToParquet(s, dir).orderBy("user_id"))
   )
 
   /** Shared oracle fragments: es = whole seconds since epoch (exact integer
@@ -205,6 +219,15 @@ object QueriesF {
       ("SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value, props " +
         "FROM events ORDER BY event_id"),
     "f11_stream_range_join" -> RangeJoinSql,
+    "f13_stream_static_join" ->
+      ("SELECT c_mktsegment AS segment, event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "f14_stream_upsert" ->
+      ("SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value FROM events " +
+        "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1 " +
+        "ORDER BY user_id"),
     // finalized sessions only: session end (last event + 30 min gap) must
     // be ≤ the final watermark (max event time − 15 min delay)
     "f12_stream_session" ->

@@ -531,6 +531,25 @@ class ApiSpec extends AnyFunSuite {
   }
 
   private var scratchN = 0
+  test("partitioned mview: incremental refresh rewrites only the delta's partitions") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    val v1 = Seq(("d1", "a", 1L), ("d2", "a", 2L)).toDF("day", "t", "n")
+    db2.createMViewPartitioned("mvp", v1, Seq("day"))
+    val d1Dir = new java.io.File(db2.pathOf("mvp"), "day=d1")
+    def d1State() = d1Dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toSet
+    val before = d1State()
+    // refresh touches d2 (changed) and d3 (new) — d1 must not be rewritten
+    val refreshed = Seq(("d2", "a", 5L), ("d3", "b", 7L)).toDF("day", "t", "n")
+    db2.refreshMViewPartitions("mvp", refreshed, Seq("day"))
+    assert(d1State() == before, "untouched partition was rewritten")
+    val out = spark.read.parquet(db2.pathOf("mvp"))
+      .select("day", "t", "n").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("d1", "a", 1L), ("d2", "a", 5L), ("d3", "b", 7L)))
+  }
+
   private def scratchDb() = {
     scratchN += 1
     val root = s"/root/repo/target/fixtures/test/api$scratchN"

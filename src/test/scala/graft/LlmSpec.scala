@@ -314,6 +314,53 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  /** Write a crafted corpus as <dir>/documents.parquet and return the dir
+    * (the declared E queries read documents by convention).
+    */
+  private def craftedDocsDir(tag: String, rows: Seq[(Long, String, Long)]): String = {
+    val dir = s"/root/repo/target/fixtures/test/docs_$tag"
+    rows.toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("e26 repetition: repeated bigrams flag; diverse text does not") {
+    val dir = craftedDocsDir("e26", Seq(
+      (1L, "spam ham spam ham spam ham spam ham", 35L),
+      (2L, "one two three four five six seven eight nine ten eleven twelve", 62L)))
+    val m = graft.llm.QueriesE.all("e26_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(3))).toMap
+    assert(m(1L)._1 == 4.0 / 7.0, "mode bigram 'spam ham' appears 4 of 7")
+    assert(m(1L)._2, "repetitive doc must be flagged")
+    assert(m(2L)._1 == 1.0 / 11.0 && !m(2L)._2, "diverse doc unflagged")
+  }
+
+  test("e27 decontamination: only the doc sharing a 4-gram with the eval set is flagged") {
+    // doc 0 is the eval doc (0 % 97 == 0); doc 1 embeds one of its 4-gram
+    // spans; doc 2 is disjoint
+    val dir = craftedDocsDir("e27", Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", 34L),
+      (1L, "noise beta gamma delta epsilon other words here", 47L),
+      (2L, "completely unrelated text with no shared span at all", 52L)))
+    val out = graft.llm.QueriesE.all("e27_decontaminate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 shares exactly "beta gamma delta epsilon" (one distinct 4-gram)
+    assert(out.toSeq == Seq((1L, 1L, 1L)))
+  }
+
+  test("e28 canonical selection keeps the highest-quality member, not the min id") {
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val dir = craftedDocsDir("e28", Seq(
+      (10L, txt, 100L),  // same text, LOWER quality (shorter claimed length)
+      (11L, txt, 400L),  // higher quality — must win despite the higher id
+      (12L, "an isolated document about something else entirely", 50L)))
+    val m = graft.llm.QueriesE.all("e28_canonical_keep")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(m(10L) == ((10L, false)), "dup with lower quality is dropped")
+    assert(m(11L) == ((10L, true)), "higher-quality member kept (same cluster)")
+    assert(m(12L) == ((12L, true)), "isolated doc keeps itself")
+  }
+
   test("e24 pii scrub: planted email/url/phone all redacted exactly once") {
     val out = graft.llm.QueriesE.all("e24_pii_scrub")(spark, TestSpark.Sf).collect()
     assert(out.length > 0)

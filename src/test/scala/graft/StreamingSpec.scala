@@ -187,6 +187,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 1000L, "restart must not duplicate")
   }
 
+  test("upsertMerge converges to the global argmax over any batch split") {
+    import spark.implicits._
+    val root = new java.io.File("/root/repo/target/fixtures/test/upsert")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(root); root.mkdirs()
+    val state = new java.io.File(root, "state"); val stage = new java.io.File(root, "stage")
+    // rows as (user_id, event_id, us, event_type, value); the global winner
+    // per user is independent of how rows split into batches
+    val all = Seq(
+      (1L, 10L, 100L, "view", 1.0), (1L, 11L, 300L, "purchase", 2.0),
+      (2L, 20L, 500L, "view", 3.0), (2L, 21L, 500L, "view", 4.0), // ts tie → max event_id
+      (3L, 30L, 50L, "click", 5.0))
+    val expected = Map(1L -> 11L, 2L -> 21L, 3L -> 30L)
+    // adversarial split: winners arrive in the FIRST batch, later batches
+    // carry only losers — the merge must keep existing winners
+    val batches = Seq(
+      Seq(all(1), all(3)), // winners of users 1 and 2
+      Seq(all(0), all(2)), // older rows for both
+      Seq(all(4)))         // user 3's only row
+    batches.foreach { b =>
+      EventWindows.upsertMerge(
+        b.toDF("user_id", "event_id", "us", "event_type", "value"), state, stage)
+    }
+    val got = spark.read.parquet(state.getPath).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+    assert(got == expected)
+  }
+
+  test("stream-static join enrichment equals the batch join (complete mode)") {
+    val streamed = graft.stream.QueriesF.all("f13_stream_static_join")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+    val batch = graft.rel.Q.events(spark, TestSpark.Sf)
+      .join(spark.read.parquet(s"${TestSpark.Sf}/customer.parquet"),
+        org.apache.spark.sql.functions.col("user_id") === org.apache.spark.sql.functions.col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(graft.rel.Q.dec2(
+          org.apache.spark.sql.functions.col("value"))).cast("double").as("sv"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, v) => assert(batch(k) == v, s"segment $k disagrees") }
+  }
+
   test("batch and streaming tumbling plans agree on the finalized subset") {
     val batch = graft.stream.QueriesF.all("f1_tumbling_agg")(spark, TestSpark.Sf)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
