@@ -265,18 +265,22 @@ object EventWindows {
   }
 
   /** CDC-style upsert sink via foreachBatch: each micro-batch merges
-    * "latest event per user" into a keyed parquet state table — read
-    * current state, union the batch's per-key winners, keep the argmax per
-    * key by (event time, event_id), swap the directory atomically. This is
-    * the standard pattern for maintaining a latest-state serving table from
-    * an event stream on a plain-file warehouse (what MERGE INTO does on
-    * table formats with transactions). Determinism: the winner per user is
-    * a total order (us DESC, event_id DESC), so any batch interleaving
-    * converges to the same state — the batch argmax is the oracle.
+    * "latest event per user" into a keyed parquet state table partitioned
+    * by a stable hash bucket of the key. The merge reads and rewrites ONLY
+    * the buckets the batch touches — the rest of the state table is never
+    * opened. This is the standard pattern for maintaining a latest-state
+    * serving table from an event stream on a plain-file warehouse (what
+    * MERGE INTO does on table formats with transactions). Determinism: the
+    * winner per user is a total order (us DESC, event_id DESC), so any
+    * batch interleaving converges to the same state — the batch argmax is
+    * the oracle.
     *
-    * Scale: state table is one row per key; the per-batch merge shuffles
-    * (existing ∪ batch-winners) on user_id only — batch winners are already
-    * reduced map-side by the inner argmax before touching the state table.
+    * Scale: per-batch cost is O(state of touched buckets + batch), not
+    * O(full state). At 100 TB a latest-state table over ~10^9 keys with
+    * nBuckets sized so one bucket ≈ 128 MB makes each micro-batch merge a
+    * bounded bucket-local sort-merge, and a trickle batch that touches few
+    * keys rewrites few buckets. Batch winners are reduced map-side by the
+    * inner argmax before touching the state table.
     */
   def upsertLatestToParquet(spark: SparkSession, dir: String,
       outRoot: String = "/root/repo/target/fixtures/out/f14"): DataFrame =
@@ -284,11 +288,6 @@ object EventWindows {
       val state = new java.io.File(outRoot, "state")
       val stage = new java.io.File(outRoot, "state_stage")
       val chk = new java.io.File(outRoot, "chk")
-      def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
-        f.delete(): Unit
-      }
       // self-contained declared query: clean slate per logical run
       wipe(state); wipe(stage); wipe(chk); new java.io.File(outRoot).mkdirs()
       val stream = readStreamEvents(spark, dir).select(col("user_id"),
@@ -303,6 +302,7 @@ object EventWindows {
         .start()
       try q.awaitTermination() finally q.stop()
       spark.read.parquet(state.getPath)
+        .select("user_id", "event_id", "us", "event_type", "value")
     }
 
   /** Argmax per user by (event time, event_id) — the upsert winner rule. */
@@ -315,31 +315,51 @@ object EventWindows {
   }
 
   /** One upsert step (the foreachBatch body, separated for unit tests):
-    * reduce the batch to its per-key winners, merge with the current state
-    * table, keep the overall winner per key, and swap the state directory
-    * atomically (stage + rename — never overwrite the directory being
-    * read). Applying this per batch in ANY interleaving converges to the
-    * global argmax, because max over a total order is associative.
+    * reduce the batch to its per-key winners, bucket them by
+    * `xxhash64(user_id) mod nBuckets`, read the CURRENT state of only the
+    * touched buckets (partition-pruned directory reads), keep the overall
+    * winner per key, write the merged buckets to a stage directory, and
+    * swap each touched bucket directory atomically (rename — never
+    * overwrite a directory being read; untouched buckets are never listed,
+    * read, or rewritten). Applying this per batch in ANY interleaving
+    * converges to the global argmax, because max over a total order is
+    * associative.
     */
   def upsertMerge(batch: DataFrame, state: java.io.File,
-      stage: java.io.File): Unit = {
-    def wipe(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
-      f.delete(): Unit
-    }
+      stage: java.io.File, nBuckets: Int = 16): Unit = {
     val sp = batch.sparkSession
-    val winners = latestPerUser(batch)
-    val merged =
-      if (state.exists())
-        latestPerUser(sp.read.parquet(state.getPath).unionByName(winners))
-      else winners
+    val winners = latestPerUser(batch).withColumn("bucket",
+      pmod(xxhash64(col("user_id")), lit(nBuckets.toLong)).cast("int"))
+    // distinct buckets of the batch — bounded by nBuckets, driver-safe
+    val touched = winners.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val existingDirs = touched
+      .map(b => new java.io.File(state, s"bucket=$b"))
+      .filter(_.isDirectory).map(_.getPath)
+    val existing =
+      if (existingDirs.isEmpty) None
+      else Some(sp.read.option("basePath", state.getPath)
+        .parquet(existingDirs.toIndexedSeq: _*))
+    val merged = latestPerUser(existing.fold(winners)(_.unionByName(winners)))
     wipe(stage)
-    merged.coalesce(1).write.parquet(stage.getPath)
-    wipe(state)
-    if (!stage.renameTo(state))
-      throw new java.io.IOException(s"upsert swap failed: $stage -> $state")
-    ()
+    merged.write.partitionBy("bucket").parquet(stage.getPath)
+    state.mkdirs()
+    touched.foreach { b =>
+      val src = new java.io.File(stage, s"bucket=$b")
+      val dst = new java.io.File(state, s"bucket=$b")
+      if (src.isDirectory) {
+        wipe(dst)
+        if (!src.renameTo(dst))
+          throw new java.io.IOException(s"upsert bucket swap failed: $src -> $dst")
+      }
+    }
+    wipe(stage)
+  }
+
+  private def wipe(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+    f.delete(): Unit
   }
 
   /** The purchases/views projections shared by the batch range join (f8)

@@ -216,6 +216,24 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.read.parquet(state.getPath).collect()
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
     assert(got == expected)
+    // incrementality: a batch touching only user 3 must not rewrite the
+    // state buckets of other users
+    def bucketState() = Option(state.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("bucket=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toSet
+      }.toMap
+    val u3Bucket = spark.sql("SELECT CAST(pmod(xxhash64(CAST(3 AS BIGINT)), 16) AS INT)")
+      .collect()(0).getInt(0)
+    val before = bucketState() - s"bucket=$u3Bucket"
+    EventWindows.upsertMerge(
+      Seq((3L, 29L, 10L, "view", 0.0)) // a loser row for user 3 only
+        .toDF("user_id", "event_id", "us", "event_type", "value"), state, stage)
+    assert(bucketState() - s"bucket=$u3Bucket" == before,
+      "untouched buckets were rewritten")
+    val got2 = spark.read.parquet(state.getPath).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+    assert(got2 == expected, "loser row must not displace the winner")
   }
 
   test("stream-static join enrichment equals the batch join (complete mode)") {
