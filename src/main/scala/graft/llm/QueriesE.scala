@@ -464,6 +464,85 @@ object QueriesE {
         .orderBy("doc_id")
     }),
 
+    // e29: tf-idf keyword extraction — top-3 terms per document. Smoothed
+    // rational idf (tf · (N+1)/(df+1)) instead of the log form: identical
+    // ranking for fixed N, and exact IEEE division/multiplication makes the
+    // score bit-portable across engines (ln is correctly-rounded nowhere).
+    // Scale: tf is one (doc_id, word)-keyed shuffle with map-side combine;
+    // df folds the tf table by word (combine again); the tf⋈df equi-join on
+    // word is sort-merge with fan-out = docs-containing-word — linear in
+    // the tf table, no quadratic key. Top-3 is a per-doc window.
+    "e29_tfidf_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val words = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("word"))
+      tf.join(dfreq, "word").crossJoin(broadcast(n))
+        .withColumn("score", col("tf").cast("double") *
+          ((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "word", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    }),
+
+    // e30: sub-document exact dedup (the C4 line-level pass, word-chunk
+    // granularity since the corpus is single-line): split each doc into
+    // non-overlapping 5-word chunks, keep each distinct chunk's FIRST
+    // occurrence in (doc_id, pos) order corpus-wide, and reassemble the
+    // surviving text per doc. One shuffle keyed by chunk text (skew-safe:
+    // the per-chunk winner is a bounded row_number, not a pair join);
+    // reassembly is an order-free sort_array fold, deterministic under any
+    // partitioning.
+    "e30_chunk_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ws = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val nch = expr("(size(ws) + 4) div 5").cast("int")
+      val chunks = ws.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nch - 1),
+          i => array_join(slice(col("ws"), i * 5 + 1, lit(5)), " "))))
+        .toDF("doc_id", "pos", "chunk")
+      val w = Window.partitionBy("chunk").orderBy(col("doc_id"), col("pos"))
+      chunks.withColumn("keep", row_number().over(w) === 1)
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+          array_join(transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("chunk"))))),
+            x => x.getField("chunk")), " ").as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // e31: temperature-based source mixing (the multi-source sampling
+    // weights a training run draws from): per-source token mass, weight ∝
+    // tokens^0.5 normalized, and the expected token draw per 1M-token
+    // epoch. α = 0.5 so the power is sqrt — correctly rounded by IEEE in
+    // every engine, unlike pow/ln. The normalizer is a source-ordered
+    // explicit fold (sort_array → aggregate), so the double chain is
+    // identical cross-engine; per-source stats are one tiny aggregate.
+    "e31_source_mix" -> ((s, dir) => {
+      val bySrc = t(s, dir, "documents").groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextStats.wsTokens(col("text"))).as("tokens"))
+      val denom = bySrc
+        .agg(sort_array(collect_list(struct(col("source"), col("tokens")))).as("st"))
+        .select(aggregate(
+          transform(col("st"), x => sqrt(x.getField("tokens").cast("double"))),
+          lit(0.0), (a, b) => a + b).as("denom"))
+      bySrc.crossJoin(broadcast(denom))
+        .withColumn("weight", sqrt(col("tokens").cast("double")) / col("denom"))
+        .select(col("source"), col("n_docs"), col("tokens"), col("weight"),
+          (col("weight") * 1000000.0).as("expected_tokens_per_m"))
+        .orderBy("source")
+    }),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -702,6 +781,35 @@ object QueriesE {
         "SELECT comp.id AS doc_id, cluster_id, score, " +
         "row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, comp.id) = 1 AS keep " +
         "FROM comp JOIN scored ON scored.doc_id = comp.id ORDER BY doc_id"),
+    "e29_tfidf_keywords" ->
+      ("WITH words AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents), " +
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2), " +
+        "dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT doc_id, word, tf, df, " +
+        "tf::DOUBLE * ((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE) AS score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY tf::DOUBLE * ((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE) DESC, word) AS rank " +
+        "FROM tf JOIN dfreq USING (word) CROSS JOIN n) " +
+        "SELECT doc_id, rank, word, tf, df, score FROM scored " +
+        "WHERE rank <= 3 ORDER BY doc_id, rank"),
+    "e30_chunk_dedup" ->
+      ("WITH ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents), " +
+        "ch AS (SELECT doc_id, unnest(range((len(ws)+4)//5)) AS pos, " +
+        "unnest(list_transform(range((len(ws)+4)//5), " +
+        "i -> array_to_string(ws[i*5+1:i*5+5], ' '))) AS chunk FROM ws), " +
+        "mk AS (SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1 AS keep FROM ch) " +
+        "SELECT doc_id, count(*) AS n_chunks, " +
+        "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped, " +
+        "coalesce(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY pos), '') AS clean_text " +
+        "FROM mk GROUP BY doc_id ORDER BY doc_id"),
+    "e31_source_mix" ->
+      ("WITH s AS (SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(text,' '))) AS BIGINT) AS tokens FROM documents GROUP BY 1), " +
+        "tot AS (SELECT list_reduce(list_transform(array_agg(tokens ORDER BY source), " +
+        "t -> sqrt(t::DOUBLE)), (a, b) -> a + b) AS denom FROM s) " +
+        "SELECT source, n_docs, tokens, sqrt(tokens::DOUBLE) / denom AS weight, " +
+        "(sqrt(tokens::DOUBLE) / denom) * 1000000.0 AS expected_tokens_per_m " +
+        "FROM s CROSS JOIN tot ORDER BY source"),
     "e10_langid" ->
       ("SELECT doc_id, lang, CASE " +
         TextStats.LangMarkers.map { case (l, ws) =>

@@ -361,6 +361,40 @@ class LlmSpec extends AnyFunSuite {
     assert(m(12L) == ((12L, true)), "isolated doc keeps itself")
   }
 
+  test("e29 tf-idf: rare repeated term outranks the corpus-wide term") {
+    val dir = craftedDocsDir("e29", Seq(
+      (1L, "apple apple banana", 18L),
+      (2L, "banana cherry cherry", 20L)))
+    val out = graft.llm.QueriesE.all("e29_tfidf_keywords")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // N=2: apple tf=2 df=1 → 2·(3/2)=3.0 beats banana 1·(3/3)=1.0
+    assert(out((1L, 1)) == "apple" && out((2L, 1)) == "cherry")
+    assert(out((1L, 2)) == "banana", "corpus-wide term ranks below")
+  }
+
+  test("e30 chunk dedup drops a repeated 5-word chunk, keeps first occurrence") {
+    val c1 = "one two three four five"
+    val c2 = "alpha beta gamma delta epsilon"
+    val dir = craftedDocsDir("e30", Seq(
+      (1L, s"$c1 $c2", 100L),         // chunks: c1, c2 — both first
+      (2L, s"$c1 zeta eta theta iota kappa", 100L))) // c1 is a dup here
+    val m = graft.llm.QueriesE.all("e30_chunk_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(m(1L) == ((2L, 0L, s"$c1 $c2")), "doc 1 keeps everything")
+    assert(m(2L) == ((2L, 1L, "zeta eta theta iota kappa")),
+      "doc 2 loses the chunk doc 1 already owns")
+  }
+
+  test("e31 source mix: weights normalize to 1 and order by token mass") {
+    val out = graft.llm.QueriesE.all("e31_source_mix")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    val total = out.map(_._3).sum
+    assert(math.abs(total - 1.0) < 1e-12, s"weights sum to $total")
+    val byTokens = out.sortBy(_._2).map(_._1)
+    val byWeight = out.sortBy(_._3).map(_._1)
+    assert(byTokens.sameElements(byWeight), "weight is monotone in tokens")
+  }
+
   test("e24 pii scrub: planted email/url/phone all redacted exactly once") {
     val out = graft.llm.QueriesE.all("e24_pii_scrub")(spark, TestSpark.Sf).collect()
     assert(out.length > 0)

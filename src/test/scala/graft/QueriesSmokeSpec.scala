@@ -30,7 +30,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
     * round-1 audit flagged (e8's old pair join).
     */
   private val SingleRowCrossJoins =
-    Set("e4_similarity_topk", "e18_ann_ivf", "f9_gapfill")
+    Set("e4_similarity_topk", "e18_ann_ivf", "f9_gapfill",
+      // e29/e31: crossJoin against a broadcast single-row AGGREGATE (corpus
+      // doc count / mixing normalizer) — O(n·1) constant attachment
+      "e29_tfidf_keywords", "e31_source_mix")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
