@@ -105,6 +105,29 @@ object QueriesB {
         .orderBy("o_orderkey")
     }),
 
+    // b16: EXACT group quantiles by nearest-rank (ceil) — k_q = ⌈q·n⌉ in
+    // pure integer arithmetic ((q·10·n + 9) div 10), so there is no
+    // interpolation and no engine-specific quantile definition to disagree
+    // on: the answer is the k-th smallest value under a total order
+    // (value, key). Scale: one hash-partitioned per-group sort (the same
+    // shuffle a groupBy needs) + a per-group count; no global sort, no
+    // collect — exact quantiles at any group cardinality.
+    "b16_exact_quantiles" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val cw = Window.partitionBy("o_orderpriority")
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+        .groupBy("o_orderpriority")
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("o_totalprice"))).as("p50"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("o_totalprice"))).as("p90"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // b7: top-3 orders by totalprice within each orderpriority — window
     // top-K; tie-broken by o_orderkey for a total order.
     "b7_topk_window" -> ((s, dir) => {
@@ -231,6 +254,15 @@ object QueriesB {
         "o_totalprice - lag(o_totalprice, 1, 0.0) OVER w AS delta " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
         "ORDER BY o_orderkey"),
+    "b16_exact_quantiles" ->
+      ("WITH r AS (SELECT o_orderpriority, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn, " +
+        "count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders) " +
+        "SELECT o_orderpriority, max(n) AS n, " +
+        "max(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS p50, " +
+        "max(CASE WHEN rn = (9 * n + 9) // 10 THEN o_totalprice END) AS p90, " +
+        "max(o_totalprice) AS max_price " +
+        "FROM r GROUP BY 1 ORDER BY 1"),
     "b7_topk_window" ->
       ("SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (" +
         "SELECT o_orderpriority, o_orderkey, o_totalprice, " +

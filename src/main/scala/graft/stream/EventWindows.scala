@@ -398,10 +398,11 @@ object EventWindows {
     * v_ts), timestamps already event-time typed.
     */
   def attributionJoinStream(purchases: DataFrame, views: DataFrame,
-      delay: String = "15 minutes", windowSec: Long = 300): DataFrame = {
+      delay: String = "15 minutes", windowSec: Long = 300,
+      joinType: String = "inner"): DataFrame = {
     val p = purchases.withWatermark("p_ts", delay)
     val v = views.withWatermark("v_ts", delay)
-    p.join(v, rangeJoinCond(windowSec))
+    p.join(v, rangeJoinCond(windowSec), joinType)
   }
 
   /** Run a streaming plan to completion into a memory sink and return the
@@ -431,6 +432,32 @@ object EventWindows {
     val (p, v) = purchasesViews(readStreamEvents(spark, dir))
     val joined = attributionJoinStream(p, v)
       .select(col("p_id"), col("user_id"), col("v_id"))
+    runToMemorySink(joined, "append", sinkName)
+  }
+
+  /** The LEFT OUTER stream-stream attribution join run to completion: every
+    * matched (purchase, view) pair is emitted as it joins, and an unmatched
+    * purchase is emitted with a NULL view ONCE THE WATERMARK PROVES no
+    * matching view can still arrive (match requires v_ts ≤ p_ts, so a
+    * purchase is final when p_ts falls behind the global watermark — the
+    * min of both sides' per-column watermarks). Purchases still inside the
+    * watermark horizon at end-of-input stay buffered and are NOT emitted:
+    * streaming outer joins only finalize what the watermark has sealed, so
+    * the oracle is the batch left join restricted to matched-or-finalized
+    * rows (the f12 finalized-subset recipe applied to the join path).
+    *
+    * Scale: identical state shape to the inner form — both sides'
+    * buffers are bounded by (delay + window) of data; null emission is a
+    * state-eviction side effect, adding no state of its own.
+    */
+  def attributionOuterBatchEnd(spark: SparkSession, dir: String,
+      sinkName: String = "f15_sink"): DataFrame = withShufflePartitions(spark, 8) {
+    val (p, v) = purchasesViews(readStreamEvents(spark, dir))
+    val joined = attributionJoinStream(p, v, joinType = "left_outer")
+      // NULL sentinel: the driver comparator reads NULL numerics as NaN
+      // (NaN ≠ NaN), so the no-match marker must be a real value
+      .select(col("p_id"), col("user_id"),
+        coalesce(col("v_id"), lit(-1L)).as("v_id"))
     runToMemorySink(joined, "append", sinkName)
   }
 

@@ -139,7 +139,14 @@ object QueriesF {
     // argmax into a keyed parquet state table (read-merge-atomic-swap);
     // final state = latest event per user, the batch window argmax oracle.
     "f14_stream_upsert" -> ((s, dir) =>
-      EventWindows.upsertLatestToParquet(s, dir).orderBy("user_id"))
+      EventWindows.upsertLatestToParquet(s, dir).orderBy("user_id")),
+
+    // f15: LEFT OUTER stream-stream range join — matched pairs emit on
+    // arrival; unmatched purchases emit a NULL view once the watermark
+    // seals them (p_ts behind the global watermark). Oracle = batch left
+    // join restricted to matched-or-finalized rows.
+    "f15_stream_outer_join" -> ((s, dir) =>
+      EventWindows.attributionOuterBatchEnd(s, dir).orderBy("p_id", "v_id"))
   )
 
   /** Shared oracle fragments: es = whole seconds since epoch (exact integer
@@ -228,6 +235,16 @@ object QueriesF {
       ("SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value FROM events " +
         "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1 " +
         "ORDER BY user_id"),
+    // matched pairs + unmatched purchases sealed by the final watermark
+    // (global wm = min of the two sides' max event time, minus the delay)
+    "f15_stream_outer_join" ->
+      ("WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'), " +
+        "v AS (SELECT event_id AS v_id, user_id AS v_user, ts AS v_ts FROM events WHERE event_type = 'view'), " +
+        "wm AS (SELECT least((SELECT max(p_ts) FROM p), (SELECT max(v_ts) FROM v)) - INTERVAL 15 MINUTE AS wm), " +
+        "j AS (SELECT p.p_id, p.user_id, v.v_id, p.p_ts FROM p LEFT JOIN v " +
+        "ON p.user_id = v.v_user AND v.v_ts <= p.p_ts AND p.p_ts < v.v_ts + INTERVAL 5 MINUTE) " +
+        "SELECT p_id, user_id, coalesce(v_id, -1) AS v_id FROM j CROSS JOIN wm " +
+        "WHERE v_id IS NOT NULL OR p_ts < wm ORDER BY p_id, v_id"),
     // finalized sessions only: session end (last event + 30 min gap) must
     // be ≤ the final watermark (max event time − 15 min delay)
     "f12_stream_session" ->

@@ -252,6 +252,25 @@ class StreamingSpec extends AnyFunSuite {
     streamed.foreach { case (k, v) => assert(batch(k) == v, s"segment $k disagrees") }
   }
 
+  test("f15 outer join emits matched pairs plus watermark-sealed null rows only") {
+    import org.apache.spark.sql.functions._
+    val out = graft.stream.QueriesF.all("f15_stream_outer_join")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch replica of the oracle predicate, computed in Spark
+    val ev = graft.rel.Q.events(spark, TestSpark.Sf)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val (p, v) = graft.stream.EventWindows.purchasesViews(ev)
+    val wm = p.agg(max("p_ts")).crossJoin(v.agg(max("v_ts")))
+      .select(least(col("max(p_ts)"), col("max(v_ts)"))
+        .cast("long").as("wmEpoch")).collect()(0).getLong(0) - 900L
+    val batch = p.join(v, graft.stream.EventWindows.rangeJoinCond(300), "left_outer")
+      .filter(col("v_id").isNotNull || col("p_ts").cast("long") < wm)
+      .select(col("p_id"), col("user_id"), coalesce(col("v_id"), lit(-1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == batch)
+    assert(out.exists(_._3 == -1L), "some purchases must be unmatched+sealed")
+  }
+
   test("batch and streaming tumbling plans agree on the finalized subset") {
     val batch = graft.stream.QueriesF.all("f1_tumbling_agg")(spark, TestSpark.Sf)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
