@@ -543,6 +543,34 @@ object QueriesE {
         .orderBy("source")
     }),
 
+    // e32: embedding-space decontamination — the e27 idea in vector space:
+    // flag training vectors whose cosine to ANY held-out vector (vec_id %
+    // 97 = 0, ~1% of the corpus) clears 0.3 (the synthetic embeddings are near-random, so the threshold sits at the candidate tail). The eval side is tiny, so its
+    // multi-probe LSH buckets BROADCAST: the train scan map-side hash-joins
+    // on bucket id (candidates ≈ n/2^planes per probe, never all-pairs),
+    // then exact cosine confirms. max(cos) is order-independent, so the
+    // aggregate is bit-stable under any partitioning.
+    "e32_embed_decontaminate" -> ((s, dir) => {
+      val planes = signPlanes(NPlanes, Dims)
+      val e = t(s, dir, "embeddings")
+        .withColumn("emb", asDouble(col("embedding")))
+        .withColumn("bucket", lshBucket(col("emb"), planes))
+      val probeMasks = 0 +: (0 until NPlanes).map(1 << _)
+      val ev = broadcast(e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("eval_id"), col("emb").as("ev"),
+          explode(array(probeMasks.map(m =>
+            col("bucket").bitwiseXOR(lit(m))): _*)).as("ebucket")))
+      e.filter(col("vec_id") % 97 =!= 0)
+        .join(ev, col("bucket") === col("ebucket"))
+        .select(col("vec_id"), col("eval_id"),
+          cosine(col("emb"), col("ev")).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .groupBy("vec_id")
+        .agg(countDistinct(col("eval_id")).as("n_eval_hits"),
+          max(col("cos")).as("max_cos"))
+        .orderBy("vec_id")
+    }),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -684,6 +712,19 @@ object QueriesE {
         s"SELECT e.vec_id, e.bucket, (${sqlDot("e", "q")}) / (${sqlNorm("e")} * ${sqlNorm("q")}) AS cos " +
         "FROM be e, q WHERE e.bucket = q.qbucket AND e.vec_id <> 0 " +
         "ORDER BY cos DESC, e.vec_id LIMIT 5"
+    },
+    "e32_embed_decontaminate" -> {
+      val probes = (0 +: (0 until NPlanes).map(1 << _).toList)
+        .map(m => s"xor(bucket, $m)").mkString(", ")
+      "WITH be AS (SELECT vec_id, embedding, " + sqlBucket("embeddings") +
+        " AS bucket FROM embeddings), " +
+        s"ev AS (SELECT vec_id AS eval_id, embedding, unnest([$probes]) AS ebucket " +
+        "FROM be WHERE vec_id % 97 = 0), " +
+        s"cand AS (SELECT e.vec_id, ev.eval_id, (${sqlDot("e", "ev")}) / " +
+        s"((${sqlNorm("e")}) * (${sqlNorm("ev")})) AS cos " +
+        "FROM be e JOIN ev ON e.bucket = ev.ebucket WHERE e.vec_id % 97 <> 0) " +
+        "SELECT vec_id, count(DISTINCT eval_id) AS n_eval_hits, max(cos) AS max_cos " +
+        "FROM cand WHERE cos >= 0.3 GROUP BY 1 ORDER BY 1"
     },
     "e17_neardup_lsh" ->
       s"WITH $sqlLshPairCtes SELECT id_a, id_b, jaccard FROM vpairs ORDER BY id_a, id_b",

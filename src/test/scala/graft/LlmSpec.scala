@@ -395,6 +395,23 @@ class LlmSpec extends AnyFunSuite {
     assert(byTokens.sameElements(byWeight), "weight is monotone in tokens")
   }
 
+  test("e32 embed decontamination flags the planted near-duplicate only") {
+    val dir = "/root/repo/target/fixtures/test/docs_e32"
+    // vec 0 is the eval vector (0 % 97 == 0); vec 1 duplicates it exactly
+    // (cos 1.0, same LSH bucket by construction); vec 2 is its negation
+    // (cos −1, opposite bucket)
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val rows = Seq(
+      (0L, base, 0), (1L, base.map(x => x * 0.5f), 1),
+      (2L, base.map(x => -x), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.llm.QueriesE.all("e32_embed_decontaminate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(1L), s"only the scaled copy flags: ${out.toSeq}")
+    assert(math.abs(out(0)._3 - 1.0) < 1e-12, "scaling preserves cosine = 1")
+  }
+
   test("e24 pii scrub: planted email/url/phone all redacted exactly once") {
     val out = graft.llm.QueriesE.all("e24_pii_scrub")(spark, TestSpark.Sf).collect()
     assert(out.length > 0)
