@@ -116,6 +116,71 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
     markDirty()
   }
 
+  /** Exactly-once streaming append (the foreachBatch body for a JDBC
+    * sink): a per-target ledger table `<name>_BATCHLOG(batch_id PRIMARY
+    * KEY)` records committed batches, and the batch's rows + its ledger
+    * entry commit in ONE backend transaction — so a replayed batch (post-
+    * crash restart re-delivers the last uncommitted micro-batch) is
+    * skipped on the ledger hit, and a crash mid-append rolls back to a
+    * state the replay then completes. Rows land via the staged-INSERT
+    * recipe ([[replaceTable]]): tasks bulk-write a stage table in
+    * parallel, the driver folds it into the target transactionally.
+    *
+    * This is how exactly-once lands on a transactional backend that Spark
+    * cannot checkpoint into: idempotence via the (checkpointed) batch id,
+    * atomicity via the backend's own transaction.
+    */
+  def appendBatchExactlyOnce(name: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    val ledger = name + "_BATCHLOG"
+    val pre = connection()
+    val alreadyDone =
+      try {
+        val st = pre.createStatement()
+        try st.executeUpdate(
+          s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)"): Unit
+        catch { case _: java.sql.SQLException => () } // already exists
+        finally st.close()
+        val ps = pre.prepareStatement(
+          s"SELECT 1 FROM $ledger WHERE batch_id = ?")
+        try { ps.setLong(1, batchId); ps.executeQuery().next() }
+        finally ps.close()
+      } finally pre.close()
+    if (!alreadyDone) {
+      val stage = name + "_EO_STAGE"
+      store(batch, stage, "overwrite")
+      try {
+        val conn = connection()
+        try {
+          conn.setAutoCommit(false)
+          val q = Option(conn.getMetaData.getIdentifierQuoteString)
+            .map(_.trim).filter(_.nonEmpty).getOrElse("")
+          val cols = batch.schema.fieldNames.map(c => s"$q$c$q").mkString(", ")
+          val st = conn.createStatement()
+          try {
+            st.executeUpdate(
+              s"INSERT INTO $name ($cols) SELECT $cols FROM $stage"): Unit
+            val ps = conn.prepareStatement(s"INSERT INTO $ledger VALUES (?)")
+            try { ps.setLong(1, batchId); ps.executeUpdate(): Unit }
+            finally ps.close()
+            conn.commit()
+          } catch {
+            case e: java.sql.SQLException => conn.rollback(); throw e
+          } finally st.close()
+        } finally conn.close()
+      } finally {
+        val cleanup = connection()
+        try {
+          val st = cleanup.createStatement()
+          try st.executeUpdate(s"DROP TABLE $stage"): Unit
+          catch { case _: java.sql.SQLException => () } // best-effort
+          finally st.close()
+        } finally cleanup.close()
+      }
+      markDirty()
+    }
+  }
+
   override def createTable(name: String, cols: Seq[(String, String)]): Unit = {
     import org.apache.spark.sql.types.{StructField, StructType, LongType}
     if (!tables.exists(_.equalsIgnoreCase(name))) {

@@ -461,6 +461,42 @@ object EventWindows {
     runToMemorySink(joined, "append", sinkName)
   }
 
+  /** Run the events stream into a live JDBC backend with EXACTLY-ONCE
+    * delivery ([[graft.api.JdbcDatabase.appendBatchExactlyOnce]]): each
+    * micro-batch commits its rows and its batch id in one backend
+    * transaction, so restarts that replay a batch hit the ledger and skip.
+    * Returns the backend's table read back through the façade — at scale
+    * this is the standard "stream into the serving database" edge of a
+    * pipeline (the big tables stay on the object store; JDBC receives
+    * aggregates or latest-state slices).
+    */
+  def eventsToJdbcExactlyOnce(spark: SparkSession, dir: String,
+      url: String = "jdbc:derby:memory:graft_f16;create=true"): DataFrame =
+    withShufflePartitions(spark, 8) {
+      val db = new graft.api.JdbcDatabase(spark, url)
+      val chk = new java.io.File("/root/repo/target/fixtures/out/f16/chk")
+      wipe(chk)
+      // self-contained declared query: clean target + ledger per run
+      db.dropTable("F16_EVENTS"); db.dropTable("F16_EVENTS_BATCHLOG")
+      val stream = readStreamEvents(spark, dir).select(col("event_id"),
+        col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      // materialize the target with the stream's schema so the appends
+      // INSERT into preserved DDL (mode ignore = create-if-absent)
+      db.store(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema),
+        "F16_EVENTS", "ignore")
+      val q = stream.writeStream
+        .option("checkpointLocation", chk.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          db.appendBatchExactlyOnce("F16_EVENTS", batch, batchId)
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      db.table("F16_EVENTS").read()
+    }
+
   /** The watermarked streaming plan itself (separated for MemoryStream tests). */
   def tumblingStream(events: DataFrame, delay: String, width: String): DataFrame =
     ltz(events)

@@ -146,7 +146,14 @@ object QueriesF {
     // seals them (p_ts behind the global watermark). Oracle = batch left
     // join restricted to matched-or-finalized rows.
     "f15_stream_outer_join" -> ((s, dir) =>
-      EventWindows.attributionOuterBatchEnd(s, dir).orderBy("p_id", "v_id"))
+      EventWindows.attributionOuterBatchEnd(s, dir).orderBy("p_id", "v_id")),
+
+    // f16: exactly-once streaming append into a live JDBC backend (Derby):
+    // per-batch rows + ledger entry commit in one backend transaction;
+    // replayed batches skip on the ledger hit. Read-back ≡ the source
+    // events (the oracle) proves no loss and no duplication.
+    "f16_stream_jdbc_sink" -> ((s, dir) =>
+      EventWindows.eventsToJdbcExactlyOnce(s, dir).orderBy("event_id"))
   )
 
   /** Shared oracle fragments: es = whole seconds since epoch (exact integer
@@ -245,6 +252,9 @@ object QueriesF {
         "ON p.user_id = v.v_user AND v.v_ts <= p.p_ts AND p.p_ts < v.v_ts + INTERVAL 5 MINUTE) " +
         "SELECT p_id, user_id, coalesce(v_id, -1) AS v_id FROM j CROSS JOIN wm " +
         "WHERE v_id IS NOT NULL OR p_ts < wm ORDER BY p_id, v_id"),
+    "f16_stream_jdbc_sink" ->
+      ("SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value " +
+        "FROM events ORDER BY event_id"),
     // finalized sessions only: session end (last event + 30 min gap) must
     // be ≤ the final watermark (max event time − 15 min delay)
     "f12_stream_session" ->
