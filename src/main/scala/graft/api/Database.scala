@@ -158,7 +158,7 @@ class Database(val spark: SparkSession, val root: String,
     * writing through ITS façade also invalidates this instance's views —
     * only out-of-band file writes (no façade involved) escape detection.
     */
-  protected def markDirty(): Unit = Database.bumpWriteEpoch(spark, root)
+  protected[api] def markDirty(): Unit = Database.bumpWriteEpoch(spark, root)
 
   /** SQL view name for a (possibly schema-qualified) table: dots are
     * invalid in temp-view names, so `sales.orders` registers as

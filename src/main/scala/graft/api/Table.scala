@@ -354,6 +354,87 @@ class Table(val db: Database, val qualified: String) {
     (name +: idxFields :+ "zidx").mkString("_")
   }
 
+  /** Bucket-partition the table by a stable hash of `keyCols` — the
+    * physical prerequisite for keyed incremental [[upsert]]s: rows of one
+    * key always live in one `bucket=` directory, so a merge touches only
+    * the buckets its delta hashes into. One full rewrite (staged + atomic
+    * swap), after which the bucket id is a visible, partition-prunable
+    * column. Size `nBuckets` so a bucket ≈ 128 MB at the target scale.
+    */
+  def bucketize(keyCols: Seq[String], nBuckets: Int): Unit = {
+    require(keyCols.nonEmpty, "bucketize: at least one key column")
+    require(nBuckets > 0, "bucketize: nBuckets must be positive")
+    val b = pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong)).cast("int")
+    db.replaceAt(path, df.withColumn("bucket", b), Seq("bucket"))
+    setProps(Map("bucket_keys" -> keyCols.mkString(","),
+      "bucket_n" -> nBuckets.toString))
+  }
+
+  /** MERGE INTO by key: delta rows replace same-key rows, new keys append
+    * (delta must carry one row per key — its own winner rule is the
+    * caller's business). On a [[bucketize]]d table keyed the same way the
+    * merge is INCREMENTAL: only the buckets the delta hashes into are
+    * read (partition-pruned directory reads), anti-joined against the
+    * delta's keys, and atomically swapped — at 100 TB a trickle delta
+    * rewrites a few bucket directories, never the table. On an
+    * unbucketed table it falls back to one full anti-join + rewrite.
+    */
+  def upsert(delta: DataFrame, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "upsert: at least one key column")
+    (prop("bucket_keys"), prop("bucket_n")) match {
+      case (Some(bk), Some(bn)) if bk == keyCols.mkString(",") =>
+        upsertBucketed(delta, keyCols, bn.toInt)
+      case _ =>
+        db.replaceTable(qualified,
+          df.join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
+            .unionByName(delta))
+    }
+  }
+
+  private def upsertBucketed(delta: DataFrame, keyCols: Seq[String],
+      n: Int): Unit = {
+    val spark = delta.sparkSession
+    val b = pmod(xxhash64(keyCols.map(col): _*), lit(n.toLong)).cast("int")
+    val d = delta.withColumn("bucket", b)
+    val touched = d.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ n values, driver-safe
+    val dirs = touched.map(i => new File(path, s"bucket=$i"))
+      .filter(_.isDirectory).map(_.getPath)
+    val existing =
+      if (dirs.isEmpty) None
+      else Some(spark.read.option("basePath", path)
+        .parquet(dirs.toIndexedSeq: _*))
+    val keep = existing.map(
+      _.join(d.select(keyCols.map(col): _*), keyCols, "left_anti"))
+    val merged = keep.fold(d)(_.unionByName(d))
+    val stage = new File(path + ".upsert_stage")
+    db.deleteRecursively(stage)
+    db.storeAt(merged, stage.getPath, partitionBy = Seq("bucket"))
+    touched.foreach { i =>
+      val src = new File(stage, s"bucket=$i")
+      val dst = new File(path, s"bucket=$i")
+      if (src.isDirectory) {
+        db.deleteRecursively(dst)
+        if (!src.renameTo(dst))
+          throw new java.io.IOException(s"upsert swap failed: $src -> $dst")
+      }
+    }
+    db.deleteRecursively(stage)
+    db.markDirty()
+  }
+
+  private def setProps(kvs: Map[String, String]): Unit = {
+    val f = new File(path + ".properties")
+    val p = new java.util.Properties()
+    if (f.exists()) {
+      val in = new java.io.FileInputStream(f)
+      try p.load(in) finally in.close()
+    }
+    kvs.foreach { case (k, v) => p.setProperty(k, v) }
+    val out = new java.io.FileOutputStream(f)
+    try p.store(out, null) finally out.close()
+  }
+
   private def prop(key: String): Option[String] = {
     val f = new File(path + ".properties")
     if (!f.exists()) None

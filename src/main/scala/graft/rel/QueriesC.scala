@@ -176,6 +176,30 @@ object QueriesC {
         .orderBy("day", "event_type")
     }),
 
+    // c12: keyed MERGE (upsert) on a bucketized table — the warehouse
+    // write pattern c11 is to aggregates: bucketize(c_custkey, 8) makes
+    // rows of one key live in one bucket directory, then upsert(delta)
+    // reads, anti-joins, and atomically swaps ONLY the buckets the delta
+    // hashes into. Delta = balance bump for every 100th customer (update)
+    // plus key-shifted copies of every 250th (insert). Read-back ≡ the
+    // SQL merge over the source table (the oracle).
+    "c12_upsert_merge" -> ((s, dir) => {
+      val db = scratch(s)
+      val cust = t(s, dir, "customer")
+      db.dropTable("c12_cust")
+      db.store(cust, "c12_cust", "overwrite")
+      val tbl = db.table("c12_cust")
+      tbl.bucketize(Seq("c_custkey"), 8)
+      val updates = cust.filter(col("c_custkey") % 100 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      val inserts = cust.filter(col("c_custkey") % 250 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+      tbl.upsert(updates.unionByName(inserts), Seq("c_custkey"))
+      db.table("c12_cust").df
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
     // c6: index façade — cluster by l_shipdate (zone-map effect), verify the
     // data is preserved and a pushed-down range filter reads correctly.
     "c6_index_cluster" -> ((s, dir) => {
@@ -235,6 +259,17 @@ object QueriesC {
       ("SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, " +
         "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "c12_upsert_merge" ->
+      ("WITH delta AS (" +
+        "SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal " +
+        "FROM customer WHERE c_custkey % 100 = 0 " +
+        "UNION ALL " +
+        "SELECT c_custkey + 1000000, c_name, c_acctbal " +
+        "FROM customer WHERE c_custkey % 250 = 0) " +
+        "SELECT c_custkey, c_name, c_acctbal FROM (" +
+        "SELECT c_custkey, c_name, c_acctbal FROM customer " +
+        "WHERE c_custkey NOT IN (SELECT c_custkey FROM delta) " +
+        "UNION ALL SELECT * FROM delta) ORDER BY c_custkey"),
     "c6_index_cluster" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem " +
         "WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' " +

@@ -550,6 +550,39 @@ class ApiSpec extends AnyFunSuite {
     assert(out == Set(("d1", "a", 1L), ("d2", "a", 5L), ("d3", "b", 7L)))
   }
 
+  test("bucketized upsert rewrites only the delta's buckets; fallback merges whole table") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    val base = (1L to 64L).map(k => (k, s"v$k")).toDF("k", "v")
+    db2.store(base, "ups", "overwrite")
+    val tbl = db2.table("ups")
+    tbl.bucketize(Seq("k"), 8)
+    val bdir = (i: Int) => new java.io.File(db2.pathOf("ups"), s"bucket=$i")
+    def stateOf(i: Int) = Option(bdir(i).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toSet
+    // delta touches exactly the buckets of keys 3 (update) and 1000 (insert)
+    val touched = spark.sql(
+      "SELECT CAST(pmod(xxhash64(CAST(3 AS BIGINT)), 8) AS INT), " +
+        "CAST(pmod(xxhash64(CAST(1000 AS BIGINT)), 8) AS INT)")
+      .collect()(0) match { case r => Set(r.getInt(0), r.getInt(1)) }
+    val before = (0 until 8).filterNot(touched).map(i => i -> stateOf(i)).toMap
+    tbl.upsert(Seq((3L, "updated"), (1000L, "new")).toDF("k", "v"), Seq("k"))
+    (0 until 8).filterNot(touched).foreach { i =>
+      assert(stateOf(i) == before(i), s"untouched bucket $i was rewritten")
+    }
+    val got = db2.table("ups").df.select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 65 && got(3L) == "updated" && got(1000L) == "new" &&
+      got(4L) == "v4")
+    // unbucketed fallback: same semantics via full rewrite
+    db2.store(base, "ups2", "overwrite")
+    db2.table("ups2").upsert(Seq((3L, "u2"), (99L, "n2")).toDF("k", "v"), Seq("k"))
+    val got2 = db2.table("ups2").df.collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(got2.size == 65 && got2(3L) == "u2" && got2(99L) == "n2")
+  }
+
   private def scratchDb() = {
     scratchN += 1
     val root = s"/root/repo/target/fixtures/test/api$scratchN"
