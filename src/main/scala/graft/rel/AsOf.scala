@@ -25,11 +25,22 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** Inner as-of join. Output: left rows (original columns) + the matched
-    * right row's columns (prefixed `asof_`); left rows with no prior right
-    * row are dropped (inner semantics, like DuckDB's ASOF JOIN).
+    * right row's columns (prefixed `asof_`); left rows with no match are
+    * dropped (inner semantics, like DuckDB's ASOF JOIN).
+    *
+    * `direction`: "backward" (default) matches the LATEST right row with
+    * `rightTs <= leftTs`; "forward" the EARLIEST right row with
+    * `rightTs >= leftTs` (same single-shuffle plan — only the sort order
+    * flips). `toleranceUs` drops a match farther than the given
+    * event-time distance in microseconds (DuckDB/pandas `tolerance`
+    * semantics): the nearest candidate is still the only candidate, so
+    * tolerance is a post-filter, not a different plan.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String, direction: String = "backward",
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward|forward, got $direction")
     val rStruct = struct(right.columns.map(col): _*)
     // null event times carry no ordering information: SQL ASOF semantics
     // (p.ts >= NULL is never true) drop them — filter both sides up front
@@ -44,14 +55,29 @@ object AsOf {
     }.select(l.columns.map(col): _*)
 
     // _r as the final sort key makes ties among equal-ts right rows
-    // deterministic (struct comparison by field order)
-    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_tag"), col("_r"))
+    // deterministic (struct comparison by field order); forward mode
+    // reverses the time sort so "last prior" becomes "last following
+    // scanned in reverse" = earliest following
+    val tsOrder = if (direction == "backward") col("_ts").asc else col("_ts").desc
+    val w = Window.partitionBy(col(key)).orderBy(tsOrder, col("_tag"), col("_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(rPadded)
       .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1 && col("_match").isNotNull)
 
+    val withinTol = toleranceUs match {
+      case None => matched
+      case Some(tol) =>
+        val gap =
+          if (direction == "backward")
+            unix_micros(col("_ts").cast("timestamp")) -
+              unix_micros(col(s"_match.$rightTs").cast("timestamp"))
+          else
+            unix_micros(col(s"_match.$rightTs").cast("timestamp")) -
+              unix_micros(col("_ts").cast("timestamp"))
+        matched.filter(gap <= tol)
+    }
     val rightOut = right.columns.map(c => col(s"_match.$c").as(s"asof_$c"))
-    matched.select(left.columns.map(col) ++ rightOut: _*)
+    withinTol.select(left.columns.map(col) ++ rightOut: _*)
   }
 }

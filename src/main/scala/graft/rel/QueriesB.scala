@@ -105,6 +105,24 @@ object QueriesB {
         .orderBy("o_orderkey")
     }),
 
+    // b17: GROUPING SETS — the general form behind rollup (b9) and cube
+    // (b11): per-priority totals, per-status totals, and the grand total
+    // in ONE pass (Spark expands to a single Expand + hash aggregate — one
+    // scan, one shuffle, vs three separate groupBys = three scans).
+    // Grouping nulls are disambiguated with an ALL label (the data's own
+    // columns are non-null).
+    "b17_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_price"))
+        .orderBy("pri", "status")),
+
     // b16: EXACT group quantiles by nearest-rank (ceil) — k_q = ⌈q·n⌉ in
     // pure integer arithmetic ((q·10·n + 9) div 10), so there is no
     // interpolation and no engine-specific quantile definition to disagree
@@ -254,6 +272,12 @@ object QueriesB {
         "o_totalprice - lag(o_totalprice, 1, 0.0) OVER w AS delta " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
         "ORDER BY o_orderkey"),
+    "b17_grouping_sets" ->
+      ("SELECT coalesce(o_orderpriority, 'ALL') AS pri, " +
+        "coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ()) " +
+        "ORDER BY 1, 2"),
     "b16_exact_quantiles" ->
       ("WITH r AS (SELECT o_orderpriority, o_totalprice, " +
         "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn, " +

@@ -148,6 +148,25 @@ object QueriesF {
     "f15_stream_outer_join" -> ((s, dir) =>
       EventWindows.attributionOuterBatchEnd(s, dir).orderBy("p_id", "v_id")),
 
+    // f17: FORWARD as-of with tolerance — for each view, the next purchase
+    // by the same user within 30 minutes (conversion attribution). Same
+    // single-shuffle composed plan as f7 with the time sort reversed;
+    // tolerance is a post-filter on the unique nearest candidate.
+    "f17_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.rel.AsOf.asofJoin(views, purchases, "user_id", "ts", "ts",
+        direction = "forward", toleranceUs = Some(1800L * 1000000L))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("purchase_event_id"),
+          (unix_micros(col("asof_ts").cast("timestamp")) -
+            unix_micros(col("ts").cast("timestamp"))).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // f16: exactly-once streaming append into a live JDBC backend (Derby):
     // per-batch rows + ledger entry commit in one backend transaction;
     // replayed batches skip on the ledger hit. Read-back ≡ the source
@@ -213,6 +232,14 @@ object QueriesF {
         "epoch_us(p.ts) - epoch_us(v.ts) AS gap_us " +
         "FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts " +
         "ORDER BY p.event_id"),
+    "f17_asof_forward" ->
+      ("WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'), " +
+        "p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') " +
+        "SELECT v.event_id, v.user_id, p.event_id AS purchase_event_id, " +
+        "epoch_us(p.ts) - epoch_us(v.ts) AS gap_us " +
+        "FROM v ASOF JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts " +
+        "WHERE epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000 " +
+        "ORDER BY v.event_id"),
     "f8_range_join" -> RangeJoinSql,
     "f9_gapfill" ->
       (s"WITH e AS ($EsEvents), " +

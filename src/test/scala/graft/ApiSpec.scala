@@ -199,6 +199,26 @@ class ApiSpec extends AnyFunSuite {
     assert(!out.contains(103L), "no prior right row -> dropped (inner)")
   }
 
+  test("asofJoin forward direction and tolerance semantics") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(min * 60000)
+    val l = spark.createDataFrame(Seq(
+      (101L, 1L, ts(10)), (102L, 1L, ts(20)), (103L, 2L, ts(5)))).toDF("lid", "user_id", "ts")
+    val r = spark.createDataFrame(Seq(
+      (201L, 1L, ts(10)), (202L, 1L, ts(90)), (203L, 2L, ts(4)))).toDF("rid", "user_id", "ts")
+    val fwd = graft.rel.AsOf.asofJoin(l, r, "user_id", "ts", "ts",
+      direction = "forward")
+      .select("lid", "asof_rid").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(fwd(101L) == 201L, "equal timestamps match (>= semantics)")
+    assert(fwd(102L) == 202L, "earliest following wins")
+    assert(!fwd.contains(103L), "no following right row -> dropped")
+    // 30-minute tolerance: 102's match at +70min drops out, 101 (0 gap) stays
+    val tol = graft.rel.AsOf.asofJoin(l, r, "user_id", "ts", "ts",
+      direction = "forward", toleranceUs = Some(30L * 60 * 1000000L))
+      .select("lid").collect().map(_.getLong(0)).toSet
+    assert(tol == Set(101L))
+  }
+
   test("salted join is result-identical to the plain join") {
     val o = db.table("orders").df.select("o_custkey", "o_totalprice")
     val c = db.table("customer").df.select("c_custkey", "c_mktsegment")
