@@ -495,12 +495,13 @@ object QueriesE {
     // granularity since the corpus is single-line): split each doc into
     // non-overlapping 5-word chunks, keep each distinct chunk's FIRST
     // occurrence in (doc_id, pos) order corpus-wide, and reassemble the
-    // surviving text per doc. One shuffle keyed by chunk text (skew-safe:
-    // the per-chunk winner is a bounded row_number, not a pair join);
-    // reassembly is an order-free sort_array fold, deterministic under any
-    // partitioning.
+    // surviving text per doc. The per-chunk winner is min(struct(doc_id,
+    // pos)) — a MAP-SIDE-COMBINED aggregate, so a boilerplate chunk that
+    // appears 10^6 times reduces locally instead of piling onto one
+    // window task; the join back fans a 1-row build side over the probe
+    // scan. Reassembly is an order-free sort_array fold, deterministic
+    // under any partitioning.
     "e30_chunk_dedup" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val ws = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
       val nch = expr("(size(ws) + 4) div 5").cast("int")
@@ -508,8 +509,11 @@ object QueriesE {
         posexplode(transform(sequence(lit(0), nch - 1),
           i => array_join(slice(col("ws"), i * 5 + 1, lit(5)), " "))))
         .toDF("doc_id", "pos", "chunk")
-      val w = Window.partitionBy("chunk").orderBy(col("doc_id"), col("pos"))
-      chunks.withColumn("keep", row_number().over(w) === 1)
+      val winners = chunks.groupBy("chunk")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      chunks.join(winners, "chunk")
+        .withColumn("keep",
+          col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos"))
         .groupBy("doc_id").agg(
           count(lit(1)).as("n_chunks"),
           sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
