@@ -146,6 +146,24 @@ object QueriesB {
         .orderBy("o_orderpriority")
     }),
 
+    // b18: RANGE-frame window — 30-day trailing spend per customer at
+    // each order. Unlike a ROWS frame, the frame is bounded by the ORDER
+    // BY VALUE (epoch seconds), so gaps and same-day ties behave like SQL
+    // says they should (all peers join the frame). Exact decimal sum
+    // inside the frame keeps it bit-portable. Same shuffle shape as any
+    // per-key window: one hash partition + sort, no global sort.
+    "b18_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("es"))
+        .rangeBetween(-30L * 86400, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("es", col("o_orderdate").cast("timestamp").cast("long"))
+        .withColumn("trailing_30d",
+          sum(dec2(col("o_totalprice"))).over(w).cast("double"))
+        .select("o_orderkey", "o_custkey", "es", "o_totalprice", "trailing_30d")
+        .orderBy("o_orderkey")
+    }),
+
     // b7: top-3 orders by totalprice within each orderpriority — window
     // top-K; tie-broken by o_orderkey for a total order.
     "b7_topk_window" -> ((s, dir) => {
@@ -272,6 +290,15 @@ object QueriesB {
         "o_totalprice - lag(o_totalprice, 1, 0.0) OVER w AS delta " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
         "ORDER BY o_orderkey"),
+    "b18_range_frame" ->
+      ("WITH o AS (SELECT o_orderkey, o_custkey, " +
+        "date_diff('second', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) AS es, " +
+        "o_totalprice FROM orders) " +
+        "SELECT o_orderkey, o_custkey, es, o_totalprice, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +
+        "(PARTITION BY o_custkey ORDER BY es " +
+        "RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d " +
+        "FROM o ORDER BY o_orderkey"),
     "b17_grouping_sets" ->
       ("SELECT coalesce(o_orderpriority, 'ALL') AS pri, " +
         "coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n, " +
