@@ -93,19 +93,30 @@ object Dedup {
     * per doc) feeds both sides of the self-join — the signature pass runs
     * once per side over the scan, never per candidate.
     */
-  def minhashBandPairs(df: DataFrame, idCol: String, textCol: String,
+  /** Per-doc LSH band digests `(id, band, digest)` — the rows a PERSISTED
+    * near-dup index holds: `bands` small rows per doc, joinable on
+    * (band, digest). Factored out of [[minhashBandPairs]] so an
+    * incremental ingest can band a delta and equi-join it against an
+    * existing corpus's digests instead of re-banding everything.
+    */
+  def bandDigests(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val k = bands * rowsPerBand
     val sig = df.select(col(idCol),
         graft.functions.TextExpressions.minhashSig(col(textCol), n, k).as("_sig"))
       .filter(col("_sig").isNotNull) // short docs carry no similarity evidence
-    val banded = sig.select(col(idCol), explode(array(
+    sig.select(col(idCol), explode(array(
       (0 until bands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|",
             (0 until rowsPerBand).map(r => col("_sig").getItem(b * rowsPerBand + r)): _*)).as("digest"))
       }: _*)).as("bd"))
       .select(col(idCol), col("bd.band"), col("bd.digest"))
+  }
+
+  def minhashBandPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val banded = bandDigests(df, idCol, textCol, n, bands, rowsPerBand)
       // both sides of the self-join read the cached digests instead of
       // re-running the signature pass over the corpus; the relation is
       // bands rows × (id, int, 32-char digest) per doc — small relative to

@@ -575,6 +575,41 @@ object QueriesE {
         .orderBy("vec_id")
     }),
 
+    // e33: INCREMENTAL near-dup ingest — the production shape of corpus
+    // growth: the existing corpus's LSH band digests are a persisted
+    // index; a delta batch (doc_id % 10 = 0 here) bands ONLY ITSELF and
+    // equi-joins the index on (band, digest), so ingest cost is
+    // O(delta + matched candidates), never a corpus re-scan. Candidates
+    // verify by exact Jaccard against just the matched existing docs
+    // (array-intersect in-row, as e17). Output: each new doc that
+    // near-duplicates the existing corpus, with match count and first
+    // match.
+    "e33_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val existing = docs.filter(col("doc_id") % 10 =!= 0)
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      val idx = Dedup.bandDigests(existing, "doc_id", "text",
+          LshNgram, LshBands, LshRows)
+        .withColumnRenamed("doc_id", "idx_id")
+      val dd = Dedup.bandDigests(delta, "doc_id", "text",
+        LshNgram, LshBands, LshRows)
+      val cand = dd.join(idx, Seq("band", "digest"))
+        .select(col("doc_id"), col("idx_id")).distinct()
+      val shNew = delta.select(col("doc_id"),
+        TextExpressions.distinctShingles(col("text"), LshNgram).as("shs"))
+      val shOld = existing.select(col("doc_id").as("idx_id"),
+        TextExpressions.distinctShingles(col("text"), LshNgram).as("oshs"))
+      val i = size(array_intersect(col("shs"), col("oshs")))
+      cand.join(shNew, "doc_id").join(shOld, "idx_id")
+        .select(col("doc_id"), col("idx_id"),
+          (i.cast("double") /
+            (size(col("shs")) + size(col("oshs")) - i).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= LshJaccard)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dups"), min(col("idx_id")).as("first_dup"))
+        .orderBy("doc_id")
+    }),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -729,6 +764,32 @@ object QueriesE {
         "FROM be e JOIN ev ON e.bucket = ev.ebucket WHERE e.vec_id % 97 <> 0) " +
         "SELECT vec_id, count(DISTINCT eval_id) AS n_eval_hits, max(cos) AS max_cos " +
         "FROM cand WHERE cos >= 0.3 GROUP BY 1 ORDER BY 1"
+    },
+    "e33_incremental_dedup" -> {
+      val sigCols = (0 until LshK).map(j =>
+        s"list_aggregate(list_transform(${sqlShingles(LshNgram)}, x -> md5('$j|' || x)), 'min') AS s$j")
+        .mkString(", ")
+      def banded(src: String) = (0 until LshBands).map { b =>
+        val digest = (0 until LshRows).map(r => s"s${b * LshRows + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($digest) AS digest FROM $src"
+      }.mkString(" UNION ALL ")
+      "WITH ex AS (SELECT * FROM documents WHERE doc_id % 10 <> 0), " +
+        "de AS (SELECT * FROM documents WHERE doc_id % 10 = 0), " +
+        s"exsig0 AS (SELECT doc_id, $sigCols FROM ex), " +
+        "exsig AS (SELECT * FROM exsig0 WHERE s0 IS NOT NULL), " +
+        s"desig0 AS (SELECT doc_id, $sigCols FROM de), " +
+        "desig AS (SELECT * FROM desig0 WHERE s0 IS NOT NULL), " +
+        s"exband AS (${banded("exsig")}), deband AS (${banded("desig")}), " +
+        "cand AS (SELECT DISTINCT d.doc_id, e.doc_id AS idx_id " +
+        "FROM deband d JOIN exband e USING (band, digest)), " +
+        s"shn AS (SELECT doc_id, list_distinct(${sqlShingles(LshNgram)}) AS shs FROM de), " +
+        s"sho AS (SELECT doc_id AS idx_id, list_distinct(${sqlShingles(LshNgram)}) AS shs FROM ex), " +
+        "v AS (SELECT cand.doc_id, cand.idx_id, " +
+        "len(list_intersect(shn.shs, sho.shs))::DOUBLE / " +
+        "(len(shn.shs) + len(sho.shs) - len(list_intersect(shn.shs, sho.shs)))::DOUBLE AS jaccard " +
+        "FROM cand JOIN shn USING (doc_id) JOIN sho USING (idx_id)) " +
+        s"SELECT doc_id, count(*) AS n_dups, min(idx_id) AS first_dup " +
+        s"FROM v WHERE jaccard >= $LshJaccard GROUP BY 1 ORDER BY 1"
     },
     "e17_neardup_lsh" ->
       s"WITH $sqlLshPairCtes SELECT id_a, id_b, jaccard FROM vpairs ORDER BY id_a, id_b",

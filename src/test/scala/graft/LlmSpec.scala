@@ -412,6 +412,19 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(out(0)._3 - 1.0) < 1e-12, "scaling preserves cosine = 1")
   }
 
+  test("e33 incremental ingest flags a delta doc duplicating the existing corpus") {
+    val dup = "the quick brown fox jumps over the lazy dog again and again today"
+    val dir = craftedDocsDir("e33", Seq(
+      (1L, dup, 66L),                                            // existing
+      (2L, "some completely different existing document text here", 51L),
+      (10L, dup, 66L),                                           // delta dup of 1
+      (20L, "a fresh unique delta document with novel content entirely", 57L)))
+    val out = graft.llm.QueriesE.all("e33_incremental_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((10L, 1L, 1L)),
+      s"only the duplicated delta doc flags, against doc 1: ${out.toSeq}")
+  }
+
   test("e24 pii scrub: planted email/url/phone all redacted exactly once") {
     val out = graft.llm.QueriesE.all("e24_pii_scrub")(spark, TestSpark.Sf).collect()
     assert(out.length > 0)
