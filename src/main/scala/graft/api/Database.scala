@@ -341,6 +341,9 @@ class Database(val spark: SparkSession, val root: String,
   def dropTable(name: String): Unit = {
     // ref datum/postgis/database.py:100-103 (DROP TABLE IF EXISTS)
     deleteRecursively(new File(pathOf(name)))
+    // the metadata sidecar dies with the table — stale srid/bucket
+    // properties must not leak onto a future table reusing the name
+    deleteRecursively(new File(pathOf(name) + ".properties"))
     val v = viewNameOf(name)
     if (spark.catalog.tableExists(v)) spark.catalog.dropTempView(v): Unit
     markDirty()
@@ -518,6 +521,30 @@ object Database {
 
   private[api] def isDataFile(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".")
+
+  /** Swap a freshly-written directory into place with a backup hop
+    * (dst → dst.bak, src → dst, drop bak) — the per-directory version of
+    * [[Database.replaceAt]]'s recipe: no instant exists where the
+    * destination's previous contents have been deleted without either the
+    * new contents in place or the `.bak` copy on disk, so a crash leaves
+    * the state recoverable instead of silently empty.
+    */
+  private[graft] def swapDir(src: File, dst: File): Unit = {
+    def wipe(f: File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    val bak = new File(dst.getPath + ".bak")
+    wipe(bak)
+    if (dst.exists() && !dst.renameTo(bak))
+      throw new java.io.IOException(s"swapDir: cannot stage $dst aside")
+    if (!src.renameTo(dst)) {
+      bak.renameTo(dst) // roll back; previous contents restored
+      throw new java.io.IOException(s"swapDir: cannot swap $src into $dst")
+    }
+    wipe(bak)
+  }
 
   /** `DELETE FROM t [WHERE p]` — full-statement match, optional `;`. */
   private val DeleteRe =

@@ -68,14 +68,29 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
     * `mode("overwrite")` would instead drop and recreate the table with
     * Spark-inferred types and is not crash-safe.
     */
-  override private[api] def replaceTable(name: String, df: DataFrame): Unit = {
-    val stage = name + "_GRAFT_STAGE"
-    // refuse rather than silently overwrite-and-drop a pre-existing user
-    // table that happens to carry the stage name
+  /** Shared staged-transaction recipe: bulk-write `df` to a side table
+    * (task-parallel), then run `txnBody` — given the statement, the
+    * backend-quoted column list, and the stage name — inside ONE backend
+    * transaction, and drop the stage whether or not the transaction
+    * committed. Refuses to run if the stage name already exists in the
+    * backend (a real user table must never be silently overwritten and
+    * dropped). Rollback fires on ANY throwable — an interrupt between the
+    * body's statements must not leave an open transaction to
+    * connection-close semantics (some backends commit open work on
+    * close).
+    *
+    * Column lists map by NAME on both sides: a df whose column order
+    * differs from the backend DDL still lands each value in its own
+    * column (a bare SELECT * is positional). Names are quoted with the
+    * backend's quote string — Spark's JDBC writer creates quoted
+    * (case-exact) columns, so an unquoted list would case-fold past them.
+    */
+  private def stagedTxn(df: DataFrame, stage: String)(
+      txnBody: (java.sql.Statement, String, String) => Unit): Unit = {
     if (tables.exists(_.equalsIgnoreCase(stage)))
       throw new IllegalStateException(
         s"staging table '$stage' already exists in the backend — " +
-          "drop or rename it before replacing " + name)
+          "drop or rename it first")
     store(df, stage, "overwrite")
     try {
       val conn = connection()
@@ -83,28 +98,18 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
         conn.setAutoCommit(false)
         val st = conn.createStatement()
         try {
-          // explicit column lists on both sides: the INSERT maps by NAME,
-          // so a df whose column order differs from the backend DDL still
-          // lands each value in its own column (a bare SELECT * is
-          // positional). Names are quoted with the backend's quote string —
-          // Spark's JDBC writer creates quoted (case-exact) columns, so an
-          // unquoted list would case-fold past them; the frame's reported
-          // names ARE the backend names (load() reflects them).
           val q = Option(conn.getMetaData.getIdentifierQuoteString)
             .map(_.trim).filter(_.nonEmpty).getOrElse("")
           val cols = df.schema.fieldNames.map(c => s"$q$c$q").mkString(", ")
-          st.executeUpdate(s"DELETE FROM $name"): Unit
-          st.executeUpdate(
-            s"INSERT INTO $name ($cols) SELECT $cols FROM $stage"): Unit
+          txnBody(st, cols, stage)
           conn.commit()
         } catch {
-          case e: java.sql.SQLException => conn.rollback(); throw e
+          case e: Throwable => conn.rollback(); throw e
         } finally st.close()
       } finally conn.close()
     } finally {
-      // drop the stage whether the swap committed or not — a failed swap
-      // (e.g. an FK violation on the DELETE) must not leave a phantom
-      // *_GRAFT_STAGE table in the backend catalog
+      // drop the stage whether the transaction committed or not — a
+      // failure must not leave a phantom stage table in the catalog
       val cleanup = connection()
       try {
         val st = cleanup.createStatement()
@@ -112,6 +117,14 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
         catch { case _: java.sql.SQLException => () } // best-effort cleanup
         finally st.close()
       } finally cleanup.close()
+    }
+  }
+
+  override private[api] def replaceTable(name: String, df: DataFrame): Unit = {
+    stagedTxn(df, name + "_GRAFT_STAGE") { (st, cols, stage) =>
+      st.executeUpdate(s"DELETE FROM $name"): Unit
+      st.executeUpdate(
+        s"INSERT INTO $name ($cols) SELECT $cols FROM $stage"): Unit
     }
     markDirty()
   }
@@ -147,35 +160,10 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
         finally ps.close()
       } finally pre.close()
     if (!alreadyDone) {
-      val stage = name + "_EO_STAGE"
-      store(batch, stage, "overwrite")
-      try {
-        val conn = connection()
-        try {
-          conn.setAutoCommit(false)
-          val q = Option(conn.getMetaData.getIdentifierQuoteString)
-            .map(_.trim).filter(_.nonEmpty).getOrElse("")
-          val cols = batch.schema.fieldNames.map(c => s"$q$c$q").mkString(", ")
-          val st = conn.createStatement()
-          try {
-            st.executeUpdate(
-              s"INSERT INTO $name ($cols) SELECT $cols FROM $stage"): Unit
-            val ps = conn.prepareStatement(s"INSERT INTO $ledger VALUES (?)")
-            try { ps.setLong(1, batchId); ps.executeUpdate(): Unit }
-            finally ps.close()
-            conn.commit()
-          } catch {
-            case e: java.sql.SQLException => conn.rollback(); throw e
-          } finally st.close()
-        } finally conn.close()
-      } finally {
-        val cleanup = connection()
-        try {
-          val st = cleanup.createStatement()
-          try st.executeUpdate(s"DROP TABLE $stage"): Unit
-          catch { case _: java.sql.SQLException => () } // best-effort
-          finally st.close()
-        } finally cleanup.close()
+      stagedTxn(batch, name + "_EO_STAGE") { (st, cols, stage) =>
+        st.executeUpdate(
+          s"INSERT INTO $name ($cols) SELECT $cols FROM $stage"): Unit
+        st.executeUpdate(s"INSERT INTO $ledger VALUES ($batchId)"): Unit
       }
       markDirty()
     }

@@ -381,13 +381,37 @@ class Table(val db: Database, val qualified: String) {
     */
   def upsert(delta: DataFrame, keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "upsert: at least one key column")
+    require(!delta.columns.contains("bucket"),
+      "upsert: the delta must not carry a 'bucket' column (it is derived)")
+    // the sidecar is only trusted when the layout actually matches it —
+    // a dropTable/overwrite since bucketize leaves stale metadata that
+    // must heal, not corrupt
+    val layoutBucketed = Database.partitionColsOf(path) == Seq("bucket")
     (prop("bucket_keys"), prop("bucket_n")) match {
-      case (Some(bk), Some(bn)) if bk == keyCols.mkString(",") =>
-        upsertBucketed(delta, keyCols, bn.toInt)
+      case (Some(bk), Some(bn))
+          if layoutBucketed && bk.split(",").toSeq.toSet == keyCols.toSet =>
+        // hash in the RECORDED key order — the order the layout was built
+        // with — so a caller passing the same keys reordered still routes
+        // rows to their existing buckets
+        upsertBucketed(delta, bk.split(",").toSeq, bn.toInt)
+      case (Some(bk), Some(bn)) if layoutBucketed =>
+        // different merge key: one full merge, then restore the recorded
+        // bucket layout so future same-key upserts stay incremental
+        val storedKeys = bk.split(",").toSeq
+        val merged = df.drop("bucket")
+          .join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(delta)
+        val b = pmod(xxhash64(storedKeys.map(col): _*), lit(bn.toLong)).cast("int")
+        db.replaceAt(path, merged.withColumn("bucket", b), Seq("bucket"))
       case _ =>
-        db.replaceTable(qualified,
-          df.join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
-            .unionByName(delta))
+        if (prop("bucket_keys").nonEmpty) // stale sidecar, flat layout
+          clearProps(Seq("bucket_keys", "bucket_n"))
+        val base = if (layoutBucketed) df.drop("bucket") else df
+        val merged = base
+          .join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(delta)
+        db.replaceAt(path, merged,
+          Database.partitionColsOf(path).filterNot(_ == "bucket"))
     }
   }
 
@@ -395,32 +419,44 @@ class Table(val db: Database, val qualified: String) {
       n: Int): Unit = {
     val spark = delta.sparkSession
     val b = pmod(xxhash64(keyCols.map(col): _*), lit(n.toLong)).cast("int")
-    val d = delta.withColumn("bucket", b)
-    val touched = d.select("bucket").distinct()
-      .collect().map(_.getInt(0)).sorted // ≤ n values, driver-safe
-    val dirs = touched.map(i => new File(path, s"bucket=$i"))
-      .filter(_.isDirectory).map(_.getPath)
-    val existing =
-      if (dirs.isEmpty) None
-      else Some(spark.read.option("basePath", path)
-        .parquet(dirs.toIndexedSeq: _*))
-    val keep = existing.map(
-      _.join(d.select(keyCols.map(col): _*), keyCols, "left_anti"))
-    val merged = keep.fold(d)(_.unionByName(d))
-    val stage = new File(path + ".upsert_stage")
-    db.deleteRecursively(stage)
-    db.storeAt(merged, stage.getPath, partitionBy = Seq("bucket"))
-    touched.foreach { i =>
-      val src = new File(stage, s"bucket=$i")
-      val dst = new File(path, s"bucket=$i")
-      if (src.isDirectory) {
-        db.deleteRecursively(dst)
-        if (!src.renameTo(dst))
-          throw new java.io.IOException(s"upsert swap failed: $src -> $dst")
+    // consumed twice (touched-bucket collect + staged write): materialize
+    // once instead of recomputing the delta lineage
+    val d = delta.withColumn("bucket", b).persist()
+    try {
+      val touched = d.select("bucket").distinct()
+        .collect().map(_.getInt(0)).sorted // ≤ n values, driver-safe
+      val dirs = touched.map(i => new File(path, s"bucket=$i"))
+        .filter(_.isDirectory).map(_.getPath)
+      val existing =
+        if (dirs.isEmpty) None
+        else Some(spark.read.option("basePath", path)
+          .parquet(dirs.toIndexedSeq: _*))
+      val keep = existing.map(
+        _.join(d.select(keyCols.map(col): _*), keyCols, "left_anti"))
+      val merged = keep.fold(d)(_.unionByName(d))
+      val stage = new File(path + ".upsert_stage")
+      db.deleteRecursively(stage)
+      db.storeAt(merged, stage.getPath, partitionBy = Seq("bucket"))
+      touched.foreach { i =>
+        val src = new File(stage, s"bucket=$i")
+        val dst = new File(path, s"bucket=$i")
+        if (src.isDirectory) Database.swapDir(src, dst)
       }
+      db.deleteRecursively(stage)
+      db.markDirty()
+    } finally { d.unpersist(); () }
+  }
+
+  private def clearProps(keys: Seq[String]): Unit = {
+    val f = new File(path + ".properties")
+    if (f.exists()) {
+      val p = new java.util.Properties()
+      val in = new java.io.FileInputStream(f)
+      try p.load(in) finally in.close()
+      keys.foreach(p.remove)
+      val out = new java.io.FileOutputStream(f)
+      try p.store(out, null) finally out.close()
     }
-    db.deleteRecursively(stage)
-    db.markDirty()
   }
 
   private def setProps(kvs: Map[String, String]): Unit = {

@@ -83,20 +83,12 @@ object Dedup {
       .withColumn("is_dup", col(idCol) =!= col("cluster_id"))
   }
 
-  /** Banded LSH candidate pairs: split a k=bands×rows signature into bands,
-    * join on (band index, band digest). Returns candidate id pairs (a<b).
-    * This is the scale path: O(n·bands) shuffle instead of O(n²) compare.
-    *
-    * Signatures come from the native one-pass kernel
-    * ([[graft.functions.MinhashKernel]] — bit-identical to [[minhashSig]],
-    * ~50× cheaper), and the tiny banded relation (bands rows × one digest
-    * per doc) feeds both sides of the self-join — the signature pass runs
-    * once per side over the scan, never per candidate.
-    */
   /** Per-doc LSH band digests `(id, band, digest)` — the rows a PERSISTED
     * near-dup index holds: `bands` small rows per doc, joinable on
-    * (band, digest). Factored out of [[minhashBandPairs]] so an
-    * incremental ingest can band a delta and equi-join it against an
+    * (band, digest). Signatures come from the native one-pass kernel
+    * ([[graft.functions.MinhashKernel]] — bit-identical to the HOF
+    * formulation, ~50× cheaper). Factored out of [[minhashBandPairs]] so
+    * an incremental ingest can band a delta and equi-join it against an
     * existing corpus's digests instead of re-banding everything.
     */
   def bandDigests(df: DataFrame, idCol: String, textCol: String,
@@ -114,6 +106,13 @@ object Dedup {
       .select(col(idCol), col("bd.band"), col("bd.digest"))
   }
 
+  /** Banded LSH candidate pairs: split a k=bands×rows signature into bands,
+    * join on (band index, band digest). Returns candidate id pairs (a<b).
+    * This is the scale path: O(n·bands) shuffle instead of O(n²) compare;
+    * the tiny banded relation (bands rows × one digest per doc) feeds both
+    * sides of the self-join — the signature pass runs once per side over
+    * the scan, never per candidate.
+    */
   def minhashBandPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val banded = bandDigests(df, idCol, textCol, n, bands, rowsPerBand)

@@ -595,9 +595,16 @@ object QueriesE {
         LshNgram, LshBands, LshRows)
       val cand = dd.join(idx, Seq("band", "digest"))
         .select(col("doc_id"), col("idx_id")).distinct()
+        // consumed twice (the verify join and the matched-doc prune below)
+        .transform(graft.Caches.persistTracked)
       val shNew = delta.select(col("doc_id"),
         TextExpressions.distinctShingles(col("text"), LshNgram).as("shs"))
-      val shOld = existing.select(col("doc_id").as("idx_id"),
+      // shingle ONLY the existing docs some candidate matched (semi-join
+      // prune) — the verify step costs O(matched), never a corpus re-scan
+      val matchedOld = existing.join(
+        cand.select(col("idx_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      val shOld = matchedOld.select(col("doc_id").as("idx_id"),
         TextExpressions.distinctShingles(col("text"), LshNgram).as("oshs"))
       val i = size(array_intersect(col("shs"), col("oshs")))
       cand.join(shNew, "doc_id").join(shOld, "idx_id")

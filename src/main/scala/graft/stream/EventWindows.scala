@@ -328,32 +328,35 @@ object EventWindows {
   def upsertMerge(batch: DataFrame, state: java.io.File,
       stage: java.io.File, nBuckets: Int = 16): Unit = {
     val sp = batch.sparkSession
+    // consumed twice (touched-bucket collect + staged write): materialize
+    // the per-batch argmax once instead of re-running its window
     val winners = latestPerUser(batch).withColumn("bucket",
       pmod(xxhash64(col("user_id")), lit(nBuckets.toLong)).cast("int"))
-    // distinct buckets of the batch — bounded by nBuckets, driver-safe
-    val touched = winners.select("bucket").distinct()
-      .collect().map(_.getInt(0)).sorted
-    val existingDirs = touched
-      .map(b => new java.io.File(state, s"bucket=$b"))
-      .filter(_.isDirectory).map(_.getPath)
-    val existing =
-      if (existingDirs.isEmpty) None
-      else Some(sp.read.option("basePath", state.getPath)
-        .parquet(existingDirs.toIndexedSeq: _*))
-    val merged = latestPerUser(existing.fold(winners)(_.unionByName(winners)))
-    wipe(stage)
-    merged.write.partitionBy("bucket").parquet(stage.getPath)
-    state.mkdirs()
-    touched.foreach { b =>
-      val src = new java.io.File(stage, s"bucket=$b")
-      val dst = new java.io.File(state, s"bucket=$b")
-      if (src.isDirectory) {
-        wipe(dst)
-        if (!src.renameTo(dst))
-          throw new java.io.IOException(s"upsert bucket swap failed: $src -> $dst")
+      .persist()
+    try {
+      // distinct buckets of the batch — bounded by nBuckets, driver-safe
+      val touched = winners.select("bucket").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val existingDirs = touched
+        .map(b => new java.io.File(state, s"bucket=$b"))
+        .filter(_.isDirectory).map(_.getPath)
+      val existing =
+        if (existingDirs.isEmpty) None
+        else Some(sp.read.option("basePath", state.getPath)
+          .parquet(existingDirs.toIndexedSeq: _*))
+      val merged = latestPerUser(existing.fold(winners)(_.unionByName(winners)))
+      wipe(stage)
+      merged.write.partitionBy("bucket").parquet(stage.getPath)
+      state.mkdirs()
+      touched.foreach { b =>
+        val src = new java.io.File(stage, s"bucket=$b")
+        val dst = new java.io.File(state, s"bucket=$b")
+        // backup-hop swap: no instant where the bucket's previous state
+        // is deleted without the new state (or its .bak) on disk
+        if (src.isDirectory) graft.api.Database.swapDir(src, dst)
       }
-    }
-    wipe(stage)
+      wipe(stage)
+    } finally { winners.unpersist(); () }
   }
 
   private def wipe(f: java.io.File): Unit = {

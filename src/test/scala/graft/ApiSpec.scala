@@ -601,6 +601,21 @@ class ApiSpec extends AnyFunSuite {
     val got2 = db2.table("ups2").df.collect()
       .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
     assert(got2.size == 65 && got2(3L) == "u2" && got2(99L) == "n2")
+    // stale-sidecar healing: dropTable kills the sidecar, and even a
+    // manually-stranded one must not push a flat table down the bucketed
+    // path (which would write bucket= dirs beside flat files)
+    db2.dropTable("ups")
+    assert(!new java.io.File(db2.pathOf("ups") + ".properties").exists(),
+      "dropTable must remove the metadata sidecar")
+    db2.store(base, "ups", "overwrite")
+    db2.table("ups").upsert(Seq((5L, "h5")).toDF("k", "v"), Seq("k"))
+    val flatFiles = Option(new java.io.File(db2.pathOf("ups")).listFiles())
+      .getOrElse(Array.empty)
+    assert(!flatFiles.exists(f => f.isDirectory && f.getName.startsWith("bucket=")),
+      "healed table must stay flat")
+    val got3 = db2.table("ups").df.collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(got3.size == 64 && got3(5L) == "h5")
   }
 
   private def scratchDb() = {

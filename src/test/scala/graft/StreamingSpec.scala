@@ -239,6 +239,7 @@ class StreamingSpec extends AnyFunSuite {
   test("stream-static join enrichment equals the batch join (complete mode)") {
     val streamed = graft.stream.QueriesF.all("f13_stream_static_join")(spark, TestSpark.Sf)
       .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
     val batch = graft.rel.Q.events(spark, TestSpark.Sf)
       .join(spark.read.parquet(s"${TestSpark.Sf}/customer.parquet"),
         org.apache.spark.sql.functions.col("user_id") === org.apache.spark.sql.functions.col("c_custkey"))
@@ -249,7 +250,9 @@ class StreamingSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.col("value"))).cast("double").as("sv"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     assert(streamed.nonEmpty)
-    streamed.foreach { case (k, v) => assert(batch(k) == v, s"segment $k disagrees") }
+    // full equality, not subset: a broadcast-join regression that drops
+    // whole (segment, type) groups must fail here
+    assert(streamed == batch)
   }
 
   test("f15 outer join emits matched pairs plus watermark-sealed null rows only") {
