@@ -617,6 +617,30 @@ object QueriesE {
         .orderBy("doc_id")
     }),
 
+    // e34: corpus snapshot diff — dataset versioning's core query: which
+    // docs were added / removed / changed between two snapshots, by
+    // digest compare over a FULL OUTER join on doc_id. Snapshots derive
+    // deterministically from the one table (v1 drops doc_id%7=0, v2 drops
+    // %13=0 and rewrites %11=0). One shuffle on doc_id; digests (16
+    // bytes) travel instead of document bodies.
+    "e34_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("d1"))
+      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), md5(
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("d2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("d1").isNull, "added")
+            .when(col("d2").isNull, "removed")
+            .when(col("d1") =!= col("d2"), "changed")
+            .otherwise("unchanged").as("status"))
+        .filter(col("status") =!= "unchanged")
+        .orderBy("doc_id")
+    }),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -798,6 +822,15 @@ object QueriesE {
         s"SELECT doc_id, count(*) AS n_dups, min(idx_id) AS first_dup " +
         s"FROM v WHERE jaccard >= $LshJaccard GROUP BY 1 ORDER BY 1"
     },
+    "e34_corpus_diff" ->
+      ("WITH v1 AS (SELECT doc_id, md5(text) AS d1 FROM documents WHERE doc_id % 7 <> 0), " +
+        "v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS d2 " +
+        "FROM documents WHERE doc_id % 13 <> 0), " +
+        "j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, " +
+        "CASE WHEN d1 IS NULL THEN 'added' WHEN d2 IS NULL THEN 'removed' " +
+        "WHEN d1 <> d2 THEN 'changed' ELSE 'unchanged' END AS status " +
+        "FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id) " +
+        "SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id"),
     "e17_neardup_lsh" ->
       s"WITH $sqlLshPairCtes SELECT id_a, id_b, jaccard FROM vpairs ORDER BY id_a, id_b",
     "e19_neardup_components" ->

@@ -64,7 +64,13 @@ object QueriesA {
         .select(col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'+00:00'").as("iso"))
         .orderBy("event_id").limit(500)
-    })
+    }),
+
+    // a7: one-pass column profile (the dataset card: rows, per-column
+    // nulls / exact distincts, numeric min/max) through the façade —
+    // long-form (column, metric, value) rows, one aggregate job.
+    "a7_profile" -> ((s, dir) =>
+      db(s, dir).table("customer").profile())
   )
 
   val oracle: Map[String, String] = Map(
@@ -81,6 +87,24 @@ object QueriesA {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "a6_iso_dates" ->
       ("SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f+00:00') AS iso " +
-        "FROM events ORDER BY event_id LIMIT 500")
+        "FROM events ORDER BY event_id LIMIT 500"),
+    "a7_profile" -> {
+      // mirror of Table.profile over the customer schema: rows row, then
+      // per column nulls/distinct (+ min/max for numerics)
+      val numeric = Set("c_custkey", "c_nationkey", "c_acctbal")
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val rows = "SELECT '*' AS \"column\", 'rows' AS metric, " +
+        "CAST(count(*) AS DOUBLE) AS value FROM customer"
+      val per = cols.flatMap { c =>
+        Seq(
+          s"SELECT '$c', 'nulls', CAST(count(*) - count($c) AS DOUBLE) FROM customer",
+          s"SELECT '$c', 'distinct', CAST(count(DISTINCT $c) AS DOUBLE) FROM customer") ++
+          (if (numeric(c)) Seq(
+            s"SELECT '$c', 'min', CAST(min($c) AS DOUBLE) FROM customer",
+            s"SELECT '$c', 'max', CAST(max($c) AS DOUBLE) FROM customer")
+          else Nil)
+      }
+      (rows +: per).mkString(" UNION ALL ") + " ORDER BY \"column\", metric"
+    }
   )
 }

@@ -199,6 +199,20 @@ class ApiSpec extends AnyFunSuite {
     assert(!out.contains(103L), "no prior right row -> dropped (inner)")
   }
 
+  test("profile reports rows, nulls, distincts, and numeric min/max") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    db2.store(Seq((1L, Some("a"), 2.5), (2L, None, -1.0), (3L, Some("a"), 4.0))
+      .toDF("id", "tag", "x"), "prof", "overwrite")
+    val m = db2.table("prof").profile().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("*", "rows")) == 3.0)
+    assert(m(("tag", "nulls")) == 1.0 && m(("tag", "distinct")) == 1.0)
+    assert(m(("x", "min")) == -1.0 && m(("x", "max")) == 4.0)
+    assert(m(("id", "distinct")) == 3.0)
+    assert(!m.contains(("tag", "min")), "no min/max for non-numeric columns")
+  }
+
   test("asofJoin forward direction and tolerance semantics") {
     import java.sql.Timestamp
     def ts(min: Long) = new Timestamp(min * 60000)

@@ -425,6 +425,18 @@ class LlmSpec extends AnyFunSuite {
       s"only the duplicated delta doc flags, against doc 1: ${out.toSeq}")
   }
 
+  test("e34 corpus diff classifies added/removed/changed correctly") {
+    // ids chosen so each lands in exactly one class: 7 added (dropped
+    // from v1), 13 removed (dropped from v2), 11 changed (rewritten in
+    // v2), 1 unchanged (filtered out)
+    val dir = craftedDocsDir("e34", Seq(
+      (1L, "steady text", 11L), (7L, "new doc", 7L),
+      (11L, "edited doc", 10L), (13L, "old doc", 7L)))
+    val out = graft.llm.QueriesE.all("e34_corpus_diff")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(7L -> "added", 11L -> "changed", 13L -> "removed"))
+  }
+
   test("e24 pii scrub: planted email/url/phone all redacted exactly once") {
     val out = graft.llm.QueriesE.all("e24_pii_scrub")(spark, TestSpark.Sf).collect()
     assert(out.length > 0)
