@@ -364,30 +364,34 @@ class Table(val db: Database, val qualified: String) {
     * surface); this is the audit-grade exact variant.
     */
   def profile(): DataFrame = {
-    val sch = df.schema.fields
-    val aggs: Seq[Column] = sch.toSeq.flatMap { f =>
-      val c = col(f.name)
-      Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}!nulls"),
-        countDistinct(c).as(s"${f.name}!distinct")) ++
+    import org.apache.spark.sql.{functions => F} // Table.count shadows F.count
+    def q(n: String) = col(s"`$n`") // dots in column names stay literal
+    // one metric list shared by the aggregate and the melt, so the two
+    // cannot drift
+    val metrics: Seq[(String, String, Column)] = df.schema.fields.toSeq.flatMap { f =>
+      val c = q(f.name)
+      // count(non-null) is 0 on an empty table (a sum-of-flags would be
+      // NULL); maps aren't orderable/groupable, so no distinct for them
+      Seq((f.name, "nulls", F.count(when(c.isNull, lit(1))))) ++
+        (f.dataType match {
+          case _: MapType => Nil
+          case _          => Seq((f.name, "distinct", countDistinct(c)))
+        }) ++
         (f.dataType match {
           case _: NumericType => Seq(
-            min(c).cast("double").as(s"${f.name}!min"),
-            max(c).cast("double").as(s"${f.name}!max"))
+            (f.name, "min", min(c).cast("double")),
+            (f.name, "max", max(c).cast("double")))
           case _ => Nil
         })
     }
-    // functions.count is shadowed by Table.count here — qualify it
-    val one = df.agg(
-      org.apache.spark.sql.functions.count(lit(1)).as("!rows"), aggs: _*)
+    val one = df.agg(F.count(lit(1)).as("!rows"),
+      metrics.map { case (cn, m, a) => a.as(s"$cn!$m") }: _*)
     val entries =
       struct(lit("*").as("column"), lit("rows").as("metric"),
-        col("!rows").cast("double").as("value")) +:
-      sch.toSeq.flatMap { f =>
-        val ms = Seq("nulls", "distinct") ++ (f.dataType match {
-          case _: NumericType => Seq("min", "max"); case _ => Nil
-        })
-        ms.map(m => struct(lit(f.name).as("column"), lit(m).as("metric"),
-          col(s"${f.name}!$m").cast("double").as("value")))
+        q("!rows").cast("double").as("value")) +:
+      metrics.map { case (cn, m, _) =>
+        struct(lit(cn).as("column"), lit(m).as("metric"),
+          q(s"$cn!$m").cast("double").as("value"))
       }
     one.select(explode(array(entries: _*)).as("p"))
       .select("p.*").orderBy("column", "metric")

@@ -625,17 +625,19 @@ object QueriesE {
     // bytes) travel instead of document bodies.
     "e34_corpus_diff" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // presence is keyed on the join SIDES, not digest nullness — a doc
+      // with NULL text present in both snapshots is unchanged, not added
       val v1 = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"), md5(col("text")).as("d1"))
+        .select(col("doc_id"), md5(col("text")).as("d1"), lit(true).as("in1"))
       val v2 = docs.filter(col("doc_id") % 13 =!= 0)
         .select(col("doc_id"), md5(
           when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text"))).as("d2"))
+            .otherwise(col("text"))).as("d2"), lit(true).as("in2"))
       v1.join(v2, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
-          when(col("d1").isNull, "added")
-            .when(col("d2").isNull, "removed")
-            .when(col("d1") =!= col("d2"), "changed")
+          when(col("in1").isNull, "added")
+            .when(col("in2").isNull, "removed")
+            .when(!(col("d1") <=> col("d2")), "changed")
             .otherwise("unchanged").as("status"))
         .filter(col("status") =!= "unchanged")
         .orderBy("doc_id")
@@ -827,8 +829,8 @@ object QueriesE {
         "v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS d2 " +
         "FROM documents WHERE doc_id % 13 <> 0), " +
         "j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, " +
-        "CASE WHEN d1 IS NULL THEN 'added' WHEN d2 IS NULL THEN 'removed' " +
-        "WHEN d1 <> d2 THEN 'changed' ELSE 'unchanged' END AS status " +
+        "CASE WHEN v1.doc_id IS NULL THEN 'added' WHEN v2.doc_id IS NULL THEN 'removed' " +
+        "WHEN d1 IS DISTINCT FROM d2 THEN 'changed' ELSE 'unchanged' END AS status " +
         "FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id) " +
         "SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id"),
     "e17_neardup_lsh" ->
