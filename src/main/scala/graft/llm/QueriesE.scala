@@ -117,6 +117,61 @@ object QueriesE {
 
   private lazy val sqlLshPairCtes: String = sqlLshPairCtesOver("documents")
 
+  /** DuckDB replica of the FULL iterative IVF pipeline (e18): deterministic
+    * k-means (init = first nlist vectors, trainIters unrolled Lloyd
+    * iterations with exact fixed-point mean updates — see
+    * [[Similarity.MeanScale]]), probe selection, and in-list cosine top-k.
+    * Every arithmetic chain mirrors the Spark side term by term
+    * (dot-product fold order, the l2sq three-term expansion, the direct
+    * (c−q)² probe chain, one double division chain for means), which is
+    * what makes an ITERATIVE clustering algorithm bit-exact cross-engine.
+    */
+  private lazy val sqlIvf: String = {
+    val K = 8; val Iters = 3; val NProbe = 2; val TopK = 5
+    def chain(f: Int => String): String =
+      "0.0" + (1 to Dims).map(i => " + " + f(i)).mkString
+    def distExpr(e: String, c: String): String =
+      s"(${chain(i => s"$e.emb[$i]*$e.emb[$i]")}) - 2.0 * " +
+        s"(${chain(i => s"$e.emb[$i]*$c.emb[$i]")}) + " +
+        s"(${chain(i => s"$c.emb[$i]*$c.emb[$i]")})"
+    def assign(name: String, cents: String): String =
+      s"$name AS (SELECT vec_id, emb, j AS list, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn " +
+        s"FROM (SELECT e.vec_id, e.emb, c.j, ${distExpr("e", "c")} AS d " +
+        s"FROM e CROSS JOIN $cents c))"
+    val sums = (1 to Dims)
+      .map(i => s"sum(CAST(floor(emb[$i] * 1048576.0) AS BIGINT)) AS s$i")
+      .mkString(", ")
+    val means = (1 to Dims)
+      .map(i => s"CAST(s$i AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE)")
+      .mkString(", ")
+    val iters = (1 to Iters).map { t =>
+      val prev = if (t == 1) "c0" else s"c${t - 1}"
+      assign(s"a$t", prev) + ", " +
+        s"u$t AS (SELECT list, count(*) AS n, $sums FROM a$t WHERE rn = 1 GROUP BY list), " +
+        s"m$t AS (SELECT list AS j, [$means] AS emb FROM u$t), " +
+        s"c$t AS (SELECT p.j, coalesce(m.emb, p.emb) AS emb FROM $prev p " +
+        s"LEFT JOIN m$t m ON p.j = m.j)"
+    }.mkString(", ")
+    val cos =
+      s"(${chain(i => s"v.emb[$i]*q.emb[$i]")}) / " +
+        s"(sqrt(${chain(i => s"v.emb[$i]*v.emb[$i]")}) * " +
+        s"sqrt(${chain(i => s"q.emb[$i]*q.emb[$i]")}))"
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings), " +
+      "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, emb " +
+      s"FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT $K)), " +
+      iters + ", " +
+      "q AS (SELECT emb FROM e WHERE vec_id = 0), " +
+      s"pd AS (SELECT c.j, ${chain(i => s"(c.emb[$i]-q.emb[$i])*(c.emb[$i]-q.emb[$i])")} AS d " +
+      s"FROM c$Iters c CROSS JOIN q), " +
+      s"probes AS (SELECT j FROM pd QUALIFY row_number() OVER (ORDER BY d, j) <= $NProbe), " +
+      assign("a4", s"c$Iters") + " " +
+      s"SELECT v.vec_id, v.list AS list_id, $cos AS cos " +
+      "FROM a4 v CROSS JOIN q WHERE v.rn = 1 AND v.vec_id <> 0 " +
+      "AND v.list IN (SELECT j FROM probes) " +
+      s"ORDER BY cos DESC, v.vec_id LIMIT $TopK"
+  }
+
   /** The e11 quality score as DuckDB SQL (shared by e11 and e20). */
   private val sqlQualityExpr: String =
     "0.4 * least(1.0, n_chars::DOUBLE / 500.0) + " +
@@ -284,14 +339,14 @@ object QueriesE {
         .orderBy("doc_id")
     }),
 
-    // e18 (no-oracle): IVF ANN — deterministic Lloyd k-means partitions
-    // vectors into 8 inverted lists; the query probes its 2 nearest lists
-    // and ranks by exact cosine inside them. Candidate generation is a
-    // scan-local list-id filter (equi semantics, shuffle-bounded); training
-    // cost per iteration is one scan + a k×dims aggregate. Deterministic
-    // (first-k init, fixed iteration count) but the iterative training has
-    // no tractable SQL oracle — rows-only check; invariants (list count,
-    // probe behavior, determinism) are unit-tested in LlmSpec.
+    // e18: IVF ANN — deterministic Lloyd k-means partitions vectors into
+    // 8 inverted lists; the query probes its 2 nearest lists and ranks by
+    // exact cosine inside them. Candidate generation is a scan-local
+    // list-id filter (equi semantics, shuffle-bounded); training cost per
+    // iteration is one scan + a k×dims aggregate. ORACLE-CHECKED since
+    // round 4: the mean update is exact fixed-point accumulation
+    // (Similarity.MeanScale), so the iterative training is bit-portable
+    // and [[sqlIvf]] unrolls the full pipeline in DuckDB.
     "e18_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", queryId = 0,
         nlist = 8, nprobe = 2, k = 5)),
@@ -824,6 +879,7 @@ object QueriesE {
         s"SELECT doc_id, count(*) AS n_dups, min(idx_id) AS first_dup " +
         s"FROM v WHERE jaccard >= $LshJaccard GROUP BY 1 ORDER BY 1"
     },
+    "e18_ann_ivf" -> sqlIvf,
     "e34_corpus_diff" ->
       ("WITH v1 AS (SELECT doc_id, md5(text) AS d1 FROM documents WHERE doc_id % 7 <> 0), " +
         "v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS d2 " +

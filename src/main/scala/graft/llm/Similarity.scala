@@ -94,25 +94,44 @@ object Similarity {
       struct(l2sq(emb, c).as("d"), lit(j).as("j"))
     }: _*)).getField("j")
 
+  /** Fixed-point quantization scale for the k-means mean update: 2^20.
+    * Multiplying a double by a power of two is EXACT (exponent shift) and
+    * floor is unambiguous, so `floor(x · 2^20)` is the same integer in
+    * every engine; integer sums are exact and order-free. One deliberate
+    * 2^-20 quantization replaces the unbounded nondeterminism of a
+    * floating mean.
+    */
+  val MeanScale: Double = 1048576.0
+
   /** Deterministic Lloyd's k-means over the embedding column: init =
     * first `k` vectors by id, `iters` rounds of (scan-local argmin
     * assignment → groupBy-mean update). Every step is a DataFrame job —
-    * at 10⁹ vectors each iteration is one scan + one k×dims aggregate —
-    * and fully deterministic (no RNG; mean uses Spark's avg per dim,
-    * stable given the fixed assignment).
+    * at 10⁹ vectors each iteration is one scan + one k×dims aggregate.
+    *
+    * The mean update uses exact fixed-point accumulation
+    * (`sum(floor(x·2^20))` as LONG, then ONE double division chain
+    * `sum/2^20/n`): a floating `avg` would make the centroids depend on
+    * partition/summation order, whereas the integer sum is bit-identical
+    * at any parallelism AND across engines — which is what lets the whole
+    * iterative IVF pipeline be oracle-checked (e18).
     */
   def kmeansCentroids(base: DataFrame, idCol: String,
       k: Int, iters: Int): Array[Array[Double]] = {
-    import org.apache.spark.sql.functions.{col, avg}
+    import org.apache.spark.sql.functions.{col, sum, floor, lit, count}
     var centroids: Array[Array[Double]] = base.orderBy(col(idCol)).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     val dims = centroids.head.length
     (1 to iters).foreach { _ =>
       val assigned = base.withColumn("_list", ivfAssign(col("emb"), centroids))
-      val dimCols = (0 until dims).map(d => avg(col("emb").getItem(d)).as(s"d$d"))
-      val updated = assigned.groupBy("_list").agg(dimCols.head, dimCols.tail: _*)
-        .collect().map(r => r.getInt(0) -> (0 until dims).map(d => r.getDouble(d + 1)).toArray)
-        .toMap
+      val dimCols = (0 until dims).map(d =>
+        sum(floor(col("emb").getItem(d) * MeanScale).cast("long")).as(s"s$d"))
+      val updated = assigned.groupBy("_list")
+        .agg(count(lit(1)).as("n"), dimCols: _*)
+        .collect().map { r =>
+          val n = r.getLong(1).toDouble
+          r.getInt(0) -> (0 until dims)
+            .map(d => r.getLong(d + 2).toDouble / MeanScale / n).toArray
+        }.toMap
       // empty lists keep their previous centroid
       centroids = centroids.zipWithIndex.map { case (c, j) => updated.getOrElse(j, c) }
     }
