@@ -502,19 +502,24 @@ object QueriesE {
     // clustering a real pipeline needs: inside each LSH component keep the
     // HIGHEST-QUALITY member (argmax e11 score, ties to the lower doc_id),
     // not blindly the min-id. Composes the verified components (e19) with
-    // the verified score (e11); the keep decision is one row_number window
-    // over (cluster, score desc) — per-cluster partitions, no skew beyond
-    // cluster size.
+    // the verified score (e11). The winner per cluster is
+    // max(struct(score, -doc_id)) — a MAP-SIDE-COMBINED aggregate + join
+    // back, so a giant boilerplate cluster (the common web-corpus
+    // pathology) reduces locally instead of serializing onto one window
+    // task.
     "e28_canonical_keep" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val comps = Dedup.connectedComponents(docs, "doc_id", lshVerifiedPairs(docs))
       val scored = docs.select(col("doc_id"),
         TextStats.qualityScore(col("text"), col("n_chars")).as("score"))
-      val w = Window.partitionBy("cluster_id").orderBy(col("score").desc, col("doc_id"))
-      comps.select(col("id").as("doc_id"), col("cluster_id"))
+      val joined = comps.select(col("id").as("doc_id"), col("cluster_id"))
         .join(scored, "doc_id")
-        .withColumn("keep", row_number().over(w) === 1)
+        // consumed twice (winner aggregate + join back)
+        .transform(graft.Caches.persistTracked)
+      val winners = joined.groupBy("cluster_id")
+        .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("w"))
+      joined.join(winners, "cluster_id")
+        .withColumn("keep", col("doc_id") === -col("w.nid"))
         .select("doc_id", "cluster_id", "score", "keep")
         .orderBy("doc_id")
     }),
