@@ -500,6 +500,79 @@ object EventWindows {
       db.table("F16_EVENTS").read()
     }
 
+  /** Streaming INCREMENTAL materialized-view maintenance: each micro-batch
+    * folds its per-(day, type) partial aggregate into a day-partitioned
+    * state table — read ONLY the touched day partitions, combine
+    * (counts add; sums add EXACTLY in decimal, so any batch interleaving
+    * produces the identical state), swap those partitions atomically.
+    * This is classic IVM for distributive aggregates on a plain-file
+    * warehouse: maintenance cost per batch is O(touched days), never a
+    * history recompute — the streaming twin of c11's refresh.
+    */
+  def mviewMaintainStream(spark: SparkSession, dir: String,
+      outRoot: String = "/root/repo/target/fixtures/out/f18"): DataFrame =
+    withShufflePartitions(spark, 8) {
+      val state = new java.io.File(outRoot, "state")
+      val stage = new java.io.File(outRoot, "state_stage")
+      val chk = new java.io.File(outRoot, "chk")
+      wipe(state); wipe(stage); wipe(chk); new java.io.File(outRoot).mkdirs()
+      val q = readStreamEvents(spark, dir).writeStream
+        .option("checkpointLocation", chk.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          mviewMergeDaily(batch, state, stage)
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.read.parquet(state.getPath)
+        .select(col("day").cast("string").as("day"), col("event_type"),
+          col("n"), col("sv").cast("double").as("sum_value"))
+    }
+
+  /** One IVM step (the foreachBatch body, separated for unit tests):
+    * partial-aggregate the batch, read the current state of ONLY the days
+    * it touches, add counts and exact-decimal sums, and swap those day
+    * partitions. Addition is associative and the decimal sums are exact,
+    * so the final state equals the batch aggregate under ANY split of the
+    * input into batches.
+    */
+  def mviewMergeDaily(batch: DataFrame, state: java.io.File,
+      stage: java.io.File): Unit = {
+    val sp = batch.sparkSession
+    val partial = batch
+      .withColumn("day",
+        date_format(col("ts").cast(TimestampType).cast("date"), "yyyy-MM-dd"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("decimal(38,2)").as("sv"))
+      .persist() // consumed twice: touched-day collect + staged write
+    try {
+      val touched = partial.select("day").distinct()
+        .collect().map(_.getString(0)).sorted
+      val existingDirs = touched.map(d => new java.io.File(state, s"day=$d"))
+        .filter(_.isDirectory).map(_.getPath)
+      val existing =
+        if (existingDirs.isEmpty) None
+        else Some(sp.read.option("basePath", state.getPath)
+          .parquet(existingDirs.toIndexedSeq: _*)
+          .select(col("day").cast("string").as("day"), col("event_type"),
+            col("n"), col("sv")))
+      val merged = existing.fold(partial)(_.unionByName(partial))
+        .groupBy("day", "event_type")
+        .agg(sum(col("n")).as("n"),
+          sum(col("sv")).cast("decimal(38,2)").as("sv"))
+      wipe(stage)
+      merged.write.partitionBy("day").parquet(stage.getPath)
+      state.mkdirs()
+      touched.foreach { d =>
+        val src = new java.io.File(stage, s"day=$d")
+        if (src.isDirectory)
+          graft.api.Database.swapDir(src, new java.io.File(state, s"day=$d"))
+      }
+      wipe(stage)
+    } finally { partial.unpersist(); () }
+  }
+
   /** The watermarked streaming plan itself (separated for MemoryStream tests). */
   def tumblingStream(events: DataFrame, delay: String, width: String): DataFrame =
     ltz(events)

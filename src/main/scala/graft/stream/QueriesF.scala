@@ -172,7 +172,15 @@ object QueriesF {
     // replayed batches skip on the ledger hit. Read-back ≡ the source
     // events (the oracle) proves no loss and no duplication.
     "f16_stream_jdbc_sink" -> ((s, dir) =>
-      EventWindows.eventsToJdbcExactlyOnce(s, dir).orderBy("event_id"))
+      EventWindows.eventsToJdbcExactlyOnce(s, dir).orderBy("event_id")),
+
+    // f18: streaming INCREMENTAL materialized-view maintenance — each
+    // micro-batch folds its per-(day, type) partial into a day-partitioned
+    // state table, touching only the day partitions the batch hits.
+    // Counts/exact-decimal sums are associative, so the converged state
+    // equals the full batch aggregate (the oracle) under any batch split.
+    "f18_stream_mview" -> ((s, dir) =>
+      EventWindows.mviewMaintainStream(s, dir).orderBy("day", "event_type"))
   )
 
   /** Shared oracle fragments: es = whole seconds since epoch (exact integer
@@ -282,6 +290,11 @@ object QueriesF {
     "f16_stream_jdbc_sink" ->
       ("SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value " +
         "FROM events ORDER BY event_id"),
+    // the maintained view must equal a from-scratch daily aggregate
+    "f18_stream_mview" ->
+      ("SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     // finalized sessions only: session end (last event + 30 min gap) must
     // be ≤ the final watermark (max event time − 15 min delay)
     "f12_stream_session" ->

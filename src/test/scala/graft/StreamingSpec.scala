@@ -236,6 +236,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got2 == expected, "loser row must not displace the winner")
   }
 
+  test("mviewMergeDaily converges to the full aggregate over any batch split") {
+    import spark.implicits._
+    val root = new java.io.File("/root/repo/target/fixtures/test/mview_ivm")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(root); root.mkdirs()
+    val state = new java.io.File(root, "state"); val stage = new java.io.File(root, "stage")
+    def d(day: Int, min: Long) = new Timestamp((day * 1440 + min) * 60 * 1000)
+    // (ts, event_type, value): three days; day 2 appears in both batches so
+    // the second merge must COMBINE with existing state, not replace it
+    val all = Seq(
+      (d(1, 10), "view", 1.25), (d(1, 20), "view", 2.50), (d(2, 5), "click", 4.00),
+      (d(2, 30), "click", 0.75), (d(2, 40), "view", 3.00), (d(3, 15), "view", 5.00))
+    val batches = Seq(all.take(3), all.drop(3))
+    batches.foreach { b =>
+      EventWindows.mviewMergeDaily(b.toDF("ts", "event_type", "value"), state, stage)
+    }
+    val got = spark.read.parquet(state.getPath)
+      .collect().map(r => (r.getAs[Any]("day").toString, r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("sv").doubleValue())).toMap
+    val expected = all.toDF("ts", "event_type", "value")
+      .groupBy(org.apache.spark.sql.functions.to_date($"ts").cast("string").as("day"), $"event_type")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(graft.rel.Q.dec2($"value")).cast("double").as("sv"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == expected, s"state after split merges must equal the full aggregate:\n$got\nvs $expected")
+    // incrementality: a batch touching only day 3 must not rewrite the
+    // day=1/day=2 partitions (IVM cost is O(touched days), not O(history))
+    def partState() = Option(state.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("day=")).map { dir =>
+        dir.getName -> dir.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toSet
+      }.toMap
+    val day3 = partState().keys.max // day=1970-01-04 sorts last
+    val before = partState() - day3
+    EventWindows.mviewMergeDaily(
+      Seq((d(3, 50), "view", 1.00)).toDF("ts", "event_type", "value"), state, stage)
+    assert(partState() - day3 == before, "untouched day partitions were rewritten")
+    val day3N = spark.read.parquet(state.getPath)
+      .filter($"day".cast("string") === day3.stripPrefix("day=") && $"event_type" === "view")
+      .collect()(0)
+    assert(day3N.getAs[Long]("n") == 2L &&
+      day3N.getAs[java.math.BigDecimal]("sv").doubleValue() == 6.0,
+      s"day-3 state must fold the new row: $day3N")
+  }
+
   test("stream-static join enrichment equals the batch join (complete mode)") {
     val streamed = graft.stream.QueriesF.all("f13_stream_static_join")(spark, TestSpark.Sf)
       .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
