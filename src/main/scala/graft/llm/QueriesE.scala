@@ -29,6 +29,9 @@ object QueriesE {
   private val LshK = LshBands * LshRows
   private val LshJaccard = 0.5
 
+  /** e35 SemDeDup cosine threshold (shared by the query and its oracle). */
+  private val SemDedupTau = 0.3
+
   /** Explicit left-to-right dot-product chain for the DuckDB oracle —
     * exactly the fold order of Spark's `aggregate` HOF: 0.0 + t1 + t2 + ….
     */
@@ -126,50 +129,95 @@ object QueriesE {
     * (c−q)² probe chain, one double division chain for means), which is
     * what makes an ITERATIVE clustering algorithm bit-exact cross-engine.
     */
-  private lazy val sqlIvf: String = {
-    val K = 8; val Iters = 3; val NProbe = 2; val TopK = 5
-    def chain(f: Int => String): String =
-      "0.0" + (1 to Dims).map(i => " + " + f(i)).mkString
-    def distExpr(e: String, c: String): String =
-      s"(${chain(i => s"$e.emb[$i]*$e.emb[$i]")}) - 2.0 * " +
-        s"(${chain(i => s"$e.emb[$i]*$c.emb[$i]")}) + " +
-        s"(${chain(i => s"$c.emb[$i]*$c.emb[$i]")})"
-    def assign(name: String, cents: String): String =
-      s"$name AS (SELECT vec_id, emb, j AS list, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn " +
-        s"FROM (SELECT e.vec_id, e.emb, c.j, ${distExpr("e", "c")} AS d " +
-        s"FROM e CROSS JOIN $cents c))"
+  /** Fixed-order sum chain `0.0 + f(1) + … + f(Dims)` — the DuckDB mirror
+    * of the Spark side's in-order array fold (bit-identical doubles).
+    */
+  private def sqlChain(f: Int => String): String =
+    "0.0" + (1 to Dims).map(i => " + " + f(i)).mkString
+
+  /** The l2sq three-term expansion, term-by-term as [[Similarity.ivfAssign]]. */
+  private def sqlL2(e: String, c: String): String =
+    s"(${sqlChain(i => s"$e.emb[$i]*$e.emb[$i]")}) - 2.0 * " +
+      s"(${sqlChain(i => s"$e.emb[$i]*$c.emb[$i]")}) + " +
+      s"(${sqlChain(i => s"$c.emb[$i]*$c.emb[$i]")})"
+
+  /** Nearest-centroid assignment CTE over base `e` (rn = 1 is the argmin,
+    * ties by list index — same struct-min tie-break as the Spark side).
+    */
+  private def sqlKmAssign(name: String, cents: String): String =
+    s"$name AS (SELECT vec_id, emb, j AS list, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn " +
+      s"FROM (SELECT e.vec_id, e.emb, c.j, ${sqlL2("e", "c")} AS d " +
+      s"FROM e CROSS JOIN $cents c))"
+
+  /** Shared DuckDB replica of the deterministic k-means training loop
+    * (init = first k vectors by id, `iters` unrolled Lloyd iterations with
+    * exact fixed-point mean updates — see [[Similarity.MeanScale]]): the
+    * WITH-clause prefix ending at centroid set `c$iters` over base CTE `e`.
+    * Shared by e18 and e35 so their oracles run the IDENTICAL training
+    * loop the Spark side does.
+    */
+  private def sqlKmeansCtes(k: Int, iters: Int): String = {
     val sums = (1 to Dims)
       .map(i => s"sum(CAST(floor(emb[$i] * 1048576.0) AS BIGINT)) AS s$i")
       .mkString(", ")
     val means = (1 to Dims)
       .map(i => s"CAST(s$i AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE)")
       .mkString(", ")
-    val iters = (1 to Iters).map { t =>
+    val loop = (1 to iters).map { t =>
       val prev = if (t == 1) "c0" else s"c${t - 1}"
-      assign(s"a$t", prev) + ", " +
+      sqlKmAssign(s"a$t", prev) + ", " +
         s"u$t AS (SELECT list, count(*) AS n, $sums FROM a$t WHERE rn = 1 GROUP BY list), " +
         s"m$t AS (SELECT list AS j, [$means] AS emb FROM u$t), " +
         s"c$t AS (SELECT p.j, coalesce(m.emb, p.emb) AS emb FROM $prev p " +
         s"LEFT JOIN m$t m ON p.j = m.j)"
     }.mkString(", ")
-    val cos =
-      s"(${chain(i => s"v.emb[$i]*q.emb[$i]")}) / " +
-        s"(sqrt(${chain(i => s"v.emb[$i]*v.emb[$i]")}) * " +
-        s"sqrt(${chain(i => s"q.emb[$i]*q.emb[$i]")}))"
     "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings), " +
       "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, emb " +
-      s"FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT $K)), " +
-      iters + ", " +
+      s"FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT $k)), " +
+      loop
+  }
+
+  /** DuckDB replica of the FULL iterative IVF pipeline (e18): k-means CTEs
+    * + probe selection (direct (c−q)² chain) + in-list cosine top-k.
+    */
+  private lazy val sqlIvf: String = {
+    val K = 8; val Iters = 3; val NProbe = 2; val TopK = 5
+    val cos =
+      s"(${sqlChain(i => s"v.emb[$i]*q.emb[$i]")}) / " +
+        s"(sqrt(${sqlChain(i => s"v.emb[$i]*v.emb[$i]")}) * " +
+        s"sqrt(${sqlChain(i => s"q.emb[$i]*q.emb[$i]")}))"
+    sqlKmeansCtes(K, Iters) + ", " +
       "q AS (SELECT emb FROM e WHERE vec_id = 0), " +
-      s"pd AS (SELECT c.j, ${chain(i => s"(c.emb[$i]-q.emb[$i])*(c.emb[$i]-q.emb[$i])")} AS d " +
+      s"pd AS (SELECT c.j, ${sqlChain(i => s"(c.emb[$i]-q.emb[$i])*(c.emb[$i]-q.emb[$i])")} AS d " +
       s"FROM c$Iters c CROSS JOIN q), " +
       s"probes AS (SELECT j FROM pd QUALIFY row_number() OVER (ORDER BY d, j) <= $NProbe), " +
-      assign("a4", s"c$Iters") + " " +
+      sqlKmAssign("a4", s"c$Iters") + " " +
       s"SELECT v.vec_id, v.list AS list_id, $cos AS cos " +
       "FROM a4 v CROSS JOIN q WHERE v.rn = 1 AND v.vec_id <> 0 " +
       "AND v.list IN (SELECT j FROM probes) " +
       s"ORDER BY cos DESC, v.vec_id LIMIT $TopK"
+  }
+
+  /** DuckDB replica of e35 SemDeDup: the same k-means CTEs, final-centroid
+    * assignment, then within-cluster pairwise cosine — a vector is pruned
+    * iff an earlier-id member of ITS cluster clears the threshold.
+    */
+  private lazy val sqlSemDedup: String = {
+    val K = 8; val Iters = 3; val Tau = SemDedupTau
+    val cos =
+      s"(${sqlChain(i => s"a.emb[$i]*b.emb[$i]")}) / " +
+        s"(sqrt(${sqlChain(i => s"a.emb[$i]*a.emb[$i]")}) * " +
+        s"sqrt(${sqlChain(i => s"b.emb[$i]*b.emb[$i]")}))"
+    sqlKmeansCtes(K, Iters) + ", " +
+      sqlKmAssign("af", s"c$Iters") + ", " +
+      "listed AS (SELECT vec_id, emb, list FROM af WHERE rn = 1), " +
+      "pruned AS (SELECT DISTINCT b.vec_id FROM listed a JOIN listed b " +
+      s"ON a.list = b.list AND a.vec_id < b.vec_id WHERE $cos >= $Tau) " +
+      "SELECT l.vec_id, l.list AS list_id, " +
+      "CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS kept " +
+      "FROM listed l LEFT JOIN pruned p ON l.vec_id = p.vec_id " +
+      "ORDER BY l.vec_id"
   }
 
   /** The e11 quality score as DuckDB SQL (shared by e11 and e20). */
@@ -703,6 +751,54 @@ object QueriesE {
         .orderBy("doc_id")
     }),
 
+    // e35: semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster
+    // the embedding space with the verified deterministic trainer behind
+    // e18, then prune any vector whose cluster holds an earlier-id member
+    // with cosine ≥ τ. Candidate generation is an equi-join on cluster id —
+    // the paper's own scale recipe: cluster count grows with n, so
+    // per-cluster pair work stays bounded and nothing is ever all-pairs.
+    "e35_semantic_dedup" -> ((s, dir) => {
+      // float→double base is consumed by every Lloyd iteration and the
+      // final assignment — persist once (freed by the harness's drain)
+      val base = graft.Caches.persistTracked(
+        t(s, dir, "embeddings").select(col("vec_id"), asDouble(col("embedding")).as("emb")))
+      val centroids = kmeansCentroids(base, "vec_id", k = 8, iters = 3)
+      val listed = base.withColumn("list_id", ivfAssign(col("emb"), centroids))
+      val lhs = listed.select(col("list_id"), col("vec_id").as("id_a"), col("emb").as("ea"))
+      val rhs = listed.select(col("list_id"), col("vec_id").as("id_b"), col("emb").as("eb"))
+      val pruned = lhs.join(rhs, "list_id")
+        .filter(col("id_a") < col("id_b") &&
+          cosine(col("ea"), col("eb")) >= SemDedupTau)
+        .select(col("id_b").as("vec_id")).distinct()
+      listed.join(pruned.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("list_id"),
+          when(col("hit").isNull, 1).otherwise(0).as("kept"))
+        .orderBy("vec_id")
+    }),
+
+    // e36: training-sequence packing — concatenate each source's docs into
+    // a token stream (doc_id order) and chunk it into fixed 512-token
+    // training sequences, GPT-style: docs may straddle a sequence boundary.
+    // The offset is an exclusive running sum per source (one shuffle on
+    // source); at petabyte scale the identical prefix-sum runs as
+    // range-partition + broadcast per-range offsets — the formula per doc
+    // is unchanged. All arithmetic is exact integer (DIV/MOD).
+    "e36_pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 512L
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextStats.wsTokens(col("text")).as("tokens"))
+        .withColumn("off", coalesce(sum(col("tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("tokens"), col("off"),
+          expr(s"off DIV $budget").as("seq_first"),
+          expr(s"(off + tokens - 1) DIV $budget").as("seq_last"),
+          expr(s"off % $budget").as("seq_offset"))
+        .orderBy("doc_id")
+    }),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -885,6 +981,14 @@ object QueriesE {
         s"FROM v WHERE jaccard >= $LshJaccard GROUP BY 1 ORDER BY 1"
     },
     "e18_ann_ivf" -> sqlIvf,
+    "e35_semantic_dedup" -> sqlSemDedup,
+    "e36_pack_sequences" ->
+      ("WITH d AS (SELECT doc_id, source, CAST(len(string_split(text,' ')) AS BIGINT) AS tokens FROM documents), " +
+        "o AS (SELECT doc_id, source, tokens, CAST(coalesce(sum(tokens) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM d) " +
+        "SELECT doc_id, source, tokens, off, off // 512 AS seq_first, " +
+        "(off + tokens - 1) // 512 AS seq_last, off % 512 AS seq_offset " +
+        "FROM o ORDER BY doc_id"),
     "e34_corpus_diff" ->
       ("WITH v1 AS (SELECT doc_id, md5(text) AS d1 FROM documents WHERE doc_id % 7 <> 0), " +
         "v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS d2 " +

@@ -412,6 +412,52 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(out(0)._3 - 1.0) < 1e-12, "scaling preserves cosine = 1")
   }
 
+  test("e35 semantic dedup prunes scaled copies, keeps each cluster's first member") {
+    val dir = "/root/repo/target/fixtures/test/docs_e35"
+    // vecs 0-7 seed the k=8 k-means init (mutually far sin-phase vectors);
+    // 8 and 9 are scaled copies of 0 and 3 — same cluster as their
+    // original (scaling preserves the L2 argmin here) and cosine exactly
+    // 1.0 ≥ τ, so both must be pruned; every cluster's min id must be kept
+    val rows = (0L to 7L).map { j =>
+      (j, Array.tabulate(64)(i => math.sin((i + 1) * (j + 1) * 0.7).toFloat), 0)
+    } ++ Seq(
+      (8L, Array.tabulate(64)(i => (math.sin((i + 1) * 0.7) * 0.9).toFloat), 1),
+      (9L, Array.tabulate(64)(i => (math.sin((i + 1) * 4 * 0.7) * 0.8).toFloat), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.llm.QueriesE.all("e35_semantic_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    graft.Caches.drain()
+    val kept = out.filter(_._3 == 1).map(_._1).toSet
+    val clusterOf = out.map(r => r._1 -> r._2).toMap
+    assert(!kept.contains(8L) && !kept.contains(9L),
+      s"scaled copies must be pruned: $out")
+    assert(clusterOf(8L) == clusterOf(0L) && clusterOf(9L) == clusterOf(3L),
+      "copies must land in their original's cluster")
+    out.groupBy(_._2).foreach { case (c, members) =>
+      assert(kept.contains(members.map(_._1).min),
+        s"min id of cluster $c must be kept")
+    }
+  }
+
+  test("e36 packing: offsets chain per source and straddling docs span sequences") {
+    val dir = "/root/repo/target/fixtures/test/docs_e36"
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    Seq(
+      (1L, words(300), 300L, "s"), (2L, words(300), 300L, "s"),
+      (3L, words(100), 100L, "s"), (4L, words(10), 10L, "t"))
+      .toDF("doc_id", "text", "n_chars", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = graft.llm.QueriesE.all("e36_pack_sequences")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(m(1L) == ((0L, 0L, 0L, 0L)), s"doc 1 opens seq 0: ${m(1L)}")
+    assert(m(2L) == ((300L, 0L, 1L, 300L)),
+      s"doc 2 (tokens 300-599) straddles seqs 0 and 1: ${m(2L)}")
+    assert(m(3L) == ((600L, 1L, 1L, 88L)), s"doc 3 sits inside seq 1: ${m(3L)}")
+    assert(m(4L) == ((0L, 0L, 0L, 0L)), "source t packs independently from s")
+  }
+
   test("e33 incremental ingest flags a delta doc duplicating the existing corpus") {
     val dup = "the quick brown fox jumps over the lazy dog again and again today"
     val dir = craftedDocsDir("e33", Seq(
