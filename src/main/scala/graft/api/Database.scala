@@ -311,6 +311,22 @@ class Database(val spark: SparkSession, val root: String,
       s"unsupported format '$other' (supported: parquet, orc, csv, json)")
   }
 
+  /** Format-dispatched read of an EXPLICIT file list (snapshot manifests —
+    * Table.readVersion). `basePath` keeps hive partition columns resolvable
+    * even though the paths point at leaf files.
+    */
+  private[api] def loadFiles(basePath: String, files: Seq[String]): DataFrame = {
+    val r = spark.read.option("basePath", basePath)
+    format match {
+      case "parquet" => r.parquet(files: _*)
+      case "orc"     => r.orc(files: _*)
+      case "csv"     => r.option("header", "true").option("inferSchema", "true").csv(files: _*)
+      case "json"    => r.json(files: _*)
+      case other     => throw new IllegalArgumentException(
+        s"unsupported format '$other' (supported: parquet, orc, csv, json)")
+    }
+  }
+
   /** Coarse → concrete types for CREATE TABLE
     * (ref datum/postgis/database.py:75-98: num→numeric, text→text,
     * date→date, geom→text WKT; auto `id serial PRIMARY KEY`).
@@ -341,9 +357,10 @@ class Database(val spark: SparkSession, val root: String,
   def dropTable(name: String): Unit = {
     // ref datum/postgis/database.py:100-103 (DROP TABLE IF EXISTS)
     deleteRecursively(new File(pathOf(name)))
-    // the metadata sidecar dies with the table — stale srid/bucket
-    // properties must not leak onto a future table reusing the name
+    // the sidecars die with the table — stale srid/bucket properties or
+    // version manifests must not leak onto a future table reusing the name
     deleteRecursively(new File(pathOf(name) + ".properties"))
+    deleteRecursively(new File(pathOf(name) + ".versions"))
     val v = viewNameOf(name)
     if (spark.catalog.tableExists(v)) spark.catalog.dropTempView(v): Unit
     markDirty()

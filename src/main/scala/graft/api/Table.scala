@@ -397,6 +397,62 @@ class Table(val db: Database, val qualified: String) {
       .select("p.*").orderBy("column", "metric")
   }
 
+  /** Snapshot the table's CURRENT data-file set as a numbered version
+    * manifest — dataset versioning / time travel WITHOUT copying a byte
+    * (the public manifest idea behind Iceberg/Delta table formats, on a
+    * plain-file warehouse): version N is the sorted list of relative data
+    * file paths, written to `<path>.versions/vN.manifest`. At 100 TB a
+    * snapshot costs one directory listing and a tiny manifest write.
+    *
+    * Contract: snapshots stay valid across APPENDS (append-only file
+    * accretion — Table.write, streaming sinks). Maintenance that REWRITES
+    * files (compact / createIndex / truncate / upsert) invalidates older
+    * snapshots; [[readVersion]] fails loudly listing the missing files
+    * rather than returning silently partial data.
+    */
+  def snapshot(): Int = {
+    val dir = new File(path + ".versions")
+    dir.mkdirs()
+    val root = new File(path).toPath
+    val files = Database.leafDirsOf(path).flatMap { leaf =>
+      Option(leaf.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && Database.isDataFile(f.getName))
+    }.map(f => root.relativize(f.toPath).toString).sorted
+    val v = versions.lastOption.getOrElse(0) + 1
+    val out = new java.io.PrintWriter(new File(dir, s"v$v.manifest"), "UTF-8")
+    try files.foreach(out.println) finally out.close()
+    v
+  }
+
+  /** Snapshot versions recorded for this table, ascending. */
+  def versions: Seq[Int] = {
+    val dir = new File(path + ".versions")
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .map(_.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest") }
+      .collect { case n if n.forall(_.isDigit) && n.nonEmpty => n.toInt }
+      .sorted
+  }
+
+  /** Read the table AS OF snapshot `v`: exactly the files its manifest
+    * lists (partition columns stay resolvable via basePath). Fails loudly
+    * if any manifest file was rewritten away (see [[snapshot]]'s contract).
+    */
+  def readVersion(v: Int): DataFrame = {
+    val mf = new File(path + ".versions", s"v$v.manifest")
+    require(mf.exists(), s"no snapshot v$v for table $qualified " +
+      s"(available: ${versions.mkString(", ")})")
+    val src = scala.io.Source.fromFile(mf, "UTF-8")
+    val rels = try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    val missing = rels.filterNot(r => new File(path, r).isFile)
+    require(missing.isEmpty,
+      s"snapshot v$v of $qualified references rewritten/removed files " +
+        s"(append-only contract violated): ${missing.take(5).mkString(", ")}")
+    if (rels.isEmpty) df.limit(0)
+    else db.loadFiles(path, rels.map(r => s"$path/$r"))
+  }
+
   /** Bucket-partition the table by a stable hash of `keyCols` — the
     * physical prerequisite for keyed incremental [[upsert]]s: rows of one
     * key always live in one `bucket=` directory, so a merge touches only

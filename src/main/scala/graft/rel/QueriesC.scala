@@ -213,6 +213,33 @@ object QueriesC {
         sort = Seq("l_orderkey", "l_linenumber"))
     }),
 
+    // c13: snapshot / time travel — version v1 pins the seeded table's
+    // file manifest (no data copy), an append creates v2; reading each
+    // version back proves v1 is immune to the append. At 100 TB a
+    // snapshot is a directory listing + a tiny manifest write, and a
+    // versioned read opens exactly the manifest's files.
+    "c13_time_travel" -> ((s, dir) => {
+      val db = scratch(s)
+      val nation = t(s, dir, "nation")
+      nation.write.mode("overwrite").parquet(db.pathOf("c13_nation"))
+      val tbl = db.table("c13_nation")
+      // previous runs' manifests would shift the version numbering —
+      // idempotency: start each run from a clean version history
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete(): Unit
+      }
+      wipe(new java.io.File(tbl.path + ".versions"))
+      val v1 = tbl.snapshot()
+      tbl.write(nation.filter(col("n_nationkey") < 10))
+      val v2 = tbl.snapshot()
+      def stats(v: Int) = tbl.readVersion(v)
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
+        .withColumn("version", lit(v))
+      stats(v1).unionByName(stats(v2))
+        .select("version", "n", "key_sum").orderBy("version")
+    }),
+
     // c8: Z-order clustering — the multi-dimensional index analogue: after
     // Morton-interleaving (user_id, value), row-group min/max boxes are
     // compact in BOTH dimensions, so the two-sided predicate below can
@@ -248,6 +275,12 @@ object QueriesC {
       ("SELECT o_custkey, count(*) AS n_open FROM orders WHERE o_orderstatus = 'O' " +
         "GROUP BY o_custkey ORDER BY o_custkey"),
     "c10_compact_small_files" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "c13_time_travel" ->
+      ("WITH v1 AS (SELECT * FROM nation), " +
+        "v2 AS (SELECT * FROM nation UNION ALL SELECT * FROM nation WHERE n_nationkey < 10) " +
+        "SELECT 1 AS version, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM v1 " +
+        "UNION ALL " +
+        "SELECT 2, count(*), CAST(sum(n_nationkey) AS BIGINT) FROM v2 ORDER BY version"),
     "c9_schema_evolution" ->
       ("SELECT r_regionkey, r_name, -1 AS r_pop FROM region " +
         "UNION ALL SELECT r_regionkey, r_name, r_regionkey * 1000 + 17 FROM region " +

@@ -497,6 +497,46 @@ class ApiSpec extends AnyFunSuite {
     assert(rows.count() == 25 && rows.columns.contains("r"))
   }
 
+  test("snapshot/readVersion: appends create versions, v1 stays frozen, no copy") {
+    val scratch = scratchDb()
+    scratch.store(db.table("nation").df, "tt1", "overwrite")
+    val t = scratch.table("tt1")
+    val v1 = t.snapshot()
+    t.write(db.table("nation").df.filter(col("n_nationkey") < 5))
+    val v2 = t.snapshot()
+    assert(t.versions == Seq(v1, v2))
+    assert(t.readVersion(v1).count() == 25, "v1 must not see the append")
+    assert(t.readVersion(v2).count() == 30)
+    assert(t.count == 30, "the live table reads everything")
+    // manifests reference files in place — no byte of data was copied
+    val vdir = new java.io.File(t.path + ".versions")
+    assert(vdir.listFiles().forall(_.length() < 10000), "manifests are tiny")
+    assertThrows[IllegalArgumentException](t.readVersion(99))
+  }
+
+  test("readVersion fails loudly once maintenance rewrites snapshot files") {
+    val scratch = scratchDb()
+    scratch.store(db.table("nation").df.repartition(4), "tt2", "overwrite")
+    val t = scratch.table("tt2")
+    val v1 = t.snapshot()
+    t.compact() // rewrites the file set → v1's manifest goes stale
+    val e = intercept[IllegalArgumentException](t.readVersion(v1))
+    assert(e.getMessage.contains("append-only"),
+      s"stale snapshot must name the contract: ${e.getMessage}")
+  }
+
+  test("snapshot of a hive-partitioned table keeps partition columns readable") {
+    val scratch = scratchDb()
+    val path = scratch.pathOf("tt3")
+    db.table("nation").df.withColumn("r", col("n_regionkey"))
+      .write.partitionBy("r").mode("overwrite").parquet(path)
+    val t = scratch.table("tt3")
+    val v1 = t.snapshot()
+    val back = t.readVersion(v1)
+    assert(back.columns.contains("r"), "basePath read must resolve the partition column")
+    assert(back.groupBy("r").count().count() == 5)
+  }
+
   test("DELETE on a partitioned table preserves the partition layout") {
     val scratch = scratchDb()
     val path = scratch.pathOf("del_p")
