@@ -118,6 +118,28 @@ object MinhashKernel {
   private val Empty = new GenericArrayData(Array.empty[Any])
   def emptyArray(): ArrayData = Empty
 
+  /** Adjacent character pairs within each word of `text` (split on single
+    * spaces, empties kept; pairs NOT deduplicated — BPE training counts
+    * occurrences). Word "abc" → ["ab", "bc"]; words shorter than 2 chars
+    * contribute nothing. One pass, no lambda interpretation (codegen entry
+    * point for [[CharPairs]]).
+    */
+  def charPairs(text: String): ArrayData = {
+    val tokens = text.split(" ", -1)
+    val out = new java.util.ArrayList[Any]()
+    var w = 0
+    while (w < tokens.length) {
+      val t = tokens(w)
+      var i = 0
+      while (i + 2 <= t.length) {
+        out.add(UTF8String.fromString(t.substring(i, i + 2)))
+        i += 1
+      }
+      w += 1
+    }
+    if (out.isEmpty) Empty else new GenericArrayData(out.toArray)
+  }
+
   /** Distinct word n-gram shingles, first-occurrence order — the same
     * tokenization and joining as [[sig]]; value-identical to
     * `array_distinct(transform(...))` over the HOF spec (codegen entry
@@ -176,6 +198,39 @@ case class DistinctShingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "distinct_shingles"
 }
 
+/** Adjacent character pairs within each word, occurrences kept — the
+  * corpus-wide pair-counting primitive inside one BPE tokenizer-training
+  * merge step. Same kernel shape as [[DistinctShingles]]: per-row scalar,
+  * stays inside WholeStageCodegen, empty array for null text.
+  */
+case class CharPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) MinhashKernel.emptyArray()
+    else MinhashKernel.charPairs(v.asInstanceOf[UTF8String].toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+         |${c.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  ${c.isNull} ? graft.functions.MinhashKernel.emptyArray()
+         |    : graft.functions.MinhashKernel.charPairs(${c.value}.toString());
+       """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharPairs =
+    copy(child = newChild)
+  override def prettyName: String = "char_pairs"
+}
+
 object TextExpressions {
   /** Single-pass k-permutation minhash signature of a text column
     * (array<string> of lowercase md5 hex minima; null when no shingles).
@@ -186,4 +241,8 @@ object TextExpressions {
   /** Distinct word n-gram shingles (one pass, first-occurrence order). */
   def distinctShingles(text: Column, n: Int): Column =
     column(DistinctShingles(expression(text), n))
+
+  /** Adjacent within-word character pairs, occurrences kept (BPE step). */
+  def charPairs(text: Column): Column =
+    column(CharPairs(expression(text)))
 }

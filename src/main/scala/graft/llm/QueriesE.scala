@@ -799,6 +799,18 @@ object QueriesE {
         .orderBy("doc_id")
     }),
 
+    // e37: BPE tokenizer-training inner step — corpus-wide counts of
+    // adjacent within-word character pairs, top-20 (the argmax pair is
+    // what one BPE merge iteration would fuse). Pair generation is a
+    // native one-pass kernel (no interpreted lambdas — see CharPairs);
+    // the count is one (pair, n) shuffle with map-side combine, the
+    // canonical shape at any corpus size.
+    "e37_bpe_pairs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextExpressions.charPairs(col("text"))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20)),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -982,6 +994,11 @@ object QueriesE {
     },
     "e18_ann_ivf" -> sqlIvf,
     "e35_semantic_dedup" -> sqlSemDedup,
+    "e37_bpe_pairs" ->
+      ("WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "p AS (SELECT unnest(list_transform(range(1, length(w)), " +
+        "i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w) " +
+        "SELECT pair, count(*) AS n FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20"),
     "e36_pack_sequences" ->
       ("WITH d AS (SELECT doc_id, source, CAST(len(string_split(text,' ')) AS BIGINT) AS tokens FROM documents), " +
         "o AS (SELECT doc_id, source, tokens, CAST(coalesce(sum(tokens) OVER " +

@@ -458,6 +458,34 @@ class LlmSpec extends AnyFunSuite {
     assert(m(4L) == ((0L, 0L, 0L, 0L)), "source t packs independently from s")
   }
 
+  test("charPairs kernel matches the HOF spec on real docs; crafted case exact") {
+    import org.apache.spark.sql.functions._
+    // executable spec: per word, substrings [i, i+2) via interpreted HOFs
+    def hofPairs(text: org.apache.spark.sql.Column) =
+      flatten(transform(
+        filter(split(text, " "), w => length(w) >= 2), // sequence(1,0) would DESCEND
+        w => transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2)))))
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    val diff = docs.select(
+      graft.functions.TextExpressions.charPairs(col("text")).as("k"),
+      hofPairs(col("text")).as("h"))
+      .filter(not(col("k") <=> col("h"))).count()
+    assert(diff == 0, s"kernel and HOF spec disagree on $diff docs")
+    val one = docs.sparkSession.range(1).select(
+      graft.functions.TextExpressions.charPairs(lit("ab x abc ")).as("p"))
+      .collect()(0).getSeq[String](0)
+    assert(one == Seq("ab", "ab", "bc"), s"'ab x abc ' pairs: $one")
+  }
+
+  test("e37 top pair reflects planted repetition") {
+    val dir = craftedDocsDir("e37", Seq(
+      (1L, "zq zq zq wk", 11L), (2L, "zq mn", 5L)))
+    val out = graft.llm.QueriesE.all("e37_bpe_pairs")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head == (("zq", 4L)), s"planted pair must rank first: ${out.toSeq}")
+    assert(out.toMap == Map("zq" -> 4L, "wk" -> 1L, "mn" -> 1L))
+  }
+
   test("e33 incremental ingest flags a delta doc duplicating the existing corpus") {
     val dup = "the quick brown fox jumps over the lazy dog again and again today"
     val dir = craftedDocsDir("e33", Seq(
