@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftglue.Bridge.{column, expression}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text-sketch kernels.
@@ -118,6 +118,47 @@ object MinhashKernel {
   private val Empty = new GenericArrayData(Array.empty[Any])
   def emptyArray(): ArrayData = Empty
 
+  private val ZeroStats =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](0L, 0L, 0L, 0L))
+  def zeroStats(): org.apache.spark.sql.catalyst.InternalRow = ZeroStats
+
+  /** Per-doc repetition counters in ONE pass — (mode-bigram count, bigram
+    * total, trigram total, distinct-trigram count), exact integers. The
+    * quality fractions derived from them (Gopher/C4 repetition signals)
+    * become pure in-scan arithmetic: no per-gram explode, no (doc, gram)
+    * shuffle — the counters never leave the row. Same tokenization and
+    * shingle strings as [[sig]]/[[distinctShingles]].
+    */
+  def repetitionStats(text: String): org.apache.spark.sql.catalyst.InternalRow = {
+    val tokens = text.split(" ", -1)
+    val sb = new java.lang.StringBuilder
+    var top2 = 0L
+    val n2 = math.max(tokens.length - 1, 0)
+    if (n2 > 0) {
+      val m = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i <= tokens.length - 2) {
+        val c = m.merge(shingleAt(tokens, i, 2, sb), 1, (a, b) => a + b)
+        if (c.longValue() > top2) top2 = c.longValue()
+        i += 1
+      }
+    }
+    val n3 = math.max(tokens.length - 2, 0)
+    var d3 = 0
+    if (n3 > 0) {
+      val seen = new java.util.HashSet[String]()
+      var i = 0
+      while (i <= tokens.length - 3) {
+        seen.add(shingleAt(tokens, i, 3, sb)): Unit
+        i += 1
+      }
+      d3 = seen.size
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](top2, n2.toLong, n3.toLong, d3.toLong))
+  }
+
   /** Adjacent character pairs within each word of `text` (split on single
     * spaces, empties kept; pairs NOT deduplicated — BPE training counts
     * occurrences). Word "abc" → ["ab", "bc"]; words shorter than 2 chars
@@ -198,6 +239,42 @@ case class DistinctShingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "distinct_shingles"
 }
 
+/** Per-doc repetition counters (struct<top2,n2,n3,d3> of exact longs) in
+  * one pass — see [[MinhashKernel.repetitionStats]]. Zero struct for null
+  * text (a null doc has no grams), so every document keeps a row.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("top2", LongType, nullable = false),
+    StructField("n2", LongType, nullable = false),
+    StructField("n3", LongType, nullable = false),
+    StructField("d3", LongType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) MinhashKernel.zeroStats()
+    else MinhashKernel.repetitionStats(v.asInstanceOf[UTF8String].toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+         |${c.code}
+         |org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+         |  ${c.isNull} ? graft.functions.MinhashKernel.zeroStats()
+         |    : graft.functions.MinhashKernel.repetitionStats(${c.value}.toString());
+       """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+  override def prettyName: String = "repetition_stats"
+}
+
 /** Adjacent character pairs within each word, occurrences kept — the
   * corpus-wide pair-counting primitive inside one BPE tokenizer-training
   * merge step. Same kernel shape as [[DistinctShingles]]: per-row scalar,
@@ -245,4 +322,8 @@ object TextExpressions {
   /** Adjacent within-word character pairs, occurrences kept (BPE step). */
   def charPairs(text: Column): Column =
     column(CharPairs(expression(text)))
+
+  /** One-pass per-doc repetition counters: struct(top2, n2, n3, d3). */
+  def repetitionStats(text: Column): Column =
+    column(RepetitionStats(expression(text)))
 }

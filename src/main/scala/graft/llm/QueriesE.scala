@@ -505,20 +505,17 @@ object QueriesE {
     // arithmetic. Ratios are single int→double divisions; the flag is a
     // fixed-threshold OR — all engine-portable.
     "e26_repetition" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val bc = docs
-        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      val b2 = bc.groupBy("doc_id")
-        .agg(max(col("c")).as("top2"), sum(col("c")).as("n2"))
-      val t3 = docs.select(col("doc_id"),
-        size(Dedup.shingles(col("text"), 3)).cast("long").as("n3"),
-        size(TextExpressions.distinctShingles(col("text"), 3)).cast("long").as("d3"))
-      val topFrac = when(col("n2") > 0,
-        col("top2").cast("double") / col("n2").cast("double")).otherwise(0.0)
-      val dupFrac = when(col("n3") > 0,
-        (col("n3") - col("d3")).cast("double") / col("n3").cast("double")).otherwise(0.0)
-      b2.join(t3, "doc_id")
+      // all four counters come from ONE in-scan kernel pass (exact longs) —
+      // no per-gram explode, no (doc, gram) shuffle, no self-join: the
+      // repetition signals are per-document arithmetic and never need the
+      // gram rows to leave the scan (was the 2nd-slowest bench query as an
+      // explode + two-level aggregate + join)
+      val topFrac = when(col("r.n2") > 0,
+        col("r.top2").cast("double") / col("r.n2").cast("double")).otherwise(0.0)
+      val dupFrac = when(col("r.n3") > 0,
+        (col("r.n3") - col("r.d3")).cast("double") / col("r.n3").cast("double")).otherwise(0.0)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextExpressions.repetitionStats(col("text")).as("r"))
         .select(col("doc_id"),
           topFrac.as("top_bigram_frac"),
           dupFrac.as("dup_trigram_frac"),
@@ -1084,6 +1081,8 @@ object QueriesE {
       val frac = (num: String, den: String) =>
         s"CASE WHEN $den > 0 THEN ($num)::DOUBLE / $den::DOUBLE ELSE 0.0 END"
       val top = frac("top2", "n2"); val dup = frac("n3 - d3", "n3")
+      // every doc keeps a row (coalesced zero counters for gram-less docs) —
+      // mirrors the Spark side's zero-struct kernel semantics
       "WITH bc AS (SELECT doc_id, g, count(*) AS c FROM " +
         s"(SELECT doc_id, unnest(${sqlShingles(2)}) AS g FROM documents) GROUP BY 1, 2), " +
         "b2 AS (SELECT doc_id, max(c) AS top2, sum(c) AS n2 FROM bc GROUP BY doc_id), " +
@@ -1091,7 +1090,8 @@ object QueriesE {
         s"len(list_distinct(${sqlShingles(3)})) AS d3 FROM documents) " +
         s"SELECT doc_id, $top AS top_bigram_frac, $dup AS dup_trigram_frac, " +
         s"(($top) > 0.1 OR ($dup) > 0.1) AS flagged " +
-        "FROM b2 JOIN t3 USING (doc_id) ORDER BY doc_id"
+        "FROM (SELECT t3.doc_id, coalesce(top2, 0) AS top2, coalesce(n2, 0) AS n2, n3, d3 " +
+        "FROM t3 LEFT JOIN b2 USING (doc_id)) ORDER BY doc_id"
     },
     "e27_decontaminate" ->
       (s"WITH sh AS (SELECT doc_id, unnest(list_distinct(${sqlShingles(4)})) AS g FROM documents), " +
