@@ -239,4 +239,83 @@ object Dedup {
   def fingerprint(text: Column, n: Int = 3): Column =
     md5(concat_ws("",
       slice(array_sort(transform(shingles(text, n), x => md5(x))), 1, 3)))
+
+  /** The streaming schema of documents.parquet. */
+  val docsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+  }
+
+  /** Read documents as a micro-batch stream from its parquet file. */
+  def readStreamDocuments(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.readStream.schema(docsSchema).parquet(s"$dir/documents.*")
+
+  /** One streaming near-dup INGEST step (the foreachBatch body, separated
+    * for unit tests): band the batch with the native minhash kernel, flag
+    * each doc that shares a band digest with the PERSISTED index (any
+    * previously ingested doc) or with an earlier-id doc of its own batch,
+    * append the flags, then fold the batch's digests into the index
+    * (append-only). Per-batch cost is O(batch + collisions) — the corpus
+    * is never re-banded, the streaming twin of e33's incremental ingest.
+    *
+    * Determinism contract: with id-ordered arrival (a replayed corpus
+    * file), the union of per-batch flags equals the global earlier-id
+    * candidate rule — which is what the DuckDB oracle computes.
+    */
+  def ingestBatch(batch: DataFrame, index: java.io.File,
+      flags: java.io.File): Unit = {
+    val sp = batch.sparkSession
+    // consumed by both flag joins and the index append
+    val banded = bandDigests(batch, "doc_id", "text").persist()
+    try {
+      val within = banded
+        .select(col("band"), col("digest"), col("doc_id").as("idx_id"))
+        .join(banded.select(col("band"), col("digest"), col("doc_id")),
+          Seq("band", "digest"))
+        .filter(col("idx_id") < col("doc_id"))
+        .select(col("doc_id"), col("idx_id"))
+      val pairs =
+        if (!index.isDirectory) within
+        else within.unionByName(
+          sp.read.parquet(index.getPath).withColumnRenamed("doc_id", "idx_id")
+            .join(banded, Seq("band", "digest"))
+            .select(col("doc_id"), col("idx_id")))
+      pairs.groupBy("doc_id")
+        .agg(countDistinct(col("idx_id")).as("n_matches"),
+          min(col("idx_id")).as("first_match"))
+        .write.mode("append").parquet(flags.getPath)
+      banded.write.mode("append").parquet(index.getPath)
+    } finally { banded.unpersist(); () }
+  }
+
+  /** Streaming near-dup ingest end-to-end: stream the corpus file through
+    * [[ingestBatch]] (AvailableNow micro-batches, checkpointed) and read
+    * back the accumulated flags — every doc that near-duplicates an
+    * earlier-ingested one, with its match count and first match.
+    */
+  def ingestStreamToParquet(spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      outRoot: String = "/root/repo/target/fixtures/out/e38"): DataFrame = {
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    val index = new java.io.File(outRoot, "index")
+    val flags = new java.io.File(outRoot, "flags")
+    val chk = new java.io.File(outRoot, "chk")
+    wipe(index); wipe(flags); wipe(chk); new java.io.File(outRoot).mkdirs()
+    val q = readStreamDocuments(spark, dir).writeStream
+      .option("checkpointLocation", chk.getPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, index, flags)
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(flags.getPath)
+  }
 }

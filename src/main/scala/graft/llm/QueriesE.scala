@@ -808,6 +808,17 @@ object QueriesE {
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(20)),
 
+    // e38: STREAMING near-dup ingest — e33's incremental-index idea as a
+    // live stream: each micro-batch bands only itself (native minhash
+    // kernel), flags docs colliding with the persisted band-digest index
+    // or an earlier-id doc of its own batch, and folds its digests into
+    // the index. Per-batch cost O(batch + collisions), never a corpus
+    // re-band. With id-ordered arrival the accumulated flags equal the
+    // global earlier-id candidate rule (the oracle); batch-split
+    // invariance is unit-tested.
+    "e38_stream_ingest_dedup" -> ((s, dir) =>
+      Dedup.ingestStreamToParquet(s, dir).orderBy("doc_id")),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -991,6 +1002,12 @@ object QueriesE {
     },
     "e18_ann_ivf" -> sqlIvf,
     "e35_semantic_dedup" -> sqlSemDedup,
+    // the accumulated stream flags ≡ the global banded-candidate rule
+    // (cand CTE: distinct band-digest collisions with id_a < id_b)
+    "e38_stream_ingest_dedup" ->
+      (s"WITH $sqlLshPairCtes" +
+        " SELECT id_b AS doc_id, count(DISTINCT id_a) AS n_matches, " +
+        "min(id_a) AS first_match FROM cand GROUP BY id_b ORDER BY doc_id"),
     "e37_bpe_pairs" ->
       ("WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
         "p AS (SELECT unnest(list_transform(range(1, length(w)), " +

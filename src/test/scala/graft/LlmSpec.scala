@@ -499,6 +499,45 @@ class LlmSpec extends AnyFunSuite {
       s"only the duplicated delta doc flags, against doc 1: ${out.toSeq}")
   }
 
+  test("e38 streaming ingest: id-ordered batch splits give the single-batch flags") {
+    import org.apache.spark.sql.functions._
+    val root = new java.io.File("/root/repo/target/fixtures/test/e38")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    val dup = "the quick brown fox jumps over the lazy dog tonight"
+    val rows = Seq(
+      (1L, dup), (2L, "a completely different first-batch document body"),
+      (3L, dup),                                        // dups doc 1, later batch
+      (4L, "novel second-batch content with unique words"),
+      (5L, "novel second-batch content with unique words")) // dups 4, same batch
+    def dfOf(ids: Seq[Long]) =
+      rows.filter(r => ids.contains(r._1)).toDF("doc_id", "text")
+    def flagsOf(batches: Seq[Seq[Long]], tag: String) = {
+      val index = new java.io.File(root, s"$tag/index")
+      val flags = new java.io.File(root, s"$tag/flags")
+      wipe(index.getParentFile)
+      batches.foreach(b => graft.llm.Dedup.ingestBatch(dfOf(b), index, flags))
+      spark.read.parquet(flags.getPath).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val split = flagsOf(Seq(Seq(1L, 2L), Seq(3L, 4L, 5L)), "split")
+    val whole = flagsOf(Seq(Seq(1L, 2L, 3L, 4L, 5L)), "whole")
+    assert(split == whole, s"batch split must not change flags: $split vs $whole")
+    assert(split == Set((3L, 1L, 1L), (5L, 1L, 4L)),
+      s"cross-batch dup (3←1) and within-batch dup (5←4) both flag: $split")
+    // append-only index: ingesting a batch must not rewrite existing files
+    val index = new java.io.File(root, "split/index")
+    def files() = index.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toSet
+    val before = files()
+    graft.llm.Dedup.ingestBatch(
+      Seq((6L, "yet another brand new unique document text")).toDF("doc_id", "text"),
+      index, new java.io.File(root, "split/flags"))
+    assert(files().intersect(before) == before, "index files must be append-only")
+  }
+
   test("e34 corpus diff classifies added/removed/changed correctly") {
     // ids chosen so each lands in exactly one class: 7 added (dropped
     // from v1), 13 removed (dropped from v2), 11 changed (rewritten in
