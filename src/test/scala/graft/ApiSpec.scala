@@ -501,6 +501,13 @@ class ApiSpec extends AnyFunSuite {
     val scratch = scratchDb()
     scratch.store(db.table("nation").df, "tt1", "overwrite")
     val t = scratch.table("tt1")
+    // overwrite rewrites data but not the .versions sidecar — clear any
+    // history a previous run left so the numbering assertion is stable
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(t.path + ".versions"))
     val v1 = t.snapshot()
     t.write(db.table("nation").df.filter(col("n_nationkey") < 5))
     val v2 = t.snapshot()
