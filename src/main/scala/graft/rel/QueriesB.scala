@@ -252,10 +252,33 @@ object QueriesB {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(dbl(sum(dec2(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // b19: correlated scalar subqueries through the raw-SQL surface —
+    // customers above their own nation's average balance. Catalyst
+    // DECORRELATES both subqueries into one per-nation aggregate joined
+    // back on the correlation key (equi-join, covered by the plan sweep);
+    // a naive engine would loop the subquery per row. The predicate is
+    // the exact cross-multiplication `bal·n > sum` (decimal × bigint vs
+    // decimal sum), so no engine ever divides — a float average would
+    // make boundary rows engine-dependent.
+    "b19_correlated_subquery" -> ((s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      graft.api.Datum.connect(s"parquet://$dir").execute(CorrelatedSql)
+    })
   )
 
+  /** One SQL text for b19 — valid verbatim in Spark SQL and DuckDB. */
+  private val CorrelatedSql: String =
+    "SELECT c_custkey, c_acctbal FROM customer c " +
+      "WHERE CAST(c_acctbal AS DECIMAL(18,2)) * " +
+      "(SELECT count(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) > " +
+      "(SELECT sum(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM customer c3 " +
+      "WHERE c3.c_nationkey = c.c_nationkey) " +
+      "ORDER BY c_custkey"
+
   val oracle: Map[String, String] = Map(
+    "b19_correlated_subquery" -> CorrelatedSql,
     "b1_join_inner" ->
       ("SELECT o_orderkey, c_custkey, c_name, o_totalprice FROM orders " +
         "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
