@@ -1,0 +1,101 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck property layer (SURVEY.md §5.2 layer 3): algebraic laws over
+  * the pure kernels — projection round-trips, text-kernel counting
+  * invariants, exact-dedup model equivalence. The kernels are plain JVM
+  * functions, so each property runs its full 100 generated cases without a
+  * Spark job; only the dedup model property starts Spark, with a reduced
+  * case count.
+  */
+object GraftProps extends Properties("graft") {
+
+  // ---- Projection round-trips (hand-rolled LCC + Transverse Mercator) ----
+
+  /** EPSG:2272 (PA South, US-ft) domain: roughly the state's extent. */
+  private val paX = Gen.choose(2.35e6, 2.75e6)
+  private val paY = Gen.choose(1.0e5, 4.9e5)
+
+  property("transform 2272 -> 4326 -> 2272 is identity within 0.01 ft") =
+    forAll(paX, paY) { (x, y) =>
+      val (lon, lat) = graft.spatial.Projection.transform(x, y, 2272, 4326)
+      val (x2, y2) = graft.spatial.Projection.transform(lon, lat, 4326, 2272)
+      math.abs(x2 - x) < 0.01 && math.abs(y2 - y) < 0.01
+    }
+
+  property("projected -> projected routes through the hub and round-trips") =
+    forAll(paX, paY) { (x, y) =>
+      val (e, n) = graft.spatial.Projection.transform(x, y, 2272, 26918)
+      val (x2, y2) = graft.spatial.Projection.transform(e, n, 26918, 2272)
+      math.abs(x2 - x) < 0.02 && math.abs(y2 - y) < 0.02
+    }
+
+  // ---- Text kernels: counting invariants vs a direct model ----
+
+  private val word: Gen[String] =
+    Gen.chooseNum(0, 6).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+  private val text: Gen[String] =
+    Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  property("charPairs emits exactly max(|w|-1, 0) pairs per word, in order") =
+    forAll(text) { t =>
+      val got = graft.functions.MinhashKernel.charPairs(t)
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val model = t.split(" ", -1).toSeq.flatMap(w => w.sliding(2).filter(_.length == 2))
+      got == model
+    }
+
+  property("repetitionStats counters satisfy their defining bounds") =
+    forAll(text) { t =>
+      val r = graft.functions.MinhashKernel.repetitionStats(t)
+      val tokens = t.split(" ", -1)
+      val (top2, n2, n3, d3) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val grams2 = tokens.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val modelTop = if (grams2.isEmpty) 0L
+        else grams2.groupBy(identity).values.map(_.size).max.toLong
+      n2 == math.max(tokens.length - 1, 0).toLong &&
+        n3 == math.max(tokens.length - 2, 0).toLong &&
+        top2 == modelTop && d3 <= n3 && (n3 == 0 || d3 >= 1)
+    }
+
+  property("minhash signature: k lowercase-hex minima, null iff < n tokens") =
+    forAll(text) { t =>
+      val sig = graft.functions.MinhashKernel.sig(t, 3, 8)
+      val enough = t.split(" ", -1).length >= 3
+      if (!enough) sig == null
+      else sig.length == 8 && sig.forall(h => h.length == 32 &&
+        h.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+    }
+
+}
+
+/** Spark-backed model property, in its own Properties so it can run a
+  * reduced case count (each case is a real Spark job).
+  */
+object GraftSparkProps extends Properties("graft-spark") {
+  override def overrideParameters(p: org.scalacheck.Test.Parameters):
+      org.scalacheck.Test.Parameters = p.withMinSuccessfulTests(10)
+
+  private val docList: Gen[List[(Long, String)]] = for {
+    n <- Gen.chooseNum(1, 20)
+    texts <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))
+  } yield texts.zipWithIndex.map { case (txt, i) => (i.toLong, txt) }
+
+  property("exactClusters cluster_id = min doc id sharing the text (model)") = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    forAll(docList) { rows =>
+      val got = graft.llm.Dedup
+        .exactClusters(rows.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val model = rows.map { case (id, txt) =>
+        id -> rows.filter(_._2 == txt).map(_._1).min
+      }.toMap
+      got == model
+    }
+  }
+}
