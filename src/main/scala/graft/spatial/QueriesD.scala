@@ -132,6 +132,25 @@ object QueriesD {
         .orderBy("gid")
     }),
 
+    // d10: bounded nearest-neighbor spatial join — each point's closest
+    // site within 3000 units (the kNN analogue of d9's containment join:
+    // same one-cell-per-point grid, sites explode to 3×3 neighborhoods, so
+    // candidates stay an equi-join at any scale). Exact integer squared
+    // distances; argmin is a map-side-combined struct min; the oracle is
+    // the brute-force QUALIFY row_number() argmin.
+    "d10_nn_join" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey").as("pid"),
+        (lit(2650000) + (col("c_custkey") * 7919) % 40000).as("px"),
+        (lit(210000) + (col("c_custkey") * 5081) % 30000).as("py"))
+      val gid = (col("n_nationkey") + 1).cast("long")
+      val sites = t(s, dir, "nation").select(
+        gid.as("sid"),
+        (lit(2650000) + (gid * 9973) % 40000).as("sx"),
+        (lit(210000) + (gid * 6397) % 30000).as("sy"))
+      SpatialJoin.nnJoin(pts, sites, radius = 3000).orderBy("pid")
+    }),
+
     // d8 (no-oracle): projected→projected reprojection through the façade —
     // EPSG:2272 (ftUS State Plane) to EPSG:26918 (NAD83 UTM 18N, metres),
     // routed via the geographic hub (the any-CRS capability the reference
@@ -176,6 +195,18 @@ object QueriesD {
         "SELECT gid, count(*) AS n_pts, CAST(sum(c_custkey) AS BIGINT) AS sum_keys " +
         "FROM pts JOIN boxes ON px BETWEEN xmin AND xmax AND py BETWEEN ymin AND ymax " +
         "GROUP BY gid ORDER BY gid"),
+    "d10_nn_join" ->
+      ("WITH pts AS (SELECT c_custkey AS pid, 2650000 + (c_custkey * 7919) % 40000 AS px, " +
+        "210000 + (c_custkey * 5081) % 30000 AS py FROM customer), " +
+        "sites AS (SELECT CAST(n_nationkey + 1 AS BIGINT) AS sid, " +
+        "2650000 + ((n_nationkey + 1) * 9973) % 40000 AS sx, " +
+        "210000 + ((n_nationkey + 1) * 6397) % 30000 AS sy FROM nation), " +
+        "cand AS (SELECT pid, sid, (px-sx)*(px-sx) + (py-sy)*(py-sy) AS d2 " +
+        "FROM pts CROSS JOIN sites " +
+        "WHERE (px-sx)*(px-sx) + (py-sy)*(py-sy) <= 9000000) " +
+        "SELECT pid, sid AS nn_sid, d2 FROM cand " +
+        "QUALIFY row_number() OVER (PARTITION BY pid ORDER BY d2, sid) = 1 " +
+        "ORDER BY pid"),
     "d4_multi_cast" ->
       ("WITH g AS (SELECT n_nationkey + 1 AS gid, " +
         "2660000 + (n_nationkey+1)*1000 AS x, 220000 + (n_nationkey+1)*500 AS y " +

@@ -40,4 +40,35 @@ object SpatialJoin {
         col("py") >= col("ymin") && col("py") <= col("ymax"))
       .drop("_cx", "_cy")
   }
+
+  /** Bounded nearest-neighbor join: for each point `(pid, px, py)`, the
+    * nearest site `(sid, sx, sy)` within `radius` — squared-distance
+    * argmin, ties by lower sid. Points hash to ONE grid cell of size
+    * `radius`; each site explodes to its 3×3 cell neighborhood, so any
+    * (point, site) pair within `radius` provably shares the point's cell
+    * (|Δx| ≤ R bounds the cell offset to ±1). Candidates are an equi-join
+    * on cell — never a nested loop — and the argmin is a map-side-combined
+    * `min(struct(d2, sid))` per point. Distances are exact integer
+    * arithmetic (inputs are integral coordinates), so results are
+    * bit-identical in any engine at any parallelism. Points with no site
+    * inside `radius` are absent (the bounded-kNN contract, same as a
+    * tolerance as-of join).
+    */
+  def nnJoin(points: DataFrame, sites: DataFrame, radius: Int): DataFrame = {
+    val p = points
+      .withColumn("_cx", floor(col("px") / radius))
+      .withColumn("_cy", floor(col("py") / radius))
+    val s = sites
+      .withColumn("_cx", explode(array((-1 to 1).map(d =>
+        floor(col("sx") / radius) + d): _*)))
+      .withColumn("_cy", explode(array((-1 to 1).map(d =>
+        floor(col("sy") / radius) + d): _*)))
+    val d2 = (col("px") - col("sx")) * (col("px") - col("sx")) +
+      (col("py") - col("sy")) * (col("py") - col("sy"))
+    p.join(s, Seq("_cx", "_cy"))
+      .filter(d2 <= lit(radius.toLong * radius))
+      .groupBy("pid")
+      .agg(min(struct(d2.as("d2"), col("sid"))).as("_nn"))
+      .select(col("pid"), col("_nn.sid").as("nn_sid"), col("_nn.d2").as("d2"))
+  }
 }

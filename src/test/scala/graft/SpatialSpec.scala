@@ -270,6 +270,36 @@ class SpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("nnJoin matches the brute-force bounded argmin, including tie-breaks") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pts = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(10000).toLong, rnd.nextInt(8000).toLong))
+      .toDF("pid", "px", "py")
+    // include two sites at the SAME location so distance ties exercise the
+    // lower-sid tie-break
+    val base = (1 to 15).map(g =>
+      (g.toLong, rnd.nextInt(10000).toLong, rnd.nextInt(8000).toLong))
+    val sites = (base :+ ((16L, base.head._2, base.head._3)))
+      .toDF("sid", "sx", "sy")
+    val r = 1500
+    val d2 = (col("px") - col("sx")) * (col("px") - col("sx")) +
+      (col("py") - col("sy")) * (col("py") - col("sy"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(col("d2"), col("sid"))
+    val brute = pts.crossJoin(sites).withColumn("d2", d2)
+      .filter(col("d2") <= r.toLong * r)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("pid", "sid", "d2")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val got = SpatialJoin.nnJoin(pts, sites, r)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got == brute, s"${got.size} vs brute ${brute.size}")
+    assert(got.forall(_._3 <= r.toLong * r), "radius gate")
+    assert(got.map(_._1).size == got.size, "one nearest site per point")
+  }
+
   test("bboxJoin candidate generation is an equi-join (no nested loop)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
