@@ -819,6 +819,67 @@ object QueriesE {
     "e38_stream_ingest_dedup" -> ((s, dir) =>
       Dedup.ingestStreamToParquet(s, dir).orderBy("doc_id")),
 
+    // e39: inverted-index build — the retrieval artifact a corpus pipeline
+    // derives for keyword search/filtering: term (word 2-gram — the
+    // corpus's meaningful vocabulary unit) → document frequency + sorted
+    // posting list. TWO-PASS on purpose: the df pass is a plain
+    // map-side-combined count, and only terms inside the df band [5, 40]
+    // ever accumulate a posting LIST — a stop-phrase with 10^9 postings
+    // never materializes per-key list state (the single-pass
+    // groupBy-with-HAVING formulation would build it first and filter
+    // after, the classic collect_list OOM at scale). The band is also the
+    // classic index prune: stop-phrases index nothing, hapaxes retrieve
+    // nothing. A full-index variant would range-shard postings as (term,
+    // shard) keys — same plan shape. Postings sort numerically, then
+    // serialize to a comma string (hash-comparable cross-engine).
+    "e39_inverted_index" -> ((s, dir) => {
+      val terms = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Dedup.shingles(col("text"), 2)).as("term"))
+        .distinct() // one posting per (doc, term) however often it repeats
+        .transform(graft.Caches.persistTracked) // consumed by both passes
+      val banded = terms.groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(5, 40))
+      terms.join(banded, "term")
+        .groupBy("term", "df")
+        .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("postings"))
+        .select("term", "df", "postings")
+        .orderBy("term")
+    }),
+
+    // e40: corpus-frequency boilerplate removal — the OTHER C4 pass (e30
+    // keeps first occurrences; this drops text that repeats ACROSS
+    // documents): any 5-word chunk appearing in ≥ 3 distinct docs is
+    // boilerplate, removed from EVERY doc (headers/footers/nav chrome).
+    // Chunk df is a two-level aggregate — distinct (chunk, doc) pre-reduce
+    // then a chunk-keyed map-side-combined count — so a footer repeated
+    // 10^6 times reduces locally; the join back is a linear chunk-keyed
+    // equi-join (no window, no pair blowup). Reassembly is e30's
+    // order-free sort_array fold.
+    "e40_boilerplate_scrub" -> ((s, dir) => {
+      val ws = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val nch = expr("(size(ws) + 4) div 5").cast("int")
+      val chunks = ws.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nch - 1),
+          i => array_join(slice(col("ws"), i * 5 + 1, lit(5)), " "))))
+        .toDF("doc_id", "pos", "chunk")
+      val boiler = chunks.select("chunk", "doc_id").distinct()
+        .groupBy("chunk").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3)
+      chunks.join(boiler, Seq("chunk"), "left")
+        .withColumn("keep", col("df").isNull)
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+          array_join(transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("chunk"))))),
+            x => x.getField("chunk")), " ").as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1149,6 +1210,26 @@ object QueriesE {
         "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped, " +
         "coalesce(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY pos), '') AS clean_text " +
         "FROM mk GROUP BY doc_id ORDER BY doc_id"),
+    "e39_inverted_index" ->
+      (s"WITH w0 AS (SELECT doc_id, unnest(${sqlShingles(2)}) AS term FROM documents), " +
+        "terms AS (SELECT DISTINCT doc_id, term FROM w0), " +
+        "banded AS (SELECT term, count(*) AS df FROM terms GROUP BY term " +
+        "HAVING count(*) BETWEEN 5 AND 40) " +
+        "SELECT term, df, array_to_string(list_transform(" +
+        "list_sort(list(doc_id)), x -> CAST(x AS VARCHAR)), ',') AS postings " +
+        "FROM terms JOIN banded USING (term) GROUP BY term, df ORDER BY term"),
+    "e40_boilerplate_scrub" ->
+      ("WITH ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents), " +
+        "ch AS (SELECT doc_id, unnest(range((len(ws)+4)//5)) AS pos, " +
+        "unnest(list_transform(range((len(ws)+4)//5), " +
+        "i -> array_to_string(ws[i*5+1:i*5+5], ' '))) AS chunk FROM ws), " +
+        "boiler AS (SELECT chunk FROM (SELECT DISTINCT chunk, doc_id FROM ch) " +
+        "GROUP BY chunk HAVING count(*) >= 3) " +
+        "SELECT doc_id, count(*) AS n_chunks, " +
+        "CAST(sum(CASE WHEN b.chunk IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped, " +
+        "coalesce(string_agg(CASE WHEN b.chunk IS NULL THEN ch.chunk END, ' ' ORDER BY pos), '') AS clean_text " +
+        "FROM ch LEFT JOIN boiler b ON ch.chunk = b.chunk " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     "e31_source_mix" ->
       ("WITH s AS (SELECT source, count(*) AS n_docs, " +
         "CAST(sum(len(string_split(text,' '))) AS BIGINT) AS tokens FROM documents GROUP BY 1), " +

@@ -385,6 +385,47 @@ class LlmSpec extends AnyFunSuite {
       "doc 2 loses the chunk doc 1 already owns")
   }
 
+  test("e39 inverted index: df band prunes, postings sort numerically") {
+    // term "x y" lands in docs 2, 10, 1, 11, 3 (df=5, inside the band);
+    // "a b" appears once (hapax, pruned); the band's lower edge is 5
+    val hit = "x y"
+    val dir = craftedDocsDir("e39", Seq(
+      (2L, s"$hit filler", 10L), (10L, s"pad $hit", 10L),
+      (1L, s"$hit more", 10L), (11L, s"$hit tail", 10L),
+      (3L, s"lead $hit", 10L), (4L, "a b", 3L)))
+    val rows = graft.llm.QueriesE.all("e39_inverted_index")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows.contains("x y"), "df=5 term is indexed")
+    assert(rows("x y") == ((5L, "1,2,3,10,11")),
+      "postings sort numerically (10, 11 after 3), not lexically")
+    assert(!rows.contains("a b"), "hapax term pruned by the df band")
+  }
+
+  test("e40 boilerplate scrub drops a chunk repeated across >= 3 docs everywhere") {
+    val boiler = "all rights reserved footer text"
+    val uniq = Seq("alpha beta gamma delta epsilon",
+      "zeta eta theta iota kappa", "lambda mu nu xi omicron")
+    val dir = craftedDocsDir("e40", Seq(
+      (1L, s"$boiler ${uniq(0)}", 60L),
+      (2L, s"$boiler ${uniq(1)}", 60L),
+      (3L, s"${uniq(2)} $boiler", 60L)))
+    val m = graft.llm.QueriesE.all("e40_boilerplate_scrub")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(m(1L) == ((1L, uniq(0))), "doc 1 loses the boilerplate (even first occurrence)")
+    assert(m(2L) == ((1L, uniq(1))), "doc 2 loses it too")
+    assert(m(3L) == ((1L, uniq(2))), "position does not matter")
+  }
+
+  test("e40 keeps a chunk shared by only 2 docs (below the df threshold)") {
+    val shared = "quoted passage of five words"
+    val dir = craftedDocsDir("e40b", Seq(
+      (1L, shared, 30L), (2L, shared, 30L),
+      (3L, "unrelated words in this document", 30L)))
+    val m = graft.llm.QueriesE.all("e40_boilerplate_scrub")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(m(1L) == shared && m(2L) == shared, "df=2 is not boilerplate")
+  }
+
   test("e31 source mix: weights normalize to 1 and order by token mass") {
     val out = graft.llm.QueriesE.all("e31_source_mix")(spark, TestSpark.Sf)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
