@@ -453,6 +453,26 @@ class Table(val db: Database, val qualified: String) {
     else db.loadFiles(path, rels.map(r => s"$path/$r"))
   }
 
+  /** Roll the table back to snapshot `v` — dataset versioning's undo
+    * button: re-materializes the manifest's file set as the table's
+    * contents via the standard staged atomic swap ([[Database.replaceAt]]
+    * stages the copy while the originals are still in place, so reading
+    * from self is safe). The restore is itself a REWRITE, so every
+    * existing manifest now points at rewritten-away files — the old
+    * history is removed and the restored state is re-pinned as v1 of a
+    * fresh history (returned). At 100 TB the cost is one copy of the
+    * snapshot's data: unavoidable on plain files, where live reads go
+    * straight to the directory — Iceberg/Delta roll back cheaper only
+    * because every read resolves through a manifest indirection.
+    */
+  def restore(v: Int): Int = {
+    val snap = readVersion(v)
+    db.replaceTable(qualified, snap)
+    val dir = new File(path + ".versions")
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete(): Unit)
+    snapshot()
+  }
+
   /** Bucket-partition the table by a stable hash of `keyCols` — the
     * physical prerequisite for keyed incremental [[upsert]]s: rows of one
     * key always live in one `bucket=` directory, so a merge touches only

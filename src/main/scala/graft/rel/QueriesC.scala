@@ -240,6 +240,30 @@ object QueriesC {
         .select("version", "n", "key_sum").orderBy("version")
     }),
 
+    // c14: snapshot RESTORE — the rollback half of c13's versioning: a
+    // bad append lands, restore(v1) rolls the table back to the pinned
+    // manifest via the staged atomic swap, and the read-back equals the
+    // original seed exactly. The rewrite invalidates the old history, so
+    // restore re-pins its result as v1 of a fresh one (asserted in
+    // ApiSpec; the oracle checks the data contract).
+    "c14_restore" -> ((s, dir) => {
+      val db = scratch(s)
+      val sup = t(s, dir, "supplier")
+      sup.write.mode("overwrite").parquet(db.pathOf("c14_supplier"))
+      val tbl = db.table("c14_supplier")
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete(): Unit
+      }
+      wipe(new java.io.File(tbl.path + ".versions"))
+      val v1 = tbl.snapshot()
+      tbl.write(sup.filter(col("s_suppkey") <= 5)) // the bad append
+      tbl.restore(v1)
+      db.table("c14_supplier").df
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey")
+    }),
+
     // c8: Z-order clustering — the multi-dimensional index analogue: after
     // Morton-interleaving (user_id, value), row-group min/max boxes are
     // compact in BOTH dimensions, so the two-sided predicate below can
@@ -275,6 +299,9 @@ object QueriesC {
       ("SELECT o_custkey, count(*) AS n_open FROM orders WHERE o_orderstatus = 'O' " +
         "GROUP BY o_custkey ORDER BY o_custkey"),
     "c10_compact_small_files" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "c14_restore" ->
+      ("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +
+        "ORDER BY s_suppkey"),
     "c13_time_travel" ->
       ("WITH v1 AS (SELECT * FROM nation), " +
         "v2 AS (SELECT * FROM nation UNION ALL SELECT * FROM nation WHERE n_nationkey < 10) " +

@@ -521,6 +521,29 @@ class ApiSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](t.readVersion(99))
   }
 
+  test("restore rolls back an append and re-pins a fresh v1 history") {
+    val scratch = scratchDb()
+    scratch.store(db.table("nation").df, "tt4", "overwrite")
+    val t = scratch.table("tt4")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(t.path + ".versions"))
+    val v1 = t.snapshot()
+    t.write(db.table("nation").df.filter(col("n_nationkey") < 5))
+    t.snapshot()
+    assert(t.count == 30)
+    val fresh = t.restore(v1)
+    assert(t.count == 25, "restore rolls the append back")
+    assert(t.df.agg(sum(col("n_nationkey"))).collect()(0).getLong(0) == 300L,
+      "restored contents equal the seed exactly")
+    assert(fresh == 1 && t.versions == Seq(1),
+      "old history is invalidated; restored state re-pins as v1")
+    assert(t.readVersion(1).count() == 25, "the fresh manifest is readable")
+    assertThrows[IllegalArgumentException](t.restore(99))
+  }
+
   test("readVersion fails loudly once maintenance rewrites snapshot files") {
     val scratch = scratchDb()
     scratch.store(db.table("nation").df.repartition(4), "tt2", "overwrite")
