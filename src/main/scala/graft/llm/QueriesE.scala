@@ -880,6 +880,48 @@ object QueriesE {
         .orderBy("doc_id")
     }),
 
+    // e41: ANN quality evaluation — recall@10 of the multi-probe sign-LSH
+    // path (e9's index) against brute-force ground truth, per query. The
+    // evaluation recipe that makes ANN tunable at 100 TB: truth is exact
+    // but over a SAMPLED query set (vec_id % 97 — the e32 eval convention),
+    // so its cost is |Q|·n map-side work under a broadcast query set, and
+    // the ANN side is the production bucket equi-join itself (candidates
+    // ≈ |Q|·n/2^planes). Recall is an exact integer hit count over the two
+    // top-10 lists (ties broken by vec_id on both sides) — the number you
+    // watch when trading plane count against probe count.
+    "e41_ann_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val planes = signPlanes(NPlanes, Dims)
+      val e = t(s, dir, "embeddings")
+        .withColumn("emb", asDouble(col("embedding")))
+        .withColumn("bucket", lshBucket(col("emb"), planes))
+        .transform(graft.Caches.persistTracked) // scanned by truth + ANN
+      val qs = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("qid"), col("emb").as("q"), col("bucket").as("qb"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val truth = e.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), cosine(col("emb"), col("q")).as("cos"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      val probeMasks = 0 +: (0 until NPlanes).map(1 << _)
+      val probes = qs.select(col("qid"), col("q"),
+        explode(array(probeMasks.map(m => col("qb").bitwiseXOR(lit(m))): _*)).as("pb"))
+      // distinct masks ⇒ distinct probe buckets per query ⇒ candidate
+      // (qid, vec_id) pairs are unique without a dedup shuffle
+      val cands = e.join(broadcast(probes),
+          col("bucket") === col("pb") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), cosine(col("emb"), col("q")).as("cos"))
+        .transform(graft.Caches.persistTracked) // consumed twice (top-k + count)
+      val annTop = cands.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10).select(col("qid"), col("vec_id"), lit(1).as("hit"))
+      val nc = cands.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+      truth.join(annTop, Seq("qid", "vec_id"), "left")
+        .groupBy("qid").agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .join(nc, "qid")
+        .select(col("qid").as("query_id"), col("n_cand"), col("n_hit"),
+          (col("n_hit") / 10.0).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1230,6 +1272,28 @@ object QueriesE {
         "coalesce(string_agg(CASE WHEN b.chunk IS NULL THEN ch.chunk END, ' ' ORDER BY pos), '') AS clean_text " +
         "FROM ch LEFT JOIN boiler b ON ch.chunk = b.chunk " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    "e41_ann_recall" -> {
+      val probes = (0 +: (0 until NPlanes).map(1 << _).toList)
+        .map(m => s"xor(qb, $m)").mkString(", ")
+      "WITH be AS (SELECT vec_id, embedding, " + sqlBucket("embeddings") +
+        " AS bucket FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, embedding, bucket AS qb FROM be WHERE vec_id % 97 = 0), " +
+        s"truth AS (SELECT qid, e.vec_id, (${sqlDot("e", "q")}) / (${sqlNorm("e")} * ${sqlNorm("q")}) AS cos " +
+        "FROM be e, q WHERE e.vec_id <> q.qid), " +
+        "tt AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM truth) WHERE rk <= 10), " +
+        s"pr AS (SELECT qid, embedding, unnest([$probes]) AS pb FROM q), " +
+        s"cand AS (SELECT p.qid, e.vec_id, (${sqlDot("e", "p")}) / (${sqlNorm("e")} * ${sqlNorm("p")}) AS cos " +
+        "FROM be e JOIN pr p ON e.bucket = p.pb WHERE e.vec_id <> p.qid), " +
+        "ann AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM cand) WHERE rk <= 10), " +
+        "nc AS (SELECT qid, count(*) AS n_cand FROM cand GROUP BY qid) " +
+        "SELECT tt.qid AS query_id, nc.n_cand, count(ann.qid) AS n_hit, " +
+        "count(ann.qid)::DOUBLE / 10.0 AS recall " +
+        "FROM tt LEFT JOIN ann ON tt.qid = ann.qid AND tt.vec_id = ann.vec_id " +
+        "JOIN nc ON nc.qid = tt.qid " +
+        "GROUP BY tt.qid, nc.n_cand ORDER BY query_id"
+    },
     "e31_source_mix" ->
       ("WITH s AS (SELECT source, count(*) AS n_docs, " +
         "CAST(sum(len(string_split(text,' '))) AS BIGINT) AS tokens FROM documents GROUP BY 1), " +

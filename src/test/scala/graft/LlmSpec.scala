@@ -453,6 +453,26 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(out(0)._3 - 1.0) < 1e-12, "scaling preserves cosine = 1")
   }
 
+  test("e41 ann recall: planted duplicate is always recalled; recall bounded by hits") {
+    val dir = "/root/repo/target/fixtures/test/docs_e41"
+    // vec 0 is the query (0 % 97 == 0); vec 1 scales it (cos 1.0, SAME
+    // bucket — signs are scale-invariant, so the LSH path cannot miss
+    // it); vecs 2..12 are phase-shifted fillers
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val rows = Seq((0L, base, 0), (1L, base.map(_ * 0.5f), 1)) ++
+      (2L to 12L).map(j =>
+        (j, Array.tabulate(64)(i => math.sin((i + 1) * (j + 2) * 0.37).toFloat), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.llm.QueriesE.all("e41_ann_recall")(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L), "one query row (vec 0)")
+    val (nCand, nHit, recall) =
+      (out(0).getLong(1), out(0).getLong(2), out(0).getDouble(3))
+    assert(nHit >= 1L, "the same-bucket duplicate is always a hit")
+    assert(recall == nHit / 10.0, "recall is exactly hits over k")
+    assert(nCand >= nHit, "hits are a subset of candidates")
+  }
+
   test("e35 semantic dedup prunes scaled copies, keeps each cluster's first member") {
     val dir = "/root/repo/target/fixtures/test/docs_e35"
     // vecs 0-7 seed the k=8 k-means init (mutually far sin-phase vectors);
