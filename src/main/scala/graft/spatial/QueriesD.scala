@@ -43,6 +43,27 @@ object QueriesD {
       when((gid % 6) === 3, lit("MULTIPOLYGON")).otherwise(lit("POINT")).as("geom_type"))
   }
 
+  /** d11's convex CCW pentagon (integer vertices, single-sourced between
+    * the Spark query and the oracle's half-plane test).
+    */
+  private val PentagonVerts = Seq(
+    (2660000L, 215000L), (2676000L, 213000L), (2684000L, 225000L),
+    (2672000L, 234000L), (2656000L, 228000L))
+
+  private[spatial] val PentagonWkt =
+    (PentagonVerts :+ PentagonVerts.head)
+      .map { case (x, y) => s"$x $y" }
+      .mkString("POLYGON ((", ", ", "))")
+
+  /** Boundary-inclusive point-in-convex-CCW-polygon as SQL: every edge's
+    * cross product is ≥ 0 (exact BIGINT arithmetic).
+    */
+  private def sqlCoversPentagon(px: String, py: String): String =
+    (PentagonVerts :+ PentagonVerts.head).sliding(2).map { pair =>
+      val (x1, y1) = pair(0); val (x2, y2) = pair(1)
+      s"(${x2 - x1}) * ($py - $y1) - (${y2 - y1}) * ($px - $x1) >= 0"
+    }.mkString(" AND ")
+
   val all: Map[String, Fn] = Map(
     // d1: ST_GeomFromText → ST_AsText identity through the JTS kernel
     // (ref datum/postgis/table.py:179-181, :54-59). Input has no space
@@ -132,6 +153,23 @@ object QueriesD {
         .orderBy("gid")
     }),
 
+    // d11: point-in-polygon containment (ST_Covers) — the scalar JTS
+    // kernel behind spatial filtering: a literal convex pentagon (parsed
+    // ONCE via the expression's memoized PreparedGeometry), customers'
+    // derived points tested in-scan — no join, no shuffle, the filter
+    // rides the table scan at any scale (a MANY-polygon containment join
+    // is d9's grid recipe instead). Boundary-inclusive covers() on
+    // integer coordinates is orientation-exact, so the DuckDB oracle's
+    // cross-product half-plane test agrees bit-for-bit.
+    "d11_point_in_polygon" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey"),
+        (lit(2650000) + (col("c_custkey") * 7919) % 40000).as("px"),
+        (lit(210000) + (col("c_custkey") * 5081) % 30000).as("py"))
+      pts.filter(StFunctions.stCoversPoint(lit(PentagonWkt), col("px"), col("py")))
+        .select("c_custkey", "px", "py").orderBy("c_custkey")
+    }),
+
     // d10: bounded nearest-neighbor spatial join — each point's closest
     // site within 3000 units (the kNN analogue of d9's containment join:
     // same one-cell-per-point grid, sites explode to 3×3 neighborhoods, so
@@ -172,6 +210,11 @@ object QueriesD {
   )
 
   val oracle: Map[String, String] = Map(
+    "d11_point_in_polygon" ->
+      ("WITH pts AS (SELECT c_custkey, 2650000 + (c_custkey * 7919) % 40000 AS px, " +
+        "210000 + (c_custkey * 5081) % 30000 AS py FROM customer) " +
+        "SELECT c_custkey, px, py FROM pts WHERE " +
+        sqlCoversPentagon("px", "py") + " ORDER BY c_custkey"),
     "d1_wkt_roundtrip" ->
       ("SELECT n_nationkey + 1 AS gid, 'POINT (' || (2660000 + (n_nationkey+1)*1000) || ' ' || " +
         "(220000 + (n_nationkey+1)*500) || ')' AS wkt FROM nation ORDER BY gid"),

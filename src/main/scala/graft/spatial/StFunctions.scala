@@ -95,6 +95,44 @@ object StFunctions {
     override def prettyName: String = "st_transform"
   }
 
+  /** Point-in-polygon predicate (ST_Covers(poly, point) — boundary
+    * INCLUSIVE, so the answer is orientation-exact for integer/low-bit
+    * coordinates on both JTS's robust predicates and a plain cross-product
+    * SQL oracle). The polygon parses ONCE per distinct WKT per expression
+    * instance (memoized PreparedGeometry) — with a literal polygon the
+    * per-row cost is the prepared covers() test only, in-scan, no join.
+    * A many-polygon containment JOIN is d9's grid-join recipe instead;
+    * this is the scalar kernel.
+    */
+  case class StCoversPoint(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    import org.apache.spark.sql.types.{BooleanType, DoubleType}
+    override def dataType: DataType = BooleanType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (first.dataType == StringType &&
+          second.dataType == DoubleType && third.dataType == DoubleType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (STRING, DOUBLE, DOUBLE), got " +
+          s"(${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql})")
+    @transient private var memoWkt: String = null
+    @transient private var memoPrep: org.locationtech.jts.geom.prep.PreparedGeometry = null
+    private def prepared(wkt: String): org.locationtech.jts.geom.prep.PreparedGeometry = {
+      if (memoPrep == null || memoWkt != wkt) {
+        memoPrep = org.locationtech.jts.geom.prep.PreparedGeometryFactory
+          .prepare(Wkt.parse(wkt))
+        memoWkt = wkt
+      }
+      memoPrep
+    }
+    override def nullSafeEval(poly: Any, x: Any, y: Any): Any =
+      prepared(poly.asInstanceOf[UTF8String].toString)
+        .covers(Wkt.point(x.asInstanceOf[Double], y.asInstanceOf[Double])): java.lang.Boolean
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): StCoversPoint = copy(f, s, t)
+    override def prettyName: String = "st_covers_point"
+  }
+
   // ---- Column API ---------------------------------------------------------
 
   def stNormalizeWkt(c: Column): Column = column(StNormalizeWkt(expression(c)))
@@ -104,6 +142,9 @@ object StFunctions {
   def stCurveToLine(c: Column): Column = column(StCurveToLine(expression(c)))
   def stTransform(c: Column, from: Column, to: Column): Column =
     column(StTransform(expression(c), expression(from), expression(to)))
+  def stCoversPoint(poly: Column, x: Column, y: Column): Column =
+    column(StCoversPoint(expression(poly),
+      expression(x.cast("double")), expression(y.cast("double"))))
 
   /** String-level force-2D for the POINT Z fixture shape: 'NaN'→'0' then
     * drop the third ordinate. Kept regex-only (no JTS) so a SQL oracle can

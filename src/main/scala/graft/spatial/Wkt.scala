@@ -21,6 +21,8 @@ object Wkt {
 
   def parse(wkt: String): Geometry = new WKTReader(gf).read(wkt)
 
+  def point(x: Double, y: Double): Geometry = gf.createPoint(new Coordinate(x, y))
+
   def write(g: Geometry): String = new WKTWriter().write(g)
 
   /** parse ∘ write normalization (d1 roundtrip). */

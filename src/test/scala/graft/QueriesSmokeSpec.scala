@@ -33,7 +33,11 @@ class QueriesSmokeSpec extends AnyFunSuite {
     Set("e4_similarity_topk", "e18_ann_ivf", "f9_gapfill",
       // e29/e31: crossJoin against a broadcast single-row AGGREGATE (corpus
       // doc count / mixing normalizer) — O(n·1) constant attachment
-      "e29_tfidf_keywords", "e31_source_mix")
+      "e29_tfidf_keywords", "e31_source_mix",
+      // e41: the ground-truth side is brute force over the SAMPLED query
+      // set BY DESIGN (recall needs exact truth; O(n·|Q|) under a
+      // broadcast) — the ANN side under evaluation stays an equi-join
+      "e41_ann_recall")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {

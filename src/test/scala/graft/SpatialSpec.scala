@@ -300,6 +300,31 @@ class SpatialSpec extends AnyFunSuite {
     assert(got.map(_._1).size == got.size, "one nearest site per point")
   }
 
+  test("stCoversPoint: boundary-inclusive containment on a unit square") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val sq = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    val pts = Seq(
+      (1L, 5.0, 5.0),   // interior
+      (2L, 0.0, 0.0),   // vertex — covers() includes it
+      (3L, 5.0, 0.0),   // edge midpoint — included
+      (4L, 11.0, 5.0),  // outside
+      (5L, 10.0, 10.1)) // just outside a vertex
+      .toDF("id", "x", "y")
+    val in = pts.filter(graft.spatial.StFunctions
+        .stCoversPoint(lit(sq), col("x"), col("y")))
+      .collect().map(_.getLong(0)).toSet
+    assert(in == Set(1L, 2L, 3L), s"boundary-inclusive covers: $in")
+  }
+
+  test("st_covers_point is callable from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    val n = spark.sql(
+      "SELECT st_covers_point('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', " +
+        "CAST(2 AS DOUBLE), CAST(2 AS DOUBLE)) AS hit").collect()(0).getBoolean(0)
+    assert(n, "interior point covered via the SQL surface")
+  }
+
   test("bboxJoin candidate generation is an equi-join (no nested loop)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
