@@ -833,14 +833,15 @@ object QueriesE {
     // shard) keys — same plan shape. Postings sort numerically, then
     // serialize to a comma string (hash-comparable cross-engine).
     "e39_inverted_index" -> ((s, dir) => {
-      val terms = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(Dedup.shingles(col("text"), 2)).as("term"))
-        .distinct() // one posting per (doc, term) however often it repeats
-        .transform(graft.Caches.persistTracked) // consumed by both passes
-      val banded = terms.groupBy("term").agg(count(lit(1)).as("df"))
+      // per-doc distinct terms come out of the SCAN (native kernel) — the
+      // (doc, term) pairs are distinct by construction, so no global
+      // distinct() shuffle and nothing worth caching: each pass re-derives
+      // them from the (cheap) scan
+      def pairs = t(s, dir, "documents").select(col("doc_id"),
+        explode(TextExpressions.distinctShingles(col("text"), 2)).as("term"))
+      val banded = pairs.groupBy("term").agg(count(lit(1)).as("df"))
         .filter(col("df").between(5, 40))
-      terms.join(banded, "term")
+      pairs.join(banded, "term")
         .groupBy("term", "df")
         .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
           _.cast("string")), ",").as("postings"))
