@@ -23,6 +23,13 @@ object Wkt {
 
   def point(x: Double, y: Double): Geometry = gf.createPoint(new Coordinate(x, y))
 
+  /** Boundary-inclusive point containment (the [[StFunctions.StCoversPoint]]
+    * semantics as a pure function — the expression adds PreparedGeometry
+    * memoization on top, same JTS predicate underneath).
+    */
+  def covers(polyWkt: String, x: Double, y: Double): Boolean =
+    parse(polyWkt).covers(point(x, y))
+
   def write(g: Geometry): String = new WKTWriter().write(g)
 
   /** parse ∘ write normalization (d1 roundtrip). */

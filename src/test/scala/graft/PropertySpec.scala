@@ -71,6 +71,54 @@ object GraftProps extends Properties("graft") {
         h.forall(c => c.isDigit || ('a' to 'f').contains(c)))
     }
 
+  // ---- Point-in-polygon: JTS covers vs the exact half-plane model ----
+
+  /** Andrew monotone chain over integer points → CCW convex hull.
+    * Integer cross products ⇒ the hull is exactly convex, so the d11
+    * oracle's all-edges-cross-≥-0 test is a faithful model of covers().
+    */
+  private def hull(pts: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val s = pts.distinct.sorted
+    if (s.length < 3) return Nil
+    def cross(o: (Long, Long), a: (Long, Long), b: (Long, Long)): Long =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    def chain(ps: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      ps.foldLeft(List.empty[(Long, Long)]) { (acc, p) =>
+        var h = acc
+        while (h.length >= 2 && cross(h(1), h.head, p) <= 0) h = h.tail
+        p :: h
+      }.reverse.dropRight(1)
+    val lower = chain(s); val upper = chain(s.reverse)
+    val h = lower ++ upper
+    if (h.length < 3) Nil else h
+  }
+
+  private val intPt: Gen[(Long, Long)] =
+    for { x <- Gen.chooseNum(-1000L, 1000L); y <- Gen.chooseNum(-1000L, 1000L) }
+      yield (x, y)
+
+  private val hullAndProbes: Gen[(Seq[(Long, Long)], List[(Long, Long)])] = for {
+    raw <- Gen.listOfN(8, intPt)
+    probes <- Gen.listOfN(12, intPt)
+  } yield (hull(raw), probes)
+
+  property("Wkt.covers agrees with the exact half-plane model on convex hulls") =
+    forAll(hullAndProbes) { case (h, probes) =>
+      h.isEmpty || {
+        val wkt = (h :+ h.head).map { case (x, y) => s"$x $y" }
+          .mkString("POLYGON ((", ", ", "))")
+        def model(px: Long, py: Long): Boolean =
+          (h :+ h.head).sliding(2).forall { e =>
+            val (x1, y1) = e(0); val (x2, y2) = e(1)
+            (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= 0
+          }
+        // probe random points PLUS every vertex (boundary inclusivity)
+        (probes ++ h).forall { case (px, py) =>
+          graft.spatial.Wkt.covers(wkt, px.toDouble, py.toDouble) == model(px, py)
+        }
+      }
+    }
+
 }
 
 /** Spark-backed model property, in its own Properties so it can run a
