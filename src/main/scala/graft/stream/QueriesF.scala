@@ -180,7 +180,16 @@ object QueriesF {
     // Counts/exact-decimal sums are associative, so the converged state
     // equals the full batch aggregate (the oracle) under any batch split.
     "f18_stream_mview" -> ((s, dir) =>
-      EventWindows.mviewMaintainStream(s, dir).orderBy("day", "event_type"))
+      EventWindows.mviewMaintainStream(s, dir).orderBy("day", "event_type")),
+
+    // f19: streaming trending terms — a live document stream maintains a
+    // BUCKET-partitioned term-df state table (f18's IVM recipe on a
+    // hash-partitioned key domain: each batch reads and swaps only the
+    // buckets its terms hash into). Counts are associative, so the
+    // converged top-k equals the batch df top-k (the oracle) under any
+    // micro-batch split.
+    "f19_stream_trending" -> ((s, dir) =>
+      TrendingTerms.trendingStream(s, dir))
   )
 
   /** Shared oracle fragments: es = whole seconds since epoch (exact integer
@@ -295,6 +304,15 @@ object QueriesF {
       ("SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    // the maintained term-df state must equal the from-scratch batch df
+    "f19_stream_trending" ->
+      ("WITH w0 AS (SELECT doc_id, unnest(list_transform(" +
+        "range(len(string_split(text,' ')) - 1), " +
+        "i -> array_to_string(string_split(text,' ')[i+1:i+2], ' '))) AS term " +
+        "FROM documents), " +
+        "terms AS (SELECT DISTINCT doc_id, term FROM w0) " +
+        "SELECT term, count(*) AS df FROM terms GROUP BY term " +
+        "ORDER BY df DESC, term LIMIT 20"),
     // finalized sessions only: session end (last event + 30 min gap) must
     // be ≤ the final watermark (max event time − 15 min delay)
     "f12_stream_session" ->

@@ -1,0 +1,103 @@
+package graft.stream
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExpressions
+
+/** f19 — streaming trending-term maintenance: the streaming complement of
+  * e39's document-frequency index. A live document stream folds per-batch
+  * df partials into a BUCKET-PARTITIONED term-count state table; the
+  * trending read is a top-k over the converged state.
+  *
+  * Scale design (the f14/f18 incremental recipe applied to an unbounded
+  * key domain): terms don't partition by a natural range the way days do,
+  * so the state hash-partitions by `xxhash64(term) mod nBuckets` and each
+  * batch reads + atomically swaps ONLY the buckets its own terms hash
+  * into — per-batch cost is O(touched state + batch), never O(full
+  * vocabulary). Counts are associative, so the converged state equals the
+  * from-scratch batch df under ANY split of the corpus into micro-batches
+  * (unit-tested with an adversarial split; the declared query's oracle is
+  * the batch formulation).
+  *
+  * Reference scope note: the reference engine has no streaming surface at
+  * all (datum is request/response ETL) — this whole group is north-star
+  * surface, same status as e38.
+  */
+object TrendingTerms {
+
+  /** One maintenance step (the foreachBatch body, separated for unit
+    * tests): per-doc distinct 2-gram terms come out of the scan (native
+    * kernel — distinct by construction, no dedup shuffle), reduce to a
+    * (term, df) partial with map-side combine, then merge into the
+    * touched state buckets and swap them (backup-hop swap: no instant
+    * where a bucket's previous state is deleted without the new state or
+    * its .bak on disk).
+    */
+  def mergeBatch(batch: DataFrame, state: File, stage: File,
+      nBuckets: Int = 16): Unit = {
+    val sp = batch.sparkSession
+    val partial = batch.select(col("doc_id"),
+        explode(TextExpressions.distinctShingles(col("text"), 2)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+      .persist() // consumed twice: touched-bucket collect + staged write
+    try {
+      // distinct buckets of the batch — bounded by nBuckets, driver-safe
+      val touched = partial.select("bucket").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val existingDirs = touched
+        .map(b => new File(state, s"bucket=$b"))
+        .filter(_.isDirectory).map(_.getPath)
+      val existing =
+        if (existingDirs.isEmpty) None
+        else Some(sp.read.option("basePath", state.getPath)
+          .parquet(existingDirs.toIndexedSeq: _*))
+      val merged = existing.fold(partial)(partial.unionByName(_))
+        .groupBy("term", "bucket").agg(sum(col("df")).cast("long").as("df"))
+      wipe(stage)
+      merged.write.partitionBy("bucket").parquet(stage.getPath)
+      state.mkdirs()
+      touched.foreach { b =>
+        val src = new File(stage, s"bucket=$b")
+        val dst = new File(state, s"bucket=$b")
+        if (src.isDirectory) graft.api.Database.swapDir(src, dst)
+      }
+      wipe(stage)
+    } finally { partial.unpersist(); () }
+  }
+
+  /** End-to-end: stream the corpus through [[mergeBatch]] (AvailableNow
+    * micro-batches, checkpointed), then read the converged state and
+    * return the top-`k` terms by (df DESC, term) — deterministic under
+    * the total tie-break.
+    */
+  def trendingStream(spark: SparkSession, dir: String,
+      outRoot: String = "/root/repo/target/fixtures/out/f19",
+      k: Int = 20): DataFrame = {
+    val state = new File(outRoot, "state")
+    val stage = new File(outRoot, "stage")
+    val chk = new File(outRoot, "chk")
+    wipe(state); wipe(stage); wipe(chk); new File(outRoot).mkdirs()
+    val q = graft.llm.Dedup.readStreamDocuments(spark, dir).writeStream
+      .option("checkpointLocation", chk.getPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch, state, stage)
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(state.getPath)
+      .select("term", "df")
+      .orderBy(col("df").desc, col("term")).limit(k)
+  }
+
+  private def wipe(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+    f.delete(): Unit
+  }
+}

@@ -236,6 +236,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got2 == expected, "loser row must not displace the winner")
   }
 
+  test("trending mergeBatch converges to batch df over any split; untouched buckets stay") {
+    import spark.implicits._
+    val root = new java.io.File("/root/repo/target/fixtures/test/trending_ivm")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(root); root.mkdirs()
+    val state = new java.io.File(root, "state")
+    val stage = new java.io.File(root, "stage")
+    // "x y" spans both batches (the merge must COMBINE, not replace);
+    // "x y x y" dedups within doc 1 (df counts docs, not occurrences)
+    val all = Seq(
+      (1L, "x y x y"), (2L, "x y z w"),
+      (3L, "x y only here"), (4L, "p q r s"))
+    Seq(all.take(2), all.drop(2)).foreach { b =>
+      stream.TrendingTerms.mergeBatch(b.toDF("doc_id", "text"), state, stage)
+    }
+    val got = spark.read.parquet(state.getPath)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    assert(got("x y") == 3L, s"df('x y') combines across batches and dedups in-doc: $got")
+    assert(got("p q") == 1L && got("z w") == 1L)
+    // incrementality: a batch whose terms miss a bucket must not rewrite it
+    def bucketState() = Option(state.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("bucket=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toSet
+      }.toMap
+    val before = bucketState()
+    val touched = {
+      // one term -> exactly one bucket touched by the next merge
+      stream.TrendingTerms.mergeBatch(Seq((5L, "x y")).toDF("doc_id", "text"), state, stage)
+      spark.read.parquet(state.getPath).filter($"term" === "x y")
+    }
+    assert(touched.collect()(0).getAs[Long]("df") == 4L)
+    val after = bucketState()
+    val changed = after.keySet.filter(k => before.get(k) != after.get(k))
+    assert(changed.size == 1, s"exactly the one touched bucket was swapped: $changed")
+  }
+
   test("mviewMergeDaily converges to the full aggregate over any batch split") {
     import spark.implicits._
     val root = new java.io.File("/root/repo/target/fixtures/test/mview_ivm")
