@@ -265,6 +265,47 @@ object QueriesB {
     "b19_correlated_subquery" -> ((s, dir) => {
       implicit val sp: org.apache.spark.sql.SparkSession = s
       graft.api.Datum.connect(s"parquet://$dir").execute(CorrelatedSql)
+    }),
+
+    // b20: the rank-function family — ntile / percent_rank / cume_dist in
+    // one window. The ORDER BY is a TOTAL order (price, key): ntile's
+    // bucket boundaries and the tie-sets of percent_rank/cume_dist are
+    // then engine-independent (under a partial order, ntile splits ties
+    // by arbitrary row order — nondeterministic across engines). One hash
+    // partition + sort per group, all four functions share the exchange.
+    "b20_window_ranks" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("q4", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .orderBy("o_orderkey")
+    }),
+
+    // b21: exact cross-engine Pearson correlation — the reason not to use
+    // the built-in corr(): every engine folds its running moments in its
+    // own order, so the low bits differ. Here the five moments are EXACT
+    // decimal sums (order-independent), each converts to double once
+    // (correctly rounded), and the correlation is one fixed double DAG —
+    // identical operand order in both engines ⇒ identical bits. Scale
+    // cost is the same single map-side-combined aggregate as any sum.
+    "b21_corr_stats" -> ((s, dir) => {
+      val x = dec2(col("l_quantity")); val y = dec2(col("l_extendedprice"))
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"))
+        .withColumn("corr_xy",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+        .select("l_returnflag", "n", "sx", "sy", "corr_xy")
+        .orderBy("l_returnflag")
     })
   )
 
@@ -279,6 +320,23 @@ object QueriesB {
 
   val oracle: Map[String, String] = Map(
     "b19_correlated_subquery" -> CorrelatedSql,
+    "b20_window_ranks" ->
+      ("SELECT o_orderkey, o_orderpriority, o_totalprice, " +
+        "ntile(4) OVER w AS q4, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd " +
+        "FROM orders " +
+        "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) " +
+        "ORDER BY o_orderkey"),
+    "b21_corr_stats" ->
+      ("WITH a AS (SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, sx, sy, " +
+        "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy " +
+        "FROM a ORDER BY l_returnflag"),
     "b1_join_inner" ->
       ("SELECT o_orderkey, c_custkey, c_name, o_totalprice FROM orders " +
         "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),

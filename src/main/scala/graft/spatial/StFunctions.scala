@@ -115,15 +115,19 @@ object StFunctions {
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (STRING, DOUBLE, DOUBLE), got " +
           s"(${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql})")
-    @transient private var memoWkt: String = null
-    @transient private var memoPrep: org.locationtech.jts.geom.prep.PreparedGeometry = null
+    // single-reference memo: the (wkt, geom) pair swaps atomically, so a
+    // shared instance under concurrent eval can never pair one polygon's
+    // text with another's prepared geometry (worst case: a redundant parse)
+    @transient private var memo: (String, org.locationtech.jts.geom.prep.PreparedGeometry) = null
     private def prepared(wkt: String): org.locationtech.jts.geom.prep.PreparedGeometry = {
-      if (memoPrep == null || memoWkt != wkt) {
-        memoPrep = org.locationtech.jts.geom.prep.PreparedGeometryFactory
+      val m = memo
+      if (m != null && m._1 == wkt) m._2
+      else {
+        val p = org.locationtech.jts.geom.prep.PreparedGeometryFactory
           .prepare(Wkt.parse(wkt))
-        memoWkt = wkt
+        memo = (wkt, p)
+        p
       }
-      memoPrep
     }
     override def nullSafeEval(poly: Any, x: Any, y: Any): Any =
       prepared(poly.asInstanceOf[UTF8String].toString)
