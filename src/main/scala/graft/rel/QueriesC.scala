@@ -264,6 +264,30 @@ object QueriesC {
         .orderBy("s_suppkey")
     }),
 
+    // c15: multi-format façade roundtrip — the same table written and read
+    // back through each non-parquet scheme (orc / csv / json), checked by
+    // content stats. Promotes the ApiSpec-only format coverage into the
+    // driver's oracle artifact. CSV/JSON re-infer their schemas on read
+    // (the interchange-tier contract); the stats cast to fixed types so
+    // all three formats compare identically.
+    "c15_format_roundtrip" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val root = "/root/repo/target/fixtures/out/c15"
+      val nation = t(s, dir, "nation").select("n_nationkey", "n_name")
+      Seq("csv", "json", "orc").map { fmt =>
+        val fdb = Datum.connect(s"$fmt://$root/$fmt")
+        fdb.store(nation, "c15_nation", "overwrite")
+        fdb.table("c15_nation").df.agg(
+          count(lit(1)).as("n"),
+          sum(col("n_nationkey")).cast("long").as("key_sum"),
+          min(col("n_name")).as("min_name"),
+          max(col("n_name")).as("max_name"))
+          .withColumn("fmt", lit(fmt))
+      }.reduce(_.unionByName(_))
+        .select("fmt", "n", "key_sum", "min_name", "max_name")
+        .orderBy("fmt")
+    }),
+
     // c8: Z-order clustering — the multi-dimensional index analogue: after
     // Morton-interleaving (user_id, value), row-group min/max boxes are
     // compact in BOTH dimensions, so the two-sided predicate below can
@@ -302,6 +326,11 @@ object QueriesC {
     "c14_restore" ->
       ("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +
         "ORDER BY s_suppkey"),
+    "c15_format_roundtrip" ->
+      ("SELECT fmt, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum, " +
+        "min(n_name) AS min_name, max(n_name) AS max_name " +
+        "FROM nation CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) t(fmt) " +
+        "GROUP BY fmt ORDER BY fmt"),
     "c13_time_travel" ->
       ("WITH v1 AS (SELECT * FROM nation), " +
         "v2 AS (SELECT * FROM nation UNION ALL SELECT * FROM nation WHERE n_nationkey < 10) " +
