@@ -226,6 +226,25 @@ object QueriesE {
       "0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')))::DOUBLE / length(text)::DOUBLE) + " +
       "0.3 * (len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to')))::DOUBLE / len(string_split(text,' '))::DOUBLE)"
 
+  /** DuckDB simhash CTE chain ending in `sims(doc_id, simhash)` — single
+    * definition shared by e6 and the e42 banded path so the fingerprint
+    * the LSH is built on is literally the hash-verified e6 one.
+    */
+  private val SqlSimhashCte: String =
+    "w AS (SELECT doc_id, md5(unnest(string_split(text,' '))) AS h FROM documents), " +
+      "d AS (SELECT doc_id, " +
+      (1 to 8).map(p => s"strpos('0123456789abcdef', substr(h,$p,1)) - 1 AS d$p").mkString(", ") +
+      " FROM w), " +
+      "bits AS (SELECT doc_id, " +
+      (0 until 32).map { j =>
+        val p = j / 4 + 1; val b = j % 4
+        s"sum(CASE WHEN (d$p >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+      }.mkString(", ") +
+      " FROM d GROUP BY doc_id), " +
+      "sims AS (SELECT doc_id, CAST(" +
+      (0 until 32).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") +
+      " AS BIGINT) AS simhash FROM bits)"
+
   /** DuckDB shingle list (word n-grams) for the `documents` table. */
   private def sqlShingles(n: Int): String =
     s"list_transform(range(len(string_split(text,' ')) - ${n - 1}), " +
@@ -923,6 +942,56 @@ object QueriesE {
         .orderBy("query_id")
     }),
 
+    // e42: SimHash hamming-LSH near-dup pairs — the scale path for e6's
+    // fingerprints (minhash LSH ≈ Jaccard; simhash hamming ≈ cosine-ish
+    // token overlap — the two standard families, now both with a banded
+    // path). The 32-bit simhash splits into 4 byte bands; by pigeonhole a
+    // pair within hamming distance 3 differs in ≤ 3 bands, so it SHARES
+    // at least one band intact — the band equi-join has no false
+    // negatives at d ≤ 3, and exact bit_count(XOR) verifies candidates
+    // only. Band width grows with log n at scale (16-bit bands once
+    // n/2^8 buckets go quadratic) — a parameter, not a redesign.
+    "e42_simhash_lsh" -> ((s, dir) => {
+      val sims = Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .transform(graft.Caches.persistTracked) // both sides of the join
+      val bands = sims.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("digest"))): _*)).as("bd"))
+        .select(col("doc_id"), col("simhash"), col("bd.band"), col("bd.digest"))
+      bands.as("a").join(bands.as("b"), Seq("band", "digest"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+        .distinct() // a pair sharing k bands appears k times
+        .withColumn("hamming",
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
+        .filter(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // e44: token-budget curation — the "fill the training budget with the
+    // best data" op: rank docs by (quality DESC, id), keep while the
+    // running token total stays inside the budget. The global sort moves
+    // (score, tokens, id) TRIPLES only (never bodies), and the running
+    // sum is one window over that order — at 100 TB this is a range
+    // sort-shuffle of ~24 bytes/doc, the same class as any global top-k.
+    // Integer token arithmetic ⇒ the cut point is exact cross-engine
+    // (scores only ORDER, they are never summed).
+    "e44_budget_trim" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.qualityScore(col("text"), col("n_chars")).as("score"),
+          TextStats.wsTokens(col("text")).as("tokens"))
+        .withColumn("cum_tokens", sum(col("tokens")).over(w))
+        .filter(col("cum_tokens") <= 10000L)
+        .orderBy("doc_id")
+    }),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1025,19 +1094,24 @@ object QueriesE {
       ("SELECT doc_id, lang, label, n_chars FROM documents " +
         "JOIN embeddings ON doc_id = vec_id WHERE label < 3 ORDER BY doc_id"),
     "e6_simhash" ->
-      ("WITH w AS (SELECT doc_id, md5(unnest(string_split(text,' '))) AS h FROM documents), " +
-        "d AS (SELECT doc_id, " +
-        (1 to 8).map(p => s"strpos('0123456789abcdef', substr(h,$p,1)) - 1 AS d$p").mkString(", ") +
-        " FROM w), " +
-        "bits AS (SELECT doc_id, " +
-        (0 until 32).map { j =>
-          val p = j / 4 + 1; val b = j % 4
-          s"sum(CASE WHEN (d$p >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
-        }.mkString(", ") +
-        " FROM d GROUP BY doc_id) " +
-        "SELECT doc_id, CAST(" +
-        (0 until 32).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") +
-        " AS BIGINT) AS simhash FROM bits ORDER BY doc_id"),
+      s"WITH $SqlSimhashCte SELECT doc_id, simhash FROM sims ORDER BY doc_id",
+    "e42_simhash_lsh" ->
+      (s"WITH $SqlSimhashCte, " +
+        "bd AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS band FROM sims), " +
+        "bdd AS (SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS digest FROM bd), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "a.simhash AS sim_a, b.simhash AS sim_b " +
+        "FROM bdd a JOIN bdd b ON a.band = b.band AND a.digest = b.digest " +
+        "AND a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming " +
+        "FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3 ORDER BY id_a, id_b"),
+    "e44_budget_trim" ->
+      (s"WITH t AS (SELECT doc_id, $sqlQualityExpr AS score, " +
+        "CAST(len(string_split(text,' ')) AS BIGINT) AS tokens FROM documents), " +
+        "c AS (SELECT *, CAST(sum(tokens) OVER (ORDER BY score DESC, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t) " +
+        "SELECT doc_id, score, tokens, cum_tokens FROM c " +
+        "WHERE cum_tokens <= 10000 ORDER BY doc_id"),
     "e7_ngram_jaccard" ->
       ("WITH sh0 AS (SELECT doc_id, unnest(list_distinct(" + sqlShingles(2) + ")) AS sh " +
         "FROM documents WHERE source = 'src0'), " +

@@ -426,6 +426,30 @@ class LlmSpec extends AnyFunSuite {
     assert(m(1L) == shared && m(2L) == shared, "df=2 is not boilerplate")
   }
 
+  test("e42 simhash LSH pairs exact duplicates at hamming 0, skips disjoint docs") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = craftedDocsDir("e42", Seq(
+      (1L, txt, 50L), (2L, txt, 50L), // identical → simhash equal, hamming 0
+      (3L, "one two three four five six seven eight", 40L)))
+    val rows = graft.llm.QueriesE.all("e42_simhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(rows.get((1L, 2L)).contains(0), s"identical docs pair at hamming 0: $rows")
+    // disjoint vocab docs may or may not band-collide, but if they appear
+    // they must genuinely be within the verified hamming radius
+    assert(rows.values.forall(_ <= 3), "every reported pair is verified")
+  }
+
+  test("e44 budget trim keeps the quality prefix and cuts exactly at the budget") {
+    val out = graft.llm.QueriesE.all("e44_budget_trim")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.forall(_._4 <= 10000L), "hard budget")
+    // the kept set is a prefix of the (score DESC, id) order: every kept
+    // doc's cum equals the sum of kept tokens at or before it in that order
+    val byRank = out.sortBy(r => (-r._2, r._1))
+    val cums = byRank.scanLeft(0L)(_ + _._3).tail
+    assert(byRank.map(_._4).sameElements(cums), "cumulative sums are a clean prefix")
+  }
+
   test("e31 source mix: weights normalize to 1 and order by token mass") {
     val out = graft.llm.QueriesE.all("e31_source_mix")(spark, TestSpark.Sf)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
