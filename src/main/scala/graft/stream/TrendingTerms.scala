@@ -37,8 +37,18 @@ object TrendingTerms {
     * its .bak on disk).
     */
   def mergeBatch(batch: DataFrame, state: File, stage: File,
-      nBuckets: Int = 16): Unit = {
+      nBuckets: Int = 16, batchId: Long = -1L): Unit = {
     val sp = batch.sparkSession
+    // processed-batch ledger: counts are NOT idempotent (unlike f14's
+    // argmax), so a checkpoint REPLAY of a completed batch must skip or
+    // it double-counts. The marker lands after the swaps — a crash
+    // mid-batch can still leave some buckets folded (the plain-file
+    // multi-partition-commit limit, same caveat family as c13's
+    // append-only contract); f16's single-transaction ledger is the
+    // recipe when the state store is transactional.
+    val ledger = new File(state, "_batches")
+    val marker = new File(ledger, s"b$batchId")
+    if (batchId >= 0 && marker.isFile) return
     val partial = batch.select(col("doc_id"),
         explode(TextExpressions.distinctShingles(col("text"), 2)).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
@@ -67,6 +77,10 @@ object TrendingTerms {
         if (src.isDirectory) graft.api.Database.swapDir(src, dst)
       }
       wipe(stage)
+      if (batchId >= 0) {
+        ledger.mkdirs()
+        new java.io.FileOutputStream(marker).close()
+      }
     } finally { partial.unpersist(); () }
   }
 
@@ -85,8 +99,8 @@ object TrendingTerms {
     val q = graft.llm.Dedup.readStreamDocuments(spark, dir).writeStream
       .option("checkpointLocation", chk.getPath)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch, state, stage)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatch(batch, state, stage, batchId = id)
       }
       .start()
     try q.awaitTermination() finally q.stop()

@@ -274,6 +274,13 @@ class StreamingSpec extends AnyFunSuite {
     val after = bucketState()
     val changed = after.keySet.filter(k => before.get(k) != after.get(k))
     assert(changed.size == 1, s"exactly the one touched bucket was swapped: $changed")
+    // replay safety: the same ledgered batch id folds once, not twice
+    val replay = Seq((6L, "x y")).toDF("doc_id", "text")
+    stream.TrendingTerms.mergeBatch(replay, state, stage, batchId = 7L)
+    stream.TrendingTerms.mergeBatch(replay, state, stage, batchId = 7L)
+    val dfXY = spark.read.parquet(state.getPath).filter($"term" === "x y")
+      .collect()(0).getAs[Long]("df")
+    assert(dfXY == 5L, s"replayed batch 7 must skip via the ledger, df = $dfXY")
   }
 
   test("mviewMergeDaily converges to the full aggregate over any batch split") {
