@@ -992,6 +992,38 @@ object QueriesE {
         .orderBy("doc_id")
     }),
 
+    // e45: minhash estimator-quality evaluation — e41's idea for the
+    // OTHER sketch family: over every banded candidate pair (unfiltered —
+    // the estimator must be judged across the similarity range, not just
+    // above the keep threshold), compare the k=8 signature-agreement
+    // estimate E[matches/k] = J against the exact shingle Jaccard. The
+    // number that tells you whether k is big enough before you trust e17
+    // at 100 TB. Pairs and signatures reuse the verified e17/e2
+    // definitions; per-pair work is O(k + |shingles|), candidates only.
+    "e45_minhash_estimate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashBandPairs(docs, "doc_id", "text",
+        n = LshNgram, bands = LshBands, rowsPerBand = LshRows)
+      val feats = docs
+        .select(col("doc_id"),
+          TextExpressions.distinctShingles(col("text"), LshNgram).as("shs"))
+        .select(col("doc_id") +: col("shs") +:
+          Dedup.minhashSig(col("shs"), LshK): _*)
+      val i = size(array_intersect(col("a.shs"), col("b.shs")))
+      val matches = (0 until LshK)
+        .map(j => when(col(s"a.s$j") === col(s"b.s$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(feats.as("a"), col("id_a") === col("a.doc_id"))
+        .join(feats.as("b"), col("id_b") === col("b.doc_id"))
+        .select(col("id_a"), col("id_b"),
+          (i.cast("double") /
+            (size(col("a.shs")) + size(col("b.shs")) - i).cast("double")).as("jaccard"),
+          (matches.cast("double") / lit(LshK.toDouble)).as("est"))
+        .withColumn("abs_err", abs(col("jaccard") - col("est")))
+        .orderBy("id_a", "id_b")
+    }),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1095,6 +1127,18 @@ object QueriesE {
         "JOIN embeddings ON doc_id = vec_id WHERE label < 3 ORDER BY doc_id"),
     "e6_simhash" ->
       s"WITH $SqlSimhashCte SELECT doc_id, simhash FROM sims ORDER BY doc_id",
+    "e45_minhash_estimate" -> {
+      val matches = (0 until LshK)
+        .map(j => s"(CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+      val jac = "len(list_intersect(a.shs, b.shs))::DOUBLE / " +
+        "(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE"
+      s"WITH $sqlLshPairCtes " +
+        s"SELECT id_a, id_b, jaccard, est, abs(jaccard - est) AS abs_err FROM (" +
+        s"SELECT c.id_a, c.id_b, $jac AS jaccard, ($matches)::DOUBLE / ${LshK}.0 AS est " +
+        "FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b " +
+        "JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b) " +
+        "ORDER BY id_a, id_b"
+    },
     "e42_simhash_lsh" ->
       (s"WITH $SqlSimhashCte, " +
         "bd AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS band FROM sims), " +

@@ -267,6 +267,17 @@ object QueriesB {
       graft.api.Datum.connect(s"parquet://$dir").execute(CorrelatedSql)
     }),
 
+    // b22: EXISTS / NOT EXISTS subqueries through the raw-SQL surface —
+    // b19's decorrelation story for the predicate shapes: Catalyst
+    // rewrites the EXISTS to a left-semi and the NOT EXISTS to a
+    // left-anti join on the correlation key (asserted in ApiSpec — two
+    // hash joins, no per-row subquery execution, the rewrite that makes
+    // correlated predicates scale). One SQL text, valid in both engines.
+    "b22_exists_subquery" -> ((s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      graft.api.Datum.connect(s"parquet://$dir").execute(ExistsSql)
+    }),
+
     // b20: the rank-function family — ntile / percent_rank / cume_dist in
     // one window. The ORDER BY is a TOTAL order (price, key): ntile's
     // bucket boundaries and the tie-sets of percent_rank/cume_dist are
@@ -309,6 +320,20 @@ object QueriesB {
     })
   )
 
+  /** One SQL text for b22 — valid verbatim in Spark SQL and DuckDB:
+    * suppliers with at least one oversized shipment, none of which came
+    * back as a return (~600 lineitems/supplier, so both predicates need
+    * the rare-event threshold to discriminate).
+    */
+  private val ExistsSql: String =
+    "SELECT s_suppkey, s_name FROM supplier s " +
+      "WHERE EXISTS (SELECT 1 FROM lineitem l " +
+      "WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49) " +
+      "AND NOT EXISTS (SELECT 1 FROM lineitem l2 " +
+      "WHERE l2.l_suppkey = s.s_suppkey AND l2.l_returnflag = 'R' " +
+      "AND l2.l_quantity > 49) " +
+      "ORDER BY s_suppkey"
+
   /** One SQL text for b19 — valid verbatim in Spark SQL and DuckDB. */
   private val CorrelatedSql: String =
     "SELECT c_custkey, c_acctbal FROM customer c " +
@@ -320,6 +345,7 @@ object QueriesB {
 
   val oracle: Map[String, String] = Map(
     "b19_correlated_subquery" -> CorrelatedSql,
+    "b22_exists_subquery" -> ExistsSql,
     "b20_window_ranks" ->
       ("SELECT o_orderkey, o_orderpriority, o_totalprice, " +
         "ntile(4) OVER w AS q4, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd " +

@@ -339,6 +339,15 @@ class ApiSpec extends AnyFunSuite {
     assert(n == 6000L)
   }
 
+  test("EXISTS/NOT EXISTS decorrelate to semi/anti hash joins (b22 plan audit)") {
+    val plan = graft.rel.QueriesB.all("b22_exists_subquery")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS must become a left-semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must become a left-anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "decorrelation must not fall back to a nested loop")
+  }
+
   test("schema-qualified tables: listed, readable, and SQL-visible (ref per-schema listing)") {
     val scratch = scratchDb()
     scratch.store(db.table("nation").df.limit(4), "sales.orders", "overwrite")
