@@ -366,6 +366,44 @@ class Database(val spark: SparkSession, val root: String,
     markDirty()
   }
 
+  /** Warehouse VACUUM — reclaim what crashed or stale maintenance left
+    * behind: `.stage_tmp` / `.stage_bak` staging dirs (a replaceAt that
+    * died between stage and swap), `.bak` backup-hop dirs (a swapDir cut
+    * short), and snapshot manifests whose files a rewrite has since
+    * removed (readVersion would fail them loudly anyway — vacuuming makes
+    * the invalidation visible instead of latent). Live data is never
+    * touched: matching is by exact sidecar suffix, and manifests are only
+    * dropped when provably stale. Returns kind → count removed. At 100 TB
+    * this is a metadata-only directory walk.
+    */
+  def vacuum(): Map[String, Int] = {
+    var stageTmp = 0; var stageBak = 0; var bak = 0; var stale = 0
+    def walk(dir: File): Unit =
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isDirectory) {
+          val n = f.getName
+          if (n.endsWith(".stage_tmp")) { deleteRecursively(f); stageTmp += 1 }
+          else if (n.endsWith(".stage_bak")) { deleteRecursively(f); stageBak += 1 }
+          else if (n.endsWith(".bak")) { deleteRecursively(f); bak += 1 }
+          else if (n.endsWith(".versions")) {
+            val tablePath = f.getPath.stripSuffix(".versions")
+            Option(f.listFiles()).getOrElse(Array.empty)
+              .filter(m => m.getName.startsWith("v") && m.getName.endsWith(".manifest"))
+              .foreach { m =>
+                val src = scala.io.Source.fromFile(m, "UTF-8")
+                val rels = try src.getLines().filter(_.nonEmpty).toList finally src.close()
+                if (!rels.forall(r => new File(tablePath, r).isFile)) {
+                  m.delete(): Unit; stale += 1
+                }
+              }
+          } else walk(f) // schema dirs — one level is enough, but harmless deeper
+        }
+      }
+    walk(new File(root))
+    Map("stage_tmp" -> stageTmp, "stage_bak" -> stageBak,
+      "bak" -> bak, "stale_manifest" -> stale)
+  }
+
   /** Session-scoped logical view (ref datum/postgis/database.py:108-116). */
   def createView(name: String, select: String): Unit = {
     ensureRegistered(referencedRelations(select))

@@ -1024,6 +1024,25 @@ object QueriesE {
         .orderBy("id_a", "id_b")
     }),
 
+    // e46: cross-source contamination matrix — where the near-duplicates
+    // COME FROM: e17's verified pair graph rolled up to unordered
+    // (source, source) cells. The report that tells a corpus owner which
+    // ingest feeds overlap (e.g. a crawl re-ingesting a curated dump)
+    // before mixing weights (e31) are chosen. Pure composition of the
+    // verified pair graph with two broadcast-size dimension joins and a
+    // tiny aggregate — the pair graph's cost dominates, unchanged.
+    "e46_source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      lshVerifiedPairs(docs)
+        .join(src.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(src.as("sb"), col("id_b") === col("sb.doc_id"))
+        .select(least(col("sa.source"), col("sb.source")).as("src_lo"),
+          greatest(col("sa.source"), col("sb.source")).as("src_hi"))
+        .groupBy("src_lo", "src_hi").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_lo", "src_hi")
+    }),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1127,6 +1146,13 @@ object QueriesE {
         "JOIN embeddings ON doc_id = vec_id WHERE label < 3 ORDER BY doc_id"),
     "e6_simhash" ->
       s"WITH $SqlSimhashCte SELECT doc_id, simhash FROM sims ORDER BY doc_id",
+    "e46_source_overlap" ->
+      (s"WITH $sqlLshPairCtes, " +
+        "s AS (SELECT doc_id, source FROM documents) " +
+        "SELECT least(sa.source, sb.source) AS src_lo, " +
+        "greatest(sa.source, sb.source) AS src_hi, count(*) AS n_pairs " +
+        "FROM vpairs JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "e45_minhash_estimate" -> {
       val matches = (0 until LshK)
         .map(j => s"(CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END)").mkString(" + ")

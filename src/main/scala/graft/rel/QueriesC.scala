@@ -288,6 +288,37 @@ object QueriesC {
         .orderBy("fmt")
     }),
 
+    // c16: warehouse VACUUM — reclaims crash leftovers (staging/backup-hop
+    // dirs) and provably-stale snapshot manifests. The query fabricates
+    // one of each failure artifact (a replaceAt dead between stage and
+    // swap, a swapDir cut short, a manifest orphaned by a compact) and
+    // reports what vacuum() removed; an initial vacuum resets whatever an
+    // earlier aborted run left so the report is exact. Oracle is the
+    // literal expected report. Metadata-only at any scale.
+    "c16_vacuum" -> ((s, dir) => {
+      import s.implicits._
+      val db = scratch(s)
+      val nation = t(s, dir, "nation")
+      nation.write.mode("overwrite").parquet(db.pathOf("c16_nation"))
+      val tbl = db.table("c16_nation")
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete(): Unit
+      }
+      wipe(new java.io.File(tbl.path + ".versions"))
+      db.vacuum() // reset: clear residue from any earlier aborted run
+      tbl.snapshot()
+      tbl.compact() // rewrite → the manifest above is now stale
+      def mkLeftover(path: String): Unit = {
+        val d = new java.io.File(path); d.mkdirs()
+        new java.io.FileOutputStream(new java.io.File(d, "part-00000.parquet")).close()
+      }
+      mkLeftover(tbl.path + ".stage_tmp")
+      mkLeftover(tbl.path + ".stage_bak")
+      mkLeftover(tbl.path + "/bucket=0.bak")
+      db.vacuum().toSeq.toDF("kind", "n").orderBy("kind")
+    }),
+
     // c8: Z-order clustering — the multi-dimensional index analogue: after
     // Morton-interleaving (user_id, value), row-group min/max boxes are
     // compact in BOTH dimensions, so the two-sided predicate below can
@@ -326,6 +357,9 @@ object QueriesC {
     "c14_restore" ->
       ("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +
         "ORDER BY s_suppkey"),
+    "c16_vacuum" ->
+      ("SELECT * FROM (VALUES ('bak', 1), ('stage_bak', 1), ('stage_tmp', 1), " +
+        "('stale_manifest', 1)) t(kind, n) ORDER BY kind"),
     "c15_format_roundtrip" ->
       ("SELECT fmt, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum, " +
         "min(n_name) AS min_name, max(n_name) AS max_name " +

@@ -530,6 +530,26 @@ class ApiSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](t.readVersion(99))
   }
 
+  test("vacuum removes only crash artifacts, leaves live data and valid snapshots") {
+    val scratch = scratchDb()
+    scratch.store(db.table("nation").df, "vac1", "overwrite")
+    val t = scratch.table("vac1")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(t.path + ".versions"))
+    scratch.vacuum() // reset residue from earlier suites sharing the root
+    val v1 = t.snapshot() // stays VALID (no rewrite) — must survive vacuum
+    val junk = new java.io.File(t.path + ".stage_tmp"); junk.mkdirs()
+    val rep = scratch.vacuum()
+    assert(rep("stage_tmp") == 1 && rep("stale_manifest") == 0, s"$rep")
+    assert(!junk.exists(), "staging leftover removed")
+    assert(t.count == 25, "live data untouched")
+    assert(t.readVersion(v1).count() == 25, "valid manifest survives")
+    assert(scratch.vacuum().values.sum == 0, "second vacuum is a no-op")
+  }
+
   test("restore rolls back an append and re-pins a fresh v1 history") {
     val scratch = scratchDb()
     scratch.store(db.table("nation").df, "tt4", "overwrite")
