@@ -21,9 +21,11 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("a2_read_filter", "a3_read_sort_limit", "b2_join_multiway",
-        "b5_group_agg", "b10_skew_salted_agg", "c7_partition_pruning",
+        "b5_group_agg", "b10_skew_salted_agg", "b22_exists_subquery",
+        "c7_partition_pruning",
         "e4_similarity_topk", "e7_ngram_jaccard", "e8_embed_neardup",
-        "e9_ann_lsh", "e17_neardup_lsh",
+        "e9_ann_lsh", "e17_neardup_lsh", "e39_inverted_index",
+        "e42_simhash_lsh",
         "f1_tumbling_agg", "f7_asof_join", "f8_range_join")
     names.foreach { n =>
       println(s"\n========== $n ==========")

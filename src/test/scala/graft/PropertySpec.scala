@@ -146,4 +146,40 @@ object GraftSparkProps extends Properties("graft-spark") {
       got == model
     }
   }
+
+  private val termDocs: Gen[(List[(Long, String)], Int)] = for {
+    n <- Gen.chooseNum(1, 12)
+    texts <- Gen.listOfN(n, Gen.chooseNum(0, 5).flatMap(k =>
+      Gen.listOfN(k + 2, Gen.oneOf("ax", "by", "cz", "dw", "ev")).map(_.mkString(" "))))
+    cut <- Gen.chooseNum(0, n)
+  } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, cut)
+
+  property("trending mergeBatch state = batch df under ANY split point") = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    var run = 0
+    forAll(termDocs) { case (rows, cut) =>
+      run += 1
+      val root = new java.io.File(s"/root/repo/target/fixtures/test/trend_prop/$run")
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete(): Unit
+      }
+      wipe(root); root.mkdirs()
+      val state = new java.io.File(root, "state")
+      val stage = new java.io.File(root, "stage")
+      Seq(rows.take(cut), rows.drop(cut)).filter(_.nonEmpty).foreach { b =>
+        graft.stream.TrendingTerms.mergeBatch(b.toDF("doc_id", "text"), state, stage)
+      }
+      val got =
+        if (!state.isDirectory) Map.empty[String, Long]
+        else spark.read.parquet(state.getPath)
+          .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+      val model = rows
+        .flatMap { case (_, t) =>
+          t.split(" ").toSeq.sliding(2).filter(_.length == 2).map(_.mkString(" ")).distinct }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      got == model
+    }
+  }
 }
