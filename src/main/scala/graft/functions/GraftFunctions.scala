@@ -41,6 +41,8 @@ object GraftFunctions {
     "st_curvetoline"   -> (es => StCurveToLine(es.head)),
     "st_transform"     -> (es => StTransform(es(0), es(1), es(2))),
     "st_covers_point"  -> (es => StCoversPoint(es(0), es(1), es(2))),
+    "st_area"          -> (es => StArea(es.head)),
+    "st_length"        -> (es => StLength(es.head)),
     "vec_dot"          -> (es => graft.functions.VecDot(es(0), es(1))),
     // text-sketch kernels for SQL users: minhash_sig(text, n, k),
     // distinct_shingles(text, n)

@@ -1043,6 +1043,33 @@ object QueriesE {
         .orderBy("src_lo", "src_hi")
     }),
 
+    // e47: token-rarity scoring — mean inverse document frequency over
+    // the doc's token sequence, the cheap stand-in for LM-perplexity
+    // quality filtering (rare-token-heavy docs score high ⇒ candidates
+    // for junk/specialist routing; common-token docs score low). df is
+    // one map-side-combined count; the per-doc fold runs in POSITION
+    // order with a fixed left-to-right double chain (sort_array on
+    // (pos, df) structs → aggregate), which is what makes a
+    // floating-point mean over an unordered join result bit-portable.
+    "e47_token_rarity" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "word")
+      val dfreq = words.select("doc_id", "word").distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      words.join(dfreq, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          aggregate(
+            transform(sort_array(collect_list(struct(col("pos"), col("df")))),
+              x => lit(1.0) / x.getField("df").cast("double")),
+            lit(0.0), (a, b) => a + b).as("rarity_sum"))
+        .select(col("doc_id"),
+          (col("rarity_sum") / col("n_tokens").cast("double")).as("rarity"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1146,6 +1173,17 @@ object QueriesE {
         "JOIN embeddings ON doc_id = vec_id WHERE label < 3 ORDER BY doc_id"),
     "e6_simhash" ->
       s"WITH $SqlSimhashCte SELECT doc_id, simhash FROM sims ORDER BY doc_id",
+    "e47_token_rarity" ->
+      ("WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word, " +
+        "unnest(range(len(string_split(text,' ')))) AS pos FROM documents), " +
+        "dfreq AS (SELECT word, count(*) AS df FROM " +
+        "(SELECT DISTINCT doc_id, word FROM w) GROUP BY word), " +
+        "j AS (SELECT doc_id, pos, df FROM w JOIN dfreq USING (word)) " +
+        "SELECT doc_id, " +
+        "list_reduce(list_prepend(0.0::DOUBLE, list(1.0::DOUBLE / df::DOUBLE ORDER BY pos)), " +
+        "(a, b) -> a + b) / count(*)::DOUBLE AS rarity, " +
+        "count(*) AS n_tokens " +
+        "FROM j GROUP BY doc_id ORDER BY doc_id"),
     "e46_source_overlap" ->
       (s"WITH $sqlLshPairCtes, " +
         "s AS (SELECT doc_id, source FROM documents) " +

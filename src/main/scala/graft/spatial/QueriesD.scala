@@ -170,6 +170,33 @@ object QueriesD {
         .select("c_custkey", "px", "py").orderBy("c_custkey")
     }),
 
+    // d12: geometry measures (ST_Area / ST_Length) — JTS kernels whose
+    // values a plain-SQL oracle reproduces BIT-exactly by construction:
+    // axis-aligned integer rectangles make the shoelace exact (area =
+    // w·h), and 3-4-5 Pythagorean polylines make every segment length a
+    // perfect square's root (len = 5a + 10a). In-scan scalar expressions,
+    // no shuffle.
+    "d12_geom_measures" -> ((s, dir) => {
+      val gid = (col("n_nationkey") + 1).cast("long")
+      val x = lit(2660000L); val y = lit(220000L)
+      val w = lit(100L) + gid * 10L; val h = lit(50L) + gid * 5L
+      val sp = lit(" "); val cm = lit(", ")
+      val quad = concat(lit("POLYGON (("),
+        x, sp, y, cm,
+        x + w, sp, y, cm,
+        x + w, sp, y + h, cm,
+        x, sp, y + h, cm,
+        x, sp, y, lit("))"))
+      val line = concat(lit("LINESTRING ("),
+        x, sp, y, cm,
+        x + gid * 3L, sp, y + gid * 4L, cm,
+        x + gid * 9L, sp, y + gid * 12L, lit(")"))
+      t(s, dir, "nation").select(gid.as("gid"),
+        StFunctions.stArea(quad).as("area"),
+        StFunctions.stLength(line).as("length"))
+        .orderBy("gid")
+    }),
+
     // d10: bounded nearest-neighbor spatial join — each point's closest
     // site within 3000 units (the kNN analogue of d9's containment join:
     // same one-cell-per-point grid, sites explode to 3×3 neighborhoods, so
@@ -210,6 +237,11 @@ object QueriesD {
   )
 
   val oracle: Map[String, String] = Map(
+    "d12_geom_measures" ->
+      ("SELECT n_nationkey + 1 AS gid, " +
+        "CAST((100 + (n_nationkey + 1) * 10) * (50 + (n_nationkey + 1) * 5) AS DOUBLE) AS area, " +
+        "CAST(15 * (n_nationkey + 1) AS DOUBLE) AS length " +
+        "FROM nation ORDER BY gid"),
     "d11_point_in_polygon" ->
       ("WITH pts AS (SELECT c_custkey, 2650000 + (c_custkey * 7919) % 40000 AS px, " +
         "210000 + (c_custkey * 5081) % 30000 AS py FROM customer) " +

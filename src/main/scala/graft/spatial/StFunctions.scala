@@ -95,6 +95,39 @@ object StFunctions {
     override def prettyName: String = "st_transform"
   }
 
+  /** WKT → double measure (area / length). Exactness contract: on integer
+    * (or low-bit) coordinates the shoelace products and perfect-square
+    * segment lengths stay inside double precision, so a plain-SQL oracle
+    * reproduces the value bit-for-bit — same discipline as the projection
+    * kernels (golden values) but cheap enough to hash-check per row.
+    */
+  abstract class WktUnaryMeasure extends UnaryExpression with CodegenFallback {
+    import org.apache.spark.sql.types.DoubleType
+    override def dataType: DataType = DoubleType
+    def op(s: String): Double
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
+    override def nullSafeEval(v: Any): Any =
+      op(v.asInstanceOf[UTF8String].toString)
+  }
+
+  /** Planar area (ST_Area): JTS shoelace over the ring coordinates. */
+  case class StArea(child: Expression) extends WktUnaryMeasure {
+    override def op(s: String): Double = Wkt.parse(s).getArea
+    override protected def withNewChildInternal(c: Expression): StArea = copy(c)
+    override def prettyName: String = "st_area"
+  }
+
+  /** Planar length/perimeter (ST_Length): sum of segment hypotenuses. */
+  case class StLength(child: Expression) extends WktUnaryMeasure {
+    override def op(s: String): Double = Wkt.parse(s).getLength
+    override protected def withNewChildInternal(c: Expression): StLength = copy(c)
+    override def prettyName: String = "st_length"
+  }
+
   /** Point-in-polygon predicate (ST_Covers(poly, point) — boundary
     * INCLUSIVE, so the answer is orientation-exact for integer/low-bit
     * coordinates on both JTS's robust predicates and a plain cross-product
@@ -149,6 +182,8 @@ object StFunctions {
   def stCoversPoint(poly: Column, x: Column, y: Column): Column =
     column(StCoversPoint(expression(poly),
       expression(x.cast("double")), expression(y.cast("double"))))
+  def stArea(c: Column): Column = column(StArea(expression(c)))
+  def stLength(c: Column): Column = column(StLength(expression(c)))
 
   /** String-level force-2D for the POINT Z fixture shape: 'NaN'→'0' then
     * drop the third ordinate. Kept regex-only (no JTS) so a SQL oracle can

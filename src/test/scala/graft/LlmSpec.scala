@@ -450,6 +450,18 @@ class LlmSpec extends AnyFunSuite {
     assert(byRank.map(_._4).sameElements(cums), "cumulative sums are a clean prefix")
   }
 
+  test("e47 rarity: hapax-only doc scores 1.0, common-token doc scores 1/df") {
+    val dir = craftedDocsDir("e47", Seq(
+      (1L, "unique singular words", 20L), // every token df=1 → rarity 1.0
+      (2L, "shared shared shared", 20L),  // df(shared)=2 → rarity 0.5
+      (3L, "shared", 6L)))
+    val m = graft.llm.QueriesE.all("e47_token_rarity")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(m(1L) == ((1.0, 3L)), s"all-hapax doc: $m")
+    assert(m(2L) == ((0.5, 3L)), "repeated common token: mean of three 1/2 terms")
+    assert(m(3L) == ((0.5, 1L)))
+  }
+
   test("e31 source mix: weights normalize to 1 and order by token mass") {
     val out = graft.llm.QueriesE.all("e31_source_mix")(spark, TestSpark.Sf)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))

@@ -325,6 +325,22 @@ class SpatialSpec extends AnyFunSuite {
     assert(n, "interior point covered via the SQL surface")
   }
 
+  test("stArea/stLength: exact on integer rectangles and Pythagorean lines") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val row = Seq(1).toDF("x").select(
+      graft.spatial.StFunctions.stArea(
+        lit("POLYGON ((0 0, 7 0, 7 3, 0 3, 0 0))")).as("a"),
+      graft.spatial.StFunctions.stLength(
+        lit("LINESTRING (0 0, 3 4, 9 12)")).as("l")).collect()(0)
+    assert(row.getDouble(0) == 21.0, "7x3 rectangle area is exactly 21")
+    assert(row.getDouble(1) == 15.0, "3-4-5 segments sum exactly (5 + 10)")
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT st_area('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') AS a").collect()(0).getDouble(0)
+    assert(viaSql == 4.0, "st_area callable from SQL")
+  }
+
   test("bboxJoin candidate generation is an equi-join (no nested loop)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
