@@ -70,7 +70,22 @@ object QueriesA {
     // nulls / exact distincts, numeric min/max) through the façade —
     // long-form (column, metric, value) rows, one aggregate job.
     "a7_profile" -> ((s, dir) =>
-      db(s, dir).table("customer").profile())
+      db(s, dir).table("customer").profile()),
+
+    // a8: coarse-type reflection (SURVEY §1.2 — the reference's
+    // num/text/date/geom type system, datum/postgis/table.py metadata):
+    // Table.metadata maps each parquet field to its coarse class. The
+    // oracle is the literal expected mapping, so a regression in the
+    // type lattice (e.g. TIMESTAMP_NTZ falling out of "date") fails the
+    // gate, not just a unit test. Footer-only — no data scan.
+    "a8_metadata_reflect" -> ((s, dir) => {
+      val d = db(s, dir)
+      val rows = Seq("supplier", "orders").flatMap { tn =>
+        d.table(tn).metadata.map { case (f, c) => (tn, f, c) }
+      }
+      import s.implicits._
+      rows.toDF("tbl", "field", "coarse").orderBy("tbl", "field")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -88,6 +103,14 @@ object QueriesA {
     "a6_iso_dates" ->
       ("SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f+00:00') AS iso " +
         "FROM events ORDER BY event_id LIMIT 500"),
+    "a8_metadata_reflect" ->
+      ("SELECT * FROM (VALUES " +
+        "('orders', 'o_custkey', 'num'), ('orders', 'o_orderdate', 'date'), " +
+        "('orders', 'o_orderkey', 'num'), ('orders', 'o_orderpriority', 'text'), " +
+        "('orders', 'o_orderstatus', 'text'), ('orders', 'o_totalprice', 'num'), " +
+        "('supplier', 's_acctbal', 'num'), ('supplier', 's_name', 'text'), " +
+        "('supplier', 's_nationkey', 'num'), ('supplier', 's_suppkey', 'num')" +
+        ") t(tbl, field, coarse) ORDER BY tbl, field"),
     "a7_profile" -> {
       // mirror of Table.profile over the customer schema: rows row, then
       // per column nulls/distinct (+ min/max for numerics)
