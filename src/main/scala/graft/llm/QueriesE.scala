@@ -936,8 +936,11 @@ object QueriesE {
       val nc = cands.groupBy("qid").agg(count(lit(1)).as("n_cand"))
       truth.join(annTop, Seq("qid", "vec_id"), "left")
         .groupBy("qid").agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-        .join(nc, "qid")
-        .select(col("qid").as("query_id"), col("n_cand"), col("n_hit"),
+        // LEFT join: a query whose probes hit no bucket still reports
+        // (0 candidates, recall 0) instead of vanishing from the report
+        .join(nc, Seq("qid"), "left")
+        .select(col("qid").as("query_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("n_hit"),
           (col("n_hit") / 10.0).as("recall"))
         .orderBy("query_id")
     }),
@@ -973,22 +976,38 @@ object QueriesE {
 
     // e44: token-budget curation — the "fill the training budget with the
     // best data" op: rank docs by (quality DESC, id), keep while the
-    // running token total stays inside the budget. The global sort moves
-    // (score, tokens, id) TRIPLES only (never bodies), and the running
-    // sum is one window over that order — at 100 TB this is a range
-    // sort-shuffle of ~24 bytes/doc, the same class as any global top-k.
-    // Integer token arithmetic ⇒ the cut point is exact cross-engine
-    // (scores only ORDER, they are never summed).
+    // running token total stays inside the budget. A bare global window
+    // would collapse to ONE task, so this is the textbook DISTRIBUTED
+    // prefix sum instead: range-partition by the global order (triples
+    // only — bodies never move), reduce each partition to one token
+    // total (a ~num-partitions driver collect, same class as the IVF
+    // centroids), broadcast the exclusive prefix offsets back, and
+    // finish with a PER-PARTITION running-sum window. The cum values are
+    // defined by the global order alone, so the result is independent of
+    // where the range boundaries fall. Integer token arithmetic ⇒ the
+    // cut point is exact cross-engine (scores only ORDER, never sum).
     "e44_budget_trim" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("score").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
+      val parts = t(s, dir, "documents")
         .select(col("doc_id"),
           TextStats.qualityScore(col("text"), col("n_chars")).as("score"),
           TextStats.wsTokens(col("text")).as("tokens"))
-        .withColumn("cum_tokens", sum(col("tokens")).over(w))
+        .repartitionByRange(32, col("score").desc, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .transform(graft.Caches.persistTracked) // totals pass + window pass
+      val totals = parts.groupBy("pid").agg(sum(col("tokens")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      var acc = 0L
+      val off = totals.keys.toSeq.sorted
+        .map { p => val o = acc; acc += totals(p); p -> o }.toMap
+      val w = Window.partitionBy("pid")
+        .orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      parts
+        .withColumn("cum_tokens",
+          sum(col("tokens")).over(w) + element_at(typedLit(off), col("pid")))
         .filter(col("cum_tokens") <= 10000L)
+        .select("doc_id", "score", "tokens", "cum_tokens")
         .orderBy("doc_id")
     }),
 
@@ -1471,11 +1490,11 @@ object QueriesE {
         "ann AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
         "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM cand) WHERE rk <= 10), " +
         "nc AS (SELECT qid, count(*) AS n_cand FROM cand GROUP BY qid) " +
-        "SELECT tt.qid AS query_id, nc.n_cand, count(ann.qid) AS n_hit, " +
-        "count(ann.qid)::DOUBLE / 10.0 AS recall " +
+        "SELECT tt.qid AS query_id, coalesce(max(nc.n_cand), 0) AS n_cand, " +
+        "count(ann.qid) AS n_hit, count(ann.qid)::DOUBLE / 10.0 AS recall " +
         "FROM tt LEFT JOIN ann ON tt.qid = ann.qid AND tt.vec_id = ann.vec_id " +
-        "JOIN nc ON nc.qid = tt.qid " +
-        "GROUP BY tt.qid, nc.n_cand ORDER BY query_id"
+        "LEFT JOIN nc ON nc.qid = tt.qid " +
+        "GROUP BY tt.qid ORDER BY query_id"
     },
     "e31_source_mix" ->
       ("WITH s AS (SELECT source, count(*) AS n_docs, " +
