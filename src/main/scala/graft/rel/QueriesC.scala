@@ -319,6 +319,48 @@ object QueriesC {
       db.vacuum().toSeq.toDF("kind", "n").orderBy("kind")
     }),
 
+    // c17: bucketed co-located join — the last co-location lever alongside
+    // broadcast (b2), salting (b10), and AQE: both sides persist into the
+    // session catalog bucketed (+ sorted) by the join key, so the join
+    // plans with NO exchange on either side at ANY size. On a 100 TB fact
+    // the bucket layout is paid once at ingest and every subsequent keyed
+    // join (or bucket-key aggregate) is shuffle-free — Spark's standard
+    // answer to repeated fact⋈fact joins that are too big to broadcast.
+    // ApiSpec pins the plan: zero shuffles under the join.
+    "c17_bucketed_join" -> ((s, dir) => {
+      // the catalog is session-scoped but the warehouse dirs persist — a
+      // table location left by an earlier run (or a crash between write
+      // and registration) must be cleared or saveAsTable refuses
+      Seq("c17_orders", "c17_lineitem").foreach { tn =>
+        s.sql(s"DROP TABLE IF EXISTS $tn")
+        val loc = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tn)
+        def wipe(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+          f.delete(): Unit
+        }
+        wipe(loc)
+      }
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("c17_orders")
+      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("c17_lineitem")
+      // merge hint: at test scale Catalyst would broadcast the small side,
+      // but c17 demonstrates the fact⋈fact shape that is too big to
+      // broadcast at 100 TB — the hint pins the intended plan (bucketed
+      // sort-merge, zero exchanges under the join) at every scale
+      s.table("c17_lineitem").hint("merge")
+        .join(s.table("c17_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          dbl(sum(dec2(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
     // c8: Z-order clustering — the multi-dimensional index analogue: after
     // Morton-interleaving (user_id, value), row-group min/max boxes are
     // compact in BOTH dimensions, so the two-sided predicate below can
@@ -360,6 +402,13 @@ object QueriesC {
     "c16_vacuum" ->
       ("SELECT * FROM (VALUES ('bak', 1), ('stage_bak', 1), ('stage_tmp', 1), " +
         "('stale_manifest', 1)) t(kind, n) ORDER BY kind"),
+    "c17_bucketed_join" ->
+      ("SELECT o_orderpriority, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "c15_format_roundtrip" ->
       ("SELECT fmt, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum, " +
         "min(n_name) AS min_name, max(n_name) AS max_name " +

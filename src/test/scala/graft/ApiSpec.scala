@@ -339,6 +339,17 @@ class ApiSpec extends AnyFunSuite {
     assert(n == 6000L)
   }
 
+  test("bucketed join plans with no exchange under the join (c17 plan audit)") {
+    val df = graft.rel.QueriesC.all("c17_bucketed_join")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val joinAt = plan.indexOf("SortMergeJoin")
+    assert(joinAt >= 0, s"bucketed join should be a sort-merge join:\n$plan")
+    // everything BELOW the join must be exchange-free: the bucket layout
+    // provides the partitioning, so only the final aggregate may shuffle
+    assert(!plan.substring(joinAt).contains("Exchange"),
+      s"bucketed join must not shuffle its inputs:\n$plan")
+  }
+
   test("EXISTS/NOT EXISTS decorrelate to semi/anti hash joins (b22 plan audit)") {
     val plan = graft.rel.QueriesB.all("b22_exists_subquery")(spark, TestSpark.Sf)
       .queryExecution.executedPlan.toString
