@@ -1089,6 +1089,42 @@ object QueriesE {
         .orderBy("doc_id")
     }),
 
+    // e48: removal-audit report — the explainability op for the e20
+    // pipeline: every document gets a verdict (kept / low_quality /
+    // exact_dup / near_dup, first matching stage wins) and the canonical
+    // doc it deduped to (-1 for quality drops). The provenance trail a
+    // pipeline owner reads when asked "why is doc X not in the corpus?" —
+    // pure composition of the verified gates (e11 score, e1 exact
+    // clusters, e19 components), three left joins over the doc-id spine.
+    "e48_removal_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gated = docs.filter(coalesce(
+        col("lang") === "en" &&
+          TextStats.qualityScore(col("text"), col("n_chars")) >= 0.5,
+        lit(false)))
+      val exact = Dedup.exactClusters(gated, "doc_id", "text")
+        .select(col("doc_id"), col("cluster_id").as("ex_cl"))
+        .transform(graft.Caches.persistTracked) // verdict join + keeper filter
+      val keepers = gated.join(
+        exact.filter(col("ex_cl") === col("doc_id")).select("doc_id"), "doc_id")
+      val comps = Dedup.connectedComponents(
+          keepers, "doc_id", lshVerifiedPairs(keepers))
+        .select(col("id").as("doc_id"), col("cluster_id").as("nd_cl"))
+      docs.select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("ex_cl").isNull, "low_quality")
+            .when(col("ex_cl") =!= col("doc_id"), "exact_dup")
+            .when(col("nd_cl") =!= col("doc_id"), "near_dup")
+            .otherwise("kept").as("verdict"),
+          when(col("ex_cl").isNull, lit(-1L))
+            .when(col("ex_cl") =!= col("doc_id"), col("ex_cl"))
+            .when(col("nd_cl") =!= col("doc_id"), col("nd_cl"))
+            .otherwise(col("doc_id")).as("canonical_id"))
+        .orderBy("doc_id")
+    }),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1192,6 +1228,32 @@ object QueriesE {
         "JOIN embeddings ON doc_id = vec_id WHERE label < 3 ORDER BY doc_id"),
     "e6_simhash" ->
       s"WITH $SqlSimhashCte SELECT doc_id, simhash FROM sims ORDER BY doc_id",
+    "e48_removal_audit" ->
+      ("WITH RECURSIVE " +
+        s"gated AS (SELECT * FROM documents WHERE lang = 'en' AND ($sqlQualityExpr) >= 0.5), " +
+        "exc AS (SELECT doc_id, CASE WHEN text IS NULL THEN doc_id ELSE " +
+        "min(doc_id) OVER (PARTITION BY md5(text)) END AS ex_cl FROM gated), " +
+        "keepers AS (SELECT g.* FROM gated g JOIN exc ON exc.doc_id = g.doc_id " +
+        "AND exc.ex_cl = g.doc_id), " +
+        sqlLshPairCtesOver("keepers") + ", " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs " +
+        "UNION ALL SELECT id_b, id_a FROM vpairs), " +
+        "reach(id, root) AS (SELECT doc_id, doc_id FROM keepers " +
+        "UNION SELECT e.src, r.root FROM reach r JOIN edges e ON e.dst = r.id), " +
+        "comp AS (SELECT id AS doc_id, min(root) AS nd_cl FROM reach GROUP BY id) " +
+        "SELECT d.doc_id, " +
+        "CASE WHEN exc.doc_id IS NULL THEN 'low_quality' " +
+        "WHEN exc.ex_cl <> d.doc_id THEN 'exact_dup' " +
+        "WHEN comp.nd_cl <> d.doc_id THEN 'near_dup' " +
+        "ELSE 'kept' END AS verdict, " +
+        "CASE WHEN exc.doc_id IS NULL THEN -1 " +
+        "WHEN exc.ex_cl <> d.doc_id THEN exc.ex_cl " +
+        "WHEN comp.nd_cl <> d.doc_id THEN comp.nd_cl " +
+        "ELSE d.doc_id END AS canonical_id " +
+        "FROM documents d " +
+        "LEFT JOIN exc ON exc.doc_id = d.doc_id " +
+        "LEFT JOIN comp ON comp.doc_id = d.doc_id " +
+        "ORDER BY d.doc_id"),
     "e47_token_rarity" ->
       ("WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word, " +
         "unnest(range(len(string_split(text,' ')))) AS pos FROM documents), " +

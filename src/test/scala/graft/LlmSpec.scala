@@ -462,6 +462,31 @@ class LlmSpec extends AnyFunSuite {
     assert(m(3L) == ((0.5, 1L)))
   }
 
+  test("e48 removal audit assigns each verdict with its canonical doc") {
+    // quality gate needs lang='en' and score >= 0.5 — long texts of
+    // stopword-ish tokens score high; doc 4 is non-English (gate drop)
+    val good = "the a of and to " * 30 + "the a of and to"
+    val near1 = "alpha beta gamma delta epsilon zeta eta theta " * 12 + "one"
+    val near2 = "alpha beta gamma delta epsilon zeta eta theta " * 12 + "two"
+    val dir = s"/root/repo/target/fixtures/test/docs_e48"
+    import spark.implicits._
+    Seq(
+      (1L, good, "en", "s", good.length.toLong),
+      (2L, good, "en", "s", good.length.toLong),   // exact dup of 1
+      (3L, near1, "en", "s", near1.length.toLong),
+      (5L, near2, "en", "s", near2.length.toLong), // near dup of 3
+      (4L, good, "fr", "s", good.length.toLong))   // lang gate drop
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = graft.llm.QueriesE.all("e48_removal_audit")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(m(1L) == (("kept", 1L)))
+    assert(m(2L) == (("exact_dup", 1L)), s"$m")
+    assert(m(3L) == (("kept", 3L)))
+    assert(m(5L) == (("near_dup", 3L)), s"near-dup canonicalizes to 3: $m")
+    assert(m(4L) == (("low_quality", -1L)), "gate drop has no canonical")
+  }
+
   test("e31 source mix: weights normalize to 1 and order by token mass") {
     val out = graft.llm.QueriesE.all("e31_source_mix")(spark, TestSpark.Sf)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))

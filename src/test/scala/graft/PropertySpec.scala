@@ -71,6 +71,18 @@ object GraftProps extends Properties("graft") {
         h.forall(c => c.isDigit || ('a' to 'f').contains(c)))
     }
 
+  property("distinctShingles = first-occurrence-distinct sliding n-grams (model)") =
+    forAll(text, Gen.chooseNum(1, 4)) { (t, n) =>
+      val got = graft.functions.MinhashKernel.distinctShingles(t, n)
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val toks = t.split(" ", -1).toSeq
+      val model =
+        if (toks.length < n) Nil
+        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      got == model
+    }
+
   // ---- Point-in-polygon: JTS covers vs the exact half-plane model ----
 
   /** Andrew monotone chain over integer points → CCW convex hull.
