@@ -361,6 +361,21 @@ object QueriesC {
         .orderBy("o_orderpriority")
     }),
 
+    // c18: the live-DB adapter's READ path in the gate (f16 covers its
+    // exactly-once write path): store into an embedded Derby backend
+    // through the façade, read back through Table.read — projection +
+    // WHERE become a pushed-down JDBC query on the backend (the pushdown
+    // the reference delegated to its DBMS), not a full-table pull.
+    "c18_jdbc_read" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val jdb = Datum.connect("jdbc:derby:memory:graft_c18;create=true")
+      jdb.store(t(s, dir, "nation"), "C18_NATION", "overwrite")
+      jdb.table("C18_NATION")
+        .read(fields = Seq("n_nationkey", "n_name", "n_regionkey"),
+          where = Some("n_regionkey < 3"))
+        .orderBy("n_nationkey")
+    }),
+
     // c8: Z-order clustering — the multi-dimensional index analogue: after
     // Morton-interleaving (user_id, value), row-group min/max boxes are
     // compact in BOTH dimensions, so the two-sided predicate below can
@@ -402,6 +417,9 @@ object QueriesC {
     "c16_vacuum" ->
       ("SELECT * FROM (VALUES ('bak', 1), ('stage_bak', 1), ('stage_tmp', 1), " +
         "('stale_manifest', 1)) t(kind, n) ORDER BY kind"),
+    "c18_jdbc_read" ->
+      ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "WHERE n_regionkey < 3 ORDER BY n_nationkey"),
     "c17_bucketed_join" ->
       ("SELECT o_orderpriority, " +
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
