@@ -90,7 +90,7 @@ object Similarity {
     * (distance, index) struct min — deterministic tie-break).
     */
   def ivfAssign(emb: Column, centroids: Array[Array[Double]]): Column =
-    array_min(array(centroids.zipWithIndex.map { case (c, j) =>
+    array_min(array(centroids.zipWithIndex.toIndexedSeq.map { case (c, j) =>
       struct(l2sq(emb, c).as("d"), lit(j).as("j"))
     }: _*)).getField("j")
 
@@ -169,7 +169,7 @@ object Similarity {
         val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum; (d, j)
       }.sortBy(identity).take(nprobe).map(_._2)
     val qDf = broadcast(base.filter(col(idCol) === queryId).select(col("emb").as("q")))
-    listed.filter(col("list_id").isin(probeLists.map(_.asInstanceOf[Any]): _*))
+    listed.filter(col("list_id").isin(probeLists.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
       .filter(col(idCol) =!= queryId)
       .crossJoin(qDf)
       .select(col(idCol), col("list_id"), cosine(col("emb"), col("q")).as("cos"))

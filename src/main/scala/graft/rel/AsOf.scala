@@ -41,7 +41,7 @@ object AsOf {
       toleranceUs: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"asofJoin: direction must be backward|forward, got $direction")
-    val rStruct = struct(right.columns.map(col): _*)
+    val rStruct = struct(right.columns.toIndexedSeq.map(col): _*)
     // null event times carry no ordering information: SQL ASOF semantics
     // (p.ts >= NULL is never true) drop them — filter both sides up front
     // so a null-ts right row can't sort first and masquerade as a match
@@ -52,7 +52,7 @@ object AsOf {
       col(key), col(rightTs).as("_ts"), lit(0).as("_tag"), rStruct.as("_r"))
     val rPadded = l.columns.foldLeft(r) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
-    }.select(l.columns.map(col): _*)
+    }.select(l.columns.toIndexedSeq.map(col): _*)
 
     // _r as the final sort key makes ties among equal-ts right rows
     // deterministic (struct comparison by field order); forward mode
@@ -78,6 +78,6 @@ object AsOf {
         matched.filter(gap <= tol)
     }
     val rightOut = right.columns.map(c => col(s"_match.$c").as(s"asof_$c"))
-    withinTol.select(left.columns.map(col) ++ rightOut: _*)
+    withinTol.select(left.columns.toIndexedSeq.map(col) ++ rightOut: _*)
   }
 }

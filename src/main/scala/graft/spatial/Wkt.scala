@@ -154,7 +154,7 @@ object Wkt {
   /** Concatenate component segments, fusing the shared endpoints. */
   private def compoundCoords(inner: String, n: Int): Array[Coordinate] = {
     val segs = splitTopLevel(inner).map(segmentCoords(_, n))
-    val out = scala.collection.mutable.ArrayBuffer[Coordinate](segs.head: _*)
+    val out = scala.collection.mutable.ArrayBuffer[Coordinate](segs.head.toIndexedSeq: _*)
     segs.tail.foreach(out ++= _.tail)
     out.toArray
   }
