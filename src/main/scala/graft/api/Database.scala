@@ -366,23 +366,46 @@ class Database(val spark: SparkSession, val root: String,
     markDirty()
   }
 
-  /** Warehouse VACUUM — reclaim what crashed or stale maintenance left
-    * behind: `.stage_tmp` / `.stage_bak` staging dirs (a replaceAt that
-    * died between stage and swap), `.bak` backup-hop dirs (a swapDir cut
-    * short), and snapshot manifests whose files a rewrite has since
-    * removed (readVersion would fail them loudly anyway — vacuuming makes
-    * the invalidation visible instead of latent). Live data is never
-    * touched: matching is by exact sidecar suffix, and manifests are only
-    * dropped when provably stale. Returns kind → count removed. At 100 TB
-    * this is a metadata-only directory walk.
+  /** Warehouse VACUUM — first RECOVER, then reclaim. The backup-hop
+    * protocol (replaceAt / swapDir) has exactly one crash window where a
+    * `.stage_bak` / `.bak` dir is the ONLY copy of the data (between
+    * `orig → bak` and `tmp/src → orig`): pass 1 renames any such orphaned
+    * backup back into place (the promised crash recovery, made explicit).
+    * Pass 2 then reclaims what is provably redundant — `.stage_tmp` /
+    * `.upsert_stage` staged copies never swapped in, backup dirs whose
+    * primary exists, and snapshot manifests whose files a rewrite has
+    * since removed (readVersion would fail them loudly anyway — vacuuming
+    * makes the invalidation visible instead of latent). Counts are
+    * incremented only when the delete/rename actually succeeded, so a
+    * second vacuum really is a no-op. At 100 TB this is a metadata-only
+    * directory walk.
     */
   def vacuum(): Map[String, Int] = {
-    var stageTmp = 0; var stageBak = 0; var bak = 0; var stale = 0
-    def walk(dir: File): Unit =
+    var stageTmp = 0; var stageBak = 0; var bak = 0
+    var upsertStage = 0; var stale = 0; var recovered = 0
+    def primaryOf(f: File, suffix: String): File =
+      new File(f.getParentFile, f.getName.stripSuffix(suffix))
+    // pass 1: restore orphaned backups (primary missing ⇒ the backup IS
+    // the data — a crash mid-swap; renaming it back completes the swap's
+    // rollback). Runs bottom-up naturally since rename doesn't recurse.
+    def recover(dir: File): Unit =
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isDirectory) {
+          val n = f.getName
+          val sfx = Seq(".stage_bak", ".bak").find(n.endsWith)
+          sfx match {
+            case Some(x) if !primaryOf(f, x).exists() =>
+              if (f.renameTo(primaryOf(f, x))) recovered += 1
+            case _ => recover(f)
+          }
+        }
+      }
+    def reclaim(dir: File): Unit =
       Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
         if (f.isDirectory) {
           val n = f.getName
           if (n.endsWith(".stage_tmp")) { deleteRecursively(f); stageTmp += 1 }
+          else if (n.endsWith(".upsert_stage")) { deleteRecursively(f); upsertStage += 1 }
           else if (n.endsWith(".stage_bak")) { deleteRecursively(f); stageBak += 1 }
           else if (n.endsWith(".bak")) { deleteRecursively(f); bak += 1 }
           else if (n.endsWith(".versions")) {
@@ -392,16 +415,17 @@ class Database(val spark: SparkSession, val root: String,
               .foreach { m =>
                 val src = scala.io.Source.fromFile(m, "UTF-8")
                 val rels = try src.getLines().filter(_.nonEmpty).toList finally src.close()
-                if (!rels.forall(r => new File(tablePath, r).isFile)) {
-                  m.delete(): Unit; stale += 1
-                }
+                if (!rels.forall(r => new File(tablePath, r).isFile) && m.delete())
+                  stale += 1
               }
-          } else walk(f) // schema dirs — one level is enough, but harmless deeper
+          } else reclaim(f) // schema/table/partition dirs — walk through
         }
       }
-    walk(new File(root))
-    Map("stage_tmp" -> stageTmp, "stage_bak" -> stageBak,
-      "bak" -> bak, "stale_manifest" -> stale)
+    recover(new File(root))
+    reclaim(new File(root))
+    Map("stage_tmp" -> stageTmp, "stage_bak" -> stageBak, "bak" -> bak,
+      "upsert_stage" -> upsertStage, "stale_manifest" -> stale,
+      "recovered" -> recovered)
   }
 
   /** Session-scoped logical view (ref datum/postgis/database.py:108-116). */
@@ -584,6 +608,49 @@ object Database {
     * new contents in place or the `.bak` copy on disk, so a crash leaves
     * the state recoverable instead of silently empty.
     */
+  private[graft] def wipeDir(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipeDir)
+    f.delete(): Unit
+  }
+
+  /** The shared incremental-state maintenance recipe (c12 upsert, f14 CDC
+    * sink, f18 streaming IVM, f19 trending terms): given a persisted
+    * per-batch `partial` carrying partition column `partCol`, read ONLY
+    * the state partitions the batch touches, apply `merge(existing,
+    * partial)`, stage the result, and atomically swap exactly the touched
+    * partition dirs (backup-hop swaps — crash-recoverable, see
+    * [[Database.swapDir]] / `Database.vacuum`). Per-batch cost is
+    * O(touched state + batch), never O(full state). `write` defaults to
+    * plain parquet; format-aware callers pass their own.
+    */
+  private[graft] def mergeTouchedPartitions(partial: DataFrame, partCol: String,
+      state: File, stage: File,
+      write: (DataFrame, String) => Unit = null)(
+      merge: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
+    val sp = partial.sparkSession
+    val touched = partial.select(partCol).distinct()
+      .collect().map(r => String.valueOf(r.get(0))).sorted // ≤ #partitions
+    val dirs = touched.map(v => new File(state, s"$partCol=$v"))
+      .filter(_.isDirectory).map(_.getPath)
+    val existing =
+      if (dirs.isEmpty) None
+      else Some(sp.read.option("basePath", state.getPath)
+        .parquet(dirs.toIndexedSeq: _*))
+    val merged = merge(existing, partial)
+    wipeDir(stage)
+    if (write == null)
+      merged.write.partitionBy(partCol).parquet(stage.getPath)
+    else write(merged, stage.getPath)
+    state.mkdirs()
+    touched.foreach { v =>
+      val src = new File(stage, s"$partCol=$v")
+      val dst = new File(state, s"$partCol=$v")
+      if (src.isDirectory) swapDir(src, dst)
+    }
+    wipeDir(stage)
+  }
+
   private[graft] def swapDir(src: File, dst: File): Unit = {
     def wipe(f: File): Unit = {
       if (f.isDirectory)

@@ -542,26 +542,14 @@ class Table(val db: Database, val qualified: String) {
     // once instead of recomputing the delta lineage
     val d = delta.withColumn("bucket", b).persist()
     try {
-      val touched = d.select("bucket").distinct()
-        .collect().map(_.getInt(0)).sorted // ≤ n values, driver-safe
-      val dirs = touched.map(i => new File(path, s"bucket=$i"))
-        .filter(_.isDirectory).map(_.getPath)
-      val existing =
-        if (dirs.isEmpty) None
-        else Some(spark.read.option("basePath", path)
-          .parquet(dirs.toIndexedSeq: _*))
-      val keep = existing.map(
-        _.join(d.select(keyCols.map(col): _*), keyCols, "left_anti"))
-      val merged = keep.fold(d)(_.unionByName(d))
-      val stage = new File(path + ".upsert_stage")
-      db.deleteRecursively(stage)
-      db.storeAt(merged, stage.getPath, partitionBy = Seq("bucket"))
-      touched.foreach { i =>
-        val src = new File(stage, s"bucket=$i")
-        val dst = new File(path, s"bucket=$i")
-        if (src.isDirectory) Database.swapDir(src, dst)
+      Database.mergeTouchedPartitions(d, "bucket",
+        new File(path), new File(path + ".upsert_stage"),
+        write = (df, p) => db.storeAt(df, p, partitionBy = Seq("bucket"))) {
+        (existing, dd) =>
+          val keep = existing.map(
+            _.join(dd.select(keyCols.map(col): _*), keyCols, "left_anti"))
+          keep.fold(dd)(_.unionByName(dd))
       }
-      db.deleteRecursively(stage)
       db.markDirty()
     } finally { d.unpersist(); () }
   }

@@ -40,7 +40,12 @@ object GraftFunctions {
     "st_force2d"       -> (es => StForce2D(es.head)),
     "st_curvetoline"   -> (es => StCurveToLine(es.head)),
     "st_transform"     -> (es => StTransform(es(0), es(1), es(2))),
-    "st_covers_point"  -> (es => StCoversPoint(es(0), es(1), es(2))),
+    // coordinate args cast like the Column API does — without this the
+    // SQL surface would reject integer literals/columns the Column
+    // surface silently accepts (same function, two behaviors)
+    "st_covers_point"  -> (es => StCoversPoint(es(0),
+      org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.catalyst.expressions.Cast(es(2), org.apache.spark.sql.types.DoubleType))),
     "st_area"          -> (es => StArea(es.head)),
     "st_length"        -> (es => StLength(es.head)),
     "vec_dot"          -> (es => graft.functions.VecDot(es(0), es(1))),

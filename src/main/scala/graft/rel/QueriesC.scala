@@ -313,9 +313,17 @@ object QueriesC {
         val d = new java.io.File(path); d.mkdirs()
         new java.io.FileOutputStream(new java.io.File(d, "part-00000.parquet")).close()
       }
-      mkLeftover(tbl.path + ".stage_tmp")
-      mkLeftover(tbl.path + ".stage_bak")
-      mkLeftover(tbl.path + "/bucket=0.bak")
+      mkLeftover(tbl.path + ".stage_tmp")    // staged copy, never swapped in
+      mkLeftover(tbl.path + ".stage_bak")    // backup whose primary exists
+      mkLeftover(tbl.path + ".upsert_stage") // crashed bucketed upsert
+      val aux = new java.io.File(db.pathOf("c16_nation")).getParent + "/c16_aux"
+      // idempotency: a previous run's RECOVERED bucket=1 would give this
+      // run's fabricated backup a live primary (bak, not recovered)
+      wipe(new java.io.File(aux))
+      mkLeftover(s"$aux/bucket=0")           // swap completed …
+      mkLeftover(s"$aux/bucket=0.bak")       // … its backup is redundant
+      mkLeftover(s"$aux/bucket=1.bak")       // crash mid-swap: backup is
+                                             // the ONLY copy → recovered
       db.vacuum().toSeq.toDF("kind", "n").orderBy("kind")
     }),
 
@@ -415,8 +423,9 @@ object QueriesC {
       ("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +
         "ORDER BY s_suppkey"),
     "c16_vacuum" ->
-      ("SELECT * FROM (VALUES ('bak', 1), ('stage_bak', 1), ('stage_tmp', 1), " +
-        "('stale_manifest', 1)) t(kind, n) ORDER BY kind"),
+      ("SELECT * FROM (VALUES ('bak', 1), ('recovered', 1), ('stage_bak', 1), " +
+        "('stage_tmp', 1), ('stale_manifest', 1), ('upsert_stage', 1)) " +
+        "t(kind, n) ORDER BY kind"),
     "c18_jdbc_read" ->
       ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
         "WHERE n_regionkey < 3 ORDER BY n_nationkey"),

@@ -327,35 +327,15 @@ object EventWindows {
     */
   def upsertMerge(batch: DataFrame, state: java.io.File,
       stage: java.io.File, nBuckets: Int = 16): Unit = {
-    val sp = batch.sparkSession
     // consumed twice (touched-bucket collect + staged write): materialize
     // the per-batch argmax once instead of re-running its window
     val winners = latestPerUser(batch).withColumn("bucket",
       pmod(xxhash64(col("user_id")), lit(nBuckets.toLong)).cast("int"))
       .persist()
     try {
-      // distinct buckets of the batch — bounded by nBuckets, driver-safe
-      val touched = winners.select("bucket").distinct()
-        .collect().map(_.getInt(0)).sorted
-      val existingDirs = touched
-        .map(b => new java.io.File(state, s"bucket=$b"))
-        .filter(_.isDirectory).map(_.getPath)
-      val existing =
-        if (existingDirs.isEmpty) None
-        else Some(sp.read.option("basePath", state.getPath)
-          .parquet(existingDirs.toIndexedSeq: _*))
-      val merged = latestPerUser(existing.fold(winners)(_.unionByName(winners)))
-      wipe(stage)
-      merged.write.partitionBy("bucket").parquet(stage.getPath)
-      state.mkdirs()
-      touched.foreach { b =>
-        val src = new java.io.File(stage, s"bucket=$b")
-        val dst = new java.io.File(state, s"bucket=$b")
-        // backup-hop swap: no instant where the bucket's previous state
-        // is deleted without the new state (or its .bak) on disk
-        if (src.isDirectory) graft.api.Database.swapDir(src, dst)
+      graft.api.Database.mergeTouchedPartitions(winners, "bucket", state, stage) {
+        (existing, w) => latestPerUser(existing.fold(w)(_.unionByName(w)))
       }
-      wipe(stage)
     } finally { winners.unpersist(); () }
   }
 
@@ -538,7 +518,6 @@ object EventWindows {
     */
   def mviewMergeDaily(batch: DataFrame, state: java.io.File,
       stage: java.io.File): Unit = {
-    val sp = batch.sparkSession
     val partial = batch
       .withColumn("day",
         date_format(col("ts").cast(TimestampType).cast("date"), "yyyy-MM-dd"))
@@ -547,29 +526,16 @@ object EventWindows {
         sum(dec2(col("value"))).cast("decimal(38,2)").as("sv"))
       .persist() // consumed twice: touched-day collect + staged write
     try {
-      val touched = partial.select("day").distinct()
-        .collect().map(_.getString(0)).sorted
-      val existingDirs = touched.map(d => new java.io.File(state, s"day=$d"))
-        .filter(_.isDirectory).map(_.getPath)
-      val existing =
-        if (existingDirs.isEmpty) None
-        else Some(sp.read.option("basePath", state.getPath)
-          .parquet(existingDirs.toIndexedSeq: _*)
-          .select(col("day").cast("string").as("day"), col("event_type"),
-            col("n"), col("sv")))
-      val merged = existing.fold(partial)(_.unionByName(partial))
-        .groupBy("day", "event_type")
-        .agg(sum(col("n")).as("n"),
-          sum(col("sv")).cast("decimal(38,2)").as("sv"))
-      wipe(stage)
-      merged.write.partitionBy("day").parquet(stage.getPath)
-      state.mkdirs()
-      touched.foreach { d =>
-        val src = new java.io.File(stage, s"day=$d")
-        if (src.isDirectory)
-          graft.api.Database.swapDir(src, new java.io.File(state, s"day=$d"))
+      graft.api.Database.mergeTouchedPartitions(partial, "day", state, stage) {
+        (existing, p) =>
+          existing
+            .map(_.select(col("day").cast("string").as("day"),
+              col("event_type"), col("n"), col("sv")))
+            .fold(p)(_.unionByName(p))
+            .groupBy("day", "event_type")
+            .agg(sum(col("n")).as("n"),
+              sum(col("sv")).cast("decimal(38,2)").as("sv"))
       }
-      wipe(stage)
     } finally { partial.unpersist(); () }
   }
 

@@ -56,27 +56,11 @@ object TrendingTerms {
         pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
       .persist() // consumed twice: touched-bucket collect + staged write
     try {
-      // distinct buckets of the batch — bounded by nBuckets, driver-safe
-      val touched = partial.select("bucket").distinct()
-        .collect().map(_.getInt(0)).sorted
-      val existingDirs = touched
-        .map(b => new File(state, s"bucket=$b"))
-        .filter(_.isDirectory).map(_.getPath)
-      val existing =
-        if (existingDirs.isEmpty) None
-        else Some(sp.read.option("basePath", state.getPath)
-          .parquet(existingDirs.toIndexedSeq: _*))
-      val merged = existing.fold(partial)(partial.unionByName(_))
-        .groupBy("term", "bucket").agg(sum(col("df")).cast("long").as("df"))
-      wipe(stage)
-      merged.write.partitionBy("bucket").parquet(stage.getPath)
-      state.mkdirs()
-      touched.foreach { b =>
-        val src = new File(stage, s"bucket=$b")
-        val dst = new File(state, s"bucket=$b")
-        if (src.isDirectory) graft.api.Database.swapDir(src, dst)
+      graft.api.Database.mergeTouchedPartitions(partial, "bucket", state, stage) {
+        (existing, p) =>
+          existing.fold(p)(p.unionByName(_))
+            .groupBy("term", "bucket").agg(sum(col("df")).cast("long").as("df"))
       }
-      wipe(stage)
       if (batchId >= 0) {
         ledger.mkdirs()
         new java.io.FileOutputStream(marker).close()

@@ -561,6 +561,21 @@ class ApiSpec extends AnyFunSuite {
     assert(scratch.vacuum().values.sum == 0, "second vacuum is a no-op")
   }
 
+  test("vacuum RECOVERS a backup that is the only copy (crash mid-swap)") {
+    val scratch = scratchDb()
+    scratch.store(db.table("region").df, "vac2", "overwrite")
+    scratch.vacuum() // reset residue
+    // simulate replaceAt dying between `orig -> bak` and `tmp -> orig`:
+    // the table dir is gone; .stage_bak holds the only copy of the data
+    val t2 = new java.io.File(scratch.pathOf("vac2"))
+    assert(t2.renameTo(new java.io.File(t2.getPath + ".stage_bak")))
+    val rep = scratch.vacuum()
+    assert(rep("recovered") == 1 && rep("stage_bak") == 0,
+      s"orphaned backup must be restored, never deleted: $rep")
+    assert(scratch.table("vac2").count == 5, "restored table reads intact")
+    assert(scratch.vacuum().values.sum == 0)
+  }
+
   test("restore rolls back an append and re-pins a fresh v1 history") {
     val scratch = scratchDb()
     scratch.store(db.table("nation").df, "tt4", "overwrite")

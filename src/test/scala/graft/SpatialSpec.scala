@@ -317,12 +317,12 @@ class SpatialSpec extends AnyFunSuite {
     assert(in == Set(1L, 2L, 3L), s"boundary-inclusive covers: $in")
   }
 
-  test("st_covers_point is callable from SQL") {
+  test("st_covers_point is callable from SQL, integer args cast implicitly") {
     graft.functions.GraftFunctions.register(spark)
     val n = spark.sql(
-      "SELECT st_covers_point('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', " +
-        "CAST(2 AS DOUBLE), CAST(2 AS DOUBLE)) AS hit").collect()(0).getBoolean(0)
-    assert(n, "interior point covered via the SQL surface")
+      "SELECT st_covers_point('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 2, 2) AS hit")
+      .collect()(0).getBoolean(0)
+    assert(n, "interior point covered via the SQL surface with INT coords")
   }
 
   test("stArea/stLength: exact on integer rectangles and Pythagorean lines") {
