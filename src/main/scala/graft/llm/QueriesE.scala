@@ -1125,6 +1125,36 @@ object QueriesE {
         .orderBy("doc_id")
     }),
 
+    // e49: dedup threshold-sensitivity sweep — the third sketch-tuning
+    // report (e41 grades ANN recall, e45 the estimator, e49 the KEEP
+    // THRESHOLD): how many candidate pairs survive each Jaccard cutoff.
+    // The curve an operator reads before committing a threshold corpus-
+    // wide — a cliff between 0.5 and 0.7 means the choice is load-bearing.
+    // One conditional-sum aggregate over the candidate set (no threshold
+    // × pair join), unpivoted to long form via stack.
+    "e49_threshold_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashBandPairs(docs, "doc_id", "text",
+        n = LshNgram, bands = LshBands, rowsPerBand = LshRows)
+      val shArr = docs.select(col("doc_id"),
+        TextExpressions.distinctShingles(col("text"), LshNgram).as("shs"))
+      val i = size(array_intersect(col("a.shs"), col("b.shs")))
+      val withJ = cand
+        .join(shArr.as("a"), col("id_a") === col("a.doc_id"))
+        .join(shArr.as("b"), col("id_b") === col("b.doc_id"))
+        .select((i.cast("double") /
+          (size(col("a.shs")) + size(col("b.shs")) - i).cast("double")).as("jaccard"))
+      val ths = Seq(0.3, 0.5, 0.7, 0.9)
+      withJ
+        .agg(count(lit(1)).as("n_candidates"),
+          ths.map(t => sum(when(col("jaccard") >= t, 1L).otherwise(0L))
+            .as(s"n_${(t * 10).toInt}")): _*)
+        .select(expr("stack(4, " + ths.map(t =>
+          s"CAST($t AS DOUBLE), n_${(t * 10).toInt}").mkString(", ") +
+          ") AS (threshold, n_pairs)"), col("n_candidates"))
+        .orderBy("threshold")
+    }),
+
     // e10: language-ID heuristic (marker-profile argmax).
     "e10_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1272,6 +1302,18 @@ object QueriesE {
         "greatest(sa.source, sb.source) AS src_hi, count(*) AS n_pairs " +
         "FROM vpairs JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "e49_threshold_sweep" -> {
+      val jac = "len(list_intersect(a.shs, b.shs))::DOUBLE / " +
+        "(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE"
+      s"WITH $sqlLshPairCtes, " +
+        s"j AS (SELECT $jac AS jaccard FROM cand c " +
+        "JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b), " +
+        "t(threshold) AS (VALUES (0.3::DOUBLE), (0.5::DOUBLE), (0.7::DOUBLE), (0.9::DOUBLE)) " +
+        "SELECT threshold, " +
+        "CAST(coalesce(sum(CASE WHEN jaccard >= threshold THEN 1 END), 0) AS BIGINT) AS n_pairs, " +
+        "(SELECT count(*) FROM j) AS n_candidates " +
+        "FROM t CROSS JOIN j GROUP BY threshold ORDER BY threshold"
+    },
     "e45_minhash_estimate" -> {
       val matches = (0 until LshK)
         .map(j => s"(CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END)").mkString(" + ")
