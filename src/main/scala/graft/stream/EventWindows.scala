@@ -509,6 +509,32 @@ object EventWindows {
           col("n"), col("sv").cast("double").as("sum_value"))
     }
 
+  /** Targeted BACKFILL / repair of the f18 state (f20): build the
+    * maintained view, drop one day's partition (simulating corruption or
+    * a bad upstream day), and re-run the SAME merge step over ONLY that
+    * day's source rows. Repair cost is O(one day), and because the merge
+    * is the identical associative fold, the repaired state is bit-equal
+    * to the never-corrupted one — maintain and repair are one code path,
+    * not two. `day` picks the lexicographically first state partition.
+    */
+  def mviewBackfill(spark: SparkSession, dir: String,
+      outRoot: String = "/root/repo/target/fixtures/out/f20"): DataFrame = {
+    val built = mviewMaintainStream(spark, dir, outRoot)
+    val state = new java.io.File(outRoot, "state")
+    val stage = new java.io.File(outRoot, "state_stage")
+    val day = Option(state.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(_.getName.stripPrefix("day=")).sorted.head
+    wipe(new java.io.File(state, s"day=$day")) // the corrupted/bad day
+    val dayRows = graft.rel.Q.events(spark, dir)
+      .filter(date_format(col("ts").cast(TimestampType).cast("date"),
+        "yyyy-MM-dd") === day)
+    mviewMergeDaily(dayRows, state, stage) // same merge = the repair
+    built.sparkSession.read.parquet(state.getPath)
+      .select(col("day").cast("string").as("day"), col("event_type"),
+        col("n"), col("sv").cast("double").as("sum_value"))
+  }
+
   /** One IVM step (the foreachBatch body, separated for unit tests):
     * partial-aggregate the batch, read the current state of ONLY the days
     * it touches, add counts and exact-decimal sums, and swap those day

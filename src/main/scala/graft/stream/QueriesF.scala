@@ -189,7 +189,14 @@ object QueriesF {
     // converged top-k equals the batch df top-k (the oracle) under any
     // micro-batch split.
     "f19_stream_trending" -> ((s, dir) =>
-      TrendingTerms.trendingStream(s, dir))
+      TrendingTerms.trendingStream(s, dir)),
+
+    // f20: targeted backfill — drop one day of the f18 maintained view
+    // and repair it by replaying ONLY that day through the same merge;
+    // the repaired state equals the from-scratch aggregate (the oracle),
+    // proving maintain and repair are one associative code path.
+    "f20_stream_backfill" -> ((s, dir) =>
+      EventWindows.mviewBackfill(s, dir).orderBy("day", "event_type"))
   )
 
   /** Shared oracle fragments: es = whole seconds since epoch (exact integer
@@ -301,6 +308,11 @@ object QueriesF {
         "FROM events ORDER BY event_id"),
     // the maintained view must equal a from-scratch daily aggregate
     "f18_stream_mview" ->
+      ("SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    // the repaired view must equal the from-scratch daily aggregate
+    "f20_stream_backfill" ->
       ("SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
