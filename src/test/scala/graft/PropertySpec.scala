@@ -159,6 +159,51 @@ object GraftSparkProps extends Properties("graft-spark") {
     }
   }
 
+  private val keyedBatches: Gen[List[List[(Int, Long)]]] = for {
+    n <- Gen.chooseNum(1, 18)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.chooseNum(0, 4); v <- Gen.chooseNum(1L, 9L)
+    } yield (k, v))
+    cut1 <- Gen.chooseNum(0, n)
+    cut2 <- Gen.chooseNum(0, n)
+  } yield {
+    val (a, b) = (math.min(cut1, cut2), math.max(cut1, cut2))
+    List(rows.take(a), rows.slice(a, b), rows.drop(b)).filter(_.nonEmpty)
+  }
+
+  property("mergeTouchedPartitions folds any batch sequence to the direct aggregate") = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    var run = 0
+    forAll(keyedBatches) { batches =>
+      run += 1
+      val root = new java.io.File(s"/root/repo/target/fixtures/test/mtp_prop/$run")
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete(): Unit
+      }
+      wipe(root); root.mkdirs()
+      val state = new java.io.File(root, "state")
+      val stage = new java.io.File(root, "stage")
+      batches.foreach { b =>
+        val partial = b.toDF("bucket", "v")
+          .groupBy("bucket").agg(org.apache.spark.sql.functions.sum($"v").as("s"))
+        graft.api.Database.mergeTouchedPartitions(partial, "bucket", state, stage) {
+          (existing, p) =>
+            existing.fold(p)(p.unionByName(_)).groupBy("bucket")
+              .agg(org.apache.spark.sql.functions.sum($"s").as("s"))
+        }
+      }
+      val got =
+        if (!state.isDirectory) Map.empty[Int, Long]
+        else spark.read.parquet(state.getPath)
+          .collect().map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("s")).toMap
+      val model = batches.flatten.groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).sum }
+      got == model
+    }
+  }
+
   private val termDocs: Gen[(List[(Long, String)], Int)] = for {
     n <- Gen.chooseNum(1, 12)
     texts <- Gen.listOfN(n, Gen.chooseNum(0, 5).flatMap(k =>
