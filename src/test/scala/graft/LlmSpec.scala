@@ -487,6 +487,39 @@ class LlmSpec extends AnyFunSuite {
     assert(m(4L) == (("low_quality", -1L)), "gate drop has no canonical")
   }
 
+  test("e45 estimator: identical docs estimate and measure Jaccard 1.0 exactly") {
+    val txt = "alpha beta gamma delta epsilon zeta"
+    val dir = craftedDocsDir("e45", Seq((1L, txt, 40L), (2L, txt, 40L)))
+    val rows = graft.llm.QueriesE.all("e45_minhash_estimate")(spark, dir).collect()
+    assert(rows.length == 1, "one banded candidate pair")
+    val r = rows(0)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0,
+      s"identical docs: jaccard=est=1, err=0; got $r")
+  }
+
+  test("e46 source overlap buckets the near-dup pair into the unordered cell") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta " * 10
+    val dir = "/root/repo/target/fixtures/test/docs_e46"
+    import spark.implicits._
+    Seq((1L, txt, "web", txt.length.toLong), (2L, txt, "books", txt.length.toLong))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.llm.QueriesE.all("e46_source_overlap")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows == Map(("books", "web") -> 1L),
+      s"unordered (lo, hi) cell with one pair: $rows")
+  }
+
+  test("e49 sweep: survival counts are monotone non-increasing in the threshold") {
+    val out = graft.llm.QueriesE.all("e49_threshold_sweep")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(0.3, 0.5, 0.7, 0.9))
+    val counts = out.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"higher cutoff can only lose pairs: ${counts.toSeq}")
+    assert(out.forall(r => r._2 <= r._3), "survivors bounded by candidates")
+  }
+
   test("e31 source mix: weights normalize to 1 and order by token mass") {
     val out = graft.llm.QueriesE.all("e31_source_mix")(spark, TestSpark.Sf)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
