@@ -171,6 +171,28 @@ object GraftSparkProps extends Properties("graft-spark") {
     List(rows.take(a), rows.slice(a, b), rows.drop(b)).filter(_.nonEmpty)
   }
 
+  private val asciiText: Gen[String] =
+    Gen.chooseNum(0, 24).flatMap(n => Gen.stringOfN(n, Gen.asciiPrintableChar))
+
+  property("rollingFingerprint = min polynomial hash over 8-char windows (model)") = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    forAll(asciiText) { t =>
+      val got = Seq(t).toDF("text")
+        .select(graft.llm.Dedup.rollingFingerprint(org.apache.spark.sql.functions.col("text")).as("rh"))
+        .collect()(0)
+      val w = 8
+      val pows = Array.iterate(1L, w)(_ * 31L)
+      if (t.length < w) got.isNullAt(0)
+      else {
+        val model = (0 to t.length - w).map { i =>
+          (0 until w).map(j => t.charAt(i + j).toLong * pows(w - 1 - j)).sum
+        }.min
+        !got.isNullAt(0) && got.getLong(0) == model
+      }
+    }
+  }
+
   property("mergeTouchedPartitions folds any batch sequence to the direct aggregate") = {
     val spark = TestSpark.spark
     import spark.implicits._
