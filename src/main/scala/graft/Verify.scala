@@ -17,6 +17,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
       // default; read as long ns and convert (see graft.rel.Q.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -325,6 +325,30 @@ class SpatialSpec extends AnyFunSuite {
     assert(n, "interior point covered via the SQL surface with INT coords")
   }
 
+  test("NormalizeIdempotence collapses layered normalize/force2D calls in the plan") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.spatial.StFunctions._
+    // parquet-backed input so constant folding cannot evaluate the
+    // expressions away; views layering cleaning steps produce this shape
+    val p = "/root/repo/target/fixtures/test/rule_wkt"
+    Seq("POINT (1 2)").toDF("wkt").write.mode("overwrite").parquet(p)
+    val df = spark.read.parquet(p)
+      .select(stNormalizeWkt(stNormalizeWkt(col("wkt"))).as("a"),
+        stNormalizeWkt(stForce2DJts(col("wkt"))).as("b"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert("st_normalize_wkt".r.findAllIn(optimized).size == 1,
+      s"nested + post-force2d normalize both fold away:\n$optimized")
+    // the session picked the rule up via spark.sql.extensions, and the
+    // injected SQL functions resolve without a register() call
+    val viaSql = spark.sql("SELECT st_normalize_wkt('POINT(3 4)') AS w")
+      .collect()(0).getString(0)
+    assert(viaSql == "POINT (3 4)", s"extension-injected function works: $viaSql")
+    // semantics unchanged by the fold
+    val r = df.collect()(0)
+    assert(r.getString(0) == "POINT (1 2)" && r.getString(1) == "POINT (1 2)")
+  }
+
   test("stArea/stLength: exact on integer rectangles and Pythagorean lines") {
     import org.apache.spark.sql.functions.lit
     import spark.implicits._
