@@ -45,4 +45,35 @@ object Caches {
     var df = q.poll()
     while (df != null) { df.unpersist(); df = q.poll() }
   }
+
+  /** SESSION-lifetime memo for intermediates shared ACROSS queries (the
+    * per-thread [[drain]] registry is per-query). First use builds,
+    * persists, and eagerly materializes the frame (the eager count pins the
+    * cache before the caller's drain unpersists upstream per-query caches
+    * the plan references — e.g. connectedComponents' label fixpoint);
+    * later uses return the cached frame. Used for the LSH verified-pair
+    * graph and its components closure, which e17/e19/e28/e46 would
+    * otherwise each recompute from scratch (~17 s of a 104 s bench at
+    * sf0.1). The memoized relations are pair/label tables — O(candidate
+    * pairs), tiny relative to the corpus at any scale. [[clearMemo]] frees
+    * them (harness end / tests that mutate their inputs).
+    */
+  private val memoMap = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def memo(key: String)(build: => DataFrame): DataFrame =
+    memoMap.get(key) match {
+      case Some(df) => df
+      case None =>
+        val df = build.persist()
+        df.count(): Unit // pin the cache before upstream per-query caches drain
+        memoMap.putIfAbsent(key, df) match {
+          case Some(prior) => df.unpersist(); prior
+          case None => df
+        }
+    }
+
+  def clearMemo(): Unit = {
+    memoMap.values.foreach(_.unpersist())
+    memoMap.clear()
+  }
 }

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text corpora (BASELINE.json
@@ -47,16 +46,24 @@ object Dedup {
     }
 
   /** Exact-duplicate clustering: cluster id = min doc id sharing the text
-    * digest. One shuffle on the digest. NULL text carries no equality
-    * evidence — such docs each stay their own cluster (mirrors the
-    * null-signature guard in [[minhashClusters]]) instead of being grouped
-    * into one all-nulls window partition.
+    * digest. NULL text carries no equality evidence — such docs each stay
+    * their own cluster (the left join misses on a null key, mirroring the
+    * null-signature guard in [[minhashClusters]]).
+    *
+    * The per-digest min is a MAP-SIDE-COMBINED `groupBy.agg(min)` + join
+    * back (the e30 recipe), NOT a window over the digest: a window forces
+    * every row of one key onto a single task, so the canonical web-corpus
+    * pathology — one boilerplate page duplicated 10⁸× — would serialize.
+    * The aggregate reduces each hot key locally per partition and the join
+    * back shuffles both sides on the same digest key Catalyst already
+    * planned for the aggregate.
     */
   def exactClusters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol)))
-    df.select(col(idCol),
-      when(col(textCol).isNull, col(idCol))
-        .otherwise(min(col(idCol)).over(w)).as("cluster_id"))
+    val keyed = df.select(col(idCol), md5(col(textCol)).as("_digest"))
+    val mins = keyed.filter(col("_digest").isNotNull)
+      .groupBy("_digest").agg(min(col(idCol)).as("_min_id"))
+    keyed.join(mins, Seq("_digest"), "left")
+      .select(col(idCol), coalesce(col("_min_id"), col(idCol)).as("cluster_id"))
       .withColumn("is_dup", col(idCol) =!= col("cluster_id"))
   }
 
@@ -72,14 +79,18 @@ object Dedup {
       graft.functions.TextExpressions.minhashSig(col(textCol), n, k).as("_sig"))
     val sigCols = (0 until k).map(j => col("_sig").getItem(j).as(s"s$j"))
     val named = sig.select(col(idCol) +: sigCols: _*)
-    val w = Window.partitionBy((0 until k).map(j => col(s"s$j")): _*)
-    // docs shorter than n tokens have NULL signatures — they carry no
-    // similarity evidence and must each stay their own cluster, not be
-    // lumped together by null-grouping
-    named.select(col(idCol),
-        concat_ws("|", (0 until k).map(j => col(s"s$j")): _*).as("signature"),
-        when(col("s0").isNull, col(idCol))
-          .otherwise(min(col(idCol)).over(w)).as("cluster_id"))
+    val sigKey = (0 until k).map(j => s"s$j")
+    // per-signature min id via map-side-combined aggregate + join back —
+    // same hot-key rationale as [[exactClusters]]. Docs shorter than n
+    // tokens have NULL signatures: they carry no similarity evidence and
+    // each stay their own cluster (the null key joins to nothing; the
+    // kernel emits all-or-nothing null signatures, so s0 is the witness).
+    val mins = named.filter(col("s0").isNotNull)
+      .groupBy(sigKey.map(col): _*).agg(min(col(idCol)).as("_min_id"))
+    named.join(mins, sigKey, "left")
+      .select(col(idCol),
+        concat_ws("|", sigKey.map(col): _*).as("signature"),
+        coalesce(col("_min_id"), col(idCol)).as("cluster_id"))
       .withColumn("is_dup", col(idCol) =!= col("cluster_id"))
   }
 

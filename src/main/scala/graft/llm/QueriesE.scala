@@ -93,6 +93,27 @@ object QueriesE {
       .filter(col("jaccard") >= LshJaccard)
   }
 
+  /** The verified pair graph over the FULL documents table, memoized for
+    * the life of the session: e17 (pairs), e19/e28 (components), e46
+    * (source rollup) all consume the identical fixpoint — recomputing it
+    * per query was ~17 s of the 104 s sf0.1 bench. The memo key is the
+    * data directory, so crafted-fixture tests get their own entries; the
+    * cached relation is the candidate-pair table (O(pairs), tiny).
+    * e20/e48 gate the corpus FIRST and need the pair graph of their gated
+    * subset — they cannot share this and build their own.
+    */
+  private def sharedVerifiedPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.memo(s"lsh-vpairs|$dir")(
+      lshVerifiedPairs(t(s, dir, "documents")))
+
+  /** Memoized components closure over [[sharedVerifiedPairs]] (e19/e28). */
+  private def sharedComponents(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.memo(s"lsh-comps|$dir")(
+      Dedup.connectedComponents(t(s, dir, "documents"), "doc_id",
+        sharedVerifiedPairs(s, dir)))
+
   /** DuckDB CTE chain reproducing [[lshVerifiedPairs]] byte-for-byte over
     * source relation `src`: minhash signatures → band digests → candidate
     * pairs → exact-Jaccard verified `vpairs(id_a, id_b, jaccard)`.
@@ -390,7 +411,7 @@ object QueriesE {
     // oracle-checked query: candidates that truly share ≥ half their
     // 3-gram shingle set are reported with their exact Jaccard.
     "e17_neardup_lsh" -> ((s, dir) =>
-      lshVerifiedPairs(t(s, dir, "documents")).orderBy("id_a", "id_b")),
+      sharedVerifiedPairs(s, dir).orderBy("id_a", "id_b")),
 
     // e19: near-dup CLUSTERS — connected components over the e17 pair
     // graph (pairs alone under-remove: A~B, B~C must collapse into one
@@ -398,13 +419,11 @@ object QueriesE {
     // round, rounds = graph diameter; the DuckDB oracle reproduces the
     // closure with a recursive CTE. This is the end deliverable a
     // training-data dedup pipeline keeps: doc → cluster representative.
-    "e19_neardup_components" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.connectedComponents(docs, "doc_id", lshVerifiedPairs(docs))
+    "e19_neardup_components" -> ((s, dir) =>
+      sharedComponents(s, dir)
         .select(col("id").as("doc_id"), col("cluster_id"),
           (col("cluster_id") =!= col("id")).as("is_dup"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // e18: IVF ANN — deterministic Lloyd k-means partitions vectors into
     // 8 inverted lists; the query probes its 2 nearest lists and ranks by
@@ -424,20 +443,22 @@ object QueriesE {
     // per-source corpus stats. Composes the individually-verified stages
     // (e11 scoring, e1 exact dedup, e17/e19 near-dup closure) into the
     // deliverable shape: "what survives cleaning, and how many tokens is
-    // it". Every stage is the scale-path formulation (window on digest,
-    // banded LSH, component propagation). At 100 TB the cleaned corpus
-    // (`exact`) would be checkpointed to storage between stages; here the
-    // consumers re-derive it (cheap at bench scale, and Catalyst prunes
-    // each consumer's columns independently).
+    // it". Every stage is the scale-path formulation (map-side-combined
+    // min-per-digest + join back — a window on the digest would serialize
+    // a hot boilerplate key onto one task — banded LSH, component
+    // propagation). At 100 TB the cleaned corpus (`exact`) would be
+    // checkpointed to storage between stages; here the consumers re-derive
+    // it (cheap at bench scale, and Catalyst prunes each consumer's
+    // columns independently).
     "e20_corpus_prep" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val gated = docs.filter(col("lang") === "en" &&
         TextStats.qualityScore(col("text"), col("n_chars")) >= 0.5)
-      val w = Window.partitionBy(md5(col("text")))
-      val exact = gated
-        .withColumn("_min_id", min(col("doc_id")).over(w))
-        .filter(col("doc_id") === col("_min_id")).drop("_min_id")
+      // the quality gate already drops NULL texts (null predicate), so the
+      // digest key is never null and the winner join is inner
+      val mins = gated.groupBy(md5(col("text")).as("_digest"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val exact = gated.join(mins.select("doc_id"), Seq("doc_id"), "left_semi")
       val comps = Dedup.connectedComponents(exact, "doc_id", lshVerifiedPairs(exact))
       val reps = exact.join(
         comps.filter(col("id") === col("cluster_id")).select(col("id").as("doc_id")),
@@ -573,7 +594,7 @@ object QueriesE {
     // task.
     "e28_canonical_keep" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val comps = Dedup.connectedComponents(docs, "doc_id", lshVerifiedPairs(docs))
+      val comps = sharedComponents(s, dir)
       val scored = docs.select(col("doc_id"),
         TextStats.qualityScore(col("text"), col("n_chars")).as("score"))
       val joined = comps.select(col("id").as("doc_id"), col("cluster_id"))
@@ -795,19 +816,40 @@ object QueriesE {
     // e36: training-sequence packing — concatenate each source's docs into
     // a token stream (doc_id order) and chunk it into fixed 512-token
     // training sequences, GPT-style: docs may straddle a sequence boundary.
-    // The offset is an exclusive running sum per source (one shuffle on
-    // source); at petabyte scale the identical prefix-sum runs as
-    // range-partition + broadcast per-range offsets — the formula per doc
-    // is unchanged. All arithmetic is exact integer (DIV/MOD).
+    // The offset is an exclusive running sum per source, computed as the
+    // DISTRIBUTED prefix sum (the e44 recipe): a bare window partitioned by
+    // source would sort each source's ENTIRE stream on one task (sources
+    // are few; their groups grow with the corpus). Instead: range-partition
+    // by the global (source, doc_id) order, reduce each partition to one
+    // token total (tiny driver collect), broadcast the per-(source,
+    // partition) exclusive offsets back, and finish with a PER-PARTITION
+    // running-sum window. The offsets are defined by the global order
+    // alone, so the result is independent of where the range boundaries
+    // fall. All arithmetic is exact integer (DIV/MOD).
     "e36_pack_sequences" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val budget = 512L
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, dir, "documents")
+      val parts = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           TextStats.wsTokens(col("text")).as("tokens"))
-        .withColumn("off", coalesce(sum(col("tokens")).over(w), lit(0L)))
+        .repartitionByRange(32, col("source"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .transform(graft.Caches.persistTracked) // totals pass + window pass
+      val totals = parts.groupBy("source", "pid")
+        .agg(coalesce(sum(col("tokens")), lit(0L)).as("t"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      val off: Map[String, Long] = totals.groupBy(_._1).flatMap {
+        case (src, rows) =>
+          var acc = 0L
+          rows.sortBy(_._2).map { case (_, pid, tot) =>
+            val o = acc; acc += tot; s"$src|$pid" -> o
+          }
+      }
+      val w = Window.partitionBy("source", "pid").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      parts
+        .withColumn("off", coalesce(sum(col("tokens")).over(w), lit(0L)) +
+          element_at(typedLit(off), concat_ws("|", col("source"), col("pid"))))
         .select(col("doc_id"), col("source"), col("tokens"), col("off"),
           expr(s"off DIV $budget").as("seq_first"),
           expr(s"(off + tokens - 1) DIV $budget").as("seq_last"),
@@ -1053,7 +1095,7 @@ object QueriesE {
     "e46_source_overlap" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val src = docs.select(col("doc_id"), col("source"))
-      lshVerifiedPairs(docs)
+      sharedVerifiedPairs(s, dir)
         .join(src.as("sa"), col("id_a") === col("sa.doc_id"))
         .join(src.as("sb"), col("id_b") === col("sb.doc_id"))
         .select(least(col("sa.source"), col("sb.source")).as("src_lo"),

@@ -39,6 +39,22 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // broadcast) — the ANN side under evaluation stays an equi-join
       "e41_ann_recall")
 
+  /** E-group queries whose plans intentionally contain a Window exec. The
+    * forbidden class is a window partitioned by a DATA-DEPENDENT UNBOUNDED
+    * key — a content digest or signature, where one hot key (a boilerplate
+    * page duplicated 10⁸×) grows with the corpus and serializes onto a
+    * single task; those must use the groupBy(min)+join-back recipe
+    * (Dedup.exactClusters, e30). The windows below all partition on
+    * bounded groups:
+    *  - e29: per-doc top-3 — group size = distinct words in ONE document;
+    *  - e41: per-query top-10 — group size = candidates of one query;
+    *  - e36/e44: per-RANGE-PARTITION running sums (the distributed prefix
+    *    sum) — group size = one range partition by construction.
+    */
+  private val BoundedGroupWindows =
+    Set("e29_tfidf_keywords", "e41_ann_recall", "e36_pack_sequences",
+      "e44_budget_trim")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, TestSpark.Sf)
@@ -49,6 +65,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
       if (!SingleRowCrossJoins.contains(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a BroadcastNestedLoopJoin — nested loop at scale")
+      if (name.startsWith("e") && !BoundedGroupWindows.contains(name))
+        assert(!plan.contains("Window"),
+          s"$name plans a Window — E-group windows must be in the audited " +
+            "bounded-group allowlist (hot digest keys serialize at scale)")
       val n = df.count()
       assert(n >= 0)
       Caches.drain() // free per-query tracked intermediates, like the harnesses
