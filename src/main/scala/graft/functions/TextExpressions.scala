@@ -83,29 +83,71 @@ object MinhashKernel {
     sb.toString
   }
 
+  /** Permutation prefixes `"0|"`, `"1|"`, … as UTF-8 bytes (ASCII), cached
+    * for the k values in use — lets [[sig]] hash `update(prefix);
+    * update(shingle)` instead of allocating the concatenated string per
+    * (permutation, shingle). UTF-8 of a concatenation is the concatenation
+    * of the UTF-8 encodings, so the digested bytes are identical.
+    */
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Byte]]]()
+  private def prefixes(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k,
+      _ => Array.tabulate(k)(p => (p.toString + "|").getBytes(StandardCharsets.UTF_8)))
+
+  /** Unsigned lexicographic byte compare — the same order as comparing the
+    * lowercase-hex renderings (each hex digit pair preserves the unsigned
+    * byte order), so the min digest can be chosen on raw bytes and
+    * hex-rendered once at the end.
+    */
+  private def cmpUnsigned(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
+
   /** k minhash values over word n-gram shingles of `text`, or null when the
     * doc has no shingles. Exactly `min_x md5(j + "|" + x)` per permutation
     * j — the same tokenization (`split(" ", -1)`, trailing empties kept) and
     * the same bytes hashed as the Spark HOF spec and the DuckDB oracle.
+    * Hot path (every banding/near-dup operator runs it per doc): digests
+    * are compared as raw bytes into a reused scratch buffer — the only
+    * per-hash allocation is the defensive copy when a new min is found.
     */
   def sig(text: String, n: Int, k: Int): Array[String] = {
     val tokens = text.split(" ", -1)
     if (tokens.length < n) return null
     val d = md5.get()
-    val mins = new Array[String](k)
+    val pfx = prefixes(k)
+    val mins = new Array[Array[Byte]](k)
+    val scratch = new Array[Byte](16)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i <= tokens.length - n) {
       val shingle = shingleAt(tokens, i, n, sb)
+      val sBytes = shingle.getBytes(StandardCharsets.UTF_8)
       var p = 0
       while (p < k) {
-        val h = md5Hex(d, p.toString + "|" + shingle)
-        if (mins(p) == null || h.compareTo(mins(p)) < 0) mins(p) = h
+        d.reset()
+        d.update(pfx(p))
+        d.update(sBytes)
+        d.digest(scratch, 0, 16): Unit
+        if (mins(p) == null || cmpUnsigned(scratch, mins(p)) < 0)
+          mins(p) = scratch.clone()
         p += 1
       }
       i += 1
     }
-    mins
+    mins.map(hexOf)
+  }
+
+  /** Lowercase-hex rendering of a 16-byte digest. */
+  private def hexOf(bytes: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = Hex((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = Hex(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** [[sig]] boxed as Catalyst ArrayData (codegen entry point). */

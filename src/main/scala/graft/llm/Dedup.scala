@@ -265,23 +265,55 @@ object Dedup {
       dir: String): DataFrame =
     spark.readStream.schema(docsSchema).parquet(s"$dir/documents.*")
 
+  /** Bucket count of the persisted band-digest index: the index is laid
+    * out as `bucket=<xxhash64(digest) mod IndexBuckets>/` parquet
+    * partitions (the f19/mergeTouchedPartitions state recipe), so an
+    * ingesting batch reads ONLY the buckets its own digests hash into —
+    * per-batch IO is O(index/IndexBuckets × touched buckets), never the
+    * whole corpus's digests. At 100 TB this constant scales up with the
+    * corpus (buckets should hold ~1 HDFS block each — thousands of
+    * buckets); at bench scale it stays small because every bucket dir
+    * costs one file commit per ingesting batch. Digests are md5, so the
+    * xxhash64 bucketing is uniform regardless of key skew.
+    */
+  val IndexBuckets = 16
+
+  /** The index partition column for a digest. */
+  def indexBucket(digest: Column): Column =
+    pmod(xxhash64(digest), lit(IndexBuckets.toLong))
+
+  /** The existing index partition dirs a batch's touched buckets map to —
+    * factored out so tests can pin that a batch reads only its buckets.
+    */
+  private[graft] def touchedIndexDirs(index: java.io.File,
+      buckets: Seq[Long]): Seq[java.io.File] =
+    buckets.distinct.sorted.map(b => new java.io.File(index, s"bucket=$b"))
+      .filter(_.isDirectory)
+
   /** One streaming near-dup INGEST step (the foreachBatch body, separated
     * for unit tests): band the batch with the native minhash kernel, flag
     * each doc that shares a band digest with the PERSISTED index (any
     * previously ingested doc) or with an earlier-id doc of its own batch,
     * append the flags, then fold the batch's digests into the index
-    * (append-only). Per-batch cost is O(batch + collisions) — the corpus
-    * is never re-banded, the streaming twin of e33's incremental ingest.
+    * (append-only, digest-bucketed — see [[IndexBuckets]]). Per-batch cost
+    * is O(batch + touched index buckets + collisions): the corpus is never
+    * re-banded AND never re-read wholesale — only the `bucket=` partitions
+    * the batch's digests hash into are scanned for the index join. The
+    * streaming twin of e33's incremental ingest.
     *
     * Determinism contract: with id-ordered arrival (a replayed corpus
     * file), the union of per-batch flags equals the global earlier-id
-    * candidate rule — which is what the DuckDB oracle computes.
+    * candidate rule — which is what the DuckDB oracle computes. Bucket
+    * pruning cannot change the flags: an index row joining a batch row on
+    * (band, digest) shares its digest, hence its bucket.
     */
   def ingestBatch(batch: DataFrame, index: java.io.File,
       flags: java.io.File): Unit = {
     val sp = batch.sparkSession
-    // consumed by both flag joins and the index append
-    val banded = bandDigests(batch, "doc_id", "text").persist()
+    // consumed by the flag joins, the touched-bucket collect, and the
+    // index append
+    val banded = bandDigests(batch, "doc_id", "text")
+      .withColumn("bucket", indexBucket(col("digest"))).persist()
     try {
       val within = banded
         .select(col("band"), col("digest"), col("doc_id").as("idx_id"))
@@ -289,17 +321,26 @@ object Dedup {
           Seq("band", "digest"))
         .filter(col("idx_id") < col("doc_id"))
         .select(col("doc_id"), col("idx_id"))
+      val touched = banded.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSeq // ≤ IndexBuckets values
+      val dirs = touchedIndexDirs(index, touched)
       val pairs =
-        if (!index.isDirectory) within
+        if (dirs.isEmpty) within
         else within.unionByName(
-          sp.read.parquet(index.getPath).withColumnRenamed("doc_id", "idx_id")
+          sp.read.option("basePath", index.getPath)
+            .parquet(dirs.map(_.getPath): _*)
+            .drop("bucket").withColumnRenamed("doc_id", "idx_id")
             .join(banded, Seq("band", "digest"))
             .select(col("doc_id"), col("idx_id")))
       pairs.groupBy("doc_id")
         .agg(countDistinct(col("idx_id")).as("n_matches"),
           min(col("idx_id")).as("first_match"))
         .write.mode("append").parquet(flags.getPath)
-      banded.write.mode("append").parquet(index.getPath)
+      // cluster rows by bucket before the partitioned append: without it
+      // every task writes a sliver into every bucket dir (tasks × buckets
+      // tiny files per batch); with it each bucket's rows land in one file
+      banded.repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("append").parquet(index.getPath)
     } finally { banded.unpersist(); () }
   }
 
@@ -307,10 +348,11 @@ object Dedup {
     * [[ingestBatch]] (AvailableNow micro-batches, checkpointed) and read
     * back the accumulated flags — every doc that near-duplicates an
     * earlier-ingested one, with its match count and first match.
+    * `outRoot` (index + flags + checkpoint root) is caller-supplied: a
+    * library operator has no business hard-coding a scratch path.
     */
   def ingestStreamToParquet(spark: org.apache.spark.sql.SparkSession,
-      dir: String,
-      outRoot: String = "/root/repo/target/fixtures/out/e38"): DataFrame = {
+      dir: String, outRoot: String): DataFrame = {
     def wipe(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
       f.delete(): Unit

@@ -878,7 +878,8 @@ object QueriesE {
     // global earlier-id candidate rule (the oracle); batch-split
     // invariance is unit-tested.
     "e38_stream_ingest_dedup" -> ((s, dir) =>
-      Dedup.ingestStreamToParquet(s, dir).orderBy("doc_id")),
+      Dedup.ingestStreamToParquet(s, dir,
+        "/root/repo/target/fixtures/out/e38").orderBy("doc_id")),
 
     // e39: inverted-index build — the retrieval artifact a corpus pipeline
     // derives for keyword search/filtering: term (word 2-gram — the

@@ -683,14 +683,54 @@ class LlmSpec extends AnyFunSuite {
     assert(split == Set((3L, 1L, 1L), (5L, 1L, 4L)),
       s"cross-batch dup (3←1) and within-batch dup (5←4) both flag: $split")
     // append-only index: ingesting a batch must not rewrite existing files
+    // (the index is bucket-partitioned, so walk the bucket= dirs)
     val index = new java.io.File(root, "split/index")
-    def files() = index.listFiles().filter(_.getName.endsWith(".parquet"))
-      .map(f => f.getName -> f.lastModified()).toSet
+    def files(): Set[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(index).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toSet
+    }
     val before = files()
     graft.llm.Dedup.ingestBatch(
       Seq((6L, "yet another brand new unique document text")).toDF("doc_id", "text"),
       index, new java.io.File(root, "split/flags"))
     assert(files().intersect(before) == before, "index files must be append-only")
+  }
+
+  test("e38 index is digest-bucketed and a batch reads only its buckets") {
+    import org.apache.spark.sql.functions._
+    val root = new java.io.File("/root/repo/target/fixtures/test/e38bkt")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(root)
+    val index = new java.io.File(root, "index")
+    val flags = new java.io.File(root, "flags")
+    // 12 distinct docs -> 48 band digests spread over many of the 64 buckets
+    val corpus = (1L to 12L).map(i =>
+      (i, s"document number $i with its own distinct running text body $i"))
+    graft.llm.Dedup.ingestBatch(corpus.toDF("doc_id", "text"), index, flags)
+    val onDisk = index.listFiles().filter(_.getName.startsWith("bucket="))
+      .map(_.getName).toSet
+    assert(onDisk.size > 4, s"expected a spread of bucket dirs, got $onDisk")
+    // a one-doc batch touches <= 4 buckets; the dirs selected for its index
+    // join must be exactly its own buckets' dirs — a strict subset of the
+    // index, pinning that ingest IO is O(touched buckets), not O(corpus)
+    val probe = Seq((99L, "a brand new probe document body here")).toDF("doc_id", "text")
+    val banded = graft.llm.Dedup.bandDigests(probe, "doc_id", "text")
+      .withColumn("bucket", graft.llm.Dedup.indexBucket(col("digest")))
+    val touched = banded.select("bucket").distinct().collect().map(_.getLong(0)).toSeq
+    assert(touched.nonEmpty && touched.size <= 4)
+    val dirs = graft.llm.Dedup.touchedIndexDirs(index, touched).map(_.getName).toSet
+    assert(dirs.subsetOf(onDisk))
+    assert(dirs.size < onDisk.size,
+      s"probe batch must read a strict subset of bucket dirs ($dirs vs $onDisk)")
+    assert(dirs == touched.map(b => s"bucket=$b").toSet.intersect(onDisk),
+      "selected dirs must be exactly the probe's existing buckets")
   }
 
   test("e34 corpus diff classifies added/removed/changed correctly") {
