@@ -278,20 +278,62 @@ object QueriesB {
       graft.api.Datum.connect(s"parquet://$dir").execute(ExistsSql)
     }),
 
-    // b20: the rank-function family — ntile / percent_rank / cume_dist in
-    // one window. The ORDER BY is a TOTAL order (price, key): ntile's
-    // bucket boundaries and the tie-sets of percent_rank/cume_dist are
-    // then engine-independent (under a partial order, ntile splits ties
-    // by arbitrary row order — nondeterministic across engines). One hash
-    // partition + sort per group, all four functions share the exchange.
+    // b20: the rank-function family — ntile / percent_rank / cume_dist.
+    // The ORDER BY is a TOTAL order (price, key): ntile's bucket
+    // boundaries and the tie-sets of percent_rank/cume_dist are then
+    // engine-independent (under a partial order, ntile splits ties by
+    // arbitrary row order — nondeterministic across engines).
+    //
+    // NOT one window per priority group: o_orderpriority has 5 values at
+    // any scale factor, so Window.partitionBy(priority) sorts each group's
+    // ENTIRE slice of the table on a single task. Instead the e44 two-pass
+    // recipe: range-partition by the global (priority, price, key) order,
+    // rank WITHIN each range partition, broadcast the per-(priority,
+    // partition) exclusive row-count offsets back, and derive all three
+    // functions arithmetically from the global rank + the per-group total:
+    //   rank rn  = local row_number + offset   (total order ⇒ rank == rn)
+    //   ntile(4) = bucket of rn where the first n%4 buckets hold n/4+1
+    //   percent_rank = (rn-1)/(n-1), cume_dist = rn/n  (same double
+    //   division the window functions evaluate ⇒ identical bits)
+    // No task ever sorts more than one range partition.
     "b20_window_ranks" -> ((s, dir) => {
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, dir, "orders")
+      val base = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-        .withColumn("q4", ntile(4).over(w))
-        .withColumn("pr", percent_rank().over(w))
-        .withColumn("cd", cume_dist().over(w))
+        .repartitionByRange(32, col("o_orderpriority"), col("o_totalprice"),
+          col("o_orderkey"))
+        .withColumn("pid", spark_partition_id())
+        .transform(graft.Caches.persistTracked) // counts pass + rank pass
+      val counts = base.groupBy("o_orderpriority", "pid")
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      val nByGroup: Map[String, Long] =
+        counts.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._3).sum }
+      val off: Map[String, Long] = counts.groupBy(_._1).flatMap {
+        case (g, rs) =>
+          var acc = 0L
+          rs.sortBy(_._2).map { case (_, pid, c) =>
+            val o = acc; acc += c; s"$g|$pid" -> o
+          }
+      }
+      val w = Window.partitionBy("o_orderpriority", "pid")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      base
+        .withColumn("rn", row_number().over(w).cast("long") +
+          element_at(typedLit(off),
+            concat_ws("|", col("o_orderpriority"), col("pid"))))
+        .withColumn("n", element_at(typedLit(nByGroup), col("o_orderpriority")))
+        .withColumn("q4", expr(
+          """CAST(CASE WHEN rn <= (n % 4) * (n DIV 4 + 1)
+            |  THEN (rn - 1) DIV (n DIV 4 + 1) + 1
+            |  ELSE n % 4 + (rn - (n % 4) * (n DIV 4 + 1) - 1)
+            |         DIV GREATEST(n DIV 4, 1) + 1
+            |END AS INT)""".stripMargin))
+        .withColumn("pr", expr(
+          "CASE WHEN n = 1 THEN 0.0" +
+            " ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END"))
+        .withColumn("cd", expr("CAST(rn AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          col("q4"), col("pr"), col("cd"))
         .orderBy("o_orderkey")
     }),
 
