@@ -182,10 +182,90 @@ object Projection {
     TransverseMercator(invF, 6.0 * zone - 183.0, 0.9996, 500000.0,
       if (north) 0.0 else 10000000.0)
 
+  // ---- EPSG:3857 Web Mercator (Pseudo-Mercator), EPSG method 1024 ---------
+
+  /** Web map tiles' CRS: SPHERICAL Mercator formulas on the WGS84
+    * semi-major axis (that is the EPSG definition — the deliberate
+    * ellipsoid-as-sphere approximation is what makes 3857 "pseudo"):
+    * x = a·λ, y = a·ln(tan(π/4 + φ/2)). The classic bounds follow:
+    * x(±180°) = y(±85.05112878°) = ±20037508.342789244 m.
+    */
+  private object WebMercator3857 extends Crs {
+    def fromGeo(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lat = math.toRadians(latDeg)
+      (A * math.toRadians(lonDeg), A * math.log(math.tan(math.Pi / 4 + lat / 2)))
+    }
+    def toGeo(x: Double, y: Double): (Double, Double) =
+      (math.toDegrees(x / A),
+        math.toDegrees(math.Pi / 2 - 2 * math.atan(math.exp(-y / A))))
+  }
+
+  // ---- EPSG:5070 NAD83 / Conus Albers, Snyder pp. 98-102 ------------------
+
+  /** Albers Equal-Area Conic 2SP on GRS80 — the CRS national-statistics
+    * work projects CONUS into (EPSG:5070: φ0 = 23°N, λ0 = 96°W, standard
+    * parallels 29°30′ / 45°30′, FE = FN = 0, metres). Ellipsoidal form via
+    * the authalic-latitude function q(φ) (Snyder eq. 3-12, 14-3..14-11);
+    * the inverse iterates Snyder eq. 3-16 from φ = asin(q/2).
+    */
+  private object Albers5070 extends Crs {
+    private val F_ = 1.0 / Grs80InvF
+    private val E2 = 2 * F_ - F_ * F_
+    private val E = math.sqrt(E2)
+
+    private val Lat0 = math.toRadians(23.0)
+    private val Lon0 = math.toRadians(-96.0)
+    private val Lat1 = math.toRadians(29.5)
+    private val Lat2 = math.toRadians(45.5)
+
+    private def q(lat: Double): Double = {
+      val s = math.sin(lat)
+      (1 - E2) * (s / (1 - E2 * s * s) -
+        (1 / (2 * E)) * math.log((1 - E * s) / (1 + E * s)))
+    }
+    private def m(lat: Double): Double =
+      math.cos(lat) / math.sqrt(1 - E2 * math.sin(lat) * math.sin(lat))
+
+    private val M1 = m(Lat1)
+    private val M2 = m(Lat2)
+    private val N_ = (M1 * M1 - M2 * M2) / (q(Lat2) - q(Lat1))
+    private val C = M1 * M1 + N_ * q(Lat1)
+    private def rho(lat: Double): Double = A * math.sqrt(C - N_ * q(lat)) / N_
+    private val Rho0 = rho(Lat0)
+
+    def fromGeo(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lat = math.toRadians(latDeg); val lon = math.toRadians(lonDeg)
+      val r = rho(lat)
+      val th = N_ * (lon - Lon0)
+      (r * math.sin(th), Rho0 - r * math.cos(th))
+    }
+
+    def toGeo(x: Double, y: Double): (Double, Double) = {
+      val r = math.sqrt(x * x + (Rho0 - y) * (Rho0 - y))
+      val th = math.atan2(x, Rho0 - y) // N_ > 0 for 5070
+      val qv = (C - r * r * N_ * N_ / (A * A)) / N_
+      // iterate Snyder eq. 3-16 from the spherical seed φ = asin(q/2)
+      var lat = math.asin(qv / 2)
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(lat)
+        val oneM = 1 - E2 * s * s
+        val next = lat + (oneM * oneM / (2 * math.cos(lat))) *
+          (qv / (1 - E2) - s / oneM +
+            (1 / (2 * E)) * math.log((1 - E * s) / (1 + E * s)))
+        if (math.abs(next - lat) < 1e-14) { lat = next; i = 15 }
+        else { lat = next; i += 1 }
+      }
+      (math.toDegrees(Lon0 + th / N_), math.toDegrees(lat))
+    }
+  }
+
   /** SRID → CRS (EPSG parameter registry — public). */
   def crsFor(srid: Int): Option[Crs] = srid match {
     case 4326                          => Some(Geographic)
     case 2272                          => Some(Lcc2272)
+    case 3857                          => Some(WebMercator3857)
+    case 5070                          => Some(Albers5070)
     case z if z >= 32601 && z <= 32660 => Some(utm(z - 32600, north = true, Wgs84InvF))
     case z if z >= 32701 && z <= 32760 => Some(utm(z - 32700, north = false, Wgs84InvF))
     case z if z >= 26901 && z <= 26923 => Some(utm(z - 26900, north = true, Grs80InvF))
@@ -216,6 +296,7 @@ object Projection {
         val bad = Seq(fromSrid -> crsFor(fromSrid), toSrid -> crsFor(toSrid))
           .collect { case (s, None) => s }.mkString(", ")
         throw new IllegalArgumentException(
-          s"Unsupported SRID(s) $bad (supported: 4326, 2272, UTM 326xx/327xx/269xx)")
+          s"Unsupported SRID(s) $bad " +
+            "(supported: 4326, 2272, 3857, 5070, UTM 326xx/327xx/269xx)")
     }
 }

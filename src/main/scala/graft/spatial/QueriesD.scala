@@ -233,10 +233,53 @@ object QueriesD {
       val props = new java.io.File(root, "d8_geo.parquet.properties")
       java.nio.file.Files.writeString(props.toPath, "srid=2272\ngeom_type=POINT\n")
       db.table("d8_geo").read(toSrid = Some(26918), sort = Seq("gid"))
+    }),
+
+    // d13: State Plane → Web Mercator (EPSG:3857) through the façade — the
+    // web-tile target a municipal datum user asks for first (spherical
+    // pseudo-Mercator, EPSG method 1024; world-bound constant and
+    // conformality pinned in SpatialSpec). VALUES oracle from the frozen
+    // golden outputs (GoldenD).
+    "d13_transform_web" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val root = "/root/repo/target/fixtures/out"
+      new java.io.File(root).mkdirs()
+      val db = Datum.connect(s"parquet://$root")
+      geo(s, dir).select(col("gid"),
+        concat(lit("POINT ("), col("x"), lit(" "), col("y"), lit(")")).as("wkt"))
+        .write.mode("overwrite").parquet(db.pathOf("d13_geo"))
+      val props = new java.io.File(root, "d13_geo.parquet.properties")
+      java.nio.file.Files.writeString(props.toPath, "srid=2272\ngeom_type=POINT\n")
+      db.table("d13_geo").read(toSrid = Some(3857), sort = Seq("gid"))
+    }),
+
+    // d14: State Plane → Conus Albers (EPSG:5070) — the equal-area CRS of
+    // national statistics (Snyder pp. 98-102 ellipsoidal Albers 2SP;
+    // equal-area Jacobian + origin golden pinned in SpatialSpec). VALUES
+    // oracle from the frozen golden outputs (GoldenD).
+    "d14_transform_albers" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val root = "/root/repo/target/fixtures/out"
+      new java.io.File(root).mkdirs()
+      val db = Datum.connect(s"parquet://$root")
+      geo(s, dir).select(col("gid"),
+        concat(lit("POINT ("), col("x"), lit(" "), col("y"), lit(")")).as("wkt"))
+        .write.mode("overwrite").parquet(db.pathOf("d14_geo"))
+      val props = new java.io.File(root, "d14_geo.parquet.properties")
+      java.nio.file.Files.writeString(props.toPath, "srid=2272\ngeom_type=POINT\n")
+      db.table("d14_geo").read(toSrid = Some(5070), sort = Seq("gid"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // geometry-math queries: literal-VALUES oracles over the frozen golden
+    // outputs (see GoldenD) — promotes reprojection/linearization into the
+    // driver's hash gate
+    "d5_transform_2272_4326" -> GoldenD.valuesOracle(GoldenD.D5),
+    "d6_curve_to_line" -> GoldenD.valuesOracle(GoldenD.D6),
+    "d8_transform_utm" -> GoldenD.valuesOracle(GoldenD.D8),
+    "d13_transform_web" -> GoldenD.valuesOracle(GoldenD.D13),
+    "d14_transform_albers" -> GoldenD.valuesOracle(GoldenD.D14),
     "d12_geom_measures" ->
       ("SELECT n_nationkey + 1 AS gid, " +
         "CAST((100 + (n_nationkey + 1) * 10) * (50 + (n_nationkey + 1) * 5) AS DOUBLE) AS area, " +

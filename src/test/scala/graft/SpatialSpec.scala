@@ -138,7 +138,102 @@ class SpatialSpec extends AnyFunSuite {
 
   test("projection: unsupported SRID pair raises, identity passes through") {
     assert(Projection.transform(1.0, 2.0, 4326, 4326) == ((1.0, 2.0)))
-    assertThrows[IllegalArgumentException](Projection.transform(0, 0, 4326, 3857))
+    // 27700 (British National Grid) is deliberately outside the registry
+    assertThrows[IllegalArgumentException](Projection.transform(0, 0, 4326, 27700))
+  }
+
+  // ---- Web Mercator (EPSG:3857) ---------------------------------------------
+
+  test("3857: the public world-bound constant and the origin") {
+    // x(180°) = y(85.05112878°) = 20037508.342789244 — the tile-scheme
+    // bound every web-mapping stack publishes (= π·6378137)
+    val bound = 20037508.342789244
+    val (x180, _) = Projection.transform(180.0, 0.0, 4326, 3857)
+    assert(math.abs(x180 - bound) < 1e-6, s"x(180) = $x180")
+    val (_, yTop) = Projection.transform(0.0, 85.05112877980659, 4326, 3857)
+    assert(math.abs(yTop - bound) < 1e-6, s"y(85.051…) = $yTop")
+    // y(0) = a·ln(tan(π/4)) — exactly 0 up to tan's last-bit rounding
+    val (ox, oy) = Projection.transform(0.0, 0.0, 4326, 3857)
+    assert(ox == 0.0 && math.abs(oy) < 1e-8, s"origin -> ($ox,$oy)")
+  }
+
+  test("3857: forward∘inverse identity and square-pixel (conformal) property") {
+    val rnd = new scala.util.Random(7)
+    (1 to 100).foreach { _ =>
+      val lo = -179.0 + rnd.nextDouble() * 358.0
+      val la = -84.0 + rnd.nextDouble() * 168.0
+      val (x, y) = Projection.transform(lo, la, 4326, 3857)
+      val (lo2, la2) = Projection.transform(x, y, 3857, 4326)
+      assert(math.abs(lo2 - lo) < 1e-9 && math.abs(la2 - la) < 1e-9, s"($lo,$la)")
+    }
+    // spherical-Mercator defining property: ∂y/∂φ' = ∂x/∂λ at every point
+    // when latitude is measured in the projection's own (spherical) metric:
+    // a 1e-6 rad step in λ and the CONFORMAL latitude step project to equal
+    // lengths (this is what makes web tiles square)
+    for (lat <- Seq(-60.0, 0.0, 40.0, 75.0)) {
+      val d = 1e-6
+      val (x0, y0) = Projection.transform(10.0, lat, 4326, 3857)
+      val (x1, _) = Projection.transform(10.0 + math.toDegrees(d), lat, 4326, 3857)
+      val dx = x1 - x0
+      // invert: move dy = dx up and check the latitude step round-trips
+      val (_, la2) = Projection.transform(x0, y0 + dx, 3857, 4326)
+      val latR = math.toRadians(lat)
+      // dφ = dy·cosφ/a for spherical Mercator
+      val expected = lat + math.toDegrees(d * math.cos(latR))
+      assert(math.abs(la2 - expected) < 1e-9, s"lat $lat: $la2 vs $expected")
+    }
+  }
+
+  // ---- Conus Albers (EPSG:5070) ---------------------------------------------
+
+  test("5070: projection origin maps to (0, 0) and round-trips") {
+    // EPSG:5070 has FE = FN = 0 at (96°W, 23°N)
+    val (x0, y0) = Projection.transform(-96.0, 23.0, 4326, 5070)
+    assert(math.abs(x0) < 1e-6 && math.abs(y0) < 1e-6, s"origin -> ($x0,$y0)")
+    val rnd = new scala.util.Random(11)
+    (1 to 100).foreach { _ =>
+      val lo = -124.0 + rnd.nextDouble() * 58.0 // CONUS window
+      val la = 24.0 + rnd.nextDouble() * 25.0
+      val (x, y) = Projection.transform(lo, la, 4326, 5070)
+      val (lo2, la2) = Projection.transform(x, y, 5070, 4326)
+      assert(math.abs(lo2 - lo) < 1e-9 && math.abs(la2 - la) < 1e-9, s"($lo,$la)")
+    }
+  }
+
+  test("5070: equal-area — the Jacobian equals the ellipsoidal area element") {
+    // THE defining Albers property (and what distinguishes it from the
+    // conformal conic): the projected area of an infinitesimal cell equals
+    // its ellipsoid area ν·ρ_m·cosφ·dλ·dφ everywhere, not just on the
+    // standard parallels.
+    val a = 6378137.0; val f = 1 / 298.257222101; val e2 = 2 * f - f * f
+    for ((lon, lat) <- Seq((-120.0, 34.0), (-96.0, 29.5), (-80.0, 45.5), (-70.0, 41.0))) {
+      val latR = math.toRadians(lat)
+      val w = math.sqrt(1 - e2 * math.sin(latR) * math.sin(latR))
+      val nu = a / w
+      val rhoM = a * (1 - e2) / (w * w * w)
+      val d = 1e-6
+      val (x0, y0) = Projection.transform(lon, lat, 4326, 5070)
+      val (xe, ye) = Projection.transform(lon + math.toDegrees(d), lat, 4326, 5070)
+      val (xn, yn) = Projection.transform(lon, lat + math.toDegrees(d), 4326, 5070)
+      val jac = math.abs((xe - x0) * (yn - y0) - (ye - y0) * (xn - x0))
+      val ground = nu * math.cos(latR) * d * rhoM * d
+      assert(math.abs(jac / ground - 1.0) < 1e-5,
+        s"area distortion at ($lon,$lat): ${jac / ground}")
+    }
+  }
+
+  test("5070: parallels project to circular arcs centered on the cone axis") {
+    // conic property: all points of one parallel are equidistant from the
+    // cone apex (0, ρ0 + y-offset …) — check three points of the 40°N
+    // parallel share one radius from the apex implied by two of them
+    val pts = Seq(-110.0, -95.0, -80.0)
+      .map(lo => Projection.transform(lo, 40.0, 4326, 5070))
+    val Seq((x1, y1), (x2, y2), (x3, y3)) = pts
+    // apex lies on x = 0 (central meridian); solve for its y from p1/p2
+    val apexY = ((x1 * x1 + y1 * y1) - (x2 * x2 + y2 * y2)) / (2 * (y1 - y2))
+    def r(x: Double, y: Double) = math.hypot(x, y - apexY)
+    assert(math.abs(r(x1, y1) - r(x3, y3)) < 1e-4,
+      s"parallel not circular: ${r(x1, y1)} vs ${r(x3, y3)}")
   }
 
   // ---- Transverse Mercator family (Snyder pp. 60-64) ------------------------
