@@ -33,17 +33,31 @@ class Table(val db: Database, val qualified: String) {
 
   /** Coarse-type view of the schema (ref FIELD_TYPE_MAP,
     * datum/postgis/table.py:7-21, datum/oracle_stgeom/table.py:10-32):
-    * numeric→num, string→text, date/timestamp→date, geometry column→geom.
+    * numeric→num, string→text, date/timestamp→date, geometry column→geom,
+    * binary→text (the postgis `bytea→text` rule).
+    *
+    * The reference's two remaining categories — postgis `name` (the
+    * catalog identifier type) and oracle `NCLOB` — are CATALOG types with
+    * no parquet physical analogue, so the parquet-world mirror is a
+    * catalog declaration: a sidecar property `coarse.<field>=name|nclob`
+    * (our sidecar IS the catalog, as for srid/geom_type/pk) overrides the
+    * physical mapping. Unknown override values fail loudly.
     */
   def metadata: Seq[(String, String)] = df.schema.fields.toSeq.map { f =>
-    val coarse =
-      if (geomField.contains(f.name)) "geom"
-      else f.dataType match {
-        case _: NumericType                => "num"
-        case StringType                    => "text"
-        case DateType | _: TimestampType | TimestampNTZType => "date"
-        case _                             => "other"
-      }
+    val coarse = prop(s"coarse.${f.name}") match {
+      case Some(c) if Table.CoarseTypes(c) => c
+      case Some(bad) => throw new IllegalArgumentException(
+        s"sidecar coarse.${f.name}=$bad not in ${Table.CoarseTypes.toSeq.sorted.mkString("/")}")
+      case None =>
+        if (geomField.contains(f.name)) "geom"
+        else f.dataType match {
+          case _: NumericType                => "num"
+          case StringType                    => "text"
+          case BinaryType                    => "text"
+          case DateType | _: TimestampType | TimestampNTZType => "date"
+          case _                             => "other"
+        }
+    }
     f.name -> coarse
   }
 
@@ -592,6 +606,11 @@ class Table(val db: Database, val qualified: String) {
 
 object Table {
   val GeomNames = Set("wkt", "geom", "geometry", "shape")
+
+  /** The full coarse-type lattice (ref FIELD_TYPE_MAP values across both
+    * backends: num/text/date/geom + the catalog-only name/nclob).
+    */
+  val CoarseTypes = Set("num", "text", "date", "geom", "name", "nclob", "other")
 
   /** Parse "col DESC" / "col ASC" / bare expr sort specs (the reference
     * passes these through as SQL text, datum/postgis/table.py:159-163).

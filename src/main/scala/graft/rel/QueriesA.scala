@@ -75,15 +75,30 @@ object QueriesA {
     // a8: coarse-type reflection (SURVEY §1.2 — the reference's
     // num/text/date/geom type system, datum/postgis/table.py metadata):
     // Table.metadata maps each parquet field to its coarse class. The
-    // oracle is the literal expected mapping, so a regression in the
+    // scratch a8cat table exercises the CATALOG-declared categories the
+    // physical type can't express — postgis `name` and oracle `nclob`
+    // (sidecar coarse.<field> overrides) and the bytea→text binary rule.
+    // The oracle is the literal expected mapping, so a regression in the
     // type lattice (e.g. TIMESTAMP_NTZ falling out of "date") fails the
     // gate, not just a unit test. Footer-only — no data scan.
     "a8_metadata_reflect" -> ((s, dir) => {
       val d = db(s, dir)
-      val rows = Seq("supplier", "orders").flatMap { tn =>
-        d.table(tn).metadata.map { case (f, c) => (tn, f, c) }
-      }
+      // catalog-type fixture: string/binary columns whose sidecar declares
+      // the reference's catalog-only categories
+      val root = "/root/repo/target/fixtures/out"
+      new java.io.File(root).mkdirs()
+      val cat = graft.api.Datum.connect(s"parquet://$root")(s)
       import s.implicits._
+      Seq((1L, "pg_class", "long unicode body", Array[Byte](1, 2)))
+        .toDF("id", "internal_name", "big_doc", "payload")
+        .write.mode("overwrite").parquet(cat.pathOf("a8cat"))
+      java.nio.file.Files.writeString(
+        new java.io.File(root, "a8cat.parquet.properties").toPath,
+        "coarse.internal_name=name\ncoarse.big_doc=nclob\n")
+      val rows = (Seq("supplier", "orders").map(tn => tn -> d.table(tn)) :+
+        ("a8cat" -> cat.table("a8cat"))).flatMap { case (tn, t) =>
+        t.metadata.map { case (f, c) => (tn, f, c) }
+      }
       rows.toDF("tbl", "field", "coarse").orderBy("tbl", "field")
     })
   )
@@ -105,6 +120,8 @@ object QueriesA {
         "FROM events ORDER BY event_id LIMIT 500"),
     "a8_metadata_reflect" ->
       ("SELECT * FROM (VALUES " +
+        "('a8cat', 'id', 'num'), ('a8cat', 'internal_name', 'name'), " +
+        "('a8cat', 'big_doc', 'nclob'), ('a8cat', 'payload', 'text'), " +
         "('orders', 'o_custkey', 'num'), ('orders', 'o_orderdate', 'date'), " +
         "('orders', 'o_orderkey', 'num'), ('orders', 'o_orderpriority', 'text'), " +
         "('orders', 'o_orderstatus', 'text'), ('orders', 'o_totalprice', 'num'), " +
