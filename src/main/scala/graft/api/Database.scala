@@ -2,7 +2,7 @@ package graft.api
 
 import java.io.File
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, expr, lit}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
 import org.apache.spark.sql.types._
 
 /** Spark-native analogue of the reference `Database` adapter
@@ -379,6 +379,15 @@ class Database(val spark: SparkSession, val root: String,
     * incremented only when the delete/rename actually succeeded, so a
     * second vacuum really is a no-op. At 100 TB this is a metadata-only
     * directory walk.
+    *
+    * SINGLE-WRITER REQUIREMENT: vacuum must not run concurrently with any
+    * write/replace/upsert on the same warehouse root. It cannot tell an
+    * ORPHANED `.stage_tmp`/`.bak` from one an in-flight swap is about to
+    * use — reclaiming the latter deletes a staged copy or a mid-swap
+    * backup and corrupts that operation. This is the same plain-file
+    * coordination boundary as `Table.write`'s PK offset (README API
+    * table); a lock service or a transactional table format is the
+    * multi-writer recipe.
     */
   def vacuum(): Map[String, Int] = {
     var stageTmp = 0; var stageBak = 0; var bak = 0
@@ -626,12 +635,20 @@ object Database {
     */
   private[graft] def mergeTouchedPartitions(partial: DataFrame, partCol: String,
       state: File, stage: File,
-      write: (DataFrame, String) => Unit = null)(
+      write: (DataFrame, String) => Unit = null,
+      onSwapped: String => Unit = null)(
       merge: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
     val sp = partial.sparkSession
-    val touched = partial.select(partCol).distinct()
-      .collect().map(r => String.valueOf(r.get(0))).sorted // ≤ #partitions
-    val dirs = touched.map(v => new File(state, s"$partCol=$v"))
+    // render partition values EXACTLY as Spark's partitioned writer names
+    // the dirs: cast-to-string via a Spark job (so Date/Timestamp/Double
+    // use Spark's canonical rendering, not JVM toString) + hive path
+    // escaping for specials (space, ':', '%', …)
+    val touched = partial.select(col(partCol).cast("string")).distinct()
+      .collect().map(r => r.getString(0)).sorted // ≤ #partitions
+    def dirName(v: String): String =
+      s"$partCol=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v)
+    val dirs = touched.map(v => new File(state, dirName(v)))
       .filter(_.isDirectory).map(_.getPath)
     val existing =
       if (dirs.isEmpty) None
@@ -644,9 +661,24 @@ object Database {
     else write(merged, stage.getPath)
     state.mkdirs()
     touched.foreach { v =>
-      val src = new File(stage, s"$partCol=$v")
-      val dst = new File(state, s"$partCol=$v")
-      if (src.isDirectory) swapDir(src, dst)
+      val src = new File(stage, dirName(v))
+      val dst = new File(state, dirName(v))
+      if (src.isDirectory) {
+        swapDir(src, dst)
+        // post-swap hook: lets non-idempotent mergers (f19 counts) record
+        // a per-partition commit marker so a crashed batch's replay can
+        // skip exactly the partitions already folded
+        if (onSwapped != null) onSwapped(v)
+      }
+      // a touched value whose staged dir is missing means the writer named
+      // the dir differently than we computed (or merge dropped the
+      // partition) — skipping would silently drop that partition's update,
+      // so only an EXPECTED empty merge may pass: fail if the state dir
+      // exists but no staged replacement was produced
+      else if (dst.isDirectory) throw new IllegalStateException(
+        s"mergeTouchedPartitions: staged dir ${src.getName} missing for " +
+          s"touched value '$v' whose state partition exists — dir-naming " +
+          "mismatch or merge dropped a touched partition")
     }
     wipeDir(stage)
   }

@@ -482,9 +482,26 @@ class Table(val db: Database, val qualified: String) {
   def restore(v: Int): Int = {
     val snap = readVersion(v)
     db.replaceTable(qualified, snap)
+    // re-pin BEFORE sweeping: write the fresh manifest of the restored
+    // state first, so the .versions dir always holds at least one VALID
+    // manifest — a crash mid-sweep leaves stale siblings that readVersion
+    // fails loudly on, never a history of only-invalid entries. Old
+    // manifests are plain files, but a failed delete (or an unexpected
+    // subdirectory) aborts instead of silently misreporting history.
+    val fresh = snapshot()
     val dir = new File(path + ".versions")
-    Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete(): Unit)
-    snapshot()
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName != s"v$fresh.manifest")
+      .foreach { f =>
+        db.deleteRecursively(f)
+        if (f.exists()) throw new java.io.IOException(
+          s"restore: cannot remove stale manifest ${f.getPath}")
+      }
+    // collapse the surviving manifest to v1 (fresh history); if the rename
+    // is refused, the vN name is still a fully valid single-entry history
+    val v1 = new File(dir, "v1.manifest")
+    if (fresh != 1 && new File(dir, s"v$fresh.manifest").renameTo(v1)) 1
+    else fresh
   }
 
   /** Bucket-partition the table by a stable hash of `keyCols` — the

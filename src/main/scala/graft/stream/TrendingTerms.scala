@@ -40,33 +40,60 @@ object TrendingTerms {
       nBuckets: Int = 16, batchId: Long = -1L): Unit = {
     val sp = batch.sparkSession
     // processed-batch ledger: counts are NOT idempotent (unlike f14's
-    // argmax), so a checkpoint REPLAY of a completed batch must skip or
-    // it double-counts. The marker lands after the swaps — a crash
-    // mid-batch can still leave some buckets folded (the plain-file
-    // multi-partition-commit limit, same caveat family as c13's
-    // append-only contract); f16's single-transaction ledger is the
-    // recipe when the state store is transactional.
+    // argmax), so a checkpoint REPLAY must not re-fold state it already
+    // folded. Two marker levels make the plain-file multi-partition
+    // commit exactly-once:
+    //  - b<id>          — batch fully committed, replay returns immediately;
+    //  - b<id>.buckets/<v> — bucket v of batch id swapped (written by the
+    //    post-swap hook, so it exists IFF the swap completed). A crash
+    //    mid-batch leaves some buckets marked; the replay filters those
+    //    buckets' rows out of its partial and folds only the remainder.
     val ledger = new File(state, "_batches")
     val marker = new File(ledger, s"b$batchId")
     if (batchId >= 0 && marker.isFile) return
-    val partial = batch.select(col("doc_id"),
+    val bucketLedger = new File(ledger, s"b$batchId.buckets")
+    val done: Set[String] =
+      if (batchId < 0) Set.empty
+      else Option(bucketLedger.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).toSet
+    val partial0 = termPartial(batch, nBuckets)
+    val partial = (if (done.isEmpty) partial0
+      else partial0.filter(!col("bucket").cast("string").isin(done.toSeq: _*)))
+      .persist() // consumed twice: touched-bucket collect + staged write
+    try {
+      val mark: String => Unit =
+        if (batchId < 0) null
+        else { v =>
+          bucketLedger.mkdirs()
+          new java.io.FileOutputStream(new File(bucketLedger, v)).close()
+        }
+      graft.api.Database.mergeTouchedPartitions(partial, "bucket", state,
+        stage, onSwapped = mark)(foldDf)
+      if (batchId >= 0) {
+        ledger.mkdirs()
+        new java.io.FileOutputStream(marker).close()
+        wipe(bucketLedger) // batch marker supersedes the per-bucket trail
+      }
+    } finally { partial.unpersist(); () }
+  }
+
+  /** The per-batch (term, df, bucket) partial (exposed for the
+    * crash-replay test, which drives a fold that dies mid-swap).
+    */
+  private[graft] def termPartial(batch: DataFrame, nBuckets: Int): DataFrame =
+    batch.select(col("doc_id"),
         explode(TextExpressions.distinctShingles(col("text"), 2)).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("bucket",
         pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
-      .persist() // consumed twice: touched-bucket collect + staged write
-    try {
-      graft.api.Database.mergeTouchedPartitions(partial, "bucket", state, stage) {
-        (existing, p) =>
-          existing.fold(p)(p.unionByName(_))
-            .groupBy("term", "bucket").agg(sum(col("df")).cast("long").as("df"))
-      }
-      if (batchId >= 0) {
-        ledger.mkdirs()
-        new java.io.FileOutputStream(marker).close()
-      }
-    } finally { partial.unpersist(); () }
-  }
+
+  /** The merge folded into the touched buckets (shared by [[mergeBatch]]
+    * and the crash-replay test).
+    */
+  private[graft] def foldDf(existing: Option[DataFrame],
+      p: DataFrame): DataFrame =
+    existing.fold(p)(p.unionByName(_))
+      .groupBy("term", "bucket").agg(sum(col("df")).cast("long").as("df"))
 
   /** End-to-end: stream the corpus through [[mergeBatch]] (AvailableNow
     * micro-batches, checkpointed), then read the converged state and

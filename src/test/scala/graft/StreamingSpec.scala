@@ -283,6 +283,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(dfXY == 5L, s"replayed batch 7 must skip via the ledger, df = $dfXY")
   }
 
+  test("trending replay after a mid-batch crash folds only the unmarked buckets") {
+    import spark.implicits._
+    val root = new java.io.File("/root/repo/target/fixtures/test/trending_crash")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(root); root.mkdirs()
+    // terms spread over enough buckets that the crash lands mid-commit
+    val batch = (1L to 8L).map(i => (i, s"alpha$i beta$i gamma$i")).toDF("doc_id", "text")
+    def stateOf(tag: String): (java.io.File, java.io.File) =
+      (new java.io.File(root, s"$tag/state"), new java.io.File(root, s"$tag/stage"))
+    // reference: the batch folded once, no crash
+    val (refState, refStage) = stateOf("ref")
+    stream.TrendingTerms.mergeBatch(batch, refState, refStage, batchId = 3L)
+    // crashed run: drive the same fold but die after the SECOND bucket
+    // swap — exactly the state a kill mid-commit leaves (some buckets
+    // folded AND marked, the rest untouched)
+    val (crState, crStage) = stateOf("crash")
+    val ledger = new java.io.File(crState, "_batches")
+    val bl = new java.io.File(ledger, "b3.buckets")
+    val partial = stream.TrendingTerms.termPartial(batch, 16)
+    var swaps = 0
+    val boom = intercept[RuntimeException] {
+      api.Database.mergeTouchedPartitions(partial, "bucket", crState, crStage,
+        onSwapped = { v =>
+          bl.mkdirs()
+          new java.io.FileOutputStream(new java.io.File(bl, v)).close()
+          swaps += 1
+          if (swaps == 2) throw new RuntimeException("simulated crash")
+        })(stream.TrendingTerms.foldDf)
+    }
+    assert(boom.getMessage == "simulated crash")
+    assert(Option(bl.listFiles()).getOrElse(Array.empty).length == 2,
+      "exactly the two swapped buckets are marked")
+    // replay of batch 3: must fold ONLY the unmarked buckets, then the
+    // state equals the crash-free reference exactly
+    stream.TrendingTerms.mergeBatch(batch, crState, crStage, batchId = 3L)
+    def snap(state: java.io.File): Map[(String, Int), Long] =
+      spark.read.parquet(state.getPath).collect()
+        .map(r => (r.getAs[String]("term"), r.getAs[Int]("bucket")) ->
+          r.getAs[Long]("df")).toMap
+    assert(snap(crState) == snap(refState),
+      "crash + replay must converge to the crash-free state (no double count)")
+    // and the completed-batch marker now short-circuits a second replay
+    stream.TrendingTerms.mergeBatch(batch, crState, crStage, batchId = 3L)
+    assert(snap(crState) == snap(refState))
+  }
+
   test("mviewMergeDaily converges to the full aggregate over any batch split") {
     import spark.implicits._
     val root = new java.io.File("/root/repo/target/fixtures/test/mview_ivm")
