@@ -114,6 +114,35 @@ object QueriesE {
       Dedup.connectedComponents(t(s, dir, "documents"), "doc_id",
         sharedVerifiedPairs(s, dir)))
 
+  /** The language+quality gate shared by e20 and e48 (same predicate ⇒
+    * same surviving rows: a NULL gate value filters in both spellings).
+    */
+  private def cleanGated(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.filter(col("lang") === "en" &&
+      TextStats.qualityScore(col("text"), col("n_chars")) >= 0.5)
+
+  /** The exact-dedup winners of the gated corpus (min doc id per text
+    * digest, the e30 map-side-combined recipe) — e20's `exact` and e48's
+    * `keepers` are this same relation.
+    */
+  private def cleanExact(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val gated = cleanGated(docs)
+    val mins = gated.groupBy(md5(col("text")).as("_digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    gated.join(mins.select("doc_id"), Seq("doc_id"), "left_semi")
+  }
+
+  /** Memoized near-dup components over the CLEANED corpus (gate → exact
+    * dedup → LSH pairs → closure): e20 keeps its representatives, e48
+    * reports them — one fixpoint instead of two.
+    */
+  private def sharedCleanedComponents(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.memo(s"lsh-comps-cleaned|$dir") {
+      val exact = cleanExact(t(s, dir, "documents"))
+      Dedup.connectedComponents(exact, "doc_id", lshVerifiedPairs(exact))
+    }
+
   /** DuckDB CTE chain reproducing [[lshVerifiedPairs]] byte-for-byte over
     * source relation `src`: minhash signatures → band digests → candidate
     * pairs → exact-Jaccard verified `vpairs(id_a, id_b, jaccard)`.
@@ -451,15 +480,8 @@ object QueriesE {
     // it (cheap at bench scale, and Catalyst prunes each consumer's
     // columns independently).
     "e20_corpus_prep" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val gated = docs.filter(col("lang") === "en" &&
-        TextStats.qualityScore(col("text"), col("n_chars")) >= 0.5)
-      // the quality gate already drops NULL texts (null predicate), so the
-      // digest key is never null and the winner join is inner
-      val mins = gated.groupBy(md5(col("text")).as("_digest"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      val exact = gated.join(mins.select("doc_id"), Seq("doc_id"), "left_semi")
-      val comps = Dedup.connectedComponents(exact, "doc_id", lshVerifiedPairs(exact))
+      val exact = cleanExact(t(s, dir, "documents"))
+      val comps = sharedCleanedComponents(s, dir)
       val reps = exact.join(
         comps.filter(col("id") === col("cluster_id")).select(col("id").as("doc_id")),
         "doc_id")
@@ -1141,17 +1163,12 @@ object QueriesE {
     // clusters, e19 components), three left joins over the doc-id spine.
     "e48_removal_audit" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val gated = docs.filter(coalesce(
-        col("lang") === "en" &&
-          TextStats.qualityScore(col("text"), col("n_chars")) >= 0.5,
-        lit(false)))
+      val gated = cleanGated(docs)
       val exact = Dedup.exactClusters(gated, "doc_id", "text")
         .select(col("doc_id"), col("cluster_id").as("ex_cl"))
-        .transform(graft.Caches.persistTracked) // verdict join + keeper filter
-      val keepers = gated.join(
-        exact.filter(col("ex_cl") === col("doc_id")).select("doc_id"), "doc_id")
-      val comps = Dedup.connectedComponents(
-          keepers, "doc_id", lshVerifiedPairs(keepers))
+      // the near-dup closure over the cleaned corpus is e20's fixpoint —
+      // memoized once per session instead of recomputed here
+      val comps = sharedCleanedComponents(s, dir)
         .select(col("id").as("doc_id"), col("cluster_id").as("nd_cl"))
       docs.select(col("doc_id"))
         .join(exact, Seq("doc_id"), "left")
