@@ -32,6 +32,20 @@ object GraftProps extends Properties("graft") {
       math.abs(x2 - x) < 0.02 && math.abs(y2 - y) < 0.02
     }
 
+  property("2272 -> 3857 (web mercator) -> 2272 round-trips within 0.02 ft") =
+    forAll(paX, paY) { (x, y) =>
+      val (e, n) = graft.spatial.Projection.transform(x, y, 2272, 3857)
+      val (x2, y2) = graft.spatial.Projection.transform(e, n, 3857, 2272)
+      math.abs(x2 - x) < 0.02 && math.abs(y2 - y) < 0.02
+    }
+
+  property("2272 -> 5070 (conus albers) -> 2272 round-trips within 0.02 ft") =
+    forAll(paX, paY) { (x, y) =>
+      val (e, n) = graft.spatial.Projection.transform(x, y, 2272, 5070)
+      val (x2, y2) = graft.spatial.Projection.transform(e, n, 5070, 2272)
+      math.abs(x2 - x) < 0.02 && math.abs(y2 - y) < 0.02
+    }
+
   // ---- Text kernels: counting invariants vs a direct model ----
 
   private val word: Gen[String] =
@@ -232,6 +246,40 @@ object GraftSparkProps extends Properties("graft-spark") {
       Gen.listOfN(k + 2, Gen.oneOf("ax", "by", "cz", "dw", "ev")).map(_.mkString(" "))))
     cut <- Gen.chooseNum(0, n)
   } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, cut)
+
+  /** b20's two-pass rewrite derives ntile/percent_rank/cume_dist
+    * arithmetically from (row_number, group size) instead of windowing a
+    * whole priority group onto one task. This property pins the closed
+    * forms against Spark's OWN window functions under a total order —
+    * bucket boundaries, the (rank−1)/(n−1) and rn/n double divisions —
+    * for random sizes incl. n<4 (empty ntile buckets) and heavy ties in
+    * the first sort key (broken by the unique second key).
+    */
+  property("b20 closed forms = Spark's rank windows under a total order") = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    forAll(Gen.chooseNum(1, 50), Gen.long) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to n).map(k => (k.toLong, rnd.nextInt(8).toLong))
+      val w = Window.orderBy(col("price"), col("k"))
+      val got = rows.toDF("k", "price").select(
+        row_number().over(w).as("rn"), ntile(4).over(w).as("q4"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd")).collect()
+      got.forall { r =>
+        val rn = r.getAs[Int]("rn").toLong
+        val bs = n / 4; val rem = n % 4; val cut = rem.toLong * (bs + 1)
+        val q4 =
+          if (rn <= cut) (rn - 1) / (bs + 1) + 1
+          else rem + (rn - cut - 1) / math.max(bs, 1) + 1
+        val pr = if (n == 1) 0.0 else (rn - 1).toDouble / (n - 1).toDouble
+        val cd = rn.toDouble / n.toDouble
+        r.getAs[Int]("q4").toLong == q4 &&
+          r.getAs[Double]("pr") == pr && r.getAs[Double]("cd") == cd
+      }
+    }
+  }
 
   property("trending mergeBatch state = batch df under ANY split point") = {
     val spark = TestSpark.spark
