@@ -49,20 +49,26 @@ object Projection {
   /** US survey foot (exact: 1200/3937 m). */
   val FtUs: Double = 1200.0 / 3937.0
 
-  // ---- EPSG:2272 Lambert Conformal Conic (2SP), Snyder pp. 107-109 --------
+  // ---- Lambert Conformal Conic (2SP), Snyder pp. 107-109 ------------------
 
-  private object Lcc2272 extends Crs {
-    private val F_ = 1.0 / Grs80InvF
+  /** Parameterized ellipsoidal LCC 2SP — the projection under most US
+    * state-plane zones. Projected units are `unitToM` metres each (1200/
+    * 3937 for ftUS zones, 1.0 for metric zones). The 2272 instance is the
+    * original hand-rolled implementation verbatim (its arithmetic order is
+    * pinned by the frozen d5/d8/d13/d14 golden oracles); the class only
+    * lifts the EPSG parameters out of the body.
+    */
+  final case class LambertConformalConic(invF: Double,
+      lat0Deg: Double, lon0Deg: Double, lat1Deg: Double, lat2Deg: Double,
+      feM: Double, fnM: Double, unitToM: Double) extends Crs {
+    private val F_ = 1.0 / invF
     private val E2 = 2 * F_ - F_ * F_
     private val E = math.sqrt(E2)
 
-    // EPSG:2272 parameters (SPCS83 PA South zone 3702)
-    private val Lat0 = math.toRadians(39.0 + 20.0 / 60.0)    // false origin 39°20'N
-    private val Lon0 = math.toRadians(-(77.0 + 45.0 / 60.0)) // central meridian 77°45'W
-    private val Lat1 = math.toRadians(40.0 + 58.0 / 60.0)    // std parallel 1
-    private val Lat2 = math.toRadians(39.0 + 56.0 / 60.0)    // std parallel 2
-    private val FEm = 600000.0                               // false easting (m)
-    private val FNm = 0.0
+    private val Lat0 = math.toRadians(lat0Deg) // false-origin latitude
+    private val Lon0 = math.toRadians(lon0Deg) // central meridian
+    private val Lat1 = math.toRadians(lat1Deg) // std parallel 1
+    private val Lat2 = math.toRadians(lat2Deg) // std parallel 2
 
     private def m(lat: Double) =
       math.cos(lat) / math.sqrt(1 - E2 * math.sin(lat) * math.sin(lat))
@@ -76,20 +82,20 @@ object Projection {
     private val Fc = m(Lat1) / (N_ * math.pow(t(Lat1), N_))
     private val Rho0 = A * Fc * math.pow(t(Lat0), N_)
 
-    /** (lonDeg, latDeg) → (eastingFtUS, northingFtUS). */
+    /** (lonDeg, latDeg) → (easting, northing) in zone units. */
     def fromGeo(lonDeg: Double, latDeg: Double): (Double, Double) = {
       val lat = math.toRadians(latDeg); val lon = math.toRadians(lonDeg)
       val rho = A * Fc * math.pow(t(lat), N_)
       val th = N_ * (lon - Lon0)
-      val e_m = FEm + rho * math.sin(th)
-      val n_m = FNm + Rho0 - rho * math.cos(th)
-      (e_m / FtUs, n_m / FtUs)
+      val e_m = feM + rho * math.sin(th)
+      val n_m = fnM + Rho0 - rho * math.cos(th)
+      (e_m / unitToM, n_m / unitToM)
     }
 
-    /** (eastingFtUS, northingFtUS) → (lonDeg, latDeg). */
-    def toGeo(eFt: Double, nFt: Double): (Double, Double) = {
-      val x = eFt * FtUs - FEm
-      val y = Rho0 - (nFt * FtUs - FNm)
+    /** (easting, northing) in zone units → (lonDeg, latDeg). */
+    def toGeo(eU: Double, nU: Double): (Double, Double) = {
+      val x = eU * unitToM - feM
+      val y = Rho0 - (nU * unitToM - fnM)
       val rho = math.signum(N_) * math.sqrt(x * x + y * y)
       val tp = math.pow(rho / (A * Fc), 1 / N_)
       val th = math.atan2(x, y)
@@ -105,6 +111,24 @@ object Projection {
       (math.toDegrees(lon), math.toDegrees(lat))
     }
   }
+
+  /** EPSG:2272 — SPCS83 PA South (zone 3702), ftUS (the reference's home
+    * CRS; parameters identical to the original object, so the frozen
+    * golden oracles are unchanged).
+    */
+  private val Lcc2272 = LambertConformalConic(Grs80InvF,
+    39.0 + 20.0 / 60.0, -(77.0 + 45.0 / 60.0),
+    40.0 + 58.0 / 60.0, 39.0 + 56.0 / 60.0, 600000.0, 0.0, FtUs)
+
+  /** EPSG:2263 — SPCS83 NY Long Island (zone 3104), ftUS. */
+  private val Lcc2263 = LambertConformalConic(Grs80InvF,
+    40.0 + 10.0 / 60.0, -74.0,
+    41.0 + 2.0 / 60.0, 40.0 + 40.0 / 60.0, 300000.0, 0.0, FtUs)
+
+  /** EPSG:2229 — SPCS83 California zone 5, ftUS. */
+  private val Lcc2229 = LambertConformalConic(Grs80InvF,
+    33.5, -118.0, 35.0 + 28.0 / 60.0, 34.0 + 2.0 / 60.0,
+    2000000.0, 500000.0, FtUs)
 
   // ---- Transverse Mercator (series form), Snyder pp. 60-64 ----------------
 
@@ -264,6 +288,8 @@ object Projection {
   def crsFor(srid: Int): Option[Crs] = srid match {
     case 4326                          => Some(Geographic)
     case 2272                          => Some(Lcc2272)
+    case 2263                          => Some(Lcc2263)
+    case 2229                          => Some(Lcc2229)
     case 3857                          => Some(WebMercator3857)
     case 5070                          => Some(Albers5070)
     case z if z >= 32601 && z <= 32660 => Some(utm(z - 32600, north = true, Wgs84InvF))
@@ -296,7 +322,7 @@ object Projection {
         val bad = Seq(fromSrid -> crsFor(fromSrid), toSrid -> crsFor(toSrid))
           .collect { case (s, None) => s }.mkString(", ")
         throw new IllegalArgumentException(
-          s"Unsupported SRID(s) $bad " +
-            "(supported: 4326, 2272, 3857, 5070, UTM 326xx/327xx/269xx)")
+          s"Unsupported SRID(s) $bad (supported: 4326, 2272, 2263, 2229, " +
+            "3857, 5070, UTM 326xx/327xx/269xx)")
     }
 }

@@ -268,6 +268,25 @@ object QueriesD {
       val props = new java.io.File(root, "d14_geo.parquet.properties")
       java.nio.file.Files.writeString(props.toPath, "srid=2272\ngeom_type=POINT\n")
       db.table("d14_geo").read(toSrid = Some(5070), sort = Seq("gid"))
+    }),
+
+    // d15: cross-STATE-PLANE conversion (EPSG:2272 PA South → 2263 NY Long
+    // Island, both ftUS LCC zones) — the datum-to-datum neighbor-agency
+    // exchange; exercises the parameterized LambertConformalConic on both
+    // legs of the geographic hub. VALUES oracle from frozen goldens
+    // (GoldenD); zone params pinned by definitional false-origin +
+    // distortion-free-parallel + NYC-window tests in SpatialSpec.
+    "d15_transform_stateplane" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val root = "/root/repo/target/fixtures/out"
+      new java.io.File(root).mkdirs()
+      val db = Datum.connect(s"parquet://$root")
+      geo(s, dir).select(col("gid"),
+        concat(lit("POINT ("), col("x"), lit(" "), col("y"), lit(")")).as("wkt"))
+        .write.mode("overwrite").parquet(db.pathOf("d15_geo"))
+      val props = new java.io.File(root, "d15_geo.parquet.properties")
+      java.nio.file.Files.writeString(props.toPath, "srid=2272\ngeom_type=POINT\n")
+      db.table("d15_geo").read(toSrid = Some(2263), sort = Seq("gid"))
     })
   )
 
@@ -280,6 +299,7 @@ object QueriesD {
     "d8_transform_utm" -> GoldenD.valuesOracle(GoldenD.D8),
     "d13_transform_web" -> GoldenD.valuesOracle(GoldenD.D13),
     "d14_transform_albers" -> GoldenD.valuesOracle(GoldenD.D14),
+    "d15_transform_stateplane" -> GoldenD.valuesOracle(GoldenD.D15),
     "d12_geom_measures" ->
       ("SELECT n_nationkey + 1 AS gid, " +
         "CAST((100 + (n_nationkey + 1) * 10) * (50 + (n_nationkey + 1) * 5) AS DOUBLE) AS area, " +

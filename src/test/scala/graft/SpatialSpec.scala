@@ -236,6 +236,60 @@ class SpatialSpec extends AnyFunSuite {
       s"parallel not circular: ${r(x1, y1)} vs ${r(x3, y3)}")
   }
 
+  // ---- State-plane LCC zones (parameterized LambertConformalConic) ----------
+
+  test("LCC zones: the false origin maps to (FE, FN) by construction") {
+    // definitional, memory-free check of (lat0, lon0, FE, FN): the grid
+    // origin IS the false origin in LCC 2SP
+    val cases = Seq(
+      (2272, -(77.0 + 45.0 / 60.0), 39.0 + 20.0 / 60.0, 600000.0 * 3937 / 1200, 0.0),
+      (2263, -74.0, 40.0 + 10.0 / 60.0, 300000.0 * 3937 / 1200, 0.0),
+      (2229, -118.0, 33.5, 2000000.0 * 3937 / 1200, 500000.0 * 3937 / 1200))
+    for ((srid, lon0, lat0, fe, fn) <- cases) {
+      val (e, n) = Projection.transform(lon0, lat0, 4326, srid)
+      assert(math.abs(e - fe) < 1e-5 && math.abs(n - fn) < 1e-5,
+        s"$srid false origin: ($e,$n) vs ($fe,$fn)")
+    }
+  }
+
+  test("LCC zones: standard parallels are distortion-free; round-trips hold") {
+    val a = 6378137.0; val e2 = 2 * (1 / 298.257222101) - math.pow(1 / 298.257222101, 2)
+    val zones = Seq(
+      (2263, -74.0, Seq(41.0 + 2.0 / 60.0, 40.0 + 40.0 / 60.0), (-74.3, -72.7, 40.4, 41.3)),
+      (2229, -118.0, Seq(35.0 + 28.0 / 60.0, 34.0 + 2.0 / 60.0), (-121.0, -114.0, 32.7, 35.8)))
+    for ((srid, lon0, parallels, window) <- zones) {
+      for (latDeg <- parallels) {
+        val lat = math.toRadians(latDeg)
+        val nu = a / math.sqrt(1 - e2 * math.sin(lat) * math.sin(lat))
+        val dLon = 1e-4
+        val groundM = nu * math.cos(lat) * dLon
+        val (x1, y1) = Projection.transform(lon0, latDeg, 4326, srid)
+        val (x2, y2) = Projection.transform(lon0 + math.toDegrees(dLon), latDeg, 4326, srid)
+        val projM = math.hypot(x2 - x1, y2 - y1) * Projection.FtUs
+        assert(math.abs(projM / groundM - 1.0) < 1e-7,
+          s"$srid scale at parallel $latDeg: ${projM / groundM}")
+      }
+      val (lo1, lo2, la1, la2) = window
+      val rnd = new scala.util.Random(srid)
+      (1 to 50).foreach { _ =>
+        val lo = lo1 + rnd.nextDouble() * (lo2 - lo1)
+        val la = la1 + rnd.nextDouble() * (la2 - la1)
+        val (x, y) = Projection.transform(lo, la, 4326, srid)
+        val (lo2b, la2b) = Projection.transform(x, y, srid, 4326)
+        assert(math.abs(lo2b - lo) < 1e-9 && math.abs(la2b - la) < 1e-9,
+          s"$srid ($lo,$la)")
+      }
+    }
+  }
+
+  test("LCC zones: NYC lands in the public Long Island zone window") {
+    // public approximate coordinate: lower Manhattan ≈ (981,000 ftUS E,
+    // 199,000 ftUS N) in EPSG:2263
+    val (e, n) = Projection.transform(-74.006, 40.7128, 4326, 2263)
+    assert(math.abs(e - 981000) < 6000, s"easting $e")
+    assert(math.abs(n - 199000) < 6000, s"northing $n")
+  }
+
   // ---- Transverse Mercator family (Snyder pp. 60-64) ------------------------
 
   test("TM: forward∘inverse is identity within 1e-8 deg (~1 mm) across zones/hemispheres") {
