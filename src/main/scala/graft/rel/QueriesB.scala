@@ -17,11 +17,47 @@ import Q._
   *    explicitly `broadcast()` so the fact table never shuffles for a join;
   *  - groupBy aggregates use exact decimal sums (see [[Q]]) which partial-
   *    aggregate map-side — one shuffle of (group-key, 128-bit buffer);
-  *  - the window top-K partitions by a low-cardinality key; at 100 TB the
-  *    same plan holds because rank() is computed per-partition after a
-  *    hash-partitioned sort, no global sort.
+  *  - rank/quantile/top-K over the LOW-CARDINALITY o_orderpriority key
+  *    (5 values at any scale factor) never use a bare
+  *    Window.partitionBy(priority) — that sorts each priority's entire
+  *    slice on ONE task. They share [[groupRanks]], the e44/b20 two-pass
+  *    recipe: range-partition the global (group, order) order, rank within
+  *    each range partition, broadcast per-(group, partition) offsets back.
   */
 object QueriesB {
+
+  /** Global rank within `grp` under the total order `order`, without a
+    * per-group window: range-partition by (grp, order...), `row_number`
+    * WITHIN each range partition (bounded by partition size), then add
+    * broadcast per-(grp, partition) exclusive row-count offsets from one
+    * tiny driver collect. Appends `rn` (1-based global rank in the group,
+    * long), `n` (group size, long), and the synthetic `pid`. The ranks
+    * are defined by the total order alone — independent of where the
+    * range boundaries fall.
+    */
+  private def groupRanks(df: org.apache.spark.sql.DataFrame, grp: String,
+      order: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+    val base = df
+      .repartitionByRange(32, (col(grp) +: order): _*)
+      .withColumn("pid", spark_partition_id())
+      .transform(graft.Caches.persistTracked) // counts pass + rank pass
+    val counts = base.groupBy(grp, "pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val nByGroup: Map[String, Long] =
+      counts.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._3).sum }
+    val off: Map[String, Long] = counts.groupBy(_._1).flatMap {
+      case (g, rs) =>
+        var acc = 0L
+        rs.sortBy(_._2).map { case (_, pid, c) =>
+          val o = acc; acc += c; s"$g|$pid" -> o
+        }
+    }
+    val w = Window.partitionBy(grp, "pid").orderBy(order: _*)
+    base
+      .withColumn("rn", row_number().over(w).cast("long") +
+        element_at(typedLit(off), concat_ws("|", col(grp), col("pid"))))
+      .withColumn("n", element_at(typedLit(nByGroup), col(grp)))
+  }
 
   val all: Map[String, Fn] = Map(
     // b1: orders ⋈ customer (ref #19/#20 shape). Customer is the dimension —
@@ -127,17 +163,14 @@ object QueriesB {
     // pure integer arithmetic ((q·10·n + 9) div 10), so there is no
     // interpolation and no engine-specific quantile definition to disagree
     // on: the answer is the k-th smallest value under a total order
-    // (value, key). Scale: one hash-partitioned per-group sort (the same
-    // shuffle a groupBy needs) + a per-group count; no global sort, no
-    // collect — exact quantiles at any group cardinality.
+    // (value, key). Ranks come from the two-pass groupRanks recipe (a
+    // per-priority window would sort a whole group on one task); the
+    // quantile pick is then one map-side-combined conditional aggregate.
     "b16_exact_quantiles" -> ((s, dir) => {
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      val cw = Window.partitionBy("o_orderpriority")
-      t(s, dir, "orders")
-        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(cw))
+      groupRanks(
+        t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+        "o_orderpriority", Seq(col("o_totalprice"), col("o_orderkey")))
         .groupBy("o_orderpriority")
         .agg(max(col("n")).as("n"),
           max(when(col("rn") === expr("(n + 1) div 2"), col("o_totalprice"))).as("p50"),
@@ -164,15 +197,18 @@ object QueriesB {
         .orderBy("o_orderkey")
     }),
 
-    // b7: top-3 orders by totalprice within each orderpriority — window
-    // top-K; tie-broken by o_orderkey for a total order.
+    // b7: top-3 orders by totalprice within each orderpriority — top-K by
+    // global group rank from the two-pass groupRanks recipe (a window over
+    // the 5-value priority key would serialize each group onto one task);
+    // tie-broken by o_orderkey for a total order.
     "b7_topk_window" -> ((s, dir) => {
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
+      groupRanks(
+        t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+        "o_orderpriority", Seq(col("o_totalprice").desc, col("o_orderkey")))
         .filter(col("rn") <= 3)
-        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .select(col("o_orderpriority"), col("rn").cast("int").as("rn"),
+          col("o_orderkey"), col("o_totalprice"))
         .orderBy("o_orderpriority", "rn")
     }),
 
@@ -297,31 +333,10 @@ object QueriesB {
     //   division the window functions evaluate ⇒ identical bits)
     // No task ever sorts more than one range partition.
     "b20_window_ranks" -> ((s, dir) => {
-      val base = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-        .repartitionByRange(32, col("o_orderpriority"), col("o_totalprice"),
-          col("o_orderkey"))
-        .withColumn("pid", spark_partition_id())
-        .transform(graft.Caches.persistTracked) // counts pass + rank pass
-      val counts = base.groupBy("o_orderpriority", "pid")
-        .agg(count(lit(1)).as("c"))
-        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-      val nByGroup: Map[String, Long] =
-        counts.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._3).sum }
-      val off: Map[String, Long] = counts.groupBy(_._1).flatMap {
-        case (g, rs) =>
-          var acc = 0L
-          rs.sortBy(_._2).map { case (_, pid, c) =>
-            val o = acc; acc += c; s"$g|$pid" -> o
-          }
-      }
-      val w = Window.partitionBy("o_orderpriority", "pid")
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      base
-        .withColumn("rn", row_number().over(w).cast("long") +
-          element_at(typedLit(off),
-            concat_ws("|", col("o_orderpriority"), col("pid"))))
-        .withColumn("n", element_at(typedLit(nByGroup), col("o_orderpriority")))
+      groupRanks(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+        "o_orderpriority", Seq(col("o_totalprice"), col("o_orderkey")))
         .withColumn("q4", expr(
           """CAST(CASE WHEN rn <= (n % 4) * (n DIV 4 + 1)
             |  THEN (rn - 1) DIV (n DIV 4 + 1) + 1

@@ -55,19 +55,20 @@ class QueriesSmokeSpec extends AnyFunSuite {
     Set("e29_tfidf_keywords", "e41_ann_recall", "e36_pack_sequences",
       "e44_budget_trim")
 
-  test("b20 ranks are computed over range partitions, not one task per priority") {
-    val df = SparkEntry.queries("b20_window_ranks")(spark, TestSpark.Sf)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning"),
-      "b20 must range-partition the global order (two-pass rank recipe)")
-    // the only Window allowed is the per-range-partition row_number — its
-    // partition spec must include the synthetic pid column, never a bare
-    // low-cardinality priority key
-    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
-    assert(windowLines.forall(_.contains("pid")),
-      s"b20's window must be per range partition: $windowLines")
-    Caches.drain()
-  }
+  for (q <- Seq("b7_topk_window", "b16_exact_quantiles", "b20_window_ranks"))
+    test(s"$q ranks over range partitions, not one task per priority") {
+      val df = SparkEntry.queries(q)(spark, TestSpark.Sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("rangepartitioning"),
+        s"$q must range-partition the global order (two-pass rank recipe)")
+      // the only Window allowed is the per-range-partition row_number — its
+      // partition spec must include the synthetic pid column, never a bare
+      // low-cardinality priority key
+      val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+      assert(windowLines.forall(_.contains("pid")),
+        s"$q's window must be per range partition: $windowLines")
+      Caches.drain()
+    }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
