@@ -171,9 +171,14 @@ object EventWindows {
       sinkName: String = "f6_sink"): DataFrame = withShufflePartitions(spark, 8) {
     val sink = runToMemorySink(
       userRunningStats(spark, readStreamEvents(spark, dir)).toDF(), "update", sinkName)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
-    sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    // converged row per user = the update with the highest n_events
+    // (strictly increasing per user, so no tie) — map-side-combined argmax
+    // rather than a window over user_id (same hot-key rationale as
+    // latestPerUser)
+    sink.groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_value"), col("last_us"))).as("_w"))
+      .select(col("user_id"), col("_w.n_events").as("n_events"),
+        col("_w.sum_value").as("sum_value"), col("_w.last_us").as("last_us"))
   }
 
   /** Streaming deduplication: drop repeated (event_id, ts) rows. The event
@@ -305,13 +310,20 @@ object EventWindows {
         .select("user_id", "event_id", "us", "event_type", "value")
     }
 
-  /** Argmax per user by (event time, event_id) — the upsert winner rule. */
+  /** Argmax per user by (event time, event_id) — the upsert winner rule.
+    * MAP-SIDE-COMBINED `max(struct)` (the e28/e30 recipe), not a per-user
+    * window: a hot key (one device emitting most of a batch) reduces
+    * locally per partition instead of serializing onto one task. The
+    * struct compares (us, event_id) first and event_id is unique, so the
+    * winner is the same row the (us DESC, event_id DESC) window picked.
+    */
   private def latestPerUser(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("us").desc, col("event_id").desc)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    val rest = df.columns.toSeq.filterNot(Set("user_id", "us", "event_id"))
+    val ordered = Seq("us", "event_id") ++ rest
+    df.groupBy("user_id")
+      .agg(max(struct(ordered.map(col): _*)).as("_w"))
+      .select(col("user_id") +: df.columns.toSeq.filterNot(_ == "user_id")
+        .map(c => col(s"_w.$c").as(c)): _*)
   }
 
   /** One upsert step (the foreachBatch body, separated for unit tests):
