@@ -1185,6 +1185,30 @@ object QueriesE {
         .orderBy("doc_id")
     }),
 
+    // e50: per-domain cap — the C4/RefinedWeb "no domain dominates"
+    // curation stage: each domain keeps only its top-5 docs by
+    // (quality DESC, doc_id). Docs carry a deterministic synthetic domain
+    // (md5 bucket folded through floor(sqrt) so domain sizes are SKEWED —
+    // megadomains exist by construction, like the web). TWO-PHASE top-K,
+    // never one window per domain: phase 1 ranks within each (domain,
+    // scan-partition) slice — bounded by partition size — and keeps local
+    // top-5 (a superset of the global top-5 under ANY partitioning);
+    // phase 2 ranks the ≤ 5·partitions survivors per domain (bounded by
+    // construction). A megadomain never sorts on one task; the final
+    // ranks are defined by the total (score DESC, doc_id) order alone.
+    "e50_domain_cap" -> ((s, dir) => {
+      val bucket = conv(substring(md5(concat(lit("u|"), col("doc_id"))), 1, 8), 16, 10)
+        .cast("long") % 100
+      val domain = concat(lit("d"), floor(sqrt(bucket.cast("double"))).cast("long"))
+      graft.rel.Q.topKPerGroup(
+        t(s, dir, "documents")
+          .select(col("doc_id"), domain.as("domain"),
+            TextStats.qualityScore(col("text"), col("n_chars")).as("score")),
+        "domain", 5, Seq(col("score").desc, col("doc_id")))
+        .select("doc_id", "domain", "score", "rank")
+        .orderBy("domain", "doc_id")
+    }),
+
     // e49: dedup threshold-sensitivity sweep — the third sketch-tuning
     // report (e41 grades ANN recall, e45 the estimator, e49 the KEEP
     // THRESHOLD): how many candidate pairs survive each Jaccard cutoff.
@@ -1362,6 +1386,20 @@ object QueriesE {
         "greatest(sa.source, sb.source) AS src_hi, count(*) AS n_pairs " +
         "FROM vpairs JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "e50_domain_cap" -> {
+      // first 8 hex digits of md5('u|'||doc_id) → integer (the portable
+      // hex decode, e25's recipe), % 100, folded through floor(sqrt) for
+      // skewed domain sizes; top-5 per domain by the e11 quality score
+      val hash = "(" + (1 to 8).map { j =>
+        s"(strpos('0123456789abcdef', substr(md5('u|' || doc_id), $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))}"
+      }.mkString(" + ") + ")"
+      s"WITH scored AS (SELECT doc_id, " +
+        s"'d' || CAST(FLOOR(SQRT(($hash % 100)::DOUBLE)) AS BIGINT) AS domain, " +
+        s"$sqlQualityExpr AS score FROM documents) " +
+        "SELECT doc_id, domain, score, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY domain ORDER BY score DESC, doc_id) AS rank " +
+        "FROM scored) WHERE rank <= 5 ORDER BY domain, doc_id"
+    },
     "e49_threshold_sweep" -> {
       val jac = "len(list_intersect(a.shs, b.shs))::DOUBLE / " +
         "(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE"

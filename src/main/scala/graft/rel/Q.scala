@@ -48,4 +48,26 @@ object Q {
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
   def dbl(c: Column): Column = c.cast(DoubleType)
+
+  /** Scale-safe top-K per group (adds `rank` 1..k, keeps only winners):
+    * phase 1 ranks within each (group, scan-partition) slice — bounded by
+    * the partition — and keeps local top-K, a SUPERSET of the global
+    * top-K under any partitioning (a global winner is a winner of its own
+    * partition a fortiori); phase 2 ranks the ≤ k·partitions survivors
+    * per group (bounded by construction). A hot group never sorts on one
+    * task, and the final ranks are defined by the total `order` alone —
+    * independent of partitioning. `order` must be a total order (break
+    * ties with a unique key) or ranks are nondeterministic.
+    */
+  def topKPerGroup(df: DataFrame, grp: String, k: Int,
+      order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val local = Window.partitionBy(grp, "_pid").orderBy(order: _*)
+    val global = Window.partitionBy(grp).orderBy(order: _*)
+    df.withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn", row_number().over(local)).filter(col("_lrn") <= k)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+      .drop("_pid", "_lrn")
+  }
 }

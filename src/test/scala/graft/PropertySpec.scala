@@ -281,6 +281,32 @@ object GraftSparkProps extends Properties("graft-spark") {
     }
   }
 
+  /** Q.topKPerGroup's two-phase recipe (local top-K per scan partition →
+    * global top-K over the bounded survivors) must equal the one-window
+    * top-K under ANY partitioning — the superset argument it rests on.
+    */
+  property("topKPerGroup = one-window top-K under ANY partitioning") = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    forAll(Gen.chooseNum(1, 30), Gen.chooseNum(1, 8), Gen.long) {
+      (n, parts, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val rows = (1 to n).map(i =>
+          (i.toLong, s"g${rnd.nextInt(3)}", rnd.nextInt(5).toLong))
+        val df = rows.toDF("id", "g", "v").repartition(parts)
+        val got = graft.rel.Q.topKPerGroup(df, "g", 2,
+            Seq(col("v").desc, col("id")))
+          .select("g", "id", "rank").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+        val model = rows.groupBy(_._2).flatMap { case (g, rs) =>
+          rs.sortBy(r => (-r._3, r._1)).take(2).zipWithIndex
+            .map { case (r, i) => (g, r._1, i + 1) }
+        }.toSet
+        got == model
+    }
+  }
+
   property("trending mergeBatch state = batch df under ANY split point") = {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -49,11 +49,14 @@ class QueriesSmokeSpec extends AnyFunSuite {
     *  - e29: per-doc top-3 — group size = distinct words in ONE document;
     *  - e41: per-query top-10 — group size = candidates of one query;
     *  - e36/e44: per-RANGE-PARTITION running sums (the distributed prefix
-    *    sum) — group size = one range partition by construction.
+    *    sum) — group size = one range partition by construction;
+    *  - e50: two-phase top-K — phase 1 windows on (domain, pid) (bounded
+    *    by a scan partition), phase 2 on domain over the ≤ 5·partitions
+    *    local winners (bounded by construction).
     */
   private val BoundedGroupWindows =
     Set("e29_tfidf_keywords", "e41_ann_recall", "e36_pack_sequences",
-      "e44_budget_trim")
+      "e44_budget_trim", "e50_domain_cap")
 
   for (q <- Seq("b7_topk_window", "b16_exact_quantiles", "b20_window_ranks"))
     test(s"$q ranks over range partitions, not one task per priority") {
