@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * cluster scale md5 is a cheap, uniformly-distributed shuffle key.
   *
   * Scale design:
-  *  - exact dedup = one hash-partitioned window/groupBy on the digest —
-  *    a single shuffle of (digest, id), never the document bodies;
+  *  - exact dedup = a map-side-combined groupBy on the digest + join back
+  *    (never a window — a hot digest would serialize onto one task); the
+  *    shuffle carries (digest, id), never the document bodies;
   *  - minhash signatures are **array-native** (`transform`/`array_min`
   *    HOFs): computed inside the scan stage with NO explode and NO
   *    shuffle — the per-doc k×shingles work is embarrassingly parallel;

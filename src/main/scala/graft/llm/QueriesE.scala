@@ -123,14 +123,17 @@ object QueriesE {
 
   /** The exact-dedup winners of the gated corpus (min doc id per text
     * digest, the e30 map-side-combined recipe) — e20's `exact` and e48's
-    * `keepers` are this same relation.
+    * `keepers` are this same relation. Memoized: e20 consumes it both
+    * inside the components fixpoint and for its representatives join.
     */
-  private def cleanExact(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val gated = cleanGated(docs)
-    val mins = gated.groupBy(md5(col("text")).as("_digest"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    gated.join(mins.select("doc_id"), Seq("doc_id"), "left_semi")
-  }
+  private def cleanExact(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.memo(s"clean-exact|$dir") {
+      val gated = cleanGated(t(s, dir, "documents"))
+      val mins = gated.groupBy(md5(col("text")).as("_digest"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      gated.join(mins.select("doc_id"), Seq("doc_id"), "left_semi")
+    }
 
   /** Memoized near-dup components over the CLEANED corpus (gate → exact
     * dedup → LSH pairs → closure): e20 keeps its representatives, e48
@@ -139,7 +142,7 @@ object QueriesE {
   private def sharedCleanedComponents(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     graft.Caches.memo(s"lsh-comps-cleaned|$dir") {
-      val exact = cleanExact(t(s, dir, "documents"))
+      val exact = cleanExact(s, dir)
       Dedup.connectedComponents(exact, "doc_id", lshVerifiedPairs(exact))
     }
 
@@ -480,7 +483,7 @@ object QueriesE {
     // it (cheap at bench scale, and Catalyst prunes each consumer's
     // columns independently).
     "e20_corpus_prep" -> ((s, dir) => {
-      val exact = cleanExact(t(s, dir, "documents"))
+      val exact = cleanExact(s, dir)
       val comps = sharedCleanedComponents(s, dir)
       val reps = exact.join(
         comps.filter(col("id") === col("cluster_id")).select(col("id").as("doc_id")),
