@@ -34,6 +34,11 @@ object QueriesB {
     * long), `n` (group size, long), and the synthetic `pid`. The ranks
     * are defined by the total order alone — independent of where the
     * range boundaries fall.
+    *
+    * Intended for LOW-cardinality groups (the offset collect is
+    * O(groups × partitions)); a high-cardinality group key needs no
+    * two-pass trick — a plain per-key window already spreads across the
+    * cluster (and for top-K, [[graft.rel.Q.topKPerGroup]]).
     */
   private def groupRanks(df: org.apache.spark.sql.DataFrame, grp: String,
       order: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
