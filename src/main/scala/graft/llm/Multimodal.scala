@@ -104,6 +104,31 @@ object Multimodal {
     * Spark's `/` truncates toward zero, so (0−1)/k would otherwise emit a
     * single empty frame).
     */
+  /** 32-bit AVERAGE-HASH of the binary payload — the aHash perceptual
+    * fingerprint, 1-D: linearly resample 32 bytes at positions
+    * p_j = (j·(n−1)) div 31 (the resample-to-fixed-grid step a real
+    * image aHash does on an 8×8 gray thumbnail), then bit j is set iff
+    * 32·v_j > Σv — the "above average" test in EXACT integer arithmetic
+    * (no division, engine-portable). NULL for empty payloads. Byte
+    * extraction is substring-on-binary + hex decode — codegen'd scalar
+    * expressions, in-scan at any corpus size.
+    *
+    * Adds `phash` (long) to a frame with a binary `media` column.
+    */
+  def withAHash32(media: DataFrame): DataFrame = {
+    val v = (j: Int) =>
+      s"CAST(conv(hex(substring(media, (($j * (_n - 1)) DIV 31) + 1, 1)), 16, 10) AS BIGINT)"
+    val sum = (0 until 32).map(v).mkString(" + ")
+    val bits = (0 until 32)
+      .map(j => s"(CASE WHEN 32 * ${v(j)} > _s THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    media.withColumn("_n", length(col("media")).cast("long"))
+      .withColumn("_s", expr(sum))
+      .withColumn("phash",
+        when(col("_n") > 0, expr(bits).cast("long")).otherwise(lit(null).cast("long")))
+      .drop("_n", "_s")
+  }
+
   def sampleFrames(media: DataFrame, every: Int = 10): DataFrame =
     media.withColumn("frames",
       when(col("media_type") === "video" && length(col("media")) > 0,

@@ -1212,6 +1212,35 @@ object QueriesE {
         .orderBy("domain", "doc_id")
     }),
 
+    // e51: perceptual-hash near-dup over the MEDIA column — the image-
+    // dedup analogue of e42 for the multimodal tier: a 32-bit average-hash
+    // fingerprint of each binary payload (linear byte resample + exact
+    // integer above-average test — the aHash recipe on a 1-D signal),
+    // then hamming≤3 candidate pairs via the byte-band pigeonhole LSH
+    // (4 bands × 8 bits: a pair within hamming 3 shares ≥1 exact band —
+    // false-negative-free candidates from EQUI-joins, never all-pairs).
+    // All byte math is portable (hex decode / ascii), so the oracle
+    // reproduces the hash bit-for-bit.
+    "e51_media_phash_neardup" -> ((s, dir) => {
+      val hashed = Multimodal.withAHash32(
+          Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .filter(col("phash").isNotNull)
+        .select(col("doc_id"), col("phash"))
+      val bands = hashed.select(col("doc_id"), col("phash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright(col("phash"), 8 * b).bitwiseAND(lit(255L)).as("digest"))): _*)).as("bd"))
+        .select(col("doc_id"), col("phash"), col("bd.band"), col("bd.digest"))
+      bands.as("a").join(bands.as("b"), Seq("band", "digest"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.phash").as("pa"), col("b.phash").as("pb"))
+        .distinct() // a pair sharing k bands appears k times
+        .withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+        .filter(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    }),
+
     // e49: dedup threshold-sensitivity sweep — the third sketch-tuning
     // report (e41 grades ANN recall, e45 the estimator, e49 the KEEP
     // THRESHOLD): how many candidate pairs survive each Jaccard cutoff.
@@ -1389,6 +1418,27 @@ object QueriesE {
         "greatest(sa.source, sb.source) AS src_hi, count(*) AS n_pairs " +
         "FROM vpairs JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "e51_media_phash_neardup" -> {
+      // payload = UTF-8 bytes of ASCII text, so byte p of the media column
+      // is ascii(substr(text, p, 1)) — the e15 portable-byte recipe
+      val v = (j: Int) => s"ascii(substr(text, (($j * (n - 1)) // 31) + 1, 1))::BIGINT"
+      val sum = (0 until 32).map(v).mkString(" + ")
+      val bits = (0 until 32)
+        .map(j => s"(CASE WHEN 32 * ${v(j)} > s THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"WITH m AS (SELECT doc_id, text, len(text)::BIGINT AS n FROM documents " +
+        "WHERE text IS NOT NULL AND len(text) > 0), " +
+        s"ms AS (SELECT doc_id, text, n, ($sum) AS s FROM m), " +
+        s"ph AS (SELECT doc_id, ($bits)::BIGINT AS phash FROM ms), " +
+        "bd AS (SELECT doc_id, phash, unnest([0, 1, 2, 3]) AS band FROM ph), " +
+        "bdd AS (SELECT doc_id, phash, band, (phash >> (8 * band)) & 255 AS digest FROM bd), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "a.phash AS pa, b.phash AS pb " +
+        "FROM bdd a JOIN bdd b ON a.band = b.band AND a.digest = b.digest " +
+        "AND a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming " +
+        "FROM cand WHERE bit_count(xor(pa, pb)) <= 3 ORDER BY id_a, id_b"
+    },
     "e50_domain_cap" -> {
       // first 8 hex digits of md5('u|'||doc_id) → integer (the portable
       // hex decode, e25's recipe), % 100, folded through floor(sqrt) for

@@ -733,6 +733,31 @@ class LlmSpec extends AnyFunSuite {
       "selected dirs must be exactly the probe's existing buckets")
   }
 
+  test("e51 media phash: identical payloads pair at hamming 0; unsampled-byte edits don't change the hash") {
+    import org.apache.spark.sql.functions._
+    val dup = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val dir = craftedDocsDir("e51", Seq(
+      (1L, dup, dup.length.toLong),
+      (2L, dup, dup.length.toLong),                      // byte-identical media
+      (3L, "a completely different and much longer document body with distinct rhythm and vocabulary throughout", 101L)))
+    val out = graft.llm.QueriesE.all("e51_media_phash_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.contains((1L, 2L, 0)), s"identical payloads must pair at hamming 0: ${out.toSeq}")
+    // the hash reads only the 32 resampled positions: editing a byte
+    // BETWEEN two sample points leaves the fingerprint bit-identical
+    val base = graft.llm.Multimodal.withAHash32(
+      Seq((1L, dup.getBytes("UTF-8"))).toDF("doc_id", "media"))
+      .collect()(0).getAs[Long]("phash")
+    val n = dup.length
+    val sampled = (0 until 32).map(j => j * (n - 1) / 31).toSet
+    val unsampled = (0 until n).find(p => !sampled.contains(p)).get
+    val edited = dup.updated(unsampled, 'Z')
+    val shifted = graft.llm.Multimodal.withAHash32(
+      Seq((1L, edited.getBytes("UTF-8"))).toDF("doc_id", "media"))
+      .collect()(0).getAs[Long]("phash")
+    assert(shifted == base, "an unsampled-byte edit must not perturb the aHash")
+  }
+
   test("e34 corpus diff classifies added/removed/changed correctly") {
     // ids chosen so each lands in exactly one class: 7 added (dropped
     // from v1), 13 removed (dropped from v2), 11 changed (rewritten in
