@@ -1212,6 +1212,43 @@ object QueriesE {
         .orderBy("domain", "doc_id")
     }),
 
+    // e52: char-bigram LM fluency score — the perplexity-proxy quality
+    // filter (the CCNet/Gopher "does this read like language" signal)
+    // with a model TRAINED ON THE CORPUS ITSELF: corpus-wide within-word
+    // char-pair counts give P(b|a) = C(ab)/C(a·), and each doc scores the
+    // MEAN of its pairs' probabilities (means of probabilities, not logs —
+    // ln is correctly rounded in no engine; each P is one IEEE division
+    // of exact integers, the per-doc sum folds in POSITION order via the
+    // e47 sort_array recipe, so the score is bit-portable). Scale: the
+    // model is vocabulary-sized (≤ ~1k char pairs) and BROADCASTS to both
+    // joins; pair extraction rides the native CharPairs kernel in-scan;
+    // the only corpus-sized shuffle is the per-doc fold.
+    "e52_char_lm_score" -> ((s, dir) => {
+      val pairs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextExpressions.charPairs(col("text"))))
+        .toDF("doc_id", "pos", "pair")
+        .transform(graft.Caches.persistTracked) // model pass + score pass
+      val pc = pairs.groupBy("pair").agg(count(lit(1)).as("c"))
+      val pfx = pc.groupBy(substring(col("pair"), 1, 1).as("pfx"))
+        .agg(sum(col("c")).as("cp"))
+      pairs
+        .join(broadcast(pc), "pair")
+        .join(broadcast(pfx), substring(col("pair"), 1, 1) === col("pfx"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          aggregate(
+            transform(
+              sort_array(collect_list(struct(col("pos"),
+                (col("c").cast("double") / col("cp").cast("double")).as("p")))),
+              x => x.getField("p")),
+            lit(0.0), (a, b) => a + b).as("psum"))
+        .select(col("doc_id"),
+          (col("psum") / col("n_pairs").cast("double")).as("fluency"),
+          col("n_pairs"))
+        .orderBy("doc_id")
+    }),
+
     // e51: perceptual-hash near-dup over the MEDIA column — the image-
     // dedup analogue of e42 for the multimodal tier: a 32-bit average-hash
     // fingerprint of each binary payload (linear byte resample + exact
@@ -1418,6 +1455,22 @@ object QueriesE {
         "greatest(sa.source, sb.source) AS src_hi, count(*) AS n_pairs " +
         "FROM vpairs JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "e52_char_lm_score" ->
+      // pairs with document order: parallel unnests zip positionally, so
+      // (word index, in-word index) reproduces the kernel's emission order
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, " +
+        "unnest(range(len(string_split(text, ' ')))) AS wi FROM documents), " +
+        "p AS (SELECT doc_id, wi, " +
+        "unnest(list_transform(range(1, length(word)), i -> substr(word, CAST(i AS INT), 2))) AS pair, " +
+        "unnest(range(1, length(word))) AS ci FROM toks), " +
+        "pc AS (SELECT pair, count(*) AS c FROM p GROUP BY pair), " +
+        "pfx AS (SELECT substr(pair, 1, 1) AS f, sum(c) AS cp FROM pc GROUP BY 1), " +
+        "j AS (SELECT doc_id, wi, ci, c::DOUBLE / cp::DOUBLE AS prob " +
+        "FROM p JOIN pc USING (pair) JOIN pfx ON substr(p.pair, 1, 1) = f) " +
+        "SELECT doc_id, " +
+        "list_reduce(list_prepend(0.0::DOUBLE, list(prob ORDER BY wi, ci)), " +
+        "(a, b) -> a + b) / count(*)::DOUBLE AS fluency, " +
+        "count(*) AS n_pairs FROM j GROUP BY doc_id ORDER BY doc_id"),
     "e51_media_phash_neardup" -> {
       // payload = UTF-8 bytes of ASCII text, so byte p of the media column
       // is ascii(substr(text, p, 1)) — the e15 portable-byte recipe

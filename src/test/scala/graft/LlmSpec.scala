@@ -758,6 +758,22 @@ class LlmSpec extends AnyFunSuite {
     assert(shifted == base, "an unsampled-byte edit must not perturb the aHash")
   }
 
+  test("e52 fluency: corpus-typical text outscores rare-bigram junk") {
+    // the junk doc's pairs must SHARE PREFIXES with the typical text
+    // (bq/bx/bz vs the dominant ba) — an unsmoothed bigram model gives
+    // P=1 to a unique continuation of a unique prefix, so junk with
+    // never-seen prefixes would score perfectly (a real corpus has no
+    // unseen prefixes; the crafted one must not either)
+    val dir = craftedDocsDir("e52", Seq(
+      (1L, "banana banana banana", 20L),
+      (2L, "banana bandana banana", 21L),
+      (3L, "bq bx bz", 8L))) // common prefix, rare continuations
+    val out = graft.llm.QueriesE.all("e52_char_lm_score")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > out(3L) && out(2L) > out(3L),
+      s"corpus-typical docs must outscore junk: $out")
+  }
+
   test("e34 corpus diff classifies added/removed/changed correctly") {
     // ids chosen so each lands in exactly one class: 7 added (dropped
     // from v1), 13 removed (dropped from v2), 11 changed (rewritten in
