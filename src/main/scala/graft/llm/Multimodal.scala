@@ -98,12 +98,6 @@ object Multimodal {
       .withColumn("width", lit(w)).withColumn("height", lit(h))
   }
 
-  /** Frame sampling for video-typed rows: every k-th byte-slice stands in
-    * for every k-th frame — array output shape matches a real sampler.
-    * Empty payloads yield no frames (guards the integer division below —
-    * Spark's `/` truncates toward zero, so (0−1)/k would otherwise emit a
-    * single empty frame).
-    */
   /** 32-bit AVERAGE-HASH of the binary payload — the aHash perceptual
     * fingerprint, 1-D: linearly resample 32 bytes at positions
     * p_j = (j·(n−1)) div 31 (the resample-to-fixed-grid step a real
@@ -129,6 +123,12 @@ object Multimodal {
       .drop("_n", "_s")
   }
 
+  /** Frame sampling for video-typed rows: every k-th byte-slice stands in
+    * for every k-th frame — array output shape matches a real sampler.
+    * Empty payloads yield no frames (guards the integer division below —
+    * Spark's `/` truncates toward zero, so (0−1)/k would otherwise emit a
+    * single empty frame).
+    */
   def sampleFrames(media: DataFrame, every: Int = 10): DataFrame =
     media.withColumn("frames",
       when(col("media_type") === "video" && length(col("media")) > 0,

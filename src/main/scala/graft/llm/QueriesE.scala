@@ -1258,6 +1258,14 @@ object QueriesE {
     // false-negative-free candidates from EQUI-joins, never all-pairs).
     // All byte math is portable (hex decode / ascii), so the oracle
     // reproduces the hash bit-for-bit.
+    //
+    // Width note: 32 bits is deliberate for THIS corpus. A 64-bit hash
+    // with 16-bit bands (tried) cuts candidate volume ~256× — the right
+    // production setting — but returns ZERO pairs here: the synthetic
+    // payloads have no alignment-preserving near-dups (token edits shift
+    // every downstream byte), so only the narrower sketch exercises the
+    // full candidate→verify path. Widen the hash, not the threshold,
+    // when collision volume bites at scale.
     "e51_media_phash_neardup" -> ((s, dir) => {
       val hashed = Multimodal.withAHash32(
           Multimodal.mediaFromDocuments(t(s, dir, "documents")))
