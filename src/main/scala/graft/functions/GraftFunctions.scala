@@ -54,7 +54,9 @@ object GraftFunctions {
     "minhash_sig"      -> (es => MinhashSig(es(0),
       intArg(es(1), "minhash_sig"), intArg(es(2), "minhash_sig"))),
     "distinct_shingles" -> (es => DistinctShingles(es(0),
-      intArg(es(1), "distinct_shingles"))))
+      intArg(es(1), "distinct_shingles"))),
+    "winnow_fps"       -> (es => WinnowFp(es(0),
+      intArg(es(1), "winnow_fps"), intArg(es(2), "winnow_fps"))))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit = all.foreach { case (name, b) =>

@@ -223,6 +223,65 @@ object MinhashKernel {
     if (out.isEmpty) Empty else new GenericArrayData(out.toArray)
   }
 
+  /** Winnowed substring fingerprints (Schleimer et al. 2003): distinct
+    * sliding-window minima (window `winnowW`, first-occurrence order) of
+    * the exact base-31 polynomial hash of every `w`-codepoint window of
+    * `text` — value-identical to [[graft.llm.Dedup.winnowFingerprints]]'s
+    * HOF spec (pinned by LlmSpec), computed in ONE O(len) pass: rolling
+    * polynomial update + monotonic-deque sliding min. The HOF form is
+    * O(len²·w) interpreted in practice because CollapseProject inlines the
+    * hash-array's defining `transform` into the winnow lambda, so every
+    * winnow position re-materializes the whole hash array (measured: 18
+    * MINUTES for 500 docs at sf0.01 vs sub-second here). Null for null
+    * text and for docs shorter than `w + winnowW − 1` codepoints (too
+    * short to fill one winnow window — no fingerprint evidence).
+    *
+    * Exactness: code points < 0x110000 and 31⁷ ≈ 2.8e10 keep every term
+    * < 2⁶³/8, so the Long arithmetic never wraps and the rolling update
+    * equals the direct sum bit-for-bit (engine-portable, matches DuckDB's
+    * integer evaluation of the same polynomial).
+    */
+  def winnowFps(text: String, w: Int, winnowW: Int): ArrayData = {
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    if (n < w + winnowW - 1) return null
+    val nh = n - w + 1 // number of w-windows
+    var top = 1L // 31^(w-1), the outgoing codepoint's weight
+    var j = 1
+    while (j < w) { top *= 31L; j += 1 }
+    val hs = new Array[Long](nh)
+    var h = 0L
+    j = 0
+    while (j < w) { h = h * 31L + cps(j); j += 1 }
+    hs(0) = h
+    var i = 1
+    while (i < nh) {
+      h = (h - cps(i - 1) * top) * 31L + cps(i + w - 1)
+      hs(i) = h
+      i += 1
+    }
+    // sliding min over winnowW consecutive hashes: monotonic index deque
+    // (front = current window's min), minima deduped in first-occurrence
+    // order to mirror array_distinct over the spec's minima sequence
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val dq = new Array[Int](nh)
+    var head = 0
+    var tail = 0
+    i = 0
+    while (i < nh) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - winnowW) head += 1
+      if (i >= winnowW - 1) out.add(hs(dq(head))): Unit
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Distinct word n-gram shingles, first-occurrence order — the same
     * tokenization and joining as [[sig]]; value-identical to
     * `array_distinct(transform(...))` over the HOF spec (codegen entry
@@ -350,6 +409,32 @@ case class CharPairs(child: Expression) extends UnaryExpression {
   override def prettyName: String = "char_pairs"
 }
 
+/** Winnowed substring fingerprints in one O(len) pass — see
+  * [[MinhashKernel.winnowFps]] for the algorithm and why the composable
+  * HOF spec ([[graft.llm.Dedup.winnowFingerprints]]) is quadratic in
+  * practice. Null for null text and docs shorter than `w + winnowW − 1`
+  * codepoints, mirroring the spec's `when(length ≥ …)` guard.
+  */
+case class WinnowFp(child: Expression, w: Int, winnowW: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashKernel.winnowFps(input.asInstanceOf[UTF8String].toString, w, winnowW)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.MinhashKernel.winnowFps($c.toString(), $w, $winnowW);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFp =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fps"
+}
+
 object TextExpressions {
   /** Single-pass k-permutation minhash signature of a text column
     * (array<string> of lowercase md5 hex minima; null when no shingles).
@@ -368,4 +453,10 @@ object TextExpressions {
   /** One-pass per-doc repetition counters: struct(top2, n2, n3, d3). */
   def repetitionStats(text: Column): Column =
     column(RepetitionStats(expression(text)))
+
+  /** Winnowed substring fingerprints: distinct sliding-window minima of
+    * the w-codepoint rolling polynomial hashes (null when too short).
+    */
+  def winnowFps(text: Column, w: Int = 8, winnowW: Int = 4): Column =
+    column(WinnowFp(expression(text), w, winnowW))
 }

@@ -244,6 +244,30 @@ object Dedup {
       .otherwise(lit(null).cast("long"))
   }
 
+  /** EXECUTABLE SPEC of winnowed substring fingerprints (Schleimer et al.
+    * 2003): distinct minima of each `winnowW` consecutive `w`-codepoint
+    * rolling hashes ([[rollingFingerprint]]'s polynomial), null when the
+    * text is shorter than `w + winnowW − 1` codepoints. Kept as the
+    * readable composable formulation the LlmSpec pins the native kernel
+    * against — do NOT use in queries: CollapseProject inlines the hash
+    * array's `transform` into the winnow lambda, re-materializing the
+    * whole array per winnow position (O(len²·w) interpreted — measured 18
+    * min over 500 sf0.01 docs). Production path:
+    * [[graft.functions.TextExpressions.winnowFps]] (O(len), codegen'd).
+    */
+  def winnowFingerprints(text: Column, w: Int = 8, winnowW: Int = 4): Column = {
+    val pows = Array.iterate(1L, w)(_ * 31L)
+    val windowHash = (i: Column) =>
+      (0 until w).map { j =>
+        ascii(substr(text, i + lit(j + 1), lit(1))) * lit(pows(w - 1 - j))
+      }.reduce(_ + _)
+    val hs = transform(sequence(lit(0), length(text) - w), windowHash)
+    when(length(text) >= w + winnowW - 1,
+      array_distinct(transform(sequence(lit(0), length(text) - w - winnowW + 1),
+        i => array_min(slice(hs, i + lit(1), lit(winnowW))))))
+      .otherwise(lit(null).cast("array<bigint>"))
+  }
+
   /** Document fingerprint: md5 of the 3 lexicographically-smallest shingle
     * digests (a min-k sketch — winnowing-style selection, stable under
     * content reordering). Array-native, no shuffle.

@@ -1212,6 +1212,40 @@ object QueriesE {
         .orderBy("domain", "doc_id")
     }),
 
+    // e53: substring-overlap candidate pairs via WINNOWING (Schleimer et
+    // al. 2003; the candidate stage of Lee et al. 2022's substring
+    // dedup) — catches long VERBATIM SPANS embedded in otherwise-different
+    // documents, the case word-shingle minhash (e17) under-weights. Each
+    // doc's 8-char Rabin–Karp window hashes (the e15 polynomial — exact
+    // integer, engine-portable) are winnowed with window W=4: fingerprint
+    // set = distinct minima of each 4 consecutive hashes, so ANY shared
+    // substring of ≥ 8+4−1 = 11 chars contributes ≥1 shared fingerprint
+    // (the winnowing guarantee). Pairs sharing ≥3 kept fingerprints are
+    // reported. Scale: fingerprinting is the one-pass codegen'd WinnowFp
+    // kernel (rolling hash + deque sliding-min; the composable HOF form,
+    // kept as Dedup.winnowFingerprints' executable spec, is O(len²·w)
+    // interpreted because CollapseProject inlines the hash array into the
+    // winnow lambda); candidates come from an equi-join on fingerprint
+    // with the e7 df-cap (boilerplate fingerprints shared by >25 docs
+    // are dropped, bounding join fan-out) — never all-pairs.
+    "e53_substring_winnow_pairs" -> ((s, dir) => {
+      val fps = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextExpressions.winnowFps(col("text")).as("_fps"))
+        .filter(col("_fps").isNotNull)
+        .select(col("doc_id"), explode(col("_fps")).as("fp"))
+        .transform(graft.Caches.persistTracked) // df-cap pass + pair join
+      val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= E7DfCap).select("fp")
+      val kept = fps.join(keep, "fp")
+      kept.as("a").join(kept.as("b"), "fp")
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared")) // fps are per-doc distinct
+        .filter(col("n_shared") >= 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // e52: char-bigram LM fluency score — the perplexity-proxy quality
     // filter (the CCNet/Gopher "does this read like language" signal)
     // with a model TRAINED ON THE CORPUS ITSELF: corpus-wide within-word
@@ -1463,6 +1497,24 @@ object QueriesE {
         "greatest(sa.source, sb.source) AS src_hi, count(*) AS n_pairs " +
         "FROM vpairs JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "e53_substring_winnow_pairs" -> {
+      val w = 8
+      val pows = Array.iterate(1L, w)(_ * 31L)
+      val terms = (0 until w)
+        .map(j => s"ascii(substr(text, i + ${j + 1}, 1))::BIGINT * ${pows(w - 1 - j)}::BIGINT")
+        .mkString(" + ")
+      s"WITH d AS (SELECT doc_id, text FROM documents " +
+        "WHERE text IS NOT NULL AND length(text) >= 11), " +
+        s"h AS (SELECT doc_id, list_transform(range(length(text) - 7), i -> $terms) AS hs FROM d), " +
+        "f0 AS (SELECT doc_id, list_distinct(list_transform(range(len(hs) - 3), " +
+        "i -> list_min(hs[CAST(i + 1 AS INT):CAST(i + 4 AS INT)]))) AS fps FROM h), " +
+        "f AS (SELECT doc_id, unnest(fps) AS fp FROM f0), " +
+        s"keep AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM f GROUP BY fp) WHERE df <= $E7DfCap), " +
+        "k AS (SELECT doc_id, fp FROM f JOIN keep USING (fp)) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared " +
+        "FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2"
+    },
     "e52_char_lm_score" ->
       // pairs with document order: parallel unnests zip positionally, so
       // (word index, in-word index) reproduces the kernel's emission order

@@ -95,6 +95,54 @@ class LlmSpec extends AnyFunSuite {
     assert(e.forall(_.isEmpty))
   }
 
+  test("native winnowFps kernel is value-identical to the HOF executable spec") {
+    // real corpus text: the O(len) rolling-hash + deque kernel must
+    // reproduce the composable transform/slice/array_min formulation's
+    // distinct minima exactly, in the same first-occurrence order
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(100)
+    val joined = docs.select(col("doc_id"),
+      Dedup.winnowFingerprints(col("text")).as("spec"),
+      graft.functions.TextExpressions.winnowFps(col("text")).as("native"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val spec = if (r.isNullAt(1)) null else r.getSeq[Long](1)
+      val nat = if (r.isNullAt(2)) null else r.getSeq[Long](2)
+      assert(spec == nat, s"doc ${r.getLong(0)}")
+    }
+    // edge semantics: exactly at/below the w+winnowW-1 = 11-codepoint
+    // threshold, unicode (codepoint-counted, ascii() = codePointAt), and
+    // a repeated substring whose shared windows must dedup to one minimum
+    val edge = Seq(
+      (1L, "0123456789"),            // 10 cps -> null
+      (2L, "0123456789a"),           // 11 cps -> exactly one winnow window
+      (3L, "αβγδεζηθικλ"),           // 11 unicode cps
+      (4L, "aaaaaaaaaaaaaaaaaaaa"),  // all windows identical -> 1 fp
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val e = edge.select(col("doc_id"),
+      Dedup.winnowFingerprints(col("text")).as("spec"),
+      graft.functions.TextExpressions.winnowFps(col("text")).as("native"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1),
+          if (r.isNullAt(2)) null else r.getSeq[Long](2))).toMap
+    assert(e(1L) == ((null, null)))
+    assert(e(2L)._2 != null && e(2L)._2.length == 1 && e(2L)._1 == e(2L)._2)
+    assert(e(3L)._1 == e(3L)._2 && e(3L)._2.length == 1)
+    assert(e(4L)._2.length == 1 && e(4L)._1 == e(4L)._2)
+    assert(e(5L) == ((null, null)))
+    // the winnowing guarantee on the query's parameters: any shared
+    // substring of >= w + winnowW - 1 chars yields a shared fingerprint
+    val shared = "THE-VERBATIM-SPAN-CARRIED-ACROSS"
+    val pairDf = Seq((10L, s"left context before $shared and after"),
+      (11L, s"совершенно other prefix $shared different suffix"))
+      .toDF("doc_id", "text")
+      .select(graft.functions.TextExpressions.winnowFps(col("text")).as("f"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(pairDf(0).intersect(pairDf(1)).nonEmpty)
+  }
+
   test("kernels match HOF spec on randomized adversarial text (unicode, spacing)") {
     val rnd = new scala.util.Random(4242)
     val alphabets = Seq("abc de f", "αβγ δε", "汉字 文本", "a  b   c", " lead", "trail ",
