@@ -41,6 +41,30 @@ object QueriesE {
   private def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)}) / ((${sqlNorm(a)}) * (${sqlNorm(b)}))"
 
+  /** DuckDB CTE chain unrolling [[Bpe]] training (e54/e55): `w` words,
+    * `s0` code-point segmentation, then per rank i: `p_i` adjacent-pair
+    * occurrences, `m_i` the argmax merge, `s_i` re-segmentation via a
+    * `list_reduce` greedy fold. The fold merges the accumulator's tail
+    * token with the incoming token; a merged token can never equal its
+    * own left element (lengths differ), so the fold coincides with
+    * [[graft.functions.BpeKernel]]'s left-to-right pass token-for-token.
+    */
+  private def sqlBpeCtes(k: Int): String = {
+    val red = "list_reduce(list_transform(t, tt -> [tt]), (acc, e) -> " +
+      "CASE WHEN len(acc) > 0 AND acc[len(acc)] = x AND e[1] = y " +
+      "THEN list_append(acc[1:len(acc)-1], x || y) ELSE list_append(acc, e[1]) END)"
+    val sb = new StringBuilder(
+      "w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents WHERE text IS NOT NULL), " +
+        "s0 AS (SELECT doc_id, string_split(w, '') AS t FROM w WHERE w <> '')")
+    for (i <- 1 to k) {
+      sb ++= s", p$i AS (SELECT unnest(list_transform(range(1, len(t)), j -> t[j] || '|' || t[j+1])) AS pair FROM s${i - 1})"
+      sb ++= s", m$i AS (SELECT pair, n, split_part(pair, '|', 1) AS x, split_part(pair, '|', 2) AS y " +
+        s"FROM (SELECT pair, count(*) AS n FROM p$i GROUP BY pair ORDER BY n DESC, pair LIMIT 1))"
+      sb ++= s", s$i AS (SELECT doc_id, $red AS t FROM s${i - 1} CROSS JOIN m$i)"
+    }
+    sb.toString
+  }
+
   /** e24 redaction patterns — shared verbatim by the Spark query and its
     * DuckDB oracle; RE2-safe (no lookaround/backreferences), so Java regex
     * and RE2 produce identical matches.
@@ -1246,6 +1270,32 @@ object QueriesE {
         .orderBy("id_a", "id_b")
     }),
 
+    // e54: BPE tokenizer TRAINING — the first Iterations merge ranks
+    // (Sennrich et al. 2016) learned from the corpus itself: per rank,
+    // segment every word under the merges so far (native BpeKernel, in-
+    // scan), count adjacent token pairs corpus-wide (map-side-combined —
+    // the pair key space is vocab², so the shuffle is tiny at any corpus
+    // size), pick argmax with the (n DESC, pair ASC) tie-break both
+    // engines order identically. The oracle unrolls the loop as CTEs,
+    // applying each merge with a list_reduce greedy fold that reproduces
+    // the kernel's left-to-right pass exactly (the e35-k-means class of
+    // cross-engine feat: an iterative trainer, bit-equal in two engines).
+    "e54_bpe_train" -> ((s, dir) =>
+      Bpe.mergesDf(s, dir).orderBy("merge_rank")),
+
+    // e55: tokenize WITH the trained merges — per-doc token counts before
+    // (pure code-point segmentation) and after the e54 merge table, the
+    // compression measurement a tokenizer-training pipeline reports.
+    // Merges are trained once per session (Caches.memo) and enter the
+    // kernel as a literal; per-row work is one in-scan segmentation pass.
+    "e55_bpe_tokenize" -> ((s, dir) => {
+      val merges = Bpe.merges(s, dir)
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.BpeExpressions.bpeTokenCount(col("text"), Nil).as("n_base"),
+        graft.functions.BpeExpressions.bpeTokenCount(col("text"), merges).as("n_tok"))
+        .orderBy("doc_id")
+    }),
+
     // e52: char-bigram LM fluency score — the perplexity-proxy quality
     // filter (the CCNet/Gopher "does this read like language" signal)
     // with a model TRAINED ON THE CORPUS ITSELF: corpus-wide within-word
@@ -1497,6 +1547,20 @@ object QueriesE {
         "greatest(sa.source, sb.source) AS src_hi, count(*) AS n_pairs " +
         "FROM vpairs JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "e54_bpe_train" ->
+      ("WITH " + sqlBpeCtes(Bpe.Iterations) + " SELECT * FROM (" +
+        (1 to Bpe.Iterations)
+          .map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, pair, n FROM m$i")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY merge_rank"),
+    "e55_bpe_tokenize" ->
+      ("WITH " + sqlBpeCtes(Bpe.Iterations) +
+        ", base AS (SELECT doc_id, CAST(sum(len(t)) AS BIGINT) AS n_base FROM s0 GROUP BY doc_id)" +
+        s", tok AS (SELECT doc_id, CAST(sum(len(t)) AS BIGINT) AS n_tok FROM s${Bpe.Iterations} GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(b.n_base, CAST(0 AS BIGINT)) AS n_base, " +
+        "coalesce(tk.n_tok, CAST(0 AS BIGINT)) AS n_tok FROM documents d " +
+        "LEFT JOIN base b ON b.doc_id = d.doc_id LEFT JOIN tok tk ON tk.doc_id = d.doc_id " +
+        "ORDER BY d.doc_id"),
     "e53_substring_winnow_pairs" -> {
       val w = 8
       val pows = Array.iterate(1L, w)(_ * 31L)

@@ -95,6 +95,51 @@ class LlmSpec extends AnyFunSuite {
     assert(e.forall(_.isEmpty))
   }
 
+  test("BpeKernel: canonical greedy merge semantics and trained-merge pipeline") {
+    import graft.functions.{BpeKernel, BpeExpressions}
+    // one merge, one left-to-right non-overlapping pass (Sennrich apply)
+    assert(BpeKernel.tokens("aaaa", Array("a|a")).toSeq == Seq("aa", "aa"))
+    assert(BpeKernel.tokens("aaa", Array("a|a")).toSeq == Seq("aa", "a"))
+    assert(BpeKernel.tokens("ababa", Array("a|b")).toSeq == Seq("ab", "ab", "a"))
+    // merges apply in rank order; a later merge consumes an earlier one's
+    // output token as a unit (th+e), never its suffix (h+e)
+    assert(BpeKernel.tokens("the", Array("t|h", "th|e")).toSeq == Seq("the"))
+    assert(BpeKernel.tokens("he", Array("t|h", "th|e")).toSeq == Seq("h", "e"))
+    assert(BpeKernel.tokens("x", Array("a|a")).toSeq == Seq("x"))
+    // with no merges, pair occurrences == charPairs occurrences per row
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(100)
+    val sizes = docs.select(
+      size(BpeExpressions.bpePairs(col("text"), Nil)).as("a"),
+      size(graft.functions.TextExpressions.charPairs(col("text"))).as("b"))
+      .collect()
+    assert(sizes.nonEmpty && sizes.forall(r => r.getInt(0) == r.getInt(1)))
+    // training: deterministic argmax with the (n DESC, pair ASC) tie-break
+    val corpus = Seq((1L, "low low low lower"), (2L, "low newest newest"))
+      .toDF("doc_id", "text")
+    corpus.createOrReplaceTempView("bpe_docs")
+    val words = corpus.select(explode(split(col("text"), " ")).as("w"))
+    val trained = {
+      var merges = Vector.empty[String]
+      (1 to 2).map { _ =>
+        val top = corpus
+          .select(explode(BpeExpressions.bpePairs(col("text"), merges)).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(1).collect()(0)
+        merges = merges :+ top.getString(0)
+        (top.getString(0), top.getLong(1))
+      }
+    }
+    // 'lo' appears in low×4 + lower = 5, 'o|w' also 5 -> tie broken by
+    // pair ASC: "l|o" < "o|w"; after merging l|o, (lo,w) has 5
+    assert(trained(0) == (("l|o", 5L)))
+    assert(trained(1) == (("lo|w", 5L)))
+    assert(words.select(
+      BpeExpressions.bpeTokenCount(col("w"), Seq("l|o", "lo|w")).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0) ==
+      (1 + 1 + 1 + 3) + (1 + 6 + 6)) // low,low,low,lower=low+er | low,newest×2
+  }
+
   test("native winnowFps kernel is value-identical to the HOF executable spec") {
     // real corpus text: the O(len) rolling-hash + deque kernel must
     // reproduce the composable transform/slice/array_min formulation's
