@@ -97,6 +97,43 @@ object GraftProps extends Properties("graft") {
       got == model
     }
 
+  property("winnowFps = distinct sliding minima of the direct polynomial model") =
+    forAll(text, Gen.chooseNum(2, 10), Gen.chooseNum(2, 5)) { (t, w, winnowW) =>
+      val got = graft.functions.MinhashKernel.winnowFps(t, w, winnowW)
+      val cps = t.codePoints().toArray
+      if (cps.length < w + winnowW - 1) got == null
+      else {
+        val pows = Array.iterate(1L, w)(_ * 31L)
+        val hs = (0 to cps.length - w)
+          .map(i => (0 until w).map(j => cps(i + j) * pows(w - 1 - j)).sum)
+        val model = (0 to hs.length - winnowW)
+          .map(i => hs.slice(i, i + winnowW).min).distinct
+        got.toLongArray().toSeq == model
+      }
+    }
+
+  property("BpeKernel single merge = the greedy left-to-right scan model") =
+    forAll(word, Gen.alphaLowerChar, Gen.alphaLowerChar) { (wrd, xc, yc) =>
+      val (x, y) = (xc.toString, yc.toString)
+      @annotation.tailrec
+      def go(rem: List[String], acc: List[String]): List[String] = rem match {
+        case a :: b :: rest if a == x && b == y => go(rest, (a + b) :: acc)
+        case a :: rest => go(rest, a :: acc)
+        case Nil => acc
+      }
+      graft.functions.BpeKernel.tokens(wrd, Array(s"$x|$y")).toSeq ==
+        go(wrd.map(_.toString).toList, Nil).reverse
+    }
+
+  property("BpeKernel.tokens concatenation reconstructs the word; counts agree") =
+    forAll(text, Gen.listOfN(3,
+      for { a <- Gen.alphaLowerChar; b <- Gen.alphaLowerChar } yield s"$a|$b")) { (t, ms) =>
+      val words = t.split(" ", -1).filter(_.nonEmpty)
+      val toks = words.map(w => graft.functions.BpeKernel.tokens(w, ms.toArray))
+      toks.zip(words).forall { case (ts, w) => ts.mkString == w } &&
+        graft.functions.BpeKernel.tokenCount(t, ms.toArray) == toks.map(_.length.toLong).sum
+    }
+
   // ---- Point-in-polygon: JTS covers vs the exact half-plane model ----
 
   /** Andrew monotone chain over integer points → CCW convex hull.
