@@ -49,7 +49,7 @@ object QueriesE {
     * own left element (lengths differ), so the fold coincides with
     * [[graft.functions.BpeKernel]]'s left-to-right pass token-for-token.
     */
-  private def sqlBpeCtes(k: Int): String = {
+  private[graft] def sqlBpeCtes(k: Int): String = {
     val red = "list_reduce(list_transform(t, tt -> [tt]), (acc, e) -> " +
       "CASE WHEN len(acc) > 0 AND acc[len(acc)] = x AND e[1] = y " +
       "THEN list_append(acc[1:len(acc)-1], x || y) ELSE list_append(acc, e[1]) END)"
@@ -1270,6 +1270,26 @@ object QueriesE {
         .orderBy("id_a", "id_b")
     }),
 
+    // e56: per-source vocabulary occupancy — exact distinct count of
+    // 16-bit md5 buckets of word 2-grams, via the custom MERGEABLE BITMAP
+    // AGGREGATE (BitmapDistinct, a TypedImperativeAggregate). The shape
+    // this exists for: count(DISTINCT x) plans TWO shuffles with
+    // O(distinct (group, x) pairs) intermediate rows on the wire; a
+    // bounded bucket domain admits an 8-KB-per-group bitmap whose
+    // updates are in-scan with map-side partial aggregation and whose
+    // merge is a word-wise OR — ONE shuffle moving #groups × 8 KB
+    // regardless of corpus size. The DuckDB oracle IS count(DISTINCT):
+    // same number, different (scale-wrong) plan.
+    "e56_vocab_occupancy" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextExpressions.distinctShingles(col("text"), 2)).as("sh"))
+        .select(col("source"),
+          conv(substring(md5(col("sh")), 1, 4), 16, 10).cast("int").as("bucket"))
+        .groupBy("source")
+        .agg(graft.functions.AggExpressions.bitmapDistinct(col("bucket")).as("n_buckets"))
+        .orderBy("source")),
+
     // e54: BPE tokenizer TRAINING — the first Iterations merge ranks
     // (Sennrich et al. 2016) learned from the corpus itself: per rank,
     // segment every word under the merges so far (native BpeKernel, in-
@@ -1547,6 +1567,10 @@ object QueriesE {
         "greatest(sa.source, sb.source) AS src_hi, count(*) AS n_pairs " +
         "FROM vpairs JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "e56_vocab_occupancy" ->
+      ("WITH sh AS (SELECT source, unnest(" + sqlShingles(2) + ") AS sh FROM documents) " +
+        "SELECT source, count(DISTINCT substr(md5(sh), 1, 4)) AS n_buckets " +
+        "FROM sh GROUP BY source ORDER BY source"),
     "e54_bpe_train" ->
       ("WITH " + sqlBpeCtes(Bpe.Iterations) + " SELECT * FROM (" +
         (1 to Bpe.Iterations)

@@ -413,6 +413,26 @@ object EventWindows {
     df.sparkSession.table(sinkName)
   }
 
+  /** Streaming application of a BATCH-TRAINED artifact (f21): tokenize the
+    * documents stream under the BPE merge table trained on the static
+    * corpus ([[graft.llm.Bpe]]), aggregating per-source token totals in
+    * complete mode — the train-offline / apply-on-ingest serving shape.
+    * The trained merges enter the per-row kernel as a literal (broadcast-
+    * style, no join); the only streaming state is the tiny per-source
+    * aggregate. The converged table equals the batch aggregate (the
+    * oracle): counts are exact integers and order-independent.
+    */
+  def streamTokenizeBySource(spark: SparkSession, dir: String,
+      sinkName: String = "f21_sink"): DataFrame = withShufflePartitions(spark, 8) {
+    val merges = graft.llm.Bpe.merges(spark, dir)
+    val toks = graft.llm.Dedup.readStreamDocuments(spark, dir)
+      .select(col("source"),
+        graft.functions.BpeExpressions.bpeTokenCount(col("text"), merges).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    runToMemorySink(toks, "complete", sinkName)
+  }
+
   /** Run the stream-stream attribution join over the events file stream to
     * completion (purchases and views as two independent file sources): a
     * REAL streaming execution of the f8 range-join semantics — the oracle

@@ -135,6 +135,14 @@ object QueriesF {
     "f13_stream_static_join" -> ((s, dir) =>
       EventWindows.enrichedSegmentStats(s, dir).orderBy("segment", "event_type")),
 
+    // f21: batch-trained artifact applied ON INGEST — the documents stream
+    // tokenized under the BPE merges trained on the static corpus (e54's
+    // Bpe.mergesDf, session-memoized), per-source token totals in complete
+    // mode. The merge table rides into the kernel as a literal; converged
+    // table = the batch aggregate (exact integers, order-independent).
+    "f21_stream_tokenize" -> ((s, dir) =>
+      EventWindows.streamTokenizeBySource(s, dir).orderBy("source")),
+
     // f14: CDC upsert sink — foreachBatch merges each batch's per-user
     // argmax into a keyed parquet state table (read-merge-atomic-swap);
     // final state = latest event per user, the batch window argmax oracle.
@@ -284,6 +292,14 @@ object QueriesF {
       ("SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value, props " +
         "FROM events ORDER BY event_id"),
     "f11_stream_range_join" -> RangeJoinSql,
+    "f21_stream_tokenize" ->
+      ("WITH " + graft.llm.QueriesE.sqlBpeCtes(graft.llm.Bpe.Iterations) +
+        s", tok AS (SELECT doc_id, CAST(sum(len(t)) AS BIGINT) AS n_tok " +
+        s"FROM s${graft.llm.Bpe.Iterations} GROUP BY doc_id) " +
+        "SELECT d.source, count(*) AS n_docs, " +
+        "CAST(sum(coalesce(tk.n_tok, 0)) AS BIGINT) AS n_tokens " +
+        "FROM documents d LEFT JOIN tok tk ON tk.doc_id = d.doc_id " +
+        "GROUP BY d.source ORDER BY d.source"),
     "f13_stream_static_join" ->
       ("SELECT c_mktsegment AS segment, event_type, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +

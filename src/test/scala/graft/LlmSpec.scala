@@ -95,6 +95,31 @@ class LlmSpec extends AnyFunSuite {
     assert(e.forall(_.isEmpty))
   }
 
+  test("BitmapDistinct aggregate == count(DISTINCT) on the bounded domain") {
+    import graft.functions.AggExpressions.bitmapDistinct
+    val rnd = new scala.util.Random(77)
+    val rows = (1 to 5000).map(_ => (rnd.nextInt(4).toLong, rnd.nextInt(1 << 16)))
+    val df = rows.toDF("g", "bucket")
+      .select(col("g"), col("bucket").cast("int").as("bucket"))
+    val got = df.groupBy("g").agg(bitmapDistinct(col("bucket")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.groupBy("g").agg(countDistinct(col("bucket")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // nulls ignored, empty group absent — countDistinct parity
+    val withNulls = Seq((1L, Some(3)), (1L, None), (2L, None))
+      .toDF("g", "bucket").select(col("g"), col("bucket").cast("int").as("bucket"))
+    val g2 = withNulls.groupBy("g").agg(bitmapDistinct(col("bucket")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 == Map(1L -> 1L, 2L -> 0L))
+    // the scale contract: ONE exchange, map-side partial aggregation of
+    // fixed-size buffers (vs the two-shuffle distinct-expand plan)
+    val plan = df.groupBy("g").agg(bitmapDistinct(col("bucket")).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bitmap_distinct"),
+      s"expected map-side partial aggregation in:\n$plan")
+  }
+
   test("BpeKernel: canonical greedy merge semantics and trained-merge pipeline") {
     import graft.functions.{BpeKernel, BpeExpressions}
     // one merge, one left-to-right non-overlapping pass (Sennrich apply)
