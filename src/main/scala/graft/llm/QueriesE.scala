@@ -206,26 +206,57 @@ object QueriesE {
     * (c−q)² probe chain, one double division chain for means), which is
     * what makes an ITERATIVE clustering algorithm bit-exact cross-engine.
     */
-  /** Fixed-order sum chain `0.0 + f(1) + … + f(Dims)` — the DuckDB mirror
+  /** Fixed-order sum chain `0.0 + f(1) + … + f(n)` — the DuckDB mirror
     * of the Spark side's in-order array fold (bit-identical doubles).
     */
-  private def sqlChain(f: Int => String): String =
-    "0.0" + (1 to Dims).map(i => " + " + f(i)).mkString
+  private def sqlChainN(n: Int)(f: Int => String): String =
+    "0.0" + (1 to n).map(i => " + " + f(i)).mkString
+  private def sqlChain(f: Int => String): String = sqlChainN(Dims)(f)
 
   /** The l2sq three-term expansion, term-by-term as [[Similarity.ivfAssign]]. */
-  private def sqlL2(e: String, c: String): String =
-    s"(${sqlChain(i => s"$e.emb[$i]*$e.emb[$i]")}) - 2.0 * " +
-      s"(${sqlChain(i => s"$e.emb[$i]*$c.emb[$i]")}) + " +
-      s"(${sqlChain(i => s"$c.emb[$i]*$c.emb[$i]")})"
+  private def sqlL2N(n: Int)(e: String, c: String): String =
+    s"(${sqlChainN(n)(i => s"$e.emb[$i]*$e.emb[$i]")}) - 2.0 * " +
+      s"(${sqlChainN(n)(i => s"$e.emb[$i]*$c.emb[$i]")}) + " +
+      s"(${sqlChainN(n)(i => s"$c.emb[$i]*$c.emb[$i]")})"
+  private def sqlL2(e: String, c: String): String = sqlL2N(Dims)(e, c)
 
-  /** Nearest-centroid assignment CTE over base `e` (rn = 1 is the argmin,
-    * ties by list index — same struct-min tie-break as the Spark side).
+  /** Nearest-centroid assignment CTE over base CTE `base` with n dims
+    * (rn = 1 is the argmin, ties by list index — same struct-min
+    * tie-break as the Spark side).
     */
-  private def sqlKmAssign(name: String, cents: String): String =
+  private def sqlKmAssignN(n: Int, base: String)(name: String, cents: String): String =
     s"$name AS (SELECT vec_id, emb, j AS list, " +
       "row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn " +
-      s"FROM (SELECT e.vec_id, e.emb, c.j, ${sqlL2("e", "c")} AS d " +
-      s"FROM e CROSS JOIN $cents c))"
+      s"FROM (SELECT e.vec_id, e.emb, c.j, ${sqlL2N(n)("e", "c")} AS d " +
+      s"FROM $base e CROSS JOIN $cents c))"
+  private def sqlKmAssign(name: String, cents: String): String =
+    sqlKmAssignN(Dims, "e")(name, cents)
+
+  /** The unrolled Lloyd loop over base CTE `base` with n dims, CTE names
+    * prefixed `pfx` (init `${pfx}c0` = first k vectors by id, final
+    * centroids `${pfx}c$iters`) — the subspace-parameterized core of
+    * [[sqlKmeansCtes]], reused per PQ subspace (e57).
+    */
+  private def sqlKmeansLoop(n: Int, base: String, pfx: String)(
+      k: Int, iters: Int): String = {
+    val sums = (1 to n)
+      .map(i => s"sum(CAST(floor(emb[$i] * 1048576.0) AS BIGINT)) AS s$i")
+      .mkString(", ")
+    val means = (1 to n)
+      .map(i => s"CAST(s$i AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE)")
+      .mkString(", ")
+    val loop = (1 to iters).map { t =>
+      val prev = if (t == 1) s"${pfx}c0" else s"${pfx}c${t - 1}"
+      sqlKmAssignN(n, base)(s"${pfx}a$t", prev) + ", " +
+        s"${pfx}u$t AS (SELECT list, count(*) AS n, $sums FROM ${pfx}a$t WHERE rn = 1 GROUP BY list), " +
+        s"${pfx}m$t AS (SELECT list AS j, [$means] AS emb FROM ${pfx}u$t), " +
+        s"${pfx}c$t AS (SELECT p.j, coalesce(m.emb, p.emb) AS emb FROM $prev p " +
+        s"LEFT JOIN ${pfx}m$t m ON p.j = m.j)"
+    }.mkString(", ")
+    s"${pfx}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, emb " +
+      s"FROM (SELECT vec_id, emb FROM $base ORDER BY vec_id LIMIT $k)), " +
+      loop
+  }
 
   /** Shared DuckDB replica of the deterministic k-means training loop
     * (init = first k vectors by id, `iters` unrolled Lloyd iterations with
@@ -234,26 +265,9 @@ object QueriesE {
     * Shared by e18 and e35 so their oracles run the IDENTICAL training
     * loop the Spark side does.
     */
-  private def sqlKmeansCtes(k: Int, iters: Int): String = {
-    val sums = (1 to Dims)
-      .map(i => s"sum(CAST(floor(emb[$i] * 1048576.0) AS BIGINT)) AS s$i")
-      .mkString(", ")
-    val means = (1 to Dims)
-      .map(i => s"CAST(s$i AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE)")
-      .mkString(", ")
-    val loop = (1 to iters).map { t =>
-      val prev = if (t == 1) "c0" else s"c${t - 1}"
-      sqlKmAssign(s"a$t", prev) + ", " +
-        s"u$t AS (SELECT list, count(*) AS n, $sums FROM a$t WHERE rn = 1 GROUP BY list), " +
-        s"m$t AS (SELECT list AS j, [$means] AS emb FROM u$t), " +
-        s"c$t AS (SELECT p.j, coalesce(m.emb, p.emb) AS emb FROM $prev p " +
-        s"LEFT JOIN m$t m ON p.j = m.j)"
-    }.mkString(", ")
+  private def sqlKmeansCtes(k: Int, iters: Int): String =
     "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings), " +
-      "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, emb " +
-      s"FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT $k)), " +
-      loop
-  }
+      sqlKmeansLoop(Dims, "e", "")(k, iters)
 
   /** DuckDB replica of the FULL iterative IVF pipeline (e18): k-means CTEs
     * + probe selection (direct (c−q)² chain) + in-list cosine top-k.
@@ -1270,6 +1284,17 @@ object QueriesE {
         .orderBy("id_a", "id_b")
     }),
 
+    // e57: product-quantization ANN (Jégou et al. 2011) — the vector-
+    // COMPRESSION path of the similarity tier: 4 independent per-subspace
+    // k-means codebooks (the e18/e35 deterministic fixed-point Lloyd
+    // recipe on 16-dim slices), every vector encoded as 4 codes, query
+    // answered via the ADC distance table (driver-computed, broadcast as
+    // literals — corpus rows see table LOOKUPS, not vector math). The
+    // oracle unrolls all four subspace trainings + encoding + the ADC
+    // join; codes and approx distances gate bit-exact.
+    "e57_ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", queryId = 0L)),
+
     // e56: per-source vocabulary occupancy — exact distinct count of
     // 16-bit md5 buckets of word 2-grams, via the custom MERGEABLE BITMAP
     // AGGREGATE (BitmapDistinct, a TypedImperativeAggregate). The shape
@@ -1567,6 +1592,29 @@ object QueriesE {
         "greatest(sa.source, sb.source) AS src_hi, count(*) AS n_pairs " +
         "FROM vpairs JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "e57_ann_pq" -> {
+      val M = 4; val KSub = 4; val Iters = 2; val TopK = 5; val Sub = Dims / M
+      val Qid = 0
+      val subs = (0 until M).map { j =>
+        val lo = j * Sub
+        s"p${j}e AS (SELECT vec_id, emb[${lo + 1}:${lo + Sub}] AS emb FROM e), " +
+          sqlKmeansLoop(Sub, s"p${j}e", s"p$j")(KSub, Iters) + ", " +
+          sqlKmAssignN(Sub, s"p${j}e")(s"p${j}enc", s"p${j}c$Iters") + ", " +
+          s"p${j}code AS (SELECT vec_id, list AS code FROM p${j}enc WHERE rn = 1), " +
+          s"p${j}dt AS (SELECT c.j AS code, " +
+          sqlChainN(Sub)(i => s"(c.emb[$i]-q.emb[${lo + i}])*(c.emb[$i]-q.emb[${lo + i}])") +
+          s" AS d FROM p${j}c$Iters c CROSS JOIN q)"
+      }.mkString(", ")
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings), " +
+        s"q AS (SELECT emb FROM e WHERE vec_id = $Qid), " + subs + " " +
+        "SELECT vec_id, " +
+        (0 until M).map(j => s"p${j}code.code AS code$j").mkString(", ") + ", " +
+        (0 until M).map(j => s"p${j}dt.d").mkString(" + ") + " AS adc " +
+        "FROM p0code " +
+        (1 until M).map(j => s"JOIN p${j}code USING (vec_id) ").mkString +
+        (0 until M).map(j => s"JOIN p${j}dt ON p${j}dt.code = p${j}code.code ").mkString +
+        s"WHERE vec_id != $Qid ORDER BY adc, vec_id LIMIT $TopK"
+    },
     "e56_vocab_occupancy" ->
       ("WITH sh AS (SELECT source, unnest(" + sqlShingles(2) + ") AS sh FROM documents) " +
         "SELECT source, count(DISTINCT substr(md5(sh), 1, 4)) AS n_buckets " +

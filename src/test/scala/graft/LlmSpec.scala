@@ -95,6 +95,19 @@ class LlmSpec extends AnyFunSuite {
     assert(e.forall(_.isEmpty))
   }
 
+  test("pqTopK: partition-count independent, codes in range, ADC ordering") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val a = Similarity.pqTopK(emb, "vec_id", queryId = 0L).collect()
+    val b = Similarity.pqTopK(emb.repartition(5), "vec_id", queryId = 0L).collect()
+    graft.Caches.drain()
+    assert(a.toSeq == b.toSeq,
+      "PQ training/encoding/ADC must not depend on partitioning")
+    assert(a.length == 5 && a.forall(r => r.getLong(0) != 0L))
+    assert(a.forall(r => (1 to 4).forall(j => (0 until 4).contains(r.getInt(j)))))
+    val adcs = a.map(_.getDouble(5))
+    assert(adcs.zip(adcs.tail).forall { case (x, y) => x <= y })
+  }
+
   test("BitmapDistinct aggregate == count(DISTINCT) on the bounded domain") {
     import graft.functions.AggExpressions.bitmapDistinct
     val rnd = new scala.util.Random(77)
