@@ -1284,6 +1284,36 @@ object QueriesE {
         .orderBy("id_a", "id_b")
     }),
 
+    // e58: FILTERED ANN (hybrid search) — top-k under a metadata
+    // predicate, the production retrieval shape ("nearest en-language
+    // docs"). The honest scale recipe: ONE shared IVF index over all
+    // vectors (same deterministic training as e18), the query OVER-PROBES
+    // (nprobe 4 vs e18's 2 — the standard recall compensation when a
+    // filter thins the candidate lists), and the predicate applies INSIDE
+    // the probed lists via an equi-join on the id — never a second index
+    // per predicate, never a full scan. Composed entirely from the
+    // library's public pieces (kmeansCentroids / ivfAssign / cosine).
+    "e58_ann_filtered" -> ((s, dir) => {
+      val base = graft.Caches.persistTracked(
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
+      val cents = Similarity.kmeansCentroids(base, "vec_id", 8, 3)
+      val listed = base.withColumn("list_id", Similarity.ivfAssign(col("emb"), cents))
+      val q = base.filter(col("vec_id") === 0L).collect()(0).getSeq[Double](1).toArray
+      val probes = cents.zipWithIndex.map { case (c, j) =>
+        (c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+      }.sortBy(identity).take(4).map(_._2)
+      val qDf = broadcast(base.filter(col("vec_id") === 0L).select(col("emb").as("q")))
+      val meta = t(s, dir, "documents").select(col("doc_id").as("vec_id"), col("lang"))
+      listed.join(meta, "vec_id")
+        .filter(col("lang") === "en" && col("vec_id") =!= 0L &&
+          col("list_id").isin(probes.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
+        .crossJoin(qDf)
+        .select(col("vec_id"), col("list_id"),
+          Similarity.cosine(col("emb"), col("q")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(5)
+    }),
+
     // e57: product-quantization ANN (Jégou et al. 2011) — the vector-
     // COMPRESSION path of the similarity tier: 4 independent per-subspace
     // k-means codebooks (the e18/e35 deterministic fixed-point Lloyd
@@ -1592,6 +1622,24 @@ object QueriesE {
         "greatest(sa.source, sb.source) AS src_hi, count(*) AS n_pairs " +
         "FROM vpairs JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "e58_ann_filtered" -> {
+      val K = 8; val Iters = 3; val NProbe = 4; val TopK = 5
+      val cos =
+        s"(${sqlChain(i => s"v.emb[$i]*q.emb[$i]")}) / " +
+          s"(sqrt(${sqlChain(i => s"v.emb[$i]*v.emb[$i]")}) * " +
+          s"sqrt(${sqlChain(i => s"q.emb[$i]*q.emb[$i]")}))"
+      sqlKmeansCtes(K, Iters) + ", " +
+        "q AS (SELECT emb FROM e WHERE vec_id = 0), " +
+        s"pd AS (SELECT c.j, ${sqlChain(i => s"(c.emb[$i]-q.emb[$i])*(c.emb[$i]-q.emb[$i])")} AS d " +
+        s"FROM c$Iters c CROSS JOIN q), " +
+        s"probes AS (SELECT j FROM pd QUALIFY row_number() OVER (ORDER BY d, j) <= $NProbe), " +
+        sqlKmAssign("a4", s"c$Iters") + " " +
+        s"SELECT v.vec_id, v.list AS list_id, $cos AS cos " +
+        "FROM a4 v JOIN documents doc ON doc.doc_id = v.vec_id CROSS JOIN q " +
+        "WHERE v.rn = 1 AND v.vec_id <> 0 AND doc.lang = 'en' " +
+        "AND v.list IN (SELECT j FROM probes) " +
+        s"ORDER BY cos DESC, v.vec_id LIMIT $TopK"
+    },
     "e57_ann_pq" -> {
       val M = 4; val KSub = 4; val Iters = 2; val TopK = 5; val Sub = Dims / M
       val Qid = 0

@@ -37,7 +37,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // e41: the ground-truth side is brute force over the SAMPLED query
       // set BY DESIGN (recall needs exact truth; O(n·|Q|) under a
       // broadcast) — the ANN side under evaluation stays an equi-join
-      "e41_ann_recall")
+      "e41_ann_recall",
+      // e58: e18's single-row query-vector crossJoin, over the probed +
+      // metadata-filtered lists only
+      "e58_ann_filtered")
 
   /** E-group queries whose plans intentionally contain a Window exec. The
     * forbidden class is a window partitioned by a DATA-DEPENDENT UNBOUNDED
