@@ -56,7 +56,11 @@ object GraftFunctions {
     "distinct_shingles" -> (es => DistinctShingles(es(0),
       intArg(es(1), "distinct_shingles"))),
     "winnow_fps"       -> (es => WinnowFp(es(0),
-      intArg(es(1), "winnow_fps"), intArg(es(2), "winnow_fps"))))
+      intArg(es(1), "winnow_fps"), intArg(es(2), "winnow_fps"))),
+    // aggregate: the analyzer wraps a bare AggregateFunction from the
+    // registry into an AggregateExpression exactly as for built-ins
+    "bitmap_distinct"  -> (es => BitmapDistinct(es(0),
+      if (es.length > 1) intArg(es(1), "bitmap_distinct") else 1 << 16)))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit = all.foreach { case (name, b) =>

@@ -40,6 +40,10 @@ class LlmSpec extends AnyFunSuite {
     assert(r.length == 5)
     assert(r.head.getInt(1) > 0)
     assert(r.head.getString(2).matches("[0-9a-f]{32}"))
+    // the registered AGGREGATE resolves like a built-in (analyzer wraps it)
+    val agg = spark.sql(
+      "SELECT bitmap_distinct(CAST(doc_id % 3 AS INT)) AS n FROM gf_docs").collect()
+    assert(agg(0).getLong(0) == 3L)
   }
 
   test("connectedComponents: chains collapse to min-id clusters; isolated stay alone") {
