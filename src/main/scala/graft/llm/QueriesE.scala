@@ -65,6 +65,27 @@ object QueriesE {
     sb.toString
   }
 
+  /** PQ parameters shared by e57, f22, and their oracles. */
+  private[graft] val PqM = 4
+  private[graft] val PqKSub = 4
+  private[graft] val PqIters = 2
+  private[graft] def PqSub: Int = Dims / PqM
+
+  /** DuckDB CTE chain for the full PQ train+encode path (e57/f22): base
+    * `e`, per subspace j the slice `p${j}e`, the unrolled k-means
+    * (`sqlKmeansLoop`), the assignment `p${j}enc`, and the per-vector
+    * code `p${j}code`.
+    */
+  private[graft] def sqlPqCodeCtes: String =
+    "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings), " +
+      (0 until PqM).map { j =>
+        val lo = j * PqSub
+        s"p${j}e AS (SELECT vec_id, emb[${lo + 1}:${lo + PqSub}] AS emb FROM e), " +
+          sqlKmeansLoop(PqSub, s"p${j}e", s"p$j")(PqKSub, PqIters) + ", " +
+          sqlKmAssignN(PqSub, s"p${j}e")(s"p${j}enc", s"p${j}c$PqIters") + ", " +
+          s"p${j}code AS (SELECT vec_id, list AS code FROM p${j}enc WHERE rn = 1)"
+      }.mkString(", ")
+
   /** e24 redaction patterns — shared verbatim by the Spark query and its
     * DuckDB oracle; RE2-safe (no lookaround/backreferences), so Java regex
     * and RE2 produce identical matches.
@@ -1641,27 +1662,22 @@ object QueriesE {
         s"ORDER BY cos DESC, v.vec_id LIMIT $TopK"
     },
     "e57_ann_pq" -> {
-      val M = 4; val KSub = 4; val Iters = 2; val TopK = 5; val Sub = Dims / M
       val Qid = 0
-      val subs = (0 until M).map { j =>
-        val lo = j * Sub
-        s"p${j}e AS (SELECT vec_id, emb[${lo + 1}:${lo + Sub}] AS emb FROM e), " +
-          sqlKmeansLoop(Sub, s"p${j}e", s"p$j")(KSub, Iters) + ", " +
-          sqlKmAssignN(Sub, s"p${j}e")(s"p${j}enc", s"p${j}c$Iters") + ", " +
-          s"p${j}code AS (SELECT vec_id, list AS code FROM p${j}enc WHERE rn = 1), " +
-          s"p${j}dt AS (SELECT c.j AS code, " +
-          sqlChainN(Sub)(i => s"(c.emb[$i]-q.emb[${lo + i}])*(c.emb[$i]-q.emb[${lo + i}])") +
-          s" AS d FROM p${j}c$Iters c CROSS JOIN q)"
+      val dts = (0 until PqM).map { j =>
+        val lo = j * PqSub
+        s"p${j}dt AS (SELECT c.j AS code, " +
+          sqlChainN(PqSub)(i => s"(c.emb[$i]-q.emb[${lo + i}])*(c.emb[$i]-q.emb[${lo + i}])") +
+          s" AS d FROM p${j}c$PqIters c CROSS JOIN q)"
       }.mkString(", ")
-      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings), " +
-        s"q AS (SELECT emb FROM e WHERE vec_id = $Qid), " + subs + " " +
+      "WITH " + sqlPqCodeCtes + ", " +
+        s"q AS (SELECT emb FROM e WHERE vec_id = $Qid), " + dts + " " +
         "SELECT vec_id, " +
-        (0 until M).map(j => s"p${j}code.code AS code$j").mkString(", ") + ", " +
-        (0 until M).map(j => s"p${j}dt.d").mkString(" + ") + " AS adc " +
+        (0 until PqM).map(j => s"p${j}code.code AS code$j").mkString(", ") + ", " +
+        (0 until PqM).map(j => s"p${j}dt.d").mkString(" + ") + " AS adc " +
         "FROM p0code " +
-        (1 until M).map(j => s"JOIN p${j}code USING (vec_id) ").mkString +
-        (0 until M).map(j => s"JOIN p${j}dt ON p${j}dt.code = p${j}code.code ").mkString +
-        s"WHERE vec_id != $Qid ORDER BY adc, vec_id LIMIT $TopK"
+        (1 until PqM).map(j => s"JOIN p${j}code USING (vec_id) ").mkString +
+        (0 until PqM).map(j => s"JOIN p${j}dt ON p${j}dt.code = p${j}code.code ").mkString +
+        s"WHERE vec_id != $Qid ORDER BY adc, vec_id LIMIT 5"
     },
     "e56_vocab_occupancy" ->
       ("WITH sh AS (SELECT source, unnest(" + sqlShingles(2) + ") AS sh FROM documents) " +

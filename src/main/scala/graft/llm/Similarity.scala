@@ -195,19 +195,41 @@ object Similarity {
     * with the per-subspace codes exposed — the whole train→encode→query
     * path sits in the hash gate.
     */
-  def pqTopK(embeddings: DataFrame, idCol: String, queryId: Long,
-      m: Int = 4, ksub: Int = 4, iters: Int = 2, k: Int = 5,
-      dims: Int = 64): DataFrame = {
-    import org.apache.spark.sql.functions.{col, element_at, slice, typedLit}
+  /** Per-subspace PQ codebooks over a (id, emb double-array) frame — m
+    * independent [[kmeansCentroids]] trainings on the dims/m-wide slices.
+    */
+  def pqCodebooks(base: DataFrame, idCol: String, m: Int = 4, ksub: Int = 4,
+      iters: Int = 2, dims: Int = 64): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.functions.{col, slice}
     require(dims % m == 0, "dims must split evenly into m subspaces")
     val sub = dims / m
-    val base = graft.Caches.persistTracked(
-      embeddings.select(col(idCol), asDouble(col("embedding")).as("emb")))
-    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { j =>
+    (0 until m).map { j =>
       kmeansCentroids(
         base.select(col(idCol), slice(col("emb"), j * sub + 1, sub).as("emb")),
         idCol, ksub, iters)
     }.toArray
+  }
+
+  /** The per-subspace code columns (`code0..code{m-1}`) of `emb` under
+    * trained codebooks — scan-local argmin, streaming-safe (stateless).
+    */
+  def pqCodeCols(emb: Column, codebooks: Array[Array[Array[Double]]],
+      dims: Int = 64): Seq[Column] = {
+    import org.apache.spark.sql.functions.slice
+    val sub = dims / codebooks.length
+    codebooks.zipWithIndex.toIndexedSeq.map { case (cb, j) =>
+      ivfAssign(slice(emb, j * sub + 1, sub), cb).as(s"code$j")
+    }
+  }
+
+  def pqTopK(embeddings: DataFrame, idCol: String, queryId: Long,
+      m: Int = 4, ksub: Int = 4, iters: Int = 2, k: Int = 5,
+      dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, typedLit}
+    val sub = dims / m
+    val base = graft.Caches.persistTracked(
+      embeddings.select(col(idCol), asDouble(col("embedding")).as("emb")))
+    val codebooks = pqCodebooks(base, idCol, m, ksub, iters, dims)
     val q = base.filter(col(idCol) === queryId).collect()(0)
       .getSeq[Double](1).toArray
     // ADC table: td(j)(c) = ‖q_j − centroid_jc‖², the same left-to-right
@@ -220,8 +242,8 @@ object Similarity {
         s
       }
     }
-    val coded = base.select(col(idCol) +: (0 until m).map(j =>
-      ivfAssign(slice(col("emb"), j * sub + 1, sub), codebooks(j)).as(s"code$j")): _*)
+    val coded = base.select(
+      col(idCol) +: pqCodeCols(col("emb"), codebooks, dims): _*)
     val adc = (0 until m).map(j =>
       element_at(typedLit(adcTables(j).toSeq), col(s"code$j") + 1)).reduce(_ + _)
     coded.filter(col(idCol) =!= queryId)

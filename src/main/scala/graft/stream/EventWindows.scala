@@ -433,6 +433,30 @@ object EventWindows {
     runToMemorySink(toks, "complete", sinkName)
   }
 
+  /** Streaming PQ encoding (f22) — f21's train-offline/apply-on-ingest
+    * shape for the VECTOR tier: codebooks train on the static corpus
+    * (the e57 deterministic per-subspace k-means), then the embedding
+    * stream encodes STATELESSLY per row (scan-local argmin against
+    * broadcast-literal centroids, append mode — no streaming state at
+    * all). The encoded table is the ANN serving artifact; the batch
+    * encoding is the oracle.
+    */
+  def streamPqEncode(spark: SparkSession, dir: String,
+      sinkName: String = "f22_sink"): DataFrame = withShufflePartitions(spark, 8) {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    import graft.llm.Similarity
+    val base = graft.Caches.persistTracked(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
+    val cbs = Similarity.pqCodebooks(base, "vec_id")
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val coded = spark.readStream.schema(schema).parquet(s"$dir/embeddings.*")
+      .select(col("vec_id") +:
+        Similarity.pqCodeCols(Similarity.asDouble(col("embedding")), cbs): _*)
+    runToMemorySink(coded, "append", sinkName)
+  }
+
   /** Run the stream-stream attribution join over the events file stream to
     * completion (purchases and views as two independent file sources): a
     * REAL streaming execution of the f8 range-join semantics — the oracle

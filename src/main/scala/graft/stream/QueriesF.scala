@@ -135,6 +135,13 @@ object QueriesF {
     "f13_stream_static_join" -> ((s, dir) =>
       EventWindows.enrichedSegmentStats(s, dir).orderBy("segment", "event_type")),
 
+    // f22: streaming PQ encoding — the f21 train-offline/apply-on-ingest
+    // shape for the vector tier: e57's codebooks train batch-side, the
+    // embedding stream encodes statelessly (scan-local argmin, append
+    // mode, zero streaming state); batch encoding is the oracle.
+    "f22_stream_pq_encode" -> ((s, dir) =>
+      EventWindows.streamPqEncode(s, dir).orderBy("vec_id")),
+
     // f21: batch-trained artifact applied ON INGEST — the documents stream
     // tokenized under the BPE merges trained on the static corpus (e54's
     // Bpe.mergesDf, session-memoized), per-source token totals in complete
@@ -292,6 +299,15 @@ object QueriesF {
       ("SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value, props " +
         "FROM events ORDER BY event_id"),
     "f11_stream_range_join" -> RangeJoinSql,
+    "f22_stream_pq_encode" ->
+      ("WITH " + graft.llm.QueriesE.sqlPqCodeCtes + " " +
+        "SELECT vec_id, " +
+        (0 until graft.llm.QueriesE.PqM)
+          .map(j => s"p${j}code.code AS code$j").mkString(", ") +
+        " FROM p0code " +
+        (1 until graft.llm.QueriesE.PqM)
+          .map(j => s"JOIN p${j}code USING (vec_id) ").mkString +
+        "ORDER BY vec_id"),
     "f21_stream_tokenize" ->
       ("WITH " + graft.llm.QueriesE.sqlBpeCtes(graft.llm.Bpe.Iterations) +
         s", tok AS (SELECT doc_id, CAST(sum(len(t)) AS BIGINT) AS n_tok " +
