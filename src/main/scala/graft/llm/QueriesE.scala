@@ -1305,6 +1305,61 @@ object QueriesE {
         .orderBy("id_a", "id_b")
     }),
 
+    // e59: PQ recall evaluation — e41's grading harness for the e57
+    // compression path: for a query sample, PQ/ADC top-5 vs exact-cosine
+    // top-5, recall@5 per query. The number an operator reads before
+    // committing m/ksub corpus-wide (too-coarse codebooks silently
+    // destroy recall — this query makes it a measured tradeoff). Exact
+    // side is brute force over the broadcast query sample BY DESIGN
+    // (ground truth, the e41 sanctioned class); the PQ side is the
+    // production path under evaluation.
+    "e59_pq_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val QN = 3; val TopK = 5
+      val base = graft.Caches.persistTracked(
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
+      val cbs = Similarity.pqCodebooks(base, "vec_id")
+      val qs = base.filter(col("vec_id") < QN).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+      // flattened per-subspace ADC tables, entry index = qid·ksub + code
+      val flat: Array[Array[Double]] = (0 until PqM).map { j =>
+        qs.flatMap { case (_, q) =>
+          cbs(j).map { c =>
+            var s0 = 0.0
+            var d = 0
+            while (d < PqSub) { val t0 = c(d) - q(j * PqSub + d); s0 += t0 * t0; d += 1 }
+            s0
+          }
+        }
+      }.toArray
+      val coded = base.select(col("vec_id") +: Similarity.pqCodeCols(col("emb"), cbs): _*)
+      val adc = (0 until PqM).map(j => element_at(typedLit(flat(j).toSeq),
+        col("qid").cast("int") * PqKSub + col(s"code$j") + 1)).reduce(_ + _)
+      val pqTop = coded
+        .crossJoin(broadcast(s.range(QN).select(col("id").as("qid"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), adc.as("adc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))))
+        .filter(col("rn") <= TopK).select("qid", "vec_id")
+      val qDf = broadcast(base.filter(col("vec_id") < QN)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb")))
+      val exTop = base.crossJoin(qDf).filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosine(col("emb"), col("qemb")).as("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= TopK).select("qid", "vec_id")
+      val hits = pqTop.join(exTop, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      s.range(QN).select(col("id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(5.0)).as("recall"))
+        .orderBy("qid")
+    }),
+
     // e58: FILTERED ANN (hybrid search) — top-k under a metadata
     // predicate, the production retrieval shape ("nearest en-language
     // docs"). The honest scale recipe: ONE shared IVF index over all
@@ -1643,6 +1698,41 @@ object QueriesE {
         "greatest(sa.source, sb.source) AS src_hi, count(*) AS n_pairs " +
         "FROM vpairs JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "e59_pq_recall" -> {
+      val QN = 3; val K = 5
+      val cos =
+        s"(${sqlChain(i => s"v.emb[$i]*q.emb[$i]")}) / " +
+          s"(sqrt(${sqlChain(i => s"v.emb[$i]*v.emb[$i]")}) * " +
+          s"sqrt(${sqlChain(i => s"q.emb[$i]*q.emb[$i]")}))"
+      val dts = (0 until PqM).map { j =>
+        val lo = j * PqSub
+        s"p${j}qdt AS (SELECT q.vec_id AS qid, c.j AS code, " +
+          sqlChainN(PqSub)(i => s"(c.emb[$i]-q.emb[${lo + i}])*(c.emb[$i]-q.emb[${lo + i}])") +
+          s" AS d FROM p${j}c$PqIters c CROSS JOIN qs q)"
+      }.mkString(", ")
+      "WITH " + sqlPqCodeCtes + ", " +
+        s"qs AS (SELECT vec_id, emb FROM e WHERE vec_id < $QN), " + dts + ", " +
+        "codes AS (SELECT vec_id, " +
+        (0 until PqM).map(j => s"p${j}code.code AS code$j").mkString(", ") +
+        " FROM p0code " +
+        (1 until PqM).map(j => s"JOIN p${j}code USING (vec_id) ").mkString + "), " +
+        "adc AS (SELECT q0.qid, c.vec_id, " +
+        (0 until PqM).map(j => s"q$j.d").mkString(" + ") + " AS adc FROM codes c " +
+        "JOIN p0qdt q0 ON q0.code = c.code0 " +
+        (1 until PqM).map(j =>
+          s"JOIN p${j}qdt q$j ON q$j.code = c.code$j AND q$j.qid = q0.qid ").mkString +
+        "WHERE c.vec_id != q0.qid), " +
+        s"pqtop AS (SELECT qid, vec_id FROM adc QUALIFY " +
+        s"row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) <= $K), " +
+        "extop AS (SELECT q.vec_id AS qid, v.vec_id FROM e v CROSS JOIN qs q " +
+        "WHERE v.vec_id != q.vec_id QUALIFY " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ($cos) DESC, v.vec_id) <= $K), " +
+        "hits AS (SELECT qid, count(*) AS n_hits FROM pqtop " +
+        "JOIN extop USING (qid, vec_id) GROUP BY qid) " +
+        "SELECT q.vec_id AS qid, coalesce(h.n_hits, 0) AS n_hits, " +
+        "CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall " +
+        "FROM qs q LEFT JOIN hits h ON h.qid = q.vec_id ORDER BY qid"
+    },
     "e58_ann_filtered" -> {
       val K = 8; val Iters = 3; val NProbe = 4; val TopK = 5
       val cos =

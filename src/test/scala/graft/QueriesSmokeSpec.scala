@@ -40,7 +40,11 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "e41_ann_recall",
       // e58: e18's single-row query-vector crossJoin, over the probed +
       // metadata-filtered lists only
-      "e58_ann_filtered")
+      "e58_ann_filtered",
+      // e59: e41's class — exact ground truth AND the PQ side under
+      // evaluation both sweep the corpus against the broadcast 3-query
+      // sample (recall grading is O(n·|Q|) by definition)
+      "e59_pq_recall")
 
   /** E-group queries whose plans intentionally contain a Window exec. The
     * forbidden class is a window partitioned by a DATA-DEPENDENT UNBOUNDED
@@ -59,7 +63,9 @@ class QueriesSmokeSpec extends AnyFunSuite {
     */
   private val BoundedGroupWindows =
     Set("e29_tfidf_keywords", "e41_ann_recall", "e36_pack_sequences",
-      "e44_budget_trim", "e50_domain_cap")
+      "e44_budget_trim", "e50_domain_cap",
+      // e59: per-query top-5 over the 3-query eval sample (e41's class)
+      "e59_pq_recall")
 
   for (q <- Seq("b7_topk_window", "b16_exact_quantiles", "b20_window_ranks"))
     test(s"$q ranks over range partitions, not one task per priority") {
