@@ -72,8 +72,24 @@ object Caches {
         }
     }
 
+  /** SESSION-lifetime memo for DRIVER-SIDE values shared across queries —
+    * trained model artifacts whose computation is a multi-job Spark
+    * fixpoint but whose result is a plain broadcast-sized array (k-means
+    * centroids, PQ codebooks). e18/e35/e58 train the identical
+    * 8-centroid Lloyd fixpoint and e57/e59/f22 the identical per-subspace
+    * codebooks; the trainings are deterministic (fixed-point accumulation,
+    * see [[graft.llm.Similarity.MeanScale]]) so sharing the value cannot
+    * change any result. Keys embed the data dir + every training
+    * parameter. The production shape too: train once, serve everywhere.
+    */
+  private val memoValMap = scala.collection.concurrent.TrieMap.empty[String, Any]
+
+  def memoVal[A](key: String)(build: => A): A =
+    memoValMap.getOrElseUpdate(key, build).asInstanceOf[A]
+
   def clearMemo(): Unit = {
     memoMap.values.foreach(_.unpersist())
     memoMap.clear()
+    memoValMap.clear()
   }
 }

@@ -526,7 +526,7 @@ object QueriesE {
     // and [[sqlIvf]] unrolls the full pipeline in DuckDB.
     "e18_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", queryId = 0,
-        nlist = 8, nprobe = 2, k = 5)),
+        nlist = 8, nprobe = 2, k = 5, memoKey = s"kmeans|$dir|embeddings|k8|it3")),
 
     // e20: the full training-data prep pipeline as ONE declared query —
     // language gate → quality gate → exact dedup (min-id per text digest)
@@ -883,7 +883,8 @@ object QueriesE {
       // final assignment — persist once (freed by the harness's drain)
       val base = graft.Caches.persistTracked(
         t(s, dir, "embeddings").select(col("vec_id"), asDouble(col("embedding")).as("emb")))
-      val centroids = kmeansCentroids(base, "vec_id", k = 8, iters = 3)
+      val centroids = kmeansCentroids(base, "vec_id", k = 8, iters = 3,
+        memoKey = s"kmeans|$dir|embeddings|k8|it3")
       val listed = base.withColumn("list_id", ivfAssign(col("emb"), centroids))
       val lhs = listed.select(col("list_id"), col("vec_id").as("id_a"), col("emb").as("ea"))
       val rhs = listed.select(col("list_id"), col("vec_id").as("id_b"), col("emb").as("eb"))
@@ -1319,7 +1320,8 @@ object QueriesE {
       val base = graft.Caches.persistTracked(
         t(s, dir, "embeddings")
           .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
-      val cbs = Similarity.pqCodebooks(base, "vec_id")
+      val cbs = Similarity.pqCodebooks(base, "vec_id",
+        memoKey = s"pqcb|$dir|embeddings|m4|ks4|it2|d64")
       val qs = base.filter(col("vec_id") < QN).collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
       // flattened per-subspace ADC tables, entry index = qid·ksub + code
@@ -1373,7 +1375,8 @@ object QueriesE {
       val base = graft.Caches.persistTracked(
         t(s, dir, "embeddings")
           .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
-      val cents = Similarity.kmeansCentroids(base, "vec_id", 8, 3)
+      val cents = Similarity.kmeansCentroids(base, "vec_id", 8, 3,
+        memoKey = s"kmeans|$dir|embeddings|k8|it3")
       val listed = base.withColumn("list_id", Similarity.ivfAssign(col("emb"), cents))
       val q = base.filter(col("vec_id") === 0L).collect()(0).getSeq[Double](1).toArray
       val probes = cents.zipWithIndex.map { case (c, j) =>
@@ -1399,7 +1402,8 @@ object QueriesE {
     // oracle unrolls all four subspace trainings + encoding + the ADC
     // join; codes and approx distances gate bit-exact.
     "e57_ann_pq" -> ((s, dir) =>
-      Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", queryId = 0L)),
+      Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", queryId = 0L,
+        memoKey = s"pqcb|$dir|embeddings|m4|ks4|it2|d64")),
 
     // e56: per-source vocabulary occupancy — exact distinct count of
     // 16-bit md5 buckets of word 2-grams, via the custom MERGEABLE BITMAP

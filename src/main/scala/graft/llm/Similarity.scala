@@ -116,6 +116,11 @@ object Similarity {
     * iterative IVF pipeline be oracle-checked (e18).
     */
   def kmeansCentroids(base: DataFrame, idCol: String,
+      k: Int, iters: Int, memoKey: String = ""): Array[Array[Double]] =
+    if (memoKey.nonEmpty) graft.Caches.memoVal(memoKey)(trainKmeans(base, idCol, k, iters))
+    else trainKmeans(base, idCol, k, iters)
+
+  private def trainKmeans(base: DataFrame, idCol: String,
       k: Int, iters: Int): Array[Array[Double]] = {
     import org.apache.spark.sql.functions.{col, sum, floor, lit, count}
     var centroids: Array[Array[Double]] = base.orderBy(col(idCol)).limit(k)
@@ -150,7 +155,7 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, idCol: String, queryId: Long,
       nlist: Int = 8, nprobe: Int = 2, k: Int = 5,
-      trainIters: Int = 3): DataFrame = {
+      trainIters: Int = 3, memoKey: String = ""): DataFrame = {
     import org.apache.spark.sql.functions.{col, broadcast}
     // the float→double training set is consumed trainIters+2 times (init,
     // each Lloyd iteration, the query lookup, the probe scan) — persist it
@@ -160,7 +165,7 @@ object Similarity {
     // the harness's per-query Caches.drain(), not here.
     val base = graft.Caches.persistTracked(
       embeddings.select(col(idCol), asDouble(col("embedding")).as("emb")))
-    val centroids = kmeansCentroids(base, idCol, nlist, trainIters)
+    val centroids = kmeansCentroids(base, idCol, nlist, trainIters, memoKey)
     val listed = base.withColumn("list_id", ivfAssign(col("emb"), centroids))
     val qRow = base.filter(col(idCol) === queryId).collect()(0)
     val q = qRow.getSeq[Double](1).toArray
@@ -199,15 +204,19 @@ object Similarity {
     * independent [[kmeansCentroids]] trainings on the dims/m-wide slices.
     */
   def pqCodebooks(base: DataFrame, idCol: String, m: Int = 4, ksub: Int = 4,
-      iters: Int = 2, dims: Int = 64): Array[Array[Array[Double]]] = {
+      iters: Int = 2, dims: Int = 64,
+      memoKey: String = ""): Array[Array[Array[Double]]] = {
     import org.apache.spark.sql.functions.{col, slice}
     require(dims % m == 0, "dims must split evenly into m subspaces")
-    val sub = dims / m
-    (0 until m).map { j =>
-      kmeansCentroids(
-        base.select(col(idCol), slice(col("emb"), j * sub + 1, sub).as("emb")),
-        idCol, ksub, iters)
-    }.toArray
+    def train(): Array[Array[Array[Double]]] = {
+      val sub = dims / m
+      (0 until m).map { j =>
+        kmeansCentroids(
+          base.select(col(idCol), slice(col("emb"), j * sub + 1, sub).as("emb")),
+          idCol, ksub, iters)
+      }.toArray
+    }
+    if (memoKey.nonEmpty) graft.Caches.memoVal(memoKey)(train()) else train()
   }
 
   /** The per-subspace code columns (`code0..code{m-1}`) of `emb` under
@@ -224,12 +233,12 @@ object Similarity {
 
   def pqTopK(embeddings: DataFrame, idCol: String, queryId: Long,
       m: Int = 4, ksub: Int = 4, iters: Int = 2, k: Int = 5,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64, memoKey: String = ""): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, typedLit}
     val sub = dims / m
     val base = graft.Caches.persistTracked(
       embeddings.select(col(idCol), asDouble(col("embedding")).as("emb")))
-    val codebooks = pqCodebooks(base, idCol, m, ksub, iters, dims)
+    val codebooks = pqCodebooks(base, idCol, m, ksub, iters, dims, memoKey)
     val q = base.filter(col(idCol) === queryId).collect()(0)
       .getSeq[Double](1).toArray
     // ADC table: td(j)(c) = ‖q_j − centroid_jc‖², the same left-to-right

@@ -448,7 +448,8 @@ object EventWindows {
     val base = graft.Caches.persistTracked(
       spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
-    val cbs = Similarity.pqCodebooks(base, "vec_id")
+    val cbs = Similarity.pqCodebooks(base, "vec_id",
+      memoKey = s"pqcb|$dir|embeddings|m4|ks4|it2|d64")
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
     val coded = spark.readStream.schema(schema).parquet(s"$dir/embeddings.*")
