@@ -1362,6 +1362,65 @@ object QueriesE {
         .orderBy("qid")
     }),
 
+    // e60: LEAKAGE-FREE train/val/test split — the e25 deterministic hash
+    // split upgraded with near-dup awareness: split membership hashes the
+    // doc's NEAR-DUP CLUSTER representative (the e19 closure), never the
+    // doc id itself, so every member of a near-dup cluster lands in the
+    // SAME split and held-out evaluation can't score on paraphrases of
+    // training text (the cross-split contamination Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better", §6
+    // measures). Costs nothing beyond the session-memoized pair-graph
+    // fixpoint e17/e19/e28/e46 already share — the split itself is
+    // scan-local scalar math on cluster_id, no new shuffle.
+    "e60_leakage_split" -> ((s, dir) => {
+      val bucket = conv(substring(md5(concat(lit("sp|"), col("cluster_id"))), 1, 8), 16, 10)
+        .cast("long") % 100
+      sharedComponents(s, dir)
+        .select(col("id").as("doc_id"), col("cluster_id"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .orderBy("doc_id")
+    }),
+
+    // e61: deterministic epoch shuffle + shard manifest — the training-
+    // ingestion handoff: every doc gets an engine-portable pseudo-random
+    // order key (md5 of an epoch-salted doc id — reshuffling an epoch is
+    // changing the salt, never an RNG), a shard = key-hash mod 8 (scan-
+    // local, no shuffle to assign), and a SEQUENCE NUMBER within its
+    // shard in shuffle order — the (shard, seq) pair is exactly what a
+    // data-loader needs to resume mid-epoch. The per-shard sequence is
+    // the b20/e36/e44 two-pass recipe: shard count is FIXED (8), so a
+    // bare rank window would sort each shard's whole slice on one task;
+    // instead range-partition by the global (shard, key) order, broadcast
+    // per-(shard, partition) row-count offsets, and rank per partition.
+    "e61_shuffle_shard" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val key = md5(concat(lit("ep1|"), col("doc_id")))
+      val h = conv(substring(key, 1, 8), 16, 10).cast("long")
+      val parts = t(s, dir, "documents")
+        .select(col("doc_id"), key.as("shuffle_key"), (h % 8).cast("int").as("shard"))
+        .repartitionByRange(32, col("shard"), col("shuffle_key"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .transform(graft.Caches.persistTracked) // counts pass + rank pass
+      val counts = parts.groupBy("shard", "pid").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val off: Map[String, Long] = counts.groupBy(_._1).flatMap {
+        case (shard, rows) =>
+          var acc = 0L
+          rows.sortBy(_._2).map { case (_, pid, c) =>
+            val o = acc; acc += c; s"$shard|$pid" -> o
+          }
+      }
+      val w = Window.partitionBy("shard", "pid")
+        .orderBy(col("shuffle_key"), col("doc_id"))
+      parts
+        .withColumn("seq", row_number().over(w).cast("long") +
+          element_at(typedLit(off), concat_ws("|", col("shard"), col("pid"))))
+        .select(col("doc_id"), col("shard"), col("shuffle_key"), col("seq"))
+        .orderBy("doc_id")
+    }),
+
     // e58: FILTERED ANN (hybrid search) — top-k under a metadata
     // predicate, the production retrieval shape ("nearest en-language
     // docs"). The honest scale recipe: ONE shared IVF index over all
@@ -1736,6 +1795,32 @@ object QueriesE {
         "SELECT q.vec_id AS qid, coalesce(h.n_hits, 0) AS n_hits, " +
         "CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall " +
         "FROM qs q LEFT JOIN hits h ON h.qid = q.vec_id ORDER BY qid"
+    },
+    "e60_leakage_split" -> {
+      // e25's md5-hex-decode recipe, keyed on the cluster representative
+      val hash = "(" + (1 to 8).map { j =>
+        s"(strpos('0123456789abcdef', substr(md5('sp|' || cluster_id), $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))}"
+      }.mkString(" + ") + ")"
+      s"WITH RECURSIVE $sqlLshPairCtes, " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs " +
+        "UNION ALL SELECT id_b, id_a FROM vpairs), " +
+        "reach(id, root) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.src, r.root FROM reach r JOIN edges e ON e.dst = r.id), " +
+        "comp AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id), " +
+        s"b AS (SELECT doc_id, cluster_id, $hash % 100 AS bucket FROM comp) " +
+        "SELECT doc_id, cluster_id, bucket, " +
+        "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split " +
+        "FROM b ORDER BY doc_id"
+    },
+    "e61_shuffle_shard" -> {
+      val hash = "(" + (1 to 8).map { j =>
+        s"(strpos('0123456789abcdef', substr(shuffle_key, $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))}"
+      }.mkString(" + ") + ")"
+      "WITH k AS (SELECT doc_id, md5('ep1|' || doc_id) AS shuffle_key FROM documents), " +
+        s"b AS (SELECT doc_id, shuffle_key, CAST($hash % 8 AS INT) AS shard FROM k) " +
+        "SELECT doc_id, shard, shuffle_key, " +
+        "row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS seq " +
+        "FROM b ORDER BY doc_id"
     },
     "e58_ann_filtered" -> {
       val K = 8; val Iters = 3; val NProbe = 4; val TopK = 5

@@ -921,6 +921,32 @@ class LlmSpec extends AnyFunSuite {
     assert(out == Map(7L -> "added", 11L -> "changed", 13L -> "removed"))
   }
 
+  test("e60 leakage split: clusters never straddle splits; splits partition the corpus") {
+    val out = graft.llm.QueriesE.all("e60_leakage_split")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val nDocs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").count()
+    assert(out.length == nDocs, "every doc is assigned exactly one split")
+    // the property the query exists for: a near-dup cluster is atomic —
+    // all its members share the representative's split
+    val splitsPerCluster = out.groupBy(_._2).map { case (_, rs) => rs.map(_._3).distinct.size }
+    assert(splitsPerCluster.forall(_ == 1), "no cluster straddles a split boundary")
+    assert(out.map(_._3).distinct.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("e61 shuffle shard: per-shard seqs are contiguous 1..n and shuffle order is followed") {
+    val out = graft.llm.QueriesE.all("e61_shuffle_shard")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val nDocs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").count()
+    assert(out.length == nDocs)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val bydSeq = rows.sortBy(_._4)
+      assert(bydSeq.map(_._4).toSeq == (1L to rows.length).toSeq,
+        s"shard $shard seqs must be contiguous from 1")
+      // seq order IS (shuffle_key, doc_id) order
+      assert(bydSeq.map(r => (r._3, r._1)).toSeq == rows.map(r => (r._3, r._1)).sorted.toSeq)
+    }
+  }
+
   test("e24 pii scrub: planted email/url/phone all redacted exactly once") {
     val out = graft.llm.QueriesE.all("e24_pii_scrub")(spark, TestSpark.Sf).collect()
     assert(out.length > 0)

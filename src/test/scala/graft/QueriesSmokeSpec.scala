@@ -65,7 +65,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
     Set("e29_tfidf_keywords", "e41_ann_recall", "e36_pack_sequences",
       "e44_budget_trim", "e50_domain_cap",
       // e59: per-query top-5 over the 3-query eval sample (e41's class)
-      "e59_pq_recall")
+      "e59_pq_recall",
+      // e61: two-pass per-shard sequence — window is on (shard, pid),
+      // bounded by a range partition (the b20/e36/e44 recipe)
+      "e61_shuffle_shard")
 
   for (q <- Seq("b7_topk_window", "b16_exact_quantiles", "b20_window_ranks"))
     test(s"$q ranks over range partitions, not one task per priority") {
