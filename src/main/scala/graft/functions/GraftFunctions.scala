@@ -55,6 +55,8 @@ object GraftFunctions {
       intArg(es(1), "minhash_sig"), intArg(es(2), "minhash_sig"))),
     "distinct_shingles" -> (es => DistinctShingles(es(0),
       intArg(es(1), "distinct_shingles"))),
+    "pos_shingles"     -> (es => PosShingles(es(0),
+      intArg(es(1), "pos_shingles"))),
     "winnow_fps"       -> (es => WinnowFp(es(0),
       intArg(es(1), "winnow_fps"), intArg(es(2), "winnow_fps"))),
     // aggregate: the analyzer wraps a bare AggregateFunction from the

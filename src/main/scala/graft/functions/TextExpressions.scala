@@ -303,6 +303,24 @@ object MinhashKernel {
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(out)
   }
+
+  /** ALL word n-gram shingles in position order (element i = the shingle
+    * starting at word i; duplicates kept) — the positional sibling of
+    * [[distinctShingles]] for span-level work: `posexplode` over the
+    * result yields (position, shingle) directly. Empty for short/null.
+    */
+  def posShingles(text: String, n: Int): ArrayData = {
+    val tokens = text.split(" ", -1)
+    if (tokens.length < n) return Empty
+    val sb = new java.lang.StringBuilder
+    val out = new Array[Any](tokens.length - n + 1)
+    var i = 0
+    while (i <= tokens.length - n) {
+      out(i) = UTF8String.fromString(shingleAt(tokens, i, n, sb))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Distinct word n-gram shingles in one pass (first-occurrence order) —
@@ -338,6 +356,38 @@ case class DistinctShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): DistinctShingles =
     copy(child = newChild)
   override def prettyName: String = "distinct_shingles"
+}
+
+/** ALL word n-gram shingles in position order (duplicates kept; element i
+  * starts at word i) — see [[MinhashKernel.posShingles]]. Empty array for
+  * docs shorter than n tokens and for null text.
+  */
+case class PosShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) MinhashKernel.emptyArray()
+    else MinhashKernel.posShingles(v.asInstanceOf[UTF8String].toString, n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+         |${c.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  ${c.isNull} ? graft.functions.MinhashKernel.emptyArray()
+         |    : graft.functions.MinhashKernel.posShingles(${c.value}.toString(), $n);
+       """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PosShingles =
+    copy(child = newChild)
+  override def prettyName: String = "pos_shingles"
 }
 
 /** Per-doc repetition counters (struct<top2,n2,n3,d3> of exact longs) in
@@ -449,6 +499,10 @@ object TextExpressions {
   /** Adjacent within-word character pairs, occurrences kept (BPE step). */
   def charPairs(text: Column): Column =
     column(CharPairs(expression(text)))
+
+  /** All word n-gram shingles in position order (duplicates kept). */
+  def posShingles(text: Column, n: Int): Column =
+    column(PosShingles(expression(text), n))
 
   /** One-pass per-doc repetition counters: struct(top2, n2, n3, d3). */
   def repetitionStats(text: Column): Column =

@@ -1421,6 +1421,46 @@ object QueriesE {
         .orderBy("doc_id")
     }),
 
+    // e62: cross-document DUPLICATE SPANS — the exact-substring dedup
+    // deliverable (Lee et al. 2022's ExactSubstr, re-expressed for a
+    // shuffle engine): every word 5-gram that appears in ≥2 documents
+    // marks its start position, and overlapping/adjacent marks merge into
+    // MAXIMAL duplicated spans per doc — the spans a surgical dedup pass
+    // would cut (vs e1/e19's whole-doc verdicts). Shapes: positional
+    // shingles ride the native PosShingles kernel (one pass, no HOF
+    // lambdas); "in ≥2 docs" is min(doc)≠max(doc) — ONE map-side-combined
+    // shuffle on the gram hash, never a count-distinct's two; the join
+    // back is a left-semi on the gram; span merging windows are PER-DOC
+    // (group size bounded by doc length — the sanctioned bounded class).
+    // A suffix array would find spans ≥ any length; fixing the minimum
+    // length at K=5 tokens makes the op a pure equi-join/window pipeline.
+    "e62_dup_spans" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 5
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextExpressions.posShingles(col("text"), K)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          md5(col("col")).as("g"))
+        .transform(graft.Caches.persistTracked) // feeds both sides of the semi-join
+      val dup = grams.groupBy("g")
+        .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .filter(col("lo") =!= col("hi")).select("g")
+      val marks = grams.join(dup, Seq("g"), "left_semi").select("doc_id", "pos")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      // intervals [pos, pos+K-1]; a gap begins when pos > prev_pos + K
+      val brk = coalesce((col("pos") > lag(col("pos"), 1).over(w) + K).cast("int"), lit(0))
+      marks.withColumn("brk", brk)
+        .withColumn("span", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("span"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + (K - 1)).as("span_end"),
+          (max(col("pos")) + (K - 1) - min(col("pos")) + 1).as("span_tokens"))
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+        .orderBy("doc_id", "span_start")
+    }),
+
     // e58: FILTERED ANN (hybrid search) — top-k under a metadata
     // predicate, the production retrieval shape ("nearest en-language
     // docs"). The honest scale recipe: ONE shared IVF index over all
@@ -1822,6 +1862,19 @@ object QueriesE {
         "row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS seq " +
         "FROM b ORDER BY doc_id"
     },
+    "e62_dup_spans" ->
+      ("WITH wsrc AS (SELECT doc_id, list_transform(range(len(string_split(text,' ')) - 4), " +
+        "i -> md5(array_to_string(string_split(text,' ')[i+1:i+5], ' '))) AS sh FROM documents), " +
+        "gr AS (SELECT doc_id, unnest(range(len(sh))) AS pos, unnest(sh) AS g FROM wsrc), " +
+        "d AS (SELECT g FROM gr GROUP BY g HAVING min(doc_id) <> max(doc_id)), " +
+        "m AS (SELECT doc_id, pos FROM gr WHERE g IN (SELECT g FROM d)), " +
+        "b AS (SELECT doc_id, pos, CASE WHEN pos > lag(pos) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) + 5 THEN 1 ELSE 0 END AS brk FROM m), " +
+        "sp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS UNBOUNDED PRECEDING) AS span FROM b) " +
+        "SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end, " +
+        "max(pos) + 4 - min(pos) + 1 AS span_tokens " +
+        "FROM sp GROUP BY doc_id, span ORDER BY doc_id, span_start"),
     "e58_ann_filtered" -> {
       val K = 8; val Iters = 3; val NProbe = 4; val TopK = 5
       val cos =

@@ -947,6 +947,19 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("e62 dup spans: shared 7-word run merges into one maximal span per doc") {
+    val dir = craftedDocsDir("e62", Seq(
+      // docs 1 and 2 share the 7-word run "a b c d e f g" (three
+      // overlapping 5-grams → ONE merged span each), at offsets 0 and 2
+      (1L, "a b c d e f g h i j", 19L),
+      (2L, "x y a b c d e f g z", 19L),
+      (3L, "totally unrelated words with no overlap at all here", 51L)))
+    val out = graft.llm.QueriesE.all("e62_dup_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == Set((1L, 0L, 6L, 7L), (2L, 2L, 8L, 7L)),
+      s"expected one maximal 7-token span per sharing doc, got ${out.toSeq}")
+  }
+
   test("e24 pii scrub: planted email/url/phone all redacted exactly once") {
     val out = graft.llm.QueriesE.all("e24_pii_scrub")(spark, TestSpark.Sf).collect()
     assert(out.length > 0)

@@ -97,6 +97,18 @@ object GraftProps extends Properties("graft") {
       got == model
     }
 
+  property("posShingles = all sliding n-grams in position order (model)") =
+    forAll(text, Gen.chooseNum(1, 4)) { (t, n) =>
+      val got = graft.functions.MinhashKernel.posShingles(t, n)
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val toks = t.split(" ", -1).toSeq
+      val model =
+        if (toks.length < n) Nil
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      got == model
+    }
+
   property("winnowFps = distinct sliding minima of the direct polynomial model") =
     forAll(text, Gen.chooseNum(2, 10), Gen.chooseNum(2, 5)) { (t, w, winnowW) =>
       val got = graft.functions.MinhashKernel.winnowFps(t, w, winnowW)

@@ -68,7 +68,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "e59_pq_recall",
       // e61: two-pass per-shard sequence — window is on (shard, pid),
       // bounded by a range partition (the b20/e36/e44 recipe)
-      "e61_shuffle_shard")
+      "e61_shuffle_shard",
+      // e62: span-merge windows are per-doc — group size bounded by a
+      // single document's token count
+      "e62_dup_spans")
 
   for (q <- Seq("b7_topk_window", "b16_exact_quantiles", "b20_window_ranks"))
     test(s"$q ranks over range partitions, not one task per priority") {
