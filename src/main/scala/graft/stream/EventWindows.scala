@@ -458,6 +458,23 @@ object EventWindows {
     runToMemorySink(coded, "append", sinkName)
   }
 
+  /** Streaming shard routing (f23) — e61's shuffle-shard assignment
+    * applied ON INGEST: the epoch order key and the shard are pure scalar
+    * md5 math on the doc id, so routing is a STATELESS scan-local
+    * projection in append mode (the within-shard resume sequence stays a
+    * batch job, e61 — it needs a total order the open stream doesn't have
+    * yet). At scale this is the ingest tier writing each arriving doc
+    * straight into its shard partition: zero shuffle, zero state.
+    */
+  def streamShardRoute(spark: SparkSession, dir: String,
+      sinkName: String = "f23_sink"): DataFrame = withShufflePartitions(spark, 8) {
+    val key = md5(concat(lit("ep1|"), col("doc_id")))
+    val h = conv(substring(key, 1, 8), 16, 10).cast("long")
+    val routed = graft.llm.Dedup.readStreamDocuments(spark, dir)
+      .select(col("doc_id"), key.as("shuffle_key"), (h % 8).cast("int").as("shard"))
+    runToMemorySink(routed, "append", sinkName)
+  }
+
   /** Run the stream-stream attribution join over the events file stream to
     * completion (purchases and views as two independent file sources): a
     * REAL streaming execution of the f8 range-join semantics — the oracle

@@ -142,6 +142,13 @@ object QueriesF {
     "f22_stream_pq_encode" -> ((s, dir) =>
       EventWindows.streamPqEncode(s, dir).orderBy("vec_id")),
 
+    // f23: e61's shard ROUTING applied on the document ingest stream —
+    // key/shard are scalar md5 math, so the route is a stateless
+    // append-mode projection; bit-exact vs the batch assignment (the
+    // oracle is e61 minus the resume sequence).
+    "f23_stream_shard" -> ((s, dir) =>
+      EventWindows.streamShardRoute(s, dir).orderBy("doc_id")),
+
     // f21: batch-trained artifact applied ON INGEST — the documents stream
     // tokenized under the BPE merges trained on the static corpus (e54's
     // Bpe.mergesDf, session-memoized), per-source token totals in complete
@@ -299,6 +306,14 @@ object QueriesF {
       ("SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value, props " +
         "FROM events ORDER BY event_id"),
     "f11_stream_range_join" -> RangeJoinSql,
+    "f23_stream_shard" -> {
+      val hash = "(" + (1 to 8).map { j =>
+        s"(strpos('0123456789abcdef', substr(shuffle_key, $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))}"
+      }.mkString(" + ") + ")"
+      "WITH k AS (SELECT doc_id, md5('ep1|' || doc_id) AS shuffle_key FROM documents) " +
+        s"SELECT doc_id, shuffle_key, CAST($hash % 8 AS INT) AS shard " +
+        "FROM k ORDER BY doc_id"
+    },
     "f22_stream_pq_encode" ->
       ("WITH " + graft.llm.QueriesE.sqlPqCodeCtes + " " +
         "SELECT vec_id, " +

@@ -429,4 +429,14 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(streamed.size < batch.size, "tail windows past the watermark stay open")
   }
+
+  test("f23 stream shard routing equals the batch e61 assignment") {
+    val streamed = graft.stream.QueriesF.all("f23_stream_shard")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val batch = graft.llm.QueriesE.all("e61_shuffle_shard")(spark, TestSpark.Sf)
+      .select("doc_id", "shuffle_key", "shard")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    graft.Caches.drain()
+    assert(streamed == batch, "ingest-time routing must match the batch manifest")
+  }
 }
