@@ -159,6 +159,46 @@ object QueriesE {
       Dedup.connectedComponents(t(s, dir, "documents"), "doc_id",
         sharedVerifiedPairs(s, dir)))
 
+  /** Word-gram length for the exact duplicate-span pipeline (e62/e63). */
+  private val SpanK = 5
+
+  /** Cross-document maximal duplicate spans (e62's relation), memoized —
+    * e62 reports it, e63 rolls it up. Positional 5-gram marks ride the
+    * native [[TextExpressions.posShingles]] kernel; "in ≥2 docs" is a
+    * min≠max doc-id aggregate (ONE map-side-combined shuffle on the gram
+    * hash, never a count-distinct); overlapping/adjacent marks merge into
+    * maximal per-doc spans with PER-DOC windows (group size bounded by a
+    * single document's token count). The span table is O(duplicated
+    * regions) — tiny relative to the corpus at any scale.
+    */
+  private def sharedDupSpans(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.memo(s"dup-spans|$dir") {
+      import org.apache.spark.sql.expressions.Window
+      val K = SpanK
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextExpressions.posShingles(col("text"), K)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          md5(col("col")).as("g"))
+        .transform(graft.Caches.persistTracked) // feeds both sides of the semi-join
+      val dup = grams.groupBy("g")
+        .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .filter(col("lo") =!= col("hi")).select("g")
+      val marks = grams.join(dup, Seq("g"), "left_semi").select("doc_id", "pos")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      // intervals [pos, pos+K-1]; a gap begins when pos > prev_pos + K
+      val brk = coalesce((col("pos") > lag(col("pos"), 1).over(w) + K).cast("int"), lit(0))
+      marks.withColumn("brk", brk)
+        .withColumn("span", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("span"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + (K - 1)).as("span_end"),
+          (max(col("pos")) + (K - 1) - min(col("pos")) + 1).as("span_tokens"))
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+    }
+
   /** The language+quality gate shared by e20 and e48 (same predicate ⇒
     * same surviving rows: a NULL gate value filters in both spellings).
     */
@@ -217,6 +257,25 @@ object QueriesE {
       s"(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE >= $LshJaccard)"
 
   private lazy val sqlLshPairCtes: String = sqlLshPairCtesOver("documents")
+
+  /** DuckDB CTE chain reproducing [[sharedDupSpans]] byte-for-byte, ending
+    * at `spans(doc_id, span_start, span_end, span_tokens)`: positional
+    * 5-gram md5 marks (parallel unnests zip the position and the gram),
+    * cross-doc filter via min≠max, and the same lag/running-sum interval
+    * merge the Spark side windows per doc.
+    */
+  private lazy val sqlDupSpanCtes: String =
+    s"wsrc AS (SELECT doc_id, list_transform(range(len(string_split(text,' ')) - ${SpanK - 1}), " +
+      s"i -> md5(array_to_string(string_split(text,' ')[i+1:i+$SpanK], ' '))) AS sh FROM documents), " +
+      "gr AS (SELECT doc_id, unnest(range(len(sh))) AS pos, unnest(sh) AS g FROM wsrc), " +
+      "d AS (SELECT g FROM gr GROUP BY g HAVING min(doc_id) <> max(doc_id)), " +
+      "m AS (SELECT doc_id, pos FROM gr WHERE g IN (SELECT g FROM d)), " +
+      "b AS (SELECT doc_id, pos, CASE WHEN pos > lag(pos) OVER " +
+      s"(PARTITION BY doc_id ORDER BY pos) + $SpanK THEN 1 ELSE 0 END AS brk FROM m), " +
+      "sp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS UNBOUNDED PRECEDING) AS span FROM b), " +
+      s"spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + ${SpanK - 1} AS span_end, " +
+      s"max(pos) + ${SpanK - 1} - min(pos) + 1 AS span_tokens FROM sp GROUP BY doc_id, span)"
 
   /** DuckDB replica of the FULL iterative IVF pipeline (e18): deterministic
     * k-means (init = first nlist vectors, trainIters unrolled Lloyd
@@ -1434,31 +1493,66 @@ object QueriesE {
     // (group size bounded by doc length — the sanctioned bounded class).
     // A suffix array would find spans ≥ any length; fixing the minimum
     // length at K=5 tokens makes the op a pure equi-join/window pipeline.
-    "e62_dup_spans" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val K = 5
-      val grams = t(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(TextExpressions.posShingles(col("text"), K)))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          md5(col("col")).as("g"))
-        .transform(graft.Caches.persistTracked) // feeds both sides of the semi-join
-      val dup = grams.groupBy("g")
-        .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
-        .filter(col("lo") =!= col("hi")).select("g")
-      val marks = grams.join(dup, Seq("g"), "left_semi").select("doc_id", "pos")
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      // intervals [pos, pos+K-1]; a gap begins when pos > prev_pos + K
-      val brk = coalesce((col("pos") > lag(col("pos"), 1).over(w) + K).cast("int"), lit(0))
-      marks.withColumn("brk", brk)
-        .withColumn("span", sum(col("brk")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("doc_id"), col("span"))
-        .agg(min(col("pos")).as("span_start"),
-          (max(col("pos")) + (K - 1)).as("span_end"),
-          (max(col("pos")) + (K - 1) - min(col("pos")) + 1).as("span_tokens"))
-        .select("doc_id", "span_start", "span_end", "span_tokens")
-        .orderBy("doc_id", "span_start")
+    "e62_dup_spans" -> ((s, dir) =>
+      sharedDupSpans(s, dir).orderBy("doc_id", "span_start")),
+
+    // e63: duplicate-span BURDEN per source — e62's spans rolled up into
+    // the number an engineer acts on: how many tokens of each source are
+    // cross-document duplicated text, and what fraction of the source
+    // that is (the RefinedWeb/ExactSubstr accounting table). Pure
+    // aggregation over the session-memoized span relation; spans are
+    // disjoint by construction (maximal merge), so the token sum never
+    // double-counts.
+    "e63_dup_burden" -> ((s, dir) => {
+      val perDoc = sharedDupSpans(s, dir)
+        .groupBy("doc_id").agg(sum("span_tokens").as("dup_tokens"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextStats.wsTokens(col("text")).as("tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("dup_tokens")).as("n_docs_with_spans"),
+          sum(col("tokens")).as("total_tokens"),
+          coalesce(sum(col("dup_tokens")), lit(0L)).as("dup_tokens"))
+        .withColumn("dup_frac",
+          col("dup_tokens").cast("double") / col("total_tokens").cast("double"))
+        .orderBy("source")
+    }),
+
+    // e64: the IVF index as a PERSISTED STORAGE ARTIFACT — e18 trains and
+    // probes inside one plan; production builds the index ONCE and serves
+    // every query against it. Build: assign each vector its inverted-list
+    // id (the session-memoized e18 centroids) and write the corpus
+    // PARTITIONED BY list_id — the index IS a directory layout, no
+    // auxiliary structure. Query: read back under a list_id filter, so
+    // Catalyst PARTITION PRUNING turns the probe into "open exactly
+    // nprobe directories" (LlmSpec pins inputFiles ⊂ probed dirs) — at
+    // 100 TB the probe's IO is corpus/nlist × nprobe regardless of
+    // corpus size. Same rows as e18, same oracle.
+    "e64_ann_index_persist" -> ((s, dir) => {
+      val base = graft.Caches.persistTracked(
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("emb")))
+      val cents = Similarity.kmeansCentroids(base, "vec_id", 8, 3,
+        memoKey = s"kmeans|$dir|embeddings|k8|it3")
+      val out = "/root/repo/target/fixtures/out/e64_ivf_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      base.withColumn("list_id", Similarity.ivfAssign(col("emb"), cents))
+        .write.mode("overwrite").partitionBy("list_id").parquet(out)
+      val q = base.filter(col("vec_id") === 0L).collect()(0)
+        .getSeq[Double](1).toArray
+      val probes = cents.zipWithIndex.map { case (c, j) =>
+        (c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+      }.sortBy(identity).take(2).map(_._2)
+      val qDf = broadcast(base.filter(col("vec_id") === 0L).select(col("emb").as("q")))
+      s.read.parquet(out)
+        .filter(col("list_id").isin(probes.toIndexedSeq.map(_.asInstanceOf[Any]): _*) &&
+          col("vec_id") =!= 0L)
+        .crossJoin(qDf)
+        .select(col("vec_id"), col("list_id").cast("int").as("list_id"),
+          Similarity.cosine(col("emb"), col("q")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(5)
     }),
 
     // e58: FILTERED ANN (hybrid search) — top-k under a metadata
@@ -1863,18 +1957,19 @@ object QueriesE {
         "FROM b ORDER BY doc_id"
     },
     "e62_dup_spans" ->
-      ("WITH wsrc AS (SELECT doc_id, list_transform(range(len(string_split(text,' ')) - 4), " +
-        "i -> md5(array_to_string(string_split(text,' ')[i+1:i+5], ' '))) AS sh FROM documents), " +
-        "gr AS (SELECT doc_id, unnest(range(len(sh))) AS pos, unnest(sh) AS g FROM wsrc), " +
-        "d AS (SELECT g FROM gr GROUP BY g HAVING min(doc_id) <> max(doc_id)), " +
-        "m AS (SELECT doc_id, pos FROM gr WHERE g IN (SELECT g FROM d)), " +
-        "b AS (SELECT doc_id, pos, CASE WHEN pos > lag(pos) OVER " +
-        "(PARTITION BY doc_id ORDER BY pos) + 5 THEN 1 ELSE 0 END AS brk FROM m), " +
-        "sp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos " +
-        "ROWS UNBOUNDED PRECEDING) AS span FROM b) " +
-        "SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end, " +
-        "max(pos) + 4 - min(pos) + 1 AS span_tokens " +
-        "FROM sp GROUP BY doc_id, span ORDER BY doc_id, span_start"),
+      (s"WITH $sqlDupSpanCtes SELECT doc_id, span_start, span_end, span_tokens " +
+        "FROM spans ORDER BY doc_id, span_start"),
+    "e63_dup_burden" ->
+      (s"WITH $sqlDupSpanCtes, " +
+        "perdoc AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens " +
+        "FROM spans GROUP BY doc_id) " +
+        "SELECT source, count(*) AS n_docs, count(p.dup_tokens) AS n_docs_with_spans, " +
+        "CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens, " +
+        "CAST(coalesce(sum(p.dup_tokens), 0) AS BIGINT) AS dup_tokens, " +
+        "CAST(coalesce(sum(p.dup_tokens), 0) AS DOUBLE) / " +
+        "CAST(CAST(sum(len(string_split(text,' '))) AS BIGINT) AS DOUBLE) AS dup_frac " +
+        "FROM documents LEFT JOIN perdoc p USING (doc_id) " +
+        "GROUP BY source ORDER BY source"),
     "e58_ann_filtered" -> {
       val K = 8; val Iters = 3; val NProbe = 4; val TopK = 5
       val cos =
@@ -2106,6 +2201,9 @@ object QueriesE {
         s"FROM v WHERE jaccard >= $LshJaccard GROUP BY 1 ORDER BY 1"
     },
     "e18_ann_ivf" -> sqlIvf,
+    // e64 persists then probes the SAME index e18 derives inline — the
+    // rows (and therefore the oracle) are identical by construction
+    "e64_ann_index_persist" -> sqlIvf,
     "e35_semantic_dedup" -> sqlSemDedup,
     // the accumulated stream flags ≡ the global banded-candidate rule
     // (cand CTE: distinct band-digest collisions with id_a < id_b)

@@ -960,6 +960,19 @@ class LlmSpec extends AnyFunSuite {
       s"expected one maximal 7-token span per sharing doc, got ${out.toSeq}")
   }
 
+  test("e64 persisted IVF index: the probe partition-prunes to the probed lists") {
+    val df = graft.llm.QueriesE.all("e64_ann_index_persist")(spark, TestSpark.Sf)
+    val top = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    graft.Caches.drain()
+    assert(top.length == 5, "probe returns the top-5")
+    // the scan over the persisted index must carry the list_id partition
+    // filter — the probe opens nprobe directories, never the whole index
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("list_id")),
+      s"probe scan must partition-prune on list_id:\n$plan")
+  }
+
   test("e24 pii scrub: planted email/url/phone all redacted exactly once") {
     val out = graft.llm.QueriesE.all("e24_pii_scrub")(spark, TestSpark.Sf).collect()
     assert(out.length > 0)

@@ -44,7 +44,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // e59: e41's class — exact ground truth AND the PQ side under
       // evaluation both sweep the corpus against the broadcast 3-query
       // sample (recall grading is O(n·|Q|) by definition)
-      "e59_pq_recall")
+      "e59_pq_recall",
+      // e64: e18's single-row query-vector crossJoin, over the two
+      // partition-pruned list directories only
+      "e64_ann_index_persist")
 
   /** E-group queries whose plans intentionally contain a Window exec. The
     * forbidden class is a window partitioned by a DATA-DEPENDENT UNBOUNDED
@@ -69,9 +72,9 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // e61: two-pass per-shard sequence — window is on (shard, pid),
       // bounded by a range partition (the b20/e36/e44 recipe)
       "e61_shuffle_shard",
-      // e62: span-merge windows are per-doc — group size bounded by a
-      // single document's token count
-      "e62_dup_spans")
+      // e62/e63: span-merge windows are per-doc — group size bounded by a
+      // single document's token count (e63 rolls up the same relation)
+      "e62_dup_spans", "e63_dup_burden")
 
   for (q <- Seq("b7_topk_window", "b16_exact_quantiles", "b20_window_ranks"))
     test(s"$q ranks over range partitions, not one task per priority") {
