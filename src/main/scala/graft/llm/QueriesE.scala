@@ -199,6 +199,24 @@ object QueriesE {
         .select("doc_id", "span_start", "span_end", "span_tokens")
     }
 
+  /** The doc → (cluster, bucket, split) manifest behind e60, shared with
+    * the streaming router (f24): split membership hashes the near-dup
+    * CLUSTER representative (the session-memoized e19 closure), so every
+    * member of a cluster lands in the same split. At 100 TB this manifest
+    * is a bucketed table (the c17 layout); here it rides the session
+    * cache.
+    */
+  private[graft] def splitManifest(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val bucket = conv(substring(md5(concat(lit("sp|"), col("cluster_id"))), 1, 8), 16, 10)
+      .cast("long") % 100
+    sharedComponents(s, dir)
+      .select(col("id").as("doc_id"), col("cluster_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+  }
+
   /** The language+quality gate shared by e20 and e48 (same predicate ⇒
     * same surviving rows: a NULL gate value filters in both spellings).
     */
@@ -257,6 +275,27 @@ object QueriesE {
       s"(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE >= $LshJaccard)"
 
   private lazy val sqlLshPairCtes: String = sqlLshPairCtesOver("documents")
+
+  /** DuckDB replica of [[splitManifest]] (e60; reused verbatim by the
+    * streaming router f24 — same rows by construction): the recursive-CTE
+    * components closure + the e25 md5-hex-decode recipe keyed on the
+    * cluster representative.
+    */
+  private[graft] lazy val sqlLeakageSplit: String = {
+    val hash = "(" + (1 to 8).map { j =>
+      s"(strpos('0123456789abcdef', substr(md5('sp|' || cluster_id), $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))}"
+    }.mkString(" + ") + ")"
+    s"WITH RECURSIVE $sqlLshPairCtes, " +
+      "edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs " +
+      "UNION ALL SELECT id_b, id_a FROM vpairs), " +
+      "reach(id, root) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT e.src, r.root FROM reach r JOIN edges e ON e.dst = r.id), " +
+      "comp AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id), " +
+      s"b AS (SELECT doc_id, cluster_id, $hash % 100 AS bucket FROM comp) " +
+      "SELECT doc_id, cluster_id, bucket, " +
+      "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split " +
+      "FROM b ORDER BY doc_id"
+  }
 
   /** DuckDB CTE chain reproducing [[sharedDupSpans]] byte-for-byte, ending
     * at `spans(doc_id, span_start, span_end, span_tokens)`: positional
@@ -1431,16 +1470,7 @@ object QueriesE {
     // measures). Costs nothing beyond the session-memoized pair-graph
     // fixpoint e17/e19/e28/e46 already share — the split itself is
     // scan-local scalar math on cluster_id, no new shuffle.
-    "e60_leakage_split" -> ((s, dir) => {
-      val bucket = conv(substring(md5(concat(lit("sp|"), col("cluster_id"))), 1, 8), 16, 10)
-        .cast("long") % 100
-      sharedComponents(s, dir)
-        .select(col("id").as("doc_id"), col("cluster_id"), bucket.as("bucket"))
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "val").otherwise("test"))
-        .orderBy("doc_id")
-    }),
+    "e60_leakage_split" -> ((s, dir) => splitManifest(s, dir).orderBy("doc_id")),
 
     // e61: deterministic epoch shuffle + shard manifest — the training-
     // ingestion handoff: every doc gets an engine-portable pseudo-random
@@ -1930,22 +1960,7 @@ object QueriesE {
         "CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall " +
         "FROM qs q LEFT JOIN hits h ON h.qid = q.vec_id ORDER BY qid"
     },
-    "e60_leakage_split" -> {
-      // e25's md5-hex-decode recipe, keyed on the cluster representative
-      val hash = "(" + (1 to 8).map { j =>
-        s"(strpos('0123456789abcdef', substr(md5('sp|' || cluster_id), $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))}"
-      }.mkString(" + ") + ")"
-      s"WITH RECURSIVE $sqlLshPairCtes, " +
-        "edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs " +
-        "UNION ALL SELECT id_b, id_a FROM vpairs), " +
-        "reach(id, root) AS (SELECT doc_id, doc_id FROM documents " +
-        "UNION SELECT e.src, r.root FROM reach r JOIN edges e ON e.dst = r.id), " +
-        "comp AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id), " +
-        s"b AS (SELECT doc_id, cluster_id, $hash % 100 AS bucket FROM comp) " +
-        "SELECT doc_id, cluster_id, bucket, " +
-        "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split " +
-        "FROM b ORDER BY doc_id"
-    },
+    "e60_leakage_split" -> sqlLeakageSplit,
     "e61_shuffle_shard" -> {
       val hash = "(" + (1 to 8).map { j =>
         s"(strpos('0123456789abcdef', substr(shuffle_key, $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))}"

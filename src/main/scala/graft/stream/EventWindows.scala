@@ -475,6 +475,26 @@ object EventWindows {
     runToMemorySink(routed, "append", sinkName)
   }
 
+  /** Streaming split routing (f24) — e60's leakage-free split applied on
+    * ingest as a STREAM-STATIC join: the batch-derived doc → (cluster,
+    * split) manifest is the static side, each arriving doc picks up its
+    * split by doc id (stateless, append mode). The manifest is pinned at
+    * its last batch rebuild — the production contract: a doc that near-
+    * dups an existing cluster enters the closure at the NEXT rebuild,
+    * never mid-stream (re-clustering inside a stream would need the full
+    * pair graph as state). At 100 TB the static side is a bucketed table
+    * (the c17 layout) so each micro-batch shuffles only itself; here it
+    * rides the session cache.
+    */
+  def streamSplitRoute(spark: SparkSession, dir: String,
+      sinkName: String = "f24_sink"): DataFrame = withShufflePartitions(spark, 8) {
+    val manifest = graft.llm.QueriesE.splitManifest(spark, dir)
+    val routed = graft.llm.Dedup.readStreamDocuments(spark, dir)
+      .select(col("doc_id"))
+      .join(manifest, Seq("doc_id"))
+    runToMemorySink(routed, "append", sinkName)
+  }
+
   /** Run the stream-stream attribution join over the events file stream to
     * completion (purchases and views as two independent file sources): a
     * REAL streaming execution of the f8 range-join semantics — the oracle

@@ -142,6 +142,12 @@ object QueriesF {
     "f22_stream_pq_encode" -> ((s, dir) =>
       EventWindows.streamPqEncode(s, dir).orderBy("vec_id")),
 
+    // f24: e60's leakage-free SPLIT routing on the ingest stream — a
+    // stream-static join against the batch-derived cluster manifest
+    // (stateless, append mode); bit-exact vs the batch assignment.
+    "f24_stream_split_route" -> ((s, dir) =>
+      EventWindows.streamSplitRoute(s, dir).orderBy("doc_id")),
+
     // f23: e61's shard ROUTING applied on the document ingest stream —
     // key/shard are scalar md5 math, so the route is a stateless
     // append-mode projection; bit-exact vs the batch assignment (the
@@ -306,6 +312,8 @@ object QueriesF {
       ("SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value, props " +
         "FROM events ORDER BY event_id"),
     "f11_stream_range_join" -> RangeJoinSql,
+    // identical rows to e60 by construction (same manifest, same docs)
+    "f24_stream_split_route" -> graft.llm.QueriesE.sqlLeakageSplit,
     "f23_stream_shard" -> {
       val hash = "(" + (1 to 8).map { j =>
         s"(strpos('0123456789abcdef', substr(shuffle_key, $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))}"
