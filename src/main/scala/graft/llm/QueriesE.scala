@@ -174,30 +174,42 @@ object QueriesE {
   private def sharedDupSpans(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     graft.Caches.memo(s"dup-spans|$dir") {
-      import org.apache.spark.sql.expressions.Window
-      val K = SpanK
-      val grams = t(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(TextExpressions.posShingles(col("text"), K)))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          md5(col("col")).as("g"))
+      val grams = posGrams(t(s, dir, "documents"))
         .transform(graft.Caches.persistTracked) // feeds both sides of the semi-join
       val dup = grams.groupBy("g")
         .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
         .filter(col("lo") =!= col("hi")).select("g")
-      val marks = grams.join(dup, Seq("g"), "left_semi").select("doc_id", "pos")
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      // intervals [pos, pos+K-1]; a gap begins when pos > prev_pos + K
-      val brk = coalesce((col("pos") > lag(col("pos"), 1).over(w) + K).cast("int"), lit(0))
-      marks.withColumn("brk", brk)
-        .withColumn("span", sum(col("brk")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("doc_id"), col("span"))
-        .agg(min(col("pos")).as("span_start"),
-          (max(col("pos")) + (K - 1)).as("span_end"),
-          (max(col("pos")) + (K - 1) - min(col("pos")) + 1).as("span_tokens"))
-        .select("doc_id", "span_start", "span_end", "span_tokens")
+      mergeSpans(grams.join(dup, Seq("g"), "left_semi").select("doc_id", "pos"))
     }
+
+  /** (doc_id, pos, g = md5(5-gram)) positional gram relation over `docs` —
+    * the native [[TextExpressions.posShingles]] kernel, one scan pass.
+    */
+  private def posGrams(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(TextExpressions.posShingles(col("text"), SpanK)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("col")).as("g"))
+
+  /** Merge (doc_id, pos) gram-start marks into maximal per-doc spans:
+    * intervals [pos, pos+K-1], a gap begins when pos > prev + K; per-doc
+    * windows (group size bounded by a single doc's token count). Shared
+    * by e62/e63 (cross-doc spans) and e65 (eval-contamination spans).
+    */
+  private def mergeSpans(marks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = SpanK
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val brk = coalesce((col("pos") > lag(col("pos"), 1).over(w) + K).cast("int"), lit(0))
+    marks.withColumn("brk", brk)
+      .withColumn("span", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (K - 1)).as("span_end"),
+        (max(col("pos")) + (K - 1) - min(col("pos")) + 1).as("span_tokens"))
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+  }
 
   /** The doc → (cluster, bucket, split) manifest behind e60, shared with
     * the streaming router (f24): split membership hashes the near-dup
@@ -303,18 +315,31 @@ object QueriesE {
     * cross-doc filter via min≠max, and the same lag/running-sum interval
     * merge the Spark side windows per doc.
     */
-  private lazy val sqlDupSpanCtes: String =
+  /** Positional-gram CTE prefix shared by the span oracles: `gr(doc_id,
+    * pos, g)` — parallel unnests zip the position and the md5'd gram.
+    */
+  private lazy val sqlPosGramCtes: String =
     s"wsrc AS (SELECT doc_id, list_transform(range(len(string_split(text,' ')) - ${SpanK - 1}), " +
       s"i -> md5(array_to_string(string_split(text,' ')[i+1:i+$SpanK], ' '))) AS sh FROM documents), " +
-      "gr AS (SELECT doc_id, unnest(range(len(sh))) AS pos, unnest(sh) AS g FROM wsrc), " +
-      "d AS (SELECT g FROM gr GROUP BY g HAVING min(doc_id) <> max(doc_id)), " +
-      "m AS (SELECT doc_id, pos FROM gr WHERE g IN (SELECT g FROM d)), " +
-      "b AS (SELECT doc_id, pos, CASE WHEN pos > lag(pos) OVER " +
+      "gr AS (SELECT doc_id, unnest(range(len(sh))) AS pos, unnest(sh) AS g FROM wsrc)"
+
+  /** The lag/running-sum interval merge over mark CTE `m(doc_id, pos)`,
+    * ending at `spans(doc_id, span_start, span_end, span_tokens)` — the
+    * DuckDB mirror of [[mergeSpans]].
+    */
+  private lazy val sqlSpanMergeCtes: String =
+    "b AS (SELECT doc_id, pos, CASE WHEN pos > lag(pos) OVER " +
       s"(PARTITION BY doc_id ORDER BY pos) + $SpanK THEN 1 ELSE 0 END AS brk FROM m), " +
       "sp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos " +
       "ROWS UNBOUNDED PRECEDING) AS span FROM b), " +
       s"spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + ${SpanK - 1} AS span_end, " +
       s"max(pos) + ${SpanK - 1} - min(pos) + 1 AS span_tokens FROM sp GROUP BY doc_id, span)"
+
+  private lazy val sqlDupSpanCtes: String =
+    s"$sqlPosGramCtes, " +
+      "d AS (SELECT g FROM gr GROUP BY g HAVING min(doc_id) <> max(doc_id)), " +
+      "m AS (SELECT doc_id, pos FROM gr WHERE g IN (SELECT g FROM d)), " +
+      sqlSpanMergeCtes
 
   /** DuckDB replica of the FULL iterative IVF pipeline (e18): deterministic
     * k-means (init = first nlist vectors, trainIters unrolled Lloyd
@@ -1550,6 +1575,25 @@ object QueriesE {
         .orderBy("source")
     }),
 
+    // e65: CONTAMINATION SPANS — e27 flags whole training docs sharing a
+    // 4-gram with the eval set; this emits the exact SPANS of eval text
+    // inside training docs (the surgical decontamination deliverable:
+    // cut the span, keep the doc). Eval side (doc_id % 97 = 0, the e27
+    // stand-in) is ~1% of the corpus, so its distinct gram set BROADCASTS
+    // — contamination marking is a map-side hash semi-join over the
+    // training scan, NO shuffle of the training corpus; the span merge is
+    // the shared per-doc interval fold (bounded groups).
+    "e65_contam_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ev = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(TextExpressions.distinctShingles(col("text"), SpanK)).as("gs"))
+        .select(md5(col("gs")).as("g")).distinct()
+      val marks = posGrams(docs.filter(col("doc_id") % 97 =!= 0))
+        .join(broadcast(ev), Seq("g"), "left_semi")
+        .select("doc_id", "pos")
+      mergeSpans(marks).orderBy("doc_id", "span_start")
+    }),
+
     // e64: the IVF index as a PERSISTED STORAGE ARTIFACT — e18 trains and
     // probes inside one plan; production builds the index ONCE and serves
     // every query against it. Build: assign each vector its inverted-list
@@ -2219,6 +2263,14 @@ object QueriesE {
     // e64 persists then probes the SAME index e18 derives inline — the
     // rows (and therefore the oracle) are identical by construction
     "e64_ann_index_persist" -> sqlIvf,
+    "e65_contam_spans" ->
+      (s"WITH $sqlPosGramCtes, " +
+        "ev AS (SELECT DISTINCT g FROM gr WHERE doc_id % 97 = 0), " +
+        "m AS (SELECT doc_id, pos FROM gr WHERE doc_id % 97 <> 0 " +
+        "AND g IN (SELECT g FROM ev)), " +
+        sqlSpanMergeCtes + " " +
+        "SELECT doc_id, span_start, span_end, span_tokens " +
+        "FROM spans ORDER BY doc_id, span_start"),
     "e35_semantic_dedup" -> sqlSemDedup,
     // the accumulated stream flags ≡ the global banded-candidate rule
     // (cand CTE: distinct band-digest collisions with id_a < id_b)

@@ -973,6 +973,19 @@ class LlmSpec extends AnyFunSuite {
       s"probe scan must partition-prune on list_id:\n$plan")
   }
 
+  test("e65 contamination spans: eval text inside a train doc is localized exactly") {
+    val dir = craftedDocsDir("e65", Seq(
+      // doc 0 (0 % 97 = 0) is the eval stand-in; train doc 1 embeds its
+      // 7-word run at offset 2; train doc 2 is clean
+      (0L, "a b c d e f g", 13L),
+      (1L, "x y a b c d e f g z w", 21L),
+      (2L, "nothing shared with the held out benchmark here at all", 54L)))
+    val out = graft.llm.QueriesE.all("e65_contam_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == Set((1L, 2L, 8L, 7L)),
+      s"expected the embedded eval run localized in doc 1 only, got ${out.toSeq}")
+  }
+
   test("e24 pii scrub: planted email/url/phone all redacted exactly once") {
     val out = graft.llm.QueriesE.all("e24_pii_scrub")(spark, TestSpark.Sf).collect()
     assert(out.length > 0)

@@ -72,9 +72,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // e61: two-pass per-shard sequence — window is on (shard, pid),
       // bounded by a range partition (the b20/e36/e44 recipe)
       "e61_shuffle_shard",
-      // e62/e63: span-merge windows are per-doc — group size bounded by a
-      // single document's token count (e63 rolls up the same relation)
-      "e62_dup_spans", "e63_dup_burden")
+      // e62/e63/e65: span-merge windows are per-doc — group size bounded
+      // by a single document's token count (e63 rolls up e62's relation;
+      // e65 merges eval-contamination marks)
+      "e62_dup_spans", "e63_dup_burden", "e65_contam_spans")
 
   for (q <- Seq("b7_topk_window", "b16_exact_quantiles", "b20_window_ranks"))
     test(s"$q ranks over range partitions, not one task per priority") {
