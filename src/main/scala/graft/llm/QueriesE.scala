@@ -182,6 +182,24 @@ object QueriesE {
       mergeSpans(grams.join(dup, Seq("g"), "left_semi").select("doc_id", "pos"))
     }
 
+  /** Eval-contamination spans (e65's relation), memoized — e65 reports
+    * them, e66 cuts them. Eval stand-in = doc_id % 97 = 0 (e27's
+    * convention); the eval gram set broadcasts, so marking is a map-side
+    * semi-join over the training scan.
+    */
+  private def sharedContamSpans(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.memo(s"contam-spans|$dir") {
+      val docs = t(s, dir, "documents")
+      val ev = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(TextExpressions.distinctShingles(col("text"), SpanK)).as("gs"))
+        .select(md5(col("gs")).as("g")).distinct()
+      val marks = posGrams(docs.filter(col("doc_id") % 97 =!= 0))
+        .join(broadcast(ev), Seq("g"), "left_semi")
+        .select("doc_id", "pos")
+      mergeSpans(marks)
+    }
+
   /** (doc_id, pos, g = md5(5-gram)) positional gram relation over `docs` —
     * the native [[TextExpressions.posShingles]] kernel, one scan pass.
     */
@@ -339,6 +357,16 @@ object QueriesE {
     s"$sqlPosGramCtes, " +
       "d AS (SELECT g FROM gr GROUP BY g HAVING min(doc_id) <> max(doc_id)), " +
       "m AS (SELECT doc_id, pos FROM gr WHERE g IN (SELECT g FROM d)), " +
+      sqlSpanMergeCtes
+
+  /** DuckDB replica of [[sharedContamSpans]] (e65/e66): eval grams from
+    * the same positional relation, trained-side marks, shared merge.
+    */
+  private lazy val sqlContamSpanCtes: String =
+    s"$sqlPosGramCtes, " +
+      "ev AS (SELECT DISTINCT g FROM gr WHERE doc_id % 97 = 0), " +
+      "m AS (SELECT doc_id, pos FROM gr WHERE doc_id % 97 <> 0 " +
+      "AND g IN (SELECT g FROM ev)), " +
       sqlSpanMergeCtes
 
   /** DuckDB replica of the FULL iterative IVF pipeline (e18): deterministic
@@ -1583,15 +1611,40 @@ object QueriesE {
     // — contamination marking is a map-side hash semi-join over the
     // training scan, NO shuffle of the training corpus; the span merge is
     // the shared per-doc interval fold (bounded groups).
-    "e65_contam_spans" -> ((s, dir) => {
+    "e65_contam_spans" -> ((s, dir) =>
+      sharedContamSpans(s, dir).orderBy("doc_id", "span_start")),
+
+    // e66: SPAN SCRUB — e65's deliverable applied: cut the contaminated
+    // spans OUT of the affected training docs and account for the
+    // surgery (tokens before/after + a digest of the scrubbed text).
+    // Only docs with spans are touched: a left-semi narrows the corpus
+    // FIRST, so the word explode is O(affected tokens), not O(corpus);
+    // the span cut is an anti-join on (doc equi + pos range residual);
+    // reconstruction re-sorts each affected doc's surviving words
+    // in-group (bounded by one doc's length). A doc whose every token is
+    // eval text would vanish from the output entirely — the correct
+    // surgical outcome (both engines agree by the same omission).
+    "e66_span_scrub" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val ev = docs.filter(col("doc_id") % 97 === 0)
-        .select(explode(TextExpressions.distinctShingles(col("text"), SpanK)).as("gs"))
-        .select(md5(col("gs")).as("g")).distinct()
-      val marks = posGrams(docs.filter(col("doc_id") % 97 =!= 0))
-        .join(broadcast(ev), Seq("g"), "left_semi")
-        .select("doc_id", "pos")
-      mergeSpans(marks).orderBy("doc_id", "span_start")
+      val spans = sharedContamSpans(s, dir)
+      val affected = docs
+        .join(spans.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      val words = affected
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("w"))
+      val kept = words.alias("w").join(spans.alias("s"),
+        col("w.doc_id") === col("s.doc_id") &&
+          col("w.pos") >= col("s.span_start") && col("w.pos") <= col("s.span_end"),
+        "left_anti")
+      val agg = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_after"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+              x => x.getField("w")), " ")).as("scrubbed_md5"))
+      agg.join(affected.select(col("doc_id"),
+          TextStats.wsTokens(col("text")).cast("long").as("n_before")), "doc_id")
+        .select("doc_id", "n_before", "n_after", "scrubbed_md5")
+        .orderBy("doc_id")
     }),
 
     // e64: the IVF index as a PERSISTED STORAGE ARTIFACT — e18 trains and
@@ -2264,13 +2317,22 @@ object QueriesE {
     // rows (and therefore the oracle) are identical by construction
     "e64_ann_index_persist" -> sqlIvf,
     "e65_contam_spans" ->
-      (s"WITH $sqlPosGramCtes, " +
-        "ev AS (SELECT DISTINCT g FROM gr WHERE doc_id % 97 = 0), " +
-        "m AS (SELECT doc_id, pos FROM gr WHERE doc_id % 97 <> 0 " +
-        "AND g IN (SELECT g FROM ev)), " +
-        sqlSpanMergeCtes + " " +
+      (s"WITH $sqlContamSpanCtes " +
         "SELECT doc_id, span_start, span_end, span_tokens " +
         "FROM spans ORDER BY doc_id, span_start"),
+    "e66_span_scrub" ->
+      (s"WITH $sqlContamSpanCtes, " +
+        "aff AS (SELECT DISTINCT doc_id FROM spans), " +
+        "wd AS (SELECT d.doc_id, unnest(range(len(string_split(d.text,' ')))) AS pos, " +
+        "unnest(string_split(d.text,' ')) AS w FROM documents d JOIN aff USING (doc_id)), " +
+        "kept AS (SELECT wd.doc_id, wd.pos, wd.w FROM wd WHERE NOT EXISTS " +
+        "(SELECT 1 FROM spans s WHERE s.doc_id = wd.doc_id " +
+        "AND wd.pos BETWEEN s.span_start AND s.span_end)), " +
+        "ag AS (SELECT doc_id, count(*) AS n_after, " +
+        "md5(string_agg(w, ' ' ORDER BY pos)) AS scrubbed_md5 FROM kept GROUP BY doc_id) " +
+        "SELECT a.doc_id, CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_before, " +
+        "CAST(a.n_after AS BIGINT) AS n_after, a.scrubbed_md5 " +
+        "FROM ag a JOIN documents d USING (doc_id) ORDER BY doc_id"),
     "e35_semantic_dedup" -> sqlSemDedup,
     // the accumulated stream flags ≡ the global banded-candidate rule
     // (cand CTE: distinct band-digest collisions with id_a < id_b)

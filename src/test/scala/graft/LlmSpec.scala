@@ -986,6 +986,22 @@ class LlmSpec extends AnyFunSuite {
       s"expected the embedded eval run localized in doc 1 only, got ${out.toSeq}")
   }
 
+  test("e66 span scrub: cutting the eval run leaves exactly the surrounding words") {
+    val dir = craftedDocsDir("e66", Seq(
+      (0L, "a b c d e f g", 13L),
+      (1L, "x y a b c d e f g z w", 21L),
+      (2L, "nothing shared with the held out benchmark here at all", 54L)))
+    val out = graft.llm.QueriesE.all("e66_span_scrub")(spark, dir).collect()
+    graft.Caches.drain()
+    assert(out.length == 1, s"only doc 1 is touched: ${out.toSeq}")
+    val r = out(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 11L && r.getLong(2) == 4L)
+    // the scrubbed text is exactly "x y z w"
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("x y z w".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(3) == expected, "scrub digest must match the surviving words")
+  }
+
   test("e24 pii scrub: planted email/url/phone all redacted exactly once") {
     val out = graft.llm.QueriesE.all("e24_pii_scrub")(spark, TestSpark.Sf).collect()
     assert(out.length > 0)

@@ -75,7 +75,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // e62/e63/e65: span-merge windows are per-doc — group size bounded
       // by a single document's token count (e63 rolls up e62's relation;
       // e65 merges eval-contamination marks)
-      "e62_dup_spans", "e63_dup_burden", "e65_contam_spans")
+      "e62_dup_spans", "e63_dup_burden", "e65_contam_spans",
+      // e66: consumes the memoized e65 span relation (same bounded
+      // per-doc merge inside the cached lineage)
+      "e66_span_scrub")
 
   for (q <- Seq("b7_topk_window", "b16_exact_quantiles", "b20_window_ranks"))
     test(s"$q ranks over range partitions, not one task per priority") {
