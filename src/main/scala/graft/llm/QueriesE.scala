@@ -173,14 +173,8 @@ object QueriesE {
     */
   private def sharedDupSpans(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    graft.Caches.memo(s"dup-spans|$dir") {
-      val grams = posGrams(t(s, dir, "documents"))
-        .transform(graft.Caches.persistTracked) // feeds both sides of the semi-join
-      val dup = grams.groupBy("g")
-        .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
-        .filter(col("lo") =!= col("hi")).select("g")
-      mergeSpans(grams.join(dup, Seq("g"), "left_semi").select("doc_id", "pos"))
-    }
+    graft.Caches.memo(s"dup-spans|$dir")(
+      Spans.dupSpans(t(s, dir, "documents"), k = SpanK))
 
   /** Eval-contamination spans (e65's relation), memoized — e65 reports
     * them, e66 cuts them. Eval stand-in = doc_id % 97 = 0 (e27's
@@ -191,43 +185,10 @@ object QueriesE {
       dir: String): org.apache.spark.sql.DataFrame =
     graft.Caches.memo(s"contam-spans|$dir") {
       val docs = t(s, dir, "documents")
-      val ev = docs.filter(col("doc_id") % 97 === 0)
-        .select(explode(TextExpressions.distinctShingles(col("text"), SpanK)).as("gs"))
-        .select(md5(col("gs")).as("g")).distinct()
-      val marks = posGrams(docs.filter(col("doc_id") % 97 =!= 0))
-        .join(broadcast(ev), Seq("g"), "left_semi")
-        .select("doc_id", "pos")
-      mergeSpans(marks)
+      Spans.contamSpans(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), k = SpanK)
     }
-
-  /** (doc_id, pos, g = md5(5-gram)) positional gram relation over `docs` —
-    * the native [[TextExpressions.posShingles]] kernel, one scan pass.
-    */
-  private def posGrams(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs.select(col("doc_id"),
-      posexplode(TextExpressions.posShingles(col("text"), SpanK)))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5(col("col")).as("g"))
-
-  /** Merge (doc_id, pos) gram-start marks into maximal per-doc spans:
-    * intervals [pos, pos+K-1], a gap begins when pos > prev + K; per-doc
-    * windows (group size bounded by a single doc's token count). Shared
-    * by e62/e63 (cross-doc spans) and e65 (eval-contamination spans).
-    */
-  private def mergeSpans(marks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val K = SpanK
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val brk = coalesce((col("pos") > lag(col("pos"), 1).over(w) + K).cast("int"), lit(0))
-    marks.withColumn("brk", brk)
-      .withColumn("span", sum(col("brk")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("span"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + (K - 1)).as("span_end"),
-        (max(col("pos")) + (K - 1) - min(col("pos")) + 1).as("span_tokens"))
-      .select("doc_id", "span_start", "span_end", "span_tokens")
-  }
 
   /** The doc → (cluster, bucket, split) manifest behind e60, shared with
     * the streaming router (f24): split membership hashes the near-dup
@@ -1624,28 +1585,9 @@ object QueriesE {
     // in-group (bounded by one doc's length). A doc whose every token is
     // eval text would vanish from the output entirely — the correct
     // surgical outcome (both engines agree by the same omission).
-    "e66_span_scrub" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val spans = sharedContamSpans(s, dir)
-      val affected = docs
-        .join(spans.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-      val words = affected
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("w"))
-      val kept = words.alias("w").join(spans.alias("s"),
-        col("w.doc_id") === col("s.doc_id") &&
-          col("w.pos") >= col("s.span_start") && col("w.pos") <= col("s.span_end"),
-        "left_anti")
-      val agg = kept.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_after"),
-          md5(array_join(
-            transform(array_sort(collect_list(struct(col("pos"), col("w")))),
-              x => x.getField("w")), " ")).as("scrubbed_md5"))
-      agg.join(affected.select(col("doc_id"),
-          TextStats.wsTokens(col("text")).cast("long").as("n_before")), "doc_id")
-        .select("doc_id", "n_before", "n_after", "scrubbed_md5")
-        .orderBy("doc_id")
-    }),
+    "e66_span_scrub" -> ((s, dir) =>
+      Spans.scrub(t(s, dir, "documents"), sharedContamSpans(s, dir))
+        .orderBy("doc_id")),
 
     // e64: the IVF index as a PERSISTED STORAGE ARTIFACT — e18 trains and
     // probes inside one plan; production builds the index ONCE and serves
