@@ -208,6 +208,48 @@ object QueriesE {
           .when(col("bucket") < 90, "val").otherwise("test"))
   }
 
+  /** e67/f25 chunking window: `ChunkSize` tokens per chunk, starts every
+    * `ChunkStride` tokens (8-token overlap) — one definition shared by the
+    * batch query, the streaming router, and the DuckDB oracle.
+    */
+  private[graft] val ChunkSize = 40
+  private[graft] val ChunkStride = 32
+
+  /** Overlapping token windows over (doc_id, text) — the RAG/retrieval
+    * chunker: chunk i covers tokens [i·stride, i·stride + size). Emits the
+    * chunk's span coordinates, token count, and an md5 of its text (the
+    * chunk text itself never leaves the scan). Scan-local: one generate
+    * per doc with fan-out ≈ len/stride, zero shuffle — the 100 TB cost is
+    * exactly one corpus read. Shared by e67 (batch) and f25 (the same
+    * projection applied on an ingest stream).
+    */
+  private[graft] def chunkWindows(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nChunks = floor((size(col("ws")) - 1).cast("double") / ChunkStride).cast("long")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), nChunks)).as("chunk_idx"))
+      .withColumn("chunk",
+        slice(col("ws"), (col("chunk_idx") * ChunkStride + 1).cast("int"),
+          lit(ChunkSize)))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride).as("tok_start"),
+        size(col("chunk")).as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+  }
+
+  /** DuckDB replica of [[chunkWindows]] (list slicing is 1-based inclusive
+    * and clamps at the list end, exactly like Spark's `slice`).
+    */
+  private[graft] lazy val sqlChunkWindows: String =
+    "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+      s"c AS (SELECT doc_id, ws, unnest(range((len(ws) - 1) // $ChunkStride + 1)) AS chunk_idx FROM ws), " +
+      s"ch AS (SELECT doc_id, chunk_idx, ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkSize] AS chunk FROM c) " +
+      s"SELECT doc_id, chunk_idx, chunk_idx * $ChunkStride AS tok_start, " +
+      "CAST(len(chunk) AS INT) AS n_tokens, " +
+      "md5(array_to_string(chunk, ' ')) AS chunk_md5 " +
+      "FROM ch ORDER BY doc_id, chunk_idx"
+
   /** The language+quality gate shared by e20 and e48 (same predicate ⇒
     * same surviving rows: a NULL gate value filters in both spellings).
     */
@@ -1624,6 +1666,94 @@ object QueriesE {
         .orderBy(col("cos").desc, col("vec_id")).limit(5)
     }),
 
+    // e67: overlapping token windows (the RAG/retrieval chunker) — every
+    // doc split into 40-token chunks starting every 32 tokens, each chunk
+    // emitted with its span coordinates + an md5 of its text. The chunk
+    // text never leaves the scan (hashed in place); the whole query is
+    // scan-local generate + scalar math — zero shuffle, the 100 TB cost
+    // is one corpus read. Shared definition with f25 (same chunker on an
+    // ingest stream) and the oracle (sqlChunkWindows).
+    "e67_chunk_windows" -> ((s, dir) =>
+      chunkWindows(t(s, dir, "documents")).orderBy("doc_id", "chunk_idx")),
+
+    // e68: per-source length winsorize audit — exact p05/p95 of n_chars
+    // per source (percentile_disc: an ACTUAL data value, integer-exact
+    // cross-engine — never interpolated doubles), then each source's rows
+    // classified against its own thresholds. Scale: the percentile
+    // aggregate is per-source (map-side combinable over the bounded
+    // distinct-length domain); thresholds are #sources rows ⇒ BROADCAST
+    // back; the classify pass is scan-local. Output is #sources rows.
+    "e68_length_winsorize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val th = docs.groupBy("source").agg(
+        expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("lo"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("hi"))
+      docs.join(broadcast(th), "source")
+        .groupBy("source")
+        .agg(max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+          count(lit(1)).as("n_total"),
+          sum(when(col("n_chars") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("n_chars") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+          sum(when(col("n_chars").between(col("lo"), col("hi")), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
+
+    // e69: cluster-diversity cap — at most 25 vectors per k-means cluster,
+    // keeping the most CENTRAL members (squared-L2 to the assigned
+    // centroid ascending; the cluster-balanced subsampling a curation
+    // pipeline runs after e35's within-cluster dedup). Training is the
+    // session-memoized e18/e35 fixpoint (train once, serve everywhere);
+    // assignment + distance come from ONE scan-local argmin struct
+    // (ivfAssignDist); the cap itself is the two-phase top-K recipe —
+    // cluster count is FIXED (8), so a bare Window.partitionBy(cluster)
+    // would sort each cluster's whole slice on one task at 100 TB.
+    "e69_cluster_cap" -> ((s, dir) => {
+      val base = graft.Caches.persistTracked(
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
+      val cents = Similarity.kmeansCentroids(base, "vec_id", 8, 3,
+        memoKey = s"kmeans|$dir|embeddings|k8|it3")
+      val assigned = base
+        .select(col("vec_id"), Similarity.ivfAssignDist(col("emb"), cents).as("a"))
+        .select(col("vec_id"), col("a.j").as("cluster"), col("a.d").as("dist"))
+      graft.rel.Q.topKPerGroup(assigned, "cluster", 25,
+        Seq(col("dist").asc, col("vec_id")))
+        .select(col("cluster"), col("rank"), col("vec_id"), col("dist"))
+        .orderBy("cluster", "rank")
+    }),
+
+    // e70: gram novelty — what fraction of each doc's distinct word
+    // 5-grams appear for the FIRST time in that doc (first = min doc_id,
+    // the deterministic stand-in for ingest order)? The Lee et al. 2022
+    // "novel text" lens: boilerplate-heavy docs score near 0, fresh text
+    // near 1. Scale shape: ONE map-side-combined shuffle of (gram →
+    // min doc) — the big gram relation is NEVER re-joined back to itself;
+    // novel counts come from re-grouping the per-gram minima (rows =
+    // #distinct grams, combiner-friendly), and per-doc totals are
+    // scan-local array math, so the corpus is read twice and shuffled
+    // once.
+    "e70_gram_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val g = docs.select(col("doc_id"),
+        explode(TextExpressions.distinctShingles(col("text"), 5)).as("g"))
+      val novel = g.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      docs.select(col("doc_id"),
+          size(TextExpressions.distinctShingles(col("text"), 5))
+            .cast("long").as("n_grams"))
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          when(col("n_grams") > 0,
+            coalesce(col("n_novel"), lit(0L)).cast("double") /
+              col("n_grams").cast("double")).otherwise(0.0).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // e58: FILTERED ANN (hybrid search) — top-k under a metadata
     // predicate, the production retrieval shape ("nearest en-language
     // docs"). The honest scale recipe: ONE shared IVF index over all
@@ -2258,6 +2388,41 @@ object QueriesE {
     // e64 persists then probes the SAME index e18 derives inline — the
     // rows (and therefore the oracle) are identical by construction
     "e64_ann_index_persist" -> sqlIvf,
+    "e67_chunk_windows" -> sqlChunkWindows,
+    "e68_length_winsorize" ->
+      ("WITH th AS (SELECT source, " +
+        "CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS lo, " +
+        "CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS hi " +
+        "FROM documents GROUP BY source) " +
+        "SELECT d.source, max(lo) AS lo, max(hi) AS hi, count(*) AS n_total, " +
+        "CAST(sum(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low, " +
+        "CAST(sum(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high, " +
+        "CAST(sum(CASE WHEN n_chars BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        "FROM documents d JOIN th ON d.source = th.source " +
+        "GROUP BY d.source ORDER BY d.source"),
+    "e69_cluster_cap" -> {
+      val K = 8; val Iters = 3; val Cap = 25
+      sqlKmeansCtes(K, Iters) + ", " +
+        s"af AS (SELECT vec_id, j AS list, d, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn " +
+        s"FROM (SELECT e.vec_id, c.j, ${sqlL2("e", "c")} AS d " +
+        s"FROM e CROSS JOIN c$Iters c)), " +
+        "listed AS (SELECT vec_id, list, d FROM af WHERE rn = 1), " +
+        "ranked AS (SELECT CAST(list AS INT) AS cluster, " +
+        "CAST(row_number() OVER (PARTITION BY list ORDER BY d, vec_id) AS INT) AS rank, " +
+        "vec_id, d AS dist FROM listed) " +
+        s"SELECT cluster, rank, vec_id, dist FROM ranked WHERE rank <= $Cap " +
+        "ORDER BY cluster, rank"
+    },
+    "e70_gram_novelty" ->
+      (s"WITH sh AS (SELECT doc_id, unnest(list_distinct(${sqlShingles(5)})) AS g FROM documents), " +
+        "firsts AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g), " +
+        "nov AS (SELECT first_doc AS doc_id, count(*) AS n_novel FROM firsts GROUP BY 1), " +
+        s"tot AS (SELECT doc_id, CAST(len(list_distinct(${sqlShingles(5)})) AS BIGINT) AS n_grams FROM documents) " +
+        "SELECT tot.doc_id, n_grams, coalesce(n_novel, 0) AS n_novel, " +
+        "CASE WHEN n_grams > 0 THEN coalesce(n_novel, 0)::DOUBLE / n_grams::DOUBLE " +
+        "ELSE 0.0 END AS novelty " +
+        "FROM tot LEFT JOIN nov ON tot.doc_id = nov.doc_id ORDER BY tot.doc_id"),
     "e65_contam_spans" ->
       (s"WITH $sqlContamSpanCtes " +
         "SELECT doc_id, span_start, span_end, span_tokens " +

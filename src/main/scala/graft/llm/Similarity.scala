@@ -86,13 +86,21 @@ object Similarity {
     dot(emb, emb) - lit(2.0) * dot(emb, cc) + lit(c.map(v => v * v).sum)
   }
 
+  /** Nearest-centroid assignment WITH its distance: the argmin
+    * (distance, index) struct — `.getField("j")` is the list id,
+    * `.getField("d")` the squared L2 to it (deterministic tie-break by
+    * index; scan-local, k × dims multiply-adds per row).
+    */
+  def ivfAssignDist(emb: Column, centroids: Array[Array[Double]]): Column =
+    array_min(array(centroids.zipWithIndex.toIndexedSeq.map { case (c, j) =>
+      struct(l2sq(emb, c).as("d"), lit(j).as("j"))
+    }: _*))
+
   /** IVF list assignment: index of the nearest centroid (argmin by
     * (distance, index) struct min — deterministic tie-break).
     */
   def ivfAssign(emb: Column, centroids: Array[Array[Double]]): Column =
-    array_min(array(centroids.zipWithIndex.toIndexedSeq.map { case (c, j) =>
-      struct(l2sq(emb, c).as("d"), lit(j).as("j"))
-    }: _*)).getField("j")
+    ivfAssignDist(emb, centroids).getField("j")
 
   /** Fixed-point quantization scale for the k-means mean update: 2^20.
     * Multiplying a double by a power of two is EXACT (exponent shift) and

@@ -466,6 +466,19 @@ object EventWindows {
     * yet). At scale this is the ingest tier writing each arriving doc
     * straight into its shard partition: zero shuffle, zero state.
     */
+  /** Streaming chunker (f25) — e67's overlapping token windows applied on
+    * the document ingest stream: the chunker is a stateless generate +
+    * scalar projection (append mode, zero streaming state, zero shuffle),
+    * so chunking-at-ingest costs exactly one pass over each arriving doc.
+    * Batch e67 / sqlChunkWindows is the oracle (same rows by construction).
+    */
+  def streamChunk(spark: SparkSession, dir: String,
+      sinkName: String = "f25_sink"): DataFrame = withShufflePartitions(spark, 8) {
+    val chunked = graft.llm.QueriesE.chunkWindows(
+      graft.llm.Dedup.readStreamDocuments(spark, dir))
+    runToMemorySink(chunked, "append", sinkName)
+  }
+
   def streamShardRoute(spark: SparkSession, dir: String,
       sinkName: String = "f23_sink"): DataFrame = withShufflePartitions(spark, 8) {
     val key = md5(concat(lit("ep1|"), col("doc_id")))

@@ -148,6 +148,13 @@ object QueriesF {
     "f24_stream_split_route" -> ((s, dir) =>
       EventWindows.streamSplitRoute(s, dir).orderBy("doc_id")),
 
+    // f25: e67's chunker applied ON INGEST — overlapping token windows as
+    // a stateless streaming generate (append mode, no state, no shuffle):
+    // retrieval indexing keeps up with ingest by construction. Bit-exact
+    // vs the batch chunker (the oracle is e67's SQL verbatim).
+    "f25_stream_chunk" -> ((s, dir) =>
+      EventWindows.streamChunk(s, dir).orderBy("doc_id", "chunk_idx")),
+
     // f23: e61's shard ROUTING applied on the document ingest stream —
     // key/shard are scalar md5 math, so the route is a stateless
     // append-mode projection; bit-exact vs the batch assignment (the
@@ -314,6 +321,8 @@ object QueriesF {
     "f11_stream_range_join" -> RangeJoinSql,
     // identical rows to e60 by construction (same manifest, same docs)
     "f24_stream_split_route" -> graft.llm.QueriesE.sqlLeakageSplit,
+    // identical rows to e67 by construction (same chunker definition)
+    "f25_stream_chunk" -> graft.llm.QueriesE.sqlChunkWindows,
     "f23_stream_shard" -> {
       val hash = "(" + (1 to 8).map { j =>
         s"(strpos('0123456789abcdef', substr(shuffle_key, $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))}"

@@ -947,6 +947,69 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("e67 chunk windows: 45 tokens -> two overlapping chunks with exact spans") {
+    val words = (1 to 45).map(i => s"w$i")
+    val dir = craftedDocsDir("e67", Seq(
+      (1L, words.mkString(" "), 200L),
+      (2L, "tiny doc", 8L)))
+    val out = graft.llm.QueriesE.all("e67_chunk_windows")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 1: starts at 0 and 32 — chunk 0 is w1..w40, chunk 1 is w33..w45
+    // (13 tokens, clamped); doc 2 fits in one 2-token chunk
+    assert(out.toSet == Set(
+      (1L, 0L, 0L, 40, md5hex(words.take(40).mkString(" "))),
+      (1L, 1L, 32L, 13, md5hex(words.drop(32).mkString(" "))),
+      (2L, 0L, 0L, 2, md5hex("tiny doc"))),
+      s"got ${out.toSeq}")
+  }
+
+  test("e68 winsorize: classification sums to total and thresholds are data values") {
+    val out = graft.llm.QueriesE.all("e68_length_winsorize")(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    val lengths = spark.read
+      .parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("source", "n_chars").collect()
+      .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    out.foreach { r =>
+      val (src, lo, hi) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(lo <= hi)
+      // percentile_disc returns actual data values, never interpolations
+      assert(lengths(src).contains(lo) && lengths(src).contains(hi))
+      assert(r.getLong(4) + r.getLong(5) + r.getLong(6) == r.getLong(3),
+        s"low+high+kept must partition total for $src")
+    }
+  }
+
+  test("e69 cluster cap: at most 25 per cluster, ranks contiguous, most-central kept") {
+    val out = graft.llm.QueriesE.all("e69_cluster_cap")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    graft.Caches.drain()
+    out.groupBy(_._1).foreach { case (cl, rows) =>
+      assert(rows.length <= 25, s"cluster $cl exceeds the cap")
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq,
+        s"cluster $cl ranks must be contiguous from 1")
+      // rank order IS (dist, vec_id) order
+      val byRank = rows.sortBy(_._2).map(r => (r._4, r._3)).toSeq
+      assert(byRank == byRank.sorted, s"cluster $cl must rank by (dist, vec_id)")
+    }
+  }
+
+  test("e70 gram novelty: verbatim duplicate scores 0, fresh text scores 1") {
+    val dir = craftedDocsDir("e70", Seq(
+      (1L, "a b c d e f", 11L),        // 2 distinct 5-grams, both first here
+      (2L, "a b c d e f", 11L),        // verbatim dup: zero novel
+      (3L, "p q r s t u", 11L),        // all novel
+      (4L, "x y", 3L)))                // no 5-grams at all
+    val out = graft.llm.QueriesE.all("e70_gram_novelty")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSet == Set(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0), (3L, 2L, 2L, 1.0), (4L, 0L, 0L, 0.0)),
+      s"got ${out.toSeq}")
+  }
+
   test("e62 dup spans: shared 7-word run merges into one maximal span per doc") {
     val dir = craftedDocsDir("e62", Seq(
       // docs 1 and 2 share the 7-word run "a b c d e f g" (three

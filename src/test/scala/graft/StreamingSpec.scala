@@ -430,6 +430,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size < batch.size, "tail windows past the watermark stay open")
   }
 
+  test("f25 stream chunker equals the batch e67 chunk windows") {
+    val streamed = graft.stream.QueriesF.all("f25_stream_chunk")(spark, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4)))
+      .toSet
+    val batch = graft.llm.QueriesE.all("e67_chunk_windows")(spark, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4)))
+      .toSet
+    graft.Caches.drain()
+    assert(streamed == batch, "ingest-time chunking must match the batch chunker")
+  }
+
   test("f23 stream shard routing equals the batch e61 assignment") {
     val streamed = graft.stream.QueriesF.all("f23_stream_shard")(spark, TestSpark.Sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
