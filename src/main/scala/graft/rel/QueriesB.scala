@@ -337,6 +337,32 @@ object QueriesB {
     //   percent_rank = (rn-1)/(n-1), cume_dist = rn/n  (same double
     //   division the window functions evaluate ⇒ identical bits)
     // No task ever sorts more than one range partition.
+    // b23: gap-based batch sessionization — the canonical event-log
+    // rollup: a user's events split into sessions wherever the
+    // inter-event gap exceeds 30 min (lag → new-session flag → running
+    // sum numbers the sessions), then one aggregate per session. Scale
+    // shape: both windows AND the final groupBy key on user_id — a key
+    // whose cardinality GROWS with the data (per-user event counts are
+    // bounded), the legitimate per-entity window class (b15), never a
+    // fixed-cardinality key; one shuffle total, since the window exchange
+    // on user_id is reused by the (user_id, session_idx) aggregate.
+    "b23_sessionize" -> ((s, dir) => {
+      val gapUs = 1800L * 1000000L
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val gap = col("us") - lag(col("us"), 1).over(w)
+      ev.withColumn("new_s",
+          when(gap.isNull || gap > gapUs, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "session_idx")
+    }),
+
     "b20_window_ranks" -> ((s, dir) => {
       groupRanks(
         t(s, dir, "orders")
@@ -408,6 +434,19 @@ object QueriesB {
   val oracle: Map[String, String] = Map(
     "b19_correlated_subquery" -> CorrelatedSql,
     "b22_exists_subquery" -> ExistsSql,
+    "b23_sessionize" ->
+      ("WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "fl AS (SELECT user_id, event_id, us, " +
+        "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_s FROM ev " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "sx AS (SELECT user_id, us, CAST(sum(new_s) OVER (PARTITION BY user_id " +
+        "ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS session_idx FROM fl) " +
+        "SELECT user_id, session_idx, count(*) AS n_events, " +
+        "min(us) AS start_us, max(us) AS end_us, " +
+        "max(us) - min(us) AS duration_us " +
+        "FROM sx GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
     "b20_window_ranks" ->
       ("SELECT o_orderkey, o_orderpriority, o_totalprice, " +
         "ntile(4) OVER w AS q4, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd " +
