@@ -33,6 +33,17 @@ object GraftFunctions {
     }
   }
 
+  /** Literal array-of-string argument (e.g. trained BPE merges). */
+  private def stringSeqArg(e: Expression, fn: String): Seq[String] = {
+    require(e.foldable, s"$fn: merges argument must be a literal array")
+    e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      case other => throw new IllegalArgumentException(
+        s"$fn: array<string> literal expected, got $other")
+    }
+  }
+
   val all: Seq[(String, Builder)] = Seq(
     "st_normalize_wkt" -> (es => StNormalizeWkt(es.head)),
     "st_astext"        -> (es => StNormalizeWkt(es.head)),
@@ -59,6 +70,15 @@ object GraftFunctions {
       intArg(es(1), "pos_shingles"))),
     "winnow_fps"       -> (es => WinnowFp(es(0),
       intArg(es(1), "winnow_fps"), intArg(es(2), "winnow_fps"))),
+    // one-pass repetition counters (top-bigram / dup-trigram fractions
+    // ride this struct) and the char-bigram stream for LM scoring
+    "repetition_stats" -> (es => RepetitionStats(es.head)),
+    "char_pairs"       -> (es => CharPairs(es.head)),
+    // tokenize under TRAINED merges: bpe_token_count(text, array('a|b',…))
+    // — the merge list is a literal (train batch-side via llm.Bpe, embed
+    // the result), so the kernel compiles it once per plan
+    "bpe_token_count"  -> (es => BpeTokenCount(es(0),
+      stringSeqArg(es(1), "bpe_token_count"))),
     // aggregate: the analyzer wraps a bare AggregateFunction from the
     // registry into an AggregateExpression exactly as for built-ins
     "bitmap_distinct"  -> (es => BitmapDistinct(es(0),

@@ -44,6 +44,14 @@ class LlmSpec extends AnyFunSuite {
     val agg = spark.sql(
       "SELECT bitmap_distinct(CAST(doc_id % 3 AS INT)) AS n FROM gf_docs").collect()
     assert(agg(0).getLong(0) == 3L)
+    // kernel structs + trained-merge tokenization from raw SQL
+    val k = spark.sql(
+      "SELECT repetition_stats(text).n2 AS n2, size(char_pairs(text)) AS ncp, " +
+        "bpe_token_count('abab', array('a|b', 'ab|ab')) AS nt FROM gf_docs " +
+        "ORDER BY doc_id").collect()
+    assert(k.head.getLong(0) >= 0 && k.head.getInt(1) >= 0)
+    // 'abab' -> [a,b,a,b] -> merge a|b twice -> [ab,ab] -> merge ab|ab -> [abab]
+    assert(k.head.getLong(2) == 1L, s"bpe_token_count: got ${k.head.getLong(2)}")
   }
 
   test("connectedComponents: chains collapse to min-id clusters; isolated stay alone") {
