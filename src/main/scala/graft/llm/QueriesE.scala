@@ -1754,6 +1754,44 @@ object QueriesE {
         .orderBy("doc_id")
     }),
 
+    // e71: per-source DATA CARD — the one-page corpus datasheet an
+    // engineer reads before training: doc/token volumes, median doc
+    // length (exact percentile_disc), language purity, mean quality, and
+    // the exact-dup burden, per source. Composition shapes: per-doc
+    // signals are scan-local kernels; the mean quality rides the e18
+    // fixed-point recipe (sum(floor(q·2^20)) exact LONG, ONE double
+    // division chain at the end — order-free, so bit-exact at any
+    // parallelism and across engines); the dup burden NEVER re-joins the
+    // corpus — (digest, source) counts reduce map-side, global digest
+    // totals come from re-grouping those counts, and the dup join runs
+    // on the already-aggregated relation.
+    "e71_source_datacard" -> ((s, dir) => {
+      val perDoc = t(s, dir, "documents").select(col("source"), col("lang"),
+        md5(col("text")).as("digest"),
+        TextStats.wsTokens(col("text")).as("toks"),
+        floor(TextStats.qualityScore(col("text"), col("n_chars")) *
+          lit(Similarity.MeanScale)).cast("long").as("qfix"))
+        .transform(graft.Caches.persistTracked) // stats pass + dup pass
+      val base = perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY toks)")
+          .cast("long").as("p50_tokens"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(col("qfix")).as("qsum"))
+      val sd = perDoc.groupBy("digest", "source").agg(count(lit(1)).as("c"))
+      val g = sd.groupBy("digest").agg(sum(col("c")).as("n"))
+      val dups = sd.join(g, "digest").filter(col("n") >= 2)
+        .groupBy("source").agg(sum(col("c")).as("dup_docs"))
+      base.join(dups, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("p50_tokens"), col("n_en"),
+          (col("qsum").cast("double") / lit(Similarity.MeanScale) /
+            col("n_docs").cast("double")).as("mean_quality"),
+          coalesce(col("dup_docs"), lit(0L)).as("dup_docs"))
+        .orderBy("source")
+    }),
+
     // e58: FILTERED ANN (hybrid search) — top-k under a metadata
     // predicate, the production retrieval shape ("nearest en-language
     // docs"). The honest scale recipe: ONE shared IVF index over all
@@ -2389,6 +2427,24 @@ object QueriesE {
     // rows (and therefore the oracle) are identical by construction
     "e64_ann_index_persist" -> sqlIvf,
     "e67_chunk_windows" -> sqlChunkWindows,
+    "e71_source_datacard" ->
+      (s"WITH pd AS (SELECT source, lang, md5(text) AS digest, " +
+        "CAST(len(string_split(text,' ')) AS BIGINT) AS toks, " +
+        s"CAST(floor(($sqlQualityExpr) * 1048576.0) AS BIGINT) AS qfix FROM documents), " +
+        "base AS (SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(toks) AS BIGINT) AS total_tokens, " +
+        "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY toks) AS BIGINT) AS p50_tokens, " +
+        "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en, " +
+        "CAST(sum(qfix) AS BIGINT) AS qsum FROM pd GROUP BY source), " +
+        "sd AS (SELECT digest, source, count(*) AS c FROM pd GROUP BY 1, 2), " +
+        "g AS (SELECT digest, CAST(sum(c) AS BIGINT) AS n FROM sd GROUP BY 1), " +
+        "dups AS (SELECT source, CAST(sum(c) AS BIGINT) AS dup_docs " +
+        "FROM sd JOIN g USING (digest) WHERE n >= 2 GROUP BY source) " +
+        "SELECT base.source, n_docs, total_tokens, p50_tokens, n_en, " +
+        "CAST(qsum AS DOUBLE) / 1048576.0 / CAST(n_docs AS DOUBLE) AS mean_quality, " +
+        "coalesce(dup_docs, 0) AS dup_docs " +
+        "FROM base LEFT JOIN dups ON base.source = dups.source " +
+        "ORDER BY base.source"),
     "e68_length_winsorize" ->
       ("WITH th AS (SELECT source, " +
         "CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS lo, " +

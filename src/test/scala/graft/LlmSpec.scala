@@ -1018,6 +1018,26 @@ class LlmSpec extends AnyFunSuite {
       s"got ${out.toSeq}")
   }
 
+  test("e71 data card: cross-source dup burden, token stats, language purity") {
+    val dir = "/root/repo/target/fixtures/test/docs_e71"
+    Seq(
+      (1L, "the a of and to", "src0", "en", 15L),
+      (2L, "the a of and to", "src0", "en", 15L),  // dup of 1 (same source)
+      (3L, "completely unique text here", "src0", "de", 27L),
+      (4L, "the a of and to", "src1", "en", 15L),  // dup of 1 (cross-source)
+      (5L, "another singleton document", "src1", "en", 26L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.llm.QueriesE.all("e71_source_datacard")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6))).toMap
+    graft.Caches.drain()
+    // a digest seen 3x globally marks ALL its members dup, per their source
+    assert(out("src0") == ((3L, 14L, 5L, 2L, out("src0")._5, 2L)), s"src0: ${out("src0")}")
+    assert(out("src1") == ((2L, 8L, 3L, 2L, out("src1")._5, 1L)), s"src1: ${out("src1")}")
+    assert(out.values.forall(v => v._5 > 0.0 && v._5 <= 1.0), "quality in (0,1]")
+  }
+
   test("e62 dup spans: shared 7-word run merges into one maximal span per doc") {
     val dir = craftedDocsDir("e62", Seq(
       // docs 1 and 2 share the 7-word run "a b c d e f g" (three
