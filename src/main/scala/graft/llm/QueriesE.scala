@@ -314,21 +314,29 @@ object QueriesE {
     * components closure + the e25 md5-hex-decode recipe keyed on the
     * cluster representative.
     */
-  private[graft] lazy val sqlLeakageSplit: String = {
+  /** The e60 split-assignment CTE chain (recursive closure → cluster →
+    * hashed bucket → split), ending at `sm(doc_id, cluster_id, bucket,
+    * split)` — shared by e60/f24 and the e72 manifest composition.
+    */
+  private[graft] lazy val sqlLeakageSplitCtes: String = {
     val hash = "(" + (1 to 8).map { j =>
       s"(strpos('0123456789abcdef', substr(md5('sp|' || cluster_id), $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))}"
     }.mkString(" + ") + ")"
-    s"WITH RECURSIVE $sqlLshPairCtes, " +
+    s"$sqlLshPairCtes, " +
       "edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs " +
       "UNION ALL SELECT id_b, id_a FROM vpairs), " +
       "reach(id, root) AS (SELECT doc_id, doc_id FROM documents " +
       "UNION SELECT e.src, r.root FROM reach r JOIN edges e ON e.dst = r.id), " +
       "comp AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id), " +
-      s"b AS (SELECT doc_id, cluster_id, $hash % 100 AS bucket FROM comp) " +
-      "SELECT doc_id, cluster_id, bucket, " +
+      s"b AS (SELECT doc_id, cluster_id, $hash % 100 AS bucket FROM comp), " +
+      "sm AS (SELECT doc_id, cluster_id, bucket, " +
       "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split " +
-      "FROM b ORDER BY doc_id"
+      "FROM b)"
   }
+
+  private[graft] lazy val sqlLeakageSplit: String =
+    s"WITH RECURSIVE $sqlLeakageSplitCtes " +
+      "SELECT doc_id, cluster_id, bucket, split FROM sm ORDER BY doc_id"
 
   /** DuckDB CTE chain reproducing [[sharedDupSpans]] byte-for-byte, ending
     * at `spans(doc_id, span_start, span_end, span_tokens)`: positional
@@ -1792,6 +1800,51 @@ object QueriesE {
         .orderBy("source")
     }),
 
+    // e72: the TRAINING-RUN MANIFEST — the library's capstone
+    // composition, the artifact a data loader actually consumes: every
+    // doc with its leakage-free split (e60's cluster-hashed assignment,
+    // session-memoized), its deterministic epoch shard (e61's md5 order
+    // key), its within-(split, shard) resume sequence, and its token
+    // count. The sequence is the e61/e36/e44 two-pass rank — (split,
+    // shard) is FIXED cardinality (24), so a bare window would sort each
+    // slice on one task; range-partitioned local ranks + broadcast
+    // offsets keep every task bounded. One fixpoint (memoized), one
+    // range shuffle, scan-local everything else.
+    "e72_training_manifest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val key = md5(concat(lit("ep1|"), col("doc_id")))
+      val h = conv(substring(key, 1, 8), 16, 10).cast("long")
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        TextStats.wsTokens(col("text")).as("n_tokens"))
+      val parts = splitManifest(s, dir).select(col("doc_id"), col("split"))
+        .join(toks, "doc_id")
+        .select(col("doc_id"), col("split"), col("n_tokens"),
+          key.as("shuffle_key"), (h % 8).cast("int").as("shard"))
+        .repartitionByRange(32, col("split"), col("shard"),
+          col("shuffle_key"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .transform(graft.Caches.persistTracked) // counts pass + rank pass
+      val counts = parts.groupBy("split", "shard", "pid")
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      val off: Map[String, Long] = counts.groupBy(t => (t._1, t._2)).flatMap {
+        case ((split, shard), rows) =>
+          var acc = 0L
+          rows.sortBy(_._3).map { case (_, _, pid, c) =>
+            val o = acc; acc += c; s"$split|$shard|$pid" -> o
+          }
+      }
+      val w = Window.partitionBy("split", "shard", "pid")
+        .orderBy(col("shuffle_key"), col("doc_id"))
+      parts
+        .withColumn("seq", row_number().over(w).cast("long") +
+          element_at(typedLit(off),
+            concat_ws("|", col("split"), col("shard"), col("pid"))))
+        .select(col("doc_id"), col("split"), col("shard"), col("seq"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // e58: FILTERED ANN (hybrid search) — top-k under a metadata
     // predicate, the production retrieval shape ("nearest en-language
     // docs"). The honest scale recipe: ONE shared IVF index over all
@@ -2427,6 +2480,20 @@ object QueriesE {
     // rows (and therefore the oracle) are identical by construction
     "e64_ann_index_persist" -> sqlIvf,
     "e67_chunk_windows" -> sqlChunkWindows,
+    "e72_training_manifest" -> {
+      val hash = "(" + (1 to 8).map { j =>
+        s"(strpos('0123456789abcdef', substr(shuffle_key, $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))}"
+      }.mkString(" + ") + ")"
+      s"WITH RECURSIVE $sqlLeakageSplitCtes, " +
+        "tk AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "k AS (SELECT doc_id, md5('ep1|' || doc_id) AS shuffle_key FROM documents), " +
+        s"r AS (SELECT sm.doc_id, sm.split, CAST($hash % 8 AS INT) AS shard, shuffle_key " +
+        "FROM sm JOIN k ON sm.doc_id = k.doc_id), " +
+        "sq AS (SELECT doc_id, split, shard, CAST(row_number() OVER " +
+        "(PARTITION BY split, shard ORDER BY shuffle_key, doc_id) AS BIGINT) AS seq FROM r) " +
+        "SELECT sq.doc_id, split, shard, seq, n_tokens FROM sq " +
+        "JOIN tk ON sq.doc_id = tk.doc_id ORDER BY sq.doc_id"
+    },
     "e71_source_datacard" ->
       (s"WITH pd AS (SELECT source, lang, md5(text) AS digest, " +
         "CAST(len(string_split(text,' ')) AS BIGINT) AS toks, " +

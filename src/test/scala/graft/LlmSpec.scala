@@ -1038,6 +1038,25 @@ class LlmSpec extends AnyFunSuite {
     assert(out.values.forall(v => v._5 > 0.0 && v._5 <= 1.0), "quality in (0,1]")
   }
 
+  test("e72 manifest: contiguous resume seqs; split/shard agree with e60/e61") {
+    val m = graft.llm.QueriesE.all("e72_training_manifest")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val splits = graft.llm.QueriesE.all("e60_leakage_split")(spark, TestSpark.Sf)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val shards = graft.llm.QueriesE.all("e61_shuffle_shard")(spark, TestSpark.Sf)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    graft.Caches.drain()
+    assert(m.length == splits.size, "one manifest row per doc")
+    assert(m.forall(x => splits(x._1) == x._2), "split must be e60's assignment")
+    assert(m.forall(x => shards(x._1) == x._3), "shard must be e61's routing")
+    m.groupBy(x => (x._2, x._3)).foreach { case (g, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq,
+        s"seqs in $g must be contiguous from 1")
+    }
+  }
+
   test("e62 dup spans: shared 7-word run merges into one maximal span per doc") {
     val dir = craftedDocsDir("e62", Seq(
       // docs 1 and 2 share the 7-word run "a b c d e f g" (three

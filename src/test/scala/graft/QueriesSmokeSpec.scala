@@ -78,7 +78,14 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "e62_dup_spans", "e63_dup_burden", "e65_contam_spans",
       // e66: consumes the memoized e65 span relation (same bounded
       // per-doc merge inside the cached lineage)
-      "e66_span_scrub")
+      "e66_span_scrub",
+      // e69: two-phase top-K per cluster (e50's class) — phase 1 windows
+      // on (cluster, pid) (bounded by a scan partition), phase 2 on
+      // cluster over the ≤ 25·partitions local winners
+      "e69_cluster_cap",
+      // e72: two-pass per-(split, shard) resume sequence — window is on
+      // (split, shard, pid), bounded by a range partition (e61's recipe)
+      "e72_training_manifest")
 
   for (q <- Seq("b7_topk_window", "b16_exact_quantiles", "b20_window_ranks"))
     test(s"$q ranks over range partitions, not one task per priority") {
@@ -94,6 +101,28 @@ class QueriesSmokeSpec extends AnyFunSuite {
         s"$q's window must be per range partition: $windowLines")
       Caches.drain()
     }
+
+  test("e67 chunker is exchange-free up to the output sort") {
+    val df = SparkEntry.queries("e67_chunk_windows")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is the rangepartitioning of the final
+    // gate-determinism orderBy — the chunker itself never shuffles
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"chunker must be shuffle-free (only the output sort exchanges): $exchanges")
+    Caches.drain()
+  }
+
+  test("b23 sessionize: one hash shuffle serves both windows and the rollup") {
+    val df = SparkEntry.queries("b23_sessionize")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val hashEx = plan.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("user_id"),
+      s"expected exactly one user_id hash exchange reused by the " +
+        s"(user_id, session_idx) aggregate: $hashEx")
+    Caches.drain()
+  }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
