@@ -1,6 +1,7 @@
 package graft.rel
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import graft.api.Datum
 
 /** Group A — the reference's read surface (SURVEY.md §2.4.A), exercised
@@ -100,10 +101,45 @@ object QueriesA {
         t.metadata.map { case (f, c) => (tn, f, c) }
       }
       rows.toDF("tbl", "field", "coarse").orderBy("tbl", "field")
+    }),
+
+    // a9: raw-file ingestion via Spark's built-in `binaryFile` source —
+    // the entry point of the multimodal tier: media arrives as FILES, not
+    // parquet rows. The fixture stage writes each doc's UTF-8 bytes as a
+    // .bin file (bounded driver loop — 40 fixture files, not the measured
+    // operator); the measured operator is the binaryFile scan itself:
+    // (path, length, content) per file, digested in-scan via md5(hex(…))
+    // — hex is uppercase in both engines, so the digest is portable
+    // without any blob-to-string cast. At 100 TB this scan is Spark's
+    // standard file-listing + per-file read: embarrassingly parallel,
+    // partition count follows maxPartitionBytes. The oracle re-derives
+    // every (file, n_bytes, digest) from the documents table — an
+    // end-to-end staging+ingest check, not a read-back tautology.
+    "a9_binaryfile_ingest" -> ((s, dir) => {
+      val out = new java.io.File("/root/repo/target/fixtures/out/a9_media_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.api.Database.wipeDir(out); out.mkdirs()
+      Q.t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text")).collect()
+        .foreach { r =>
+          java.nio.file.Files.write(
+            new java.io.File(out, f"doc${r.getLong(0)}%05d.bin").toPath,
+            r.getString(1).getBytes("UTF-8")): Unit
+        }
+      s.read.format("binaryFile").load(out.getPath)
+        .select(element_at(split(col("path"), "/"), -1).as("file"),
+          col("length").as("n_bytes"),
+          md5(hex(col("content"))).as("digest"))
+        .orderBy("file")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "a9_binaryfile_ingest" ->
+      ("SELECT 'doc' || lpad(doc_id::VARCHAR, 5, '0') || '.bin' AS file, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "md5(hex(encode(text))) AS digest " +
+        "FROM documents WHERE doc_id < 40 ORDER BY file"),
     "a1_read_project_alias" ->
       "SELECT c_custkey, c_name AS customer_name FROM customer ORDER BY c_custkey",
     "a2_read_filter" ->
