@@ -455,7 +455,7 @@ object QueriesE {
   /** DuckDB replica of the FULL iterative IVF pipeline (e18): k-means CTEs
     * + probe selection (direct (c−q)² chain) + in-list cosine top-k.
     */
-  private lazy val sqlIvf: String = {
+  private[graft] lazy val sqlIvf: String = {
     val K = 8; val Iters = 3; val NProbe = 2; val TopK = 5
     val cos =
       s"(${sqlChain(i => s"v.emb[$i]*q.emb[$i]")}) / " +

@@ -466,6 +466,64 @@ object EventWindows {
     * yet). At scale this is the ingest tier writing each arriving doc
     * straight into its shard partition: zero shuffle, zero state.
     */
+  /** Streaming IVF index ingest (f26) — the vector tier's index
+    * MAINTAINED ON INGEST, closing the e18→e64→f26 arc: centroids train
+    * batch-side (the session-memoized e18 fixpoint — at production scale,
+    * on a sample), each arriving vector routes to its inverted list via
+    * the scan-local argmin (stateless, broadcast-literal centroids), and
+    * foreachBatch APPENDS the batch partitioned by `list_id` — vectors
+    * are immutable, so index maintenance is pure partition-dir appends:
+    * each micro-batch writes ONLY the list dirs it touches, never
+    * rewrites state (the append-only analogue of f14/f19's swap recipe).
+    * The probe is e64's partition-pruned read: nprobe directories opened
+    * regardless of corpus size. Rows — and the oracle — are identical to
+    * e18/e64 by construction.
+    */
+  def streamIvfIngest(spark: SparkSession, dir: String,
+      outRoot: String = "/root/repo/target/fixtures/out/f26"): DataFrame =
+    withShufflePartitions(spark, 8) {
+      import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+      import graft.llm.Similarity
+      val base = graft.Caches.persistTracked(
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
+      val cents = Similarity.kmeansCentroids(base, "vec_id", 8, 3,
+        memoKey = s"kmeans|$dir|embeddings|k8|it3")
+      val index = new java.io.File(outRoot, "index")
+      val chk = new java.io.File(outRoot, "chk")
+      wipe(index); wipe(chk); new java.io.File(outRoot).mkdirs()
+      val schema = StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val routed = spark.readStream.schema(schema).parquet(s"$dir/embeddings.*")
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb"))
+        .withColumn("list_id", Similarity.ivfAssign(col("emb"), cents))
+      val q = routed.writeStream
+        .option("checkpointLocation", chk.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").partitionBy("list_id")
+            .parquet(index.getPath)
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      // e64's probe: nearest-2 lists for query vector 0, cosine top-5 —
+      // the list_id filter partition-prunes to exactly nprobe directories
+      val qv = base.filter(col("vec_id") === 0L).collect()(0)
+        .getSeq[Double](1).toArray
+      val probes = cents.zipWithIndex.map { case (c, j) =>
+        (c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+      }.sortBy(identity).take(2).map(_._2)
+      val qDf = broadcast(base.filter(col("vec_id") === 0L)
+        .select(col("emb").as("q")))
+      spark.read.parquet(index.getPath)
+        .filter(col("list_id").isin(probes.toIndexedSeq.map(_.asInstanceOf[Any]): _*) &&
+          col("vec_id") =!= 0L)
+        .crossJoin(qDf)
+        .select(col("vec_id"), col("list_id").cast("int").as("list_id"),
+          Similarity.cosine(col("emb"), col("q")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(5)
+    }
+
   /** Streaming chunker (f25) — e67's overlapping token windows applied on
     * the document ingest stream: the chunker is a stateless generate +
     * scalar projection (append mode, zero streaming state, zero shuffle),

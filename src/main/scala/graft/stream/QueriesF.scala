@@ -148,6 +148,14 @@ object QueriesF {
     "f24_stream_split_route" -> ((s, dir) =>
       EventWindows.streamSplitRoute(s, dir).orderBy("doc_id")),
 
+    // f26: the IVF vector index MAINTAINED ON INGEST — batch-trained
+    // centroids route each arriving vector to its inverted list
+    // (stateless scan-local argmin); foreachBatch APPENDS partitioned by
+    // list_id, so index maintenance is pure partition-dir appends and
+    // the e64 probe partition-prunes to nprobe dirs. Rows = e18/e64.
+    "f26_stream_ivf_ingest" -> ((s, dir) =>
+      EventWindows.streamIvfIngest(s, dir)),
+
     // f25: e67's chunker applied ON INGEST — overlapping token windows as
     // a stateless streaming generate (append mode, no state, no shuffle):
     // retrieval indexing keeps up with ingest by construction. Bit-exact
@@ -323,6 +331,8 @@ object QueriesF {
     "f24_stream_split_route" -> graft.llm.QueriesE.sqlLeakageSplit,
     // identical rows to e67 by construction (same chunker definition)
     "f25_stream_chunk" -> graft.llm.QueriesE.sqlChunkWindows,
+    // identical rows to e18/e64 by construction (same training, same probe)
+    "f26_stream_ivf_ingest" -> graft.llm.QueriesE.sqlIvf,
     "f23_stream_shard" -> {
       val hash = "(" + (1 to 8).map { j =>
         s"(strpos('0123456789abcdef', substr(shuffle_key, $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))}"

@@ -47,7 +47,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "e59_pq_recall",
       // e64: e18's single-row query-vector crossJoin, over the two
       // partition-pruned list directories only
-      "e64_ann_index_persist")
+      "e64_ann_index_persist",
+      // f26: e64's probe over the stream-appended index (same single-row
+      // query-vector crossJoin, same partition-pruned scan)
+      "f26_stream_ivf_ingest")
 
   /** E-group queries whose plans intentionally contain a Window exec. The
     * forbidden class is a window partitioned by a DATA-DEPENDENT UNBOUNDED

@@ -430,6 +430,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size < batch.size, "tail windows past the watermark stay open")
   }
 
+  test("f26 stream-built IVF index: probe partition-prunes to the probed lists") {
+    val df = graft.stream.QueriesF.all("f26_stream_ivf_ingest")(spark, TestSpark.Sf)
+    val top = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    graft.Caches.drain()
+    assert(top.length == 5, "probe returns the top-5")
+    // the scan over the stream-appended index must carry the list_id
+    // partition filter — ingest-time maintenance must not cost the probe
+    // its partition pruning
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("list_id")),
+      s"probe scan must partition-prune on list_id:\n$plan")
+  }
+
   test("f25 stream chunker equals the batch e67 chunk windows") {
     val streamed = graft.stream.QueriesF.all("f25_stream_chunk")(spark, TestSpark.Sf)
       .collect()
