@@ -1845,6 +1845,34 @@ object QueriesE {
         .orderBy("doc_id")
     }),
 
+    // e73: IVF inverted-list occupancy — the index-health report an
+    // operator reads before trusting probe latency: per-list vector
+    // counts and shares under the shared training. A hot list (centroid
+    // imbalance) makes every probe that hits it scan a corpus-sized
+    // bucket — THE operational failure mode of IVF at scale; this query
+    // is the monitoring hook. One scan-local argmin + an 8-group
+    // aggregate: the cost of knowing is one pass. Every list appears
+    // (zero-count lists included via the centroid range) so a dead list
+    // is as visible as a hot one.
+    "e73_ivf_occupancy" -> ((s, dir) => {
+      val base = graft.Caches.persistTracked(
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
+      val cents = Similarity.kmeansCentroids(base, "vec_id", 8, 3,
+        memoKey = s"kmeans|$dir|embeddings|k8|it3")
+      val n = base.count()
+      val occ = base
+        .select(Similarity.ivfAssign(col("emb"), cents).as("list_id"))
+        .groupBy("list_id").agg(count(lit(1)).as("n_vecs"))
+      s.range(cents.length).select(col("id").cast("int").as("list_id"))
+        .join(occ, Seq("list_id"), "left")
+        .select(col("list_id"),
+          coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+          (coalesce(col("n_vecs"), lit(0L)).cast("double") /
+            lit(n).cast("double")).as("share"))
+        .orderBy("list_id")
+    }),
+
     // e58: FILTERED ANN (hybrid search) — top-k under a metadata
     // predicate, the production retrieval shape ("nearest en-language
     // docs"). The honest scale recipe: ONE shared IVF index over all
@@ -2480,6 +2508,19 @@ object QueriesE {
     // rows (and therefore the oracle) are identical by construction
     "e64_ann_index_persist" -> sqlIvf,
     "e67_chunk_windows" -> sqlChunkWindows,
+    "e73_ivf_occupancy" -> {
+      val K = 8; val Iters = 3
+      sqlKmeansCtes(K, Iters) + ", " +
+        sqlKmAssign("af", s"c$Iters") + ", " +
+        "occ AS (SELECT list AS list_id, count(*) AS n_vecs FROM af WHERE rn = 1 GROUP BY list), " +
+        "n AS (SELECT count(*) AS total FROM e), " +
+        s"lists AS (SELECT unnest(range($K)) AS list_id) " +
+        "SELECT CAST(lists.list_id AS INT) AS list_id, " +
+        "CAST(coalesce(n_vecs, 0) AS BIGINT) AS n_vecs, " +
+        "CAST(coalesce(n_vecs, 0) AS DOUBLE) / CAST(total AS DOUBLE) AS share " +
+        "FROM lists LEFT JOIN occ ON lists.list_id = occ.list_id CROSS JOIN n " +
+        "ORDER BY lists.list_id"
+    },
     "e72_training_manifest" -> {
       val hash = "(" + (1 to 8).map { j =>
         s"(strpos('0123456789abcdef', substr(shuffle_key, $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))}"
