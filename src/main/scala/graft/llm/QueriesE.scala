@@ -1873,6 +1873,19 @@ object QueriesE {
         .orderBy("list_id")
     }),
 
+    // e74: near-dup cluster-size HISTOGRAM — the distribution an operator
+    // reads before choosing a keep policy (keep-one-per-cluster is cheap
+    // when clusters are pairs; a 10⁶-member boilerplate cluster calls for
+    // span surgery instead — e62's tier). Rides the session-memoized
+    // components closure; both rollups are map-side-combined groupBys
+    // whose key cardinality only SHRINKS (clusters, then sizes), so the
+    // histogram costs two tiny aggregates past the shared fixpoint.
+    "e74_cluster_histogram" -> ((s, dir) => {
+      val sizes = sharedComponents(s, dir)
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      sizes.groupBy("sz").agg(count(lit(1)).as("n_clusters")).orderBy("sz")
+    }),
+
     // e58: FILTERED ANN (hybrid search) — top-k under a metadata
     // predicate, the production retrieval shape ("nearest en-language
     // docs"). The honest scale recipe: ONE shared IVF index over all
@@ -2508,6 +2521,10 @@ object QueriesE {
     // rows (and therefore the oracle) are identical by construction
     "e64_ann_index_persist" -> sqlIvf,
     "e67_chunk_windows" -> sqlChunkWindows,
+    "e74_cluster_histogram" ->
+      (s"WITH RECURSIVE $sqlLeakageSplitCtes, " +
+        "sizes AS (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id) " +
+        "SELECT sz, count(*) AS n_clusters FROM sizes GROUP BY sz ORDER BY sz"),
     "e73_ivf_occupancy" -> {
       val K = 8; val Iters = 3
       sqlKmeansCtes(K, Iters) + ", " +
