@@ -38,7 +38,11 @@ object GraftFunctions {
     require(e.foldable, s"$fn: merges argument must be a literal array")
     e.eval(null) match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+        (0 until a.numElements()).map { i =>
+          if (a.isNullAt(i)) throw new IllegalArgumentException(
+            s"$fn: array<string> literal expected, got a null element at index $i")
+          a.getUTF8String(i).toString
+        }
       case other => throw new IllegalArgumentException(
         s"$fn: array<string> literal expected, got $other")
     }

@@ -259,8 +259,14 @@ object QueriesE {
     * projection applied on an ingest stream).
     */
   private[graft] def chunkWindows(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val nChunks = floor((size(col("ws")) - 1).cast("double") / ChunkStride).cast("long")
+    // last chunk index = ceil((len - size)/stride), clamped at 0: generation
+    // stops once a chunk's end reaches the doc end, so a doc whose length
+    // lands in the overlap zone does not emit a trailing chunk wholly
+    // contained in the previous one (a 40-token doc is exactly chunk 0).
+    val nChunks = greatest(lit(0L),
+      ceil((size(col("ws")) - ChunkSize).cast("double") / ChunkStride).cast("long"))
     docs
+      .filter(col("text").isNotNull) // null text: engines' split/range null semantics differ
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(0L), nChunks)).as("chunk_idx"))
@@ -277,8 +283,8 @@ object QueriesE {
     * and clamps at the list end, exactly like Spark's `slice`).
     */
   private[graft] lazy val sqlChunkWindows: String =
-    "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
-      s"c AS (SELECT doc_id, ws, unnest(range((len(ws) - 1) // $ChunkStride + 1)) AS chunk_idx FROM ws), " +
+    "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL), " +
+      s"c AS (SELECT doc_id, ws, unnest(range(greatest(0, CAST(ceil((len(ws) - $ChunkSize) / CAST($ChunkStride AS DOUBLE)) AS BIGINT)) + 1)) AS chunk_idx FROM ws), " +
       s"ch AS (SELECT doc_id, chunk_idx, ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkSize] AS chunk FROM c) " +
       s"SELECT doc_id, chunk_idx, chunk_idx * $ChunkStride AS tok_start, " +
       "CAST(len(chunk) AS INT) AS n_tokens, " +

@@ -471,10 +471,11 @@ object EventWindows {
     * batch-side (the session-memoized e18 fixpoint — at production scale,
     * on a sample), each arriving vector routes to its inverted list via
     * the scan-local argmin (stateless, broadcast-literal centroids), and
-    * foreachBatch APPENDS the batch partitioned by `list_id` — vectors
-    * are immutable, so index maintenance is pure partition-dir appends:
-    * each micro-batch writes ONLY the list dirs it touches, never
-    * rewrites state (the append-only analogue of f14/f19's swap recipe).
+    * foreachBatch writes each batch into its OWN `batch=<id>` directory
+    * (overwrite ⇒ exactly-once under micro-batch retry) partitioned by
+    * `list_id` — vectors are immutable, so index maintenance is pure
+    * partition-dir writes: each micro-batch touches only its own dirs,
+    * never rewrites state (the append-only analogue of f14/f19's swaps).
     * The probe is e64's partition-pruned read: nprobe directories opened
     * regardless of corpus size. Rows — and the oracle — are identical to
     * e18/e64 by construction.
@@ -500,9 +501,16 @@ object EventWindows {
       val q = routed.writeStream
         .option("checkpointLocation", chk.getPath)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").partitionBy("list_id")
-            .parquet(index.getPath)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // idempotent per-batch write: a RETRIED micro-batch overwrites
+          // its own batch=<id> directory instead of double-appending into
+          // the shared index (plain append is at-least-once — a task
+          // failure after a partial write would duplicate vectors and
+          // silently corrupt the probe's top-k). The append-only analogue
+          // of f19's swap-by-marker recipe; list_id stays the inner
+          // partition key, so the probe's pruning is unchanged.
+          batch.write.mode("overwrite").partitionBy("list_id")
+            .parquet(new java.io.File(index, s"batch=$batchId").getPath)
         }
         .start()
       try q.awaitTermination() finally q.stop()

@@ -54,6 +54,48 @@ class LlmSpec extends AnyFunSuite {
     assert(k.head.getLong(2) == 1L, s"bpe_token_count: got ${k.head.getLong(2)}")
   }
 
+  test("chunkWindows: no subsumed trailing chunk; null text dropped; short docs one chunk") {
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, toks(40)),  // == ChunkSize: exactly chunk 0 (no subsumed tail)
+      (2L, toks(41)),  // one past: chunk 0 + a 9-token tail carrying token 41
+      (3L, toks(10)),  // short doc: single partial chunk
+      (4L, null.asInstanceOf[String]), // null text: dropped, both engines
+      (5L, toks(72)),  // 40+32: tail chunk ends exactly at doc end
+      (6L, toks(73))   // one past that: a third chunk appears
+    ).toDF("doc_id", "text")
+    val m = graft.llm.QueriesE.chunkWindows(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        (r.getLong(1), r.getLong(2), r.getInt(3))).sortBy(_._1).toList).toMap
+    assert(m(1L) == List((0L, 0L, 40)), s"40-token doc: ${m(1L)}")
+    assert(m(2L) == List((0L, 0L, 40), (1L, 32L, 9)))
+    assert(m(3L) == List((0L, 0L, 10)))
+    assert(!m.contains(4L), "null text must be dropped")
+    assert(m(5L) == List((0L, 0L, 40), (1L, 32L, 40)))
+    assert(m(6L) == List((0L, 0L, 40), (1L, 32L, 40), (2L, 64L, 9)))
+    // every chunk is maximal-or-final: no chunk's span is contained in the
+    // previous chunk's span
+    m.values.foreach { chunks =>
+      chunks.sliding(2).foreach {
+        case List((_, s0, n0), (_, s1, n1)) =>
+          assert(s1 + n1 > s0 + n0, s"subsumed chunk: $chunks")
+        case _ =>
+      }
+    }
+  }
+
+  test("stringSeqArg: null array element raises the descriptive error, not an NPE") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT bpe_token_count('abab', array('a|b', NULL))").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("array<string> literal expected")),
+      s"expected descriptive IllegalArgumentException, got: $e")
+  }
+
   test("connectedComponents: chains collapse to min-id clusters; isolated stay alone") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // chain 1-2-3 (transitive closure needed), pair 4-5, isolated 6
