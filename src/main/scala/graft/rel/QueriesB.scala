@@ -248,16 +248,46 @@ object QueriesB {
         .agg(dbl(sum(dec2(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
-    // b12 (no-oracle): sketch aggregates — HyperLogLog distinct estimate +
-    // approximate percentiles next to their exact values. At 100 TB these
-    // sketches replace exact distinct/percentile (fixed-size partial state,
-    // one narrow shuffle); the exact columns exist to expose the error.
-    "b12_approx_stats" -> ((s, dir) =>
-      t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"),
-        dbl(expr("percentile(l_extendedprice, 0.5)")).as("exact_p50"))),
+    // b12: sketch aggregates, HASH-GATED — HyperLogLog distinct estimate +
+    // the certified-bound quantile sketch ([[graft.functions.QuantileSketch]])
+    // next to their exact values. At 100 TB these sketches replace exact
+    // distinct/percentile (fixed-size partial state, one map-side-combined
+    // shuffle vs a full-row distinct/sort shuffle). The approx VALUES are
+    // partition-order-dependent and cannot be hashed cross-engine; what IS
+    // deterministic is each sketch's error contract, so the emitted columns
+    // are the exact statistics (DuckDB-matchable) plus booleans asserting
+    // |approx − exact| within the certified bound: the HLL at rsd=0.01
+    // within ±5% (5σ), each sketch percentile inside the exact
+    // [p−5%, p+5%] percentile_disc interval (guaranteed while the sketch's
+    // self-reported rank-error bound stays under 5%·n — itself asserted by
+    // sketch_err_ok), and the sketch's row count equal to the exact count.
+    "b12_approx_stats" -> ((s, dir) => {
+      val sk = graft.functions.AggExpressions.quantileSketch(
+        col("l_extendedprice"), Seq(0.5, 0.9, 0.99))
+      def disc(p: Double) =
+        dbl(expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY l_extendedprice)"))
+      t(s, dir, "lineitem")
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("_hll"),
+          sk.as("_sk"),
+          count(col("l_extendedprice")).as("n_rows"),
+          disc(0.5).as("exact_p50"), disc(0.45).as("_p50_lo"), disc(0.55).as("_p50_hi"),
+          disc(0.9).as("exact_p90"), disc(0.85).as("_p90_lo"), disc(0.95).as("_p90_hi"),
+          disc(0.99).as("exact_p99"), disc(0.94).as("_p99_lo"), disc(1.0).as("_p99_hi"))
+        .select(
+          col("exact_parts"), col("n_rows"),
+          (abs(col("_hll") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("hll_ok"),
+          col("exact_p50"),
+          col("_sk.values").getItem(0).between(col("_p50_lo"), col("_p50_hi")).as("p50_in_eps"),
+          col("exact_p90"),
+          col("_sk.values").getItem(1).between(col("_p90_lo"), col("_p90_hi")).as("p90_in_eps"),
+          col("exact_p99"),
+          col("_sk.values").getItem(2).between(col("_p99_lo"), col("_p99_hi")).as("p99_in_eps"),
+          (col("_sk.err_bound") + 1 <= ceil(col("_sk.n") * 0.05)).as("sketch_err_ok"),
+          (col("_sk.n") === col("n_rows")).as("sketch_n_ok"))
+    }),
 
     // b13: pivot — order counts per status × priority, fixed value list
     // (explicit values keep the output schema static: the scale-safe form —
@@ -542,6 +572,16 @@ object QueriesB {
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "b12_approx_stats" ->
+      ("SELECT count(DISTINCT l_partkey) AS exact_parts, " +
+        "count(l_extendedprice) AS n_rows, TRUE AS hll_ok, " +
+        "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE) AS exact_p50, " +
+        "TRUE AS p50_in_eps, " +
+        "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE) AS exact_p90, " +
+        "TRUE AS p90_in_eps, " +
+        "CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE) AS exact_p99, " +
+        "TRUE AS p99_in_eps, TRUE AS sketch_err_ok, TRUE AS sketch_n_ok " +
+        "FROM lineitem"),
     "b13_pivot" ->
       ("SELECT o_orderstatus, " +
         "count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1, " +

@@ -256,10 +256,9 @@ class ApiSpec extends AnyFunSuite {
 
   test("sketch aggregates land within tolerance of exact values") {
     val r = graft.rel.QueriesB.all("b12_approx_stats")(spark, TestSpark.Sf).collect()(0)
-    val (approxD, exactD) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
-    assert(math.abs(approxD - exactD) / exactD < 0.1, s"HLL error: $approxD vs $exactD")
-    val (approxP, exactP) = (r.getDouble(2), r.getDouble(3))
-    assert(math.abs(approxP - exactP) / exactP < 0.05, s"p50 error: $approxP vs $exactP")
+    for (c <- Seq("hll_ok", "p50_in_eps", "p90_in_eps", "p99_in_eps",
+        "sketch_err_ok", "sketch_n_ok"))
+      assert(r.getAs[Boolean](c), s"$c must hold: $r")
   }
 
   test("orc, csv and json schemes: full facade over non-parquet sources") {

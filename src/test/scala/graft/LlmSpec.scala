@@ -187,6 +187,45 @@ class LlmSpec extends AnyFunSuite {
       s"expected map-side partial aggregation in:\n$plan")
   }
 
+  test("QuantileSketch: certified rank-error bound holds for every distribution × partitioning") {
+    import graft.functions.AggExpressions.quantileSketch
+    val rnd = new scala.util.Random(42)
+    val dists = Map(
+      "uniform" -> (1 to 20000).map(_ => rnd.nextDouble() * 1000),
+      "heavy-tail" -> (1 to 20000).map(_ => math.pow(rnd.nextDouble(), 8) * 1e6),
+      "duplicated" -> (1 to 20000).map(_ => (rnd.nextInt(50) * 7).toDouble))
+    val ps = Seq(0.01, 0.25, 0.5, 0.9, 0.99)
+    for ((name, xs) <- dists; parts <- Seq(1, 7, 32)) {
+      val sorted = xs.sorted
+      val n = xs.size
+      val r = xs.toDF("x").repartition(parts)
+        .agg(quantileSketch(col("x"), ps, k = 256).as("s"))
+        .select("s.values", "s.err_bound", "s.n").collect()(0)
+      val vals = r.getSeq[Double](0); val bound = r.getLong(1)
+      assert(r.getLong(2) == n, s"$name/$parts: sketch n")
+      // the bound itself must be small (k=256 ⇒ well under 5% of n)
+      assert(bound <= n / 20, s"$name/$parts: bound $bound too loose for n=$n")
+      ps.zip(vals).foreach { case (p, v) =>
+        val target = math.max(1L, math.ceil(p * n).toLong)
+        // v occupies the rank interval [count(<v)+1, count(<=v)]; the
+        // certified contract is that this interval intersects
+        // [target - bound, target + bound]
+        val lo = sorted.count(_ < v) + 1L
+        val hi = sorted.count(_ <= v).toLong
+        assert(lo <= target + bound && hi >= target - bound,
+          s"$name/$parts p=$p: v=$v ranks [$lo,$hi] vs target $target ± $bound")
+        assert(xs.contains(v), s"$name/$parts p=$p: $v is not an input value")
+      }
+    }
+    // the scale contract: map-side partial aggregation of fixed-size
+    // mergeable buffers, ONE exchange (like bitmap_distinct)
+    val plan = (1 to 100).map(_.toDouble).toDF("x")
+      .agg(quantileSketch(col("x"), Seq(0.5)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_quantile_sketch"),
+      s"expected map-side partial aggregation in:\n$plan")
+  }
+
   test("BpeKernel: canonical greedy merge semantics and trained-merge pipeline") {
     import graft.functions.{BpeKernel, BpeExpressions}
     // one merge, one left-to-right non-overlapping pass (Sennrich apply)
