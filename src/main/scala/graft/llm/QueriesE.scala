@@ -1926,6 +1926,35 @@ object QueriesE {
       sizes.groupBy("sz").agg(count(lit(1)).as("n_clusters")).orderBy("sz")
     }),
 
+    // e75: PER-SOURCE length quantiles via the certified-bound mergeable
+    // quantile sketch ([[graft.functions.QuantileSketch]]) — the GROUPED
+    // serving shape of b12's corpus-wide report: one map-side-combined
+    // aggregation ships a fixed-size summary per source instead of the
+    // full-row sort shuffle an exact grouped percentile costs at 100 TB.
+    // Emitted columns are the exact percentile_disc values (DuckDB-
+    // matchable) plus booleans asserting the sketch's certified contract
+    // per group; the err_ok floor is 1 because a group smaller than k is
+    // retained EXACTLY (err = 0, discretization slack 1).
+    "e75_source_quantiles" -> ((s, dir) => {
+      val sk = graft.functions.AggExpressions.quantileSketch(
+        col("n_chars"), Seq(0.5, 0.9), k = 512)
+      def disc(p: Double) =
+        expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY n_chars)").cast("double")
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sk.as("_sk"), count(col("n_chars")).as("n_docs"),
+          disc(0.5).as("exact_p50"), disc(0.45).as("_lo50"), disc(0.55).as("_hi50"),
+          disc(0.9).as("exact_p90"), disc(0.85).as("_lo90"), disc(0.95).as("_hi90"))
+        .select(col("source"), col("n_docs"),
+          col("exact_p50"),
+          col("_sk.values").getItem(0).between(col("_lo50"), col("_hi50")).as("p50_in_eps"),
+          col("exact_p90"),
+          col("_sk.values").getItem(1).between(col("_lo90"), col("_hi90")).as("p90_in_eps"),
+          (col("_sk.err_bound") <= greatest(lit(1L), ceil(col("_sk.n") * 0.05))).as("sketch_err_ok"),
+          (col("_sk.n") === col("n_docs")).as("sketch_n_ok"))
+        .orderBy("source")
+    }),
+
     // e58: FILTERED ANN (hybrid search) — top-k under a metadata
     // predicate, the production retrieval shape ("nearest en-language
     // docs"). The honest scale recipe: ONE shared IVF index over all
@@ -2564,6 +2593,13 @@ object QueriesE {
       (s"WITH RECURSIVE $sqlLeakageSplitCtes, " +
         "sizes AS (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id) " +
         "SELECT sz, count(*) AS n_clusters FROM sizes GROUP BY sz ORDER BY sz"),
+    "e75_source_quantiles" ->
+      ("SELECT source, count(n_chars) AS n_docs, " +
+        "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS exact_p50, " +
+        "TRUE AS p50_in_eps, " +
+        "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS exact_p90, " +
+        "TRUE AS p90_in_eps, TRUE AS sketch_err_ok, TRUE AS sketch_n_ok " +
+        "FROM documents GROUP BY source ORDER BY source"),
     "e73_ivf_occupancy" -> {
       val K = 8; val Iters = 3
       sqlKmeansCtes(K, Iters) + ", " +
