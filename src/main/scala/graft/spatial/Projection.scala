@@ -49,6 +49,9 @@ object Projection {
   /** US survey foot (exact: 1200/3937 m). */
   val FtUs: Double = 1200.0 / 3937.0
 
+  /** International foot (exact: 0.3048 m) — South Carolina's SPCS unit. */
+  val FtIntl: Double = 0.3048
+
   // ---- Lambert Conformal Conic (2SP), Snyder pp. 107-109 ------------------
 
   /** Parameterized ellipsoidal LCC 2SP — the projection under most US
@@ -120,6 +123,14 @@ object Projection {
     39.0 + 20.0 / 60.0, -(77.0 + 45.0 / 60.0),
     40.0 + 58.0 / 60.0, 39.0 + 56.0 / 60.0, 600000.0, 0.0, FtUs)
 
+  /** EPSG:2271 — SPCS83 PA North (zone 3701), ftUS: the reference's home
+    * zone's literal northern neighbor (same FE/unit as 2272, its own
+    * parallels/origin — EPSG registry values).
+    */
+  private val Lcc2271 = LambertConformalConic(Grs80InvF,
+    40.0 + 10.0 / 60.0, -(77.0 + 45.0 / 60.0),
+    41.0 + 57.0 / 60.0, 40.0 + 53.0 / 60.0, 600000.0, 0.0, FtUs)
+
   /** EPSG:2263 — SPCS83 NY Long Island (zone 3104), ftUS. */
   private val Lcc2263 = LambertConformalConic(Grs80InvF,
     40.0 + 10.0 / 60.0, -74.0,
@@ -130,14 +141,36 @@ object Projection {
     33.5, -118.0, 35.0 + 28.0 / 60.0, 34.0 + 2.0 / 60.0,
     2000000.0, 500000.0, FtUs)
 
+  /** EPSG:2273 — SPCS83 South Carolina (zone 3900), INTERNATIONAL feet
+    * (SC is the one SPCS83 state legislated on the international foot;
+    * FE 609600 m = 2 000 000 ft intl).
+    */
+  private val Lcc2273 = LambertConformalConic(Grs80InvF,
+    31.0 + 50.0 / 60.0, -81.0,
+    34.0 + 50.0 / 60.0, 32.5, 609600.0, 0.0, FtIntl)
+
+  /** EPSG:2248 — SPCS83 Maryland (zone 1900), ftUS. */
+  private val Lcc2248 = LambertConformalConic(Grs80InvF,
+    37.0 + 40.0 / 60.0, -77.0,
+    39.0 + 27.0 / 60.0, 38.3, 400000.0, 0.0, FtUs)
+
+  /** EPSG:2275 — SPCS83 Texas North (zone 4201), ftUS (non-zero false
+    * northing: FN 1 000 000 m).
+    */
+  private val Lcc2275 = LambertConformalConic(Grs80InvF,
+    34.0, -101.5, 36.0 + 11.0 / 60.0, 34.0 + 39.0 / 60.0,
+    200000.0, 1000000.0, FtUs)
+
   // ---- Transverse Mercator (series form), Snyder pp. 60-64 ----------------
 
   /** Ellipsoidal TM via Snyder eq. 8-9..8-25 (the USGS/EPSG series form,
     * sub-mm accurate within ±4° of the central meridian — every UTM zone).
-    * Units are metres (UTM); a units factor could scale for ftUS TM zones.
+    * `fe`/`fn` are metres; projected units are `unitToM` metres each
+    * (1.0 for UTM, 1200/3937 for the ftUS TM state-plane zones).
     */
   final case class TransverseMercator(invF: Double, lon0Deg: Double,
-      k0: Double, fe: Double, fn: Double, lat0Deg: Double = 0.0) extends Crs {
+      k0: Double, fe: Double, fn: Double, lat0Deg: Double = 0.0,
+      unitToM: Double = 1.0) extends Crs {
     private val f = 1.0 / invF
     private val e2 = 2 * f - f * f
     private val ep2 = e2 / (1 - e2)
@@ -168,11 +201,12 @@ object Projection {
       val y = fn + k0 * (meridianArc(lat) - m0 + nu * tanLat * (aa2 / 2 +
         (5 - t + 9 * c + 4 * c * c) * aa4 / 24 +
         (61 - 58 * t + t * t + 600 * c - 330 * ep2) * aa6 / 720))
-      (x, y)
+      (x / unitToM, y / unitToM)
     }
 
     /** Snyder eq. 8-18..8-25 (footpoint-latitude series). */
-    def toGeo(x: Double, y: Double): (Double, Double) = {
+    def toGeo(xU: Double, yU: Double): (Double, Double) = {
+      val x = xU * unitToM; val y = yU * unitToM
       val m = m0 + (y - fn) / k0
       val mu = m / (A * m0c)
       val se = math.sqrt(1 - e2)
@@ -205,6 +239,18 @@ object Projection {
   private def utm(zone: Int, north: Boolean, invF: Double): TransverseMercator =
     TransverseMercator(invF, 6.0 * zone - 183.0, 0.9996, 500000.0,
       if (north) 0.0 else 10000000.0)
+
+  /** EPSG:2260 — SPCS83 New York East (zone 3101), ftUS: the TM half of
+    * the state-plane family (CM 74°30′W, k0 0.9999, FE 150 000 m).
+    */
+  private val Tm2260 = TransverseMercator(Grs80InvF, -74.5, 0.9999,
+    150000.0, 0.0, lat0Deg = 38.0 + 50.0 / 60.0, unitToM = FtUs)
+
+  /** EPSG:3424 — SPCS83 New Jersey (zone 2900), ftUS. NJ's single zone is
+    * defined with the SAME projection parameters as NY East (EPSG registry:
+    * both are TM, 38°50′N / 74°30′W, k0 0.9999, FE 150 000 m, ftUS).
+    */
+  private val Tm3424 = Tm2260
 
   // ---- EPSG:3857 Web Mercator (Pseudo-Mercator), EPSG method 1024 ---------
 
@@ -284,19 +330,28 @@ object Projection {
     }
   }
 
+  /** Registered fixed-parameter CRSs (EPSG registry values — public).
+    * UTM zones are handled by range below.
+    */
+  private val Registry: Map[Int, Crs] = Map(
+    4326 -> Geographic,
+    2248 -> Lcc2248, 2229 -> Lcc2229, 2263 -> Lcc2263,
+    2271 -> Lcc2271, 2272 -> Lcc2272, 2273 -> Lcc2273, 2275 -> Lcc2275,
+    2260 -> Tm2260, 3424 -> Tm3424,
+    3857 -> WebMercator3857, 5070 -> Albers5070)
+
+  /** Human-readable supported-SRID list (for error messages / docs). */
+  def supportedDescription: String =
+    Registry.keys.toSeq.sorted.mkString(", ") +
+      ", UTM 26901-26923 / 32601-32660 / 32701-32760"
+
   /** SRID → CRS (EPSG parameter registry — public). */
-  def crsFor(srid: Int): Option[Crs] = srid match {
-    case 4326                          => Some(Geographic)
-    case 2272                          => Some(Lcc2272)
-    case 2263                          => Some(Lcc2263)
-    case 2229                          => Some(Lcc2229)
-    case 3857                          => Some(WebMercator3857)
-    case 5070                          => Some(Albers5070)
+  def crsFor(srid: Int): Option[Crs] = Registry.get(srid).orElse(srid match {
     case z if z >= 32601 && z <= 32660 => Some(utm(z - 32600, north = true, Wgs84InvF))
     case z if z >= 32701 && z <= 32760 => Some(utm(z - 32700, north = false, Wgs84InvF))
     case z if z >= 26901 && z <= 26923 => Some(utm(z - 26900, north = true, Grs80InvF))
     case _                             => None
-  }
+  })
 
   /** Supported-SRID probe (for callers that want to validate up front). */
   def supported(srid: Int): Boolean = crsFor(srid).isDefined
@@ -322,7 +377,6 @@ object Projection {
         val bad = Seq(fromSrid -> crsFor(fromSrid), toSrid -> crsFor(toSrid))
           .collect { case (s, None) => s }.mkString(", ")
         throw new IllegalArgumentException(
-          s"Unsupported SRID(s) $bad (supported: 4326, 2272, 2263, 2229, " +
-            "3857, 5070, UTM 326xx/327xx/269xx)")
+          s"Unsupported SRID(s) $bad (supported: $supportedDescription)")
     }
 }

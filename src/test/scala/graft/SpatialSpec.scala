@@ -244,7 +244,14 @@ class SpatialSpec extends AnyFunSuite {
     val cases = Seq(
       (2272, -(77.0 + 45.0 / 60.0), 39.0 + 20.0 / 60.0, 600000.0 * 3937 / 1200, 0.0),
       (2263, -74.0, 40.0 + 10.0 / 60.0, 300000.0 * 3937 / 1200, 0.0),
-      (2229, -118.0, 33.5, 2000000.0 * 3937 / 1200, 500000.0 * 3937 / 1200))
+      (2229, -118.0, 33.5, 2000000.0 * 3937 / 1200, 500000.0 * 3937 / 1200),
+      // r6 registry rows: PA North, South Carolina (INTERNATIONAL feet:
+      // FE 609600 m = 2 000 000 ft intl exactly), Maryland, Texas North
+      // (non-zero FN)
+      (2271, -(77.0 + 45.0 / 60.0), 40.0 + 10.0 / 60.0, 600000.0 * 3937 / 1200, 0.0),
+      (2273, -81.0, 31.0 + 50.0 / 60.0, 2000000.0, 0.0),
+      (2248, -77.0, 37.0 + 40.0 / 60.0, 400000.0 * 3937 / 1200, 0.0),
+      (2275, -101.5, 34.0, 200000.0 * 3937 / 1200, 1000000.0 * 3937 / 1200))
     for ((srid, lon0, lat0, fe, fn) <- cases) {
       val (e, n) = Projection.transform(lon0, lat0, 4326, srid)
       assert(math.abs(e - fe) < 1e-5 && math.abs(n - fn) < 1e-5,
@@ -255,9 +262,19 @@ class SpatialSpec extends AnyFunSuite {
   test("LCC zones: standard parallels are distortion-free; round-trips hold") {
     val a = 6378137.0; val e2 = 2 * (1 / 298.257222101) - math.pow(1 / 298.257222101, 2)
     val zones = Seq(
-      (2263, -74.0, Seq(41.0 + 2.0 / 60.0, 40.0 + 40.0 / 60.0), (-74.3, -72.7, 40.4, 41.3)),
-      (2229, -118.0, Seq(35.0 + 28.0 / 60.0, 34.0 + 2.0 / 60.0), (-121.0, -114.0, 32.7, 35.8)))
-    for ((srid, lon0, parallels, window) <- zones) {
+      (2263, -74.0, Seq(41.0 + 2.0 / 60.0, 40.0 + 40.0 / 60.0),
+        (-74.3, -72.7, 40.4, 41.3), Projection.FtUs),
+      (2229, -118.0, Seq(35.0 + 28.0 / 60.0, 34.0 + 2.0 / 60.0),
+        (-121.0, -114.0, 32.7, 35.8), Projection.FtUs),
+      (2271, -(77.0 + 45.0 / 60.0), Seq(41.0 + 57.0 / 60.0, 40.0 + 53.0 / 60.0),
+        (-80.5, -75.0, 40.6, 42.3), Projection.FtUs),
+      (2273, -81.0, Seq(34.0 + 50.0 / 60.0, 32.5),
+        (-83.3, -78.6, 32.1, 35.2), Projection.FtIntl),
+      (2248, -77.0, Seq(39.0 + 27.0 / 60.0, 38.3),
+        (-79.5, -75.0, 38.0, 39.7), Projection.FtUs),
+      (2275, -101.5, Seq(36.0 + 11.0 / 60.0, 34.0 + 39.0 / 60.0),
+        (-103.0, -100.0, 34.3, 36.5), Projection.FtUs))
+    for ((srid, lon0, parallels, window, unitToM) <- zones) {
       for (latDeg <- parallels) {
         val lat = math.toRadians(latDeg)
         val nu = a / math.sqrt(1 - e2 * math.sin(lat) * math.sin(lat))
@@ -265,7 +282,7 @@ class SpatialSpec extends AnyFunSuite {
         val groundM = nu * math.cos(lat) * dLon
         val (x1, y1) = Projection.transform(lon0, latDeg, 4326, srid)
         val (x2, y2) = Projection.transform(lon0 + math.toDegrees(dLon), latDeg, 4326, srid)
-        val projM = math.hypot(x2 - x1, y2 - y1) * Projection.FtUs
+        val projM = math.hypot(x2 - x1, y2 - y1) * unitToM
         assert(math.abs(projM / groundM - 1.0) < 1e-7,
           s"$srid scale at parallel $latDeg: ${projM / groundM}")
       }
@@ -308,6 +325,51 @@ class SpatialSpec extends AnyFunSuite {
       assert(math.abs(lo2b - lo) < 1e-8 && math.abs(la2b - la) < 1e-8,
         s"srid $srid ($lo,$la) -> ($lo2b,$la2b)")
     }
+  }
+
+  test("TM state-plane zones (2260 NY East / 3424 NJ, ftUS): origin, scale, round-trip") {
+    // definitional: the grid origin (lat0 38°50'N on CM 74°30'W) maps to
+    // (FE, FN) = (150 000 m, 0) expressed in ftUS
+    val feFt = 150000.0 * 3937 / 1200
+    for (srid <- Seq(2260, 3424)) {
+      val (e0, n0) = Projection.transform(-74.5, 38.0 + 50.0 / 60.0, 4326, srid)
+      assert(math.abs(e0 - feFt) < 1e-5 && math.abs(n0) < 1e-5,
+        s"$srid origin: ($e0,$n0) vs ($feFt,0)")
+      // scale along the CM is k0 = 0.9999 (definitional for TM):
+      // ground meters from the meridian radius ρ vs projected ftUS→m
+      val a = 6378137.0; val f = 1 / 298.257222101; val e2 = 2 * f - f * f
+      val lat = math.toRadians(40.5)
+      val w = math.sqrt(1 - e2 * math.sin(lat) * math.sin(lat))
+      val rho = a * (1 - e2) / (w * w * w)
+      val d = 1e-6
+      val (x1, y1) = Projection.transform(-74.5, 40.5, 4326, srid)
+      val (x2, y2) = Projection.transform(-74.5, 40.5 + math.toDegrees(d), 4326, srid)
+      val k = math.hypot(x2 - x1, y2 - y1) * Projection.FtUs / (rho * d)
+      assert(math.abs(k - 0.9999) < 1e-7, s"$srid CM scale: $k")
+      // round-trips over the NJ/NY-East window
+      val rnd = new scala.util.Random(srid)
+      (1 to 50).foreach { _ =>
+        val lo = -75.6 + rnd.nextDouble() * 2.0
+        val la = 38.9 + rnd.nextDouble() * 2.3
+        val (x, y) = Projection.transform(lo, la, 4326, srid)
+        val (lo2, la2) = Projection.transform(x, y, srid, 4326)
+        assert(math.abs(lo2 - lo) < 1e-8 && math.abs(la2 - la) < 1e-8,
+          s"$srid ($lo,$la)")
+      }
+    }
+    // NY East and NJ share EPSG parameters — identical grids by definition
+    val p1 = Projection.transform(-74.2, 40.7, 4326, 2260)
+    val p2 = Projection.transform(-74.2, 40.7, 4326, 3424)
+    assert(p1 == p2)
+  }
+
+  test("unknown EPSG fails loudly, listing the registry") {
+    val e = intercept[IllegalArgumentException] {
+      Projection.transform(0.0, 0.0, 2299, 4326)
+    }
+    assert(e.getMessage.contains("2299") && e.getMessage.contains("2271") &&
+      e.getMessage.contains("3424") && e.getMessage.contains("32701-32760"),
+      e.getMessage)
   }
 
   test("TM: central meridian -> FE exactly; northing = k0 * meridian arc (Simpson)") {
