@@ -23,8 +23,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 class JdbcDatabase(sparkSession: SparkSession, val url: String,
     val user: Option[String] = None, val password: Option[String] = None,
-    val readOptions: Map[String, String] = Map.empty)
+    val readOptions: Map[String, String] = Map.empty,
+    val geomDialect: Option[GeomDialect] = None,
+    val geomColumns: Map[String, (String, Int)] = Map.empty)
   extends Database(sparkSession, url, "jdbc") {
+
+  /** A copy of this connection with a geometry dialect attached:
+    * `columns` maps table name → (geometry column, srid). Reads of those
+    * tables wrap the column in the dialect's WKT serializer inside the
+    * pushed-down JDBC subquery; writes bind WKT back through the
+    * dialect's geometry constructor (see [[GeomDialect]]).
+    */
+  def withGeometry(dialect: GeomDialect,
+      columns: Map[String, (String, Int)]): JdbcDatabase =
+    new JdbcDatabase(sparkSession, url, user, password, readOptions,
+      Some(dialect), columns)
+
+  private def geomFor(name: String): Option[(String, Int)] =
+    if (geomDialect.isEmpty) None
+    else geomColumns.collectFirst {
+      case (t, meta) if t.equalsIgnoreCase(name) => meta
+    }
 
   private def opts(name: String): Map[String, String] =
     Map("url" -> url, "dbtable" -> name) ++
@@ -32,6 +51,26 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
 
   private def connection(): java.sql.Connection =
     java.sql.DriverManager.getConnection(url, user.orNull, password.orNull)
+
+  /** Backend column names of `name` in ordinal order (JDBC metadata). */
+  private def columnsOf(name: String): Seq[String] = {
+    val conn = connection()
+    try {
+      val rs = conn.getMetaData.getColumns(null, null, name, "%")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      while (rs.next())
+        buf += rs.getInt("ORDINAL_POSITION") -> rs.getString("COLUMN_NAME")
+      buf.sortBy(_._1).map(_._2).toSeq
+    } finally conn.close()
+  }
+
+  /** Backend identifier quote string (metadata; empty if unsupported). */
+  private def quoteString(): String = {
+    val conn = connection()
+    try Option(conn.getMetaData.getIdentifierQuoteString)
+      .map(_.trim).filter(_.nonEmpty).getOrElse("")
+    finally conn.close()
+  }
 
   /** Base tables via DatabaseMetaData (ref datum/postgis/database.py:60-69
     * queried information_schema.tables with type filter).
@@ -47,16 +86,56 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
   }
 
   override private[api] def load(name: String): DataFrame =
-    spark.read.format("jdbc").options(opts(name) ++ readOptions).load()
+    geomFor(name) match {
+      case Some((gcol, _)) =>
+        // geometry read: the dialect's WKT serializer wraps the geometry
+        // column INSIDE the JDBC subquery, so the backend serializes and
+        // Spark scans plain text — one pushed-down projection, no
+        // post-scan pass (ref datum/postgis/table.py:54-59)
+        val q = quoteString()
+        val proj = columnsOf(name).map { c =>
+          if (c.equalsIgnoreCase(gcol))
+            s"${geomDialect.get.readExpr(s"$q$c$q")} AS $q$c$q"
+          else s"$q$c$q"
+        }.mkString(", ")
+        spark.read.format("jdbc")
+          .options(opts(s"(SELECT $proj FROM $name) GRAFT_GEOM_SUB") ++ readOptions)
+          .load()
+      case None =>
+        spark.read.format("jdbc").options(opts(name) ++ readOptions).load()
+    }
 
   override def store(df: DataFrame, name: String, mode: String,
       chunkSize: Int = 0): Unit = {
-    val w = df.write.format("jdbc").options(opts(name)).mode(mode)
-    // chunkSize maps to the JDBC batch size (the reference's chunked
-    // multi-row INSERT, datum/postgis/table.py:228-304)
-    val w2 = if (chunkSize > 0) w.option("batchsize", chunkSize.toString) else w
-    w2.save()
-    markDirty()
+    geomFor(name) match {
+      case Some((gcol, srid)) if df.columns.exists(_.equalsIgnoreCase(gcol)) =>
+        // geometry write: bulk-load the WKT rows to a stage table
+        // (task-parallel), then fold them into the geometry-typed target
+        // through the dialect's constructor in ONE backend transaction —
+        // the staged-txn analogue of the reference's per-value
+        // ST_GeomFromText executemany (ref datum/postgis/table.py:179-181)
+        require(mode == "append" || mode == "overwrite",
+          s"geometry store supports append/overwrite, got '$mode'")
+        stagedTxn(df, name + "_GEOM_STAGE") { (st, q, stage) =>
+          val cols = df.schema.fieldNames.map(c => s"$q$c$q").mkString(", ")
+          val sel = df.schema.fieldNames.map { c =>
+            if (c.equalsIgnoreCase(gcol))
+              geomDialect.get.writeExpr(s"$q$c$q", srid)
+            else s"$q$c$q"
+          }.mkString(", ")
+          if (mode == "overwrite") st.executeUpdate(s"DELETE FROM $name"): Unit
+          st.executeUpdate(
+            s"INSERT INTO $name ($cols) SELECT $sel FROM $stage"): Unit
+        }
+        markDirty()
+      case _ =>
+        val w = df.write.format("jdbc").options(opts(name)).mode(mode)
+        // chunkSize maps to the JDBC batch size (the reference's chunked
+        // multi-row INSERT, datum/postgis/table.py:228-304)
+        val w2 = if (chunkSize > 0) w.option("batchsize", chunkSize.toString) else w
+        w2.save()
+        markDirty()
+    }
   }
 
   /** JDBC replace via a staging table: write the replacement rows to a
@@ -70,9 +149,9 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
     */
   /** Shared staged-transaction recipe: bulk-write `df` to a side table
     * (task-parallel), then run `txnBody` — given the statement, the
-    * backend-quoted column list, and the stage name — inside ONE backend
-    * transaction, and drop the stage whether or not the transaction
-    * committed. Refuses to run if the stage name already exists in the
+    * backend identifier-quote string, and the stage name — inside ONE
+    * backend transaction, and drop the stage whether or not the
+    * transaction committed. Refuses to run if the stage name already exists in the
     * backend (a real user table must never be silently overwritten and
     * dropped). Rollback fires on ANY throwable — an interrupt between the
     * body's statements must not leave an open transaction to
@@ -100,8 +179,7 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
         try {
           val q = Option(conn.getMetaData.getIdentifierQuoteString)
             .map(_.trim).filter(_.nonEmpty).getOrElse("")
-          val cols = df.schema.fieldNames.map(c => s"$q$c$q").mkString(", ")
-          txnBody(st, cols, stage)
+          txnBody(st, q, stage)
           conn.commit()
         } catch {
           case e: Throwable => conn.rollback(); throw e
@@ -121,7 +199,8 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
   }
 
   override private[api] def replaceTable(name: String, df: DataFrame): Unit = {
-    stagedTxn(df, name + "_GRAFT_STAGE") { (st, cols, stage) =>
+    stagedTxn(df, name + "_GRAFT_STAGE") { (st, q, stage) =>
+      val cols = df.schema.fieldNames.map(c => s"$q$c$q").mkString(", ")
       st.executeUpdate(s"DELETE FROM $name"): Unit
       st.executeUpdate(
         s"INSERT INTO $name ($cols) SELECT $cols FROM $stage"): Unit
@@ -160,7 +239,8 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
         finally ps.close()
       } finally pre.close()
     if (!alreadyDone) {
-      stagedTxn(batch, name + "_EO_STAGE") { (st, cols, stage) =>
+      stagedTxn(batch, name + "_EO_STAGE") { (st, q, stage) =>
+        val cols = batch.schema.fieldNames.map(c => s"$q$c$q").mkString(", ")
         st.executeUpdate(
           s"INSERT INTO $name ($cols) SELECT $cols FROM $stage"): Unit
         st.executeUpdate(s"INSERT INTO $ledger VALUES ($batchId)"): Unit
