@@ -683,6 +683,54 @@ object Database {
     wipeDir(stage)
   }
 
+  /** Exactly-once wrapper around [[mergeTouchedPartitions]] for merges
+    * that are NOT idempotent (additive counts/sums — f18 daily IVM, f19
+    * trending df; f14's argmax needs none of this). A two-level plain-file
+    * ledger under `<state>/_batches` makes the multi-partition commit
+    * replay-safe against a checkpoint replay of the same `batchId`:
+    *  - `b<id>` — batch fully committed; the replay returns immediately;
+    *  - `b<id>.parts/<v>` — partition `v` of batch `id` swapped (written
+    *    by the post-swap hook, so it exists IFF that swap completed).
+    * A crash mid-batch leaves some partitions marked; the replay filters
+    * those partitions' rows out of its partial and folds only the
+    * remainder, so the converged state equals the crash-free run's.
+    * `batchId < 0` disables the ledger (ad-hoc batch callers: c11 refresh,
+    * f20 backfill). The partial is persisted here — it is consumed twice
+    * (touched-partition collect + staged write) inside the merge.
+    */
+  private[graft] def mergeTouchedPartitionsExactlyOnce(partial0: DataFrame,
+      partCol: String, state: File, stage: File, batchId: Long)(
+      merge: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
+    val ledger = new File(state, "_batches")
+    val marker = new File(ledger, s"b$batchId")
+    if (batchId >= 0 && marker.isFile) return
+    val partLedger = new File(ledger, s"b$batchId.parts")
+    val done: Set[String] =
+      if (batchId < 0) Set.empty
+      else Option(partLedger.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).toSet
+    val partial = (if (done.isEmpty) partial0
+      else partial0.filter(
+        !org.apache.spark.sql.functions.col(partCol).cast("string")
+          .isin(done.toSeq: _*)))
+      .persist()
+    try {
+      val mark: String => Unit =
+        if (batchId < 0) null
+        else { v =>
+          partLedger.mkdirs()
+          new java.io.FileOutputStream(new File(partLedger, v)).close()
+        }
+      mergeTouchedPartitions(partial, partCol, state, stage,
+        onSwapped = mark)(merge)
+      if (batchId >= 0) {
+        ledger.mkdirs()
+        new java.io.FileOutputStream(marker).close()
+        wipeDir(partLedger) // batch marker supersedes the per-partition trail
+      }
+    } finally { partial.unpersist(); () }
+  }
+
   private[graft] def swapDir(src: File, dst: File): Unit = {
     def wipe(f: File): Unit = {
       if (f.isDirectory)

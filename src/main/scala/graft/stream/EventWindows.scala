@@ -340,16 +340,29 @@ object EventWindows {
   def upsertMerge(batch: DataFrame, state: java.io.File,
       stage: java.io.File, nBuckets: Int = 16): Unit = {
     // consumed twice (touched-bucket collect + staged write): materialize
-    // the per-batch argmax once instead of re-running its window
-    val winners = latestPerUser(batch).withColumn("bucket",
-      pmod(xxhash64(col("user_id")), lit(nBuckets.toLong)).cast("int"))
-      .persist()
+    // the per-batch argmax once instead of re-running its window.
+    // No replay ledger: argmax over a total order is IDEMPOTENT, so a
+    // checkpoint replay after a crash mid-swap re-folds already-swapped
+    // buckets to the same rows and completes the rest (crash-replay test
+    // in StreamingSpec pins the convergence).
+    val winners = upsertWinners(batch, nBuckets).persist()
     try {
-      graft.api.Database.mergeTouchedPartitions(winners, "bucket", state, stage) {
-        (existing, w) => latestPerUser(existing.fold(w)(_.unionByName(w)))
-      }
+      graft.api.Database.mergeTouchedPartitions(winners, "bucket", state,
+        stage)(upsertFoldDf)
     } finally { winners.unpersist(); () }
   }
+
+  /** The per-batch bucketed winners (exposed for the crash-replay test). */
+  private[graft] def upsertWinners(batch: DataFrame, nBuckets: Int): DataFrame =
+    latestPerUser(batch).withColumn("bucket",
+      pmod(xxhash64(col("user_id")), lit(nBuckets.toLong)).cast("int"))
+
+  /** The merge folded into the touched buckets (shared by [[upsertMerge]]
+    * and the crash-replay test).
+    */
+  private[graft] def upsertFoldDf(existing: Option[DataFrame],
+      w: DataFrame): DataFrame =
+    latestPerUser(existing.fold(w)(_.unionByName(w)))
 
   private def wipe(f: java.io.File): Unit = {
     if (f.isDirectory)
@@ -672,8 +685,8 @@ object EventWindows {
       val q = readStreamEvents(spark, dir).writeStream
         .option("checkpointLocation", chk.getPath)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          mviewMergeDaily(batch, state, stage)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          mviewMergeDaily(batch, state, stage, batchId = id)
         }
         .start()
       try q.awaitTermination() finally q.stop()
@@ -716,27 +729,38 @@ object EventWindows {
     * input into batches.
     */
   def mviewMergeDaily(batch: DataFrame, state: java.io.File,
-      stage: java.io.File): Unit = {
-    val partial = batch
+      stage: java.io.File, batchId: Long = -1L): Unit =
+    // additive counts/sums are NOT idempotent, so a checkpoint replay of
+    // the same micro-batch after a crash mid-swap would double-count the
+    // already-swapped days — the shared two-level ledger
+    // (Database.mergeTouchedPartitionsExactlyOnce) folds a replay into
+    // exactly the days the crashed run left unswapped
+    graft.api.Database.mergeTouchedPartitionsExactlyOnce(
+      dailyPartial(batch), "day", state, stage, batchId)(mviewFoldDf)
+
+  /** The per-batch (day, event_type, n, sv) partial (exposed for the
+    * crash-replay test, which drives a fold that dies mid-swap).
+    */
+  private[graft] def dailyPartial(batch: DataFrame): DataFrame =
+    batch
       .withColumn("day",
         date_format(col("ts").cast(TimestampType).cast("date"), "yyyy-MM-dd"))
       .groupBy("day", "event_type")
       .agg(count(lit(1)).as("n"),
         sum(dec2(col("value"))).cast("decimal(38,2)").as("sv"))
-      .persist() // consumed twice: touched-day collect + staged write
-    try {
-      graft.api.Database.mergeTouchedPartitions(partial, "day", state, stage) {
-        (existing, p) =>
-          existing
-            .map(_.select(col("day").cast("string").as("day"),
-              col("event_type"), col("n"), col("sv")))
-            .fold(p)(_.unionByName(p))
-            .groupBy("day", "event_type")
-            .agg(sum(col("n")).as("n"),
-              sum(col("sv")).cast("decimal(38,2)").as("sv"))
-      }
-    } finally { partial.unpersist(); () }
-  }
+
+  /** The merge folded into the touched day partitions (shared by
+    * [[mviewMergeDaily]] and the crash-replay test).
+    */
+  private[graft] def mviewFoldDf(existing: Option[DataFrame],
+      p: DataFrame): DataFrame =
+    existing
+      .map(_.select(col("day").cast("string").as("day"),
+        col("event_type"), col("n"), col("sv")))
+      .fold(p)(_.unionByName(p))
+      .groupBy("day", "event_type")
+      .agg(sum(col("n")).as("n"),
+        sum(col("sv")).cast("decimal(38,2)").as("sv"))
 
   /** The watermarked streaming plan itself (separated for MemoryStream tests). */
   def tumblingStream(events: DataFrame, delay: String, width: String): DataFrame =

@@ -37,45 +37,13 @@ object TrendingTerms {
     * its .bak on disk).
     */
   def mergeBatch(batch: DataFrame, state: File, stage: File,
-      nBuckets: Int = 16, batchId: Long = -1L): Unit = {
-    val sp = batch.sparkSession
-    // processed-batch ledger: counts are NOT idempotent (unlike f14's
-    // argmax), so a checkpoint REPLAY must not re-fold state it already
-    // folded. Two marker levels make the plain-file multi-partition
-    // commit exactly-once:
-    //  - b<id>          — batch fully committed, replay returns immediately;
-    //  - b<id>.buckets/<v> — bucket v of batch id swapped (written by the
-    //    post-swap hook, so it exists IFF the swap completed). A crash
-    //    mid-batch leaves some buckets marked; the replay filters those
-    //    buckets' rows out of its partial and folds only the remainder.
-    val ledger = new File(state, "_batches")
-    val marker = new File(ledger, s"b$batchId")
-    if (batchId >= 0 && marker.isFile) return
-    val bucketLedger = new File(ledger, s"b$batchId.buckets")
-    val done: Set[String] =
-      if (batchId < 0) Set.empty
-      else Option(bucketLedger.listFiles()).getOrElse(Array.empty)
-        .map(_.getName).toSet
-    val partial0 = termPartial(batch, nBuckets)
-    val partial = (if (done.isEmpty) partial0
-      else partial0.filter(!col("bucket").cast("string").isin(done.toSeq: _*)))
-      .persist() // consumed twice: touched-bucket collect + staged write
-    try {
-      val mark: String => Unit =
-        if (batchId < 0) null
-        else { v =>
-          bucketLedger.mkdirs()
-          new java.io.FileOutputStream(new File(bucketLedger, v)).close()
-        }
-      graft.api.Database.mergeTouchedPartitions(partial, "bucket", state,
-        stage, onSwapped = mark)(foldDf)
-      if (batchId >= 0) {
-        ledger.mkdirs()
-        new java.io.FileOutputStream(marker).close()
-        wipe(bucketLedger) // batch marker supersedes the per-bucket trail
-      }
-    } finally { partial.unpersist(); () }
-  }
+      nBuckets: Int = 16, batchId: Long = -1L): Unit =
+    // counts are NOT idempotent (unlike f14's argmax), so a checkpoint
+    // REPLAY must not re-fold state it already folded — the shared
+    // two-level ledger (Database.mergeTouchedPartitionsExactlyOnce)
+    // makes the plain-file multi-bucket commit exactly-once
+    graft.api.Database.mergeTouchedPartitionsExactlyOnce(
+      termPartial(batch, nBuckets), "bucket", state, stage, batchId)(foldDf)
 
   /** The per-batch (term, df, bucket) partial (exposed for the
     * crash-replay test, which drives a fold that dies mid-swap).

@@ -303,7 +303,7 @@ class StreamingSpec extends AnyFunSuite {
     // folded AND marked, the rest untouched)
     val (crState, crStage) = stateOf("crash")
     val ledger = new java.io.File(crState, "_batches")
-    val bl = new java.io.File(ledger, "b3.buckets")
+    val bl = new java.io.File(ledger, "b3.parts")
     val partial = stream.TrendingTerms.termPartial(batch, 16)
     var swaps = 0
     val boom = intercept[RuntimeException] {
@@ -329,6 +329,113 @@ class StreamingSpec extends AnyFunSuite {
       "crash + replay must converge to the crash-free state (no double count)")
     // and the completed-batch marker now short-circuits a second replay
     stream.TrendingTerms.mergeBatch(batch, crState, crStage, batchId = 3L)
+    assert(snap(crState) == snap(refState))
+  }
+
+  test("upsert replay after a mid-batch crash converges via idempotent argmax") {
+    import spark.implicits._
+    val root = new java.io.File("/root/repo/target/fixtures/test/upsert_crash")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(root); root.mkdirs()
+    def stateOf(tag: String): (java.io.File, java.io.File) =
+      (new java.io.File(root, s"$tag/state"), new java.io.File(root, s"$tag/stage"))
+    // batch 1 establishes prior state; batch 2 updates some users and adds
+    // new ones, spread over enough buckets that a crash lands mid-commit
+    val batch1 = (1L to 8L).map(u => (u, u * 100L, u * 10L, "view", 1.0))
+      .toDF("user_id", "event_id", "us", "event_type", "value")
+    val batch2 = (1L to 8L).map(u => (u, u * 100L + 1L, u * 10L + 5L, "click", 2.0))
+      .union((9L to 12L).map(u => (u, u * 100L, u * 10L, "view", 3.0)))
+      .toDF("user_id", "event_id", "us", "event_type", "value")
+    // reference: both batches folded, no crash
+    val (refState, refStage) = stateOf("ref")
+    stream.EventWindows.upsertMerge(batch1, refState, refStage)
+    stream.EventWindows.upsertMerge(batch2, refState, refStage)
+    // crashed run: fold batch 1, then die after the SECOND bucket swap of
+    // batch 2 — some buckets hold batch-2 winners, the rest batch-1 state
+    val (crState, crStage) = stateOf("crash")
+    stream.EventWindows.upsertMerge(batch1, crState, crStage)
+    var swaps = 0
+    val boom = intercept[RuntimeException] {
+      api.Database.mergeTouchedPartitions(
+        stream.EventWindows.upsertWinners(batch2, 16), "bucket",
+        crState, crStage,
+        onSwapped = { _ =>
+          swaps += 1
+          if (swaps == 2) throw new RuntimeException("simulated crash")
+        })(stream.EventWindows.upsertFoldDf)
+    }
+    assert(boom.getMessage == "simulated crash")
+    // replay of batch 2 (no ledger needed — argmax is idempotent): the
+    // already-swapped buckets re-fold to the same winners, the rest catch up
+    stream.EventWindows.upsertMerge(batch2, crState, crStage)
+    def snap(state: java.io.File): Map[Long, (Long, Long, String, Double)] =
+      spark.read.parquet(state.getPath).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("event_id"), r.getAs[Long]("us"),
+            r.getAs[String]("event_type"), r.getAs[Double]("value")))).toMap
+    assert(snap(crState) == snap(refState),
+      "crash + replay must converge to the crash-free state")
+    // and a SECOND full replay of the same batch is a no-op (idempotence)
+    stream.EventWindows.upsertMerge(batch2, crState, crStage)
+    assert(snap(crState) == snap(refState))
+  }
+
+  test("mview replay after a mid-batch crash folds only the unmarked days") {
+    import spark.implicits._
+    val root = new java.io.File("/root/repo/target/fixtures/test/mview_crash")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(root); root.mkdirs()
+    def d(day: Int, min: Long) = new Timestamp((day * 1440 + min) * 60 * 1000)
+    def stateOf(tag: String): (java.io.File, java.io.File) =
+      (new java.io.File(root, s"$tag/state"), new java.io.File(root, s"$tag/stage"))
+    // batch 1 seeds days 1-2; batch 2 touches days 1-4 (two pre-existing,
+    // two new) so the crash strands a mix of folded and unfolded days
+    val batch1 = Seq(
+      (d(1, 10), "view", 1.25), (d(2, 5), "click", 4.00)).toDF("ts", "event_type", "value")
+    val batch2 = Seq(
+      (d(1, 20), "view", 2.50), (d(2, 30), "click", 0.75),
+      (d(3, 15), "view", 5.00), (d(4, 40), "view", 7.25)).toDF("ts", "event_type", "value")
+    // reference: both batches folded, no crash
+    val (refState, refStage) = stateOf("ref")
+    stream.EventWindows.mviewMergeDaily(batch1, refState, refStage, batchId = 1L)
+    stream.EventWindows.mviewMergeDaily(batch2, refState, refStage, batchId = 2L)
+    // crashed run: batch 1 commits, batch 2 dies after the SECOND day swap
+    // with its per-day markers written (the marker-before-crash is what
+    // the onSwapped hook guarantees: marker exists IFF the swap completed)
+    val (crState, crStage) = stateOf("crash")
+    stream.EventWindows.mviewMergeDaily(batch1, crState, crStage, batchId = 1L)
+    val dayLedger = new java.io.File(new java.io.File(crState, "_batches"), "b2.parts")
+    var swaps = 0
+    val boom = intercept[RuntimeException] {
+      api.Database.mergeTouchedPartitions(
+        stream.EventWindows.dailyPartial(batch2), "day", crState, crStage,
+        onSwapped = { v =>
+          dayLedger.mkdirs()
+          new java.io.FileOutputStream(new java.io.File(dayLedger, v)).close()
+          swaps += 1
+          if (swaps == 2) throw new RuntimeException("simulated crash")
+        })(stream.EventWindows.mviewFoldDf)
+    }
+    assert(boom.getMessage == "simulated crash")
+    assert(Option(dayLedger.listFiles()).getOrElse(Array.empty).length == 2,
+      "exactly the two swapped days are marked")
+    // replay of batch 2: the ledger filters the marked days out of the
+    // partial — WITHOUT it the additive sums would double-count them
+    stream.EventWindows.mviewMergeDaily(batch2, crState, crStage, batchId = 2L)
+    def snap(state: java.io.File): Map[(String, String), (Long, java.math.BigDecimal)] =
+      spark.read.parquet(state.getPath).collect()
+        .map(r => (r.getAs[Any]("day").toString, r.getAs[String]("event_type")) ->
+          ((r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("sv")))).toMap
+    assert(snap(crState) == snap(refState),
+      "crash + replay must converge to the crash-free state (no double count)")
+    // the completed-batch marker short-circuits a second replay entirely
+    stream.EventWindows.mviewMergeDaily(batch2, crState, crStage, batchId = 2L)
     assert(snap(crState) == snap(refState))
   }
 
