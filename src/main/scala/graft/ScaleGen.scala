@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus replicator for scale rehearsals: writes a `factor`× copy of a
+  * testdata scale-factor directory, preserving the join graph and the
+  * per-replica data distribution.
+  *
+  * Key domains are shifted per replica by `stride = max(key)+1`, applied
+  * consistently to BOTH sides of every join edge (custkey ↔ o_custkey /
+  * user_id, orderkey ↔ l_orderkey, partkey/suppkey, doc_id ↔ vec_id), so
+  * each replica is a self-consistent sub-corpus and every equi-join
+  * produces exactly `factor`× the rows. The fixed dimensions
+  * (region/nation) are copied once — TPC-H keeps them constant across
+  * scale factors, and inflating them would distort broadcast-side sizes.
+  *
+  * Document text gets a replica-unique suffix on every token (replica 0
+  * keeps the originals), so shingle/minhash/span structure repeats
+  * per-replica instead of every doc gaining `factor−1` cross-replica
+  * twins: dedup/LSH/dup-span work scales LINEARLY with the corpus, which
+  * is the scaling hypothesis the rehearsal measures. Embeddings keep
+  * their vectors (k-means/IVF training distributions unchanged; inverted
+  * lists grow uniformly `factor`×).
+  *
+  * Usage: `runMain graft.ScaleGen <srcSfDir> <dstDir> [factor=10]`.
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def stride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head.getLong(0) + 1L
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    def rep(df: DataFrame)(remap: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => remap(df, i)).reduce(_.unionByName(_))
+    def shifted(df: DataFrame, i: Int, shifts: (String, Long)*): DataFrame =
+      shifts.foldLeft(df) { case (d, (c, s)) =>
+        d.withColumn(c, col(c) + lit(s * i)) }
+
+    val K = stride(rd("customer"), "c_custkey")
+    val O = stride(rd("orders"), "o_orderkey")
+    val P = stride(rd("part"), "p_partkey")
+    val S = stride(rd("supplier"), "s_suppkey")
+    val D = math.max(stride(rd("documents"), "doc_id"),
+      stride(rd("embeddings"), "vec_id"))
+    val E = stride(rd("events"), "event_id")
+
+    write(rd("region"), "region")
+    write(rd("nation"), "nation")
+    write(rep(rd("customer"))((d, i) => shifted(d, i, "c_custkey" -> K)),
+      "customer")
+    write(rep(rd("supplier"))((d, i) => shifted(d, i, "s_suppkey" -> S)),
+      "supplier")
+    write(rep(rd("part"))((d, i) => shifted(d, i, "p_partkey" -> P)), "part")
+    write(rep(rd("orders"))((d, i) =>
+      shifted(d, i, "o_orderkey" -> O, "o_custkey" -> K)), "orders")
+    write(rep(rd("lineitem"))((d, i) =>
+      shifted(d, i, "l_orderkey" -> O, "l_partkey" -> P, "l_suppkey" -> S)),
+      "lineitem")
+    write(rep(rd("events"))((d, i) =>
+      shifted(d, i, "event_id" -> E, "user_id" -> K)), "events")
+    write(rep(rd("embeddings"))((d, i) => shifted(d, i, "vec_id" -> D)),
+      "embeddings")
+    write(rep(rd("documents")) { (d, i) =>
+      val s = shifted(d, i, "doc_id" -> D)
+      if (i == 0) s
+      else s
+        .withColumn("text", regexp_replace(col("text"), "\\S+", s"$$0_r$i"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }, "documents")
+
+    println(s"""{"scalegen":"$dst","factor":$factor}""")
+    spark.stop()
+  }
+}
