@@ -18,77 +18,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  /** Queries whose plans intentionally contain a BroadcastNestedLoopJoin:
-    *  - e4/e18: crossJoin against a BROADCAST SINGLE-ROW frame (the query
-    *    vector) — O(n·1), the designed "compare every row to one constant"
-    *    shape;
-    *  - f9: the time-grid × event-types cross product IS the gap-fill
-    *    output (dense grid generation), not a join explosion — its row
-    *    count equals the result size by definition.
-    * Everything else must be nested-loop-free: an unlisted
-    * BNLJ/CartesianProduct is exactly the O(n²) regression class the
-    * round-1 audit flagged (e8's old pair join).
-    */
-  private val SingleRowCrossJoins =
-    Set("e4_similarity_topk", "e18_ann_ivf", "f9_gapfill",
-      // e29/e31: crossJoin against a broadcast single-row AGGREGATE (corpus
-      // doc count / mixing normalizer) — O(n·1) constant attachment
-      "e29_tfidf_keywords", "e31_source_mix",
-      // e41: the ground-truth side is brute force over the SAMPLED query
-      // set BY DESIGN (recall needs exact truth; O(n·|Q|) under a
-      // broadcast) — the ANN side under evaluation stays an equi-join
-      "e41_ann_recall",
-      // e58: e18's single-row query-vector crossJoin, over the probed +
-      // metadata-filtered lists only
-      "e58_ann_filtered",
-      // e59: e41's class — exact ground truth AND the PQ side under
-      // evaluation both sweep the corpus against the broadcast 3-query
-      // sample (recall grading is O(n·|Q|) by definition)
-      "e59_pq_recall",
-      // e64: e18's single-row query-vector crossJoin, over the two
-      // partition-pruned list directories only
-      "e64_ann_index_persist",
-      // f26: e64's probe over the stream-appended index (same single-row
-      // query-vector crossJoin, same partition-pruned scan)
-      "f26_stream_ivf_ingest")
-
-  /** E-group queries whose plans intentionally contain a Window exec. The
-    * forbidden class is a window partitioned by a DATA-DEPENDENT UNBOUNDED
-    * key — a content digest or signature, where one hot key (a boilerplate
-    * page duplicated 10⁸×) grows with the corpus and serializes onto a
-    * single task; those must use the groupBy(min)+join-back recipe
-    * (Dedup.exactClusters, e30). The windows below all partition on
-    * bounded groups:
-    *  - e29: per-doc top-3 — group size = distinct words in ONE document;
-    *  - e41: per-query top-10 — group size = candidates of one query;
-    *  - e36/e44: per-RANGE-PARTITION running sums (the distributed prefix
-    *    sum) — group size = one range partition by construction;
-    *  - e50: two-phase top-K — phase 1 windows on (domain, pid) (bounded
-    *    by a scan partition), phase 2 on domain over the ≤ 5·partitions
-    *    local winners (bounded by construction).
-    */
-  private val BoundedGroupWindows =
-    Set("e29_tfidf_keywords", "e41_ann_recall", "e36_pack_sequences",
-      "e44_budget_trim", "e50_domain_cap",
-      // e59: per-query top-5 over the 3-query eval sample (e41's class)
-      "e59_pq_recall",
-      // e61: two-pass per-shard sequence — window is on (shard, pid),
-      // bounded by a range partition (the b20/e36/e44 recipe)
-      "e61_shuffle_shard",
-      // e62/e63/e65: span-merge windows are per-doc — group size bounded
-      // by a single document's token count (e63 rolls up e62's relation;
-      // e65 merges eval-contamination marks)
-      "e62_dup_spans", "e63_dup_burden", "e65_contam_spans",
-      // e66: consumes the memoized e65 span relation (same bounded
-      // per-doc merge inside the cached lineage)
-      "e66_span_scrub",
-      // e69: two-phase top-K per cluster (e50's class) — phase 1 windows
-      // on (cluster, pid) (bounded by a scan partition), phase 2 on
-      // cluster over the ≤ 25·partitions local winners
-      "e69_cluster_cap",
-      // e72: two-pass per-(split, shard) resume sequence — window is on
-      // (split, shard, pid), bounded by a range partition (e61's recipe)
-      "e72_training_manifest")
+  // Plan-shape allowlists + assertions live in graft.PlanPins, shared with
+  // the at-scale post-AQE audit (graft.PlanAudit).
 
   for (q <- Seq("b7_topk_window", "b16_exact_quantiles", "b20_window_ranks"))
     test(s"$q ranks over range partitions, not one task per priority") {
@@ -132,15 +63,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
       val df = fn(spark, TestSpark.Sf)
       assert(df.columns.nonEmpty)
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"),
-        s"$name plans a CartesianProduct — O(n*m) at scale")
-      if (!SingleRowCrossJoins.contains(name))
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"$name plans a BroadcastNestedLoopJoin — nested loop at scale")
-      if (name.startsWith("e") && !BoundedGroupWindows.contains(name))
-        assert(!plan.contains("Window"),
-          s"$name plans a Window — E-group windows must be in the audited " +
-            "bounded-group allowlist (hot digest keys serialize at scale)")
+      val violations = PlanPins.violations(name, plan)
+      assert(violations.isEmpty, violations.mkString("; "))
       val n = df.count()
       assert(n >= 0)
       Caches.drain() // free per-query tracked intermediates, like the harnesses
