@@ -29,8 +29,13 @@ package graft.spatial
   */
 object Projection {
 
-  /** A projected (or geographic) CRS: projected units ↔ (lonDeg, latDeg). */
-  sealed trait Crs {
+  /** A projected (or geographic) CRS: projected units ↔ (lonDeg, latDeg).
+    * Serializable: expressions capture resolved `Crs` instances at PLAN
+    * time (see StFunctions.StTransform), so they ship inside the
+    * serialized task to executors — which never see the driver-side
+    * registry.
+    */
+  sealed trait Crs extends Serializable {
     def toGeo(x: Double, y: Double): (Double, Double)
     def fromGeo(lonDeg: Double, latDeg: Double): (Double, Double)
   }
@@ -43,8 +48,15 @@ object Projection {
 
   // GRS80 ellipsoid (NAD83); WGS84 differs only in 1/f's 9th significant digit
   private val A = 6378137.0
-  private val Grs80InvF = 298.257222101
-  private val Wgs84InvF = 298.257223563
+
+  /** GRS80 inverse flattening (NAD83 zones) — public so callers can
+    * construct their own [[LambertConformalConic]]/[[TransverseMercator]]
+    * instances from EPSG registry parameters and [[registerCrs]] them.
+    */
+  val Grs80InvF: Double = 298.257222101
+
+  /** WGS84 inverse flattening. */
+  val Wgs84InvF: Double = 298.257223563
 
   /** US survey foot (exact: 1200/3937 m). */
   val FtUs: Double = 1200.0 / 3937.0
@@ -340,17 +352,56 @@ object Projection {
     2260 -> Tm2260, 3424 -> Tm3424,
     3857 -> WebMercator3857, 5070 -> Albers5070)
 
+  /** User-registered zones: the escape hatch for the long tail of EPSG
+    * codes the built-in registry can't enumerate offline. The reference
+    * delegates `to_srid` to pyproj, which carries the full EPSG database
+    * (ref datum/oracle_stgeom/util.py:5-19); here any LCC-2SP or TM zone —
+    * which together cover every SPCS83 zone and all of UTM — is
+    * constructible from its published EPSG parameters and registered at
+    * runtime:
+    *
+    * {{{
+    * // EPSG:2235 — NAD83 / Delaware, ftUS (TM zone 0700)
+    * Projection.registerCrs(2235, Projection.TransverseMercator(
+    *   Projection.Grs80InvF, -(75.0 + 25.0 / 60.0), 0.999995,
+    *   200000.0, 0.0, lat0Deg = 38.0, unitToM = Projection.FtUs))
+    * }}}
+    *
+    * Registrations are DRIVER-side state: expressions resolve them at plan
+    * time and serialize the captured [[Crs]] into the task (executors
+    * never consult this map) — registering on the driver is sufficient on
+    * a 1000-executor cluster.
+    */
+  private val UserRegistry = scala.collection.concurrent.TrieMap.empty[Int, Crs]
+
+  /** Register a CRS for `srid`. Idempotent for an identical definition;
+    * rejects redefining a built-in or a previously registered different
+    * definition (silent redefinition would un-pin the frozen golden
+    * oracles that gate the built-in zones).
+    */
+  def registerCrs(srid: Int, crs: Crs): Unit = {
+    val existing = crsFor(srid)
+    require(existing.forall(_ == crs),
+      s"SRID $srid is already defined (${existing.get}); " +
+        "registerCrs cannot redefine a built-in or registered zone")
+    UserRegistry.put(srid, crs): Unit
+  }
+
   /** Human-readable supported-SRID list (for error messages / docs). */
   def supportedDescription: String =
     Registry.keys.toSeq.sorted.mkString(", ") +
-      ", UTM 26901-26923 / 32601-32660 / 32701-32760"
+      ", UTM 26901-26923 / 32601-32660 / 32701-32760" +
+      (if (UserRegistry.isEmpty) ""
+       else UserRegistry.keys.toSeq.sorted.mkString(", registered: ", ", ", "")) +
+      "; other zones: construct from EPSG parameters and " +
+      "Projection.registerCrs(srid, crs)"
 
   /** SRID → CRS (EPSG parameter registry — public). */
   def crsFor(srid: Int): Option[Crs] = Registry.get(srid).orElse(srid match {
     case z if z >= 32601 && z <= 32660 => Some(utm(z - 32600, north = true, Wgs84InvF))
     case z if z >= 32701 && z <= 32760 => Some(utm(z - 32700, north = false, Wgs84InvF))
     case z if z >= 26901 && z <= 26923 => Some(utm(z - 26900, north = true, Grs80InvF))
-    case _                             => None
+    case _                             => UserRegistry.get(srid)
   })
 
   /** Supported-SRID probe (for callers that want to validate up front). */
@@ -364,15 +415,20 @@ object Projection {
   def inverse(eFt: Double, nFt: Double): (Double, Double) =
     Lcc2272.toGeo(eFt, nFt)
 
-  /** Transform a coordinate between any two supported SRIDs (route through
-    * the geographic hub; projected→projected composes inverse∘forward).
+  /** Transform a coordinate between two RESOLVED CRSs (route through the
+    * geographic hub; projected→projected composes inverse∘forward). The
+    * executor-side path: callers resolve [[crsFor]] once at plan time.
     */
+  def transformWith(x: Double, y: Double, from: Crs, to: Crs): (Double, Double) = {
+    val (lon, lat) = from.toGeo(x, y)
+    to.fromGeo(lon, lat)
+  }
+
+  /** Transform a coordinate between any two supported SRIDs. */
   def transform(x: Double, y: Double, fromSrid: Int, toSrid: Int): (Double, Double) =
     if (fromSrid == toSrid) (x, y)
     else (crsFor(fromSrid), crsFor(toSrid)) match {
-      case (Some(from), Some(to)) =>
-        val (lon, lat) = from.toGeo(x, y)
-        to.fromGeo(lon, lat)
+      case (Some(from), Some(to)) => transformWith(x, y, from, to)
       case _ =>
         val bad = Seq(fromSrid -> crsFor(fromSrid), toSrid -> crsFor(toSrid))
           .collect { case (s, None) => s }.mkString(", ")

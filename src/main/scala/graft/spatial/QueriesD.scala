@@ -309,6 +309,34 @@ object QueriesD {
       val props = new java.io.File(root, "d16_geo.parquet.properties")
       java.nio.file.Files.writeString(props.toPath, "srid=2272\ngeom_type=POINT\n")
       db.table("d16_geo").read(toSrid = Some(2271), sort = Seq("gid"))
+    }),
+
+    // d17: USER-REGISTERED zone conversion — EPSG:2235 (NAD83 / Delaware
+    // ftUS, TM zone 0700) is NOT in the built-in registry; the query
+    // declares it at runtime from its published EPSG parameters via
+    // Projection.registerCrs, the arbitrary-EPSG escape hatch (the
+    // reference's pyproj accepts any code from its bundled EPSG database,
+    // ref datum/oracle_stgeom/util.py:5-19 — offline, the long tail is
+    // constructible instead: every SPCS83 zone is LCC-2SP or TM).
+    // Registration is driver-side; the st_transform expression captures
+    // the resolved Crs pair at plan time and serializes it into the task,
+    // so the registry never needs to exist on executors. VALUES oracle
+    // from frozen goldens (GoldenD.D17: definitional false-origin +
+    // round-trip + cross-zone agreement checks at freeze time).
+    "d17_transform_registered" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Projection.registerCrs(2235, Projection.TransverseMercator(
+        Projection.Grs80InvF, -(75.0 + 25.0 / 60.0), 0.999995,
+        200000.0, 0.0, lat0Deg = 38.0, unitToM = Projection.FtUs))
+      val root = "/root/repo/target/fixtures/out"
+      new java.io.File(root).mkdirs()
+      val db = Datum.connect(s"parquet://$root")
+      geo(s, dir).select(col("gid"),
+        concat(lit("POINT ("), col("x"), lit(" "), col("y"), lit(")")).as("wkt"))
+        .write.mode("overwrite").parquet(db.pathOf("d17_geo"))
+      val props = new java.io.File(root, "d17_geo.parquet.properties")
+      java.nio.file.Files.writeString(props.toPath, "srid=2272\ngeom_type=POINT\n")
+      db.table("d17_geo").read(toSrid = Some(2235), sort = Seq("gid"))
     })
   )
 
@@ -323,6 +351,7 @@ object QueriesD {
     "d14_transform_albers" -> GoldenD.valuesOracle(GoldenD.D14),
     "d15_transform_stateplane" -> GoldenD.valuesOracle(GoldenD.D15),
     "d16_transform_neighbor" -> GoldenD.valuesOracle(GoldenD.D16),
+    "d17_transform_registered" -> GoldenD.valuesOracle(GoldenD.D17),
     "d12_geom_measures" ->
       ("SELECT n_nationkey + 1 AS gid, " +
         "CAST((100 + (n_nationkey + 1) * 10) * (50 + (n_nationkey + 1) * 5) AS DOUBLE) AS area, " +

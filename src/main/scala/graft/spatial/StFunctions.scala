@@ -87,9 +87,31 @@ object StFunctions {
     private def asInt(v: Any): Int = v match {
       case i: Int => i; case l: Long => l.toInt; case s: Short => s.toInt; case b: Byte => b.toInt
     }
-    override def nullSafeEval(wkt: Any, from: Any, to: Any): Any =
-      UTF8String.fromString(
-        Wkt.transform(wkt.asInstanceOf[UTF8String].toString, asInt(from), asInt(to)))
+    /** CRS pair resolved at PLAN time (construction runs on the driver)
+      * when both SRIDs are literals — the whole API surface passes
+      * literals. The captured [[Projection.Crs]] instances serialize into
+      * the task, so zones added via `Projection.registerCrs` (driver-side
+      * registry) resolve correctly on remote executors, and the per-row
+      * eval skips the registry lookup entirely. Non-literal SRID columns
+      * fall back to executor-side resolution (built-in registry only).
+      */
+    private val planTimeCrs: Option[(Projection.Crs, Projection.Crs)] =
+      (second, third) match {
+        case (org.apache.spark.sql.catalyst.expressions.Literal(f, _),
+              org.apache.spark.sql.catalyst.expressions.Literal(t, _))
+            if f != null && t != null && asInt(f) != asInt(t) =>
+          for { a <- Projection.crsFor(asInt(f)); b <- Projection.crsFor(asInt(t)) }
+            yield (a, b)
+        case _ => None
+      }
+    override def nullSafeEval(wkt: Any, from: Any, to: Any): Any = {
+      val s = wkt.asInstanceOf[UTF8String].toString
+      val (fi, ti) = (asInt(from), asInt(to))
+      UTF8String.fromString(planTimeCrs match {
+        case Some((a, b)) => Wkt.transformWith(s, a, b)
+        case None => Wkt.transform(s, fi, ti)
+      })
+    }
     override protected def withNewChildrenInternal(
         f: Expression, s: Expression, t: Expression): StTransform = copy(f, s, t)
     override def prettyName: String = "st_transform"

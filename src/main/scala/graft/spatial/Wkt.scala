@@ -196,10 +196,22 @@ object Wkt {
     */
   def transform(wkt: String, fromSrid: Int, toSrid: Int): String = {
     if (fromSrid == toSrid) return wkt
+    (Projection.crsFor(fromSrid), Projection.crsFor(toSrid)) match {
+      case (Some(from), Some(to)) => transformWith(wkt, from, to)
+      case _ => // resolve through the int path for its descriptive error
+        Projection.transform(0.0, 0.0, fromSrid, toSrid); wkt
+    }
+  }
+
+  /** Reproject every coordinate between two RESOLVED CRSs — the
+    * executor-side path (plan-time-captured [[Projection.Crs]] instances,
+    * one registry resolution per QUERY instead of per coordinate).
+    */
+  def transformWith(wkt: String, from: Projection.Crs, to: Projection.Crs): String = {
     val g = parse(wkt)
     g.apply(new CoordinateFilter {
       override def filter(c: Coordinate): Unit = {
-        val (x, y) = Projection.transform(c.x, c.y, fromSrid, toSrid)
+        val (x, y) = Projection.transformWith(c.x, c.y, from, to)
         c.x = x; c.y = y
       }
     })

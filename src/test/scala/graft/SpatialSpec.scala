@@ -370,6 +370,51 @@ class SpatialSpec extends AnyFunSuite {
     assert(e.getMessage.contains("2299") && e.getMessage.contains("2271") &&
       e.getMessage.contains("3424") && e.getMessage.contains("32701-32760"),
       e.getMessage)
+    // the error teaches the escape hatch: any zone is constructible from
+    // its EPSG parameters and registered at runtime
+    assert(e.getMessage.contains("registerCrs"), e.getMessage)
+  }
+
+  // ---- registerCrs: the arbitrary-EPSG escape hatch -------------------------
+
+  test("registerCrs: a runtime-declared zone transforms like a built-in") {
+    // EPSG:2235 — NAD83 / Delaware ftUS (TM zone 0700): lat0 38°N,
+    // CM 75°25'W, k0 0.999995, FE 200 000 m, FN 0 (EPSG registry values)
+    val de = Projection.TransverseMercator(Projection.Grs80InvF,
+      -(75.0 + 25.0 / 60.0), 0.999995, 200000.0, 0.0,
+      lat0Deg = 38.0, unitToM = Projection.FtUs)
+    Projection.registerCrs(2235, de)
+    // re-registering the identical definition is idempotent
+    Projection.registerCrs(2235, de)
+    // definitional false-origin check (no memorized values: the grid
+    // origin IS (FE, FN) at (lat0, lon0))
+    val (e0, n0) = Projection.transform(-(75.0 + 25.0 / 60.0), 38.0, 4326, 2235)
+    assert(math.abs(e0 - 200000.0 * 3937 / 1200) < 1e-5 && math.abs(n0) < 1e-5,
+      s"2235 false origin: ($e0, $n0)")
+    // round-trip through the home zone (projected -> projected composes
+    // through the geographic hub)
+    val (x, y) = (2670000.0, 225000.0) // Philadelphia-area 2272 ftUS
+    val (dx, dy) = Projection.transform(x, y, 2272, 2235)
+    val (bx, by) = Projection.transform(dx, dy, 2235, 2272)
+    assert(math.abs(bx - x) < 1e-3 && math.abs(by - y) < 1e-3,
+      s"2272->2235->2272: ($bx, $by)")
+    // the registered zone appears in the supported description
+    assert(Projection.supportedDescription.contains("2235"))
+  }
+
+  test("registerCrs: redefining a built-in or registered zone is rejected") {
+    val bogus = Projection.TransverseMercator(Projection.Grs80InvF,
+      0.0, 1.0, 0.0, 0.0)
+    val e1 = intercept[IllegalArgumentException] {
+      Projection.registerCrs(2272, bogus) // built-in home zone
+    }
+    assert(e1.getMessage.contains("2272"), e1.getMessage)
+    Projection.registerCrs(915151, bogus) // fresh code: fine
+    val e2 = intercept[IllegalArgumentException] {
+      Projection.registerCrs(915151, // same code, DIFFERENT definition
+        Projection.TransverseMercator(Projection.Grs80InvF, 1.0, 1.0, 0.0, 0.0))
+    }
+    assert(e2.getMessage.contains("915151"), e2.getMessage)
   }
 
   test("TM: central meridian -> FE exactly; northing = k0 * meridian arc (Simpson)") {
