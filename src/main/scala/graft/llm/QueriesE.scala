@@ -2099,22 +2099,25 @@ object QueriesE {
     // full candidate→verify path. Widen the hash, not the threshold,
     // when collision volume bites at scale.
     "e51_media_phash_neardup" -> ((s, dir) => {
-      val hashed = Multimodal.withAHash32(
+      // the 64-op aHash expression tree is the scan's whole cost — cache
+      // the tiny (doc_id, phash) relation so the band self-join's two
+      // sides don't each recompute it over the full media column
+      val hashed = graft.Caches.persistTracked(Multimodal.withAHash32(
           Multimodal.mediaFromDocuments(t(s, dir, "documents")))
         .filter(col("phash").isNotNull)
-        .select(col("doc_id"), col("phash"))
+        .select(col("doc_id"), col("phash")))
       val bands = hashed.select(col("doc_id"), col("phash"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
           shiftright(col("phash"), 8 * b).bitwiseAND(lit(255L)).as("digest"))): _*)).as("bd"))
         .select(col("doc_id"), col("phash"), col("bd.band"), col("bd.digest"))
       bands.as("a").join(bands.as("b"), Seq("band", "digest"))
         .filter(col("a.doc_id") < col("b.doc_id"))
+        // hamming is per-pair, so gate BEFORE the dedup: the distinct then
+        // shuffles only true near-dups, not the full collision volume
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.phash").as("pa"), col("b.phash").as("pb"))
-        .distinct() // a pair sharing k bands appears k times
-        .withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+          bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("int").as("hamming"))
         .filter(col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
+        .distinct() // a pair sharing k bands appears k times
         .orderBy("id_a", "id_b")
     }),
 
