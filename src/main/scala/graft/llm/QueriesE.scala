@@ -315,12 +315,24 @@ object QueriesE {
   /** Memoized near-dup components over the CLEANED corpus (gate → exact
     * dedup → LSH pairs → closure): e20 keeps its representatives, e48
     * reports them — one fixpoint instead of two.
+    *
+    * The pair graph is NOT re-banded: minhash signatures and band digests
+    * are per-document (corpus-independent), so the cleaned subset's
+    * candidate pairs — and therefore its Jaccard-verified pairs — are
+    * exactly the FULL corpus's verified pairs with both endpoints
+    * surviving the gate. Two semi-joins against the session-shared e17
+    * pair memo replace a second full banding + shingle-verification pass
+    * (the r6 profile: ~3 s of e20's 6 s was the duplicate banding).
     */
   private def sharedCleanedComponents(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     graft.Caches.memo(s"lsh-comps-cleaned|$dir") {
       val exact = cleanExact(s, dir)
-      Dedup.connectedComponents(exact, "doc_id", lshVerifiedPairs(exact))
+      val ids = exact.select(col("doc_id"))
+      val pairs = sharedVerifiedPairs(s, dir)
+        .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+      Dedup.connectedComponents(exact, "doc_id", pairs)
     }
 
   /** DuckDB CTE chain reproducing [[lshVerifiedPairs]] byte-for-byte over
