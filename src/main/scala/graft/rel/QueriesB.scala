@@ -207,10 +207,22 @@ object QueriesB {
     // the 5-value priority key would serialize each group onto one task);
     // tie-broken by o_orderkey for a total order.
     "b7_topk_window" -> ((s, dir) => {
-      groupRanks(
-        t(s, dir, "orders")
-          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
-        "o_orderpriority", Seq(col("o_totalprice").desc, col("o_orderkey")))
+      // top-K per group as the PLAIN window + rank filter: Spark's
+      // InferWindowGroupLimit rewrites `row_number() ≤ k` into a
+      // WindowGroupLimit pair — a PARTIAL top-3-per-group prune on each
+      // scan partition BEFORE the shuffle, then the Final limit after —
+      // so only ≤ 3·partitions winner rows per group ever shuffle. That
+      // is the two-phase top-K recipe (e50) built into the optimizer; the
+      // old hand-rolled groupRanks ranking of every row to keep 15 was
+      // the r6 rehearsal's worst B-group scaling term (7.5 s at sf1 →
+      // ~0.5 s). The low-cardinality priority key is safe as a window
+      // partition HERE precisely because the Partial limit bounds each
+      // task's input (pinned in QueriesSmokeSpec).
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
         .filter(col("rn") <= 3)
         .select(col("o_orderpriority"), col("rn").cast("int").as("rn"),
           col("o_orderkey"), col("o_totalprice"))

@@ -21,7 +21,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
   // Plan-shape allowlists + assertions live in graft.PlanPins, shared with
   // the at-scale post-AQE audit (graft.PlanAudit).
 
-  for (q <- Seq("b7_topk_window", "b16_exact_quantiles", "b20_window_ranks"))
+  for (q <- Seq("b16_exact_quantiles", "b20_window_ranks"))
     test(s"$q ranks over range partitions, not one task per priority") {
       val df = SparkEntry.queries(q)(spark, TestSpark.Sf)
       val plan = df.queryExecution.executedPlan.toString
@@ -35,6 +35,25 @@ class QueriesSmokeSpec extends AnyFunSuite {
         s"$q's window must be per range partition: $windowLines")
       Caches.drain()
     }
+
+  test("b7 top-K: the optimizer's WindowGroupLimit prunes before the shuffle") {
+    val df = SparkEntry.queries("b7_topk_window")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the bare low-cardinality window partition key is legal ONLY because
+    // InferWindowGroupLimit inserts a PARTIAL per-scan-partition top-3
+    // prune before the exchange (two-phase top-K inside the optimizer);
+    // if a Spark upgrade stops matching this pattern, b7 must go back to
+    // an explicit two-phase plan — this pin is the alarm
+    val limits = plan.linesIterator.filter(_.contains("WindowGroupLimit")).toSeq
+    assert(limits.exists(_.contains("Partial")) && limits.exists(_.contains("Final")),
+      s"expected a map-side Partial + post-shuffle Final WindowGroupLimit:\n$plan")
+    // the only range exchange is the 15-row output orderBy (carries rn);
+    // the fact table itself must not be range-repartitioned for top-K
+    val rangeEx = plan.linesIterator
+      .filter(_.contains("Exchange rangepartitioning")).toSeq
+    assert(rangeEx.forall(_.contains("rn#")), s"fact-table range shuffle: $rangeEx")
+    Caches.drain()
+  }
 
   test("e67 chunker is exchange-free up to the output sort") {
     val df = SparkEntry.queries("e67_chunk_windows")(spark, TestSpark.Sf)
