@@ -103,6 +103,30 @@ object EventWindows {
       tumblingStream(readStreamEvents(spark, dir), delay, width), "append", sinkName)
   }
 
+  /** Streaming certified-bound window quantiles (f27): the mergeable
+    * quantile sketch ([[graft.functions.AggExpressions.QuantileSketch]])
+    * runs INSIDE a watermarked streaming aggregation — the sketch buffer
+    * is the state-store entry, serialized between micro-batches and
+    * merged across tasks and triggers. Mergeability is exactly what makes
+    * a sketch streamable; this is the streaming twin of b12/e75's batch
+    * certification. Append mode emits each window's sketch once the
+    * watermark finalizes it; per-window state is O(k) regardless of how
+    * many events the window saw.
+    */
+  def streamWindowQuantiles(spark: SparkSession, dir: String,
+      delay: String = "15 minutes", width: String = "10 minutes",
+      sinkName: String = "f27_sink"): DataFrame = withShufflePartitions(spark, 8) {
+    val sk = graft.functions.AggExpressions.quantileSketch(
+      col("value"), Seq(0.5, 0.9), k = 256)
+    runToMemorySink(
+      ltz(readStreamEvents(spark, dir))
+        .withWatermark("ts", delay)
+        .groupBy(window(col("ts"), width).as("w"))
+        .agg(sk.as("sk"), count(lit(1)).as("n"))
+        .select(col("w.start").cast("long").as("epoch_start"), col("sk"), col("n")),
+      "append", sinkName)
+  }
+
   /** The watermarked streaming session-window plan (separated for tests):
     * per-user gap sessions merge in the state store; in append mode a
     * session emits once the watermark passes its end (last event + gap).

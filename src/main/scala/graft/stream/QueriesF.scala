@@ -156,6 +156,44 @@ object QueriesF {
     "f26_stream_ivf_ingest" -> ((s, dir) =>
       EventWindows.streamIvfIngest(s, dir)),
 
+    // f27: streaming CERTIFIED-BOUND quantiles — the mergeable quantile
+    // sketch aggregates per watermark-finalized tumbling window with its
+    // buffer living in the state store (mergeable == streamable; the
+    // streaming twin of b12/e75's batch certification). The batch side
+    // re-derives each emitted window's EXACT percentiles and the result
+    // grades the sketch: estimate within ±0.05 rank of exact, certified
+    // bound within the k=256 guarantee, stream count == batch count.
+    // Per-window state is O(k) at any event rate; the grading join
+    // touches only emitted windows.
+    "f27_stream_quantiles" -> ((s, dir) => {
+      val streamed = EventWindows.streamWindowQuantiles(s, dir)
+      def disc(p: Double) =
+        expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY value)").cast("double")
+      val exact = events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .groupBy(window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n_batch"),
+          disc(0.5).as("exact_p50"), disc(0.45).as("_lo50"), disc(0.55).as("_hi50"),
+          disc(0.9).as("exact_p90"), disc(0.85).as("_lo90"), disc(0.95).as("_hi90"))
+        .select(col("w.start").cast("long").as("epoch_start"), col("n_batch"),
+          col("exact_p50"), col("_lo50"), col("_hi50"),
+          col("exact_p90"), col("_lo90"), col("_hi90"))
+      streamed.join(exact, "epoch_start") // emitted (finalized) windows only
+        .select(col("epoch_start"), col("n"),
+          col("exact_p50"),
+          col("sk.values").getItem(0).between(col("_lo50"), col("_hi50")).as("p50_in_eps"),
+          col("exact_p90"),
+          col("sk.values").getItem(1).between(col("_lo90"), col("_hi90")).as("p90_in_eps"),
+          // small windows never compact: err_bound degenerates to the
+          // discretization slack (1 row = exact-or-adjacent), so the
+          // certified gate is err_bound ≤ max(1, 5% of n)
+          (col("sk.err_bound") <=
+            greatest(lit(1L), ceil(col("n") * 0.05))).as("sketch_err_ok"),
+          (col("sk.n") === col("n")).as("sketch_n_ok"),
+          (col("n") === col("n_batch")).as("n_match"))
+        .orderBy("epoch_start")
+    }),
+
     // f25: e67's chunker applied ON INGEST — overlapping token windows as
     // a stateless streaming generate (append mode, no state, no shuffle):
     // retrieval indexing keeps up with ingest by construction. Bit-exact
@@ -333,6 +371,16 @@ object QueriesF {
     "f25_stream_chunk" -> graft.llm.QueriesE.sqlChunkWindows,
     // identical rows to e18/e64 by construction (same training, same probe)
     "f26_stream_ivf_ingest" -> graft.llm.QueriesE.sqlIvf,
+    "f27_stream_quantiles" ->
+      (s"WITH e AS ($EsEvents), m AS (SELECT max(us) AS mu FROM e), " +
+        "w AS (SELECT es - es % 600 AS epoch_start, value FROM e, m " +
+        "WHERE (es - es % 600 + 600) * 1000000 <= mu - 900000000) " +
+        "SELECT epoch_start, count(*) AS n, " +
+        "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS DOUBLE) AS exact_p50, " +
+        "TRUE AS p50_in_eps, " +
+        "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS DOUBLE) AS exact_p90, " +
+        "TRUE AS p90_in_eps, TRUE AS sketch_err_ok, TRUE AS sketch_n_ok, " +
+        "TRUE AS n_match FROM w GROUP BY epoch_start ORDER BY epoch_start"),
     "f23_stream_shard" -> {
       val hash = "(" + (1 to 8).map { j =>
         s"(strpos('0123456789abcdef', substr(shuffle_key, $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))}"

@@ -135,6 +135,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(2L) == ((2L, 1L, 1.0)))
   }
 
+  test("quantile sketch state merges across micro-batches (f27)") {
+    import spark.implicits._
+    // one window's events split adversarially over three micro-batches:
+    // the state-store buffer must MERGE (values from every batch count),
+    // and with n < k the merged sketch is exact — p50 over 1..9 is 5
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Double)](
+      org.apache.spark.sql.Encoders.product[(java.sql.Timestamp, Double)], spark.sqlContext)
+    val sk = graft.functions.AggExpressions.quantileSketch(
+      org.apache.spark.sql.functions.col("value"), Seq(0.5), k = 8)
+    val out = mem.toDF().toDF("ts", "value")
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "10 minutes").as("w"))
+      .agg(sk.as("sk"))
+      .selectExpr("w.start AS ws", "sk.values[0] AS p50", "sk.n AS n")
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("qsk_sink").start()
+    try {
+      mem.addData((at(1), 9.0), (at(2), 1.0), (at(3), 4.0))
+      q.processAllAvailable()
+      mem.addData((at(4), 2.0), (at(5), 8.0), (at(6), 6.0))
+      q.processAllAvailable()
+      mem.addData((at(7), 3.0), (at(8), 7.0), (at(9), 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("qsk_sink").collect()
+      .map(r => (r.getDouble(1), r.getLong(2))).maxBy(_._2)
+    assert(last == ((5.0, 9L)),
+      s"merged sketch must see all 9 values across 3 batches: $last")
+  }
+
   test("streaming dedup drops repeated event ids across batches") {
     import spark.implicits._
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Double)](
