@@ -61,19 +61,42 @@ object EventWindows {
         col("n_events"), col("sum_value"))
   }
 
-  /** The streaming schema of events.parquet under nanosAsLong (ts arrives
-    * as raw int64 nanoseconds; see graft.rel.Q.events).
+  /** The streaming schema of events.parquet; `ts` is patched per file —
+    * the generator has shipped both TIMESTAMP(NANOS) (arrives as raw
+    * int64 ns under nanosAsLong) and TIMESTAMP(MICROS) (arrives as a
+    * native timestamp), see [[readStreamEvents]].
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Read events as a micro-batch stream from its parquet file. */
-  def readStreamEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema)
-      .parquet(s"$dir/events.*") // glob: the file source requires a dir/glob
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Read events as a micro-batch stream from its parquet file. The file
+    * source requires an explicit schema, so sniff `ts`'s native type from
+    * the footer batch-side and convert exactly as [[graft.rel.Q.events]]
+    * does — declaring ns-long against a µs file would silently divide
+    * microseconds by 1000 and collapse every event onto 1970.
+    */
+  def readStreamEvents(spark: SparkSession, dir: String): DataFrame = {
+    val glob = s"$dir/events.*" // glob: the file source requires a dir/glob
+    // footer sniff on the concrete file — the batch reader resolves a
+    // glob too, but logs a spurious FileStreamSink existence error for it
+    val tsFile = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("events."))
+      .sortBy(_.getName).headOption
+      .fold(glob)(_.getPath)
+    val tsNative = spark.read.parquet(tsFile).schema("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsNative) else f))
+    val raw = spark.readStream.schema(schema).parquet(glob)
+    tsNative match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // NTZ→LTZ under the UTC session zone keeps the same wall-clock
+      // values; watermarks/event-time require TIMESTAMP, not TIMESTAMP_NTZ
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n`, restoring
     * the caller's setting afterwards. A stateful micro-batch job pays
