@@ -43,7 +43,13 @@ object PlanPins {
       "e64_ann_index_persist",
       // f26: e64's probe over the stream-appended index (same single-row
       // query-vector crossJoin, same partition-pruned scan)
-      "f26_stream_ivf_ingest")
+      "f26_stream_ivf_ingest",
+      // e76: crossJoin against the broadcast SINGLE-ROW Bloom filter
+      // (128 KB constant attached to the training scan) — O(n·1)
+      "e76_bloom_decontaminate",
+      // e77: crossJoins against the broadcast single-row topk_sketch
+      // summary and its (err, n) bounds row — O(10·1) grading attachment
+      "e77_heavy_hitters")
 
   /** E-group queries whose plans intentionally contain a Window exec. The
     * forbidden class is a window partitioned by a DATA-DEPENDENT UNBOUNDED

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftglue.Bridge.{column, expression}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Exact distinct count over a BOUNDED integer bucket domain via a
   * fixed-size bitmap aggregation buffer — the custom mergeable-aggregate
@@ -272,6 +272,281 @@ case class QuantileSketch(
   override def prettyName: String = "quantile_sketch"
 }
 
+/** Bit math shared by [[BloomAgg]] (build) and [[BloomContains]] (probe).
+  *
+  * Positions come from Kirsch–Mitzenmacher double hashing over the
+  * 64-bit Murmur3 finalizer (fmix64 — public-domain mixing constants):
+  * pos_i = (h1 + i·h2) mod m with h2 forced odd, so k probes cost two
+  * mixes + k masked adds. Addressing is BYTE-wise (bit b lives at
+  * bytes(b >>> 3), bit b & 7), making the aggregation buffer, the
+  * serialized form, and the probe side the same byte layout — no
+  * endianness to agree on.
+  */
+object BloomHelper {
+  def mix(z0: Long): Long = {
+    var z = (z0 ^ (z0 >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  def set(filter: Array[Byte], v: Long, k: Int): Unit = {
+    val mask = filter.length * 8 - 1
+    val h1 = mix(v)
+    val h2 = mix(v ^ 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < k) {
+      val b = ((h1 + i * h2) & mask).toInt
+      filter(b >>> 3) = (filter(b >>> 3) | (1 << (b & 7))).toByte
+      i += 1
+    }
+  }
+
+  def contains(filter: Array[Byte], v: Long, k: Int): Boolean = {
+    val mask = filter.length * 8 - 1
+    val h1 = mix(v)
+    val h2 = mix(v ^ 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < k) {
+      val b = ((h1 + i * h2) & mask).toInt
+      if ((filter(b >>> 3) & (1 << (b & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** `bloom_agg(hash64, mBits, k)` — build a Bloom filter over a LONG hash
+  * column as a fixed-size mergeable aggregate (merge = byte-wise OR, so
+  * the final bitset is partition-order-INDEPENDENT — unlike the quantile
+  * sketch, every run yields the identical filter).
+  *
+  * The 100 TB shape this exists for: membership pre-filtering where the
+  * probe side is huge and the member set merely large. A broadcast hash
+  * relation of the member set costs tens of bytes per element (string +
+  * table overhead) on EVERY executor; the Bloom filter is m bits TOTAL
+  * for any member count, with a CERTIFIED one-sided error — never a
+  * false negative, false positives bounded by (1 − e^(−kn/m))^k. Spark's
+  * own runtime-filter join pushdown is this same trick applied by the
+  * optimizer; exposing it as an aggregate lets a pipeline build the
+  * filter once, persist it beside the corpus, and assert the
+  * no-false-negative contract in-query (e76).
+  *
+  * Null inputs are ignored. Output is the m/8-byte filter (BinaryType).
+  */
+case class BloomAgg(
+    child: Expression,
+    mBits: Int = 1 << 20,
+    k: Int = 5,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  require(mBits >= 64 && (mBits & (mBits - 1)) == 0, "bloom_agg: mBits must be a power of two >= 64")
+  require(k >= 1 && k <= 16, "bloom_agg: k must be in [1, 16]")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_agg needs a BIGINT hash column (use xxhash64), got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](mBits / 8)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) BloomHelper.set(buf, v.asInstanceOf[Long], k)
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < b1.length) { b1(i) = (b1(i) | b2(i)).toByte; i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomAgg =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_agg"
+}
+
+/** `bloom_contains(filter, hash64, k)` — probe a [[BloomAgg]] filter.
+  * Codegen'd (k bit-tests via the static [[BloomHelper]]), so the probe
+  * stays inside WholeStageCodegen in the corpus scan — the broadcast
+  * filter rides a 1-row cross join exactly like the library's query
+  * vectors. `k` must match the build side; the byte layout is checked
+  * only by size (power of two enforced at build).
+  */
+case class BloomContains(left: Expression, right: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains needs (BINARY filter, BIGINT hash), got (${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def nullSafeEval(f: Any, v: Any): Any =
+    BloomHelper.contains(f.asInstanceOf[Array[Byte]], v.asInstanceOf[Long], k)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (f, v) =>
+      s"${ev.value} = graft.functions.BloomHelper.contains($f, $v, $k);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomContains =
+    copy(left = l, right = r)
+  override def prettyName: String = "bloom_contains"
+}
+
+/** Mergeable Misra–Gries heavy-hitter buffer (Agarwal et al. 2012
+  * "Mergeable summaries" merge rule). Capacity-c frequency map with the
+  * classic stream step — a new item arriving at a full map decrements
+  * every counter (and is itself dropped), removing c+1 weight per round —
+  * and the mergeable step: add the two maps, then subtract the (c+1)-th
+  * largest count from everything and drop non-positives. Both steps
+  * remove ≥ (c+1)·t total weight per t added to the error accumulator,
+  * so the CERTIFIED guarantees hold for every run regardless of
+  * partitioning:
+  *  - est(x) ≤ true(x) ≤ est(x) + err (absent ⇒ est 0),
+  *  - err ≤ n / (c+1),
+  *  - every item with true(x) > err is present in the summary.
+  */
+final class TopKBuffer(val c: Int) {
+  var n: Long = 0L
+  var err: Long = 0L
+  val counts = scala.collection.mutable.HashMap.empty[String, Long]
+
+  def insert(item: String): Unit = {
+    n += 1
+    counts.get(item) match {
+      case Some(v) => counts.update(item, v + 1)
+      case None if counts.size < c => counts.update(item, 1L)
+      case None =>
+        // decrement-all round: c stored counters + the dropped arrival
+        err += 1
+        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+        counts.mapValuesInPlace((_, v) => v - 1)
+        counts.foreach { case (k, v) => if (v <= 0) dead += k }
+        dead.foreach(counts.remove)
+    }
+  }
+
+  def mergeWith(o: TopKBuffer): Unit = {
+    n += o.n; err += o.err
+    o.counts.foreach { case (k, v) => counts.update(k, counts.getOrElse(k, 0L) + v) }
+    if (counts.size > c) {
+      val t = counts.values.toArray.sortInPlace()(Ordering[Long].reverse).apply(c)
+      err += t
+      val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+      counts.mapValuesInPlace((_, v) => v - t)
+      counts.foreach { case (k, v) => if (v <= 0) dead += k }
+      dead.foreach(counts.remove)
+    }
+  }
+}
+
+/** `topk_sketch(item, c)` — mergeable heavy hitters with certified
+  * bounds (see [[TopKBuffer]]). Returns `struct(items array<string>,
+  * counts array<long>, err long, n long)`, items ordered by (estimate
+  * desc, item). The retained SET is partition-order-dependent but the
+  * reported bounds are valid for every run, so downstream booleans of
+  * the form `present OR true_count <= err` / `est <= true <= est + err`
+  * are deterministic — the same contract as [[QuantileSketch]].
+  *
+  * The 100 TB shape: exact token top-K is a full groupBy over the token
+  * domain — O(vocab) rows through the shuffle and a skewed reduce on
+  * Zipfian text. The sketch ships ONE c-entry buffer per map task
+  * through a map-side-combined aggregation; wire cost is independent of
+  * both corpus and vocabulary size. Null inputs are ignored.
+  */
+case class TopKSketch(
+    child: Expression,
+    c: Int = 64,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] with UnaryLike[Expression] {
+  require(c >= 1, "topk_sketch: capacity must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_sketch needs a STRING item column, got ${child.dataType.sql}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("items", ArrayType(org.apache.spark.sql.types.StringType, containsNull = false), nullable = false),
+    StructField("counts", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("err", LongType, nullable = false),
+    StructField("n", LongType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(c)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.toString)
+    buf
+  }
+
+  override def merge(b1: TopKBuffer, b2: TopKBuffer): TopKBuffer = {
+    b1.mergeWith(b2); b1
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val sorted = buf.counts.toArray.sortBy { case (k, v) => (-v, k) }
+    InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        sorted.map(e => org.apache.spark.unsafe.types.UTF8String.fromString(e._1))),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(sorted.map(_._2)),
+      buf.err, buf.n)
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val entries = buf.counts.toArray
+    val bytes = entries.map { case (k, _) => k.getBytes(java.nio.charset.StandardCharsets.UTF_8) }
+    val bb = java.nio.ByteBuffer.allocate(
+      8 + 8 + 4 + entries.length * 12 + bytes.map(_.length).sum)
+    bb.putLong(buf.n).putLong(buf.err).putInt(entries.length)
+    entries.indices.foreach { i =>
+      bb.putInt(bytes(i).length)
+      bb.put(bytes(i))
+      bb.putLong(entries(i)._2)
+    }
+    bb.array()
+  }
+
+  override def deserialize(b: Array[Byte]): TopKBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val out = new TopKBuffer(c)
+    out.n = bb.getLong()
+    out.err = bb.getLong()
+    val sz = bb.getInt()
+    (0 until sz).foreach { _ =>
+      val len = bb.getInt()
+      val arr = new Array[Byte](len)
+      bb.get(arr)
+      out.counts.update(new String(arr, java.nio.charset.StandardCharsets.UTF_8), bb.getLong())
+    }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TopKSketch =
+    copy(child = newChild)
+  override def prettyName: String = "topk_sketch"
+}
+
 object AggExpressions {
   /** Exact distinct count of integer buckets in [0, nBits) with a fixed
     * 8-KB-per-group mergeable bitmap (one shuffle, map-side combined) —
@@ -289,4 +564,21 @@ object AggExpressions {
     column(QuantileSketch(
       expression(value.cast(org.apache.spark.sql.types.DoubleType)),
       percentages, k).toAggregateExpression())
+
+  /** Bloom filter over a BIGINT hash column (pair with
+    * `org.apache.spark.sql.functions.xxhash64`): m/8 bytes of mergeable,
+    * partition-order-independent state; never a false negative.
+    */
+  def bloomAgg(hash: Column, mBits: Int = 1 << 20, k: Int = 5): Column =
+    column(BloomAgg(expression(hash), mBits, k).toAggregateExpression())
+
+  /** Probe a [[bloomAgg]] filter; `k` must match the build side. */
+  def bloomContains(filter: Column, hash: Column, k: Int = 5): Column =
+    column(BloomContains(expression(filter), expression(hash), k))
+
+  /** Mergeable Misra–Gries heavy hitters with certified bounds:
+    * `struct(items array<string>, counts array<long>, err long, n long)`.
+    */
+  def topkSketch(item: Column, c: Int = 64): Column =
+    column(TopKSketch(expression(item), c).toAggregateExpression())
 }

@@ -86,7 +86,17 @@ object GraftFunctions {
     // aggregate: the analyzer wraps a bare AggregateFunction from the
     // registry into an AggregateExpression exactly as for built-ins
     "bitmap_distinct"  -> (es => BitmapDistinct(es(0),
-      if (es.length > 1) intArg(es(1), "bitmap_distinct") else 1 << 16)))
+      if (es.length > 1) intArg(es(1), "bitmap_distinct") else 1 << 16)),
+    // bloom_agg(hash64 [, mBits, k]) builds; bloom_contains(filter,
+    // hash64 [, k]) probes — k must match between the two
+    "bloom_agg"        -> (es => BloomAgg(es(0),
+      if (es.length > 1) intArg(es(1), "bloom_agg") else 1 << 20,
+      if (es.length > 2) intArg(es(2), "bloom_agg") else 5)),
+    "bloom_contains"   -> (es => BloomContains(es(0), es(1),
+      if (es.length > 2) intArg(es(2), "bloom_contains") else 5)),
+    // topk_sketch(item [, capacity]) — mergeable Misra–Gries heavy hitters
+    "topk_sketch"      -> (es => TopKSketch(es(0),
+      if (es.length > 1) intArg(es(1), "topk_sketch") else 64)))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit = all.foreach { case (name, b) =>

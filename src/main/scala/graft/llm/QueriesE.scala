@@ -1967,6 +1967,84 @@ object QueriesE {
         .orderBy("source")
     }),
 
+    // e76: Bloom-filter decontamination — e27's eval-overlap contract with
+    // the eval-set membership compressed into a certified Bloom filter
+    // ([[graft.functions.BloomAgg]], 2^20 bits / k=5). Why this exists at
+    // 100 TB: e27 broadcasts the exploded eval shingles as a hash relation
+    // — tens of bytes per distinct gram on EVERY executor; the filter is
+    // 128 KB total for any gram count, the probe is 5 codegen'd bit tests
+    // inside the training scan (bloom_contains), and the error is
+    // ONE-SIDED — never a false negative, so nothing contaminated slips
+    // through; false positives only cost re-checking. The filter is
+    // partition-order-independent (merge = byte OR), so per-source counts
+    // are deterministic. Gated columns: exact contamination counts
+    // (DuckDB-matchable) + per-source booleans asserting the
+    // no-false-negative contract and a generous FP-doc budget (theory:
+    // per-gram FP rate (1−e^(−kn/m))^k ≈ 1e-10 here).
+    "e76_bloom_decontaminate" -> ((s, dir) => {
+      val agx = graft.functions.AggExpressions
+      val sh = t(s, dir, "documents").select(col("doc_id"),
+        explode(TextExpressions.distinctShingles(col("text"), 4)).as("g"))
+      val evG = sh.filter(col("doc_id") % 97 === 0).select("g").distinct()
+      val bf = evG.agg(agx.bloomAgg(xxhash64(col("g")), 1 << 20, 5).as("bf"))
+      val tr = sh.filter(col("doc_id") % 97 =!= 0)
+      val perDoc = tr.crossJoin(broadcast(bf))
+        .withColumn("hit", agx.bloomContains(col("bf"), xxhash64(col("g")), 5))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom"))
+      val exact = tr.join(broadcast(evG), Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+      perDoc.join(exact, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_exact"))
+        .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_train_docs"),
+          sum(when(col("n_exact") > 0, 1L).otherwise(0L)).as("n_contam_docs"),
+          min(col("n_bloom") >= col("n_exact")).as("no_false_negatives"),
+          (sum(when(col("n_bloom") > col("n_exact"), 1L).otherwise(0L)) <=
+            greatest(lit(1L), ceil(count(lit(1)) * 0.01).cast("long"))).as("fp_docs_ok"))
+        .orderBy("source")
+    }),
+
+    // e77: corpus heavy hitters via the mergeable Misra–Gries sketch
+    // ([[graft.functions.TopKSketch]], c=64) — graded in-query against the
+    // exact token counts, e75's contract applied to frequency: the exact
+    // top-10 (DuckDB-matchable) plus booleans asserting the sketch's
+    // certified guarantees, each provable for EVERY run even though the
+    // retained set is partition-order-dependent: a token with true count
+    // > err must be present (covered), a present token's estimate brackets
+    // the truth within err (est_ok), and err ≤ n/(c+1) (err_bound_ok).
+    // The scale story: exact token top-K shuffles the whole O(vocab)
+    // domain with a Zipf-skewed reduce; the sketch ships one 64-entry
+    // buffer per map task — wire cost independent of corpus AND
+    // vocabulary. Here top-10 counts (~900+) sit far above the certified
+    // err ceiling (n/65 ≈ 418 at sf0.01), so `covered` exercises the real
+    // guarantee, not the small-count escape hatch.
+    "e77_heavy_hitters" -> ((s, dir) => {
+      val C = 64
+      val words = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val sk = graft.Caches.persistTracked(
+        words.agg(graft.functions.AggExpressions.topkSketch(col("word"), C).as("sk")))
+      val est = sk.select(
+          explode(arrays_zip(col("sk.items").as("i"), col("sk.counts").as("c"))).as("z"))
+        .select(col("z.i").as("word"), col("z.c").as("est"))
+      val bounds = sk.select(col("sk.err").as("b_err"), col("sk.n").as("b_n"))
+      val exact = words.groupBy("word").agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("word")).limit(10)
+      exact.join(broadcast(est), Seq("word"), "left")
+        .crossJoin(broadcast(bounds))
+        .select(col("word"), col("exact_count"),
+          (col("est").isNotNull || col("exact_count") <= col("b_err")).as("covered"),
+          (col("est").isNull || (col("est") <= col("exact_count") &&
+            col("exact_count") <= col("est") + col("b_err"))).as("est_ok"),
+          (col("b_err") * (C + 1) <= col("b_n")).as("err_bound_ok"))
+        .orderBy(col("exact_count").desc, col("word"))
+    }),
+
     // e58: FILTERED ANN (hybrid search) — top-k under a metadata
     // predicate, the production retrieval shape ("nearest en-language
     // docs"). The honest scale recipe: ONE shared IVF index over all
@@ -2608,6 +2686,25 @@ object QueriesE {
       (s"WITH RECURSIVE $sqlLeakageSplitCtes, " +
         "sizes AS (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id) " +
         "SELECT sz, count(*) AS n_clusters FROM sizes GROUP BY sz ORDER BY sz"),
+    "e76_bloom_decontaminate" ->
+      (s"WITH sh AS (SELECT doc_id, unnest(list_distinct(${sqlShingles(4)})) AS g FROM documents), " +
+        "ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0), " +
+        "tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0), " +
+        "hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact " +
+        "FROM tr JOIN ev USING (g) GROUP BY 1), " +
+        "per AS (SELECT t.doc_id, coalesce(n_exact, 0) AS n_exact " +
+        "FROM (SELECT DISTINCT doc_id FROM tr) t LEFT JOIN hits USING (doc_id)) " +
+        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_train_docs, " +
+        "CAST(sum(CASE WHEN n_exact > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_docs, " +
+        "TRUE AS no_false_negatives, TRUE AS fp_docs_ok " +
+        "FROM per JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1"),
+    "e77_heavy_hitters" ->
+      ("WITH w AS (SELECT unnest(string_split(text, ' ')) AS word " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "SELECT word, CAST(count(*) AS BIGINT) AS exact_count, " +
+        "TRUE AS covered, TRUE AS est_ok, TRUE AS err_bound_ok " +
+        "FROM w WHERE word <> '' GROUP BY word " +
+        "ORDER BY exact_count DESC, word LIMIT 10"),
     "e75_source_quantiles" ->
       ("SELECT source, count(n_chars) AS n_docs, " +
         "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS exact_p50, " +
