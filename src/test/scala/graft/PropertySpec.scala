@@ -385,3 +385,76 @@ object GraftSparkProps extends Properties("graft-spark") {
     }
   }
 }
+
+/** Pure-kernel sketch properties (no Spark) — full case count. */
+object GraftSketchProps extends Properties("graft-sketch") {
+
+  // ---- Bloom filter (BloomHelper byte-layout + one-sided error) ----
+
+  private val bloomCase: Gen[(List[Long], List[Long], Int, Int)] = for {
+    members <- Gen.listOf(Gen.long)
+    probes <- Gen.listOf(Gen.long)
+    mBits <- Gen.oneOf(64, 256, 4096)
+    k <- Gen.chooseNum(1, 8)
+  } yield (members, probes, mBits, k)
+
+  property("bloom: every inserted value probes true (no false negatives)") =
+    forAll(bloomCase) { case (members, _, mBits, k) =>
+      val f = new Array[Byte](mBits / 8)
+      members.foreach(graft.functions.BloomHelper.set(f, _, k))
+      members.forall(graft.functions.BloomHelper.contains(f, _, k))
+    }
+
+  property("bloom: merged (byte-OR) filter = filter of the concatenation") =
+    forAll(bloomCase) { case (members, others, mBits, k) =>
+      val a = new Array[Byte](mBits / 8)
+      val b = new Array[Byte](mBits / 8)
+      val c = new Array[Byte](mBits / 8)
+      members.foreach(graft.functions.BloomHelper.set(a, _, k))
+      others.foreach(graft.functions.BloomHelper.set(b, _, k))
+      (members ++ others).foreach(graft.functions.BloomHelper.set(c, _, k))
+      val merged = a.indices.map(i => (a(i) | b(i)).toByte)
+      merged.sameElements(c)
+    }
+
+  // ---- Misra–Gries heavy hitters (TopKBuffer certified guarantees) ----
+
+  /** Zipf-ish item stream split into random partitions merged in random
+    * order — the exact shape a partitioned aggregation produces.
+    */
+  private val mgCase: Gen[(List[List[String]], Int)] = for {
+    n <- Gen.chooseNum(0, 400)
+    items <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.const("hot"), 4 -> Gen.const("warm"),
+      2 -> Gen.oneOf("a", "b", "c"),
+      1 -> Gen.chooseNum(0, 50).map("t" + _)))
+    nParts <- Gen.chooseNum(1, 6)
+    assign <- Gen.listOfN(items.size, Gen.chooseNum(0, nParts - 1))
+    c <- Gen.oneOf(2, 4, 8)
+  } yield (items.zip(assign).groupBy(_._2).values.map(_.map(_._1)).toList, c)
+
+  property("misra-gries: certified bounds hold under any partitioning/merge order") =
+    forAll(mgCase) { case (parts, c) =>
+      val bufs = parts.map { p =>
+        val b = new graft.functions.TopKBuffer(c)
+        p.foreach(b.insert)
+        b
+      }
+      val merged = bufs.reduceOption { (x, y) => x.mergeWith(y); x }
+        .getOrElse(new graft.functions.TopKBuffer(c))
+      val truth = parts.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val n = parts.flatten.size.toLong
+      val est = merged.counts.toMap
+      merged.n == n &&
+        merged.err * (c + 1) <= n && // certified error ceiling
+        merged.counts.size <= c && // capacity respected
+        truth.forall { case (item, t) =>
+          val e = est.getOrElse(item, 0L)
+          e <= t && t <= e + merged.err // bracketing, absent => est 0
+        } &&
+        est.keySet.subsetOf(truth.keySet) && // never invents items
+        truth.forall { case (item, t) => // coverage of true heavy hitters
+          t <= merged.err || est.contains(item)
+        }
+    }
+}
