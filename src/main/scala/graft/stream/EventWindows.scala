@@ -150,6 +150,30 @@ object EventWindows {
       "append", sinkName)
   }
 
+  /** f28: the mergeable Misra–Gries heavy-hitter sketch
+    * ([[graft.functions.TopKSketch]]) INSIDE a watermarked streaming
+    * aggregation — f27's recipe applied to frequency: the c-entry buffer
+    * is the state-store row, merged across tasks and micro-batches
+    * (mergeable == streamable), and append mode emits each day-window's
+    * summary once the watermark finalizes it. Per-window state is O(c)
+    * regardless of event rate — the streaming "top talkers" shape
+    * (per-day heavy-hitter users/IPs/keys) that exact per-key counting
+    * would pay an O(distinct keys)-per-window state bill for.
+    */
+  def streamWindowTopUsers(spark: SparkSession, dir: String,
+      delay: String = "15 minutes", width: String = "1 day", c: Int = 16,
+      sinkName: String = "f28_sink"): DataFrame = withShufflePartitions(spark, 8) {
+    val sk = graft.functions.AggExpressions.topkSketch(
+      col("user_id").cast("string"), c)
+    runToMemorySink(
+      ltz(readStreamEvents(spark, dir))
+        .withWatermark("ts", delay)
+        .groupBy(window(col("ts"), width).as("w"))
+        .agg(sk.as("sk"), count(lit(1)).as("n"))
+        .select(col("w.start").cast("long").as("epoch_start"), col("sk"), col("n")),
+      "append", sinkName)
+  }
+
   /** The watermarked streaming session-window plan (separated for tests):
     * per-user gap sessions merge in the state store; in append mode a
     * session emits once the watermark passes its end (last event + gap).

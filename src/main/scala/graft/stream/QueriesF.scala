@@ -194,6 +194,47 @@ object QueriesF {
         .orderBy("epoch_start")
     }),
 
+    // f28: streaming heavy hitters — e77's certified Misra–Gries sketch
+    // per watermark-finalized DAY window, its c=16 buffer living in the
+    // state store (the f27 recipe applied to frequency). ~150 distinct
+    // users per day against capacity 16 forces real decrement/merge
+    // activity in-stream. The batch side re-derives each emitted day's
+    // exact per-user counts; the result grades the top-3 exact users per
+    // day against the sketch's guarantees — each boolean provable for
+    // every run (coverage, est bracketing, err ≤ n/(c+1)) — plus
+    // stream-count == batch-count per window.
+    "f28_stream_top_users" -> ((s, dir) => {
+      val C = 16
+      val streamed = EventWindows.streamWindowTopUsers(s, dir, c = C)
+      val winUser = events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("exact_n"))
+        .select(col("w.start").cast("long").as("epoch_start"),
+          col("user_id"), col("exact_n"))
+        .transform(graft.Caches.persistTracked) // top-3 + window totals
+      val top = graft.rel.Q.topKPerGroup(winUser, "epoch_start", 3,
+        Seq(col("exact_n").desc, col("user_id"))).drop("rank")
+      val tot = winUser.groupBy("epoch_start")
+        .agg(sum(col("exact_n")).as("win_n"))
+      val est = streamed.select(col("epoch_start"),
+          explode(arrays_zip(col("sk.items").as("i"), col("sk.counts").as("c"))).as("z"))
+        .select(col("epoch_start"), col("z.i").cast("long").as("user_id"),
+          col("z.c").as("est"))
+      val bounds = streamed.select(col("epoch_start"),
+        col("sk.err").as("b_err"), col("sk.n").as("b_n"))
+      top.join(est, Seq("epoch_start", "user_id"), "left")
+        .join(bounds, "epoch_start") // inner: finalized windows only
+        .join(tot, "epoch_start")
+        .select(col("epoch_start"), col("user_id"), col("exact_n"),
+          (col("est").isNotNull || col("exact_n") <= col("b_err")).as("covered"),
+          (col("est").isNull || (col("est") <= col("exact_n") &&
+            col("exact_n") <= col("est") + col("b_err"))).as("est_ok"),
+          (col("b_err") * (C + 1) <= col("b_n")).as("err_bound_ok"),
+          (col("b_n") === col("win_n")).as("n_match"))
+        .orderBy(col("epoch_start"), col("exact_n").desc, col("user_id"))
+    }),
+
     // f25: e67's chunker applied ON INGEST — overlapping token windows as
     // a stateless streaming generate (append mode, no state, no shuffle):
     // retrieval indexing keeps up with ingest by construction. Bit-exact
@@ -381,6 +422,17 @@ object QueriesF {
         "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS DOUBLE) AS exact_p90, " +
         "TRUE AS p90_in_eps, TRUE AS sketch_err_ok, TRUE AS sketch_n_ok, " +
         "TRUE AS n_match FROM w GROUP BY epoch_start ORDER BY epoch_start"),
+    "f28_stream_top_users" ->
+      (s"WITH e AS ($EsEvents), m AS (SELECT max(us) AS mu FROM e), " +
+        "w AS (SELECT es - es % 86400 AS epoch_start, user_id FROM e, m " +
+        "WHERE (es - es % 86400 + 86400) * 1000000 <= mu - 900000000), " +
+        "cnt AS (SELECT epoch_start, user_id, CAST(count(*) AS BIGINT) AS exact_n " +
+        "FROM w GROUP BY 1, 2), " +
+        "top AS (SELECT *, row_number() OVER (PARTITION BY epoch_start " +
+        "ORDER BY exact_n DESC, user_id) AS rk FROM cnt) " +
+        "SELECT epoch_start, user_id, exact_n, TRUE AS covered, TRUE AS est_ok, " +
+        "TRUE AS err_bound_ok, TRUE AS n_match FROM top WHERE rk <= 3 " +
+        "ORDER BY epoch_start, exact_n DESC, user_id"),
     "f23_stream_shard" -> {
       val hash = "(" + (1 to 8).map { j =>
         s"(strpos('0123456789abcdef', substr(shuffle_key, $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))}"
