@@ -165,6 +165,46 @@ class StreamingSpec extends AnyFunSuite {
       s"merged sketch must see all 9 values across 3 batches: $last")
   }
 
+  test("topk sketch state merges across micro-batches (f28)") {
+    import spark.implicits._
+    // one window's items split adversarially over three micro-batches:
+    // "hot" is light in every single batch but heavy overall, and c=2
+    // forces decrement rounds — the merged state must still satisfy the
+    // certified contract: n totals every batch, err <= n/(c+1), and a
+    // true count above err guarantees presence with est <= true <= est+err
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)](
+      org.apache.spark.sql.Encoders.product[(java.sql.Timestamp, String)], spark.sqlContext)
+    val sk = graft.functions.AggExpressions.topkSketch(
+      org.apache.spark.sql.functions.col("item"), c = 2)
+    val out = mem.toDF().toDF("ts", "item")
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "10 minutes").as("w"))
+      .agg(sk.as("sk"))
+      .selectExpr("sk.items AS items", "sk.counts AS counts",
+        "sk.err AS err", "sk.n AS n")
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("topk_sink").start()
+    try {
+      mem.addData((at(1), "hot"), (at(2), "a"), (at(3), "hot"), (at(4), "b"))
+      q.processAllAvailable()
+      mem.addData((at(5), "c"), (at(6), "hot"), (at(7), "a"), (at(8), "hot"))
+      q.processAllAvailable()
+      mem.addData((at(9), "b"), (at(9), "hot"), (at(9), "c"), (at(9), "hot"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("topk_sink").collect().map { r =>
+      (r.getSeq[String](0), r.getSeq[Long](1), r.getLong(2), r.getLong(3))
+    }.maxBy(_._4)
+    val (items, counts, err, n) = last
+    assert(n == 12L, s"merged n must count all three batches: $n")
+    assert(err * 3 <= n, s"certified ceiling violated: err=$err n=$n")
+    assert(err < 6L && items.contains("hot"),
+      s"true(hot)=6 > err=$err must force presence: $items")
+    val estHot = counts(items.indexOf("hot"))
+    assert(estHot <= 6L && 6L <= estHot + err,
+      s"bracketing violated: est=$estHot err=$err")
+  }
+
   test("streaming dedup drops repeated event ids across batches") {
     import spark.implicits._
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Double)](
