@@ -94,6 +94,8 @@ object GraftFunctions {
       if (es.length > 2) intArg(es(2), "bloom_agg") else 5)),
     "bloom_contains"   -> (es => BloomContains(es(0), es(1),
       if (es.length > 2) intArg(es(2), "bloom_contains") else 5)),
+    "bloom_hits"       -> (es => BloomHits(es(0), es(1),
+      if (es.length > 2) intArg(es(2), "bloom_hits") else 5)),
     // topk_sketch(item [, capacity]) — mergeable Misra–Gries heavy hitters
     "topk_sketch"      -> (es => TopKSketch(es(0),
       if (es.length > 1) intArg(es(1), "topk_sketch") else 64)))

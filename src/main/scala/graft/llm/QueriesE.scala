@@ -572,6 +572,67 @@ object QueriesE {
       (0 until 32).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") +
       " AS BIGINT) AS simhash FROM bits)"
 
+  /** e76/f29 oracle — the per-source Bloom-decontamination report: exact
+    * contamination counts (DuckDB-computable) + the certified booleans
+    * (TRUE on the oracle side — the Spark side must prove them). Shared
+    * verbatim: f29 derives the identical report from the ingest stream.
+    */
+  private[graft] lazy val sqlBloomReport: String =
+    s"WITH sh AS (SELECT doc_id, unnest(list_distinct(${sqlShingles(4)})) AS g FROM documents), " +
+      "ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0), " +
+      "tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0), " +
+      "hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact " +
+      "FROM tr JOIN ev USING (g) GROUP BY 1), " +
+      "per AS (SELECT t.doc_id, coalesce(n_exact, 0) AS n_exact " +
+      "FROM (SELECT DISTINCT doc_id FROM tr) t LEFT JOIN hits USING (doc_id)) " +
+      "SELECT d.source, CAST(count(*) AS BIGINT) AS n_train_docs, " +
+      "CAST(sum(CASE WHEN n_exact > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_docs, " +
+      "TRUE AS no_false_negatives, TRUE AS fp_docs_ok " +
+      "FROM per JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1"
+
+  /** The e76/f29 Bloom filter as driver bytes (session-memoized — train
+    * once, serve everywhere): 2^20 bits / k=5 over the eval set's
+    * distinct 4-gram xxhash64s. A bounded artifact (128 KB regardless of
+    * eval size), the same class as the PQ codebooks / BPE merges the
+    * streaming tier embeds as plan literals.
+    */
+  private[graft] def bloomFilterBytes(s: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Byte] =
+    graft.Caches.memoVal(s"bloomf|$dir|docs|m20|k5") {
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 97 === 0)
+        .select(explode(TextExpressions.distinctShingles(col("text"), 4)).as("g"))
+        .distinct()
+        .agg(graft.functions.AggExpressions.bloomAgg(xxhash64(col("g")), 1 << 20, 5).as("bf"))
+        .head().getAs[Array[Byte]](0)
+    }
+
+  /** Per-source rollup shared by e76 (batch probe) and f29 (ingest-stream
+    * probe): joins a per-doc `(doc_id, source, n_grams, n_bloom)` probe
+    * relation against the exact eval-overlap counts and asserts the
+    * certified booleans per source. The exact side broadcasts (eval
+    * shingles are the small side by definition); the probe relation
+    * arrives already aggregated per doc.
+    */
+  private[graft] def bloomGradeReport(perDoc: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val sh = t(s, dir, "documents").select(col("doc_id"),
+      explode(TextExpressions.distinctShingles(col("text"), 4)).as("g"))
+    val evG = sh.filter(col("doc_id") % 97 === 0).select("g").distinct()
+    val exact = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evG), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+    perDoc.join(exact, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_exact"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(when(col("n_exact") > 0, 1L).otherwise(0L)).as("n_contam_docs"),
+        min(col("n_bloom") >= col("n_exact")).as("no_false_negatives"),
+        (sum(when(col("n_bloom") > col("n_exact"), 1L).otherwise(0L)) <=
+          greatest(lit(1L), ceil(count(lit(1)) * 0.01).cast("long"))).as("fp_docs_ok"))
+      .orderBy("source")
+  }
+
   /** DuckDB shingle list (word n-grams) for the `documents` table. */
   private def sqlShingles(n: Int): String =
     s"list_transform(range(len(string_split(text,' ')) - ${n - 1}), " +
@@ -1987,24 +2048,14 @@ object QueriesE {
         explode(TextExpressions.distinctShingles(col("text"), 4)).as("g"))
       val evG = sh.filter(col("doc_id") % 97 === 0).select("g").distinct()
       val bf = evG.agg(agx.bloomAgg(xxhash64(col("g")), 1 << 20, 5).as("bf"))
-      val tr = sh.filter(col("doc_id") % 97 =!= 0)
-      val perDoc = tr.crossJoin(broadcast(bf))
+      val perDoc = sh.filter(col("doc_id") % 97 =!= 0)
+        .crossJoin(broadcast(bf))
         .withColumn("hit", agx.bloomContains(col("bf"), xxhash64(col("g")), 5))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom"))
-      val exact = tr.join(broadcast(evG), Seq("g"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
-      perDoc.join(exact, Seq("doc_id"), "left")
-        .na.fill(0L, Seq("n_exact"))
         .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_train_docs"),
-          sum(when(col("n_exact") > 0, 1L).otherwise(0L)).as("n_contam_docs"),
-          min(col("n_bloom") >= col("n_exact")).as("no_false_negatives"),
-          (sum(when(col("n_bloom") > col("n_exact"), 1L).otherwise(0L)) <=
-            greatest(lit(1L), ceil(count(lit(1)) * 0.01).cast("long"))).as("fp_docs_ok"))
-        .orderBy("source")
+      bloomGradeReport(perDoc, s, dir)
     }),
 
     // e77: corpus heavy hitters via the mergeable Misra–Gries sketch
@@ -2686,18 +2737,7 @@ object QueriesE {
       (s"WITH RECURSIVE $sqlLeakageSplitCtes, " +
         "sizes AS (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id) " +
         "SELECT sz, count(*) AS n_clusters FROM sizes GROUP BY sz ORDER BY sz"),
-    "e76_bloom_decontaminate" ->
-      (s"WITH sh AS (SELECT doc_id, unnest(list_distinct(${sqlShingles(4)})) AS g FROM documents), " +
-        "ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0), " +
-        "tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0), " +
-        "hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact " +
-        "FROM tr JOIN ev USING (g) GROUP BY 1), " +
-        "per AS (SELECT t.doc_id, coalesce(n_exact, 0) AS n_exact " +
-        "FROM (SELECT DISTINCT doc_id FROM tr) t LEFT JOIN hits USING (doc_id)) " +
-        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_train_docs, " +
-        "CAST(sum(CASE WHEN n_exact > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_docs, " +
-        "TRUE AS no_false_negatives, TRUE AS fp_docs_ok " +
-        "FROM per JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1"),
+    "e76_bloom_decontaminate" -> sqlBloomReport,
     "e77_heavy_hitters" ->
       ("WITH w AS (SELECT unnest(string_split(text, ' ')) AS word " +
         "FROM documents WHERE text IS NOT NULL) " +

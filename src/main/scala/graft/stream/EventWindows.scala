@@ -517,6 +517,32 @@ object EventWindows {
     runToMemorySink(toks, "complete", sinkName)
   }
 
+  /** f29: decontamination ON INGEST — the e76 certified Bloom filter
+    * built batch-side from the eval set (a 128 KB session-memoized
+    * artifact, [[graft.llm.QueriesE.bloomFilterBytes]]), then probed
+    * STATELESSLY inside the document stream: each arriving doc's
+    * distinct 4-grams are shingled and bit-tested in ONE codegen'd
+    * kernel pass (`bloom_hits` — no explode, no join, no per-element
+    * lambda), append mode, zero streaming state. The f21/f22
+    * train-offline/apply-on-ingest shape applied to contamination: at
+    * production rates the filter is a plan literal every executor holds
+    * once, and the stream pays exactly one scan of itself.
+    */
+  def streamBloomDecontaminate(spark: SparkSession, dir: String,
+      sinkName: String = "f29_sink"): DataFrame = withShufflePartitions(spark, 8) {
+    val bf = graft.llm.QueriesE.bloomFilterBytes(spark, dir)
+    val perDoc = graft.llm.Dedup.readStreamDocuments(spark, dir)
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextExpressions.distinctShingles(col("text"), 4).as("gs"))
+      .select(col("doc_id"), col("source"),
+        size(col("gs")).cast("long").as("n_grams"),
+        graft.functions.AggExpressions.bloomHits(col("gs"), lit(bf), 5)
+          .cast("long").as("n_bloom"))
+      .filter(col("n_grams") > 0) // <4-token docs shingle to nothing
+    runToMemorySink(perDoc, "append", sinkName)
+  }
+
   /** Streaming PQ encoding (f22) — f21's train-offline/apply-on-ingest
     * shape for the VECTOR tier: codebooks train on the static corpus
     * (the e57 deterministic per-subspace k-means), then the embedding

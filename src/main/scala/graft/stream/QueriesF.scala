@@ -235,6 +235,17 @@ object QueriesF {
         .orderBy(col("epoch_start"), col("exact_n").desc, col("user_id"))
     }),
 
+    // f29: e76's decontamination report derived from the INGEST STREAM —
+    // the filter trains batch-side once (session memo), every streamed
+    // doc is probed scan-locally by the codegen'd bloom_hits kernel, and
+    // the same per-source rollup grades the stream's probe counts against
+    // the exact eval overlap. Oracle = e76's SQL verbatim: the report is
+    // identical by construction, proving batch probe and ingest probe are
+    // one code path.
+    "f29_stream_decontaminate" -> ((s, dir) =>
+      graft.llm.QueriesE.bloomGradeReport(
+        EventWindows.streamBloomDecontaminate(s, dir), s, dir)),
+
     // f25: e67's chunker applied ON INGEST — overlapping token windows as
     // a stateless streaming generate (append mode, no state, no shuffle):
     // retrieval indexing keeps up with ingest by construction. Bit-exact
@@ -422,6 +433,8 @@ object QueriesF {
         "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS DOUBLE) AS exact_p90, " +
         "TRUE AS p90_in_eps, TRUE AS sketch_err_ok, TRUE AS sketch_n_ok, " +
         "TRUE AS n_match FROM w GROUP BY epoch_start ORDER BY epoch_start"),
+    // identical report to e76 by construction (same filter, same rollup)
+    "f29_stream_decontaminate" -> graft.llm.QueriesE.sqlBloomReport,
     "f28_stream_top_users" ->
       (s"WITH e AS ($EsEvents), m AS (SELECT max(us) AS mu FROM e), " +
         "w AS (SELECT es - es % 86400 AS epoch_start, user_id FROM e, m " +
