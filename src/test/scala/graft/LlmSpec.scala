@@ -54,6 +54,28 @@ class LlmSpec extends AnyFunSuite {
     assert(k.head.getLong(2) == 1L, s"bpe_token_count: got ${k.head.getLong(2)}")
   }
 
+  test("SQL surface: bloom and topk sketch functions callable from raw SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    corpus.createOrReplaceTempView("gf_docs2")
+    // build a filter over the corpus texts, probe members + a non-member:
+    // members MUST hit (one-sided error); the alien string should miss at
+    // this filter size (deterministic on fixed data — asserted exactly)
+    val r = spark.sql(
+      "WITH bf AS (SELECT bloom_agg(xxhash64(text)) AS f FROM gf_docs2) " +
+        "SELECT min(bloom_contains(f, xxhash64(text))) AS all_in, " +
+        "max(bloom_contains(f, xxhash64(text || '<<absent>>'))) AS alien, " +
+        "max(bloom_hits(array(text, text || '<<absent>>'), f)) AS hits " +
+        "FROM gf_docs2 CROSS JOIN bf").collect()
+    assert(r(0).getBoolean(0), "members must always probe true")
+    assert(!r(0).getBoolean(1), "alien strings must miss at 2^20 bits")
+    assert(r(0).getInt(2) == 1, "bloom_hits counts exactly the member")
+    // aggregate + explicit capacity: 5 docs, c=8 => exact counts, err 0
+    val tk = spark.sql(
+      "SELECT topk_sketch(CAST(doc_id % 2 AS STRING), 8) AS sk FROM gf_docs2")
+      .selectExpr("sk.err", "sk.n", "sk.counts[0]").collect()
+    assert(tk(0).getLong(0) == 0L && tk(0).getLong(1) == 5L && tk(0).getLong(2) == 3L)
+  }
+
   test("chunkWindows: no subsumed trailing chunk; null text dropped; short docs one chunk") {
     def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
     val docs = Seq(
