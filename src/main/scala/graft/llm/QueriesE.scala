@@ -1967,6 +1967,50 @@ object QueriesE {
     // aggregate: the cost of knowing is one pass. Every list appears
     // (zero-count lists included via the centroid range) so a dead list
     // is as visible as a hot one.
+    // e78: IVF index REBALANCE — the maintenance step e73's monitor
+    // exists to trigger, completing the ANN lifecycle (build e18 /
+    // persist e64 / filtered-serve e58 / monitor e73 / ingest f26 /
+    // rebalance e78): pick the hottest inverted list (max count, ties to
+    // the lower id), split it with a deterministic 2-means on ITS MEMBERS
+    // ONLY (the e18 Lloyd recipe — fixed-point means, first-2-by-id
+    // init), and emit the before/after occupancy of the 9-list layout.
+    // Work is O(hot list + one pass for counts), never a full retrain —
+    // at 100 TB rebalancing touches one list's vectors and leaves every
+    // other list's assignment (and its persisted partition, in the e64
+    // layout) untouched. Splitting can only shrink a list, so
+    // max(after) <= max(before) structurally. Fully deterministic, so
+    // the oracle unrolls the identical pipeline — counts gate EXACTLY,
+    // no bound booleans needed.
+    "e78_ivf_rebalance" -> ((s, dir) => {
+      val K = 8
+      val base = graft.Caches.persistTracked(
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
+      val cents = Similarity.kmeansCentroids(base, "vec_id", K, 3,
+        memoKey = s"kmeans|$dir|embeddings|k8|it3")
+      val listed = graft.Caches.persistTracked(
+        base.withColumn("list_id", Similarity.ivfAssign(col("emb"), cents)))
+      val hot = listed.groupBy("list_id").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("list_id")).limit(1)
+        .collect()(0).getInt(0) // 1-row driver pick, the monitor's output
+      val sub = Similarity.kmeansCentroids(
+        listed.filter(col("list_id") === hot).select(col("vec_id"), col("emb")),
+        "vec_id", 2, 2, memoKey = s"kmeans-split|$dir|embeddings|hot$hot|k2|it2")
+      val after = listed.withColumn("new_list",
+          when(col("list_id") =!= hot, col("list_id"))
+            .when(Similarity.ivfAssign(col("emb"), sub) === 0, lit(hot))
+            .otherwise(lit(K)))
+        .groupBy("new_list").agg(count(lit(1)).as("n_after"))
+      val before = listed.groupBy("list_id").agg(count(lit(1)).as("n_before"))
+      s.range(K + 1).select(col("id").cast("int").as("list_id"))
+        .join(before, Seq("list_id"), "left")
+        .join(after.withColumnRenamed("new_list", "list_id"), Seq("list_id"), "left")
+        .select(col("list_id"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .orderBy("list_id")
+    }),
+
     "e73_ivf_occupancy" -> ((s, dir) => {
       val base = graft.Caches.persistTracked(
         t(s, dir, "embeddings")
@@ -2752,6 +2796,28 @@ object QueriesE {
         "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS exact_p90, " +
         "TRUE AS p90_in_eps, TRUE AS sketch_err_ok, TRUE AS sketch_n_ok " +
         "FROM documents GROUP BY source ORDER BY source"),
+    "e78_ivf_rebalance" -> {
+      val K = 8; val Iters = 3
+      sqlKmeansCtes(K, Iters) + ", " +
+        sqlKmAssign("af", s"c$Iters") + ", " +
+        "members AS (SELECT vec_id, emb, list FROM af WHERE rn = 1), " +
+        "occ AS (SELECT list, CAST(count(*) AS BIGINT) AS n FROM members GROUP BY list), " +
+        "hot AS (SELECT list FROM occ ORDER BY n DESC, list LIMIT 1), " +
+        "h AS (SELECT vec_id, emb FROM members JOIN hot USING (list)), " +
+        sqlKmeansLoop(Dims, "h", "s")(2, 2) + ", " +
+        sqlKmAssignN(Dims, "h")("sa", "sc2") + ", " +
+        "sm AS (SELECT vec_id, list AS sub FROM sa WHERE rn = 1), " +
+        "re AS (SELECT m.vec_id, CASE WHEN m.list <> hot.list THEN m.list " +
+        s"WHEN sub = 0 THEN m.list ELSE $K END AS new_list " +
+        "FROM members m CROSS JOIN hot LEFT JOIN sm ON m.vec_id = sm.vec_id), " +
+        "aft AS (SELECT new_list AS list_id, CAST(count(*) AS BIGINT) AS n_after FROM re GROUP BY 1), " +
+        s"lists AS (SELECT unnest(range(${K + 1})) AS list_id) " +
+        "SELECT CAST(lists.list_id AS INT) AS list_id, " +
+        "CAST(coalesce(occ.n, 0) AS BIGINT) AS n_before, " +
+        "CAST(coalesce(aft.n_after, 0) AS BIGINT) AS n_after " +
+        "FROM lists LEFT JOIN occ ON lists.list_id = occ.list " +
+        "LEFT JOIN aft ON lists.list_id = aft.list_id ORDER BY lists.list_id"
+    },
     "e73_ivf_occupancy" -> {
       val K = 8; val Iters = 3
       sqlKmeansCtes(K, Iters) + ", " +
