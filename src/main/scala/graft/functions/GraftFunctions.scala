@@ -33,6 +33,17 @@ object GraftFunctions {
     }
   }
 
+  /** Literal numeric argument as double (e.g. a linearization tolerance). */
+  private def dblArg(e: Expression, fn: String): Double = {
+    require(e.foldable, s"$fn: tolerance argument must be a literal")
+    e.eval(null) match {
+      case d: Double => d; case f: Float => f.toDouble
+      case i: Int => i.toDouble; case l: Long => l.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(s"$fn: numeric literal expected, got $other")
+    }
+  }
+
   /** Literal array-of-string argument (e.g. trained BPE merges). */
   private def stringSeqArg(e: Expression, fn: String): Seq[String] = {
     require(e.foldable, s"$fn: merges argument must be a literal array")
@@ -53,7 +64,9 @@ object GraftFunctions {
     "st_astext"        -> (es => StNormalizeWkt(es.head)),
     "st_geomfromtext"  -> (es => StNormalizeWkt(es.head)),
     "st_force2d"       -> (es => StForce2D(es.head)),
-    "st_curvetoline"   -> (es => StCurveToLine(es.head)),
+    // optional 2nd arg = max chord-to-arc deviation (PostGIS toltype 1)
+    "st_curvetoline"   -> (es => StCurveToLine(es.head,
+      if (es.length > 1) Some(dblArg(es(1), "st_curvetoline")) else None)),
     "st_transform"     -> (es => StTransform(es(0), es(1), es(2))),
     // coordinate args cast like the Column API does — without this the
     // SQL surface would reject integer literals/columns the Column

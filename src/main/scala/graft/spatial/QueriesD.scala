@@ -129,6 +129,22 @@ object QueriesD {
             col("x") + 100, lit(" "), col("y"), lit(")"))).as("wkt"))
         .orderBy("gid")),
 
+    // d18: TOLERANCE-driven curve linearization — the PostGIS
+    // ST_CurveToLine(geom, tol, toltype => 1) surface the reference's
+    // backends expose (d6 covers the fixed-count surface): per arc the
+    // chord count comes from the sagitta bound, so the deviation contract
+    // is uniform across mixed radii. Scan-local string kernel like every
+    // WKT op; golden rows frozen after the definitional checks
+    // (SpatialSpec sagitta/endpoint/chord-count + the curveToLineTol
+    // property pin over random arcs).
+    "d18_curve_tolerance" -> ((s, dir) =>
+      geo(s, dir).select(col("gid"),
+        StFunctions.stCurveToLine(
+          concat(lit("CIRCULARSTRING("), col("x"), lit(" "), col("y"), lit(", "),
+            col("x") + 50, lit(" "), col("y") + 50, lit(", "),
+            col("x") + 100, lit(" "), col("y"), lit(")")), 2.0).as("wkt"))
+        .orderBy("gid")),
+
     // d9: grid-partitioned bbox spatial join — points (derived from
     // customer) aggregated per containing rectangle (derived from nation).
     // Candidates come from an equi-join on grid cell (SpatialJoin.bboxJoin)
@@ -346,6 +362,7 @@ object QueriesD {
     // driver's hash gate
     "d5_transform_2272_4326" -> GoldenD.valuesOracle(GoldenD.D5),
     "d6_curve_to_line" -> GoldenD.valuesOracle(GoldenD.D6),
+    "d18_curve_tolerance" -> GoldenD.valuesOracle(GoldenD.D18),
     "d8_transform_utm" -> GoldenD.valuesOracle(GoldenD.D8),
     "d13_transform_web" -> GoldenD.valuesOracle(GoldenD.D13),
     "d14_transform_albers" -> GoldenD.valuesOracle(GoldenD.D14),

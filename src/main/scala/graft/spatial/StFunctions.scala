@@ -60,11 +60,21 @@ object StFunctions {
   }
 
   /** Circular-arc linearization (ST_CurveToLine,
-    * ref datum/postgis/table.py:189-191).
+    * ref datum/postgis/table.py:189-191). With no tolerance: the fixed
+    * 32-chords-per-arc surface. With `tolerance` (PostGIS
+    * `ST_CurveToLine(geom, tol, toltype => 1)`): per-arc chord counts
+    * from the sagitta bound — maximum chord-to-arc deviation ≤ tol.
     */
-  case class StCurveToLine(child: Expression) extends WktUnary {
-    override def op(s: String): String = Wkt.curveToLine(s)
-    override protected def withNewChildInternal(c: Expression): StCurveToLine = copy(c)
+  case class StCurveToLine(child: Expression, tolerance: Option[Double] = None)
+      extends WktUnary {
+    tolerance.foreach(t => require(t > 0,
+      s"st_curvetoline: tolerance must be positive, got $t"))
+    override def op(s: String): String = tolerance match {
+      case Some(t) => Wkt.curveToLineTol(s, t)
+      case None => Wkt.curveToLine(s)
+    }
+    override protected def withNewChildInternal(c: Expression): StCurveToLine =
+      copy(child = c)
     override def prettyName: String = "st_curve_to_line"
   }
 
@@ -199,6 +209,8 @@ object StFunctions {
   def stGeomFromText(c: Column): Column = stNormalizeWkt(c)
   def stForce2DJts(c: Column): Column = column(StForce2D(expression(c)))
   def stCurveToLine(c: Column): Column = column(StCurveToLine(expression(c)))
+  def stCurveToLine(c: Column, tolerance: Double): Column =
+    column(StCurveToLine(expression(c), Some(tolerance)))
   def stTransform(c: Column, from: Column, to: Column): Column =
     column(StTransform(expression(c), expression(from), expression(to)))
   def stCoversPoint(poly: Column, x: Column, y: Column): Column =

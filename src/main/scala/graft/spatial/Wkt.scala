@@ -86,15 +86,41 @@ object Wkt {
     *    curve segment type; first ring is the shell, rest are holes)
     *  - anything else                          → normalized unchanged
     */
-  def curveToLine(wkt: String, segmentsPerArc: Int = 32): String = {
+  def curveToLine(wkt: String, segmentsPerArc: Int = 32): String =
+    curveToLineWith(wkt, (_, _) => segmentsPerArc)
+
+  /** Tolerance-driven linearization (PostGIS `ST_CurveToLine(geom, tol,
+    * toltype => 1)` semantics): per arc, the chord count is the smallest
+    * n whose maximum chord-to-arc deviation (the sagitta r·(1−cos(Δ/2))
+    * of one chord subtending Δ = sweep/n) stays ≤ `tolerance`, capped to
+    * [1, 8192]. Unlike the fixed count, a tight arc gets more chords and
+    * a near-straight one fewer — the deviation CONTRACT is uniform, which
+    * is what a consumer meshing mixed-radius curves actually needs.
+    */
+  def curveToLineTol(wkt: String, tolerance: Double): String = {
+    require(tolerance > 0, s"curveToLineTol: tolerance must be positive, got $tolerance")
+    curveToLineWith(wkt, (r, sweep) => segmentsFor(r, sweep, tolerance))
+  }
+
+  /** Chords for one arc of radius `r`, absolute sweep `sweep`, under
+    * sagitta bound `tol`: one chord subtending Δ deviates r·(1−cos(Δ/2)),
+    * so Δmax = 2·acos(max(−1, 1 − tol/r)) and n = ceil(sweep/Δmax).
+    */
+  private[spatial] def segmentsFor(r: Double, sweep: Double, tol: Double): Int = {
+    val dMax = 2.0 * math.acos(math.max(-1.0, 1.0 - tol / r))
+    if (dMax <= 0) 8192
+    else math.min(8192, math.max(1, math.ceil(math.abs(sweep) / dMax).toInt))
+  }
+
+  private def curveToLineWith(wkt: String, nOf: (Double, Double) => Int): String = {
     val t = wkt.trim
     val up = t.toUpperCase
     if (up.startsWith("CIRCULARSTRING"))
-      write(gf.createLineString(circularCoords(innerOf(t), segmentsPerArc)))
+      write(gf.createLineString(circularCoords(innerOf(t), nOf)))
     else if (up.startsWith("COMPOUNDCURVE"))
-      write(gf.createLineString(compoundCoords(innerOf(t), segmentsPerArc)))
+      write(gf.createLineString(compoundCoords(innerOf(t), nOf)))
     else if (up.startsWith("CURVEPOLYGON")) {
-      val rings = splitTopLevel(innerOf(t)).map(r => closeRing(segmentCoords(r, segmentsPerArc)))
+      val rings = splitTopLevel(innerOf(t)).map(r => closeRing(segmentCoords(r, nOf)))
       val shell = gf.createLinearRing(rings.head)
       val holes = rings.tail.map(gf.createLinearRing)
       write(gf.createPolygon(shell, holes.toArray))
@@ -126,10 +152,10 @@ object Wkt {
   /** One curve segment (CIRCULARSTRING, nested COMPOUNDCURVE, or a bare
     * parenthesized point list) → linearized coordinates.
     */
-  private def segmentCoords(seg: String, n: Int): Array[Coordinate] = {
+  private def segmentCoords(seg: String, nOf: (Double, Double) => Int): Array[Coordinate] = {
     val up = seg.toUpperCase
-    if (up.startsWith("CIRCULARSTRING")) circularCoords(innerOf(seg), n)
-    else if (up.startsWith("COMPOUNDCURVE")) compoundCoords(innerOf(seg), n)
+    if (up.startsWith("CIRCULARSTRING")) circularCoords(innerOf(seg), nOf)
+    else if (up.startsWith("COMPOUNDCURVE")) compoundCoords(innerOf(seg), nOf)
     else plainCoords(if (seg.startsWith("(")) innerOf(seg) else seg)
   }
 
@@ -139,21 +165,21 @@ object Wkt {
       new Coordinate(x, y)
     }
 
-  private def circularCoords(inner: String, n: Int): Array[Coordinate] = {
+  private def circularCoords(inner: String, nOf: (Double, Double) => Int): Array[Coordinate] = {
     val pts = plainCoords(inner)
     require(pts.length >= 3 && pts.length % 2 == 1, s"bad CIRCULARSTRING arity ${pts.length}")
     val out = scala.collection.mutable.ArrayBuffer[Coordinate](pts.head)
     var i = 0
     while (i + 2 < pts.length) {
-      out ++= sampleArc(pts(i), pts(i + 1), pts(i + 2), n).tail
+      out ++= sampleArc(pts(i), pts(i + 1), pts(i + 2), nOf).tail
       i += 2
     }
     out.toArray
   }
 
   /** Concatenate component segments, fusing the shared endpoints. */
-  private def compoundCoords(inner: String, n: Int): Array[Coordinate] = {
-    val segs = splitTopLevel(inner).map(segmentCoords(_, n))
+  private def compoundCoords(inner: String, nOf: (Double, Double) => Int): Array[Coordinate] = {
+    val segs = splitTopLevel(inner).map(segmentCoords(_, nOf))
     val out = scala.collection.mutable.ArrayBuffer[Coordinate](segs.head.toIndexedSeq: _*)
     segs.tail.foreach(out ++= _.tail)
     out.toArray
@@ -166,8 +192,12 @@ object Wkt {
     if (c.head.equals2D(c.last)) c
     else { c(c.length - 1) = c.head.copy(); c }
 
-  /** Sample the circular arc through (p0, p1, p2) with n chords. */
-  private def sampleArc(p0: Coordinate, p1: Coordinate, p2: Coordinate, n: Int): Seq[Coordinate] = {
+  /** Sample the circular arc through (p0, p1, p2); the chord count comes
+    * from `nOf(radius, |sweep|)` — a constant for the fixed-count surface,
+    * the sagitta bound for the tolerance surface.
+    */
+  private def sampleArc(p0: Coordinate, p1: Coordinate, p2: Coordinate,
+      nOf: (Double, Double) => Int): Seq[Coordinate] = {
     // circumcenter of the three points
     val ax = p0.x; val ay = p0.y; val bx = p1.x; val by = p1.y; val cx = p2.x; val cy = p2.y
     val d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
@@ -185,6 +215,7 @@ object Wkt {
     val ccwTo1 = norm(a1 - a0); val ccwTo2 = norm(a2 - a0)
     val ccw = ccwTo1 <= ccwTo2 // p1 lies on the ccw path to p2
     val sweep = if (ccw) ccwTo2 else ccwTo2 - 2 * math.Pi
+    val n = nOf(r, math.abs(sweep))
     (0 to n).map { k =>
       val a = a0 + sweep * k / n
       new Coordinate(ux + r * math.cos(a), uy + r * math.sin(a))

@@ -53,6 +53,44 @@ object GraftProps extends Properties("graft") {
   private val text: Gen[String] =
     Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
 
+  /** Random arcs: center, radius, three ccw angles with real separation
+    * (near-collinear triples take the straight-line path by design).
+    */
+  private val arcCase: Gen[(Double, Double, Double, Double, Double, Double, Double)] = for {
+    cx <- Gen.choose(-1e4, 1e4); cy <- Gen.choose(-1e4, 1e4)
+    r <- Gen.choose(0.5, 2000.0)
+    a0 <- Gen.choose(0.0, 2 * math.Pi)
+    d1 <- Gen.choose(0.2, 2.0); d2 <- Gen.choose(0.2, 2.0)
+    tolFrac <- Gen.choose(1e-3, 0.5)
+  } yield (cx, cy, r, a0, a0 + d1, a0 + d1 + d2, tolFrac * r)
+
+  property("curveToLineTol: every chord's sagitta stays within the tolerance") =
+    forAll(arcCase) { case (cx, cy, r, a0, a1, a2, tol) =>
+      def pt(a: Double) = (cx + r * math.cos(a), cy + r * math.sin(a))
+      val (x0, y0) = pt(a0); val (x1, y1) = pt(a1); val (x2, y2) = pt(a2)
+      val wkt = s"CIRCULARSTRING($x0 $y0, $x1 $y1, $x2 $y2)"
+      val out = graft.spatial.Wkt.curveToLineTol(wkt, tol)
+      val coords = out.stripPrefix("LINESTRING (").stripSuffix(")")
+        .split(",").map { s =>
+          val Array(x, y) = s.trim.split("\\s+").map(_.toDouble); (x, y)
+        }
+      // per consecutive pair: subtended angle around the TRUE center ->
+      // sagitta r(1-cos(d/2)) must respect the bound (small fp slack: the
+      // re-derived circumcenter differs from the generator's in the last
+      // ulps, which perturbs the angles)
+      val sagittaOk = coords.iterator.sliding(2).forall { w =>
+        val (px, py) = w.head; val (qx, qy) = w.last
+        val pa = math.atan2(py - cy, px - cx); val qa = math.atan2(qy - cy, qx - cx)
+        var d = math.abs(qa - pa)
+        if (d > math.Pi) d = 2 * math.Pi - d
+        r * (1 - math.cos(d / 2)) <= tol * (1 + 1e-6) + 1e-9
+      }
+      // endpoints preserved (head exactly, tail to fp re-derivation)
+      val endsOk = coords.head == ((x0, y0)) &&
+        math.hypot(coords.last._1 - x2, coords.last._2 - y2) <= 1e-6 * r
+      sagittaOk && endsOk
+    }
+
   property("charPairs emits exactly max(|w|-1, 0) pairs per word, in order") =
     forAll(text) { t =>
       val got = graft.functions.MinhashKernel.charPairs(t)

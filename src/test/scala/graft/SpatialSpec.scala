@@ -51,6 +51,36 @@ class SpatialSpec extends AnyFunSuite {
     assert(Wkt.curveToLine("POINT (1 2)") == "POINT (1 2)")
   }
 
+  test("curveToLineTol: chord count follows the sagitta bound per arc") {
+    // unit half-circle, tol 0.1: dMax = 2*acos(0.9) ~ 0.9027 rad,
+    // n = ceil(pi/0.9027) = 4 chords
+    val out = Wkt.curveToLineTol("CIRCULARSTRING(0 0, 1 1, 2 0)", 0.1)
+    val g = Wkt.parse(out)
+    assert(g.getNumPoints == 5, s"expected 4 chords, got ${g.getNumPoints - 1}")
+    g.getCoordinates.foreach { c =>
+      assert(math.abs(math.hypot(c.x - 1, c.y) - 1.0) < 1e-9, s"off-circle: $c")
+    }
+    assert(g.getCoordinates.head.x == 0 && g.getCoordinates.last.x == 2)
+    // every chord's sagitta within tol: subtended angle pi/4 around (1,0)
+    g.getCoordinates.sliding(2).foreach { w =>
+      val mid = new org.locationtech.jts.geom.Coordinate(
+        (w(0).x + w(1).x) / 2, (w(0).y + w(1).y) / 2)
+      val sag = 1.0 - math.hypot(mid.x - 1, mid.y) // arc at r=1 minus chord mid
+      assert(sag <= 0.1 + 1e-9, s"sagitta $sag over tol")
+    }
+    // a loose tolerance collapses to a single chord; the d6 fixed surface
+    // is unchanged at 32; the d18 golden family uses 6 chords (r=50, tol 2)
+    assert(Wkt.parse(Wkt.curveToLineTol("CIRCULARSTRING(0 0, 1 1, 2 0)", 2.0))
+      .getNumPoints == 2)
+    val d18 = Wkt.parse(Wkt.curveToLineTol(
+      "CIRCULARSTRING(2661000 220500, 2661050 220550, 2661100 220500)", 2.0))
+    assert(d18.getNumPoints == 7, s"d18 family: ${d18.getNumPoints}")
+    // tighter tolerance => more chords, monotone
+    assert(Wkt.parse(Wkt.curveToLineTol("CIRCULARSTRING(0 0, 1 1, 2 0)", 0.001))
+      .getNumPoints > 33)
+    intercept[IllegalArgumentException](Wkt.curveToLineTol("POINT (0 0)", -1.0))
+  }
+
   test("curveToLine: COMPOUNDCURVE fuses arc and straight segments") {
     val out = Wkt.curveToLine("COMPOUNDCURVE(CIRCULARSTRING(0 0, 1 1, 2 0), (2 0, 4 0))")
     val g = Wkt.parse(out)
