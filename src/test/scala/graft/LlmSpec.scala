@@ -209,6 +209,60 @@ class LlmSpec extends AnyFunSuite {
       s"expected map-side partial aggregation in:\n$plan")
   }
 
+  test("BloomAgg: identical filter under any partitioning; one-exchange partial plan") {
+    import graft.functions.AggExpressions.{bloomAgg, bloomContains}
+    val rnd = new scala.util.Random(11)
+    val xs = (1 to 3000).map(_ => rnd.nextLong())
+    val filters = Seq(1, 7, 32).map { parts =>
+      xs.toDF("h").repartition(parts)
+        .agg(bloomAgg(col("h"), 1 << 16, 5).as("f"))
+        .collect()(0).getAs[Array[Byte]](0).toSeq
+    }
+    // byte-OR merge is commutative/associative: the FILTER ITSELF (not
+    // just its answers) must be partition-order-independent
+    assert(filters.distinct.size == 1, "bloom filter must not depend on partitioning")
+    // one-sided error through the DataFrame surface
+    val df = xs.toDF("h")
+    val bf = df.agg(bloomAgg(col("h"), 1 << 16, 5).as("f"))
+    val probed = df.crossJoin(bf)
+      .select(bloomContains(col("f"), col("h"), 5).as("hit"))
+      .collect().map(_.getBoolean(0))
+    assert(probed.forall(identity), "members must always probe true")
+    val plan = df.groupBy(lit(1)).agg(bloomAgg(col("h")).as("f"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bloom_agg"),
+      s"expected map-side partial aggregation in:\n$plan")
+  }
+
+  test("TopKSketch: certified guarantees hold through the DataFrame surface × partitioning") {
+    import graft.functions.AggExpressions.topkSketch
+    val rnd = new scala.util.Random(5)
+    // Zipf-ish: token t_k with weight ~ 1/k
+    val xs = (1 to 20000).map { _ =>
+      val k = math.min(99, (1.0 / (rnd.nextDouble() + 1e-9)).toInt)
+      s"t$k"
+    }
+    val truth = xs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    for (parts <- Seq(1, 7, 32)) {
+      val r = xs.toDF("w").repartition(parts)
+        .agg(topkSketch(col("w"), 32).as("s"))
+        .select("s.items", "s.counts", "s.err", "s.n").collect()(0)
+      val est = r.getSeq[String](0).zip(r.getSeq[Long](1)).toMap
+      val err = r.getLong(2)
+      assert(r.getLong(3) == xs.size.toLong, s"parts=$parts: n")
+      assert(err * 33 <= xs.size, s"parts=$parts: err ceiling")
+      truth.foreach { case (item, t) =>
+        val e = est.getOrElse(item, 0L)
+        assert(e <= t && t <= e + err, s"parts=$parts: bracketing $item")
+        assert(t <= err || est.contains(item), s"parts=$parts: coverage $item")
+      }
+    }
+    val plan = xs.toDF("w").groupBy(lit(1)).agg(topkSketch(col("w")).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_sketch"),
+      s"expected map-side partial aggregation in:\n$plan")
+  }
+
   test("QuantileSketch: certified rank-error bound holds for every distribution × partitioning") {
     import graft.functions.AggExpressions.quantileSketch
     val rnd = new scala.util.Random(42)
