@@ -156,6 +156,7 @@ object QueriesE {
       memoKey = s"kmeans|$dir|embeddings|k8|it3")
     pqCodebooks(base, "vec_id",
       memoKey = s"pqcb|$dir|embeddings|m4|ks4|it2|d64")
+    bloomFilterBytes(s, dir): Unit // e76/f29's 128 KB eval-set filter
     graft.Caches.drain()
   }
 
