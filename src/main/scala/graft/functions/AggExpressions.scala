@@ -301,7 +301,22 @@ object BloomHelper {
     }
   }
 
+  /** The probe surface is SQL-registered, so an arbitrary BINARY can
+    * arrive: a zero-length or non-power-of-two filter would turn the
+    * mask arithmetic into negative/aliased indexing — fail loudly.
+    */
+  def checkFilter(filter: Array[Byte]): Unit =
+    if (filter.length < 8 || (filter.length & (filter.length - 1)) != 0)
+      throw new IllegalArgumentException(
+        s"bloom filter must be a power-of-two byte array >= 8 bytes " +
+          s"(a bloom_agg result), got ${filter.length} bytes")
+
   def contains(filter: Array[Byte], v: Long, k: Int): Boolean = {
+    checkFilter(filter)
+    containsUnchecked(filter, v, k)
+  }
+
+  private def containsUnchecked(filter: Array[Byte], v: Long, k: Int): Boolean = {
     val mask = filter.length * 8 - 1
     val h1 = mix(v)
     val h2 = mix(v ^ 0x9e3779b97f4a7c15L) | 1L
@@ -321,6 +336,7 @@ object BloomHelper {
     */
   def hits(arr: org.apache.spark.sql.catalyst.util.ArrayData,
       filter: Array[Byte], k: Int): Int = {
+    checkFilter(filter)
     var n = 0
     var i = 0
     while (i < arr.numElements()) {
@@ -328,7 +344,7 @@ object BloomHelper {
         val s = arr.getUTF8String(i)
         val h = org.apache.spark.sql.catalyst.expressions.XXH64
           .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        if (contains(filter, h, k)) n += 1
+        if (containsUnchecked(filter, h, k)) n += 1
       }
       i += 1
     }
@@ -402,8 +418,10 @@ case class BloomAgg(
   * Codegen'd (k bit-tests via the static [[BloomHelper]]), so the probe
   * stays inside WholeStageCodegen in the corpus scan — the broadcast
   * filter rides a 1-row cross join exactly like the library's query
-  * vectors. `k` must match the build side; the byte layout is checked
-  * only by size (power of two enforced at build).
+  * vectors. `k` must match the build side; the filter operand must be a
+  * power-of-two byte array ([[BloomHelper.checkFilter]] fails loudly on
+  * anything else — the probe is SQL-registered, so arbitrary binaries
+  * can arrive).
   */
 case class BloomContains(left: Expression, right: Expression, k: Int)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -492,10 +510,8 @@ final class TopKBuffer(val c: Int) {
       case None =>
         // decrement-all round: c stored counters + the dropped arrival
         err += 1
-        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
         counts.mapValuesInPlace((_, v) => v - 1)
-        counts.foreach { case (k, v) => if (v <= 0) dead += k }
-        dead.foreach(counts.remove)
+        counts.filterInPlace((_, v) => v > 0)
     }
   }
 
@@ -505,10 +521,8 @@ final class TopKBuffer(val c: Int) {
     if (counts.size > c) {
       val t = counts.values.toArray.sortInPlace()(Ordering[Long].reverse).apply(c)
       err += t
-      val dead = scala.collection.mutable.ArrayBuffer.empty[String]
       counts.mapValuesInPlace((_, v) => v - t)
-      counts.foreach { case (k, v) => if (v <= 0) dead += k }
-      dead.foreach(counts.remove)
+      counts.filterInPlace((_, v) => v > 0)
     }
   }
 }

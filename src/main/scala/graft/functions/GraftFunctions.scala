@@ -64,9 +64,17 @@ object GraftFunctions {
     "st_astext"        -> (es => StNormalizeWkt(es.head)),
     "st_geomfromtext"  -> (es => StNormalizeWkt(es.head)),
     "st_force2d"       -> (es => StForce2D(es.head)),
-    // optional 2nd arg = max chord-to-arc deviation (PostGIS toltype 1)
-    "st_curvetoline"   -> (es => StCurveToLine(es.head,
-      if (es.length > 1) Some(dblArg(es(1), "st_curvetoline")) else None)),
+    // optional 2nd arg = max chord-to-arc deviation (PostGIS toltype 1
+    // ONLY — a 3rd toltype argument is rejected, not silently dropped:
+    // PostGIS's toltype-0/2 calls would otherwise get wrong-semantics
+    // output with no error)
+    "st_curvetoline"   -> { es =>
+      require(es.length <= 2, "st_curvetoline: supports (wkt) or " +
+        "(wkt, tolerance) with toltype-1 (max deviation) semantics only; " +
+        s"got ${es.length} arguments")
+      StCurveToLine(es.head,
+        if (es.length > 1) Some(dblArg(es(1), "st_curvetoline")) else None)
+    },
     "st_transform"     -> (es => StTransform(es(0), es(1), es(2))),
     // coordinate args cast like the Column API does — without this the
     // SQL surface would reject integer literals/columns the Column

@@ -156,7 +156,8 @@ object QueriesE {
       memoKey = s"kmeans|$dir|embeddings|k8|it3")
     pqCodebooks(base, "vec_id",
       memoKey = s"pqcb|$dir|embeddings|m4|ks4|it2|d64")
-    bloomFilterBytes(s, dir): Unit // e76/f29's 128 KB eval-set filter
+    bloomFilterBytes(s, dir): Unit // f29's 128 KB eval-set filter (e76
+    // deliberately keeps the DISTRIBUTED bloom_agg build in its plan)
     graft.Caches.drain()
   }
 
@@ -616,9 +617,10 @@ object QueriesE {
     * arrives already aggregated per doc.
     */
   private[graft] def bloomGradeReport(perDoc: org.apache.spark.sql.DataFrame,
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val sh = t(s, dir, "documents").select(col("doc_id"),
-      explode(TextExpressions.distinctShingles(col("text"), 4)).as("g"))
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      sh0: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
+    val sh = sh0.getOrElse(t(s, dir, "documents").select(col("doc_id"),
+      explode(TextExpressions.distinctShingles(col("text"), 4)).as("g")))
     val evG = sh.filter(col("doc_id") % 97 === 0).select("g").distinct()
     val exact = sh.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(evG), Seq("g"), "left_semi")
@@ -2089,8 +2091,11 @@ object QueriesE {
     // per-gram FP rate (1−e^(−kn/m))^k ≈ 1e-10 here).
     "e76_bloom_decontaminate" -> ((s, dir) => {
       val agx = graft.functions.AggExpressions
-      val sh = t(s, dir, "documents").select(col("doc_id"),
-        explode(TextExpressions.distinctShingles(col("text"), 4)).as("g"))
+      // consumed three times (filter build, probe side, exact side) —
+      // one shingle explode, cached
+      val sh = graft.Caches.persistTracked(
+        t(s, dir, "documents").select(col("doc_id"),
+          explode(TextExpressions.distinctShingles(col("text"), 4)).as("g")))
       val evG = sh.filter(col("doc_id") % 97 === 0).select("g").distinct()
       val bf = evG.agg(agx.bloomAgg(xxhash64(col("g")), 1 << 20, 5).as("bf"))
       val perDoc = sh.filter(col("doc_id") % 97 =!= 0)
@@ -2100,7 +2105,7 @@ object QueriesE {
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom"))
         .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
-      bloomGradeReport(perDoc, s, dir)
+      bloomGradeReport(perDoc, s, dir, Some(sh))
     }),
 
     // e77: corpus heavy hitters via the mergeable Misra–Gries sketch

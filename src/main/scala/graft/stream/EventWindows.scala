@@ -169,8 +169,8 @@ object EventWindows {
       ltz(readStreamEvents(spark, dir))
         .withWatermark("ts", delay)
         .groupBy(window(col("ts"), width).as("w"))
-        .agg(sk.as("sk"), count(lit(1)).as("n"))
-        .select(col("w.start").cast("long").as("epoch_start"), col("sk"), col("n")),
+        .agg(sk.as("sk")) // sk.n IS the window count (no null user_ids)
+        .select(col("w.start").cast("long").as("epoch_start"), col("sk")),
       "append", sinkName)
   }
 

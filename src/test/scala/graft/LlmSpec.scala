@@ -74,6 +74,15 @@ class LlmSpec extends AnyFunSuite {
       "SELECT topk_sketch(CAST(doc_id % 2 AS STRING), 8) AS sk FROM gf_docs2")
       .selectExpr("sk.err", "sk.n", "sk.counts[0]").collect()
     assert(tk(0).getLong(0) == 0L && tk(0).getLong(1) == 5L && tk(0).getLong(2) == 3L)
+    // the probe surface takes arbitrary BINARY from SQL: a non-bloom_agg
+    // filter must fail loudly, not index out of bounds / probe aliased bits
+    val bad = intercept[Exception](spark.sql(
+      "SELECT bloom_contains(CAST('xy' AS BINARY), xxhash64('a')) FROM gf_docs2").collect())
+    assert(bad.getMessage.contains("power-of-two"), s"got: ${bad.getMessage}")
+    // a 3rd (toltype) argument is rejected, never silently dropped
+    val tol = intercept[Exception](spark.sql(
+      "SELECT st_curvetoline('POINT (0 0)', 1.0, 0) FROM gf_docs2").collect())
+    assert(tol.getMessage.contains("toltype"), s"got: ${tol.getMessage}")
   }
 
   test("chunkWindows: no subsumed trailing chunk; null text dropped; short docs one chunk") {
