@@ -87,7 +87,11 @@ object PlanPins {
       "e69_cluster_cap",
       // e72: two-pass per-(split, shard) resume sequence — window is on
       // (split, shard, pid), bounded by a range partition (e61's recipe)
-      "e72_training_manifest")
+      "e72_training_manifest",
+      // e79: two-phase top-3 per source (e50's class) — phase 1 windows
+      // on (source, pid) (bounded by a scan partition), phase 2 on
+      // source over the ≤ 3·partitions local winners
+      "e79_source_heavy_hitters")
 
   /** The plan-shape assertions, applied to a physical-plan string. Returns
     * the violations (empty = clean). Callers decide fail-fast (ScalaTest)

@@ -44,6 +44,27 @@ object GraftFunctions {
     }
   }
 
+  /** Literal array-of-numeric argument (e.g. quantile percentages). */
+  private def dblSeqArg(e: Expression, fn: String): Seq[Double] = {
+    require(e.foldable, s"$fn: percentages argument must be a literal array")
+    e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map { i =>
+          if (a.isNullAt(i)) throw new IllegalArgumentException(
+            s"$fn: array<numeric> literal expected, got a null element at index $i")
+          a.get(i, e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType) match {
+            case d: Double => d; case f: Float => f.toDouble
+            case n: Int => n.toDouble; case l: Long => l.toDouble
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case other => throw new IllegalArgumentException(
+              s"$fn: numeric array element expected, got $other")
+          }
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn: array<numeric> literal expected, got $other")
+    }
+  }
+
   /** Literal array-of-string argument (e.g. trained BPE merges). */
   private def stringSeqArg(e: Expression, fn: String): Seq[String] = {
     require(e.foldable, s"$fn: merges argument must be a literal array")
@@ -119,7 +140,14 @@ object GraftFunctions {
       if (es.length > 2) intArg(es(2), "bloom_hits") else 5)),
     // topk_sketch(item [, capacity]) — mergeable Misra–Gries heavy hitters
     "topk_sketch"      -> (es => TopKSketch(es(0),
-      if (es.length > 1) intArg(es(1), "topk_sketch") else 64)))
+      if (es.length > 1) intArg(es(1), "topk_sketch") else 64)),
+    // quantile_sketch(x, array(0.5, 0.9) [, k]) — certified-bound
+    // mergeable percentiles (returns struct(values, err_bound, n))
+    "quantile_sketch"  -> (es => QuantileSketch(
+      org.apache.spark.sql.catalyst.expressions.Cast(es(0),
+        org.apache.spark.sql.types.DoubleType),
+      dblSeqArg(es(1), "quantile_sketch"),
+      if (es.length > 2) intArg(es(2), "quantile_sketch") else 1024)))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit = all.foreach { case (name, b) =>

@@ -1970,6 +1970,42 @@ object QueriesE {
     // aggregate: the cost of knowing is one pass. Every list appears
     // (zero-count lists included via the centroid range) so a dead list
     // is as visible as a hot one.
+    // e79: PER-SOURCE heavy-hitter tokens — e77's certified Misra–Gries
+    // sketch as a GROUPED aggregate (e75's serving shape applied to
+    // frequency): one c=32 buffer per source rides the map-side-combined
+    // aggregation, so the wire cost is #sources × O(c) regardless of
+    // corpus or vocabulary size — the per-domain "top terms" datacard
+    // column at 100 TB. Graded per source against the exact top-3 tokens
+    // (deterministic tie-break), with the certified booleans provable for
+    // every run exactly as in e77.
+    "e79_source_heavy_hitters" -> ((s, dir) => {
+      val C = 32
+      val words = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .transform(graft.Caches.persistTracked)
+      val sk = words.groupBy("source")
+        .agg(graft.functions.AggExpressions.topkSketch(col("word"), C).as("sk"))
+        .transform(graft.Caches.persistTracked)
+      val est = sk.select(col("source"),
+          explode(arrays_zip(col("sk.items").as("i"), col("sk.counts").as("c"))).as("z"))
+        .select(col("source"), col("z.i").as("word"), col("z.c").as("est"))
+      val bounds = sk.select(col("source"),
+        col("sk.err").as("b_err"), col("sk.n").as("b_n"))
+      val exact = words.groupBy("source", "word").agg(count(lit(1)).as("exact_n"))
+      val top = graft.rel.Q.topKPerGroup(exact, "source", 3,
+        Seq(col("exact_n").desc, col("word"))).drop("rank")
+      top.join(est, Seq("source", "word"), "left")
+        .join(bounds, "source")
+        .select(col("source"), col("word"), col("exact_n"),
+          (col("est").isNotNull || col("exact_n") <= col("b_err")).as("covered"),
+          (col("est").isNull || (col("est") <= col("exact_n") &&
+            col("exact_n") <= col("est") + col("b_err"))).as("est_ok"),
+          (col("b_err") * (C + 1) <= col("b_n")).as("err_bound_ok"))
+        .orderBy(col("source"), col("exact_n").desc, col("word"))
+    }),
+
     // e78: IVF index REBALANCE — the maintenance step e73's monitor
     // exists to trigger, completing the ANN lifecycle (build e18 /
     // persist e64 / filtered-serve e58 / monitor e73 / ingest f26 /
@@ -2788,6 +2824,16 @@ object QueriesE {
         "sizes AS (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id) " +
         "SELECT sz, count(*) AS n_clusters FROM sizes GROUP BY sz ORDER BY sz"),
     "e76_bloom_decontaminate" -> sqlBloomReport,
+    "e79_source_heavy_hitters" ->
+      ("WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "cnt AS (SELECT source, word, CAST(count(*) AS BIGINT) AS exact_n " +
+        "FROM w WHERE word <> '' GROUP BY 1, 2), " +
+        "top AS (SELECT *, row_number() OVER (PARTITION BY source " +
+        "ORDER BY exact_n DESC, word) AS rk FROM cnt) " +
+        "SELECT source, word, exact_n, TRUE AS covered, TRUE AS est_ok, " +
+        "TRUE AS err_bound_ok FROM top WHERE rk <= 3 " +
+        "ORDER BY source, exact_n DESC, word"),
     "e77_heavy_hitters" ->
       ("WITH w AS (SELECT unnest(string_split(text, ' ')) AS word " +
         "FROM documents WHERE text IS NOT NULL) " +

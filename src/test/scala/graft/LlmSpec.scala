@@ -74,6 +74,12 @@ class LlmSpec extends AnyFunSuite {
       "SELECT topk_sketch(CAST(doc_id % 2 AS STRING), 8) AS sk FROM gf_docs2")
       .selectExpr("sk.err", "sk.n", "sk.counts[0]").collect()
     assert(tk(0).getLong(0) == 0L && tk(0).getLong(1) == 5L && tk(0).getLong(2) == 3L)
+    // quantile_sketch resolves with an array-literal percentages argument;
+    // 5 values < k are retained exactly (p50 of ids 1..5 = 3, bound = slack)
+    val qs = spark.sql(
+      "SELECT quantile_sketch(CAST(doc_id AS DOUBLE), array(0.5)) AS s FROM gf_docs2")
+      .selectExpr("s.values[0]", "s.n").collect()
+    assert(qs(0).getDouble(0) == 3.0 && qs(0).getLong(1) == 5L)
     // the probe surface takes arbitrary BINARY from SQL: a non-bloom_agg
     // filter must fail loudly, not index out of bounds / probe aliased bits
     val bad = intercept[Exception](spark.sql(
