@@ -49,7 +49,9 @@ object PlanPins {
       "e76_bloom_decontaminate",
       // e77: crossJoins against the broadcast single-row topk_sketch
       // summary and its (err, n) bounds row — O(10·1) grading attachment
-      "e77_heavy_hitters")
+      "e77_heavy_hitters",
+      // e81: e4's single-row query-vector crossJoin for the dense arm
+      "e81_hybrid_rrf")
 
   /** E-group queries whose plans intentionally contain a Window exec. The
     * forbidden class is a window partitioned by a DATA-DEPENDENT UNBOUNDED
@@ -91,7 +93,10 @@ object PlanPins {
       // e79: two-phase top-3 per source (e50's class) — phase 1 windows
       // on (source, pid) (bounded by a scan partition), phase 2 on
       // source over the ≤ 3·partitions local winners
-      "e79_source_heavy_hitters")
+      "e79_source_heavy_hitters",
+      // e81: rank windows run AFTER each arm's top-20 limit — ≤ 20-row
+      // frames by construction (TakeOrderedAndProject feeds them)
+      "e81_hybrid_rrf")
 
   /** The plan-shape assertions, applied to a physical-plan string. Returns
     * the violations (empty = clean). Callers decide fail-fast (ScalaTest)

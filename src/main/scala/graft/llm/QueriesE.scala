@@ -636,6 +636,74 @@ object QueriesE {
       .orderBy("source")
   }
 
+  /** e80/e81's fixed lexical query (terms known-frequent in the corpus,
+    * so both arms always have a full candidate list).
+    */
+  private val Bm25Terms = Seq("hash", "join", "scan")
+
+  /** BM25-scored docs (k1=1.2, b=0.75) for the fixed query — only docs
+    * containing ≥1 query term (the posting union, exactly what an
+    * inverted index serves). Corpus stats are bounded driver aggregates
+    * (1 stats row + ≤3 df rows); per-doc tfs pivot into fixed columns so
+    * the score is one LEFT-TO-RIGHT arithmetic chain per term, summed in
+    * term order — with the rational smoothed idf (N+1)/(df+1) (the e29
+    * trick: ranking-equivalent to log idf for fixed N, and bit-portable
+    * where ln is not). Shared by e80 (top-10) and e81 (fusion arm).
+    */
+  private def bm25Scores(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val words = graft.Caches.persistTracked(
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= ""))
+    val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val st = lens.agg(count(lit(1)).as("nd"), sum(col("len")).as("tl")).collect()(0)
+    val nd = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / nd.toDouble
+    val dfs = words.filter(col("word").isin(Bm25Terms: _*))
+      .groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tfs = words.filter(col("word").isin(Bm25Terms: _*))
+      .groupBy("doc_id").pivot("word", Bm25Terms).agg(count(lit(1)))
+    def termScore(term: String): org.apache.spark.sql.Column = {
+      val idf = (nd + 1).toDouble / (dfs.getOrElse(term, 0L) + 1).toDouble
+      val tf = col(term).cast("double")
+      when(col(term).isNull, lit(0.0)).otherwise(
+        lit(idf) * tf * lit(2.2) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("len").cast("double") / lit(avgdl)))))
+    }
+    tfs.join(lens, "doc_id")
+      .select(col("doc_id"),
+        (termScore(Bm25Terms(0)) + termScore(Bm25Terms(1)) + termScore(Bm25Terms(2)))
+          .as("score"))
+  }
+
+  /** DuckDB replica of [[bm25Scores]] — CTE chain ending in
+    * `scored(doc_id, score)`, every arithmetic step parenthesized to the
+    * Spark side's left-to-right evaluation order.
+    */
+  private def sqlBm25Ctes: String = {
+    val ts = Bm25Terms
+    val hits = ts.map(t => s"sum(CASE WHEN word = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(", ")
+    def idf(t: String) = s"((nd + 1)::DOUBLE / (df_$t + 1)::DOUBLE)"
+    def sc(t: String) =
+      s"(CASE WHEN tf_$t = 0 THEN 0.0 ELSE " +
+        s"(((${idf(t)} * tf_$t::DOUBLE) * 2.2) / " +
+        s"(tf_$t::DOUBLE + (1.2 * (0.25 + (0.75 * (len::DOUBLE / (tl::DOUBLE / nd::DOUBLE))))))) END)"
+    "w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "wf AS (SELECT doc_id, word FROM w WHERE word <> ''), " +
+      "lens AS (SELECT doc_id, count(*) AS len FROM wf GROUP BY 1), " +
+      "st AS (SELECT count(*) AS nd, sum(len) AS tl FROM lens), " +
+      ts.map(t => s"d_$t AS (SELECT count(DISTINCT doc_id) AS df_$t FROM wf WHERE word = '$t')")
+        .mkString(", ") + ", " +
+      s"tfs AS (SELECT doc_id, $hits FROM wf GROUP BY doc_id), " +
+      s"scored AS (SELECT tfs.doc_id, ((${sc(ts(0))} + ${sc(ts(1))}) + ${sc(ts(2))}) AS score " +
+      "FROM tfs JOIN lens ON tfs.doc_id = lens.doc_id CROSS JOIN st " +
+      ts.map(t => s"CROSS JOIN d_$t ").mkString +
+      s"WHERE ((tf_${ts(0)} + tf_${ts(1)}) + tf_${ts(2)}) > 0)"
+  }
+
   /** DuckDB shingle list (word n-grams) for the `documents` table. */
   private def sqlShingles(n: Int): String =
     s"list_transform(range(len(string_split(text,' ')) - ${n - 1}), " +
@@ -1970,6 +2038,54 @@ object QueriesE {
     // aggregate: the cost of knowing is one pass. Every list appears
     // (zero-count lists included via the centroid range) so a dead list
     // is as visible as a hot one.
+    // e80: BM25 sparse retrieval — the lexical arm of the retrieval tier
+    // the inverted index (e39) exists to serve. Corpus statistics (N,
+    // avgdl, per-term df) are bounded driver aggregates (4 rows total);
+    // per-doc term frequencies pivot into fixed columns so the three-term
+    // score is ONE left-to-right arithmetic chain — the e29 trick
+    // (rational smoothed idf (N+1)/(df+1) instead of log) makes the
+    // ranking bit-portable across engines (ln is correctly-rounded
+    // nowhere). Top-10 by (score, doc_id) rides TakeOrderedAndProject —
+    // no global sort, no window.
+    "e80_bm25_retrieval" -> ((s, dir) =>
+      bm25Scores(s, dir).orderBy(col("score").desc, col("doc_id")).limit(10)),
+
+    // e81: HYBRID retrieval — reciprocal-rank fusion of the sparse arm
+    // (e80's BM25) and the dense arm (e4's exact cosine to query vector
+    // 0): rrf = 1/(60+r_sparse) + 1/(60+r_dense) over each arm's top-20.
+    // The production shape: each arm produces a SMALL candidate list
+    // (scale-safe top-K; ranks are windows over ≤20 rows), fusion is a
+    // full outer join of two 20-row frames — never a global ranking of
+    // the corpus. Exact rational arithmetic end to end, so the fused
+    // ordering gates bit-exactly.
+    "e81_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sparse = bm25Scores(s, dir)
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+        .withColumn("r_sparse",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "r_sparse")
+      val e = t(s, dir, "embeddings")
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(Similarity.asDouble(col("embedding")).as("q")))
+      val dense = e.filter(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .select(col("vec_id").as("doc_id"),
+          Similarity.cosine(Similarity.asDouble(col("embedding")), col("q")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(20)
+        .withColumn("r_dense",
+          row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "r_dense")
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          // rank 0 = "not in this arm's top-20" (null would hash as NaN)
+          coalesce(col("r_sparse"), lit(0L)).as("r_sparse"),
+          coalesce(col("r_dense"), lit(0L)).as("r_dense"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("r_sparse")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("r_dense")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    }),
+
     // e79: PER-SOURCE heavy-hitter tokens — e77's certified Misra–Gries
     // sketch as a GROUPED aggregate (e75's serving shape applied to
     // frequency): one c=32 buffer per source rides the map-side-combined
@@ -2824,6 +2940,22 @@ object QueriesE {
         "sizes AS (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id) " +
         "SELECT sz, count(*) AS n_clusters FROM sizes GROUP BY sz ORDER BY sz"),
     "e76_bloom_decontaminate" -> sqlBloomReport,
+    "e80_bm25_retrieval" ->
+      (s"WITH $sqlBm25Ctes " +
+        "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"),
+    "e81_hybrid_rrf" ->
+      (s"WITH $sqlBm25Ctes, " +
+        "sp AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_sparse " +
+        "FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)), " +
+        "q AS (SELECT embedding FROM embeddings WHERE vec_id = 0), " +
+        s"dc AS (SELECT e.vec_id AS doc_id, (${sqlDot("e", "q")}) / (${sqlNorm("e")} * ${sqlNorm("q")}) AS cos " +
+        "FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, doc_id LIMIT 20), " +
+        "dn AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_dense FROM dc) " +
+        "SELECT doc_id, COALESCE(r_sparse, 0) AS r_sparse, " +
+        "COALESCE(r_dense, 0) AS r_dense, " +
+        "(COALESCE(1.0 / (60.0 + r_sparse), 0.0) + COALESCE(1.0 / (60.0 + r_dense), 0.0)) AS rrf " +
+        "FROM sp FULL OUTER JOIN dn USING (doc_id) " +
+        "ORDER BY rrf DESC, doc_id LIMIT 10"),
     "e79_source_heavy_hitters" ->
       ("WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word " +
         "FROM documents WHERE text IS NOT NULL), " +
