@@ -639,7 +639,7 @@ object QueriesE {
   /** e80/e81's fixed lexical query (terms known-frequent in the corpus,
     * so both arms always have a full candidate list).
     */
-  private val Bm25Terms = Seq("hash", "join", "scan")
+  private[graft] val Bm25Terms = Seq("hash", "join", "scan")
 
   /** BM25-scored docs (k1=1.2, b=0.75) for the fixed query — only docs
     * containing ≥1 query term (the posting union, exactly what an
@@ -650,31 +650,54 @@ object QueriesE {
     * trick: ranking-equivalent to log idf for fixed N, and bit-portable
     * where ln is not). Shared by e80 (top-10) and e81 (fusion arm).
     */
+  /** Corpus-level BM25 statistics — (N docs, avgdl, per-term df) —
+    * session-memoized driver artifacts (1 + ≤3 bounded rows), the
+    * "index-time stats" both the batch scorer and the f30 ingest scorer
+    * consume.
+    */
+  private[graft] def bm25Stats(s: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Double, Map[String, Long]) =
+    graft.Caches.memoVal(s"bm25|$dir|${Bm25Terms.mkString(",")}") {
+      val words = graft.Caches.persistTracked(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= ""))
+      val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val st = lens.agg(count(lit(1)).as("nd"), sum(col("len")).as("tl")).collect()(0)
+      val dfs = words.filter(col("word").isin(Bm25Terms: _*))
+        .groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (st.getLong(0), st.getLong(1).toDouble / st.getLong(0).toDouble, dfs)
+    }
+
+  /** One term's BM25 contribution given a tf column (null ⇒ 0 hits) and a
+    * len column — the exact left-to-right chain [[sqlBm25Ctes]] mirrors.
+    */
+  private[graft] def bm25TermScore(term: String, tf0: org.apache.spark.sql.Column,
+      len: org.apache.spark.sql.Column, nd: Long, avgdl: Double,
+      dfs: Map[String, Long]): org.apache.spark.sql.Column = {
+    val idf = (nd + 1).toDouble / (dfs.getOrElse(term, 0L) + 1).toDouble
+    val tf = tf0.cast("double")
+    when(tf0.isNull || tf0 === 0, lit(0.0)).otherwise(
+      lit(idf) * tf * lit(2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (len.cast("double") / lit(avgdl)))))
+  }
+
   private def bm25Scores(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
+    val (nd, avgdl, dfs) = bm25Stats(s, dir)
     val words = graft.Caches.persistTracked(
       t(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= ""))
     val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
-    val st = lens.agg(count(lit(1)).as("nd"), sum(col("len")).as("tl")).collect()(0)
-    val nd = st.getLong(0)
-    val avgdl = st.getLong(1).toDouble / nd.toDouble
-    val dfs = words.filter(col("word").isin(Bm25Terms: _*))
-      .groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val tfs = words.filter(col("word").isin(Bm25Terms: _*))
       .groupBy("doc_id").pivot("word", Bm25Terms).agg(count(lit(1)))
-    def termScore(term: String): org.apache.spark.sql.Column = {
-      val idf = (nd + 1).toDouble / (dfs.getOrElse(term, 0L) + 1).toDouble
-      val tf = col(term).cast("double")
-      when(col(term).isNull, lit(0.0)).otherwise(
-        lit(idf) * tf * lit(2.2) /
-          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("len").cast("double") / lit(avgdl)))))
-    }
     tfs.join(lens, "doc_id")
       .select(col("doc_id"),
-        (termScore(Bm25Terms(0)) + termScore(Bm25Terms(1)) + termScore(Bm25Terms(2)))
+        (bm25TermScore(Bm25Terms(0), col(Bm25Terms(0)), col("len"), nd, avgdl, dfs) +
+          bm25TermScore(Bm25Terms(1), col(Bm25Terms(1)), col("len"), nd, avgdl, dfs) +
+          bm25TermScore(Bm25Terms(2), col(Bm25Terms(2)), col("len"), nd, avgdl, dfs))
           .as("score"))
   }
 
@@ -682,7 +705,7 @@ object QueriesE {
     * `scored(doc_id, score)`, every arithmetic step parenthesized to the
     * Spark side's left-to-right evaluation order.
     */
-  private def sqlBm25Ctes: String = {
+  private[graft] def sqlBm25Ctes: String = {
     val ts = Bm25Terms
     val hits = ts.map(t => s"sum(CASE WHEN word = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(", ")
     def idf(t: String) = s"((nd + 1)::DOUBLE / (df_$t + 1)::DOUBLE)"

@@ -543,6 +543,36 @@ object EventWindows {
     runToMemorySink(perDoc, "append", sinkName)
   }
 
+  /** f30: BM25 scoring ON INGEST — the retrieval twin of f22's
+    * train-offline/apply-on-ingest shape: corpus statistics (N, avgdl,
+    * per-term df) come from the session-memoized batch artifact
+    * ([[graft.llm.QueriesE.bm25Stats]] — 4 bounded rows), and every
+    * arriving document is scored SCAN-LOCALLY (per-term tf + length via
+    * HOFs over the split tokens — 3 fixed terms × ~60 tokens per row;
+    * a native kernel would beat the interpreted lambdas if the query
+    * set grew). Append mode, no state, no shuffle: lexical relevance is
+    * attached at ingest rate, and the batch scorer (e80's relation) is
+    * the oracle by construction.
+    */
+  def streamBm25Score(spark: SparkSession, dir: String,
+      sinkName: String = "f30_sink"): DataFrame = withShufflePartitions(spark, 8) {
+    import graft.llm.QueriesE.{bm25Stats, bm25TermScore, Bm25Terms}
+    val (nd, avgdl, dfs) = bm25Stats(spark, dir)
+    val toks = split(col("text"), " ")
+    val lenC = size(filter(toks, w => w =!= "")).cast("long")
+    val cols = Seq(col("doc_id"), lenC.as("len")) ++
+      Bm25Terms.map(t => size(filter(toks, w => w === t)).cast("long").as(s"tf_$t"))
+    val scored = graft.llm.Dedup.readStreamDocuments(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(cols: _*)
+      .filter(Bm25Terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+      .select(col("doc_id"),
+        Bm25Terms.map(t =>
+          bm25TermScore(t, col(s"tf_$t"), col("len"), nd, avgdl, dfs))
+          .reduce(_ + _).as("score"))
+    runToMemorySink(scored, "append", sinkName)
+  }
+
   /** Streaming PQ encoding (f22) — f21's train-offline/apply-on-ingest
     * shape for the VECTOR tier: codebooks train on the static corpus
     * (the e57 deterministic per-subspace k-means), then the embedding

@@ -235,6 +235,14 @@ object QueriesF {
         .orderBy(col("epoch_start"), col("exact_n").desc, col("user_id"))
     }),
 
+    // f30: e80's BM25 scoring applied ON INGEST — index-time stats from
+    // the batch memo, per-doc scoring scan-local in the stream (append
+    // mode, no state); the batch scorer's relation is the oracle
+    // verbatim, proving index-time and ingest-time scoring agree
+    // bit-exactly.
+    "f30_stream_bm25" -> ((s, dir) =>
+      EventWindows.streamBm25Score(s, dir).orderBy("doc_id")),
+
     // f29: e76's decontamination report derived from the INGEST STREAM —
     // the filter trains batch-side once (session memo), every streamed
     // doc is probed scan-locally by the codegen'd bloom_hits kernel, and
@@ -435,6 +443,11 @@ object QueriesF {
         "TRUE AS n_match FROM w GROUP BY epoch_start ORDER BY epoch_start"),
     // identical report to e76 by construction (same filter, same rollup)
     "f29_stream_decontaminate" -> graft.llm.QueriesE.sqlBloomReport,
+    // identical scores to e80's relation by construction (same stats,
+    // same arithmetic chain)
+    "f30_stream_bm25" ->
+      (s"WITH ${graft.llm.QueriesE.sqlBm25Ctes} " +
+        "SELECT doc_id, score FROM scored ORDER BY doc_id"),
     "f28_stream_top_users" ->
       (s"WITH e AS ($EsEvents), m AS (SELECT max(us) AS mu FROM e), " +
         "w AS (SELECT es - es % 86400 AS epoch_start, user_id FROM e, m " +
