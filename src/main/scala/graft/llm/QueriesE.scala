@@ -2073,6 +2073,44 @@ object QueriesE {
     "e80_bm25_retrieval" -> ((s, dir) =>
       bm25Scores(s, dir).orderBy(col("score").desc, col("doc_id")).limit(10)),
 
+    // e82: PERSISTED lexical index — e64's partition-pruned-serving
+    // recipe applied to BM25: the full posting relation (doc_id, word,
+    // tf, len — the classic posting entry with its doc norm denormalized
+    // in) is written PARTITIONED BY the term's hash bucket, and a query
+    // reads ONLY its terms' buckets (PartitionFilters in the scan ⇒
+    // probe IO independent of vocabulary size, exactly as e64's probe IO
+    // is independent of corpus size). Scores and rows equal e80 by
+    // construction (same stats memo, same arithmetic chain) — the oracle
+    // is e80's SQL verbatim.
+    "e82_bm25_index_persist" -> ((s, dir) => {
+      val NBuckets = 16
+      val (nd, avgdl, dfs) = bm25Stats(s, dir)
+      val words = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .transform(graft.Caches.persistTracked)
+      val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val out = "/root/repo/target/fixtures/out/e82_postings_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .join(lens, "doc_id")
+        .withColumn("bucket", pmod(xxhash64(col("word")), lit(NBuckets)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(out)
+      val buckets = s.range(1).select(
+          Bm25Terms.map(t => pmod(xxhash64(lit(t)), lit(NBuckets)).as(t)): _*)
+        .collect()(0).toSeq.map(_.asInstanceOf[Long])
+      s.read.parquet(out)
+        .filter(col("bucket").isin(buckets.map(_.asInstanceOf[Any]): _*) &&
+          col("word").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "len").pivot("word", Bm25Terms).agg(first(col("tf")))
+        .select(col("doc_id"),
+          (bm25TermScore(Bm25Terms(0), col(Bm25Terms(0)), col("len"), nd, avgdl, dfs) +
+            bm25TermScore(Bm25Terms(1), col(Bm25Terms(1)), col("len"), nd, avgdl, dfs) +
+            bm25TermScore(Bm25Terms(2), col(Bm25Terms(2)), col("len"), nd, avgdl, dfs))
+            .as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    }),
+
     // e81: HYBRID retrieval — reciprocal-rank fusion of the sparse arm
     // (e80's BM25) and the dense arm (e4's exact cosine to query vector
     // 0): rrf = 1/(60+r_sparse) + 1/(60+r_dense) over each arm's top-20.
@@ -2964,6 +3002,11 @@ object QueriesE {
         "SELECT sz, count(*) AS n_clusters FROM sizes GROUP BY sz ORDER BY sz"),
     "e76_bloom_decontaminate" -> sqlBloomReport,
     "e80_bm25_retrieval" ->
+      (s"WITH $sqlBm25Ctes " +
+        "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"),
+    // identical rows to e80 by construction (same stats, same chain —
+    // only the access path differs: pruned index read vs corpus scan)
+    "e82_bm25_index_persist" ->
       (s"WITH $sqlBm25Ctes " +
         "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"),
     "e81_hybrid_rrf" ->

@@ -1255,6 +1255,27 @@ class LlmSpec extends AnyFunSuite {
       s"probe scan must partition-prune on list_id:\n$plan")
   }
 
+  test("e82 persisted lexical index: the probe partition-prunes to the terms' buckets") {
+    val df = graft.llm.QueriesE.all("e82_bm25_index_persist")(spark, TestSpark.Sf)
+    val top = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    graft.Caches.drain()
+    assert(top.length == 10, "probe returns the top-10")
+    // the scan over the persisted postings must carry the bucket
+    // partition filter — a query opens its terms' directories, never the
+    // whole vocabulary
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("bucket")),
+      s"probe scan must partition-prune on bucket:\n$plan")
+    // identical rows to the corpus-scan scorer (e80) — only the access
+    // path differs
+    val e80 = graft.llm.QueriesE.all("e80_bm25_retrieval")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    graft.Caches.drain()
+    assert(top.map(r => (r.getLong(0), r.getDouble(1))).toSeq == e80.toSeq,
+      "index probe and corpus scan must agree bit-exactly")
+  }
+
   test("e65 contamination spans: eval text inside a train doc is localized exactly") {
     val dir = craftedDocsDir("e65", Seq(
       // doc 0 (0 % 97 = 0) is the eval stand-in; train doc 1 embeds its
