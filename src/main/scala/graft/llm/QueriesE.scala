@@ -2073,6 +2073,31 @@ object QueriesE {
     "e80_bm25_retrieval" -> ((s, dir) =>
       bm25Scores(s, dir).orderBy(col("score").desc, col("doc_id")).limit(10)),
 
+    // e83: k-ANONYMITY release gate — the governance step beside e24's
+    // PII scrub: a row may only ship if its quasi-identifier combination
+    // is shared by ≥ k rows. One-level generalization ladder on
+    // (source, lang): groups of ≥ k keep lang; smaller groups retry with
+    // lang generalized to '*' (the small-group REMAINDER per source must
+    // itself reach k); still-small remainders are SUPPRESSED. Cost is
+    // two map-side-combined group counts broadcast-joined back onto the
+    // scan — no row-level shuffle, group cardinality (#sources ×
+    // #langs) is tiny at any corpus size. Fully deterministic ⇒ exact
+    // oracle.
+    "e83_k_anonymity" -> ((s, dir) => {
+      val K = 5
+      val docs = t(s, dir, "documents").select("doc_id", "source", "lang")
+      val g1 = docs.groupBy("source", "lang").agg(count(lit(1)).as("g1"))
+      val small = docs.join(broadcast(g1.filter(col("g1") < K)), Seq("source", "lang"))
+      val g2 = small.groupBy("source").agg(count(lit(1)).as("g2"))
+      val kept = docs.join(broadcast(g1.filter(col("g1") >= K)), Seq("source", "lang"))
+        .select(col("doc_id"), col("source"), col("lang").as("lang_out"),
+          col("g1").as("k_size"))
+      val generalized = small.join(broadcast(g2.filter(col("g2") >= K)), "source")
+        .select(col("doc_id"), col("source"), lit("*").as("lang_out"),
+          col("g2").as("k_size"))
+      kept.unionByName(generalized).orderBy("doc_id")
+    }),
+
     // e82: PERSISTED lexical index — e64's partition-pruned-serving
     // recipe applied to BM25: the full posting relation (doc_id, word,
     // tf, len — the classic posting entry with its doc norm denormalized
@@ -3001,6 +3026,18 @@ object QueriesE {
         "sizes AS (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id) " +
         "SELECT sz, count(*) AS n_clusters FROM sizes GROUP BY sz ORDER BY sz"),
     "e76_bloom_decontaminate" -> sqlBloomReport,
+    "e83_k_anonymity" ->
+      ("WITH g1 AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS g1 " +
+        "FROM documents GROUP BY 1, 2), " +
+        "small AS (SELECT d.doc_id, d.source, d.lang FROM documents d " +
+        "JOIN g1 ON d.source = g1.source AND d.lang = g1.lang WHERE g1.g1 < 5), " +
+        "g2 AS (SELECT source, CAST(count(*) AS BIGINT) AS g2 FROM small GROUP BY 1), " +
+        "kept AS (SELECT d.doc_id, d.source, d.lang AS lang_out, g1.g1 AS k_size " +
+        "FROM documents d JOIN g1 ON d.source = g1.source AND d.lang = g1.lang " +
+        "WHERE g1.g1 >= 5), " +
+        "gen AS (SELECT small.doc_id, small.source, '*' AS lang_out, g2.g2 AS k_size " +
+        "FROM small JOIN g2 ON small.source = g2.source WHERE g2.g2 >= 5) " +
+        "SELECT * FROM kept UNION ALL SELECT * FROM gen ORDER BY doc_id"),
     "e80_bm25_retrieval" ->
       (s"WITH $sqlBm25Ctes " +
         "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"),

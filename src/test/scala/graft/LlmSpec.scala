@@ -1255,6 +1255,29 @@ class LlmSpec extends AnyFunSuite {
       s"probe scan must partition-prune on list_id:\n$plan")
   }
 
+  test("e83 k-anonymity: kept / generalized / suppressed paths all exercise") {
+    import spark.implicits._
+    val dir = "/root/repo/target/fixtures/test/docs_e83"
+    // source A: 5 'en' (kept at k=5) + 5 singleton langs (generalize: the
+    // small remainder is 5 => lang '*'); source B: 2 singleton langs
+    // (remainder 2 < 5 => suppressed)
+    val rows =
+      (1L to 5L).map(i => (i, "A", "en")) ++
+        (6L to 10L).map(i => (i, "A", s"l$i")) ++
+        Seq((11L, "B", "x"), (12L, "B", "y"))
+    rows.toDF("doc_id", "source", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.llm.QueriesE.all("e83_k_anonymity")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    val byId = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert((1L to 5L).forall(byId(_) == (("en", 5L))), "k-sized group keeps lang")
+    assert((6L to 10L).forall(byId(_) == (("*", 5L))),
+      "small-group remainder of size k generalizes to '*'")
+    assert(!byId.contains(11L) && !byId.contains(12L),
+      "sub-k remainder is suppressed entirely")
+    assert(out.length == 10)
+  }
+
   test("e82 persisted lexical index: the probe partition-prunes to the terms' buckets") {
     val df = graft.llm.QueriesE.all("e82_bm25_index_persist")(spark, TestSpark.Sf)
     val top = df.collect()
