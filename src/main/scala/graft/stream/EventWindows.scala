@@ -543,6 +543,60 @@ object EventWindows {
     runToMemorySink(perDoc, "append", sinkName)
   }
 
+  /** f31: incremental LEXICAL-index maintenance on ingest — f26's
+    * append-only recipe applied to e82's posting index: each micro-batch
+    * of documents explodes to (doc_id, word, tf, len) postings and lands
+    * IDEMPOTENTLY under `batch=<id>/bucket=<hash(word)>` (a retried
+    * batch overwrites its own directory — never double-appends);
+    * `bucket` stays the inner partition key, so the probe's partition
+    * pruning is unchanged by ingest. The closing probe is e80's scoring
+    * over ONLY the query terms' buckets — rows equal the batch scorer by
+    * construction, proving the streamed index serves identically.
+    */
+  def streamPostingsIngest(spark: SparkSession, dir: String,
+      outRoot: String = "/root/repo/target/fixtures/out/f31"): DataFrame =
+    withShufflePartitions(spark, 8) {
+      import graft.llm.QueriesE.{bm25Stats, bm25TermScore, Bm25Terms}
+      val NBuckets = 16
+      val (nd, avgdl, dfs) = bm25Stats(spark, dir)
+      val index = new java.io.File(outRoot, "index")
+      val chk = new java.io.File(outRoot, "chk")
+      wipe(index); wipe(chk); new java.io.File(outRoot).mkdirs()
+      val q = graft.llm.Dedup.readStreamDocuments(spark, dir)
+        .filter(col("text").isNotNull)
+        .writeStream
+        .option("checkpointLocation", chk.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val words = batch.select(col("doc_id"),
+              explode(split(col("text"), " ")).as("word"))
+            .filter(col("word") =!= "").persist()
+          try {
+            val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
+            words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+              .join(lens, "doc_id")
+              .withColumn("bucket", pmod(xxhash64(col("word")), lit(NBuckets)))
+              .write.mode("overwrite").partitionBy("bucket")
+              .parquet(new java.io.File(index, s"batch=$batchId").getPath)
+          } finally { words.unpersist(); () }
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val buckets = spark.range(1).select(
+          Bm25Terms.map(t => pmod(xxhash64(lit(t)), lit(NBuckets)).as(t)): _*)
+        .collect()(0).toSeq.map(_.asInstanceOf[Long])
+      spark.read.parquet(index.getPath)
+        .filter(col("bucket").isin(buckets.map(_.asInstanceOf[Any]): _*) &&
+          col("word").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "len").pivot("word", Bm25Terms).agg(first(col("tf")))
+        .select(col("doc_id"),
+          (bm25TermScore(Bm25Terms(0), col(Bm25Terms(0)), col("len"), nd, avgdl, dfs) +
+            bm25TermScore(Bm25Terms(1), col(Bm25Terms(1)), col("len"), nd, avgdl, dfs) +
+            bm25TermScore(Bm25Terms(2), col(Bm25Terms(2)), col("len"), nd, avgdl, dfs))
+            .as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    }
+
   /** f30: BM25 scoring ON INGEST — the retrieval twin of f22's
     * train-offline/apply-on-ingest shape: corpus statistics (N, avgdl,
     * per-term df) come from the session-memoized batch artifact

@@ -235,6 +235,12 @@ object QueriesF {
         .orderBy(col("epoch_start"), col("exact_n").desc, col("user_id"))
     }),
 
+    // f31: streamed posting-index maintenance — f26's idempotent
+    // append-only recipe applied to e82's bucket-partitioned lexical
+    // index; the closing pruned probe returns e80's top-10 verbatim.
+    "f31_stream_postings" -> ((s, dir) =>
+      EventWindows.streamPostingsIngest(s, dir)),
+
     // f30: e80's BM25 scoring applied ON INGEST — index-time stats from
     // the batch memo, per-doc scoring scan-local in the stream (append
     // mode, no state); the batch scorer's relation is the oracle
@@ -448,6 +454,10 @@ object QueriesF {
     "f30_stream_bm25" ->
       (s"WITH ${graft.llm.QueriesE.sqlBm25Ctes} " +
         "SELECT doc_id, score FROM scored ORDER BY doc_id"),
+    // identical top-10 to e80 by construction (streamed index, same probe)
+    "f31_stream_postings" ->
+      (s"WITH ${graft.llm.QueriesE.sqlBm25Ctes} " +
+        "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"),
     "f28_stream_top_users" ->
       (s"WITH e AS ($EsEvents), m AS (SELECT max(us) AS mu FROM e), " +
         "w AS (SELECT es - es % 86400 AS epoch_start, user_id FROM e, m " +
