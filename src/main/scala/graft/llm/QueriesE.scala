@@ -158,6 +158,7 @@ object QueriesE {
       memoKey = s"pqcb|$dir|embeddings|m4|ks4|it2|d64")
     bloomFilterBytes(s, dir): Unit // f29's 128 KB eval-set filter (e76
     // deliberately keeps the DISTRIBUTED bloom_agg build in its plan)
+    bm25Stats(s, dir): Unit // f30/f31's index-time stats
     graft.Caches.drain()
   }
 
@@ -650,25 +651,78 @@ object QueriesE {
     * trick: ranking-equivalent to log idf for fixed N, and bit-portable
     * where ln is not). Shared by e80 (top-10) and e81 (fusion arm).
     */
+  /** Posting-index bucket count shared by e82's batch build and f31's
+    * streamed build (and both probes).
+    */
+  private[graft] val Bm25Buckets = 16
+
+  /** The (doc_id, word) token relation every BM25 query derives from. */
+  private[graft] def bm25Words(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+
+  private def bm25Key(dir: String) = s"bm25|$dir|${Bm25Terms.mkString(",")}"
+
+  private def bm25StatsOf(
+      words: org.apache.spark.sql.DataFrame): (Long, Double, Map[String, Long]) = {
+    val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val st = lens.agg(count(lit(1)).as("nd"), sum(col("len")).as("tl")).collect()(0)
+    val dfs = words.filter(col("word").isin(Bm25Terms: _*))
+      .groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (st.getLong(0), st.getLong(1).toDouble / st.getLong(0).toDouble, dfs)
+  }
+
   /** Corpus-level BM25 statistics — (N docs, avgdl, per-term df) —
     * session-memoized driver artifacts (1 + ≤3 bounded rows), the
-    * "index-time stats" both the batch scorer and the f30 ingest scorer
-    * consume.
+    * "index-time stats" the batch scorers and the f30/f31 ingest paths
+    * consume. Callers that already hold a persisted words frame pass it
+    * so the first touch tokenizes the corpus ONCE.
     */
-  private[graft] def bm25Stats(s: org.apache.spark.sql.SparkSession,
-      dir: String): (Long, Double, Map[String, Long]) =
-    graft.Caches.memoVal(s"bm25|$dir|${Bm25Terms.mkString(",")}") {
-      val words = graft.Caches.persistTracked(
-        t(s, dir, "documents").filter(col("text").isNotNull)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-          .filter(col("word") =!= ""))
-      val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
-      val st = lens.agg(count(lit(1)).as("nd"), sum(col("len")).as("tl")).collect()(0)
-      val dfs = words.filter(col("word").isin(Bm25Terms: _*))
-        .groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      (st.getLong(0), st.getLong(1).toDouble / st.getLong(0).toDouble, dfs)
+  private[graft] def bm25Stats(s: org.apache.spark.sql.SparkSession, dir: String,
+      words0: Option[org.apache.spark.sql.DataFrame] = None): (Long, Double, Map[String, Long]) =
+    graft.Caches.memoVal(bm25Key(dir)) {
+      bm25StatsOf(words0.getOrElse(graft.Caches.persistTracked(bm25Words(s, dir))))
     }
+
+  /** (doc_id, word, tf, len, bucket) posting rows — the classic posting
+    * entry with its doc norm denormalized in, bucketed by term hash.
+    * Shared by e82's batch index build and f31's per-micro-batch build.
+    */
+  private[graft] def postingRows(
+      words: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .join(lens, "doc_id")
+      .withColumn("bucket", pmod(xxhash64(col("word")), lit(Bm25Buckets)))
+  }
+
+  /** The three-term score column over pivoted tf columns + `len`. */
+  private def bm25ScoreCol(nd: Long, avgdl: Double,
+      dfs: Map[String, Long]): org.apache.spark.sql.Column =
+    Bm25Terms.map(t => bm25TermScore(t, col(t), col("len"), nd, avgdl, dfs))
+      .reduce(_ + _)
+
+  /** Pruned top-10 probe over a persisted posting index at `path`: reads
+    * ONLY the query terms' buckets (PartitionFilters — probe IO
+    * independent of vocabulary size). Shared by e82 and f31's closing
+    * probe.
+    */
+  private[graft] def bm25ProbePruned(s: org.apache.spark.sql.SparkSession,
+      path: String, dir: String): org.apache.spark.sql.DataFrame = {
+    val (nd, avgdl, dfs) = bm25Stats(s, dir)
+    val buckets = s.range(1).select(
+        Bm25Terms.map(t => pmod(xxhash64(lit(t)), lit(Bm25Buckets)).as(t)): _*)
+      .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    s.read.parquet(path)
+      .filter(col("bucket").isin(buckets.map(_.asInstanceOf[Any]): _*) &&
+        col("word").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "len").pivot("word", Bm25Terms).agg(first(col("tf")))
+      .select(col("doc_id"), bm25ScoreCol(nd, avgdl, dfs).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+  }
 
   /** One term's BM25 contribution given a tf column (null ⇒ 0 hits) and a
     * len column — the exact left-to-right chain [[sqlBm25Ctes]] mirrors.
@@ -685,20 +739,13 @@ object QueriesE {
 
   private def bm25Scores(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val (nd, avgdl, dfs) = bm25Stats(s, dir)
-    val words = graft.Caches.persistTracked(
-      t(s, dir, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .filter(col("word") =!= ""))
+    val words = graft.Caches.persistTracked(bm25Words(s, dir))
+    val (nd, avgdl, dfs) = bm25Stats(s, dir, Some(words))
     val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
-    val tfs = words.filter(col("word").isin(Bm25Terms: _*))
+    words.filter(col("word").isin(Bm25Terms: _*))
       .groupBy("doc_id").pivot("word", Bm25Terms).agg(count(lit(1)))
-    tfs.join(lens, "doc_id")
-      .select(col("doc_id"),
-        (bm25TermScore(Bm25Terms(0), col(Bm25Terms(0)), col("len"), nd, avgdl, dfs) +
-          bm25TermScore(Bm25Terms(1), col(Bm25Terms(1)), col("len"), nd, avgdl, dfs) +
-          bm25TermScore(Bm25Terms(2), col(Bm25Terms(2)), col("len"), nd, avgdl, dfs))
-          .as("score"))
+      .join(lens, "doc_id")
+      .select(col("doc_id"), bm25ScoreCol(nd, avgdl, dfs).as("score"))
   }
 
   /** DuckDB replica of [[bm25Scores]] — CTE chain ending in
@@ -2085,14 +2132,25 @@ object QueriesE {
     // oracle.
     "e83_k_anonymity" -> ((s, dir) => {
       val K = 5
-      val docs = t(s, dir, "documents").select("doc_id", "source", "lang")
+      // a NULL quasi-identifier is a GROUP VALUE, not a join wildcard —
+      // without the sentinel the equi-joins back onto the group counts
+      // never match NULL and those rows silently vanish from kept,
+      // generalized, AND suppressed accounting (both engines share the
+      // NULL-equality semantics, so the gate alone can't catch it)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("source"), lit("(null)")).as("source"),
+        coalesce(col("lang"), lit("(null)")).as("lang"))
       val g1 = docs.groupBy("source", "lang").agg(count(lit(1)).as("g1"))
-      val small = docs.join(broadcast(g1.filter(col("g1") < K)), Seq("source", "lang"))
-      val g2 = small.groupBy("source").agg(count(lit(1)).as("g2"))
+      // the small-group remainder per source is derivable from g1 alone —
+      // no second scan of documents
+      val g2 = g1.filter(col("g1") < K).groupBy("source")
+        .agg(sum(col("g1")).as("g2"))
       val kept = docs.join(broadcast(g1.filter(col("g1") >= K)), Seq("source", "lang"))
         .select(col("doc_id"), col("source"), col("lang").as("lang_out"),
           col("g1").as("k_size"))
-      val generalized = small.join(broadcast(g2.filter(col("g2") >= K)), "source")
+      val generalized = docs
+        .join(broadcast(g1.filter(col("g1") < K)), Seq("source", "lang"))
+        .join(broadcast(g2.filter(col("g2") >= K)), "source")
         .select(col("doc_id"), col("source"), lit("*").as("lang_out"),
           col("g2").as("k_size"))
       kept.unionByName(generalized).orderBy("doc_id")
@@ -2108,32 +2166,13 @@ object QueriesE {
     // construction (same stats memo, same arithmetic chain) — the oracle
     // is e80's SQL verbatim.
     "e82_bm25_index_persist" -> ((s, dir) => {
-      val NBuckets = 16
-      val (nd, avgdl, dfs) = bm25Stats(s, dir)
-      val words = t(s, dir, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .filter(col("word") =!= "")
-        .transform(graft.Caches.persistTracked)
-      val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val words = graft.Caches.persistTracked(bm25Words(s, dir))
+      bm25Stats(s, dir, Some(words)): Unit // stats memo off the same scan
       val out = "/root/repo/target/fixtures/out/e82_postings_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
-      words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        .join(lens, "doc_id")
-        .withColumn("bucket", pmod(xxhash64(col("word")), lit(NBuckets)))
+      postingRows(words)
         .write.mode("overwrite").partitionBy("bucket").parquet(out)
-      val buckets = s.range(1).select(
-          Bm25Terms.map(t => pmod(xxhash64(lit(t)), lit(NBuckets)).as(t)): _*)
-        .collect()(0).toSeq.map(_.asInstanceOf[Long])
-      s.read.parquet(out)
-        .filter(col("bucket").isin(buckets.map(_.asInstanceOf[Any]): _*) &&
-          col("word").isin(Bm25Terms: _*))
-        .groupBy("doc_id", "len").pivot("word", Bm25Terms).agg(first(col("tf")))
-        .select(col("doc_id"),
-          (bm25TermScore(Bm25Terms(0), col(Bm25Terms(0)), col("len"), nd, avgdl, dfs) +
-            bm25TermScore(Bm25Terms(1), col(Bm25Terms(1)), col("len"), nd, avgdl, dfs) +
-            bm25TermScore(Bm25Terms(2), col(Bm25Terms(2)), col("len"), nd, avgdl, dfs))
-            .as("score"))
-        .orderBy(col("score").desc, col("doc_id")).limit(10)
+      bm25ProbePruned(s, out, dir)
     }),
 
     // e81: HYBRID retrieval — reciprocal-rank fusion of the sparse arm
@@ -3027,16 +3066,18 @@ object QueriesE {
         "SELECT sz, count(*) AS n_clusters FROM sizes GROUP BY sz ORDER BY sz"),
     "e76_bloom_decontaminate" -> sqlBloomReport,
     "e83_k_anonymity" ->
-      ("WITH g1 AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS g1 " +
-        "FROM documents GROUP BY 1, 2), " +
-        "small AS (SELECT d.doc_id, d.source, d.lang FROM documents d " +
-        "JOIN g1 ON d.source = g1.source AND d.lang = g1.lang WHERE g1.g1 < 5), " +
-        "g2 AS (SELECT source, CAST(count(*) AS BIGINT) AS g2 FROM small GROUP BY 1), " +
+      ("WITH d AS (SELECT doc_id, COALESCE(source, '(null)') AS source, " +
+        "COALESCE(lang, '(null)') AS lang FROM documents), " +
+        "g1 AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS g1 " +
+        "FROM d GROUP BY 1, 2), " +
+        "g2 AS (SELECT source, CAST(sum(g1) AS BIGINT) AS g2 FROM g1 " +
+        "WHERE g1 < 5 GROUP BY 1), " +
         "kept AS (SELECT d.doc_id, d.source, d.lang AS lang_out, g1.g1 AS k_size " +
-        "FROM documents d JOIN g1 ON d.source = g1.source AND d.lang = g1.lang " +
+        "FROM d JOIN g1 ON d.source = g1.source AND d.lang = g1.lang " +
         "WHERE g1.g1 >= 5), " +
-        "gen AS (SELECT small.doc_id, small.source, '*' AS lang_out, g2.g2 AS k_size " +
-        "FROM small JOIN g2 ON small.source = g2.source WHERE g2.g2 >= 5) " +
+        "gen AS (SELECT d.doc_id, d.source, '*' AS lang_out, g2.g2 AS k_size " +
+        "FROM d JOIN g1 ON d.source = g1.source AND d.lang = g1.lang " +
+        "JOIN g2 ON d.source = g2.source WHERE g1.g1 < 5 AND g2.g2 >= 5) " +
         "SELECT * FROM kept UNION ALL SELECT * FROM gen ORDER BY doc_id"),
     "e80_bm25_retrieval" ->
       (s"WITH $sqlBm25Ctes " +

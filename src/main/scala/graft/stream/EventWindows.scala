@@ -556,9 +556,8 @@ object EventWindows {
   def streamPostingsIngest(spark: SparkSession, dir: String,
       outRoot: String = "/root/repo/target/fixtures/out/f31"): DataFrame =
     withShufflePartitions(spark, 8) {
-      import graft.llm.QueriesE.{bm25Stats, bm25TermScore, Bm25Terms}
-      val NBuckets = 16
-      val (nd, avgdl, dfs) = bm25Stats(spark, dir)
+      import graft.llm.QueriesE.{bm25Stats, bm25ProbePruned, postingRows}
+      bm25Stats(spark, dir): Unit // index-time stats memo (batch-side)
       val index = new java.io.File(outRoot, "index")
       val chk = new java.io.File(outRoot, "chk")
       wipe(index); wipe(chk); new java.io.File(outRoot).mkdirs()
@@ -571,30 +570,14 @@ object EventWindows {
           val words = batch.select(col("doc_id"),
               explode(split(col("text"), " ")).as("word"))
             .filter(col("word") =!= "").persist()
-          try {
-            val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
-            words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-              .join(lens, "doc_id")
-              .withColumn("bucket", pmod(xxhash64(col("word")), lit(NBuckets)))
-              .write.mode("overwrite").partitionBy("bucket")
-              .parquet(new java.io.File(index, s"batch=$batchId").getPath)
-          } finally { words.unpersist(); () }
+          try postingRows(words)
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(new java.io.File(index, s"batch=$batchId").getPath)
+          finally { words.unpersist(); () }
         }
         .start()
       try q.awaitTermination() finally q.stop()
-      val buckets = spark.range(1).select(
-          Bm25Terms.map(t => pmod(xxhash64(lit(t)), lit(NBuckets)).as(t)): _*)
-        .collect()(0).toSeq.map(_.asInstanceOf[Long])
-      spark.read.parquet(index.getPath)
-        .filter(col("bucket").isin(buckets.map(_.asInstanceOf[Any]): _*) &&
-          col("word").isin(Bm25Terms: _*))
-        .groupBy("doc_id", "len").pivot("word", Bm25Terms).agg(first(col("tf")))
-        .select(col("doc_id"),
-          (bm25TermScore(Bm25Terms(0), col(Bm25Terms(0)), col("len"), nd, avgdl, dfs) +
-            bm25TermScore(Bm25Terms(1), col(Bm25Terms(1)), col("len"), nd, avgdl, dfs) +
-            bm25TermScore(Bm25Terms(2), col(Bm25Terms(2)), col("len"), nd, avgdl, dfs))
-            .as("score"))
-        .orderBy(col("score").desc, col("doc_id")).limit(10)
+      bm25ProbePruned(spark, index.getPath, dir)
     }
 
   /** f30: BM25 scoring ON INGEST — the retrieval twin of f22's

@@ -1264,7 +1264,11 @@ class LlmSpec extends AnyFunSuite {
     val rows =
       (1L to 5L).map(i => (i, "A", "en")) ++
         (6L to 10L).map(i => (i, "A", s"l$i")) ++
-        Seq((11L, "B", "x"), (12L, "B", "y"))
+        Seq((11L, "B", "x"), (12L, "B", "y")) ++
+        // NULL lang is a GROUP VALUE (the '(null)' sentinel), not a join
+        // wildcard — a k-sized null-lang group must be RELEASED, not
+        // silently dropped by null-equality joins
+        (13L to 17L).map(i => (i, "C", null: String))
     rows.toDF("doc_id", "source", "lang")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = graft.llm.QueriesE.all("e83_k_anonymity")(spark, dir)
@@ -1275,7 +1279,9 @@ class LlmSpec extends AnyFunSuite {
       "small-group remainder of size k generalizes to '*'")
     assert(!byId.contains(11L) && !byId.contains(12L),
       "sub-k remainder is suppressed entirely")
-    assert(out.length == 10)
+    assert((13L to 17L).forall(byId(_) == (("(null)", 5L))),
+      "k-sized NULL-lang group must be released under the sentinel")
+    assert(out.length == 15)
   }
 
   test("e82 persisted lexical index: the probe partition-prunes to the terms' buckets") {

@@ -621,6 +621,26 @@ class StreamingSpec extends AnyFunSuite {
       s"probe scan must partition-prune on list_id:\n$plan")
   }
 
+  test("f31 stream-built posting index: probe partition-prunes to the terms' buckets") {
+    val df = graft.stream.QueriesF.all("f31_stream_postings")(spark, TestSpark.Sf)
+    val top = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    graft.Caches.drain()
+    assert(top.length == 10, "probe returns the top-10")
+    // the scan over the stream-appended index must carry the bucket
+    // partition filter even under the extra batch=<id> level — ingest
+    // must not cost the probe its pruning
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("bucket")),
+      s"probe scan must partition-prune on bucket:\n$plan")
+    // the streamed index serves e80's rows verbatim
+    val batch = graft.llm.QueriesE.all("e80_bm25_retrieval")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    graft.Caches.drain()
+    assert(top.map(r => (r.getLong(0), r.getDouble(1))).toSeq == batch.toSeq,
+      "streamed index and batch scorer must agree bit-exactly")
+  }
+
   test("f25 stream chunker equals the batch e67 chunk windows") {
     val streamed = graft.stream.QueriesF.all("f25_stream_chunk")(spark, TestSpark.Sf)
       .collect()
