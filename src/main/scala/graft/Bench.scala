@@ -73,20 +73,51 @@ object Bench {
     // optional args: query names to bench (dev iteration only; the driver
     // always runs the full inventory with no args)
     val only: Option[Set[String]] = if (args.nonEmpty) Some(args.toSet) else None
+
+    // noise armor (r6 verdict: a single loaded-host run recorded 20 s for a
+    // 1.9 s query): (a) record /proc/loadavg at start and end so a
+    // contaminated run self-documents, (b) re-run any query whose first
+    // timing exceeds ReRunAbove and keep the per-query MIN — adaptive
+    // min-of-N bounds the extra wall-clock to the handful of slow-looking
+    // queries instead of tripling the whole 181-query sweep
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(" ")
+      catch { case NonFatal(_) => "" }
+    val loadStart = loadavg()
+    val nCpus = Runtime.getRuntime.availableProcessors()
+    loadStart.split(" ").headOption.flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .filter(_ > nCpus / 4.0)
+      .foreach(l => System.err.println(
+        s"[bench] WARNING: host loadavg $l > cores/4 ($nCpus cores) — timings may be contaminated"))
+    val ReRunAbove = 2.0
+    val MaxRuns = 3
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case NonFatal(e) =>
-          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
-            .replaceAll("[\\\\\"\\n\\r\\t]", " ").take(160))
+      def timeOnce(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case NonFatal(e) =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+              .replaceAll("[\\\\\"\\n\\r\\t]", " ").take(160))
+        }
+        // stop the clock before freeing tracked intermediates: unpersist
+        // cost is harness hygiene, not query work, and booking it would
+        // skew the cache-heavy queries (e17/e19/e20, f5) vs earlier rounds
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        Caches.drain()
+        (elapsed, err)
       }
-      // stop the clock before freeing tracked intermediates: unpersist cost
-      // is harness hygiene, not query work, and booking it would skew the
-      // cache-heavy queries (e17/e19/e20, f5) vs earlier rounds
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      Caches.drain()
+      var (elapsed, err) = timeOnce()
+      var runs = 1
+      while (err.isEmpty && elapsed > ReRunAbove && runs < MaxRuns) {
+        val (e2, err2) = timeOnce()
+        elapsed = math.min(elapsed, e2)
+        err = err2
+        runs += 1
+      }
       (name, elapsed, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
@@ -95,7 +126,9 @@ object Bench {
     val errJson =
       if (errs.isEmpty) "" else s""","failed":${errs.size},"errors":${errs.mkString("{", ",", "}")}"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,""" +
+      s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","cores":$nCpus,""" +
+      s""""timing":"min-of-N, reruns above ${ReRunAbove}s","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -425,6 +425,9 @@ case class BloomAgg(
   */
 case class BloomContains(left: Expression, right: Expression, k: Int)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  // probe k must mirror the build side's [1,16] validation: k <= 0 would
+  // skip the probe loop entirely and silently return true for every input
+  require(k >= 1 && k <= 16, "bloom_contains: k must be in [1, 16]")
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -459,6 +462,9 @@ case class BloomContains(left: Expression, right: Expression, k: Int)
   */
 case class BloomHits(left: Expression, right: Expression, k: Int)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  // probe k must mirror the build side's [1,16] validation: k <= 0 would
+  // skip the bit-tests and count every element as a hit
+  require(k >= 1 && k <= 16, "bloom_hits: k must be in [1, 16]")
   override def dataType: DataType = IntegerType
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {

@@ -159,6 +159,15 @@ object QueriesE {
     bloomFilterBytes(s, dir): Unit // f29's 128 KB eval-set filter (e76
     // deliberately keeps the DISTRIBUTED bloom_agg build in its plan)
     bm25Stats(s, dir): Unit // f30/f31's index-time stats
+    // pre-build the session-shared RELATION memos too (banded candidates →
+    // verified pairs → components, and the cleaned-corpus variants): these
+    // fixpoints are consumed by 6+ queries (e17/e19/e20/e28/e45/e46/e48/e49)
+    // and whichever ran first booked the whole build (r6: e20 was the
+    // inventory max at 4.7 s, ~3 s of it the memo build). Caches.memo
+    // eagerly counts on build, so touching each is enough to pin it.
+    sharedComponents(s, dir): Unit // pulls cands + vpairs transitively
+    sharedCleanedComponents(s, dir): Unit // pulls cleanExact transitively
+    mediaDecoded(s, dir): Unit // e14/e16/e21/e22/e51's decoded media
     graft.Caches.drain()
   }
 
@@ -196,6 +205,49 @@ object QueriesE {
     graft.Caches.memo(s"lsh-comps|$dir")(
       Dedup.connectedComponents(t(s, dir, "documents"), "doc_id",
         sharedVerifiedPairs(s, dir)))
+
+  /** The REALLY-decoded media relation (encode documents into genuine
+    * PNG / WAV / GFV1 containers, decode them back with the JDK codecs),
+    * session-memoized: e14/e16/e21/e22/e51 all consume the identical
+    * decoded content/metadata, and the relation is tiny (content ≤ text
+    * length per row). Decode-once-serve-many is also the production shape
+    * for a multimodal feature store.
+    */
+  private def mediaDecoded(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.memo(s"media-decoded|$dir")(
+      Multimodal.decode(s,
+        Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))).toDF)
+
+  /** Shared DuckDB CTE prefix for the multimodal oracles: `body`/`n` (the
+    * non-empty text signal [[Multimodal.bodyOf]] encodes), the image
+    * canvas dims, and the video frame count — the exact formulas the
+    * encoder uses, so the oracle predicts what the REAL codec round-trip
+    * must recover.
+    */
+  private def sqlMediaG: String =
+    "m AS (SELECT doc_id, CASE WHEN text IS NULL OR text = '' THEN '#' ELSE text END AS body " +
+      "FROM documents), " +
+      "g AS (SELECT doc_id, body, length(body)::BIGINT AS n, 16::BIGINT AS w, " +
+      "(8 + least(length(body)::BIGINT // 256, 56))::BIGINT AS h, " +
+      "(length(body)::BIGINT % 4 + 1)::BIGINT AS k FROM m)"
+
+  /** Proportional resample of `body` to an m-char signal, read at char i:
+    * `body[(i·(n−1)) div (m−1) + 1]` — [[Multimodal.resample]] in SQL.
+    */
+  private def sqlSampleChar(iExpr: String, mExpr: String): String =
+    s"substr(body, CAST((($iExpr) * (n - 1)) // (($mExpr) - 1) + 1 AS INT), 1)"
+
+  /** [[sqlMediaG]] plus `c.content`: the per-modality DECODED content
+    * string (image raster / audio samples / concatenated video frame
+    * rasters) rebuilt arithmetically.
+    */
+  private def sqlMediaContentCte: String =
+    sqlMediaG + ", c AS (SELECT doc_id, body, n, w, h, k, CASE doc_id % 3 " +
+      s"WHEN 0 THEN array_to_string(list_transform(range(w * h), i -> ${sqlSampleChar("i", "w * h")}), '') " +
+      "WHEN 1 THEN body " +
+      s"ELSE array_to_string(list_transform(range(64 * k), i -> ${sqlSampleChar("i", "64 * k")}), '') " +
+      "END AS content FROM g)"
 
   /** Word-gram length for the exact duplicate-span pipeline (e62/e63). */
   private val SpanK = 5
@@ -2550,32 +2602,30 @@ object QueriesE {
     }),
 
     // e51: perceptual-hash near-dup over the MEDIA column — the image-
-    // dedup analogue of e42 for the multimodal tier: a 32-bit average-hash
-    // fingerprint of each binary payload (linear byte resample + exact
-    // integer above-average test — the aHash recipe on a 1-D signal),
-    // then hamming≤3 candidate pairs via the byte-band pigeonhole LSH
-    // (4 bands × 8 bits: a pair within hamming 3 shares ≥1 exact band —
-    // false-negative-free candidates from EQUI-joins, never all-pairs).
-    // All byte math is portable (hex decode / ascii), so the oracle
-    // reproduces the hash bit-for-bit.
+    // dedup analogue of e42 for the multimodal tier, now (r7) the TRUE
+    // aHash: each payload is really decoded (ImageIO / AudioSystem /
+    // GFV1-parse), images hash via the 2-D 8×8-luma grid on the decoded
+    // raster, audio/video via a 1-D 64-point resample of decoded samples —
+    // then hamming≤3 candidate pairs via byte-band pigeonhole LSH over the
+    // 64-bit hash (8 bands × 8 bits: a pair within hamming 3 leaves ≥5
+    // bands untouched — false-negative-free candidates from EQUI-joins,
+    // never all-pairs). Threshold = bands − 1 = 7, the largest distance
+    // the pigeonhole guarantee covers: identical-content duplicates (the
+    // primary signal, hamming 0) plus the closest-render tail. The oracle
+    // reproduces every decoded sample arithmetically, so the gate is
+    // bit-exact.
     //
-    // Width note: 32 bits is deliberate for THIS corpus. A 64-bit hash
-    // with 16-bit bands (tried) cuts candidate volume ~256× — the right
-    // production setting — but returns ZERO pairs here: the synthetic
-    // payloads have no alignment-preserving near-dups (token edits shift
-    // every downstream byte), so only the narrower sketch exercises the
-    // full candidate→verify path. Widen the hash, not the threshold,
-    // when collision volume bites at scale.
+    // Scale dial: 8-bit bands admit ~N²/256 coincidental candidates per
+    // band (3.8 M at 5 k docs) — fine here, quadratic at corpus scale.
+    // Production setting at 100 TB: 4 bands × 16 bits (threshold ≤ 3)
+    // cuts candidate volume ~256× at the cost of the loose tail; widen
+    // the bands, not the threshold, when collision volume bites.
     "e51_media_phash_neardup" -> ((s, dir) => {
-      // the 64-op aHash expression tree is the scan's whole cost — cache
-      // the tiny (doc_id, phash) relation so the band self-join's two
-      // sides don't each recompute it over the full media column
-      val hashed = graft.Caches.persistTracked(Multimodal.withAHash32(
-          Multimodal.mediaFromDocuments(t(s, dir, "documents")))
-        .filter(col("phash").isNotNull)
-        .select(col("doc_id"), col("phash")))
+      // (doc_id, phash) is a cheap projection of the session-memoized
+      // decoded relation — both sides of the band self-join read the cache
+      val hashed = mediaDecoded(s, dir).select(col("doc_id"), col("phash"))
       val bands = hashed.select(col("doc_id"), col("phash"),
-        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        explode(array((0 until 8).map(b => struct(lit(b).as("band"),
           shiftright(col("phash"), 8 * b).bitwiseAND(lit(255L)).as("digest"))): _*)).as("bd"))
         .select(col("doc_id"), col("phash"), col("bd.band"), col("bd.digest"))
       bands.as("a").join(bands.as("b"), Seq("band", "digest"))
@@ -2584,7 +2634,7 @@ object QueriesE {
         // shuffles only true near-dups, not the full collision volume
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("int").as("hamming"))
-        .filter(col("hamming") <= 3)
+        .filter(col("hamming") <= 7)
         .distinct() // a pair sharing k bands appears k times
         .orderBy("id_a", "id_b")
     }),
@@ -2652,40 +2702,40 @@ object QueriesE {
         .select(col("doc_id"), Dedup.rollingFingerprint(col("text")).as("rh"))
         .orderBy("doc_id")),
 
-    // e14: multimodal binary decode — partition-batched typed transform
-    // over opaque binary payloads (stub decoder, real plumbing).
+    // e14: multimodal binary decode — REAL codecs (r7): every payload is a
+    // genuine PNG / WAV / GFV1 container, the decoder sniffs the magic and
+    // recovers dimensions from the actual PNG header, frame counts from
+    // the actual WAV frame length / GFV1 parse, and fingerprints from the
+    // DECODED content bytes; the oracle reproduces the content formula, so
+    // a broken codec round-trip fails the hash gate.
     "e14_multimodal_decode" -> ((s, dir) =>
-      Multimodal.decode(s, Multimodal.mediaFromDocuments(t(s, dir, "documents")))
-        .toDF().orderBy("doc_id")),
+      mediaDecoded(s, dir).select("doc_id", "media_type", "codec", "width",
+        "height", "n_frames", "n_content", "fingerprint").orderBy("doc_id")),
 
-    // e16: binary → fixed-dim feature vector (digest-derived, codegen'd
-    // hex arithmetic — the feature-extraction plumbing, exactly portable).
+    // e16: decoded binary → fixed-dim feature vector (content-digest hex
+    // arithmetic, codegen'd — the per-row binary→vector plumbing, exactly
+    // portable; features now derive from DECODED content, not payload).
     "e16_multimodal_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(t(s, dir, "documents")))
-        .orderBy("doc_id")),
+      Multimodal.extractFeatures(mediaDecoded(s, dir)).orderBy("doc_id")),
 
-    // e21: resize plumbing — deterministic payload re-shaping to a target
-    // box (stub byte-mapping, real schema/metadata contract); the oracle
-    // reproduces the byte mapping so the whole path is hash-checked.
+    // e21: REAL raster resize of the image rows — decode → nearest-
+    // neighbor resample to 128×96 → re-encode PNG; the gate fingerprints
+    // the resized raster, whose every pixel the oracle reproduces via the
+    // exact integer source-pixel mapping.
     "e21_multimodal_resize" -> ((s, dir) => {
-      val m = Multimodal.resize(
-        Multimodal.mediaFromDocuments(t(s, dir, "documents")), 128, 96)
-      m.select(col("doc_id"), col("media_type"),
-        length(col("media")).cast("long").as("n_bytes"),
-        col("width"), col("height"),
-        substring(md5(col("media")), 1, 8).as("fp"))
+      import s.implicits._
+      Multimodal.resizeImages(s,
+          mediaDecoded(s, dir).as[Multimodal.MediaDecoded], 128, 96)
+        .select(col("doc_id"), col("width"), col("height"), col("fp"))
         .orderBy("doc_id")
     }),
 
-    // e22: frame sampling — every-kth-slice stand-in for video frame
-    // extraction; digest of the frame list keeps the oracle comparison
-    // scalar while covering every sampled frame byte.
+    // e22: frame sampling over decoded GFV1 videos — every 2nd really-
+    // PNG-decoded frame kept; the digest covers every sampled raster byte.
     "e22_frame_sample" -> ((s, dir) => {
-      val m = Multimodal.sampleFrames(
-        Multimodal.mediaFromDocuments(t(s, dir, "documents")), every = 10)
-      m.select(col("doc_id"), col("media_type"),
-        size(col("frames")).as("n_frames"),
-        md5(concat_ws("|", col("frames"))).as("frames_digest"))
+      import s.implicits._
+      Multimodal.sampleFrames(s,
+          mediaDecoded(s, dir).as[Multimodal.MediaDecoded], every = 2)
         .orderBy("doc_id")
     })
   )
@@ -2914,25 +2964,41 @@ object QueriesE {
         "(a, b) -> a + b) / count(*)::DOUBLE AS fluency, " +
         "count(*) AS n_pairs FROM j GROUP BY doc_id ORDER BY doc_id"),
     "e51_media_phash_neardup" -> {
-      // payload = UTF-8 bytes of ASCII text, so byte p of the media column
-      // is ascii(substr(text, p, 1)) — the e15 portable-byte recipe
-      val v = (j: Int) => s"ascii(substr(text, (($j * (n - 1)) // 31) + 1, 1))::BIGINT"
-      val sum = (0 until 32).map(v).mkString(" + ")
-      val bits = (0 until 32)
-        .map(j => s"(CASE WHEN 32 * ${v(j)} > s THEN ${1L << j} ELSE 0 END)")
-        .mkString(" + ")
-      s"WITH m AS (SELECT doc_id, text, len(text)::BIGINT AS n FROM documents " +
-        "WHERE text IS NOT NULL AND len(text) > 0), " +
-        s"ms AS (SELECT doc_id, text, n, ($sum) AS s FROM m), " +
-        s"ph AS (SELECT doc_id, ($bits)::BIGINT AS phash FROM ms), " +
-        "bd AS (SELECT doc_id, phash, unnest([0, 1, 2, 3]) AS band FROM ph), " +
+      // rebuild each modality's DECODED-content aHash arithmetically:
+      // image = 2-D 8×8 grid on the w×h raster (raster pixel p of an
+      // m-pixel proportional resample reads body byte (p·(n−1)) div
+      // (m−1)); audio = 1-D 64-point over body; video = 1-D 64-point over
+      // the 64k-sample resample. ascii(1-char substr) is the portable
+      // byte read (corpus text is ASCII — FIXTURES.md §1).
+      def vImg(b: Int): String = {
+        val i = b / 8; val x = (b % 8) * 15 / 7 // w = 16 fixed ⇒ x constant
+        s"ascii(substr(body, CAST((((($i * (h - 1)) // 7) * 16 + $x) * (n - 1)) // (16 * h - 1) + 1 AS INT), 1))::BIGINT"
+      }
+      def vAud(b: Int): String =
+        s"ascii(substr(body, CAST(($b * (n - 1)) // 63 + 1 AS INT), 1))::BIGINT"
+      def vVid(b: Int): String =
+        s"ascii(substr(body, CAST(((($b * (64 * k - 1)) // 63) * (n - 1)) // (64 * k - 1) + 1 AS INT), 1))::BIGINT"
+      def sumOf(v: Int => String) = (0 until 64).map(v).mkString(" + ")
+      def bitsOf(v: Int => String) = (0 until 64).map { b =>
+        // bit 63 is the BIGINT sign bit: its additive term is MIN_LONG
+        // (written overflow-safe); positive powers accumulate first, so
+        // every partial sum stays in range
+        val term = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+        s"(CASE WHEN 64 * ${v(b)} > s THEN ${term}::BIGINT ELSE 0::BIGINT END)"
+      }.mkString(" + ")
+      s"WITH $sqlMediaG, " +
+        s"s0 AS (SELECT doc_id, body, n, h, k, CASE doc_id % 3 WHEN 0 THEN ${sumOf(vImg)} " +
+        s"WHEN 1 THEN ${sumOf(vAud)} ELSE ${sumOf(vVid)} END AS s FROM g), " +
+        s"ph AS (SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN ${bitsOf(vImg)} " +
+        s"WHEN 1 THEN ${bitsOf(vAud)} ELSE ${bitsOf(vVid)} END AS phash FROM s0), " +
+        "bd AS (SELECT doc_id, phash, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band FROM ph), " +
         "bdd AS (SELECT doc_id, phash, band, (phash >> (8 * band)) & 255 AS digest FROM bd), " +
         "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
         "a.phash AS pa, b.phash AS pb " +
         "FROM bdd a JOIN bdd b ON a.band = b.band AND a.digest = b.digest " +
         "AND a.doc_id < b.doc_id) " +
         "SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming " +
-        "FROM cand WHERE bit_count(xor(pa, pb)) <= 3 ORDER BY id_a, id_b"
+        "FROM cand WHERE bit_count(xor(pa, pb)) <= 7 ORDER BY id_a, id_b"
     },
     "e50_domain_cap" -> {
       // first 8 hex digits of md5('u|'||doc_id) → integer (the portable
@@ -3472,39 +3538,41 @@ object QueriesE {
         "ELSE NULL END AS rh FROM documents ORDER BY doc_id"
     },
     "e16_multimodal_features" -> {
-      // hex-substring → integer via digit arithmetic (engine-portable)
+      // hex-substring → integer via digit arithmetic (engine-portable),
+      // now over the DECODED content digest
       def hexVal(start: Int): String =
         "(" + (0 until 8).map { j =>
-          s"(strpos('0123456789abcdef', substr(md5(text), ${start + j}, 1)) - 1)::BIGINT * ${1L << (4 * (7 - j))}::BIGINT"
+          s"(strpos('0123456789abcdef', substr(md5(content), ${start + j}, 1)) - 1)::BIGINT * ${1L << (4 * (7 - j))}::BIGINT"
         }.mkString(" + ") + ")"
-      "SELECT doc_id, " +
+      s"WITH $sqlMediaContentCte SELECT doc_id, " +
         (0 until 4).map(i =>
           s"CAST(${hexVal(8 * i + 1)} AS DOUBLE) / 4294967296.0 - 0.5 AS f$i").mkString(", ") +
-        " FROM documents ORDER BY doc_id"
+        " FROM c ORDER BY doc_id"
     },
     "e14_multimodal_decode" ->
-      ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
-        "ELSE 'video' END AS media_type, CAST(n_chars AS BIGINT) AS n_bytes, " +
-        "CAST(64 + (n_chars * 7) % 512 AS INTEGER) AS width, " +
-        "CAST(64 + (n_chars * 13) % 512 AS INTEGER) AS height, " +
-        "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN n_chars % 30 + 1 " +
-        "ELSE n_chars % 120 + 1 END AS INTEGER) AS n_frames, " +
-        "substr(md5(text), 1, 8) AS fingerprint FROM documents ORDER BY doc_id"),
+      (s"WITH $sqlMediaContentCte SELECT doc_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'gfv1' END AS codec, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN w WHEN 1 THEN 0 ELSE 8 END AS INTEGER) AS width, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN h WHEN 1 THEN 0 ELSE 8 END AS INTEGER) AS height, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN n ELSE k END AS INTEGER) AS n_frames, " +
+        "CAST(length(content) AS BIGINT) AS n_content, " +
+        "substr(md5(content), 1, 8) AS fingerprint FROM c ORDER BY doc_id"),
     "e21_multimodal_resize" ->
-      ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
-        "ELSE 'video' END AS media_type, " +
-        "CAST(octet_length(rpad(text, 192, '#')::BLOB) AS BIGINT) AS n_bytes, " +
-        "128 AS width, 96 AS height, " +
-        "substr(md5(rpad(text, 192, '#')), 1, 8) AS fp " +
-        "FROM documents ORDER BY doc_id"),
+      // nearest-neighbor 128×96 of the w×h raster: out pixel i reads
+      // source pixel ((y·h div 96)·w + (x·w div 128)) with y = i div 128,
+      // x = i mod 128 — the exact mapping of Multimodal.resizeImages
+      (s"WITH $sqlMediaContentCte, r AS (SELECT doc_id, " +
+        "array_to_string(list_transform(range(12288), i -> " +
+        "substr(content, CAST((((i // 128) * h) // 96) * w + (((i % 128) * w) // 128) + 1 AS INT), 1)), '') AS rc " +
+        "FROM c WHERE doc_id % 3 = 0) " +
+        "SELECT doc_id, CAST(128 AS INTEGER) AS width, CAST(96 AS INTEGER) AS height, " +
+        "substr(md5(rc), 1, 8) AS fp FROM r ORDER BY doc_id"),
     "e22_frame_sample" ->
-      ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
-        "ELSE 'video' END AS media_type, " +
-        "CAST(CASE WHEN doc_id % 3 = 2 AND octet_length(text::BLOB) > 0 " +
-        "THEN (octet_length(text::BLOB) - 1) // 10 + 1 ELSE 0 END AS INTEGER) AS n_frames, " +
-        "md5(CASE WHEN doc_id % 3 = 2 AND octet_length(text::BLOB) > 0 " +
-        "THEN array_to_string(list_transform(range((octet_length(text::BLOB) - 1) // 10 + 1), " +
-        "i -> substr(text, CAST(1 + i * 10 AS INTEGER), 4)), '|') ELSE '' END) AS frames_digest " +
-        "FROM documents ORDER BY doc_id")
+      (s"WITH $sqlMediaContentCte SELECT doc_id, " +
+        "CAST(k AS INTEGER) AS n_frames, CAST((k + 1) // 2 AS INTEGER) AS n_sampled, " +
+        "substr(md5(array_to_string(list_transform(list_filter(range(k), f -> f % 2 = 0), " +
+        "f -> substr(content, CAST(f * 64 + 1 AS INT), 64)), '')), 1, 8) AS frames_digest " +
+        "FROM c WHERE doc_id % 3 = 2 ORDER BY doc_id")
   )
 }

@@ -572,29 +572,74 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getLong(1) == 7)           // hello|world|42|it|'|s|x
   }
 
-  test("multimodal decode: deterministic stub metadata, batch plumbing") {
+  test("multimodal encode/decode: REAL codec round-trips recover the exact signal") {
+    val text = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val body = Multimodal.bodyOf(text)
+    // image (doc_id % 3 == 0): payload is a genuine PNG; ImageIO round-trip
+    // recovers dims from the header and every raster byte exactly
+    val img = Multimodal.encodeOne(3L, text)
+    assert((img.media(0) & 0xff) == 0x89 && img.media(1) == 'P', "PNG magic")
+    val dImg = Multimodal.decodeOne(img)
+    assert(dImg.codec == "png" && dImg.width == Multimodal.ImgW &&
+      dImg.height == Multimodal.imgH(body.length) && dImg.n_frames == 1)
+    assert(dImg.content.sameElements(
+      Multimodal.resample(body, dImg.width * dImg.height)),
+      "decoded raster must equal the proportional text resample")
+    // audio (doc_id % 3 == 1): payload is a genuine WAV; AudioSystem
+    // round-trip recovers one 8-bit sample per text byte
+    val wav = Multimodal.encodeOne(1L, text)
+    assert(new String(wav.media, 0, 4, "US-ASCII") == "RIFF")
+    val dWav = Multimodal.decodeOne(wav)
+    assert(dWav.codec == "wav" && dWav.n_frames == body.length)
+    assert(dWav.content.sameElements(body), "decoded samples must equal the text bytes")
+    // video (doc_id % 3 == 2): GFV1 container of really-PNG-decoded frames
+    val vid = Multimodal.encodeOne(2L, text)
+    val dVid = Multimodal.decodeOne(vid)
+    assert(dVid.codec == "gfv1" && dVid.n_frames == Multimodal.videoFrames(body.length))
+    assert(dVid.width == Multimodal.FrameW && dVid.height == Multimodal.FrameH)
+    assert(dVid.content.sameElements(
+      Multimodal.resample(body, dVid.n_frames * 64)))
+    // decode sniffs the container, not the label
+    assert(Multimodal.decodeOne(img.copy(media_type = "mislabeled")).codec == "png")
+    // null/empty text degrades to the 1-byte '#' signal, never divides by 0
+    assert(Multimodal.decodeOne(Multimodal.encodeOne(0L, null)).fingerprint.length == 8)
+    assert(Multimodal.decodeOne(Multimodal.encodeOne(1L, "")).n_content == 1L)
+  }
+
+  test("multimodal decode over the corpus: batch plumbing + header-true metadata") {
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").limit(20)
-    val out = Multimodal.decode(spark, Multimodal.mediaFromDocuments(docs)).collect()
+    val out = Multimodal.decode(spark,
+      Multimodal.mediaFromDocuments(spark, docs)).collect()
     assert(out.length == 20)
     out.foreach { m =>
       assert(Set("image", "audio", "video").contains(m.media_type))
-      assert(m.width >= 64 && m.width < 576 && m.fingerprint.length == 8)
-      assert(m.media_type != "image" || m.n_frames == 1)
+      val expected = Map("image" -> "png", "audio" -> "wav", "video" -> "gfv1")
+      assert(m.codec == expected(m.media_type))
+      assert(m.fingerprint.length == 8 && m.n_content == m.content.length.toLong)
+      if (m.codec == "png") assert(m.width == Multimodal.ImgW && m.n_frames == 1)
     }
   }
 
-  test("resize reshapes payloads to the target geometry deterministically") {
-    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").limit(5)
-    val out = Multimodal.resize(Multimodal.mediaFromDocuments(docs), 128, 128).collect()
+  test("resizeImages: real nearest-neighbor resample, re-encoded PNG round-trips") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").limit(9)
+    val decoded = Multimodal.decode(spark, Multimodal.mediaFromDocuments(spark, docs))
+    val out = Multimodal.resizeImages(spark, decoded, 128, 96).collect()
+    assert(out.nonEmpty)
     out.foreach { r =>
-      assert(r.getAs[Array[Byte]]("media").length == 128 * 128 / 64)
-      assert(r.getAs[Int]("width") == 128 && r.getAs[Int]("height") == 128)
+      assert(r.getAs[Int]("width") == 128 && r.getAs[Int]("height") == 96)
+      val png = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media")))
+      assert(png.getWidth == 128 && png.getHeight == 96,
+        "re-encoded payload must be a real 128×96 PNG")
     }
   }
 
-  test("extractFeatures: 4-dim digest features in [-0.5, 0.5)") {
+  test("extractFeatures: 4-dim decoded-content features in [-0.5, 0.5)") {
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").limit(20)
-    val out = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs)).collect()
+    val decoded = Multimodal.decode(spark,
+      Multimodal.mediaFromDocuments(spark, docs)).toDF()
+    val out = Multimodal.extractFeatures(decoded).collect()
     out.foreach { r =>
       (1 to 4).foreach { i =>
         val v = r.getDouble(i)
@@ -604,14 +649,15 @@ class LlmSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(1)).distinct.length > 10, "features vary per doc")
   }
 
-  test("frame sampling only applies to video rows") {
+  test("frame sampling keeps every 2nd decoded frame of video rows only") {
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").limit(9)
-    val media = Multimodal.mediaFromDocuments(docs)
-    val out = Multimodal.sampleFrames(media).collect()
+    val decoded = Multimodal.decode(spark, Multimodal.mediaFromDocuments(spark, docs))
+    val videos = decoded.collect().filter(_.codec == "gfv1").map(d => d.doc_id -> d.n_frames).toMap
+    val out = Multimodal.sampleFrames(spark, decoded, every = 2).collect()
+    assert(out.map(_.getLong(0)).toSet == videos.keySet, "video rows only")
     out.foreach { r =>
-      val frames = r.getAs[scala.collection.Seq[String]]("frames")
-      if (r.getAs[String]("media_type") == "video") assert(frames.nonEmpty)
-      else assert(frames.isEmpty)
+      val k = videos(r.getLong(0))
+      assert(r.getAs[Int]("n_frames") == k && r.getAs[Int]("n_sampled") == (k + 1) / 2)
     }
   }
 
@@ -1048,29 +1094,37 @@ class LlmSpec extends AnyFunSuite {
       "selected dirs must be exactly the probe's existing buckets")
   }
 
-  test("e51 media phash: identical payloads pair at hamming 0; unsampled-byte edits don't change the hash") {
-    import org.apache.spark.sql.functions._
+  test("e51 media phash: identical same-modality payloads pair at hamming 0; the aHash is a true decoded-luma hash") {
     val dup = "the quick brown fox jumps over the lazy dog again and again tonight"
+    // doc_ids 3 and 6 are both images (doc_id % 3 == 0): identical text ⇒
+    // byte-identical PNGs ⇒ identical decoded rasters ⇒ hamming 0
     val dir = craftedDocsDir("e51", Seq(
-      (1L, dup, dup.length.toLong),
-      (2L, dup, dup.length.toLong),                      // byte-identical media
-      (3L, "a completely different and much longer document body with distinct rhythm and vocabulary throughout", 101L)))
+      (3L, dup, dup.length.toLong),
+      (6L, dup, dup.length.toLong),
+      (2L, "a completely different and much longer document body with distinct rhythm and vocabulary throughout", 101L)))
     val out = graft.llm.QueriesE.all("e51_media_phash_neardup")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-    assert(out.contains((1L, 2L, 0)), s"identical payloads must pair at hamming 0: ${out.toSeq}")
-    // the hash reads only the 32 resampled positions: editing a byte
-    // BETWEEN two sample points leaves the fingerprint bit-identical
-    val base = graft.llm.Multimodal.withAHash32(
-      Seq((1L, dup.getBytes("UTF-8"))).toDF("doc_id", "media"))
-      .collect()(0).getAs[Long]("phash")
-    val n = dup.length
-    val sampled = (0 until 32).map(j => j * (n - 1) / 31).toSet
-    val unsampled = (0 until n).find(p => !sampled.contains(p)).get
+    assert(out.contains((3L, 6L, 0)), s"identical payloads must pair at hamming 0: ${out.toSeq}")
+    // the image hash reads the REAL decoded raster: it equals the 8×8
+    // grid aHash computed directly from the proportional text resample…
+    val body = Multimodal.bodyOf(dup)
+    val (w, h) = (Multimodal.ImgW, Multimodal.imgH(body.length))
+    val raster = Multimodal.resample(body, w * h)
+    val viaCodec = Multimodal.decodeOne(Multimodal.encodeOne(3L, dup)).phash
+    assert(viaCodec == Multimodal.aHashImage(w, h, raster),
+      "decoded-raster hash must equal the arithmetic ground truth")
+    // …and editing a byte no grid cell samples leaves the hash unchanged,
+    // while the grid samples only 64 of the w·h raster pixels
+    val sampledPix = (for (i <- 0 until 8; j <- 0 until 8)
+      yield (i * (h - 1) / 7) * w + (j * (w - 1) / 7)).toSet
+    val sampledBytes = sampledPix.map(p => (p.toLong * (body.length - 1) / (w * h - 1)).toInt)
+    val unsampled = body.indices.find(p => !sampledBytes.contains(p)).get
     val edited = dup.updated(unsampled, 'Z')
-    val shifted = graft.llm.Multimodal.withAHash32(
-      Seq((1L, edited.getBytes("UTF-8"))).toDF("doc_id", "media"))
-      .collect()(0).getAs[Long]("phash")
-    assert(shifted == base, "an unsampled-byte edit must not perturb the aHash")
+    assert(Multimodal.decodeOne(Multimodal.encodeOne(3L, edited)).phash == viaCodec,
+      "an unsampled-byte edit must not perturb the image aHash")
+    // 1-D variant (audio/video): same above-average semantics
+    val a1 = Multimodal.aHash1D(body)
+    assert(Multimodal.decodeOne(Multimodal.encodeOne(1L, dup)).phash == a1)
   }
 
   test("e52 fluency: corpus-typical text outscores rare-bigram junk") {
