@@ -751,6 +751,29 @@ object QueriesE {
       .withColumn("bucket", pmod(xxhash64(col("word")), lit(Bm25Buckets)))
   }
 
+  /** Build the persisted BM25 posting index under a CALLER-SUPPLIED root
+    * and return the pruned probe over it (e82's body, as a library entry —
+    * the hard-coded output path was an API smell flagged in r6). The build
+    * uses the engine's staged-swap protocol: postings are written to
+    * `<indexRoot>.stage_tmp` and atomically renamed into place
+    * ([[graft.api.Database.swapDir]]'s `.bak` shuffle), so a crashed
+    * build leaves only the `.stage_tmp` / `.bak` orphans that
+    * `Database.vacuum`'s reclaim sweep already recovers or collects —
+    * point `indexRoot` inside a warehouse root and vacuum covers the
+    * index lifecycle too. Serving probes never observe a half-written
+    * index: the partition layout appears all-or-nothing.
+    */
+  def buildBm25Index(s: org.apache.spark.sql.SparkSession, dir: String,
+      indexRoot: String): org.apache.spark.sql.DataFrame = {
+    val words = graft.Caches.persistTracked(bm25Words(s, dir))
+    bm25Stats(s, dir, Some(words)): Unit // stats memo off the same scan
+    val tmp = new java.io.File(indexRoot + ".stage_tmp")
+    postingRows(words) // overwrite mode clears any crashed build's orphan
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.getPath)
+    graft.api.Database.swapDir(tmp, new java.io.File(indexRoot))
+    bm25ProbePruned(s, indexRoot, dir)
+  }
+
   /** The three-term score column over pivoted tf columns + `len`. */
   private def bm25ScoreCol(nd: Long, avgdl: Double,
       dfs: Map[String, Long]): org.apache.spark.sql.Column =
@@ -2218,13 +2241,9 @@ object QueriesE {
     // construction (same stats memo, same arithmetic chain) — the oracle
     // is e80's SQL verbatim.
     "e82_bm25_index_persist" -> ((s, dir) => {
-      val words = graft.Caches.persistTracked(bm25Words(s, dir))
-      bm25Stats(s, dir, Some(words)): Unit // stats memo off the same scan
       val out = "/root/repo/target/fixtures/out/e82_postings_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
-      postingRows(words)
-        .write.mode("overwrite").partitionBy("bucket").parquet(out)
-      bm25ProbePruned(s, out, dir)
+      buildBm25Index(s, dir, out)
     }),
 
     // e81: HYBRID retrieval — reciprocal-rank fusion of the sparse arm

@@ -575,6 +575,25 @@ class ApiSpec extends AnyFunSuite {
     assert(scratch.vacuum().values.sum == 0)
   }
 
+  test("buildBm25Index: caller-supplied root, staged swap, vacuum reclaims a crashed build") {
+    val scratch = scratchDb()
+    scratch.vacuum() // reset residue
+    val idx = new java.io.File(scratch.root, "bm25_index")
+    val probe = graft.llm.QueriesE.buildBm25Index(spark, TestSpark.Sf, idx.getPath)
+      .collect()
+    graft.Caches.drain()
+    assert(probe.nonEmpty, "pruned probe over the persisted index returns rows")
+    assert(idx.isDirectory && !new java.io.File(idx.getPath + ".stage_tmp").exists(),
+      "staged build swapped fully into place")
+    // a rebuild that crashes mid-write leaves only a .stage_tmp orphan —
+    // inside a warehouse root, the standard vacuum sweep reclaims it
+    val crashed = new java.io.File(idx.getPath + ".stage_tmp")
+    new java.io.File(crashed, "bucket=0").mkdirs()
+    val rep = scratch.vacuum()
+    assert(rep("stage_tmp") == 1, s"crashed index build reclaimed: $rep")
+    assert(!crashed.exists() && idx.isDirectory, "live index survives the sweep")
+  }
+
   test("restore rolls back an append and re-pins a fresh v1 history") {
     val scratch = scratchDb()
     scratch.store(db.table("nation").df, "tt4", "overwrite")
