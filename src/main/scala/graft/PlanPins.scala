@@ -51,7 +51,11 @@ object PlanPins {
       // summary and its (err, n) bounds row — O(10·1) grading attachment
       "e77_heavy_hitters",
       // e81: e4's single-row query-vector crossJoin for the dense arm
-      "e81_hybrid_rrf")
+      "e81_hybrid_rrf",
+      // e85: e41's class — exact ground truth sweeps the corpus against
+      // the broadcast sampled query set (recall grading is O(n·|Q|) by
+      // definition); both serving arms under evaluation stay equi-joins
+      "e85_rebalance_recall")
 
   /** E-group queries whose plans intentionally contain a Window exec. The
     * forbidden class is a window partitioned by a DATA-DEPENDENT UNBOUNDED
@@ -96,7 +100,10 @@ object PlanPins {
       "e79_source_heavy_hitters",
       // e81: rank windows run AFTER each arm's top-20 limit — ≤ 20-row
       // frames by construction (TakeOrderedAndProject feeds them)
-      "e81_hybrid_rrf")
+      "e81_hybrid_rrf",
+      // e85: per-query top-10 over one query's candidates/truth (e41's
+      // class, once per serving arm)
+      "e85_rebalance_recall")
 
   /** The plan-shape assertions, applied to a physical-plan string. Returns
     * the violations (empty = clean). Callers decide fail-fast (ScalaTest)

@@ -2231,6 +2231,131 @@ object QueriesE {
       kept.unionByName(generalized).orderBy("doc_id")
     }),
 
+    // e84: l-DIVERSITY release gate — e83's k-anonymity defends group
+    // SIZE; l-diversity defends against the homogeneity attack (a k-large
+    // group whose sensitive value is uniform still leaks it). QI = source,
+    // sensitive = lang: a row ships only if its source group has ≥ k rows
+    // AND ≥ l distinct langs. Same shape as e83 — one map-side-combined
+    // group count (with an exact grouped distinct) broadcast back onto
+    // the scan; group cardinality is #sources at any corpus size.
+    "e84_l_diversity" -> ((s, dir) => {
+      val K = 5; val L = 3
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("source"), lit("(null)")).as("source"),
+        coalesce(col("lang"), lit("(null)")).as("lang"))
+      val g = docs.groupBy("source").agg(count(lit(1)).as("g"),
+        countDistinct(col("lang")).as("n_langs"))
+      docs.join(broadcast(g), "source")
+        .select(col("doc_id"), col("source"), col("g").as("k_size"),
+          col("n_langs"),
+          (col("g") >= K && col("n_langs") >= L).as("released"))
+        .orderBy("doc_id")
+    }),
+
+    // e85: recall ACROSS the e78 rebalance — the quality regression gate
+    // a maintenance op needs before its layout swap ships: nprobe-2 IVF
+    // serving recall@10 per sampled query (vec_id % 97, the eval
+    // convention), graded against brute-force truth, BEFORE (8 lists)
+    // and AFTER (9 lists: the hot list split by the deterministic
+    // 2-means, every other list untouched). Probe selection is the
+    // scan-local top-2-centroid expression; candidates are list
+    // equi-joins under a broadcast probe table — the whole grader is
+    // |Q|-bounded work on top of one corpus scan per arm, never
+    // all-pairs. Fully deterministic ⇒ exact oracle.
+    "e85_rebalance_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 8; val NProbe = 2; val TopK = 10
+      val base = graft.Caches.persistTracked(
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
+      val cents = Similarity.kmeansCentroids(base, "vec_id", K, 3,
+        memoKey = s"kmeans|$dir|embeddings|k8|it3")
+      val listed = graft.Caches.persistTracked(
+        base.withColumn("list_id", Similarity.ivfAssign(col("emb"), cents)))
+      val hot = listed.groupBy("list_id").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("list_id")).limit(1)
+        .collect()(0).getInt(0) // 1-row driver pick, as in e78
+      val sub = Similarity.kmeansCentroids(
+        listed.filter(col("list_id") === hot).select(col("vec_id"), col("emb")),
+        "vec_id", 2, 2, memoKey = s"kmeans-split|$dir|embeddings|hot$hot|k2|it2")
+      val relisted = graft.Caches.persistTracked(
+        listed.withColumn("new_list",
+          when(col("list_id") =!= hot, col("list_id"))
+            .when(Similarity.ivfAssign(col("emb"), sub) === 0, lit(hot))
+            .otherwise(lit(K))))
+      val centsAfter = cents.updated(hot, sub(0)) :+ sub(1)
+      val qs = base.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("qid"), col("emb").as("q"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val truth = relisted.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosine(col("emb"), col("q")).as("cos"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+        .select("qid", "vec_id")
+        .transform(graft.Caches.persistTracked)
+      def arm(listCol: String, cs: Array[Array[Double]], tag: String) = {
+        val probes = qs.select(col("qid"), col("q"),
+          explode(Similarity.ivfProbes(col("q"), cs, NProbe)).as("pl"))
+        val cands = relisted.join(broadcast(probes),
+            col(listCol) === col("pl") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            Similarity.cosine(col("emb"), col("q")).as("cos"))
+          .transform(graft.Caches.persistTracked) // top-k + count
+        val top = cands.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= TopK)
+          .select(col("qid"), col("vec_id"), lit(1).as(s"hit_$tag"))
+        val nc = cands.groupBy("qid").agg(count(lit(1)).as(s"n_cand_$tag"))
+        (top, nc)
+      }
+      val (tb, nb) = arm("list_id", cents, "before")
+      val (ta, na) = arm("new_list", centsAfter, "after")
+      truth
+        .join(tb, Seq("qid", "vec_id"), "left")
+        .join(ta, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit_before"), lit(0))).cast("long").as("n_hit_before"),
+          sum(coalesce(col("hit_after"), lit(0))).cast("long").as("n_hit_after"))
+        .join(nb, Seq("qid"), "left").join(na, Seq("qid"), "left")
+        .select(col("qid").as("query_id"),
+          coalesce(col("n_cand_before"), lit(0L)).as("n_cand_before"),
+          col("n_hit_before"),
+          (col("n_hit_before") / 10.0).as("recall_before"),
+          coalesce(col("n_cand_after"), lit(0L)).as("n_cand_after"),
+          col("n_hit_after"),
+          (col("n_hit_after") / 10.0).as("recall_after"))
+        .orderBy("query_id")
+    }),
+
+    // e86: BM25 with AND + PHRASE semantics — e80 is pure OR-of-terms;
+    // real retrieval needs the conjunctive gate (every query term
+    // present) and phrase awareness (adjacent "hash join" boosts). The
+    // score chain, stats, and tokenization are e80's exactly; the AND
+    // filter is a predicate over the pivoted tfs (no extra shuffle), and
+    // the phrase flag is a scan-local adjacency test over the token
+    // array. Ranked (has_phrase DESC, score DESC, doc_id), top-10 via
+    // TakeOrderedAndProject.
+    "e86_bm25_phrase" -> ((s, dir) => {
+      val words = graft.Caches.persistTracked(bm25Words(s, dir))
+      val (nd, avgdl, dfs) = bm25Stats(s, dir, Some(words))
+      val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val tfs = words.filter(col("word").isin(Bm25Terms: _*))
+        .groupBy("doc_id").pivot("word", Bm25Terms).agg(count(lit(1)))
+        .join(lens, "doc_id")
+      val conj = Bm25Terms.map(t => col(t).isNotNull && col(t) > 0).reduce(_ && _)
+      val phrase = t(s, dir, "documents")
+        .withColumn("ws", expr("filter(split(text, ' '), w -> w != '')"))
+        .select(col("doc_id"),
+          when(size(col("ws")) >= 2, expr(
+            s"exists(sequence(0, size(ws) - 2), " +
+              s"i -> ws[i] = '${Bm25Terms(0)}' AND ws[i+1] = '${Bm25Terms(1)}')"))
+            .otherwise(lit(false)).as("has_phrase"))
+      tfs.filter(conj)
+        .select(col("doc_id"), bm25ScoreCol(nd, avgdl, dfs).as("score"))
+        .join(phrase, "doc_id")
+        .orderBy(col("has_phrase").desc, col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // e82: PERSISTED lexical index — e64's partition-pruned-serving
     // recipe applied to BM25: the full posting relation (doc_id, word,
     // tf, len — the classic posting entry with its doc norm denormalized
@@ -3164,6 +3289,76 @@ object QueriesE {
         "FROM d JOIN g1 ON d.source = g1.source AND d.lang = g1.lang " +
         "JOIN g2 ON d.source = g2.source WHERE g1.g1 < 5 AND g2.g2 >= 5) " +
         "SELECT * FROM kept UNION ALL SELECT * FROM gen ORDER BY doc_id"),
+    "e84_l_diversity" ->
+      ("WITH d AS (SELECT doc_id, coalesce(source, '(null)') AS source, " +
+        "coalesce(lang, '(null)') AS lang FROM documents), " +
+        "g AS (SELECT source, CAST(count(*) AS BIGINT) AS g, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM d GROUP BY source) " +
+        "SELECT doc_id, d.source, g AS k_size, n_langs, " +
+        "(g >= 5 AND n_langs >= 3) AS released " +
+        "FROM d JOIN g ON d.source = g.source ORDER BY doc_id"),
+    "e85_rebalance_recall" -> {
+      val K = 8; val Iters = 3; val NProbe = 2; val TopK = 10
+      def cosOf(v: String, q: String) =
+        s"(${sqlChain(i => s"$v.emb[$i]*$q.emb[$i]")}) / " +
+          s"(sqrt(${sqlChain(i => s"$v.emb[$i]*$v.emb[$i]")}) * " +
+          s"sqrt(${sqlChain(i => s"$q.emb[$i]*$q.emb[$i]")}))"
+      sqlKmeansCtes(K, Iters) + ", " +
+        sqlKmAssign("af", s"c$Iters") + ", " +
+        "members AS (SELECT vec_id, emb, list FROM af WHERE rn = 1), " +
+        "occ AS (SELECT list, CAST(count(*) AS BIGINT) AS n FROM members GROUP BY list), " +
+        "hot AS (SELECT list FROM occ ORDER BY n DESC, list LIMIT 1), " +
+        "h AS (SELECT vec_id, emb FROM members JOIN hot USING (list)), " +
+        sqlKmeansLoop(Dims, "h", "s")(2, 2) + ", " +
+        sqlKmAssignN(Dims, "h")("sa", "sc2") + ", " +
+        "sm AS (SELECT vec_id, list AS sub FROM sa WHERE rn = 1), " +
+        "re AS (SELECT m.vec_id, m.emb, m.list, CASE WHEN m.list <> hot.list THEN m.list " +
+        s"WHEN sub = 0 THEN m.list ELSE $K END AS new_list " +
+        "FROM members m CROSS JOIN hot LEFT JOIN sm ON m.vec_id = sm.vec_id), " +
+        s"ca AS (SELECT c.j, CASE WHEN c.j = (SELECT list FROM hot) THEN " +
+        s"(SELECT emb FROM sc2 WHERE j = 0) ELSE c.emb END AS emb FROM c$Iters c " +
+        s"UNION ALL SELECT $K AS j, emb FROM sc2 WHERE j = 1), " +
+        "q AS (SELECT vec_id AS qid, emb FROM e WHERE vec_id % 97 = 0), " +
+        s"tr AS (SELECT qid, vec_id FROM (SELECT q.qid, v.vec_id, ${cosOf("v", "q")} AS cos " +
+        "FROM e v CROSS JOIN q WHERE v.vec_id <> q.qid) " +
+        s"QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= $TopK), " +
+        s"pbd AS (SELECT q.qid, c.j, ${sqlL2("q", "c")} AS d FROM q CROSS JOIN c$Iters c), " +
+        s"pb AS (SELECT qid, j FROM pbd QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d, j) <= $NProbe), " +
+        s"pad AS (SELECT q.qid, c.j, ${sqlL2("q", "c")} AS d FROM q CROSS JOIN ca c), " +
+        s"pa AS (SELECT qid, j FROM pad QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d, j) <= $NProbe), " +
+        s"cb AS (SELECT pb.qid, m.vec_id, ${cosOf("m", "q")} AS cos " +
+        "FROM members m JOIN pb ON m.list = pb.j JOIN q ON q.qid = pb.qid WHERE m.vec_id <> pb.qid), " +
+        s"cba AS (SELECT pa.qid, m.vec_id, ${cosOf("m", "q")} AS cos " +
+        "FROM re m JOIN pa ON m.new_list = pa.j JOIN q ON q.qid = pa.qid WHERE m.vec_id <> pa.qid), " +
+        s"topb AS (SELECT qid, vec_id FROM cb QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= $TopK), " +
+        s"topa AS (SELECT qid, vec_id FROM cba QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= $TopK), " +
+        "ncb AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand_before FROM cb GROUP BY qid), " +
+        "nca AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand_after FROM cba GROUP BY qid), " +
+        "agg AS (SELECT tr.qid, " +
+        "CAST(sum(CASE WHEN tb.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_before, " +
+        "CAST(sum(CASE WHEN ta.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_after " +
+        "FROM tr LEFT JOIN topb tb ON tr.qid = tb.qid AND tr.vec_id = tb.vec_id " +
+        "LEFT JOIN topa ta ON tr.qid = ta.qid AND tr.vec_id = ta.vec_id GROUP BY tr.qid) " +
+        "SELECT agg.qid AS query_id, " +
+        "CAST(coalesce(n_cand_before, 0) AS BIGINT) AS n_cand_before, n_hit_before, " +
+        "CAST(n_hit_before AS DOUBLE) / 10.0 AS recall_before, " +
+        "CAST(coalesce(n_cand_after, 0) AS BIGINT) AS n_cand_after, n_hit_after, " +
+        "CAST(n_hit_after AS DOUBLE) / 10.0 AS recall_after " +
+        "FROM agg LEFT JOIN ncb ON agg.qid = ncb.qid LEFT JOIN nca ON agg.qid = nca.qid " +
+        "ORDER BY query_id"
+    },
+    "e86_bm25_phrase" -> {
+      val ts = Bm25Terms
+      s"WITH $sqlBm25Ctes, " +
+        "p AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        s"ph AS (SELECT doc_id, len(list_filter(range(1, len(ws)), " +
+        s"i -> ws[i] = '${ts(0)}' AND ws[i+1] = '${ts(1)}')) > 0 AS has_phrase FROM p) " +
+        "SELECT sc.doc_id, sc.score, ph.has_phrase FROM scored sc " +
+        "JOIN tfs ON sc.doc_id = tfs.doc_id JOIN ph ON sc.doc_id = ph.doc_id " +
+        s"WHERE tf_${ts(0)} > 0 AND tf_${ts(1)} > 0 AND tf_${ts(2)} > 0 " +
+        "ORDER BY has_phrase DESC, score DESC, sc.doc_id LIMIT 10"
+    },
     "e80_bm25_retrieval" ->
       (s"WITH $sqlBm25Ctes " +
         "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"),

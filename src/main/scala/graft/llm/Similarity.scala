@@ -86,6 +86,20 @@ object Similarity {
     dot(emb, emb) - lit(2.0) * dot(emb, cc) + lit(c.map(v => v * v).sum)
   }
 
+  /** The `nprobe` nearest centroid indices, ascending by (distance,
+    * index) — an IVF query's probe set as an `array<int>` column
+    * (scan-local k × dims multiply-adds per row; the serving-side
+    * companion of [[ivfAssign]], shared by the e85 recall grader).
+    */
+  def ivfProbes(emb: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    org.apache.spark.sql.functions.transform(
+      org.apache.spark.sql.functions.slice(
+        org.apache.spark.sql.functions.array_sort(
+          array(centroids.zipWithIndex.toIndexedSeq.map { case (c, j) =>
+            struct(l2sq(emb, c).as("d"), lit(j).as("j"))
+          }: _*)), 1, nprobe),
+      s => s.getField("j"))
+
   /** Nearest-centroid assignment WITH its distance: the argmin
     * (distance, index) struct — `.getField("j")` is the list id,
     * `.getField("d")` the squared L2 to it (deterministic tie-break by

@@ -1338,6 +1338,54 @@ class LlmSpec extends AnyFunSuite {
     assert(out.length == 15)
   }
 
+  test("e84 l-diversity: a k-large but lang-uniform group is NOT released") {
+    import spark.implicits._
+    val dir = "/root/repo/target/fixtures/test/docs_e84"
+    val rows =
+      (1L to 6L).map(i => (i, "A", "en")) ++                   // k ok, 1 lang
+        (7L to 12L).map(i => (i, "B", Seq("en", "de", "fr")((i % 3).toInt))) ++
+        Seq((13L, "C", "en"), (14L, "C", "de"), (15L, "C", "fr")) ++ // 3 langs, k < 5
+        (16L to 21L).map(i =>
+          (i, "D", if (i % 3 == 0) null else s"l${i % 3}")) // null = 3rd value
+    rows.toDF("doc_id", "source", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.llm.QueriesE.all("e84_l_diversity")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert((1L to 6L).forall(!out(_)), "homogeneous group leaks its lang: suppress")
+    assert((7L to 12L).forall(out(_)), "k-large, 3-diverse group releases")
+    assert((13L to 15L).forall(!out(_)), "diverse but sub-k group suppresses")
+    assert((16L to 21L).forall(out(_)), "null lang counts as a distinct sensitive value")
+  }
+
+  test("e85 recall grader: both arms bounded and consistent; query set is the eval sample") {
+    val out = graft.llm.QueriesE.all("e85_rebalance_recall")(spark, TestSpark.Sf)
+      .collect()
+    graft.Caches.drain()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (qid, ncb, nhb, rb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (nca, nha, ra) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(qid % 97 == 0, "queries are the % 97 eval sample")
+      assert(nhb <= 10 && nha <= 10 && nhb <= ncb && nha <= nca,
+        s"hits bounded by top-k and candidates: $r")
+      assert(rb == nhb / 10.0 && ra == nha / 10.0, "recall is exactly hits/10")
+    }
+  }
+
+  test("e86 BM25 AND+phrase: conjunctive gate excludes partial matches; phrase ranks first") {
+    val dir = craftedDocsDir("e86", Seq(
+      (1L, "hash join scan filler words here", 32L),          // all terms + phrase
+      (2L, "join hash words scan other filler", 32L),         // all terms, no phrase
+      (3L, "hash hash hash join join join only two terms", 45L), // missing 'scan'
+      (4L, "nothing relevant at all in this document", 40L)))
+    val out = graft.llm.QueriesE.all("e86_bm25_phrase")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    graft.Caches.drain()
+    assert(out.map(_._1).toSet == Set(1L, 2L), s"AND gate keeps only full matches: ${out.toSeq}")
+    assert(out.head == ((1L, true)) && out(1) == ((2L, false)),
+      "the phrase-bearing doc ranks first")
+  }
+
   test("e82 persisted lexical index: the probe partition-prunes to the terms' buckets") {
     val df = graft.llm.QueriesE.all("e82_bm25_index_persist")(spark, TestSpark.Sf)
     val top = df.collect()
