@@ -114,8 +114,10 @@ object Bench {
       var runs = 1
       while (err.isEmpty && elapsed > ReRunAbove && runs < MaxRuns) {
         val (e2, err2) = timeOnce()
-        elapsed = math.min(elapsed, e2)
-        err = err2
+        // only adopt the re-run's error if its timing became the kept
+        // minimum — a flaky re-run must not mislabel a query whose first
+        // (kept) timing succeeded (r7 verdict "what's wrong" #3)
+        if (e2 < elapsed) { elapsed = e2; err = err2 }
         runs += 1
       }
       (name, elapsed, err)
@@ -126,9 +128,23 @@ object Bench {
     val errJson =
       if (errs.isEmpty) "" else s""","failed":${errs.size},"errors":${errs.mkString("{", ",", "}")}"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,""" +
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","cores":$nCpus,""" +
-      s""""timing":"min-of-N, reruns above ${ReRunAbove}s","sf":"$sfDir"}""")
+      s""""timing":"min-of-N, reruns above ${ReRunAbove}s","sf":"$sfDir"}"""
+    println(line)
+    // the driver's BENCH_r{N}.json keeps only a tail of stdout, which has
+    // truncated ~130 of the 184 per-query timings out of the committed
+    // record (r7 advisor finding). Persist the full JSON line to a repo
+    // file so every timing is auditable.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json"))
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] could not persist full bench line: $e")
+    }
     spark.stop()
   }
 }

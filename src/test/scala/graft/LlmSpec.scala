@@ -606,6 +606,33 @@ class LlmSpec extends AnyFunSuite {
     assert(Multimodal.decodeOne(Multimodal.encodeOne(1L, "")).n_content == 1L)
   }
 
+  test("decodeSafe: corrupt payloads quarantine with the error, good rows unchanged") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").limit(30)
+    val media = Multimodal.mediaFromDocuments(spark, docs).map { r =>
+      if (r.doc_id % 3 == 0) // one of each container class gets corrupted
+        r.copy(media = java.util.Arrays.copyOf(r.media, 12)) // truncated
+      else if (r.doc_id % 3 == 1) {
+        val b = r.media.clone(); b(0) = 'Z'; r.copy(media = b) // bad magic
+      } else r
+    }
+    val attempts = Multimodal.decodeSafe(spark, media).collect()
+    assert(attempts.length == 30)
+    attempts.foreach { a =>
+      assert(a.ok.isDefined != a.bad.isDefined, "exactly one arm per attempt")
+      a.ok.foreach(d => assert(d.doc_id % 3 == 2 && d.codec == "gfv1"))
+      a.bad.foreach { q =>
+        assert(q.doc_id % 3 != 2 && q.error.nonEmpty && q.n_bytes > 0)
+      }
+    }
+    // the good arm's decoded content is byte-identical to the unguarded path
+    val safeGood = attempts.flatMap(_.ok).map(d => d.doc_id -> d.fingerprint).toMap
+    val full = Multimodal.decode(spark,
+      Multimodal.mediaFromDocuments(spark, docs)).collect()
+      .filter(_.doc_id % 3 == 2).map(d => d.doc_id -> d.fingerprint).toMap
+    assert(safeGood == full)
+  }
+
   test("multimodal decode over the corpus: batch plumbing + header-true metadata") {
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").limit(20)
     val out = Multimodal.decode(spark,
