@@ -452,11 +452,11 @@ object QueriesF {
     // identical scores to e80's relation by construction (same stats,
     // same arithmetic chain)
     "f30_stream_bm25" ->
-      (s"WITH ${graft.llm.QueriesE.sqlBm25Ctes} " +
+      (s"WITH ${graft.llm.QueriesE.sqlBm25Ctes()} " +
         "SELECT doc_id, score FROM scored ORDER BY doc_id"),
     // identical top-10 to e80 by construction (streamed index, same probe)
     "f31_stream_postings" ->
-      (s"WITH ${graft.llm.QueriesE.sqlBm25Ctes} " +
+      (s"WITH ${graft.llm.QueriesE.sqlBm25Ctes()} " +
         "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"),
     "f28_stream_top_users" ->
       (s"WITH e AS ($EsEvents), m AS (SELECT max(us) AS mu FROM e), " +

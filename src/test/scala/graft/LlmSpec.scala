@@ -1434,6 +1434,28 @@ class LlmSpec extends AnyFunSuite {
       "index probe and corpus scan must agree bit-exactly")
   }
 
+  test("bm25: one persisted index serves ANY term set (layout is term-independent)") {
+    import graft.llm.QueriesE
+    val root = java.nio.file.Files.createTempDirectory("bm25idx").toString + "/idx"
+    // build once with the default (frozen) terms…
+    QueriesE.buildBm25Index(spark, TestSpark.Sf, root).collect()
+    // …then probe the SAME index with e88's 4-term query: pruned probe
+    // rows must equal the corpus-scan scorer's top-10 for those terms
+    val probe = QueriesE.bm25ProbePruned(spark, root, TestSpark.Sf, QueriesE.E88Terms)
+    val probed = probe.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val plan = probe.queryExecution.executedPlan.toString
+    val scan = QueriesE.bm25Scores(spark, TestSpark.Sf, QueriesE.E88Terms)
+      .orderBy(org.apache.spark.sql.functions.col("score").desc,
+        org.apache.spark.sql.functions.col("doc_id"))
+      .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    graft.Caches.drain()
+    assert(probed.toSeq == scan.toSeq,
+      "pruned probe with alternate terms must match the corpus scan bit-exactly")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("bucket")),
+      s"alternate-term probe must still partition-prune on bucket:\n$plan")
+  }
+
   test("e65 contamination spans: eval text inside a train doc is localized exactly") {
     val dir = craftedDocsDir("e65", Seq(
       // doc 0 (0 % 97 = 0) is the eval stand-in; train doc 1 embeds its
