@@ -103,7 +103,10 @@ object PlanPins {
       "e81_hybrid_rrf",
       // e85: per-query top-10 over one query's candidates/truth (e41's
       // class, once per serving arm)
-      "e85_rebalance_recall")
+      "e85_rebalance_recall",
+      // e89: per-query top-10 over one query's pruned-probe candidates
+      // (e41's class, served from the swapped persisted layout)
+      "e89_rebalance_persist")
 
   /** The plan-shape assertions, applied to a physical-plan string. Returns
     * the violations (empty = clean). Callers decide fail-fast (ScalaTest)
