@@ -90,7 +90,11 @@ object Bench {
       .filter(_ > nCpus / 4.0)
       .foreach(l => System.err.println(
         s"[bench] WARNING: host loadavg $l > cores/4 ($nCpus cores) — timings may be contaminated"))
-    val ReRunAbove = 2.0
+    // scale-rehearsal runs (sf1/sf10) disable the adaptive re-run via a
+    // large threshold and take medians across whole independent runs
+    // instead — at 10x volume most queries legitimately exceed 2 s and
+    // min-of-N would triple a 10-minute sweep
+    val ReRunAbove = sys.env.getOrElse("SPARK_GRAFT_RERUN_ABOVE", "2.0").toDouble
     val MaxRuns = 3
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -23,13 +23,24 @@ import org.apache.spark.sql.functions._
   * their vectors (k-means/IVF training distributions unchanged; inverted
   * lists grow uniformly `factor`×).
   *
-  * Usage: `runMain graft.ScaleGen <srcSfDir> <dstDir> [factor=10]`.
+  * **Skew mode** (4th arg `skew`): uniform replication never exercises
+  * AQE's skew-join split or the salting levers — every key owns 1/n of
+  * its table at any factor. With `skew`, ~30% of the fact rows funnel
+  * onto ONE hot key per join edge (an existing replica-0 key, so the
+  * join graph stays dangling-free): orders.o_custkey and events.user_id
+  * → the first customer (one viral user), lineitem.l_orderkey → the
+  * first order (one mega-order), documents.source → one hot domain (the
+  * boilerplate-heavy crawl host). The 30% membership is a deterministic
+  * per-row hash, so reruns see the identical corpus.
+  *
+  * Usage: `runMain graft.ScaleGen <srcSfDir> <dstDir> [factor=10] [skew]`.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val skew = args.length > 3 && args(3) == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,6 +70,19 @@ object ScaleGen {
       stride(rd("embeddings"), "vec_id"))
     val E = stride(rd("events"), "event_id")
 
+    // skew targets: existing replica-0 keys, so every redirected FK still
+    // has its dim row; 30% membership by deterministic per-row hash
+    def minKey(df: DataFrame, c: String): Long =
+      df.agg(min(col(c).cast("long"))).head.getLong(0)
+    lazy val hotCust = minKey(rd("customer"), "c_custkey")
+    lazy val hotOrder = minKey(rd("orders"), "o_orderkey")
+    def skewKey(df: DataFrame, keyCol: String, hot: Long,
+        mix: Seq[String]): DataFrame =
+      if (!skew) df
+      else df.withColumn(keyCol,
+        when(pmod(xxhash64(mix.map(col): _*), lit(10)) < 3, lit(hot))
+          .otherwise(col(keyCol)))
+
     write(rd("region"), "region")
     write(rd("nation"), "nation")
     write(rep(rd("customer"))((d, i) => shifted(d, i, "c_custkey" -> K)),
@@ -66,24 +90,33 @@ object ScaleGen {
     write(rep(rd("supplier"))((d, i) => shifted(d, i, "s_suppkey" -> S)),
       "supplier")
     write(rep(rd("part"))((d, i) => shifted(d, i, "p_partkey" -> P)), "part")
-    write(rep(rd("orders"))((d, i) =>
-      shifted(d, i, "o_orderkey" -> O, "o_custkey" -> K)), "orders")
-    write(rep(rd("lineitem"))((d, i) =>
+    write(skewKey(rep(rd("orders"))((d, i) =>
+      shifted(d, i, "o_orderkey" -> O, "o_custkey" -> K)),
+      "o_custkey", hotCust, Seq("o_orderkey")), "orders")
+    write(skewKey(rep(rd("lineitem"))((d, i) =>
       shifted(d, i, "l_orderkey" -> O, "l_partkey" -> P, "l_suppkey" -> S)),
+      "l_orderkey", hotOrder, Seq("l_orderkey", "l_linenumber")),
       "lineitem")
-    write(rep(rd("events"))((d, i) =>
-      shifted(d, i, "event_id" -> E, "user_id" -> K)), "events")
+    write(skewKey(rep(rd("events"))((d, i) =>
+      shifted(d, i, "event_id" -> E, "user_id" -> K)),
+      "user_id", hotCust, Seq("event_id")), "events")
     write(rep(rd("embeddings"))((d, i) => shifted(d, i, "vec_id" -> D)),
       "embeddings")
-    write(rep(rd("documents")) { (d, i) =>
+    val docs = rep(rd("documents")) { (d, i) =>
       val s = shifted(d, i, "doc_id" -> D)
       if (i == 0) s
       else s
         .withColumn("text", regexp_replace(col("text"), "\\S+", s"$$0_r$i"))
         .withColumn("n_chars", length(col("text")).cast("long"))
-    }, "documents")
+    }
+    write(
+      if (!skew) docs
+      else docs.withColumn("source",
+        when(pmod(xxhash64(col("doc_id")), lit(10)) < 3,
+          lit("skew-hot-source")).otherwise(col("source"))),
+      "documents")
 
-    println(s"""{"scalegen":"$dst","factor":$factor}""")
+    println(s"""{"scalegen":"$dst","factor":$factor,"skew":$skew}""")
     spark.stop()
   }
 }

@@ -1042,15 +1042,29 @@ object QueriesE {
     }),
 
     // e8: embedding near-dup pairs (cos > 0.4) via banded sign-LSH
-    // candidate generation: 2 bands × 4 planes; a pair is a candidate iff
-    // its bucket matches in SOME band (OR-amplified recall), then the exact
-    // cosine filters candidates. Every join is an equi-join — (band,
-    // bucket) for candidates, vec_id for the verify lookups — so the plan
-    // is shuffle-bounded at any scale (the former all-pairs `a.vec_id <
+    // candidate generation: 2 bands, planes per band ADAPTIVE in the
+    // corpus size; a pair is a candidate iff its bucket matches in SOME
+    // band (OR-amplified recall), then the exact cosine filters
+    // candidates. Every join is an equi-join — (band, bucket) for
+    // candidates, vec_id for the verify lookups — so the plan is
+    // shuffle-bounded at any scale (the former all-pairs `a.vec_id <
     // b.vec_id` formulation was a BroadcastNestedLoopJoin, O(n²) examined
     // rows). Norms precomputed once per vector (n·d, not n²·d).
+    //
+    // WHY adaptive granularity: with a FIXED bucket count the candidate
+    // volume is Σ_b n_b² — quadratic in the corpus no matter how the
+    // joins are shaped (the r8 full-inventory rehearsal measured exponent
+    // 1.37, the inventory's only super-linear). Sizing planes/band to
+    // ceil(log2(n/32)) holds expected occupancy ≈ 32, making candidates
+    // O(n·occupancy) — linear, the standard LSH index-time tuning. The
+    // max(4, …) floor keeps ≤ ~512-vector corpora on the frozen 2×4-plane
+    // layout, so the sf0.001/sf0.01 gates (where the DuckDB oracle
+    // hard-codes those planes) are bit-identical.
     "e8_embed_neardup" -> ((s, dir) => {
-      val planes = signPlanes(NPlanes, Dims)
+      val nVecs = t(s, dir, "embeddings").count() // index-time stat
+      val perBand = math.max(NPlanes / 2,
+        math.ceil(math.log(nVecs.toDouble / 32.0) / math.log(2.0)).toInt)
+      val planes = signPlanes(2 * perBand, Dims)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
         .withColumn("nrm", norm(col("emb")))
