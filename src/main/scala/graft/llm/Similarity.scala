@@ -46,13 +46,28 @@ object Similarity {
   def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Deterministic ±1 hyperplanes for sign-LSH (random-projection family).
-    * Sign of plane j, dim d = bit 16 of Knuth-hash((j*dims+d)) — a fixed,
-    * engine-portable pseudo-random sequence (no RNG dependency, same values
-    * in any SQL engine via integer arithmetic).
+    * Sign of plane j, dim d = low bit of splitmix64-mix(j*dims+d) — a
+    * fixed pseudo-random sequence with full avalanche (no RNG dependency;
+    * the oracle side inlines the resulting signs, so determinism is all
+    * that is required).
+    *
+    * WHY the strong mixer (r8): the previous "bit 16 of Knuth-hash(k)"
+    * sequence is nearly LINEAR over consecutive k — adjacent planes came
+    * out up to cos 0.94 parallel (mean |cos| 0.48), so the effective
+    * number of independent planes saturated at ~6 no matter how many were
+    * requested. On the rehearsal corpus that capped bucket entropy and
+    * made banded-LSH occupancy pile up (5×10⁸ candidate pairs at sf10
+    * where uniform hashing gives 5×10⁶). Splitmix's finalizer is the
+    * public-domain standard for exactly this (Steele et al., "Fast
+    * splittable pseudorandom number generators", OOPSLA'14).
     */
   def signPlanes(nPlanes: Int, dims: Int): Array[Array[Double]] =
     Array.tabulate(nPlanes, dims) { (j, d) =>
-      if (((((j * dims + d).toLong * 2654435761L) >> 16) & 1L) == 0L) 1.0 else -1.0
+      var z = (j.toLong * dims + d) + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      if ((z & 1L) == 0L) 1.0 else -1.0
     }
 
   /** LSH bucket id: bit j set iff dot(emb, plane_j) > 0. */
