@@ -118,10 +118,12 @@ object Bench {
       var runs = 1
       while (err.isEmpty && elapsed > ReRunAbove && runs < MaxRuns) {
         val (e2, err2) = timeOnce()
-        // only adopt the re-run's error if its timing became the kept
-        // minimum — a flaky re-run must not mislabel a query whose first
-        // (kept) timing succeeded (r7 verdict "what's wrong" #3)
-        if (e2 < elapsed) { elapsed = e2; err = err2 }
+        // the loop only runs after a SUCCESSFUL first timing, so a flaky
+        // re-run can never mislabel the query as failed: adopt a re-run's
+        // timing only when it also succeeded (a failed run's
+        // elapsed-until-abort is not a measurement of the query), and
+        // never adopt its error (r7 verdict "what's wrong" #3)
+        if (err2.isEmpty) elapsed = math.min(elapsed, e2)
         runs += 1
       }
       (name, elapsed, err)
@@ -140,8 +142,11 @@ object Bench {
     // the driver's BENCH_r{N}.json keeps only a tail of stdout, which has
     // truncated ~130 of the 184 per-query timings out of the committed
     // record (r7 advisor finding). Persist the full JSON line to a repo
-    // file so every timing is auditable.
-    try {
+    // file so every timing is auditable. Filtered dev runs (query args)
+    // must NOT clobber the committed full-inventory record — they only
+    // write when the caller explicitly points SPARK_GRAFT_BENCH_OUT
+    // somewhere.
+    try if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json"))
       java.nio.file.Files.write(out,

@@ -19,9 +19,19 @@ import org.apache.spark.sql.functions._
   * keeps the originals), so shingle/minhash/span structure repeats
   * per-replica instead of every doc gaining `factor−1` cross-replica
   * twins: dedup/LSH/dup-span work scales LINEARLY with the corpus, which
-  * is the scaling hypothesis the rehearsal measures. Embeddings keep
-  * their vectors (k-means/IVF training distributions unchanged; inverted
-  * lists grow uniformly `factor`×).
+  * is the scaling hypothesis the rehearsal measures. Embeddings get the
+  * VECTOR analogue of the token suffix: each replica's vectors pass
+  * through a replica-specific signed permutation of the dimensions — an
+  * orthogonal transform, so every WITHIN-replica inner product, norm,
+  * cosine, and L2 distance is preserved exactly (near-dup structure,
+  * k-means/IVF cluster geometry, and LSH occupancy repeat per replica),
+  * while cross-replica twins disappear (a vector and its rotated copy
+  * are ~orthogonal). Without this, every vector gains `factor−1` EXACT
+  * twins and the near-dup PAIR RELATION itself is quadratic in the
+  * factor — the r8 sf10 rehearsal hit exactly that wall (e8 spilled the
+  * disk enumerating twin pairs that only the replication artifact
+  * created). Replica 0 keeps the originals (vec_id 0, the fixed query
+  * vector, is unchanged).
   *
   * **Skew mode** (4th arg `skew`): uniform replication never exercises
   * AQE's skew-join split or the salting levers — every key owns 1/n of
@@ -76,7 +86,9 @@ object ScaleGen {
       df.agg(min(col(c).cast("long"))).head.getLong(0)
     lazy val hotCust = minKey(rd("customer"), "c_custkey")
     lazy val hotOrder = minKey(rd("orders"), "o_orderkey")
-    def skewKey(df: DataFrame, keyCol: String, hot: Long,
+    // hot by-name: the min-key aggregation jobs must only run in skew
+    // mode (a by-value param would force the lazy vals on every call)
+    def skewKey(df: DataFrame, keyCol: String, hot: => Long,
         mix: Seq[String]): DataFrame =
       if (!skew) df
       else df.withColumn(keyCol,
@@ -100,8 +112,20 @@ object ScaleGen {
     write(skewKey(rep(rd("events"))((d, i) =>
       shifted(d, i, "event_id" -> E, "user_id" -> K)),
       "user_id", hotCust, Seq("event_id")), "events")
-    write(rep(rd("embeddings"))((d, i) => shifted(d, i, "vec_id" -> D)),
-      "embeddings")
+    // signed-permutation rotation per replica: dim j reads source dim
+    // (j + 7i) mod dims with a sign that flips on (j + i) mod 3 — both
+    // vary with i, so no two replicas (factor ≤ ~192) share a transform.
+    // Orthogonal ⇒ within-replica geometry is bit-preserved up to float
+    // rounding-free reordering (it is a permutation + sign flip: EXACT).
+    val dims = rd("embeddings").selectExpr("size(embedding)").head.getInt(0)
+    write(rep(rd("embeddings")) { (d, i) =>
+      val s = shifted(d, i, "vec_id" -> D)
+      if (i == 0) s
+      else s.withColumn("embedding", expr(
+        s"transform(sequence(0, ${dims - 1}), j -> CAST(" +
+          s"element_at(embedding, pmod(j + ${7 * i}, $dims) + 1) * " +
+          s"(CASE WHEN pmod(j + $i, 3) = 0 THEN -1.0 ELSE 1.0 END) AS FLOAT))"))
+    }, "embeddings")
     val docs = rep(rd("documents")) { (d, i) =>
       val s = shifted(d, i, "doc_id" -> D)
       if (i == 0) s

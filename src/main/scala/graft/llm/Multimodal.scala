@@ -264,13 +264,16 @@ object Multimodal {
       media: Dataset[MediaRow]): Dataset[MediaDecodeAttempt] = {
     import spark.implicits._
     media.mapPartitions(_.map { r =>
+      // sized OUTSIDE the guard: a NULL payload must quarantine like any
+      // other corrupt row, not NPE out of the dead-letter path itself
+      val nBytes = if (r.media == null) 0 else r.media.length
       try MediaDecodeAttempt(Some(decodeOne(r)), None)
       catch {
         // NPE included: ImageIO.read returns null (not an exception) on
         // some truncated/corrupt PNG streams and the raster access NPEs
         case scala.util.control.NonFatal(e) =>
           MediaDecodeAttempt(None, Some(MediaQuarantined(
-            r.doc_id, r.media_type, r.media.length,
+            r.doc_id, r.media_type, nBytes,
             s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
               .take(160))))
       }

@@ -159,6 +159,10 @@ object QueriesE {
     bloomFilterBytes(s, dir): Unit // f29's 128 KB eval-set filter (e76
     // deliberately keeps the DISTRIBUTED bloom_agg build in its plan)
     bm25Stats(s, dir): Unit // f30/f31's index-time stats
+    // e88's alternate-term stats memo: without this, e88's first benched
+    // touch books a full corpus tokenize + df collection and measures
+    // training instead of serving (the r5 f21 skew, per-query-set)
+    bm25Stats(s, dir, terms = E88Terms): Unit
     // pre-build the session-shared RELATION memos too (banded candidates →
     // verified pairs → components, and the cleaned-corpus variants): these
     // fixpoints are consumed by 6+ queries (e17/e19/e20/e28/e45/e46/e48/e49)
@@ -1062,8 +1066,11 @@ object QueriesE {
     // hard-codes those planes) are bit-identical.
     "e8_embed_neardup" -> ((s, dir) => {
       val nVecs = t(s, dir, "embeddings").count() // index-time stat
-      val perBand = math.max(NPlanes / 2,
-        math.ceil(math.log(nVecs.toDouble / 32.0) / math.log(2.0)).toInt)
+      // upper bound 31: the bucket id is an Int bit-field (lshBucket
+      // requires it loudly); past ~7e10 vectors the id type itself must
+      // widen, not the shift silently wrap
+      val perBand = math.min(31, math.max(NPlanes / 2,
+        math.ceil(math.log(nVecs.toDouble / 32.0) / math.log(2.0)).toInt))
       val planes = signPlanes(2 * perBand, Dims)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))

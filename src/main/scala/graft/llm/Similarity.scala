@@ -70,12 +70,23 @@ object Similarity {
       if ((z & 1L) == 0L) 1.0 else -1.0
     }
 
-  /** LSH bucket id: bit j set iff dot(emb, plane_j) > 0. */
-  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
+  /** LSH bucket id: bit j set iff dot(emb, plane_j) > 0. Capped at 31
+    * planes — bit j rides Int arithmetic (the oracle's CASE chain is
+    * int-typed too), and a silent `1 << 32` wraparound would alias
+    * distinct sign patterns into shared buckets, re-capping bucket
+    * entropy exactly like the degenerate-plane bug fixed in r8. A corpus
+    * needing >2³¹ buckets (≈7·10¹⁰ vectors at occupancy 32) needs a
+    * wider id type end-to-end, which this require makes a loud decision
+    * instead of a silent regression.
+    */
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column = {
+    require(planes.length <= 31,
+      s"lshBucket: ${planes.length} planes exceed the 31-bit Int bucket id")
     planes.zipWithIndex.map { case (p, j) =>
       val plane = array(p.toSeq.map(lit): _*)
       when(dot(emb, plane) > 0.0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
 
   /** Banded sign-LSH: split `planes` into `bands` disjoint groups and emit
     * an array of (band, bucket) structs per row (explode downstream). This
