@@ -631,6 +631,13 @@ class LlmSpec extends AnyFunSuite {
       Multimodal.mediaFromDocuments(spark, docs)).collect()
       .filter(_.doc_id % 3 == 2).map(d => d.doc_id -> d.fingerprint).toMap
     assert(safeGood == full)
+    // a NULL payload quarantines too — the dead-letter constructor must
+    // not itself dereference the missing bytes (r8 review finding)
+    val nullRow = spark.createDataset(Seq(
+      Multimodal.MediaRow(42L, "image", null)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val nq = Multimodal.decodeSafe(spark, nullRow).collect()(0)
+    assert(nq.bad.exists(q => q.doc_id == 42L && q.n_bytes == 0 && q.error.nonEmpty))
   }
 
   test("multimodal decode over the corpus: batch plumbing + header-true metadata") {
