@@ -824,14 +824,23 @@ object QueriesE {
         (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (len.cast("double") / lit(avgdl)))))
   }
 
-  private[graft] def bm25Scores(s: org.apache.spark.sql.SparkSession, dir: String,
-      terms: Seq[String] = Bm25Terms): org.apache.spark.sql.DataFrame = {
-    val words = graft.Caches.persistTracked(bm25Words(s, dir))
-    val (nd, avgdl, dfs) = bm25Stats(s, dir, Some(words), terms)
+  /** Per-doc pivoted term-frequency columns + doc length for `terms` —
+    * the corpus-scan relation shared by the pure scorer and the
+    * AND/phrase ranker.
+    */
+  private def bm25Tfs(words: org.apache.spark.sql.DataFrame,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
     val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
     words.filter(col("word").isin(terms: _*))
       .groupBy("doc_id").pivot("word", terms).agg(count(lit(1)))
       .join(lens, "doc_id")
+  }
+
+  private[graft] def bm25Scores(s: org.apache.spark.sql.SparkSession, dir: String,
+      terms: Seq[String] = Bm25Terms): org.apache.spark.sql.DataFrame = {
+    val words = graft.Caches.persistTracked(bm25Words(s, dir))
+    val (nd, avgdl, dfs) = bm25Stats(s, dir, Some(words), terms)
+    bm25Tfs(words, terms)
       .select(col("doc_id"), bm25ScoreCol(nd, avgdl, dfs, terms).as("score"))
   }
 
@@ -886,10 +895,7 @@ object QueriesE {
     val (p1, p2) = phrase.getOrElse((terms(0), terms(1)))
     val words = graft.Caches.persistTracked(bm25Words(s, dir))
     val (nd, avgdl, dfs) = bm25Stats(s, dir, Some(words), terms)
-    val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
-    val tfs = words.filter(col("word").isin(terms: _*))
-      .groupBy("doc_id").pivot("word", terms).agg(count(lit(1)))
-      .join(lens, "doc_id")
+    val tfs = bm25Tfs(words, terms)
     val conj = terms.map(t => col(t).isNotNull && col(t) > 0).reduce(_ && _)
     val phraseDf = t(s, dir, "documents")
       .withColumn("ws", expr("filter(split(text, ' '), w -> w != '')"))
@@ -916,6 +922,38 @@ object QueriesE {
       "JOIN tfs ON sc.doc_id = tfs.doc_id JOIN ph ON sc.doc_id = ph.doc_id " +
       s"WHERE ${ts.map(t => s"tf_$t > 0").mkString(" AND ")} " +
       "ORDER BY has_phrase DESC, score DESC, sc.doc_id LIMIT 10"
+
+  /** The hot-list split state shared by e78 (monitor→split), e85 (recall
+    * grader), and e89 (persisted-index maintenance): corpus vectors with
+    * their current inverted-list assignment, the hottest list id (1-row
+    * driver pick — the e73 monitor's output), its 2-means sub-centroids,
+    * and the pre-/post-split centroid sets. Every heavy piece rides the
+    * session memos (same keys in all three consumers), so the helper is
+    * also the single place those keys are spelled.
+    */
+  private case class IvfSplit(base: org.apache.spark.sql.DataFrame,
+      listed: org.apache.spark.sql.DataFrame, hot: Int,
+      sub: Array[Array[Double]], cents: Array[Array[Double]],
+      centsAfter: Array[Array[Double]])
+
+  private def ivfSplitState(s: org.apache.spark.sql.SparkSession,
+      dir: String): IvfSplit = {
+    val K = 8
+    val base = graft.Caches.persistTracked(
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
+    val cents = Similarity.kmeansCentroids(base, "vec_id", K, 3,
+      memoKey = s"kmeans|$dir|embeddings|k8|it3")
+    val listed = graft.Caches.persistTracked(
+      base.withColumn("list_id", Similarity.ivfAssign(col("emb"), cents)))
+    val hot = listed.groupBy("list_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("list_id")).limit(1)
+      .collect()(0).getInt(0)
+    val sub = Similarity.kmeansCentroids(
+      listed.filter(col("list_id") === hot).select(col("vec_id"), col("emb")),
+      "vec_id", 2, 2, memoKey = s"kmeans-split|$dir|embeddings|hot$hot|k2|it2")
+    IvfSplit(base, listed, hot, sub, cents, cents.updated(hot, sub(0)) :+ sub(1))
+  }
 
   /** DuckDB CTE chain shared by the e85 recall grader and the e89
     * persisted-rebalance probe: k-means (K=8, 3 iters) → hot-list split
@@ -2391,25 +2429,12 @@ object QueriesE {
     "e85_rebalance_recall" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val K = 8; val NProbe = 2; val TopK = 10
-      val base = graft.Caches.persistTracked(
-        t(s, dir, "embeddings")
-          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
-      val cents = Similarity.kmeansCentroids(base, "vec_id", K, 3,
-        memoKey = s"kmeans|$dir|embeddings|k8|it3")
-      val listed = graft.Caches.persistTracked(
-        base.withColumn("list_id", Similarity.ivfAssign(col("emb"), cents)))
-      val hot = listed.groupBy("list_id").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("list_id")).limit(1)
-        .collect()(0).getInt(0) // 1-row driver pick, as in e78
-      val sub = Similarity.kmeansCentroids(
-        listed.filter(col("list_id") === hot).select(col("vec_id"), col("emb")),
-        "vec_id", 2, 2, memoKey = s"kmeans-split|$dir|embeddings|hot$hot|k2|it2")
+      val IvfSplit(base, listed, hot, sub, cents, centsAfter) = ivfSplitState(s, dir)
       val relisted = graft.Caches.persistTracked(
         listed.withColumn("new_list",
           when(col("list_id") =!= hot, col("list_id"))
             .when(Similarity.ivfAssign(col("emb"), sub) === 0, lit(hot))
             .otherwise(lit(K))))
-      val centsAfter = cents.updated(hot, sub(0)) :+ sub(1)
       val qs = base.filter(col("vec_id") % 97 === 0)
         .select(col("vec_id").as("qid"), col("emb").as("q"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
@@ -2470,20 +2495,7 @@ object QueriesE {
     "e89_rebalance_persist" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val K = 8; val NProbe = 2; val TopK = 10
-      val base = graft.Caches.persistTracked(
-        t(s, dir, "embeddings")
-          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
-      val cents = Similarity.kmeansCentroids(base, "vec_id", K, 3,
-        memoKey = s"kmeans|$dir|embeddings|k8|it3")
-      val listed = graft.Caches.persistTracked(
-        base.withColumn("list_id", Similarity.ivfAssign(col("emb"), cents)))
-      val hot = listed.groupBy("list_id").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("list_id")).limit(1)
-        .collect()(0).getInt(0) // 1-row driver pick, as in e78/e85
-      val sub = Similarity.kmeansCentroids(
-        listed.filter(col("list_id") === hot).select(col("vec_id"), col("emb")),
-        "vec_id", 2, 2, memoKey = s"kmeans-split|$dir|embeddings|hot$hot|k2|it2")
-      val centsAfter = cents.updated(hot, sub(0)) :+ sub(1)
+      val IvfSplit(base, listed, hot, sub, _, centsAfter) = ivfSplitState(s, dir)
       implicit val sp: org.apache.spark.sql.SparkSession = s
       val db = graft.api.Datum.connect("parquet:///root/repo/target/fixtures/out")
       val state = new java.io.File(
@@ -2661,19 +2673,7 @@ object QueriesE {
     // no bound booleans needed.
     "e78_ivf_rebalance" -> ((s, dir) => {
       val K = 8
-      val base = graft.Caches.persistTracked(
-        t(s, dir, "embeddings")
-          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
-      val cents = Similarity.kmeansCentroids(base, "vec_id", K, 3,
-        memoKey = s"kmeans|$dir|embeddings|k8|it3")
-      val listed = graft.Caches.persistTracked(
-        base.withColumn("list_id", Similarity.ivfAssign(col("emb"), cents)))
-      val hot = listed.groupBy("list_id").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("list_id")).limit(1)
-        .collect()(0).getInt(0) // 1-row driver pick, the monitor's output
-      val sub = Similarity.kmeansCentroids(
-        listed.filter(col("list_id") === hot).select(col("vec_id"), col("emb")),
-        "vec_id", 2, 2, memoKey = s"kmeans-split|$dir|embeddings|hot$hot|k2|it2")
+      val IvfSplit(_, listed, hot, sub, _, _) = ivfSplitState(s, dir)
       val after = listed.withColumn("new_list",
           when(col("list_id") =!= hot, col("list_id"))
             .when(Similarity.ivfAssign(col("emb"), sub) === 0, lit(hot))
