@@ -143,10 +143,14 @@ object Bench {
     // truncated ~130 of the 184 per-query timings out of the committed
     // record (r7 advisor finding). Persist the full JSON line to a repo
     // file so every timing is auditable. Filtered dev runs (query args)
-    // must NOT clobber the committed full-inventory record — they only
-    // write when the caller explicitly points SPARK_GRAFT_BENCH_OUT
-    // somewhere.
-    try if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+    // AND alternate-corpus runs (scale rehearsals against target/scale/sf1
+    // etc.) must NOT clobber the committed full-inventory sf0.1 record —
+    // they only write when the caller explicitly points
+    // SPARK_GRAFT_BENCH_OUT somewhere.
+    val isDefaultCorpus = !sys.env.contains("SPARK_GRAFT_SF_DIR") ||
+      sfDir == "/root/testdata/sf0.1"
+    try if ((only.isEmpty && isDefaultCorpus) ||
+            sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json"))
       java.nio.file.Files.write(out,

@@ -135,9 +135,17 @@ object ScaleGen {
     }
     write(
       if (!skew) docs
-      else docs.withColumn("source",
-        when(pmod(xxhash64(col("doc_id")), lit(10)) < 3,
-          lit("skew-hot-source")).otherwise(col("source"))),
+      else {
+        // hot domain must be an EXISTING replica-0 source (the scaladoc /
+        // SCALING.md invariant: every hot key is a real key, so per-source
+        // queries see no synthetic host) — use the min source value, which
+        // is deterministic for a fixed input corpus (r8 advisor finding)
+        val hotSource = rd("documents").agg(min(col("source")))
+          .head.getString(0)
+        docs.withColumn("source",
+          when(pmod(xxhash64(col("doc_id")), lit(10)) < 3,
+            lit(hotSource)).otherwise(col("source")))
+      },
       "documents")
 
     println(s"""{"scalegen":"$dst","factor":$factor,"skew":$skew}""")

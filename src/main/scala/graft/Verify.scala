@@ -24,14 +24,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      finally Caches.drain() // free per-query tracked intermediates
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -44,9 +36,32 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json is written BEFORE the query loop: it needs no Spark
+    // jobs, and writing it last meant a harness timeout mid-loop zeroed the
+    // whole round's grade (the compare found no oracle file). With it first,
+    // a killed run still grades every query whose parquet landed.
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val total = SparkEntry.queries.count(kv => keep(kv._1))
+    var done = 0
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        done += 1
+        // one line per completed query, flushed immediately, so a partial
+        // run's progress is visible in the harness log
+        println(f"[verify] ok $name (${(System.nanoTime() - t0) / 1e9}%.1fs, $done/$total)")
+        Console.out.flush()
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Console.err.flush()
+      }
+      finally Caches.drain() // free per-query tracked intermediates
+    }
+    println(s"[verify] complete: $done/$total ok")
     spark.stop()
   }
 }

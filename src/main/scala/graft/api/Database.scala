@@ -623,6 +623,89 @@ object Database {
     f.delete(): Unit
   }
 
+  /** Compaction for the append-per-micro-batch streaming index layout
+    * (f26's IVF lists, f31's posting buckets): `root/batch=<id>/
+    * <partCol>=<v>/part-*` accumulates one file set per micro-batch per
+    * partition value FOREVER — at 100 TB the index dies of file count
+    * (NameNode metadata, open-file latency), not bytes. This folds every
+    * current `batch=` dir into the single highest-id dir with ONE file per
+    * partition value, leaving total rows identical and the probe's
+    * partition pruning untouched (the layout keeps the same
+    * batch=/partCol= depth, so discovery sees the same schema).
+    *
+    * Crash safety rides the existing staged-swap protocol plus a marker:
+    * the compacted data is staged at `batch=<maxId>.stage_tmp` (vacuum
+    * reclaims orphans) carrying an empty `_compacted_through` file, then
+    * [[swapDir]]-swapped over `batch=<maxId>`, then the superseded source
+    * dirs are deleted. A crash between swap and deletion leaves duplicate
+    * rows on disk, but the marker makes that state self-describing: a dir
+    * `batch=k` carrying the marker is BY CONSTRUCTION the union of every
+    * `batch=j, j<k` present when its stage was written, so the recovery
+    * pass (run at the top of every compaction) deletes those leftovers.
+    * Stream batch ids are monotone under a checkpoint, so no later
+    * appender reuses a superseded id.
+    *
+    * SINGLE-WRITER: call between micro-batches (e.g. inside foreachBatch,
+    * which Structured Streaming serializes) or after the stream stops —
+    * the same coordination boundary as [[Database.vacuum]]. Ledger dirs
+    * (`_batches`) and other `_`/`.`-prefixed entries are ignored.
+    *
+    * MID-STREAM CONTRACT: a replayed micro-batch re-`overwrite`s its own
+    * `batch=<id>` dir (that is what makes the append recipe idempotent),
+    * so folding a batch whose checkpoint commit hasn't landed yet would
+    * let its replay clobber the compacted dir holding OTHER batches'
+    * rows. When calling from inside foreachBatch(batchId = k), pass
+    * `upTo = k - 1`: batches ≤ k−1 are committed before batch k starts
+    * (MicroBatchExecution serializes commit-then-next), so only
+    * replay-safe dirs are folded. After the stream terminates, the
+    * default (no bound) folds everything.
+    *
+    * Returns file/dir counts before and after for observability (a
+    * compaction that doesn't shrink file count signals a mis-layout).
+    */
+  private[graft] def compactStreamIndex(spark: SparkSession, root: File,
+      partCol: String, upTo: Long = Long.MaxValue): Map[String, Long] = {
+    val Marker = "_compacted_through"
+    def batchDirs: Seq[(Long, File)] =
+      Option(root.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .flatMap(f => scala.util.Try(
+          f.getName.stripPrefix("batch=").toLong).toOption.map(_ -> f))
+        .sortBy(_._1)
+    def dataFiles(f: File): Long =
+      if (f.isFile) { if (isDataFile(f.getName)) 1L else 0L }
+      else Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(c => c.isFile || isDataFile(c.getName))
+        .map(dataFiles).sum
+    // recovery: a marker-carrying dir supersedes every lower batch id —
+    // delete what a crash between swap and source-deletion left behind
+    val marked = batchDirs.filter { case (_, f) => new File(f, Marker).isFile }
+    if (marked.nonEmpty) {
+      val hi = marked.map(_._1).max
+      batchDirs.filter(_._1 < hi).foreach { case (_, f) => wipeDir(f) }
+    }
+    val dirs = batchDirs.filter(_._1 <= upTo)
+    val before = dataFiles(root)
+    if (dirs.size > 1) {
+      val target = dirs.last
+      val all = spark.read.option("basePath", root.getPath)
+        .parquet(dirs.map(_._2.getPath): _*)
+        .drop("batch")
+      val stage = new File(root, s"batch=${target._1}.stage_tmp")
+      wipeDir(stage)
+      // repartition by the partition column ⇒ each value lands in one
+      // task ⇒ exactly one file per partition dir (the compaction point)
+      all.repartition(col(partCol))
+        .write.partitionBy(partCol).parquet(stage.getPath)
+      new java.io.FileOutputStream(new File(stage, Marker)).close()
+      swapDir(stage, target._2)
+      dirs.init.foreach { case (_, f) => wipeDir(f) }
+    }
+    Map("dirs_folded" -> dirs.size.toLong,
+      "dirs_after" -> batchDirs.size.toLong, // def: re-lists after the fold
+      "files_before" -> before, "files_after" -> dataFiles(root))
+  }
+
   /** The shared incremental-state maintenance recipe (c12 upsert, f14 CDC
     * sink, f18 streaming IVM, f19 trending terms): given a persisted
     * per-batch `partial` carrying partition column `partCol`, read ONLY

@@ -100,9 +100,13 @@ object QueriesE {
     */
   private val NPlanes = 8
 
-  /** ±1-sign dot chain for LSH plane j (same signs as Similarity.signPlanes). */
+  /** ±1-sign dot chain for LSH plane j (same signs as Similarity.signPlanes).
+    * signPlanes row j depends only on (j, dims), never on the total plane
+    * count, so requesting j+1 planes yields plane j's canonical signs for
+    * ANY j — this is what lets e8's adaptive oracle inline planes ≥ 8.
+    */
   private def sqlPlaneDot(a: String, j: Int): String = {
-    val signs = Similarity.signPlanes(NPlanes, Dims)(j)
+    val signs = Similarity.signPlanes(j + 1, Dims)(j)
     "0.0" + (1 to Dims).map { i =>
       val op = if (signs(i - 1) > 0) "+" else "-"
       s" $op $a.embedding[$i]::DOUBLE"
@@ -892,6 +896,9 @@ object QueriesE {
     // tokens (this is a word-tokenized engine; anything else can't match)
     (terms ++ phrase.toSeq.flatMap(p => Seq(p._1, p._2))).foreach(t =>
       require(t.matches("[A-Za-z0-9_]+"), s"non-token query term: '$t'"))
+    require(terms.nonEmpty, "bm25PhraseRanked needs at least one term")
+    require(terms.size >= 2 || phrase.isDefined,
+      "default phrase needs >= 2 terms; pass an explicit phrase pair")
     val (p1, p2) = phrase.getOrElse((terms(0), terms(1)))
     val words = graft.Caches.persistTracked(bm25Words(s, dir))
     val (nd, avgdl, dfs) = bm25Stats(s, dir, Some(words), terms)
@@ -3444,12 +3451,26 @@ object QueriesE {
         "SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS jaccard " +
         "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
         "WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= 0.05 ORDER BY id_a, id_b"),
-    "e8_embed_neardup" ->
-      ("WITH be AS (SELECT vec_id, embedding, " + sqlBucket("embeddings", 0, 4) +
-        " AS b0, " + sqlBucket("embeddings", 4, 4) + " AS b1 FROM embeddings) " +
+    "e8_embed_neardup" -> {
+      // perBand mirrors the Spark side's occupancy-adaptive formula
+      // min(31, max(4, ceil(log2(n/32)))) via a CASE over the corpus
+      // count, each branch inlining the matching plane signs (r8 advisor:
+      // a fixture regenerated slightly larger would otherwise silently
+      // desync the previous hard-coded 2×4-plane oracle). perBand ≤ p
+      // ⇔ n ≤ 32·2^p; branches cover n ≤ 8192 (4× the sf0.1 corpus) and
+      // beyond that the oracle fails LOUDLY instead of hash-mismatching.
+      def cases(f: Int => String) =
+        "CASE " + (4 to 8).map(p =>
+          s"WHEN nv <= ${32L << p} THEN (${f(p)}) ").mkString +
+          "ELSE CAST(error('e8 oracle: corpus > 8192 vectors; extend the perBand branches') AS INTEGER) END"
+      "WITH be AS (SELECT vec_id, embedding, " +
+        cases(p => sqlBucket("embeddings", 0, p)) + " AS b0, " +
+        cases(p => sqlBucket("embeddings", p, p)) + " AS b1 " +
+        "FROM embeddings, (SELECT count(*) AS nv FROM embeddings)) " +
         s"SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${sqlCos("a", "b")} AS cos " +
         "FROM be a JOIN be b ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1) " +
-        s"WHERE (${sqlCos("a", "b")}) > 0.4 ORDER BY id_a, id_b"),
+        s"WHERE (${sqlCos("a", "b")}) > 0.4 ORDER BY id_a, id_b"
+    },
     "e9_ann_lsh" -> {
       val probes = (0 +: (0 until NPlanes).map(1 << _).toList)
         .map(m => s"xor(bucket, $m)").mkString(", ")

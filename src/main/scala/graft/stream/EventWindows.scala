@@ -580,6 +580,78 @@ object EventWindows {
       bm25ProbePruned(spark, index.getPath, dir)
     }
 
+  /** f32: COMPACTION of the streamed posting index — f31's append-only
+    * recipe leaves one file set per micro-batch per bucket dir forever;
+    * at 100 TB the index dies of file count (NameNode metadata, per-file
+    * open latency), not bytes. This gate drives a genuinely multi-batch
+    * ingest (the documents split across 4 source files, one per trigger),
+    * compacts MID-STREAM inside foreachBatch (bounded to replay-safe
+    * committed batches — see [[graft.api.Database.compactStreamIndex]]'s
+    * contract), compacts again after termination, and proves the two
+    * invariants that make compaction deployable: the posting multiset is
+    * bit-identical (count + order-independent content hash) and the data
+    * file count strictly drops. The closing pruned probe returns e80's
+    * top-10 verbatim — the oracle — so the graded rows also certify the
+    * compacted layout serves correctly.
+    */
+  def streamPostingsCompacted(spark: SparkSession, dir: String,
+      outRoot: String = "/root/repo/target/fixtures/out/f32"): DataFrame =
+    withShufflePartitions(spark, 8) {
+      import graft.llm.QueriesE.{bm25Stats, bm25ProbePruned, postingRows}
+      bm25Stats(spark, dir): Unit // index-time stats memo (batch-side)
+      val src = new java.io.File(outRoot, "src")
+      val index = new java.io.File(outRoot, "index")
+      val chk = new java.io.File(outRoot, "chk")
+      wipe(src); wipe(index); wipe(chk); new java.io.File(outRoot).mkdirs()
+      // 4 source files + maxFilesPerTrigger=1 ⇒ 4 real micro-batches: the
+      // accumulation pattern the compactor exists for (any row split
+      // yields the same posting union — per-doc rows, no cross-batch agg)
+      spark.read.parquet(s"$dir/documents.parquet").repartition(4)
+        .write.parquet(src.getPath)
+      val q = spark.readStream.schema(graft.llm.Dedup.docsSchema)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+        .filter(col("text").isNotNull)
+        .writeStream
+        .option("checkpointLocation", chk.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val words = batch.select(col("doc_id"),
+              explode(split(col("text"), " ")).as("word"))
+            .filter(col("word") =!= "").persist()
+          try postingRows(words)
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(new java.io.File(index, s"batch=$batchId").getPath)
+          finally { words.unpersist(); () }
+          // mid-stream maintenance: fold the already-committed batches
+          // (≤ batchId−1 — batch ids a checkpoint replay can no longer
+          // re-run) while ingest continues appending after us
+          if (batchId == 2)
+            graft.api.Database.compactStreamIndex(spark, index, "bucket",
+              upTo = batchId - 1): Unit
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      def postingSig(): (Long, java.math.BigDecimal) = {
+        val r = spark.read.parquet(index.getPath)
+          .agg(count(lit(1)),
+            // order-independent multiset checksum; decimal(38,0) keeps the
+            // sum exact under ANSI mode at any corpus size
+            sum(xxhash64(col("doc_id"), col("word"), col("tf"), col("len"),
+              col("bucket")).cast("decimal(38,0)")))
+          .collect()(0)
+        (r.getLong(0), r.getDecimal(1))
+      }
+      val sigBefore = postingSig()
+      val stats = graft.api.Database.compactStreamIndex(spark, index, "bucket")
+      assert(stats("files_after") < stats("files_before"),
+        s"compaction must shrink the data file count: $stats")
+      assert(stats("dirs_after") == 1L,
+        s"terminated-stream compaction folds to a single batch dir: $stats")
+      assert(postingSig() == sigBefore,
+        "compaction must leave the posting multiset bit-identical")
+      bm25ProbePruned(spark, index.getPath, dir)
+    }
+
   /** f30: BM25 scoring ON INGEST — the retrieval twin of f22's
     * train-offline/apply-on-ingest shape: corpus statistics (N, avgdl,
     * per-term df) come from the session-memoized batch artifact

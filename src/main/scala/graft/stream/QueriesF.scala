@@ -241,6 +241,14 @@ object QueriesF {
     "f31_stream_postings" -> ((s, dir) =>
       EventWindows.streamPostingsIngest(s, dir)),
 
+    // f32: compaction of the streamed posting index — a 4-micro-batch
+    // ingest compacted mid-stream (replay-safe bound) and at termination;
+    // posting multiset proven bit-identical, file count proven to drop,
+    // and the pruned probe over the compacted layout returns e80's top-10
+    // verbatim (the oracle).
+    "f32_index_compaction" -> ((s, dir) =>
+      EventWindows.streamPostingsCompacted(s, dir)),
+
     // f30: e80's BM25 scoring applied ON INGEST — index-time stats from
     // the batch memo, per-doc scoring scan-local in the stream (append
     // mode, no state); the batch scorer's relation is the oracle
@@ -456,6 +464,11 @@ object QueriesF {
         "SELECT doc_id, score FROM scored ORDER BY doc_id"),
     // identical top-10 to e80 by construction (streamed index, same probe)
     "f31_stream_postings" ->
+      (s"WITH ${graft.llm.QueriesE.sqlBm25Ctes()} " +
+        "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"),
+    // identical top-10 to e80 by construction (compaction preserves the
+    // posting multiset; the probe is f31's over the compacted layout)
+    "f32_index_compaction" ->
       (s"WITH ${graft.llm.QueriesE.sqlBm25Ctes()} " +
         "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"),
     "f28_stream_top_users" ->

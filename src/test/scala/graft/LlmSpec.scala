@@ -1460,6 +1460,17 @@ class LlmSpec extends AnyFunSuite {
       "index probe and corpus scan must agree bit-exactly")
   }
 
+  test("bm25PhraseRanked rejects a 1-term list with no phrase (not an index error)") {
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.QueriesE.bm25PhraseRanked(spark, TestSpark.Sf, Seq("hash"), None)
+    }
+    assert(e.getMessage.contains("phrase"), s"meaningful message, got: ${e.getMessage}")
+    // a 1-term list WITH an explicit phrase is legal
+    graft.llm.QueriesE.bm25PhraseRanked(spark, TestSpark.Sf,
+      Seq("hash"), Some(("hash", "join"))).collect()
+    graft.Caches.drain()
+  }
+
   test("bm25: one persisted index serves ANY term set (layout is term-independent)") {
     import graft.llm.QueriesE
     val root = java.nio.file.Files.createTempDirectory("bm25idx").toString + "/idx"
