@@ -55,7 +55,12 @@ object PlanPins {
       // e85: e41's class — exact ground truth sweeps the corpus against
       // the broadcast sampled query set (recall grading is O(n·|Q|) by
       // definition); both serving arms under evaluation stay equi-joins
-      "e85_rebalance_recall")
+      "e85_rebalance_recall",
+      // e90: e59's class — the exact truth arm sweeps the corpus against
+      // the broadcast 3-query sample (recall grading); the IVFADC serving
+      // arm under evaluation is a partition-pruned scan + broadcast
+      // equi-join on (list_id = pl)
+      "e90_ann_ivfpq")
 
   /** E-group queries whose plans intentionally contain a Window exec. The
     * forbidden class is a window partitioned by a DATA-DEPENDENT UNBOUNDED
@@ -106,7 +111,10 @@ object PlanPins {
       "e85_rebalance_recall",
       // e89: per-query top-10 over one query's pruned-probe candidates
       // (e41's class, served from the swapped persisted layout)
-      "e89_rebalance_persist")
+      "e89_rebalance_persist",
+      // e90: per-query top-5 over one query's probed-list ADC candidates
+      // plus the exact truth arm's per-query top-5 (e59's class)
+      "e90_ann_ivfpq")
 
   /** The plan-shape assertions, applied to a physical-plan string. Returns
     * the violations (empty = clean). Callers decide fail-fast (ScalaTest)

@@ -1460,6 +1460,28 @@ class LlmSpec extends AnyFunSuite {
       "index probe and corpus scan must agree bit-exactly")
   }
 
+  test("e90 IVFADC: code scan partition-prunes to probed lists; recall positive") {
+    val df = graft.llm.QueriesE.all("e90_ann_ivfpq")(spark, TestSpark.Sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val plan = df.queryExecution.executedPlan.toString
+    graft.Caches.drain()
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L), "one row per query")
+    // the pruned-ADC path must find at least part of the exact top-5 —
+    // a recall of 0 across all queries means the compose is broken even
+    // if the arithmetic matches the oracle
+    assert(rows.map(_._2).sum > 0, s"IVFADC recall must be positive: ${rows.toSeq}")
+    // the serving scan reads code partitions, pruned to the probed lists
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("list_id")),
+      s"code scan must partition-prune on list_id:\n$plan")
+    // the persisted artifact holds codes only — no raw vectors
+    val out = "/root/repo/target/fixtures/out/e90_ivfpq_" +
+      TestSpark.Sf.replaceAll("[^A-Za-z0-9]", "_")
+    val cols = spark.read.parquet(out).columns.toSet
+    assert(cols == Set("vec_id", "list_id", "code0", "code1", "code2", "code3"),
+      s"IVFADC index stores codes, not vectors: $cols")
+  }
+
   test("bm25PhraseRanked rejects a 1-term list with no phrase (not an index error)") {
     val e = intercept[IllegalArgumentException] {
       graft.llm.QueriesE.bm25PhraseRanked(spark, TestSpark.Sf, Seq("hash"), None)
