@@ -3190,9 +3190,9 @@ object QueriesE {
     // carry a NULL fingerprint, good rows the fingerprint of the decoded
     // content — so the gate proves BOTH that bad payloads land in the
     // dead-letter arm and that good rows' decoded bytes are untouched by
-    // the guard. The error text (kept on the dead-letter rows, asserted
-    // non-empty here) is excluded from the gated columns — JDK codec
-    // messages aren't oracle-portable; the corruption RULE is.
+    // the guard. The error TEXT is excluded from the gated columns (JDK
+    // codec messages aren't oracle-portable; the corruption RULE is), but
+    // its non-emptiness rides as the gated has_error boolean.
     "e87_decode_quarantine" -> ((s, dir) => {
       import s.implicits._
       val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
@@ -3205,11 +3205,16 @@ object QueriesE {
             r.copy(media = b)
           } else r
         }
+      // the non-empty-error invariant rides as a GATED COLUMN, not an
+      // executor-side assert (r8 verdict "what's wrong" #2: an empty JDK
+      // exception message would have failed the whole task instead of
+      // surfacing as a graded row) — the oracle pins has_error = TRUE on
+      // every row, so an empty quarantine error is a visible row diff
       Multimodal.decodeSafe(s, media).map { a =>
-        a.bad.foreach(q => assert(q.error.nonEmpty, s"doc ${q.doc_id}: empty quarantine error"))
-        a.ok.map(d => (d.doc_id, "ok", d.fingerprint))
-          .getOrElse((a.bad.get.doc_id, "quarantined", null: String))
-      }.toDF("doc_id", "status", "fingerprint").orderBy("doc_id")
+        a.ok.map(d => (d.doc_id, "ok", d.fingerprint, true))
+          .getOrElse((a.bad.get.doc_id, "quarantined", null: String,
+            a.bad.get.error.nonEmpty))
+      }.toDF("doc_id", "status", "fingerprint", "has_error").orderBy("doc_id")
     })
   )
 
@@ -4153,6 +4158,9 @@ object QueriesE {
       (s"WITH $sqlMediaContentCte SELECT doc_id, " +
         "CASE WHEN doc_id % 97 IN (11, 29) THEN 'quarantined' ELSE 'ok' END AS status, " +
         "CASE WHEN doc_id % 97 IN (11, 29) THEN NULL " +
-        "ELSE substr(md5(content), 1, 8) END AS fingerprint FROM c ORDER BY doc_id")
+        "ELSE substr(md5(content), 1, 8) END AS fingerprint, " +
+        // every row must carry a non-empty error (quarantined) or be ok —
+        // TRUE on all rows; a Spark-side FALSE is a graded row diff
+        "TRUE AS has_error FROM c ORDER BY doc_id")
   )
 }

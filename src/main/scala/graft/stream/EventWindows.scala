@@ -652,6 +652,100 @@ object EventWindows {
       bm25ProbePruned(spark, index.getPath, dir)
     }
 
+  /** f33: STRUCTURED dead-letter quarantine on the event ingest stream —
+    * e87's guarded-decode recipe extended from codecs to the structured
+    * path (the reference's row-by-row LOB-failure fallback, ref
+    * datum/oracle_stgeom/table.py:268-281, generalized to a stream). At
+    * 100 TB a single producer bug must not abort ingest: the stream
+    * arrives as JSON lines (the weakly-typed wire format where corruption
+    * CAN exist — parquet is typed at rest), and two planted corruption
+    * classes exercise both detection layers:
+    *  - `type_drift` (event_id%97=29): the `value` field carries a string
+    *    — Spark's native PERMISSIVE mode routes the raw line into
+    *    `_corrupt_record` (the engine-level schema guard);
+    *  - `bad_props` (event_id%97=11): the row parses fine but its props
+    *    payload is truncated JSON — a semantic validator
+    *    (`get_json_object(props, '$') IS NULL`) catches what the schema
+    *    cannot (the application-level guard).
+    * Good rows land typed in the `good` sink BIT-IDENTICAL to the clean
+    * table (the oracle reproduces them from `events` directly); bad rows
+    * land in the dead-letter sink with their error class, id recovered
+    * from the raw line when the typed row lost it, and a non-empty error
+    * payload gated as the has_error boolean (e87's convention).
+    */
+  def streamStructuredQuarantine(spark: SparkSession, dir: String,
+      outRoot: String = "/root/repo/target/fixtures/out/f33"): DataFrame =
+    withShufflePartitions(spark, 8) {
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      val src = new java.io.File(outRoot, "src")
+      val good = new java.io.File(outRoot, "good")
+      val dead = new java.io.File(outRoot, "dead")
+      val chk = new java.io.File(outRoot, "chk")
+      wipe(src); wipe(good); wipe(dead); wipe(chk); new java.io.File(outRoot).mkdirs()
+      val ev = graft.rel.Q.events(spark, dir)
+        .select(col("event_id"), col("event_type"), col("value"), col("props"))
+      val doctored = ev.withColumn("props",
+        when(pmod(col("event_id"), lit(97)) === 11, lit("{\"k\":"))
+          .otherwise(col("props")))
+      val line0 = to_json(struct(col("event_id"), col("event_type"),
+        col("value"), col("props")))
+      // type drift: the numeric value field becomes a string on the wire
+      val line = when(pmod(col("event_id"), lit(97)) === 29,
+          regexp_replace(line0, "\"value\":[^,}]+", "\"value\":\"not-a-number\""))
+        .otherwise(line0)
+      doctored.select(line.as("value")).write.text(src.getPath)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType),
+        StructField("_corrupt_record", StringType)))
+      val isBad = col("_corrupt_record").isNotNull ||
+        (col("props").isNotNull && get_json_object(col("props"), "$").isNull)
+      val q = spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(src.getPath)
+        .writeStream
+        .option("checkpointLocation", chk.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.persist() // consumed twice: good split + dead split
+          try {
+            b.filter(!isBad)
+              .select(col("event_id"), col("event_type"), col("value"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+              .write.mode("append").parquet(good.getPath)
+            b.filter(isBad)
+              .select(
+                // a schema-drift row may lose its typed id — recover it
+                // from the raw line (dead-letter rows stay addressable)
+                coalesce(col("event_id"),
+                  get_json_object(col("_corrupt_record"), "$.event_id")
+                    .cast("long")).as("event_id"),
+                when(col("_corrupt_record").isNotNull, lit("type_drift"))
+                  .otherwise(lit("bad_props")).as("error_class"),
+                coalesce(col("_corrupt_record"), col("props")).as("error"))
+              .write.mode("append").parquet(dead.getPath)
+          } finally { b.unpersist(); () }
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      // numeric gate columns use -1 sentinels instead of NULL: the
+      // driver's pandas-backed compare folds numeric NULL to float NaN,
+      // and NaN ≠ NaN fails the row even when both sides agree — strings
+      // may be NULL (None compares equal), numerics must not
+      val g = spark.read.parquet(good.getPath)
+        .select(col("event_id"), lit("ok").as("status"),
+          lit(null).cast("string").as("error_class"),
+          col("event_type"), coalesce(col("value"), lit(-1.0)).as("value"),
+          coalesce(col("k"), lit(-1L)).as("k"), lit(true).as("has_error"))
+      val d = spark.read.parquet(dead.getPath)
+        .select(col("event_id"), lit("quarantined").as("status"),
+          col("error_class"), lit(null).cast("string").as("event_type"),
+          lit(-1.0).as("value"), lit(-1L).as("k"),
+          (length(col("error")) > 0).as("has_error"))
+      g.unionByName(d).orderBy("event_id")
+    }
+
   /** f30: BM25 scoring ON INGEST — the retrieval twin of f22's
     * train-offline/apply-on-ingest shape: corpus statistics (N, avgdl,
     * per-term df) come from the session-memoized batch artifact

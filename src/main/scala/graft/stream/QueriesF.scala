@@ -249,6 +249,14 @@ object QueriesF {
     "f32_index_compaction" -> ((s, dir) =>
       EventWindows.streamPostingsCompacted(s, dir)),
 
+    // f33: structured dead-letter quarantine on the event ingest stream —
+    // two planted corruption classes (wire-level type drift caught by
+    // PERMISSIVE _corrupt_record, semantic bad-props caught by a JSON
+    // validator); good rows typed and bit-identical to the clean table,
+    // bad rows quarantined with class + recovered id + non-empty error.
+    "f33_stream_quarantine" -> ((s, dir) =>
+      EventWindows.streamStructuredQuarantine(s, dir)),
+
     // f30: e80's BM25 scoring applied ON INGEST — index-time stats from
     // the batch memo, per-doc scoring scan-local in the stream (append
     // mode, no state); the batch scorer's relation is the oracle
@@ -471,6 +479,21 @@ object QueriesF {
     "f32_index_compaction" ->
       (s"WITH ${graft.llm.QueriesE.sqlBm25Ctes()} " +
         "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"),
+    // good rows reproduce the clean events table verbatim (the planted
+    // classes are a pure function of event_id); has_error pins every
+    // dead-letter row's error payload non-empty
+    "f33_stream_quarantine" ->
+      ("SELECT event_id, " +
+        "CASE WHEN event_id % 97 IN (11, 29) THEN 'quarantined' ELSE 'ok' END AS status, " +
+        "CASE WHEN event_id % 97 = 29 THEN 'type_drift' " +
+        "WHEN event_id % 97 = 11 THEN 'bad_props' END AS error_class, " +
+        "CASE WHEN event_id % 97 IN (11, 29) THEN NULL ELSE event_type END AS event_type, " +
+        // -1 sentinels, not NULL, in the numeric columns (NULL→NaN in the
+        // driver compare's float columns, and NaN never equals NaN)
+        "CASE WHEN event_id % 97 IN (11, 29) THEN -1.0 ELSE coalesce(value, -1.0) END AS value, " +
+        "CASE WHEN event_id % 97 IN (11, 29) THEN CAST(-1 AS BIGINT) " +
+        "ELSE coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) END AS k, " +
+        "TRUE AS has_error FROM events ORDER BY event_id"),
     "f28_stream_top_users" ->
       (s"WITH e AS ($EsEvents), m AS (SELECT max(us) AS mu FROM e), " +
         "w AS (SELECT es - es % 86400 AS epoch_start, user_id FROM e, m " +

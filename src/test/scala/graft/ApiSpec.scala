@@ -575,6 +575,90 @@ class ApiSpec extends AnyFunSuite {
     assert(scratch.vacuum().values.sum == 0)
   }
 
+  test("e89 rebalance swap crash matrix: stage/mid-swap/between-swaps all recover with zero lost vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val scratch = scratchDb()
+    scratch.vacuum() // reset residue
+    // the e89 shape in miniature: an IVF list-partitioned state where the
+    // hot list 0 is split — vecs 1..3 stay, vecs 4..6 move to new list 3;
+    // lists 1 and 2 must come through every crash byte-identical
+    def vecs(list: Long, ids: Seq[Long]) = ids.map(i => (i, Seq(i * 1.0), list))
+    val initial = (vecs(0L, 1L to 6L) ++ vecs(1L, Seq(7L, 8L)) ++
+      vecs(2L, Seq(9L, 10L))).toDF("vec_id", "emb", "list_id")
+    val partial = (vecs(0L, 1L to 3L) ++ vecs(3L, 4L to 6L))
+      .toDF("vec_id", "emb", "list_id")
+    def mkState(tag: String): java.io.File = {
+      val state = new java.io.File(scratch.root, s"e89crash_$tag")
+      initial.write.partitionBy("list_id").parquet(state.getPath)
+      state
+    }
+    def stageOf(state: java.io.File) = new java.io.File(state.getPath + ".stage_tmp")
+    def merge(state: java.io.File): Unit =
+      api.Database.mergeTouchedPartitions(partial, "list_id", state,
+        stageOf(state))((_, p) => p)
+    def snap(state: java.io.File): Map[Long, Long] =
+      spark.read.parquet(state.getPath).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("list_id")).toMap
+    def dirSig(state: java.io.File, list: Int): Seq[(String, Long)] =
+      Option(new java.io.File(state, s"list_id=$list").listFiles())
+        .getOrElse(Array.empty).map(f => (f.getName, f.length)).toSeq.sorted
+    // reference: the crash-free rebalance
+    val ref = mkState("ref"); merge(ref)
+    val want = snap(ref)
+    assert(want == ((1L to 3L).map(_ -> 0L) ++ (4L to 6L).map(_ -> 3L) ++
+      Seq(7L -> 1L, 8L -> 1L, 9L -> 2L, 10L -> 2L)).toMap)
+
+    // crash A — stage fully written, death BEFORE any swap: state intact,
+    // an orphan .stage_tmp on disk. vacuum reclaims it; the re-run
+    // converges from the untouched state.
+    val a = mkState("a")
+    val untouchedA = (dirSig(a, 1), dirSig(a, 2))
+    partial.write.partitionBy("list_id").parquet(stageOf(a).getPath)
+    val repA = scratch.vacuum()
+    assert(repA("stage_tmp") >= 1 && !stageOf(a).exists(),
+      s"vacuum reclaims the orphaned stage: $repA")
+    merge(a)
+    assert(snap(a) == want, "crash-at-stage + vacuum + re-run converges")
+    assert((dirSig(a, 1), dirSig(a, 2)) == untouchedA,
+      "untouched lists stay byte-identical through crash A")
+
+    // crash B — death INSIDE swapDir: list_id=0 already renamed to .bak,
+    // the staged replacement not yet in place. The primary is MISSING;
+    // vacuum's recover pass must restore the backup (rollback), reclaim
+    // the stage, and the re-run converges with no vector lost.
+    val b = mkState("b")
+    partial.write.partitionBy("list_id").parquet(stageOf(b).getPath)
+    val hot = new java.io.File(b, "list_id=0")
+    assert(hot.renameTo(new java.io.File(hot.getPath + ".bak")))
+    val repB = scratch.vacuum()
+    assert(repB("recovered") >= 1,
+      s"vacuum must restore the mid-swap backup, never delete it: $repB")
+    assert(snap(b) == ((1L to 6L).map(_ -> 0L) ++ Seq(7L -> 1L, 8L -> 1L,
+      9L -> 2L, 10L -> 2L)).toMap, "rollback restores the pre-rebalance state")
+    merge(b)
+    assert(snap(b) == want, "crash-mid-swap + vacuum + re-run converges")
+
+    // crash C — death BETWEEN the two touched-dir swaps (list 0 swapped,
+    // list 3 not): the replace-merge is idempotent, so a bare re-run (the
+    // restarted maintenance job) converges; vacuum then has nothing left
+    // to reclaim beyond the crashed run's stage.
+    val c = mkState("c")
+    var swaps = 0
+    val boom = intercept[RuntimeException] {
+      api.Database.mergeTouchedPartitions(partial, "list_id", c, stageOf(c),
+        onSwapped = { _ =>
+          swaps += 1
+          if (swaps == 1) throw new RuntimeException("simulated crash")
+        })((_, p) => p)
+    }
+    assert(boom.getMessage == "simulated crash")
+    scratch.vacuum(): Unit // reclaim the crashed run's leftover stage
+    merge(c)
+    assert(snap(c) == want, "crash-between-swaps + re-run converges")
+    assert(scratch.vacuum().values.sum == 0, "no residue after the matrix")
+  }
+
   test("buildBm25Index: caller-supplied root, staged swap, vacuum reclaims a crashed build") {
     val scratch = scratchDb()
     scratch.vacuum() // reset residue

@@ -666,6 +666,32 @@ class StreamingSpec extends AnyFunSuite {
       s"one marked batch dir after full compaction: ${dirs.map(_.getName).toSeq}")
   }
 
+  test("f33 structured quarantine: both planted classes dead-lettered, good rows clean") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.stream.QueriesF.all("f33_stream_quarantine")(spark, TestSpark.Sf)
+    val rows = df.collect()
+    graft.Caches.drain()
+    val total = graft.rel.Q.events(spark, TestSpark.Sf).count()
+    assert(rows.length == total, "every input row lands in exactly one sink")
+    val byClass = rows.filter(_.getString(1) == "quarantined")
+      .groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byClass.keySet == Set("type_drift", "bad_props"),
+      s"both corruption classes detected: $byClass")
+    // every quarantined row keeps an addressable id (recovered from the
+    // raw line for type-drift rows that lost their typed event_id)
+    assert(rows.filter(_.getString(1) == "quarantined").forall(!_.isNullAt(0)),
+      "dead-letter rows stay addressable by event_id")
+    assert(rows.forall(_.getBoolean(6)), "every dead-letter error is non-empty")
+    // good rows are the clean table verbatim (spot-check against batch)
+    val ok = rows.filter(_.getString(1) == "ok")
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getDouble(4)))).toMap
+    val clean = graft.rel.Q.events(spark, TestSpark.Sf)
+      .filter(col("event_id") % 97 =!= 11 && col("event_id") % 97 =!= 29)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(ok == clean, "good rows bit-identical to the clean run")
+  }
+
   test("compactStreamIndex recovery deletes batches a crash left superseded") {
     import org.apache.spark.sql.functions.col
     val root = java.nio.file.Files.createTempDirectory("compact-crash").toFile
