@@ -60,7 +60,11 @@ object PlanPins {
       // the broadcast 3-query sample (recall grading); the IVFADC serving
       // arm under evaluation is a partition-pruned scan + broadcast
       // equi-join on (list_id = pl)
-      "e90_ann_ivfpq")
+      "e90_ann_ivfpq",
+      // e91: the NB score matrix is eval-docs × the broadcast per-lang
+      // bias table (bounded by the language count) — O(n·L) constant
+      // attachment, the e77 grading class
+      "e91_langid_learned")
 
   /** E-group queries whose plans intentionally contain a Window exec. The
     * forbidden class is a window partitioned by a DATA-DEPENDENT UNBOUNDED
@@ -114,7 +118,10 @@ object PlanPins {
       "e89_rebalance_persist",
       // e90: per-query top-5 over one query's probed-list ADC candidates
       // plus the exact truth arm's per-query top-5 (e59's class)
-      "e90_ann_ivfpq")
+      "e90_ann_ivfpq",
+      // e91: per-doc argmax over the language set — group size bounded by
+      // the number of languages
+      "e91_langid_learned")
 
   /** The plan-shape assertions, applied to a physical-plan string. Returns
     * the violations (empty = clean). Callers decide fail-fast (ScalaTest)

@@ -1460,6 +1460,31 @@ class LlmSpec extends AnyFunSuite {
       "index probe and corpus scan must agree bit-exactly")
   }
 
+  test("e91 learned langid reaches 1.0 held-out accuracy on a planted distribution") {
+    import spark.implicits._
+    val dir = "/root/repo/target/fixtures/test/docs_e91"
+    // two 'languages' with sharply different token distributions (the
+    // signal the synthetic corpus's lang column lacks); doc_id%5==0 is
+    // the held-out split the query grades on
+    val rows = (1L to 40L).map { i =>
+      val (lang, text) =
+        if (i % 2 == 0)
+          ("aa", if (i % 4 == 0) "alpha beta alpha gamma alpha beta alpha"
+                 else "beta alpha alpha gamma beta alpha beta alpha")
+        else
+          ("bb", if (i % 4 == 1) "delta omega delta omega omega delta omega"
+                 else "omega delta omega omega delta delta omega")
+      (i, text, lang, "srcX", text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.llm.QueriesE.all("e91_langid_learned")(spark, dir).collect()
+    graft.Caches.drain()
+    val acc = out.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(acc == Map("aa" -> 1.0, "bb" -> 1.0),
+      s"NB must learn the planted distributions perfectly: ${out.map(_.toSeq).toSeq}")
+  }
+
   test("e90 IVFADC: code scan partition-prunes to probed lists; recall positive") {
     val df = graft.llm.QueriesE.all("e90_ann_ivfpq")(spark, TestSpark.Sf)
     val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
