@@ -682,7 +682,9 @@ object Database {
     val marked = batchDirs.filter { case (_, f) => new File(f, Marker).isFile }
     if (marked.nonEmpty) {
       val hi = marked.map(_._1).max
-      batchDirs.filter(_._1 < hi).foreach { case (_, f) => wipeDir(f) }
+      val superseded = batchDirs.filter(_._1 < hi)
+      superseded.foreach { case (_, f) => wipeDir(f) }
+      if (superseded.nonEmpty) spark.catalog.refreshByPath(root.getPath)
     }
     val dirs = batchDirs.filter(_._1 <= upTo)
     val before = dataFiles(root)
@@ -700,6 +702,12 @@ object Database {
       new java.io.FileOutputStream(new File(stage, Marker)).close()
       swapDir(stage, target._2)
       dirs.init.foreach { case (_, f) => wipeDir(f) }
+      // the swap + deletions happened at the FILESYSTEM level, invisible
+      // to Spark's shared FileStatusCache — a later read of the root can
+      // otherwise plan against the pre-compaction file list and die on
+      // FILE_NOT_EXIST (observed once in the r9 sf10 sweep). Writers
+      // invalidate this automatically; renames must do it by hand.
+      spark.catalog.refreshByPath(root.getPath)
     }
     Map("dirs_folded" -> dirs.size.toLong,
       "dirs_after" -> batchDirs.size.toLong, // def: re-lists after the fold
@@ -764,6 +772,10 @@ object Database {
           "mismatch or merge dropped a touched partition")
     }
     wipeDir(stage)
+    // the swaps happened at the FILESYSTEM level — invalidate Spark's
+    // shared file-listing cache for the state root so a follow-up read
+    // cannot plan against the pre-swap file list (see compactStreamIndex)
+    sp.catalog.refreshByPath(state.getPath)
   }
 
   /** Exactly-once wrapper around [[mergeTouchedPartitions]] for merges

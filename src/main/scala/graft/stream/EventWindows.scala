@@ -570,7 +570,9 @@ object EventWindows {
           val words = batch.select(col("doc_id"),
               explode(split(col("text"), " ")).as("word"))
             .filter(col("word") =!= "").persist()
-          try postingRows(words)
+          // one file per bucket dir per batch (f32's compaction note:
+          // un-repartitioned, every agg task writes into every bucket)
+          try postingRows(words).repartition(col("bucket"))
             .write.mode("overwrite").partitionBy("bucket")
             .parquet(new java.io.File(index, s"batch=$batchId").getPath)
           finally { words.unpersist(); () }
@@ -584,7 +586,7 @@ object EventWindows {
     * recipe leaves one file set per micro-batch per bucket dir forever;
     * at 100 TB the index dies of file count (NameNode metadata, per-file
     * open latency), not bytes. This gate drives a genuinely multi-batch
-    * ingest (the documents split across 4 source files, one per trigger),
+    * ingest (the documents split across 3 source files, one per trigger),
     * compacts MID-STREAM inside foreachBatch (bounded to replay-safe
     * committed batches — see [[graft.api.Database.compactStreamIndex]]'s
     * contract), compacts again after termination, and proves the two
@@ -596,17 +598,21 @@ object EventWindows {
     */
   def streamPostingsCompacted(spark: SparkSession, dir: String,
       outRoot: String = "/root/repo/target/fixtures/out/f32"): DataFrame =
-    withShufflePartitions(spark, 8) {
+    // 4 shuffle partitions, not 8: each micro-batch runs ~4 shuffles over
+    // a third of the corpus — at gate scale the per-task overhead of the
+    // 3-batch × 2-compaction pipeline dominates; on a cluster this knob
+    // sizes to the per-batch volume
+    withShufflePartitions(spark, 4) {
       import graft.llm.QueriesE.{bm25Stats, bm25ProbePruned, postingRows}
       bm25Stats(spark, dir): Unit // index-time stats memo (batch-side)
       val src = new java.io.File(outRoot, "src")
       val index = new java.io.File(outRoot, "index")
       val chk = new java.io.File(outRoot, "chk")
       wipe(src); wipe(index); wipe(chk); new java.io.File(outRoot).mkdirs()
-      // 4 source files + maxFilesPerTrigger=1 ⇒ 4 real micro-batches: the
+      // 3 source files + maxFilesPerTrigger=1 ⇒ 3 real micro-batches: the
       // accumulation pattern the compactor exists for (any row split
       // yields the same posting union — per-doc rows, no cross-batch agg)
-      spark.read.parquet(s"$dir/documents.parquet").repartition(4)
+      spark.read.parquet(s"$dir/documents.parquet").repartition(3)
         .write.parquet(src.getPath)
       val q = spark.readStream.schema(graft.llm.Dedup.docsSchema)
         .option("maxFilesPerTrigger", 1).parquet(src.getPath)
@@ -618,7 +624,10 @@ object EventWindows {
           val words = batch.select(col("doc_id"),
               explode(split(col("text"), " ")).as("word"))
             .filter(col("word") =!= "").persist()
-          try postingRows(words)
+          // repartition by the partition key ⇒ one file per bucket dir
+          // per batch (without it every posting-agg task writes a sliver
+          // into every bucket dir — 8× the file commits for zero benefit)
+          try postingRows(words).repartition(col("bucket"))
             .write.mode("overwrite").partitionBy("bucket")
             .parquet(new java.io.File(index, s"batch=$batchId").getPath)
           finally { words.unpersist(); () }

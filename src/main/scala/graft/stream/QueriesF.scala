@@ -241,7 +241,7 @@ object QueriesF {
     "f31_stream_postings" -> ((s, dir) =>
       EventWindows.streamPostingsIngest(s, dir)),
 
-    // f32: compaction of the streamed posting index — a 4-micro-batch
+    // f32: compaction of the streamed posting index — a 3-micro-batch
     // ingest compacted mid-stream (replay-safe bound) and at termination;
     // posting multiset proven bit-identical, file count proven to drop,
     // and the pruned probe over the compacted layout returns e80's top-10

@@ -590,7 +590,8 @@ class ApiSpec extends AnyFunSuite {
       .toDF("vec_id", "emb", "list_id")
     def mkState(tag: String): java.io.File = {
       val state = new java.io.File(scratch.root, s"e89crash_$tag")
-      initial.write.partitionBy("list_id").parquet(state.getPath)
+      // overwrite: the numbered scratch root persists across suite runs
+      initial.write.mode("overwrite").partitionBy("list_id").parquet(state.getPath)
       state
     }
     def stageOf(state: java.io.File) = new java.io.File(state.getPath + ".stage_tmp")
