@@ -61,6 +61,9 @@ object PlanPins {
       // arm under evaluation is a partition-pruned scan + broadcast
       // equi-join on (list_id = pl)
       "e90_ann_ivfpq",
+      // f34: e90's recall grader verbatim over the stream-built compacted
+      // code layout — same truth-arm class
+      "f34_stream_ivfpq_ingest",
       // e91: the NB score matrix is eval-docs × the broadcast per-lang
       // bias table (bounded by the language count) — O(n·L) constant
       // attachment, the e77 grading class

@@ -959,6 +959,85 @@ object QueriesE {
       s"WHERE ${ts.map(t => s"tf_$t > 0").mkString(" AND ")} " +
       "ORDER BY has_phrase DESC, score DESC, sc.doc_id LIMIT 10"
 
+  /** The session-memoized IVFADC trainings (e18's coarse k-means + e57's
+    * per-subspace PQ codebooks) over the persisted double-array corpus —
+    * shared by e90 (batch build) and f34 (ingest-time encode).
+    */
+  private[graft] def ivfPqTrainings(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, Array[Array[Double]],
+        Array[Array[Array[Double]]]) = {
+    val base = graft.Caches.persistTracked(
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
+    val cents = Similarity.kmeansCentroids(base, "vec_id", 8, 3,
+      memoKey = s"kmeans|$dir|embeddings|k8|it3")
+    val cbs = Similarity.pqCodebooks(base, "vec_id",
+      memoKey = s"pqcb|$dir|embeddings|m4|ks4|it2|d64")
+    (base, cents, cbs)
+  }
+
+  /** e90's SERVING + GRADING half over any persisted IVFPQ code layout
+    * (`…/list_id=<l>/` dirs holding (vec_id, code0..3) — flat or under
+    * `batch=<id>` levels, partition discovery handles both): per-query
+    * probe lists → partition-pruned code scan → flattened ADC lookup →
+    * top-5 → recall@5 vs the exact brute-force truth arm. Shared verbatim
+    * by e90 (batch-built artifact) and f34 (stream-built + compacted
+    * artifact), which is what lets f34's oracle be e90's SQL unchanged.
+    */
+  private[graft] def ivfPqRecall(s: org.apache.spark.sql.SparkSession,
+      dir: String, indexPath: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val QN = 3; val NProbe = 2; val TopK = 5
+    val (base, cents, cbs) = ivfPqTrainings(s, dir)
+    // per-query flattened ADC tables (entry = qid·ksub + code) — the
+    // e59 lookup recipe, built once per query set on the driver
+    val qs = base.filter(col("vec_id") < QN).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val flat: Array[Array[Double]] = (0 until PqM).map { j =>
+      qs.flatMap { case (_, q) =>
+        cbs(j).map { c =>
+          var s0 = 0.0
+          var d = 0
+          while (d < PqSub) { val t0 = c(d) - q(j * PqSub + d); s0 += t0 * t0; d += 1 }
+          s0
+        }
+      }
+    }.toArray
+    // per-query probe lists (≤ QN·nprobe rows, broadcast — e89's
+    // serving join); the scan below prunes to their union's dirs
+    val probes = base.filter(col("vec_id") < QN)
+      .select(col("vec_id").as("qid"),
+        explode(Similarity.ivfProbes(col("emb"), cents, NProbe)).as("pl"))
+    val plists = probes.select("pl").distinct().collect()
+      .map(_.getInt(0)).sorted // bounded by the centroid count
+    val idx = s.read.parquet(indexPath)
+      .filter(col("list_id").isin(plists.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
+    val adc = (0 until PqM).map(j => element_at(typedLit(flat(j).toSeq),
+      col("qid").cast("int") * PqKSub + col(s"code$j") + 1)).reduce(_ + _)
+    val pqTop = idx.join(broadcast(probes),
+        col("list_id") === col("pl") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adc.as("adc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))))
+      .filter(col("rn") <= TopK).select("qid", "vec_id")
+    val qDf = broadcast(base.filter(col("vec_id") < QN)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb")))
+    val exTop = base.crossJoin(qDf).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosine(col("emb"), col("qemb")).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= TopK).select("qid", "vec_id")
+    val hits = pqTop.join(exTop, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    s.range(QN).select(col("id").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(TopK.toDouble))
+          .as("recall"))
+      .orderBy("qid")
+  }
+
   /** The hot-list split state shared by e78 (monitor→split), e85 (recall
     * grader), and e89 (persisted-index maintenance): corpus vectors with
     * their current inverted-list assignment, the hottest list id (1-row
@@ -2604,68 +2683,14 @@ object QueriesE {
     // e41/e59: recall@5 of the pruned ADC top-5 against the exact
     // brute-force top-5 (the truth arm is the eval-sized grader pass).
     "e90_ann_ivfpq" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val QN = 3; val NProbe = 2; val TopK = 5
-      val base = graft.Caches.persistTracked(
-        t(s, dir, "embeddings")
-          .select(col("vec_id"), asDouble(col("embedding")).as("emb")))
-      val cents = Similarity.kmeansCentroids(base, "vec_id", 8, 3,
-        memoKey = s"kmeans|$dir|embeddings|k8|it3")
-      val cbs = Similarity.pqCodebooks(base, "vec_id",
-        memoKey = s"pqcb|$dir|embeddings|m4|ks4|it2|d64")
+      val (base, cents, cbs) = ivfPqTrainings(s, dir)
       val out = "/root/repo/target/fixtures/out/e90_ivfpq_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       base.withColumn("list_id", Similarity.ivfAssign(col("emb"), cents))
         .select(Seq(col("vec_id"), col("list_id")) ++
           Similarity.pqCodeCols(col("emb"), cbs): _*)
         .write.mode("overwrite").partitionBy("list_id").parquet(out)
-      // per-query flattened ADC tables (entry = qid·ksub + code) — the
-      // e59 lookup recipe, built once per query set on the driver
-      val qs = base.filter(col("vec_id") < QN).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
-      val flat: Array[Array[Double]] = (0 until PqM).map { j =>
-        qs.flatMap { case (_, q) =>
-          cbs(j).map { c =>
-            var s0 = 0.0
-            var d = 0
-            while (d < PqSub) { val t0 = c(d) - q(j * PqSub + d); s0 += t0 * t0; d += 1 }
-            s0
-          }
-        }
-      }.toArray
-      // per-query probe lists (≤ QN·nprobe rows, broadcast — e89's
-      // serving join); the scan below prunes to their union's dirs
-      val probes = base.filter(col("vec_id") < QN)
-        .select(col("vec_id").as("qid"),
-          explode(Similarity.ivfProbes(col("emb"), cents, NProbe)).as("pl"))
-      val plists = probes.select("pl").distinct().collect()
-        .map(_.getInt(0)).sorted // bounded by the centroid count
-      val idx = s.read.parquet(out)
-        .filter(col("list_id").isin(plists.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
-      val adc = (0 until PqM).map(j => element_at(typedLit(flat(j).toSeq),
-        col("qid").cast("int") * PqKSub + col(s"code$j") + 1)).reduce(_ + _)
-      val pqTop = idx.join(broadcast(probes),
-          col("list_id") === col("pl") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), adc.as("adc"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))))
-        .filter(col("rn") <= TopK).select("qid", "vec_id")
-      val qDf = broadcast(base.filter(col("vec_id") < QN)
-        .select(col("vec_id").as("qid"), col("emb").as("qemb")))
-      val exTop = base.crossJoin(qDf).filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          Similarity.cosine(col("emb"), col("qemb")).as("cos"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
-        .filter(col("rn") <= TopK).select("qid", "vec_id")
-      val hits = pqTop.join(exTop, Seq("qid", "vec_id"))
-        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
-      s.range(QN).select(col("id").as("qid"))
-        .join(hits, Seq("qid"), "left")
-        .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(TopK.toDouble))
-            .as("recall"))
-        .orderBy("qid")
+      ivfPqRecall(s, dir, out)
     }),
 
     // e91: LEARNED language ID — e10's hand-listed marker profiles

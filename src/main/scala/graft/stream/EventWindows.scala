@@ -661,6 +661,59 @@ object EventWindows {
       bm25ProbePruned(spark, index.getPath, dir)
     }
 
+  /** f34: the r9 ANN pieces COMPOSED on the ingest path — IVFPQ index
+    * maintenance as a stream: batch-trained coarse centroids + PQ
+    * codebooks (e90's session-memoized trainings), every arriving vector
+    * routed to its inverted list AND compressed to its 4-byte code
+    * scan-locally (stateless — both argmins are broadcast-literal
+    * arithmetic), foreachBatch appending `batch=<id>` dirs partitioned by
+    * list_id (f26's idempotent recipe — but storing CODES, so the index
+    * is ~1/128th of the raw vectors), compacted MID-STREAM under the
+    * replay-safe bound and again at termination (f32's recipe). The
+    * closing serve is e90's pruned-ADC recall grader over the compacted
+    * streamed layout — identical rows to the batch-built artifact by
+    * construction, so the oracle is e90's SQL verbatim.
+    */
+  def streamIvfPqIngest(spark: SparkSession, dir: String,
+      outRoot: String = "/root/repo/target/fixtures/out/f34"): DataFrame =
+    withShufflePartitions(spark, 4) {
+      import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+      import graft.llm.Similarity
+      val (_, cents, cbs) = graft.llm.QueriesE.ivfPqTrainings(spark, dir)
+      val src = new java.io.File(outRoot, "src")
+      val index = new java.io.File(outRoot, "index")
+      val chk = new java.io.File(outRoot, "chk")
+      wipe(src); wipe(index); wipe(chk); new java.io.File(outRoot).mkdirs()
+      // 3 source files + maxFilesPerTrigger=1 ⇒ 3 real micro-batches
+      spark.read.parquet(s"$dir/embeddings.parquet").repartition(3)
+        .write.parquet(src.getPath)
+      val schema = StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val coded = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb"))
+        .withColumn("list_id", Similarity.ivfAssign(col("emb"), cents))
+        .select(Seq(col("vec_id"), col("list_id")) ++
+          Similarity.pqCodeCols(col("emb"), cbs): _*)
+      val q = coded.writeStream
+        .option("checkpointLocation", chk.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.repartition(col("list_id"))
+            .write.mode("overwrite").partitionBy("list_id")
+            .parquet(new java.io.File(index, s"batch=$batchId").getPath)
+          if (batchId == 2)
+            graft.api.Database.compactStreamIndex(spark, index, "list_id",
+              upTo = batchId - 1): Unit
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val stats = graft.api.Database.compactStreamIndex(spark, index, "list_id")
+      assert(stats("dirs_after") == 1L,
+        s"terminated-stream compaction folds to a single batch dir: $stats")
+      graft.llm.QueriesE.ivfPqRecall(spark, dir, index.getPath)
+    }
+
   /** f33: STRUCTURED dead-letter quarantine on the event ingest stream —
     * e87's guarded-decode recipe extended from codecs to the structured
     * path (the reference's row-by-row LOB-failure fallback, ref

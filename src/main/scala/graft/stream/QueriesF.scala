@@ -249,6 +249,15 @@ object QueriesF {
     "f32_index_compaction" -> ((s, dir) =>
       EventWindows.streamPostingsCompacted(s, dir)),
 
+    // f34: IVFPQ index maintenance ON INGEST — e90's trainings applied
+    // scan-locally to the embedding stream (route + 4-byte encode),
+    // appended per micro-batch in the list-partitioned layout, compacted
+    // mid-stream and at termination, then served by e90's pruned-ADC
+    // recall grader — identical rows to the batch artifact by
+    // construction (oracle = e90's SQL verbatim).
+    "f34_stream_ivfpq_ingest" -> ((s, dir) =>
+      EventWindows.streamIvfPqIngest(s, dir)),
+
     // f33: structured dead-letter quarantine on the event ingest stream —
     // two planted corruption classes (wire-level type drift caught by
     // PERMISSIVE _corrupt_record, semantic bad-props caught by a JSON
@@ -479,6 +488,9 @@ object QueriesF {
     "f32_index_compaction" ->
       (s"WITH ${graft.llm.QueriesE.sqlBm25Ctes()} " +
         "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"),
+    // identical recall relation to e90 by construction (same trainings,
+    // same probe, same ADC — only the index build path differs)
+    "f34_stream_ivfpq_ingest" -> graft.llm.QueriesE.oracle("e90_ann_ivfpq"),
     // good rows reproduce the clean events table verbatim (the planted
     // classes are a pure function of event_id); has_error pins every
     // dead-letter row's error payload non-empty

@@ -666,6 +666,27 @@ class StreamingSpec extends AnyFunSuite {
       s"one marked batch dir after full compaction: ${dirs.map(_.getName).toSeq}")
   }
 
+  test("f34 streamed IVFPQ index serves e90's recall relation from the compacted layout") {
+    val df = graft.stream.QueriesF.all("f34_stream_ivfpq_ingest")(spark, TestSpark.Sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val plan = df.queryExecution.executedPlan.toString
+    graft.Caches.drain()
+    val batch = graft.llm.QueriesE.all("e90_ann_ivfpq")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    graft.Caches.drain()
+    assert(rows.toSeq == batch.toSeq,
+      "streamed+compacted code index and batch artifact must agree bit-exactly")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("list_id")),
+      s"probe over the streamed index must partition-prune on list_id:\n$plan")
+    val index = new java.io.File("/root/repo/target/fixtures/out/f34/index")
+    val dirs = Option(index.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(dirs.length == 1 &&
+      new java.io.File(dirs(0), "_compacted_through").isFile,
+      s"one marked batch dir after full compaction: ${dirs.map(_.getName).toSeq}")
+  }
+
   test("f33 structured quarantine: both planted classes dead-lettered, good rows clean") {
     import org.apache.spark.sql.functions.col
     val df = graft.stream.QueriesF.all("f33_stream_quarantine")(spark, TestSpark.Sf)
