@@ -61,6 +61,13 @@ object PlanPins {
       // arm under evaluation is a partition-pruned scan + broadcast
       // equi-join on (list_id = pl)
       "e90_ann_ivfpq",
+      // e92: e90's grader on a PARAMETERIZED 3-query batch (midpoint
+      // vectors, not corpus rows) — identical truth-arm class
+      "e92_ann_other_queries",
+      // e93: e90 + IVFADC-R — truth arm unchanged; the re-rank arm is a
+      // broadcast equi-join of the ≤ R·|Q| candidate set back to the
+      // corpus (O(R) exact distances per query)
+      "e93_ann_ivfadc_rerank",
       // f34: e90's recall grader verbatim over the stream-built compacted
       // code layout — same truth-arm class
       "f34_stream_ivfpq_ingest",
@@ -124,7 +131,13 @@ object PlanPins {
       "e90_ann_ivfpq",
       // e91: per-doc argmax over the language set — group size bounded by
       // the number of languages
-      "e91_langid_learned")
+      "e91_langid_learned",
+      // e92: e90's per-query top-5 windows on the parameterized query
+      // batch (same bounded |Q|-group class)
+      "e92_ann_other_queries",
+      // e93: e90's windows plus the re-rank top-5 — group size ≤ R=20
+      // candidates per query by construction
+      "e93_ann_ivfadc_rerank")
 
   /** The plan-shape assertions, applied to a physical-plan string. Returns
     * the violations (empty = clean). Callers decide fail-fast (ScalaTest)

@@ -672,11 +672,37 @@ object Database {
         .flatMap(f => scala.util.Try(
           f.getName.stripPrefix("batch=").toLong).toOption.map(_ -> f))
         .sortBy(_._1)
-    def dataFiles(f: File): Long =
+    def dataFilesIn(f: File): Long =
       if (f.isFile) { if (isDataFile(f.getName)) 1L else 0L }
       else Option(f.listFiles()).getOrElse(Array.empty)
         .filter(c => c.isFile || isDataFile(c.getName))
-        .map(dataFiles).sum
+        .map(dataFilesIn).sum
+    // observability counts walk ONLY parsed batch=<long> dirs: crash
+    // residue (`batch=<k>.bak`, `.stage_tmp`) must never inflate
+    // files_before/files_after — the recovery pass below reclaims it,
+    // but the metric is defined over live data either way
+    def dataFiles: Long = batchDirs.map { case (_, f) => dataFilesIn(f) }.sum
+    // recovery (pre-swap crash window): swapDir stages the live target
+    // aside as `batch=<k>.bak` before the compacted dir takes its place —
+    // a crash inside swapDir leaves the .bak orphaned with NO primary
+    // dir, which would make those rows invisible to reads until manual
+    // restoration. Restore it (vacuum's recover step, mirrored); with
+    // the primary present the .bak is superseded residue — drop it. Any
+    // `.stage_tmp` is an un-promoted stage by construction (swapDir
+    // renames it away on success), so it is always safe to reclaim —
+    // left in place it would also break partition discovery over root.
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).foreach { f =>
+        if (f.getName.endsWith(".stage_tmp")) wipeDir(f)
+        else if (f.getName.endsWith(".bak")) {
+          val primary = new File(root, f.getName.stripSuffix(".bak"))
+          if (primary.exists()) wipeDir(f)
+          else if (!f.renameTo(primary))
+            throw new java.io.IOException(
+              s"compactStreamIndex: cannot restore orphaned $f")
+          spark.catalog.refreshByPath(root.getPath)
+        }
+      }
     // recovery: a marker-carrying dir supersedes every lower batch id —
     // delete what a crash between swap and source-deletion left behind
     val marked = batchDirs.filter { case (_, f) => new File(f, Marker).isFile }
@@ -687,7 +713,7 @@ object Database {
       if (superseded.nonEmpty) spark.catalog.refreshByPath(root.getPath)
     }
     val dirs = batchDirs.filter(_._1 <= upTo)
-    val before = dataFiles(root)
+    val before = dataFiles
     if (dirs.size > 1) {
       val target = dirs.last
       val all = spark.read.option("basePath", root.getPath)
@@ -711,7 +737,37 @@ object Database {
     }
     Map("dirs_folded" -> dirs.size.toLong,
       "dirs_after" -> batchDirs.size.toLong, // def: re-lists after the fold
-      "files_before" -> before, "files_after" -> dataFiles(root))
+      "files_before" -> before, "files_after" -> dataFiles)
+  }
+
+  /** Policy-driven wrapper over [[compactStreamIndex]] (f35): compact
+    * ONLY when the observed committed state warrants it — the production
+    * trigger (file count per index), replacing f32/f34's fixed
+    * batch-count trigger. Evaluated between micro-batches (same
+    * single-writer boundary); `maxDataFiles` is the budget: when the live
+    * data-file count across committed (`<= upTo`) batch dirs exceeds it
+    * AND more than one foldable dir exists, fold. Returns the compaction
+    * stats when it fired, None when the policy held off — callers gate
+    * "fired at least once" without hard-coding WHEN.
+    */
+  private[graft] def compactStreamIndexIfNeeded(spark: SparkSession,
+      root: File, partCol: String, maxDataFiles: Long,
+      upTo: Long = Long.MaxValue): Option[Map[String, Long]] = {
+    def batchDirs: Seq[(Long, File)] =
+      Option(root.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .flatMap(f => scala.util.Try(
+          f.getName.stripPrefix("batch=").toLong).toOption.map(_ -> f))
+    def filesIn(f: File): Long =
+      if (f.isFile) { if (isDataFile(f.getName)) 1L else 0L }
+      else Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(c => c.isFile || isDataFile(c.getName))
+        .map(filesIn).sum
+    val committed = batchDirs.filter(_._1 <= upTo)
+    val live = committed.map { case (_, f) => filesIn(f) }.sum
+    if (committed.size > 1 && live > maxDataFiles)
+      Some(compactStreamIndex(spark, root, partCol, upTo))
+    else None
   }
 
   /** The shared incremental-state maintenance recipe (c12 upsert, f14 CDC

@@ -1500,11 +1500,30 @@ class LlmSpec extends AnyFunSuite {
       l.contains("PartitionFilters") && l.contains("list_id")),
       s"code scan must partition-prune on list_id:\n$plan")
     // the persisted artifact holds codes only — no raw vectors
-    val out = "/root/repo/target/fixtures/out/e90_ivfpq_" +
-      TestSpark.Sf.replaceAll("[^A-Za-z0-9]", "_")
+    val out = graft.Scratch.root(TestSpark.Sf, "e90_ivfpq")
     val cols = spark.read.parquet(out).columns.toSet
     assert(cols == Set("vec_id", "list_id", "code0", "code1", "code2", "code3"),
       s"IVFADC index stores codes, not vectors: $cols")
+  }
+
+  test("e92/e93: query batch is a true parameter; re-rank never loses recall") {
+    def arms(name: String) = graft.llm.QueriesE.all(name)(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    val e92 = arms("e92_ann_other_queries")
+    val e93 = arms("e93_ann_ivfadc_rerank")
+    graft.Caches.drain()
+    // synthetic, non-corpus qids flow through the whole serve+grade path
+    assert(e92.map(_._1).toSeq == Seq(9000000L, 9000001L, 9000002L),
+      s"e92 must answer the synthetic query ids: ${e92.toSeq}")
+    assert(e93.map(_._1).toSeq == Seq(0L, 1L, 2L), "e93 keeps e90's frozen queries")
+    // the IVFADC-R dominance claim (Jégou et al. 2011 §V): exact
+    // re-ranking over a candidate superset of the ADC top-5, graded by
+    // the same metric as the truth arm, can never lose a true hit —
+    // per-query, not just in aggregate
+    (e92 ++ e93).foreach { case (qid, rr, adc) =>
+      assert(rr >= adc,
+        s"re-rank recall must dominate plain ADC at equal probe budget (qid=$qid: $rr < $adc)")
+    }
   }
 
   test("bm25PhraseRanked rejects a 1-term list with no phrase (not an index error)") {
