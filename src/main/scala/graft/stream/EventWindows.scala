@@ -597,7 +597,10 @@ object EventWindows {
     * compacted layout serves correctly.
     */
   def streamPostingsCompacted(spark: SparkSession, dir: String,
-      outRoot: String = "/root/repo/target/fixtures/out/f32"): DataFrame =
+      outRootOpt: Option[String] = None): DataFrame = {
+    // scratch derives from the input dir (Scratch convention): rehearsals
+    // over scale corpora never write inside the repo checkout
+    val outRoot = outRootOpt.getOrElse(graft.Scratch.root(dir, "f32"))
     // 4 shuffle partitions, not 8: each micro-batch runs ~4 shuffles over
     // a third of the corpus — at gate scale the per-task overhead of the
     // 3-batch × 2-compaction pipeline dominates; on a cluster this knob
@@ -660,6 +663,88 @@ object EventWindows {
         "compaction must leave the posting multiset bit-identical")
       bm25ProbePruned(spark, index.getPath, dir)
     }
+  }
+
+  /** f35: POLICY-driven compaction of the streamed posting index — f32's
+    * pipeline with the production trigger instead of a hard-coded batch
+    * number: every foreachBatch evaluates the observed committed state
+    * (live data-file count across replay-safe `batch=` dirs,
+    * [[graft.api.Database.compactStreamIndexIfNeeded]]) against a budget
+    * of one file per bucket dir, and folds only when the budget is
+    * exceeded. The gate proves the three behaviors a policy must have:
+    * it HOLDS while under budget (batch 1 sees one committed dir), it
+    * FIRES mid-stream once accumulation crosses the budget, and rows are
+    * unchanged through every fold (posting multiset bit-identical; the
+    * closing pruned probe is e80's top-10 — the oracle — verbatim).
+    */
+  def streamPostingsPolicyCompacted(spark: SparkSession, dir: String,
+      outRootOpt: Option[String] = None): DataFrame = {
+    val outRoot = outRootOpt.getOrElse(graft.Scratch.root(dir, "f35"))
+    withShufflePartitions(spark, 4) {
+      import graft.llm.QueriesE.{bm25Stats, bm25ProbePruned, postingRows, Bm25Buckets}
+      bm25Stats(spark, dir): Unit // index-time stats memo (batch-side)
+      val src = new java.io.File(outRoot, "src")
+      val index = new java.io.File(outRoot, "index")
+      val chk = new java.io.File(outRoot, "chk")
+      wipe(src); wipe(index); wipe(chk); new java.io.File(outRoot).mkdirs()
+      // 3 source files + maxFilesPerTrigger=1 ⇒ 3 real micro-batches
+      spark.read.parquet(s"$dir/documents.parquet").repartition(3)
+        .write.parquet(src.getPath)
+      // the budget: one file per bucket dir — the steady state a compacted
+      // index maintains; any committed accumulation beyond it triggers
+      val budget = Bm25Buckets.toLong
+      // foreachBatch is serialized by MicroBatchExecution, so plain vars
+      // are a safe observability channel for the gate's assertions
+      var fired = 0
+      var held = 0
+      val q = spark.readStream.schema(graft.llm.Dedup.docsSchema)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+        .filter(col("text").isNotNull)
+        .writeStream
+        .option("checkpointLocation", chk.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val words = batch.select(col("doc_id"),
+              explode(split(col("text"), " ")).as("word"))
+            .filter(col("word") =!= "").persist()
+          try postingRows(words).repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(new java.io.File(index, s"batch=$batchId").getPath)
+          finally { words.unpersist(); () }
+          // the policy, not a batch count, decides (replay-safe bound as
+          // in f32: only batches ≤ batchId−1 are committed)
+          graft.api.Database.compactStreamIndexIfNeeded(spark, index,
+            "bucket", maxDataFiles = budget, upTo = batchId - 1) match {
+            case Some(_) => fired += 1
+            case None => held += 1
+          }
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      def postingSig(): (Long, java.math.BigDecimal) = {
+        val r = spark.read.parquet(index.getPath)
+          .agg(count(lit(1)),
+            sum(xxhash64(col("doc_id"), col("word"), col("tf"), col("len"),
+              col("bucket")).cast("decimal(38,0)")))
+          .collect()(0)
+        (r.getLong(0), r.getDecimal(1))
+      }
+      val sigBefore = postingSig()
+      assert(fired >= 1,
+        s"the policy must fire at least once mid-stream (fired=$fired held=$held)")
+      assert(held >= 1,
+        s"the policy must also hold off while under budget (fired=$fired held=$held)")
+      // termination maintenance goes through the SAME policy — with the
+      // accumulated tail over budget it folds to the steady-state layout
+      val stats = graft.api.Database.compactStreamIndexIfNeeded(spark, index,
+        "bucket", maxDataFiles = budget)
+      assert(stats.exists(_("dirs_after") == 1L),
+        s"terminal policy pass folds to a single batch dir: $stats")
+      assert(postingSig() == sigBefore,
+        "policy compaction must leave the posting multiset bit-identical")
+      bm25ProbePruned(spark, index.getPath, dir)
+    }
+  }
 
   /** f34: the r9 ANN pieces COMPOSED on the ingest path — IVFPQ index
     * maintenance as a stream: batch-trained coarse centroids + PQ
@@ -675,7 +760,8 @@ object EventWindows {
     * construction, so the oracle is e90's SQL verbatim.
     */
   def streamIvfPqIngest(spark: SparkSession, dir: String,
-      outRoot: String = "/root/repo/target/fixtures/out/f34"): DataFrame =
+      outRootOpt: Option[String] = None): DataFrame = {
+    val outRoot = outRootOpt.getOrElse(graft.Scratch.root(dir, "f34"))
     withShufflePartitions(spark, 4) {
       import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
       import graft.llm.Similarity
@@ -713,6 +799,7 @@ object EventWindows {
         s"terminated-stream compaction folds to a single batch dir: $stats")
       graft.llm.QueriesE.ivfPqRecall(spark, dir, index.getPath)
     }
+  }
 
   /** f33: STRUCTURED dead-letter quarantine on the event ingest stream —
     * e87's guarded-decode recipe extended from codecs to the structured
@@ -733,10 +820,13 @@ object EventWindows {
     * table (the oracle reproduces them from `events` directly); bad rows
     * land in the dead-letter sink with their error class, id recovered
     * from the raw line when the typed row lost it, and a non-empty error
-    * payload gated as the has_error boolean (e87's convention).
+    * payload gated as the error_payload_ok boolean (true everywhere: for
+    * dead-letter rows it asserts the payload landed; for good rows it is
+    * the invariant holding vacuously).
     */
   def streamStructuredQuarantine(spark: SparkSession, dir: String,
-      outRoot: String = "/root/repo/target/fixtures/out/f33"): DataFrame =
+      outRootOpt: Option[String] = None): DataFrame = {
+    val outRoot = outRootOpt.getOrElse(graft.Scratch.root(dir, "f33"))
     withShufflePartitions(spark, 8) {
       import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
       val src = new java.io.File(outRoot, "src")
@@ -751,9 +841,15 @@ object EventWindows {
           .otherwise(col("props")))
       val line0 = to_json(struct(col("event_id"), col("event_type"),
         col("value"), col("props")))
-      // type drift: the numeric value field becomes a string on the wire
-      val line = when(pmod(col("event_id"), lit(97)) === 29,
-          regexp_replace(line0, "\"value\":[^,}]+", "\"value\":\"not-a-number\""))
+      // type drift: the numeric value field becomes a string on the wire.
+      // Planted BEFORE serialization — the drift rows serialize their own
+      // wire struct with value as a string literal, so the plant cannot
+      // desync from the oracle's pure event_id%97 rule (a regex over the
+      // rendered line would silently un-plant when to_json drops a NULL
+      // value field, or corrupt props if they ever contained '"value":')
+      val lineDrift = to_json(struct(col("event_id"), col("event_type"),
+        lit("not-a-number").as("value"), col("props")))
+      val line = when(pmod(col("event_id"), lit(97)) === 29, lineDrift)
         .otherwise(line0)
       doctored.select(line.as("value")).write.text(src.getPath)
       val schema = StructType(Seq(
@@ -799,14 +895,18 @@ object EventWindows {
         .select(col("event_id"), lit("ok").as("status"),
           lit(null).cast("string").as("error_class"),
           col("event_type"), coalesce(col("value"), lit(-1.0)).as("value"),
-          coalesce(col("k"), lit(-1L)).as("k"), lit(true).as("has_error"))
+          coalesce(col("k"), lit(-1L)).as("k"),
+          // vacuously true on good rows: the column asserts "every
+          // dead-letter error payload is non-empty" across the union
+          lit(true).as("error_payload_ok"))
       val d = spark.read.parquet(dead.getPath)
         .select(col("event_id"), lit("quarantined").as("status"),
           col("error_class"), lit(null).cast("string").as("event_type"),
           lit(-1.0).as("value"), lit(-1L).as("k"),
-          (length(col("error")) > 0).as("has_error"))
+          (length(col("error")) > 0).as("error_payload_ok"))
       g.unionByName(d).orderBy("event_id")
     }
+  }
 
   /** f30: BM25 scoring ON INGEST — the retrieval twin of f22's
     * train-offline/apply-on-ingest shape: corpus statistics (N, avgdl,

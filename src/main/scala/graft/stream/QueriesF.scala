@@ -249,6 +249,14 @@ object QueriesF {
     "f32_index_compaction" -> ((s, dir) =>
       EventWindows.streamPostingsCompacted(s, dir)),
 
+    // f35: POLICY-driven compaction — f32's pipeline where the observed
+    // committed file count (budget: one file per bucket dir), not a
+    // hard-coded batch number, decides each fold; the gate asserts the
+    // policy both held (under budget) and fired (over budget) and the
+    // probe returns e80's top-10 verbatim (the oracle).
+    "f35_policy_compaction" -> ((s, dir) =>
+      EventWindows.streamPostingsPolicyCompacted(s, dir)),
+
     // f34: IVFPQ index maintenance ON INGEST — e90's trainings applied
     // scan-locally to the embedding stream (route + 4-byte encode),
     // appended per micro-batch in the list-partitioned layout, compacted
@@ -488,12 +496,18 @@ object QueriesF {
     "f32_index_compaction" ->
       (s"WITH ${graft.llm.QueriesE.sqlBm25Ctes()} " +
         "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"),
+    // identical top-10 again: the policy changes WHEN folds happen, never
+    // what the index contains
+    "f35_policy_compaction" ->
+      (s"WITH ${graft.llm.QueriesE.sqlBm25Ctes()} " +
+        "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"),
     // identical recall relation to e90 by construction (same trainings,
     // same probe, same ADC — only the index build path differs)
     "f34_stream_ivfpq_ingest" -> graft.llm.QueriesE.oracle("e90_ann_ivfpq"),
     // good rows reproduce the clean events table verbatim (the planted
-    // classes are a pure function of event_id); has_error pins every
-    // dead-letter row's error payload non-empty
+    // classes are a pure function of event_id); error_payload_ok pins
+    // every dead-letter row's error payload non-empty (vacuous TRUE on
+    // good rows)
     "f33_stream_quarantine" ->
       ("SELECT event_id, " +
         "CASE WHEN event_id % 97 IN (11, 29) THEN 'quarantined' ELSE 'ok' END AS status, " +
@@ -505,7 +519,7 @@ object QueriesF {
         "CASE WHEN event_id % 97 IN (11, 29) THEN -1.0 ELSE coalesce(value, -1.0) END AS value, " +
         "CASE WHEN event_id % 97 IN (11, 29) THEN CAST(-1 AS BIGINT) " +
         "ELSE coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) END AS k, " +
-        "TRUE AS has_error FROM events ORDER BY event_id"),
+        "TRUE AS error_payload_ok FROM events ORDER BY event_id"),
     "f28_stream_top_users" ->
       (s"WITH e AS ($EsEvents), m AS (SELECT max(us) AS mu FROM e), " +
         "w AS (SELECT es - es % 86400 AS epoch_start, user_id FROM e, m " +

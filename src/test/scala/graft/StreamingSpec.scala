@@ -658,7 +658,7 @@ class StreamingSpec extends AnyFunSuite {
     // the query body's own asserts already proved file-count shrink and
     // posting-multiset identity; re-check the final layout from outside:
     // exactly one batch dir remains and it carries the supersession marker
-    val index = new java.io.File("/root/repo/target/fixtures/out/f32/index")
+    val index = new java.io.File(graft.Scratch.root(TestSpark.Sf, "f32"), "index")
     val dirs = Option(index.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
     assert(dirs.length == 1 &&
@@ -679,7 +679,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l =>
       l.contains("PartitionFilters") && l.contains("list_id")),
       s"probe over the streamed index must partition-prune on list_id:\n$plan")
-    val index = new java.io.File("/root/repo/target/fixtures/out/f34/index")
+    val index = new java.io.File(graft.Scratch.root(TestSpark.Sf, "f34"), "index")
     val dirs = Option(index.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
     assert(dirs.length == 1 &&
@@ -746,6 +746,115 @@ class StreamingSpec extends AnyFunSuite {
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
     assert(dirs.map(_.getName).toSeq == Seq("batch=2"),
       s"full compaction converges to the highest id: ${dirs.map(_.getName).toSeq}")
+  }
+
+  test("compactStreamIndex recovery restores a crash INSIDE swapDir (.bak orphan)") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("compact-crash2").toFile
+    def writeBatch(id: Long, ids: Seq[Long]): Unit =
+      spark.createDataFrame(ids.map(i => (i, i % 3)))
+        .toDF("doc_id", "bucket")
+        .write.partitionBy("bucket")
+        .parquet(new java.io.File(root, s"batch=$id").getPath)
+    writeBatch(0, Seq(1L, 2L, 3L))
+    writeBatch(1, Seq(4L, 5L))
+    writeBatch(2, Seq(6L))
+    // simulate a crash in swapDir's narrowest window: the live target was
+    // renamed aside to batch=1.bak, the process died BEFORE the staged
+    // dir took its place — batch=1 is GONE from the readable layout and
+    // the compacted stage is stranded as batch=1.stage_tmp
+    val target = new java.io.File(root, "batch=1")
+    val bak = new java.io.File(root, "batch=1.bak")
+    val stage = new java.io.File(root, "batch=1.stage_tmp")
+    assert(target.renameTo(bak), "test setup: stage the target aside")
+    spark.createDataFrame(Seq((1L, 1L), (2L, 2L), (3L, 0L), (4L, 1L), (5L, 2L)))
+      .toDF("doc_id", "bucket").write.partitionBy("bucket")
+      .parquet(stage.getPath)
+    new java.io.FileOutputStream(
+      new java.io.File(stage, "_compacted_through")).close()
+    // the next compaction's recovery pass must restore the orphaned .bak
+    // (rows 4..5 become visible again), reclaim the un-promoted stage,
+    // and then fold normally — every row exactly once, nothing lost
+    graft.api.Database.compactStreamIndex(spark, root, "bucket"): Unit
+    val rows = spark.read.parquet(root.getPath)
+      .select(col("doc_id")).orderBy(col("doc_id")).collect().map(_.getLong(0))
+    assert(rows.toSeq == (1L to 6L),
+      s"recovered index holds each row exactly once: ${rows.toSeq}")
+    assert(!bak.exists() && !stage.exists(), "crash residue fully reclaimed")
+    val dirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(dirs.map(_.getName).toSeq == Seq("batch=2"),
+      s"full compaction converges to the highest id: ${dirs.map(_.getName).toSeq}")
+  }
+
+  test("compactStreamIndex drops superseded .bak residue and uninflated counts") {
+    val root = java.nio.file.Files.createTempDirectory("compact-crash3").toFile
+    def writeBatch(id: Long, ids: Seq[Long]): Unit =
+      spark.createDataFrame(ids.map(i => (i, i % 3)))
+        .toDF("doc_id", "bucket")
+        .write.partitionBy("bucket")
+        .parquet(new java.io.File(root, s"batch=$id").getPath)
+    writeBatch(0, Seq(1L, 2L, 3L))
+    writeBatch(1, Seq(4L, 5L))
+    // simulate a crash AFTER the swap promoted the compacted dir but
+    // BEFORE swapDir wiped the backup: primary exists (with marker), the
+    // .bak holds the pre-compaction copy of the target's own rows
+    val stale = new java.io.File(root, "batch=1.bak")
+    spark.createDataFrame(Seq((4L, 1L), (5L, 2L)))
+      .toDF("doc_id", "bucket").write.partitionBy("bucket")
+      .parquet(stale.getPath)
+    new java.io.FileOutputStream(
+      new java.io.File(new java.io.File(root, "batch=1"),
+        "_compacted_through")).close()
+    val stats = graft.api.Database.compactStreamIndex(spark, root, "bucket")
+    assert(!stale.exists(), "superseded .bak reclaimed when the primary exists")
+    // counts are defined over parsed batch=<long> dirs only — the residue
+    // (and the marker recovery's deletions) never inflate files_before
+    val n = spark.read.parquet(root.getPath).count()
+    assert(n == 2L, s"marker recovery dropped the superseded batch=0: $n")
+    assert(stats("files_after") <= stats("files_before"),
+      s"residue must not inflate the observability counts: $stats")
+  }
+
+  test("compactStreamIndexIfNeeded holds under budget, fires over it") {
+    val root = java.nio.file.Files.createTempDirectory("compact-policy").toFile
+    def writeBatch(id: Long, ids: Seq[Long]): Unit =
+      spark.createDataFrame(ids.map(i => (i, i % 3)))
+        .toDF("doc_id", "bucket")
+        .write.partitionBy("bucket")
+        .parquet(new java.io.File(root, s"batch=$id").getPath)
+    writeBatch(0, Seq(1L, 2L, 3L))
+    // one committed dir: never folds regardless of budget
+    assert(graft.api.Database.compactStreamIndexIfNeeded(spark, root,
+      "bucket", maxDataFiles = 0L).isEmpty, "a single dir has nothing to fold")
+    writeBatch(1, Seq(4L, 5L))
+    val live = spark.read.parquet(root.getPath).inputFiles.length.toLong
+    // under budget: holds
+    assert(graft.api.Database.compactStreamIndexIfNeeded(spark, root,
+      "bucket", maxDataFiles = live).isEmpty, "policy holds while under budget")
+    // over budget: folds to one dir, rows intact
+    val stats = graft.api.Database.compactStreamIndexIfNeeded(spark, root,
+      "bucket", maxDataFiles = live - 1)
+    assert(stats.exists(_("dirs_after") == 1L), s"policy fired and folded: $stats")
+    val n = spark.read.parquet(root.getPath).count()
+    assert(n == 5L, s"policy fold preserves every row: $n")
+  }
+
+  test("f35 policy compaction serves e80's top-10 from the steady-state layout") {
+    val df = graft.stream.QueriesF.all("f35_policy_compaction")(spark, TestSpark.Sf)
+    val top = df.collect()
+    graft.Caches.drain()
+    val batch = graft.llm.QueriesE.all("e80_bm25_retrieval")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    graft.Caches.drain()
+    assert(top.map(r => (r.getLong(0), r.getDouble(1))).toSeq == batch.toSeq,
+      "policy-compacted index and batch scorer must agree bit-exactly")
+    val index = new java.io.File(graft.Scratch.root(TestSpark.Sf, "f35"), "index")
+    val dirs = Option(index.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(dirs.length == 1 &&
+      new java.io.File(dirs(0), "_compacted_through").isFile,
+      s"one marked batch dir after the terminal policy pass: ${dirs.map(_.getName).toSeq}")
   }
 
   test("f25 stream chunker equals the batch e67 chunk windows") {
