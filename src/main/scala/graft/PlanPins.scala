@@ -137,7 +137,11 @@ object PlanPins {
       "e92_ann_other_queries",
       // e93: e90's windows plus the re-rank top-5 — group size ≤ R=20
       // candidates per query by construction
-      "e93_ann_ivfadc_rerank")
+      "e93_ann_ivfadc_rerank",
+      // e94: the served-top-5 window is e90's per-query class (one
+      // query's probed-list ADC candidates); no truth arm, so no
+      // crossJoin allowlisting needed
+      "e94_ann_delete_serve")
 
   /** The plan-shape assertions, applied to a physical-plan string. Returns
     * the violations (empty = clean). Callers decide fail-fast (ScalaTest)

@@ -641,20 +641,22 @@ object QueriesE {
     * candidates, graded ALONGSIDE the plain ADC arm so the re-rank
     * never-loses-recall claim is checked cross-engine.
     */
-  private[graft] def sqlIvfPqRecallOver(qsCte: String,
-      rerankR: Option[Int] = None): String = {
-    val NProbe = 2; val K = 5
-    val cos =
-      s"(${sqlChain(i => s"v.emb[$i]*q.emb[$i]")}) / " +
-        s"(sqrt(${sqlChain(i => s"v.emb[$i]*v.emb[$i]")}) * " +
-        s"sqrt(${sqlChain(i => s"q.emb[$i]*q.emb[$i]")}))"
+  /** The shared serving core of the IVFADC oracles (e90/e92/e93/f34/e94):
+    * trainings → list assignment → per-query probes → ADC lookup tables →
+    * the candidate relation `adc(qid, vec_id, adc)` over the probed lists.
+    * Ends at the `adc` CTE (no trailing separator) so graders
+    * ([[sqlIvfPqRecallOver]]) and the delete-serve probe
+    * ([[sqlIvfPqDeleteServe]]) compose their own tails onto one chain.
+    */
+  private def sqlIvfPqAdcCtes(qsCte: String): String = {
+    val NProbe = 2
     val dts = (0 until PqM).map { j =>
       val lo = j * PqSub
       s"p${j}qdt AS (SELECT q.vec_id AS qid, c.j AS code, " +
         sqlChainN(PqSub)(i => s"(c.emb[$i]-q.emb[${lo + i}])*(c.emb[$i]-q.emb[${lo + i}])") +
         s" AS d FROM p${j}c$PqIters c CROSS JOIN qs q)"
     }.mkString(", ")
-    val core = sqlKmeansCtes(8, 3) + ", " +
+    sqlKmeansCtes(8, 3) + ", " +
       sqlPqSubspaceCtes + ", " +
       sqlKmAssign("af", "c3") + ", " +
       "listed AS (SELECT vec_id, list FROM af WHERE rn = 1), " +
@@ -676,7 +678,17 @@ object QueriesE {
       (1 until PqM).map(j =>
         s"JOIN p${j}qdt q$j ON q$j.code = c.code$j AND q$j.qid = q0.qid ").mkString +
       "JOIN qprobes pr ON pr.qid = q0.qid AND pr.j = l.list " +
-      "WHERE c.vec_id != q0.qid), " +
+      "WHERE c.vec_id != q0.qid)"
+  }
+
+  private[graft] def sqlIvfPqRecallOver(qsCte: String,
+      rerankR: Option[Int] = None): String = {
+    val K = 5
+    val cos =
+      s"(${sqlChain(i => s"v.emb[$i]*q.emb[$i]")}) / " +
+        s"(sqrt(${sqlChain(i => s"v.emb[$i]*v.emb[$i]")}) * " +
+        s"sqrt(${sqlChain(i => s"q.emb[$i]*q.emb[$i]")}))"
+    val core = sqlIvfPqAdcCtes(qsCte) + ", " +
       s"pqtop AS (SELECT qid, vec_id FROM adc QUALIFY " +
       s"row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) <= $K), " +
       "extop AS (SELECT q.vec_id AS qid, v.vec_id FROM e v CROSS JOIN qs q " +
@@ -710,6 +722,34 @@ object QueriesE {
           "FROM qs q LEFT JOIN hits_rr hr ON hr.qid = q.vec_id " +
           "LEFT JOIN hits_adc ha ON ha.qid = q.vec_id ORDER BY qid"
     }
+  }
+
+  /** The e94 oracle: the IVFADC delete lifecycle unrolled. `served0` is
+    * the pre-delete serve (the adc core's top-5 per query, with the served
+    * POSITION emitted), `del` the delete epoch — each query's rank-1
+    * result, so deletion PROVABLY moves every query's served set — and
+    * `served` the post-delete serve: the same adc relation minus the
+    * deleted ids (filtering `adc` is definitionally what both the
+    * tombstone mask and the folded rewrite must equal). The phase cross
+    * join duplicates the expected rows for the Spark side's two REAL
+    * phases (tombstone-masked serve; post-compaction serve from the
+    * rewritten partitions) — bit-identical by the lifecycle's core claim.
+    */
+  private[graft] def sqlIvfPqDeleteServe(qsCte: String): String = {
+    val K = 5
+    val top = "SELECT qid, vec_id, pos FROM (SELECT qid, vec_id, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS pos " +
+      s"FROM %s) WHERE pos <= $K"
+    sqlIvfPqAdcCtes(qsCte) + ", " +
+      s"served0 AS (${top.format("adc")}), " +
+      "del AS (SELECT vec_id FROM served0 WHERE pos = 1), " +
+      s"served AS (${top.format(
+        "(SELECT * FROM adc WHERE vec_id NOT IN (SELECT vec_id FROM del))")}) " +
+      "SELECT ph.phase, s.qid, s.pos, s.vec_id, " +
+      "s.vec_id NOT IN (SELECT vec_id FROM del) AS not_deleted " +
+      "FROM served s CROSS JOIN " +
+      "(SELECT 'masked' AS phase UNION ALL SELECT 'compacted' AS phase) ph " +
+      "ORDER BY ph.phase, s.qid, s.pos"
   }
 
   /** DuckDB replica of e35 SemDeDup: the same k-means CTEs, final-centroid
@@ -1076,14 +1116,107 @@ object QueriesE {
     * Idempotent overwrite; returns the index path.
     */
   private[graft] def buildIvfPqIndex(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
+      dir: String, name: String = "e90_ivfpq"): String = {
     val (base, cents, cbs) = ivfPqTrainings(s, dir)
-    val out = graft.Scratch.root(dir, "e90_ivfpq")
+    val out = graft.Scratch.root(dir, name)
     base.withColumn("list_id", Similarity.ivfAssign(col("emb"), cents))
       .select(Seq(col("vec_id"), col("list_id")) ++
         Similarity.pqCodeCols(col("emb"), cbs): _*)
       .write.mode("overwrite").partitionBy("list_id").parquet(out)
     out
+  }
+
+  /** e94's DELETE path: the epoch's ids land as parquet under
+    * `<index>/_tombstones` — an underscore-prefixed dir Spark's partition
+    * discovery ignores, so the physical code layout is untouched and the
+    * write is O(|epoch|), never O(index). Append-mode: epochs accumulate
+    * until [[compactIvfPqDeletes]] folds them. The epoch is bounded by
+    * contract (a removal batch — e48's removal-audit scale, not a
+    * corpus), which is what licenses the broadcast anti-joins downstream.
+    */
+  private[graft] def deleteFromIvfPqIndex(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, ids: org.apache.spark.sql.DataFrame): Unit =
+    ids.select(col("vec_id").cast("long").as("vec_id")).coalesce(1)
+      .write.mode("append")
+      .parquet(new java.io.File(indexPath, "_tombstones").getPath)
+
+  /** The live tombstone set, if any (None once a fold reclaimed it). */
+  private def ivfPqTombstones(s: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[org.apache.spark.sql.DataFrame] = {
+    val d = new java.io.File(indexPath, "_tombstones")
+    if (d.isDirectory &&
+        Option(d.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
+      Some(s.read.parquet(d.getPath).select(col("vec_id")))
+    else None
+  }
+
+  /** e94's COMPACTION: folds the tombstones into the physical layout by
+    * rewriting ONLY the `list_id=` partition dirs that hold tombstoned
+    * rows (≤ the tombstoned-list count, bounded by the centroid count —
+    * never O(index)), then drops the tombstone dir so serving returns to
+    * a pure pruned scan. Each touched dir is rewritten through a staged
+    * swap whose stage AND backup live OUTSIDE the index root
+    * (`<index>.stage_l<l>` / `<index>.bak_l<l>`): residue from a crash at
+    * any point can never corrupt partition discovery over the root (a
+    * `list_id=3.bak` dir inside the root would type-conflict the
+    * partition column). The recovery sweep at the top makes every window
+    * convergent: an orphaned `.bak_l<l>` with no live `list_id=<l>` dir
+    * is a crash INSIDE the swap — restore it; with the live dir present
+    * it is superseded — drop it; a `.stage_l<l>` is un-promoted by
+    * construction — always reclaim. Crash-injected in LlmSpec.
+    */
+  private[graft] def compactIvfPqDeletes(s: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    val root = new java.io.File(indexPath)
+    // recovery sweep (see Scaladoc): restore/reclaim sibling residue first
+    val BakRe = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(root.getName) + "\\.bak_l(\\d+)")
+    Option(root.getParentFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith(root.getName + ".stage_l")) wipe(f)
+      else {
+        val m = BakRe.matcher(f.getName)
+        if (m.matches()) {
+          val live = new java.io.File(root, s"list_id=${m.group(1)}")
+          if (live.isDirectory) wipe(f)
+          else if (!f.renameTo(live)) throw new java.io.IOException(
+            s"compactIvfPqDeletes: cannot restore orphaned $f")
+        }
+      }
+    }
+    ivfPqTombstones(s, indexPath).foreach { tomb0 =>
+      val tomb = broadcast(tomb0)
+      val touched = s.read.parquet(indexPath)
+        .join(tomb, Seq("vec_id")).select("list_id").distinct()
+        .collect().map(_.getInt(0)).sorted // ≤ the centroid count
+      touched.foreach { l =>
+        val live = new java.io.File(root, s"list_id=$l")
+        val stage = new java.io.File(indexPath + s".stage_l$l")
+        val bak = new java.io.File(indexPath + s".bak_l$l")
+        val kept = s.read.parquet(live.getPath)
+          .join(tomb, Seq("vec_id"), "left_anti")
+        if (kept.isEmpty) wipe(live)
+        else {
+          kept.write.mode("overwrite").parquet(stage.getPath)
+          if (!live.renameTo(bak)) throw new java.io.IOException(
+            s"compactIvfPqDeletes: cannot stage $live aside")
+          if (!stage.renameTo(live)) {
+            bak.renameTo(live) // roll back; previous contents restored
+            throw new java.io.IOException(
+              s"compactIvfPqDeletes: cannot swap $stage into $live")
+          }
+          wipe(bak)
+        }
+      }
+      wipe(new java.io.File(root, "_tombstones"))
+      // the swaps happened at the filesystem level — invalidate the shared
+      // file-listing cache (the compactStreamIndex lesson, SCALING.md r9)
+      s.catalog.refreshByPath(indexPath)
+    }
   }
 
   /** e92's fresh query batch: three vectors NOT in the corpus — the
@@ -1144,12 +1277,22 @@ object QueriesE {
     * (e93): exact-cosine re-ranking of the ADC top-r candidate set —
     * see [[sqlIvfPqRecallOver]] for the grading contract.
     */
-  private[graft] def ivfPqRecall(s: org.apache.spark.sql.SparkSession,
+  /** The SERVE half shared by the graders ([[ivfPqRecall]]) and the
+    * delete-lifecycle probe ([[ivfPqServedTop]]): query batch → broadcast
+    * probe lists → partition-pruned code scan → flattened ADC lookup →
+    * the candidate relation `cands(qid, vec_id, adc)`. If the index
+    * carries live tombstones (e94's delete path), they are anti-joined
+    * out here — broadcast, the epoch is bounded by contract — so EVERY
+    * consumer of the artifact serves delete-consistent results whether or
+    * not compaction has folded yet.
+    */
+  private case class IvfPqServe(qDf: org.apache.spark.sql.DataFrame,
+      cands: org.apache.spark.sql.DataFrame)
+
+  private def ivfPqServeCands(s: org.apache.spark.sql.SparkSession,
       dir: String, indexPath: String,
-      queries: Option[org.apache.spark.sql.DataFrame] = None,
-      rerankR: Option[Int] = None): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val QN = 3; val NProbe = 2; val TopK = 5
+      queries: Option[org.apache.spark.sql.DataFrame]): IvfPqServe = {
+    val QN = 3; val NProbe = 2
     val (base, cents, cbs) = ivfPqTrainings(s, dir)
     // the serving batch: arbitrary (qid, qemb) rows, bounded by contract
     // (a query batch, not a corpus). Collected once on the driver — the
@@ -1185,13 +1328,42 @@ object QueriesE {
       explode(Similarity.ivfProbes(col("qemb"), cents, NProbe)).as("pl"))
     val plists = probes.select("pl").distinct().collect()
       .map(_.getInt(0)).sorted // bounded by the centroid count
-    val idx = s.read.parquet(indexPath)
+    val idx0 = s.read.parquet(indexPath)
       .filter(col("list_id").isin(plists.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
+    val idx = ivfPqTombstones(s, indexPath) match {
+      case Some(tomb) => idx0.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      case None => idx0
+    }
     val adc = (0 until PqM).map(j => element_at(typedLit(flat(j).toSeq),
       col("qidx") * PqKSub + col(s"code$j") + 1)).reduce(_ + _)
-    val cands = idx.join(broadcast(probes),
+    IvfPqServe(qDf, idx.join(broadcast(probes),
         col("list_id") === col("pl") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), adc.as("adc"))
+      .select(col("qid"), col("vec_id"), adc.as("adc")))
+  }
+
+  /** e94's gated probe: the served top-5 PER POSITION (qid, pos, vec_id)
+    * from the persisted artifact — the delete lifecycle's observable.
+    */
+  private[graft] def ivfPqServedTop(s: org.apache.spark.sql.SparkSession,
+      dir: String, indexPath: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ivfPqServeCands(s, dir, indexPath, queries = None).cands
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id")))
+        .cast("long"))
+      .filter(col("pos") <= 5).select("qid", "pos", "vec_id")
+  }
+
+  private[graft] def ivfPqRecall(s: org.apache.spark.sql.SparkSession,
+      dir: String, indexPath: String,
+      queries: Option[org.apache.spark.sql.DataFrame] = None,
+      rerankR: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val TopK = 5
+    val (base, _, _) = ivfPqTrainings(s, dir)
+    val serve = ivfPqServeCands(s, dir, indexPath, queries)
+    val qDf = serve.qDf
+    val cands = serve.cands
     def adcTop(k: Int) = cands
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))))
@@ -2914,6 +3086,48 @@ object QueriesE {
       ivfPqBothArms(s, dir, out, queries = None)
     }),
 
+    // e94: the DELETE lifecycle of the persisted ANN index — the piece
+    // the serving story was missing (f34 ingests, e89 rebalances,
+    // f32/f35 compact appends; removal had no path). Three REAL stages
+    // against one artifact: (1) delete — each query's rank-1 served
+    // result (so deletion provably moves every query's answer) lands as
+    // an O(|epoch|) tombstone file under `_tombstones`, the index
+    // untouched; (2) masked serve — the pruned ADC scan anti-joins the
+    // broadcast tombstones (every artifact consumer gets
+    // delete-consistent results before any rewrite); (3) fold —
+    // compactIvfPqDeletes rewrites ONLY the touched `list_id=` dirs
+    // through crash-recoverable sibling staged swaps and drops the
+    // tombstones, then the serve runs again from the rewritten files.
+    // The gate emits both phases' served top-5 (qid, pos, vec_id) plus
+    // the not_deleted proof column; the oracle computes the expected
+    // serve ONCE (adc minus the deleted ids) and cross-joins both phase
+    // labels — so "mask ≡ fold ≡ definition" is hash-checked, and
+    // e48's removal-audit contract gains the index-side half.
+    "e94_ann_delete_serve" -> ((s, dir) => {
+      import s.implicits._
+      val out = buildIvfPqIndex(s, dir, name = "e94_ivfpq")
+      // the delete epoch, pinned on the driver BEFORE the index mutates
+      // (the lazy plan would re-serve from the post-fold files): |Q| ids
+      val delIds = ivfPqServedTop(s, dir, out)
+        .filter(col("pos") === 1L).select("vec_id")
+        .collect().map(_.getLong(0)).toSeq.distinct.sorted
+      deleteFromIvfPqIndex(s, out, delIds.toDF("vec_id"))
+      // the masked phase, materialized BEFORE the fold rewrites the very
+      // files (and tombstones) its plan reads: |Q|·5 rows by construction
+      val masked = ivfPqServedTop(s, dir, out)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      compactIvfPqDeletes(s, out)
+      val compacted = ivfPqServedTop(s, dir, out)
+        .withColumn("phase", lit("compacted"))
+      val maskedDf = masked.toSeq.toDF("qid", "pos", "vec_id")
+        .withColumn("phase", lit("masked"))
+      compacted.unionByName(maskedDf)
+        .select(col("phase"), col("qid"), col("pos"), col("vec_id"),
+          (!col("vec_id").isin(delIds.map(_.asInstanceOf[Any]): _*))
+            .as("not_deleted"))
+        .orderBy("phase", "qid", "pos")
+    }),
+
     // e91: LEARNED language ID — e10's hand-listed marker profiles
     // replaced by a classifier TRAINED IN-ENGINE: multinomial Naive Bayes
     // over hashed char bigrams (closed-form counts — no SGD, no
@@ -3712,6 +3926,7 @@ object QueriesE {
       sqlIvfPqRecallOver(sqlE92Qs, rerankR = Some(E93RerankR)),
     "e93_ann_ivfadc_rerank" ->
       sqlIvfPqRecallOver(SqlIvfPqDefaultQs, rerankR = Some(E93RerankR)),
+    "e94_ann_delete_serve" -> sqlIvfPqDeleteServe(SqlIvfPqDefaultQs),
     "e91_langid_learned" -> {
       // training (counts + integer-division quantization) and prediction
       // (table-lookup log scores, integer sums) unrolled end-to-end; the
