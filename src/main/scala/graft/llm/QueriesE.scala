@@ -630,17 +630,6 @@ object QueriesE {
       s"list_transform(range(1, ${Dims + 1}), i -> (a.emb[i] + b.emb[i]) / 2.0) AS emb " +
       "FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id IN (5, 7, 9)"
 
-  /** The IVFADC oracle (e90/e92/e93/f34) unrolled end-to-end over an
-    * ARBITRARY query CTE `qsCte` (columns vec_id, emb — the Spark side's
-    * (qid, qemb) parameter): the coarse k-means (e18's CTEs), the
-    * per-subspace PQ trainings (e57's CTEs, composed via
-    * sqlPqSubspaceCtes since both share base `e`), per-query probe
-    * selection, ADC scoring restricted to each query's probed lists, and
-    * the exact-top-5 grading join (e59's arm). With `rerankR = Some(r)`,
-    * adds the IVFADC-R arm (e93): exact-cosine top-5 over the ADC top-r
-    * candidates, graded ALONGSIDE the plain ADC arm so the re-rank
-    * never-loses-recall claim is checked cross-engine.
-    */
   /** The shared serving core of the IVFADC oracles (e90/e92/e93/f34/e94):
     * trainings → list assignment → per-query probes → ADC lookup tables →
     * the candidate relation `adc(qid, vec_id, adc)` over the probed lists.
@@ -681,6 +670,14 @@ object QueriesE {
       "WHERE c.vec_id != q0.qid)"
   }
 
+  /** The IVFADC GRADING oracle (e90/e92/e93/f34) over an ARBITRARY query
+    * CTE `qsCte` (columns vec_id, emb — the Spark side's (qid, qemb)
+    * parameter): [[sqlIvfPqAdcCtes]]'s serving chain plus the
+    * exact-top-5 grading join (e59's arm). With `rerankR = Some(r)`,
+    * adds the IVFADC-R arm (e93): exact-cosine top-5 over the ADC top-r
+    * candidates, graded ALONGSIDE the plain ADC arm so the re-rank
+    * never-loses-recall claim is checked cross-engine.
+    */
   private[graft] def sqlIvfPqRecallOver(qsCte: String,
       rerankR: Option[Int] = None): String = {
     val K = 5
@@ -1188,6 +1185,12 @@ object QueriesE {
         }
       }
     }
+    // the sweep restores/reclaims at the FILESYSTEM level and the
+    // no-tombstone case returns right after it — invalidate the shared
+    // FileStatusCache unconditionally (not just after a fold), or a serve
+    // planned against the pre-restore listing dies on FILE_NOT_EXIST
+    // (compactStreamIndex's recovery guards the same window; ADVICE r10)
+    s.catalog.refreshByPath(indexPath)
     ivfPqTombstones(s, indexPath).foreach { tomb0 =>
       val tomb = broadcast(tomb0)
       val touched = s.read.parquet(indexPath)

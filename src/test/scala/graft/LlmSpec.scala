@@ -1597,4 +1597,98 @@ class LlmSpec extends AnyFunSuite {
       assert(r.getInt(3) == 1, s"doc ${r.getLong(0)}: n_phones=${r.getInt(3)}")
     }
   }
+
+  // ---- e94 compactIvfPqDeletes crash injection (the compactStreamIndex
+  // matrix mirrored onto the sibling .stage_l/.bak_l protocol) ----
+
+  /** A tiny list-partitioned code layout standing in for the IVFPQ index:
+    * vec_id i lives in list i % 3. Same (vec_id, code*, list_id=) shape
+    * compactIvfPqDeletes folds; contents don't matter to the swap paths.
+    */
+  private def writeMiniIndex(ids: Seq[Long]): java.io.File = {
+    val root = new java.io.File(
+      java.nio.file.Files.createTempDirectory("ivfpq-crash").toFile, "idx")
+    ids.map(i => (i, i.toInt, (i % 3).toInt)).toDF("vec_id", "code0", "list_id")
+      .write.partitionBy("list_id").parquet(root.getPath)
+    root
+  }
+
+  test("e94 delete lifecycle: tombstone masks, fold rewrites only touched lists") {
+    val root = writeMiniIndex(0L to 8L)
+    graft.llm.QueriesE.deleteFromIvfPqIndex(spark, root.getPath,
+      Seq(4L).toDF("vec_id"))
+    // tombstone written, physical layout untouched
+    assert(new java.io.File(root, "_tombstones").isDirectory)
+    assert(spark.read.parquet(root.getPath)
+      .filter(col("vec_id") === 4L).count() == 1L,
+      "the delete is logical until compaction")
+    val untouchedMtime = new java.io.File(root, "list_id=0").lastModified()
+    graft.llm.QueriesE.compactIvfPqDeletes(spark, root.getPath)
+    val left = spark.read.parquet(root.getPath)
+      .select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    assert(left.toSeq == Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 8L),
+      s"fold removed exactly the tombstoned row: ${left.toSeq}")
+    assert(!new java.io.File(root, "_tombstones").exists(),
+      "tombstones reclaimed after the fold")
+    assert(new java.io.File(root, "list_id=0").lastModified() == untouchedMtime,
+      "lists without tombstoned rows are never rewritten")
+    assert(Option(root.getParentFile.listFiles()).get.map(_.getName).toSeq ==
+      Seq("idx"), "no .stage_l/.bak_l residue after a clean fold")
+  }
+
+  test("e94 recovery restores a crash INSIDE the sibling swap (orphaned .bak_l)") {
+    val root = writeMiniIndex(0L to 5L)
+    // crash window: list_id=1 was renamed aside to <root>.bak_l1, the
+    // process died before the staged dir took its place — the list is
+    // GONE from the readable layout, its rows invisible
+    val live = new java.io.File(root, "list_id=1")
+    val bak = new java.io.File(root.getPath + ".bak_l1")
+    assert(live.renameTo(bak), "test setup: orphan the list aside")
+    assert(spark.read.parquet(root.getPath).count() == 4L)
+    spark.catalog.refreshByPath(root.getPath) // test isolation, not the fix
+    graft.llm.QueriesE.compactIvfPqDeletes(spark, root.getPath)
+    // no tombstones: recovery alone must restore the orphan AND refresh
+    // the listing cache (the unconditional-refresh window, ADVICE r10)
+    val ids = spark.read.parquet(root.getPath)
+      .select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    assert(ids.toSeq == (0L to 5L), s"orphaned list restored: ${ids.toSeq}")
+    assert(!bak.exists() && live.isDirectory, "residue fully reclaimed")
+  }
+
+  test("e94 recovery drops a superseded .bak_l when the live list exists") {
+    val root = writeMiniIndex(0L to 5L)
+    // crash window: swap promoted the rewritten list but died before
+    // wiping the backup — the .bak_l holds the pre-fold copy
+    val bak = new java.io.File(root.getPath + ".bak_l2")
+    Seq((2L, 2, 2), (5L, 5, 2)).toDF("vec_id", "code0", "list_id")
+      .write.parquet(bak.getPath)
+    graft.llm.QueriesE.compactIvfPqDeletes(spark, root.getPath)
+    assert(!bak.exists(), "superseded backup reclaimed")
+    assert(spark.read.parquet(root.getPath).count() == 6L,
+      "live layout unchanged by the drop")
+  }
+
+  test("e94 recovery reclaims a stranded .stage_l (and it never pollutes discovery)") {
+    val root = writeMiniIndex(0L to 5L)
+    // crash window: the rewritten list was staged but never promoted
+    val stage = new java.io.File(root.getPath + ".stage_l0")
+    Seq((0L, 0, 0)).toDF("vec_id", "code0", "list_id")
+      .write.parquet(stage.getPath)
+    graft.llm.QueriesE.compactIvfPqDeletes(spark, root.getPath)
+    assert(!stage.exists(), "un-promoted stage always reclaimed")
+    assert(spark.read.parquet(root.getPath).count() == 6L)
+  }
+
+  test("e94 fold wipes a list whose rows are all tombstoned") {
+    val root = writeMiniIndex(0L to 5L)
+    // list_id=1 holds exactly {1, 4}: tombstone both
+    graft.llm.QueriesE.deleteFromIvfPqIndex(spark, root.getPath,
+      Seq(1L, 4L).toDF("vec_id"))
+    graft.llm.QueriesE.compactIvfPqDeletes(spark, root.getPath)
+    assert(!new java.io.File(root, "list_id=1").exists(),
+      "an emptied list dir is dropped, not rewritten empty")
+    val ids = spark.read.parquet(root.getPath)
+      .select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    assert(ids.toSeq == Seq(0L, 2L, 3L, 5L))
+  }
 }
