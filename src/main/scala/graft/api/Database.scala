@@ -281,20 +281,22 @@ class Database(val spark: SparkSession, val root: String,
 
   /** Staged write + atomic directory swap at an explicit path (the
     * primitive behind [[replaceTable]] and per-partition compaction).
+    * Renames go through the Hadoop FS seam ([[Fs]]) — atomic on
+    * local/HDFS, copy+delete (windows narrowed, not closed) on S3A.
     */
   private[api] def replaceAt(path: String, df: DataFrame,
       partitionBy: Seq[String] = Nil): Unit = {
-    val tmp = new File(path + ".stage_tmp"); val bak = new File(path + ".stage_bak")
-    deleteRecursively(tmp); deleteRecursively(bak)
-    storeAt(df, tmp.getPath, partitionBy = partitionBy)
-    val orig = new File(path)
-    if (orig.exists() && !orig.renameTo(bak))
+    val tmp = Fs.path(path + ".stage_tmp"); val bak = Fs.path(path + ".stage_bak")
+    Fs.delete(tmp): Unit; Fs.delete(bak): Unit
+    storeAt(df, tmp.toString, partitionBy = partitionBy)
+    val orig = Fs.path(path)
+    if (Fs.exists(orig) && !Fs.rename(orig, bak))
       throw new java.io.IOException(s"replaceAt: cannot stage $path")
-    if (!tmp.renameTo(orig)) {
-      bak.renameTo(orig) // roll back; table untouched
+    if (!Fs.rename(tmp, orig)) {
+      Fs.rename(bak, orig): Unit // roll back; table untouched
       throw new java.io.IOException(s"replaceAt: cannot swap $tmp into place")
     }
-    deleteRecursively(bak)
+    Fs.delete(bak): Unit
     markDirty()
   }
 
@@ -390,48 +392,52 @@ class Database(val spark: SparkSession, val root: String,
     * multi-writer recipe.
     */
   def vacuum(): Map[String, Int] = {
+    import org.apache.hadoop.fs.Path
     var stageTmp = 0; var stageBak = 0; var bak = 0
     var upsertStage = 0; var stale = 0; var recovered = 0
-    def primaryOf(f: File, suffix: String): File =
-      new File(f.getParentFile, f.getName.stripSuffix(suffix))
+    def primaryOf(p: Path, suffix: String): Path =
+      new Path(p.getParent, p.getName.stripSuffix(suffix))
     // pass 1: restore orphaned backups (primary missing ⇒ the backup IS
     // the data — a crash mid-swap; renaming it back completes the swap's
     // rollback). Runs bottom-up naturally since rename doesn't recurse.
-    def recover(dir: File): Unit =
-      Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.isDirectory) {
-          val n = f.getName
+    // Hadoop-FS walk: identical on file://, hdfs://, s3a:// roots.
+    def recover(dir: Path): Unit =
+      Fs.list(dir).foreach { st =>
+        if (st.isDirectory) {
+          val p = st.getPath; val n = p.getName
           val sfx = Seq(".stage_bak", ".bak").find(n.endsWith)
           sfx match {
-            case Some(x) if !primaryOf(f, x).exists() =>
-              if (f.renameTo(primaryOf(f, x))) recovered += 1
-            case _ => recover(f)
+            case Some(x) if !Fs.exists(primaryOf(p, x)) =>
+              if (Fs.rename(p, primaryOf(p, x))) recovered += 1
+            case _ => recover(p)
           }
         }
       }
-    def reclaim(dir: File): Unit =
-      Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.isDirectory) {
-          val n = f.getName
-          if (n.endsWith(".stage_tmp")) { deleteRecursively(f); stageTmp += 1 }
-          else if (n.endsWith(".upsert_stage")) { deleteRecursively(f); upsertStage += 1 }
-          else if (n.endsWith(".stage_bak")) { deleteRecursively(f); stageBak += 1 }
-          else if (n.endsWith(".bak")) { deleteRecursively(f); bak += 1 }
+    def reclaim(dir: Path): Unit =
+      Fs.list(dir).foreach { st =>
+        if (st.isDirectory) {
+          val p = st.getPath; val n = p.getName
+          if (n.endsWith(".stage_tmp")) { Fs.delete(p): Unit; stageTmp += 1 }
+          else if (n.endsWith(".upsert_stage")) { Fs.delete(p): Unit; upsertStage += 1 }
+          else if (n.endsWith(".stage_bak")) { Fs.delete(p): Unit; stageBak += 1 }
+          else if (n.endsWith(".bak")) { Fs.delete(p): Unit; bak += 1 }
           else if (n.endsWith(".versions")) {
-            val tablePath = f.getPath.stripSuffix(".versions")
-            Option(f.listFiles()).getOrElse(Array.empty)
-              .filter(m => m.getName.startsWith("v") && m.getName.endsWith(".manifest"))
+            val tablePath = new Path(p.getParent, n.stripSuffix(".versions"))
+            Fs.list(p)
+              .filter(m => m.getPath.getName.startsWith("v") &&
+                m.getPath.getName.endsWith(".manifest"))
               .foreach { m =>
-                val src = scala.io.Source.fromFile(m, "UTF-8")
-                val rels = try src.getLines().filter(_.nonEmpty).toList finally src.close()
-                if (!rels.forall(r => new File(tablePath, r).isFile) && m.delete())
+                val rels = Fs.readUtf8(m.getPath)
+                  .split("\n").iterator.filter(_.nonEmpty).toList
+                if (!rels.forall(r => Fs.isFile(new Path(tablePath, r))) &&
+                    Fs.delete(m.getPath))
                   stale += 1
               }
-          } else reclaim(f) // schema/table/partition dirs — walk through
+          } else reclaim(p) // schema/table/partition dirs — walk through
         }
       }
-    recover(new File(root))
-    reclaim(new File(root))
+    recover(Fs.path(root))
+    reclaim(Fs.path(root))
     Map("stage_tmp" -> stageTmp, "stage_bak" -> stageBak, "bak" -> bak,
       "upsert_stage" -> upsertStage, "stale_manifest" -> stale,
       "recovered" -> recovered)
@@ -618,9 +624,7 @@ object Database {
     * the state recoverable instead of silently empty.
     */
   private[graft] def wipeDir(f: File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipeDir)
-    f.delete(): Unit
+    Fs.delete(Fs.path(f.getPath)): Unit
   }
 
   /** Compaction for the append-per-micro-batch streaming index layout
@@ -882,21 +886,27 @@ object Database {
     } finally { partial.unpersist(); () }
   }
 
-  private[graft] def swapDir(src: File, dst: File): Unit = {
-    def wipe(f: File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
-      f.delete(): Unit
-    }
-    val bak = new File(dst.getPath + ".bak")
-    wipe(bak)
-    if (dst.exists() && !dst.renameTo(bak))
+  private[graft] def swapDir(src: File, dst: File): Unit =
+    swapDir(Fs.path(src.getPath), Fs.path(dst.getPath))
+
+  /** Hadoop-FS core of the backup-hop swap (dst → dst.bak, src → dst,
+    * drop bak) — runs unchanged on file://, hdfs://, s3a:// roots. On
+    * HDFS/local each hop is one atomic metadata rename; on S3A rename is
+    * copy+delete, so the hops only NARROW the crash windows — the vacuum
+    * recovery still converges, but an object-store deployment should
+    * prefer the manifest-pointer flip (see [[Fs]]).
+    */
+  private[graft] def swapDir(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    val bak = Fs.path(dst.toString + ".bak")
+    Fs.delete(bak): Unit
+    if (Fs.exists(dst) && !Fs.rename(dst, bak))
       throw new java.io.IOException(s"swapDir: cannot stage $dst aside")
-    if (!src.renameTo(dst)) {
-      bak.renameTo(dst) // roll back; previous contents restored
+    if (!Fs.rename(src, dst)) {
+      Fs.rename(bak, dst): Unit // roll back; previous contents restored
       throw new java.io.IOException(s"swapDir: cannot swap $src into $dst")
     }
-    wipe(bak)
+    Fs.delete(bak): Unit
   }
 
   /** `DELETE FROM t [WHERE p]` — full-statement match, optional `;`. */

@@ -1,0 +1,94 @@
+package graft.api
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+
+/** The engine's filesystem seam for the STATE layer — staged swaps,
+  * crash recovery, compaction, vacuum (`Database.swapDir` /
+  * `replaceAt` / `vacuum` / `compactStreamIndex`,
+  * `QueriesE.compactIvfPqDeletes`, the e95 posting-index deletes). Every
+  * rename/list/delete goes through `org.apache.hadoop.fs.FileSystem`, so
+  * the identical protocol runs on `file://` (the local[32] test
+  * contract), `hdfs://`, and `s3a://` warehouses — `java.io.File`
+  * renames exist only on a local JVM and have no meaning where a 100 TB
+  * warehouse actually lives.
+  *
+  * ATOMICITY CONTRACT: the backup-hop swap protocol assumes `rename` is
+  * atomic, which holds on local FS and HDFS (a NameNode metadata op).
+  * Object stores (S3A) implement directory rename as copy+delete —
+  * NOT atomic and O(bytes) — so there the protocol *narrows* each crash
+  * window instead of closing it; the recovery sweeps still converge
+  * (they key on name suffixes, not rename atomicity), but a true S3
+  * deployment should flip a manifest pointer (the `.versions` recipe)
+  * instead of renaming data dirs. Each primitive's Scaladoc carries this
+  * caveat where it applies.
+  *
+  * The `FileSystem` instance comes from the path's own scheme plus the
+  * active session's Hadoop conf (falling back to a default `Configuration`
+  * in session-free unit tests); `FileSystem.get` caches per (scheme,
+  * authority, ugi), so `of` is a map lookup in steady state.
+  */
+object Fs {
+  private def conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  def of(p: Path): FileSystem = p.getFileSystem(conf)
+
+  def path(s: String): Path = new Path(s)
+  def child(parent: String, name: String): Path = new Path(parent, name)
+
+  def exists(p: Path): Boolean = of(p).exists(p)
+
+  def isDir(p: Path): Boolean = {
+    val fs = of(p)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
+  def isFile(p: Path): Boolean = {
+    val fs = of(p)
+    fs.exists(p) && fs.getFileStatus(p).isFile
+  }
+
+  /** Children of `p` (empty if `p` is missing or not a directory). */
+  def list(p: Path): Seq[FileStatus] = {
+    val fs = of(p)
+    if (fs.exists(p)) fs.listStatus(p).toSeq else Seq.empty
+  }
+
+  /** Recursive delete; true only if something existed and was removed. */
+  def delete(p: Path): Boolean = {
+    val fs = of(p)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  def mkdirs(p: Path): Unit = { of(p).mkdirs(p); () }
+
+  /** Rename, Hadoop semantics: false on failure; the caller must ensure
+    * `dst` does not exist (HDFS/local move `src` INTO an existing dir
+    * `dst`, unlike `File.renameTo` — every state-layer call site wipes or
+    * vacates the destination first, which this contract makes load-bearing).
+    */
+  def rename(src: Path, dst: Path): Boolean =
+    of(src).rename(src, dst)
+
+  def renameOrThrow(src: Path, dst: Path, what: String): Unit =
+    if (!rename(src, dst))
+      throw new java.io.IOException(s"$what: cannot rename $src -> $dst")
+
+  /** Create an empty marker file (overwrites). */
+  def touch(p: Path): Unit = of(p).create(p, true).close()
+
+  /** Read a small text file fully (manifests — never data). */
+  def readUtf8(p: Path): String = {
+    val in = of(p).open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+}
