@@ -139,6 +139,28 @@ object Bench {
       s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","cores":$nCpus,""" +
       s""""timing":"min-of-N, reruns above ${ReRunAbove}s","sf":"$sfDir"}"""
     println(line)
+    // the driver records only the LAST ~2000 chars of stdout and parses a
+    // JSON line out of that tail: at 196 queries the full line is ~6.4 KB,
+    // so its head (including `{"metric"`) is always truncated away and the
+    // driver books `"parsed": null` (observed r10 AND r11). Emit a compact
+    // line LAST — headline metric + failure evidence + the slowest
+    // queries, always well under the tail window — so the driver's parse
+    // finds a complete object; the full per-query record stays auditable
+    // in BENCH_FULL.json (written below) and in the full line above.
+    if (line.length > 1800) {
+      def r3(v: Double): Double = math.rint(v * 1000) / 1000
+      val slow = results.sortBy(-_._2).take(8)
+        .map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      val errsCompact =
+        if (errs.isEmpty) ""
+        else s""","failed":${errs.size},"errors":${errs.take(3).mkString("{", ",", "}")}"""
+      println(
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":$slow$errsCompact,"loadavg_start":"$loadStart","cores":$nCpus,""" +
+        s""""timing":"min-of-N, reruns above ${ReRunAbove}s","sf":"$sfDir",""" +
+        s""""queries_full":"BENCH_FULL.json"}""")
+    }
     // the driver's BENCH_r{N}.json keeps only a tail of stdout, which has
     // truncated ~130 of the 184 per-query timings out of the committed
     // record (r7 advisor finding). Persist the full JSON line to a repo

@@ -427,8 +427,13 @@ class Database(val spark: SparkSession, val root: String,
               .filter(m => m.getPath.getName.startsWith("v") &&
                 m.getPath.getName.endsWith(".manifest"))
               .foreach { m =>
+                // manifests are written with println (platform line
+                // separator): split on \r?\n and trim, or CRLF lines keep
+                // a trailing \r, every isFile probe misses, and vacuum
+                // deletes VALID manifests as stale
                 val rels = Fs.readUtf8(m.getPath)
-                  .split("\n").iterator.filter(_.nonEmpty).toList
+                  .split("\r?\n").iterator.map(_.trim).filter(_.nonEmpty)
+                  .toList
                 if (!rels.forall(r => Fs.isFile(new Path(tablePath, r))) &&
                     Fs.delete(m.getPath))
                   stale += 1
@@ -670,22 +675,26 @@ object Database {
   private[graft] def compactStreamIndex(spark: SparkSession, root: File,
       partCol: String, upTo: Long = Long.MaxValue): Map[String, Long] = {
     val Marker = "_compacted_through"
-    def batchDirs: Seq[(Long, File)] =
-      Option(root.listFiles()).getOrElse(Array.empty).toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-        .flatMap(f => scala.util.Try(
-          f.getName.stripPrefix("batch=").toLong).toOption.map(_ -> f))
+    val rootP = Fs.path(root.getPath)
+    def batchDirs: Seq[(Long, org.apache.hadoop.fs.Path)] =
+      Fs.list(rootP)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("batch=").toLong).toOption
+          .map(_ -> st.getPath))
         .sortBy(_._1)
-    def dataFilesIn(f: File): Long =
-      if (f.isFile) { if (isDataFile(f.getName)) 1L else 0L }
-      else Option(f.listFiles()).getOrElse(Array.empty)
-        .filter(c => c.isFile || isDataFile(c.getName))
-        .map(dataFilesIn).sum
+    def dataFilesIn(p: org.apache.hadoop.fs.Path): Long =
+      Fs.list(p).map { st =>
+        val n = st.getPath.getName
+        if (st.isFile) { if (isDataFile(n)) 1L else 0L }
+        else if (isDataFile(n)) dataFilesIn(st.getPath)
+        else 0L
+      }.sum
     // observability counts walk ONLY parsed batch=<long> dirs: crash
     // residue (`batch=<k>.bak`, `.stage_tmp`) must never inflate
     // files_before/files_after — the recovery pass below reclaims it,
     // but the metric is defined over live data either way
-    def dataFiles: Long = batchDirs.map { case (_, f) => dataFilesIn(f) }.sum
+    def dataFiles: Long = batchDirs.map { case (_, p) => dataFilesIn(p) }.sum
     // recovery (pre-swap crash window): swapDir stages the live target
     // aside as `batch=<k>.bak` before the compacted dir takes its place —
     // a crash inside swapDir leaves the .bak orphaned with NO primary
@@ -695,25 +704,28 @@ object Database {
     // `.stage_tmp` is an un-promoted stage by construction (swapDir
     // renames it away on success), so it is always safe to reclaim —
     // left in place it would also break partition discovery over root.
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).foreach { f =>
-        if (f.getName.endsWith(".stage_tmp")) wipeDir(f)
-        else if (f.getName.endsWith(".bak")) {
-          val primary = new File(root, f.getName.stripSuffix(".bak"))
-          if (primary.exists()) wipeDir(f)
-          else if (!f.renameTo(primary))
-            throw new java.io.IOException(
-              s"compactStreamIndex: cannot restore orphaned $f")
+    Fs.list(rootP)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .foreach { st =>
+        val p = st.getPath; val n = p.getName
+        if (n.endsWith(".stage_tmp")) Fs.delete(p): Unit
+        else if (n.endsWith(".bak")) {
+          val primary = new org.apache.hadoop.fs.Path(
+            rootP, n.stripSuffix(".bak"))
+          if (Fs.exists(primary)) Fs.delete(p): Unit
+          else Fs.renameOrThrow(p, primary,
+            "compactStreamIndex: restore orphaned backup")
           spark.catalog.refreshByPath(root.getPath)
         }
       }
     // recovery: a marker-carrying dir supersedes every lower batch id —
     // delete what a crash between swap and source-deletion left behind
-    val marked = batchDirs.filter { case (_, f) => new File(f, Marker).isFile }
+    val marked = batchDirs.filter { case (_, p) =>
+      Fs.isFile(new org.apache.hadoop.fs.Path(p, Marker)) }
     if (marked.nonEmpty) {
       val hi = marked.map(_._1).max
       val superseded = batchDirs.filter(_._1 < hi)
-      superseded.foreach { case (_, f) => wipeDir(f) }
+      superseded.foreach { case (_, p) => Fs.delete(p): Unit }
       if (superseded.nonEmpty) spark.catalog.refreshByPath(root.getPath)
     }
     val dirs = batchDirs.filter(_._1 <= upTo)
@@ -721,17 +733,18 @@ object Database {
     if (dirs.size > 1) {
       val target = dirs.last
       val all = spark.read.option("basePath", root.getPath)
-        .parquet(dirs.map(_._2.getPath): _*)
+        .parquet(dirs.map(_._2.toString): _*)
         .drop("batch")
-      val stage = new File(root, s"batch=${target._1}.stage_tmp")
-      wipeDir(stage)
+      val stage = new org.apache.hadoop.fs.Path(
+        rootP, s"batch=${target._1}.stage_tmp")
+      Fs.delete(stage): Unit
       // repartition by the partition column ⇒ each value lands in one
       // task ⇒ exactly one file per partition dir (the compaction point)
       all.repartition(col(partCol))
-        .write.partitionBy(partCol).parquet(stage.getPath)
-      new java.io.FileOutputStream(new File(stage, Marker)).close()
+        .write.partitionBy(partCol).parquet(stage.toString)
+      Fs.touch(new org.apache.hadoop.fs.Path(stage, Marker))
       swapDir(stage, target._2)
-      dirs.init.foreach { case (_, f) => wipeDir(f) }
+      dirs.init.foreach { case (_, p) => Fs.delete(p): Unit }
       // the swap + deletions happened at the FILESYSTEM level, invisible
       // to Spark's shared FileStatusCache — a later read of the root can
       // otherwise plan against the pre-compaction file list and die on
@@ -757,18 +770,21 @@ object Database {
   private[graft] def compactStreamIndexIfNeeded(spark: SparkSession,
       root: File, partCol: String, maxDataFiles: Long,
       upTo: Long = Long.MaxValue): Option[Map[String, Long]] = {
-    def batchDirs: Seq[(Long, File)] =
-      Option(root.listFiles()).getOrElse(Array.empty).toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-        .flatMap(f => scala.util.Try(
-          f.getName.stripPrefix("batch=").toLong).toOption.map(_ -> f))
-    def filesIn(f: File): Long =
-      if (f.isFile) { if (isDataFile(f.getName)) 1L else 0L }
-      else Option(f.listFiles()).getOrElse(Array.empty)
-        .filter(c => c.isFile || isDataFile(c.getName))
-        .map(filesIn).sum
+    def batchDirs: Seq[(Long, org.apache.hadoop.fs.Path)] =
+      Fs.list(Fs.path(root.getPath))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("batch=").toLong).toOption
+          .map(_ -> st.getPath))
+    def filesIn(p: org.apache.hadoop.fs.Path): Long =
+      Fs.list(p).map { st =>
+        val n = st.getPath.getName
+        if (st.isFile) { if (isDataFile(n)) 1L else 0L }
+        else if (isDataFile(n)) filesIn(st.getPath)
+        else 0L
+      }.sum
     val committed = batchDirs.filter(_._1 <= upTo)
-    val live = committed.map { case (_, f) => filesIn(f) }.sum
+    val live = committed.map { case (_, p) => filesIn(p) }.sum
     if (committed.size > 1 && live > maxDataFiles)
       Some(compactStreamIndex(spark, root, partCol, upTo))
     else None
@@ -799,22 +815,25 @@ object Database {
     def dirName(v: String): String =
       s"$partCol=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .escapePathName(v)
-    val dirs = touched.map(v => new File(state, dirName(v)))
-      .filter(_.isDirectory).map(_.getPath)
+    val stateP = Fs.path(state.getPath)
+    val stageP = Fs.path(stage.getPath)
+    val dirs = touched
+      .map(v => new org.apache.hadoop.fs.Path(stateP, dirName(v)))
+      .filter(Fs.isDir).map(_.toString)
     val existing =
       if (dirs.isEmpty) None
       else Some(sp.read.option("basePath", state.getPath)
         .parquet(dirs.toIndexedSeq: _*))
     val merged = merge(existing, partial)
-    wipeDir(stage)
+    Fs.delete(stageP): Unit
     if (write == null)
       merged.write.partitionBy(partCol).parquet(stage.getPath)
     else write(merged, stage.getPath)
-    state.mkdirs()
+    Fs.mkdirs(stateP)
     touched.foreach { v =>
-      val src = new File(stage, dirName(v))
-      val dst = new File(state, dirName(v))
-      if (src.isDirectory) {
+      val src = new org.apache.hadoop.fs.Path(stageP, dirName(v))
+      val dst = new org.apache.hadoop.fs.Path(stateP, dirName(v))
+      if (Fs.isDir(src)) {
         swapDir(src, dst)
         // post-swap hook: lets non-idempotent mergers (f19 counts) record
         // a per-partition commit marker so a crashed batch's replay can
@@ -826,12 +845,12 @@ object Database {
       // partition) — skipping would silently drop that partition's update,
       // so only an EXPECTED empty merge may pass: fail if the state dir
       // exists but no staged replacement was produced
-      else if (dst.isDirectory) throw new IllegalStateException(
+      else if (Fs.isDir(dst)) throw new IllegalStateException(
         s"mergeTouchedPartitions: staged dir ${src.getName} missing for " +
           s"touched value '$v' whose state partition exists — dir-naming " +
           "mismatch or merge dropped a touched partition")
     }
-    wipeDir(stage)
+    Fs.delete(stageP): Unit
     // the swaps happened at the FILESYSTEM level — invalidate Spark's
     // shared file-listing cache for the state root so a follow-up read
     // cannot plan against the pre-swap file list (see compactStreamIndex)
@@ -856,14 +875,20 @@ object Database {
   private[graft] def mergeTouchedPartitionsExactlyOnce(partial0: DataFrame,
       partCol: String, state: File, stage: File, batchId: Long)(
       merge: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
-    val ledger = new File(state, "_batches")
-    val marker = new File(ledger, s"b$batchId")
-    if (batchId >= 0 && marker.isFile) return
-    val partLedger = new File(ledger, s"b$batchId.parts")
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val ledger = new org.apache.hadoop.fs.Path(
+      Fs.path(state.getPath), "_batches")
+    val marker = new org.apache.hadoop.fs.Path(ledger, s"b$batchId")
+    if (batchId >= 0 && Fs.isFile(marker)) return
+    val partLedger = new org.apache.hadoop.fs.Path(ledger, s"b$batchId.parts")
+    // marker names carry the partition VALUE hive-escaped (a raw ':' or
+    // '/' is illegal in a Hadoop Path name); unescape when re-reading so
+    // the replay filter compares against the real cast-to-string values
     val done: Set[String] =
       if (batchId < 0) Set.empty
-      else Option(partLedger.listFiles()).getOrElse(Array.empty)
-        .map(_.getName).toSet
+      else Fs.list(partLedger)
+        .map(st => ExternalCatalogUtils.unescapePathName(st.getPath.getName))
+        .toSet
     val partial = (if (done.isEmpty) partial0
       else partial0.filter(
         !org.apache.spark.sql.functions.col(partCol).cast("string")
@@ -873,15 +898,17 @@ object Database {
       val mark: String => Unit =
         if (batchId < 0) null
         else { v =>
-          partLedger.mkdirs()
-          new java.io.FileOutputStream(new File(partLedger, v)).close()
+          Fs.mkdirs(partLedger)
+          Fs.touch(new org.apache.hadoop.fs.Path(
+            partLedger, ExternalCatalogUtils.escapePathName(v)))
         }
       mergeTouchedPartitions(partial, partCol, state, stage,
         onSwapped = mark)(merge)
       if (batchId >= 0) {
-        ledger.mkdirs()
-        new java.io.FileOutputStream(marker).close()
-        wipeDir(partLedger) // batch marker supersedes the per-partition trail
+        Fs.mkdirs(ledger)
+        Fs.touch(marker)
+        // batch marker supersedes the per-partition trail
+        Fs.delete(partLedger): Unit
       }
     } finally { partial.unpersist(); () }
   }

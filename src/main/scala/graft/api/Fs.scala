@@ -4,14 +4,19 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 /** The engine's filesystem seam for the STATE layer — staged swaps,
-  * crash recovery, compaction, vacuum (`Database.swapDir` /
-  * `replaceAt` / `vacuum` / `compactStreamIndex`,
-  * `QueriesE.compactIvfPqDeletes`, the e95 posting-index deletes). Every
-  * rename/list/delete goes through `org.apache.hadoop.fs.FileSystem`, so
-  * the identical protocol runs on `file://` (the local[32] test
-  * contract), `hdfs://`, and `s3a://` warehouses — `java.io.File`
-  * renames exist only on a local JVM and have no meaning where a 100 TB
-  * warehouse actually lives.
+  * crash recovery, compaction, ledgers, vacuum: `Database.swapDir` /
+  * `replaceAt` / `vacuum` / `compactStreamIndex` /
+  * `compactStreamIndexIfNeeded` / `mergeTouchedPartitions` (+ the
+  * exactly-once ledger), `QueriesE.deleteFromIvfPqIndex` /
+  * `compactIvfPqDeletes`, and the posting-index delete lifecycle. Every
+  * rename/list/delete in those protocols goes through
+  * `org.apache.hadoop.fs.FileSystem`, so the identical protocol runs on
+  * `file://` (the local[32] test contract), `hdfs://`, and `s3a://`
+  * warehouses — `java.io.File` renames exist only on a local JVM and
+  * have no meaning where a 100 TB warehouse actually lives. Deliberately
+  * OUT of scope: query-fixture scratch setup (mkdirs/wipes of local
+  * Scratch roots in QueriesA–F/Dedup/EventWindows tests and gates),
+  * which is local[32]-only by design.
   *
   * ATOMICITY CONTRACT: the backup-hop swap protocol assumes `rename` is
   * atomic, which holds on local FS and HDFS (a NameNode metadata op).
@@ -29,10 +34,31 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * authority, ugi), so `of` is a map lookup in steady state.
   */
 object Fs {
-  private def conf: Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+  /** Hadoop conf for FS resolution, cached per session instance:
+    * `newHadoopConf()` clones the full session conf (thousands of
+    * entries) and the vacuum/compaction walks do an FS op per directory,
+    * so rebuilding it per call is measurable overhead. The fallback chain
+    * is active session → default session (covers non-session threads —
+    * stream maintenance callbacks, test setup — which would otherwise
+    * drop s3a credentials and `fs.defaultFS` by landing on a bare
+    * `Configuration`) → bare `Configuration` only when no session exists
+    * at all (session-free unit tests).
+    */
+  @volatile private var cachedConf: (AnyRef, Configuration) = null
+  private def conf: Configuration = {
+    val sess = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .orNull
+    val c = cachedConf
+    if (c != null && (c._1 eq sess)) c._2
+    else {
+      val built =
+        if (sess != null) sess.sessionState.newHadoopConf()
+        else new Configuration()
+      cachedConf = (sess, built)
+      built
+    }
+  }
 
   def of(p: Path): FileSystem = p.getFileSystem(conf)
 
@@ -65,13 +91,23 @@ object Fs {
 
   def mkdirs(p: Path): Unit = { of(p).mkdirs(p); () }
 
-  /** Rename, Hadoop semantics: false on failure; the caller must ensure
-    * `dst` does not exist (HDFS/local move `src` INTO an existing dir
-    * `dst`, unlike `File.renameTo` — every state-layer call site wipes or
-    * vacates the destination first, which this contract makes load-bearing).
+  /** Rename, Hadoop semantics: false on failure — EXCEPT that an existing
+    * `dst` throws. Hadoop's raw `rename` moves `src` INTO an existing dir
+    * `dst` and reports true (unlike `File.renameTo`, which fails), so a
+    * call site that skipped the pre-wipe would silently nest a directory
+    * inside the destination instead of erroring. Every state-layer
+    * protocol wipes or vacates `dst` first; making the violated
+    * precondition loud turns a latent layout corruption into an
+    * immediate, attributable failure.
     */
-  def rename(src: Path, dst: Path): Boolean =
-    of(src).rename(src, dst)
+  def rename(src: Path, dst: Path): Boolean = {
+    val fs = of(src)
+    if (fs.exists(dst))
+      throw new java.io.IOException(
+        s"Fs.rename: destination $dst exists — Hadoop would nest $src " +
+          "inside it; wipe or vacate the destination first")
+    fs.rename(src, dst)
+  }
 
   def renameOrThrow(src: Path, dst: Path, what: String): Unit =
     if (!rename(src, dst))

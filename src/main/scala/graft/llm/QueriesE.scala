@@ -1135,15 +1135,15 @@ object QueriesE {
       indexPath: String, ids: org.apache.spark.sql.DataFrame): Unit =
     ids.select(col("vec_id").cast("long").as("vec_id")).coalesce(1)
       .write.mode("append")
-      .parquet(new java.io.File(indexPath, "_tombstones").getPath)
+      .parquet(graft.api.Fs.child(indexPath, "_tombstones").toString)
 
   /** The live tombstone set, if any (None once a fold reclaimed it). */
   private def ivfPqTombstones(s: org.apache.spark.sql.SparkSession,
       indexPath: String): Option[org.apache.spark.sql.DataFrame] = {
-    val d = new java.io.File(indexPath, "_tombstones")
-    if (d.isDirectory &&
-        Option(d.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
-      Some(s.read.parquet(d.getPath).select(col("vec_id")))
+    val d = graft.api.Fs.child(indexPath, "_tombstones")
+    if (graft.api.Fs.isDir(d) && graft.api.Fs.list(d)
+        .exists(_.getPath.getName.endsWith(".parquet")))
+      Some(s.read.parquet(d.toString).select(col("vec_id")))
     else None
   }
 
@@ -1164,24 +1164,24 @@ object QueriesE {
     */
   private[graft] def compactIvfPqDeletes(s: org.apache.spark.sql.SparkSession,
       indexPath: String): Unit = {
-    def wipe(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
-      f.delete(): Unit
-    }
-    val root = new java.io.File(indexPath)
-    // recovery sweep (see Scaladoc): restore/reclaim sibling residue first
+    import graft.api.Fs
+    import org.apache.hadoop.fs.Path
+    val root = Fs.path(indexPath)
+    // recovery sweep (see Scaladoc): restore/reclaim sibling residue
+    // first. Hadoop-FS walk — identical protocol on file://, hdfs://,
+    // s3a:// roots (object-store rename caveat: see [[graft.api.Fs]]).
     val BakRe = java.util.regex.Pattern.compile(
       java.util.regex.Pattern.quote(root.getName) + "\\.bak_l(\\d+)")
-    Option(root.getParentFile.listFiles()).getOrElse(Array.empty).foreach { f =>
-      if (f.getName.startsWith(root.getName + ".stage_l")) wipe(f)
+    Fs.list(root.getParent).foreach { st =>
+      val f = st.getPath
+      if (f.getName.startsWith(root.getName + ".stage_l")) Fs.delete(f): Unit
       else {
         val m = BakRe.matcher(f.getName)
         if (m.matches()) {
-          val live = new java.io.File(root, s"list_id=${m.group(1)}")
-          if (live.isDirectory) wipe(f)
-          else if (!f.renameTo(live)) throw new java.io.IOException(
-            s"compactIvfPqDeletes: cannot restore orphaned $f")
+          val live = new Path(root, s"list_id=${m.group(1)}")
+          if (Fs.isDir(live)) Fs.delete(f): Unit
+          else Fs.renameOrThrow(f, live,
+            "compactIvfPqDeletes: restore orphaned backup")
         }
       }
     }
@@ -1197,25 +1197,24 @@ object QueriesE {
         .join(tomb, Seq("vec_id")).select("list_id").distinct()
         .collect().map(_.getInt(0)).sorted // ≤ the centroid count
       touched.foreach { l =>
-        val live = new java.io.File(root, s"list_id=$l")
-        val stage = new java.io.File(indexPath + s".stage_l$l")
-        val bak = new java.io.File(indexPath + s".bak_l$l")
-        val kept = s.read.parquet(live.getPath)
+        val live = new Path(root, s"list_id=$l")
+        val stage = Fs.path(indexPath + s".stage_l$l")
+        val bak = Fs.path(indexPath + s".bak_l$l")
+        val kept = s.read.parquet(live.toString)
           .join(tomb, Seq("vec_id"), "left_anti")
-        if (kept.isEmpty) wipe(live)
+        if (kept.isEmpty) Fs.delete(live): Unit
         else {
-          kept.write.mode("overwrite").parquet(stage.getPath)
-          if (!live.renameTo(bak)) throw new java.io.IOException(
-            s"compactIvfPqDeletes: cannot stage $live aside")
-          if (!stage.renameTo(live)) {
-            bak.renameTo(live) // roll back; previous contents restored
+          kept.write.mode("overwrite").parquet(stage.toString)
+          Fs.renameOrThrow(live, bak, "compactIvfPqDeletes: stage aside")
+          if (!scala.util.Try(Fs.rename(stage, live)).getOrElse(false)) {
+            Fs.rename(bak, live): Unit // roll back; previous contents restored
             throw new java.io.IOException(
               s"compactIvfPqDeletes: cannot swap $stage into $live")
           }
-          wipe(bak)
+          Fs.delete(bak): Unit
         }
       }
-      wipe(new java.io.File(root, "_tombstones"))
+      Fs.delete(new Path(root, "_tombstones")): Unit
       // the swaps happened at the filesystem level — invalidate the shared
       // file-listing cache (the compactStreamIndex lesson, SCALING.md r9)
       s.catalog.refreshByPath(indexPath)
