@@ -936,6 +936,119 @@ object Database {
     Fs.delete(bak): Unit
   }
 
+  /** Per-row DELETE lifecycle for a persisted, hive-partitioned serving
+    * index — the shared recipe behind the dense arm (e94: IVFPQ,
+    * `list_id=` dirs keyed by `vec_id`) and the sparse arm (e95: BM25
+    * postings, `bucket=` dirs keyed by `doc_id`). Three phases:
+    *
+    *  1. [[addTombstones]] — the epoch's keys land as parquet under
+    *     `<index>/_tombstones`, an underscore-prefixed dir partition
+    *     discovery ignores: the physical layout is untouched and the
+    *     write is O(|epoch|), never O(index). Epochs accumulate
+    *     (append mode) until a fold.
+    *  2. Serving MASKS — every consumer anti-joins [[tombstonesOf]]
+    *     (broadcast: the epoch is bounded by contract — a takedown
+    *     batch, not a corpus).
+    *  3. [[compactTombstones]] — folds the tombstones into the physical
+    *     layout by rewriting ONLY the partition dirs holding tombstoned
+    *     rows, then drops the tombstone dir so serving returns to a pure
+    *     pruned scan. Each touched dir is rewritten through a staged swap
+    *     whose stage AND backup live OUTSIDE the index root
+    *     (`<index>.stage_l<v>` / `<index>.bak_l<v>`): residue from a
+    *     crash at any point can never corrupt partition discovery over
+    *     the root (a `list_id=3.bak` dir inside the root would
+    *     type-conflict the partition column). The recovery sweep at the
+    *     top makes every window convergent: an orphaned `.bak_l<v>` with
+    *     no live partition dir is a crash INSIDE the swap — restore it;
+    *     with the live dir present it is superseded — drop it; a
+    *     `.stage_l<v>` is un-promoted by construction — always reclaim.
+    *     Crash-injected in LlmSpec (IVFPQ arm) and the e95 BM25 tests.
+    *
+    * Index-time statistics (BM25 df/avgdl, IVF centroids, PQ codebooks)
+    * are deliberately NOT touched by deletes: a delete masks serving
+    * immediately; statistics refresh at the next index rebuild — the
+    * standard search-engine contract (stats staleness is bounded by the
+    * rebuild cadence, correctness of WHICH docs serve is immediate).
+    *
+    * All filesystem steps ride [[Fs]] — identical on file://, hdfs://,
+    * s3a:// (object-store rename caveat documented on [[Fs]]).
+    */
+  private[graft] def addTombstones(s: SparkSession, indexPath: String,
+      ids: DataFrame, keyCol: String): Unit =
+    ids.select(col(keyCol).cast("long").as(keyCol)).coalesce(1)
+      .write.mode("append")
+      .parquet(Fs.child(indexPath, "_tombstones").toString)
+
+  /** The live tombstone set, if any (None once a fold reclaimed it). */
+  private[graft] def tombstonesOf(s: SparkSession, indexPath: String,
+      keyCol: String): Option[DataFrame] = {
+    val d = Fs.child(indexPath, "_tombstones")
+    if (Fs.isDir(d) &&
+        Fs.list(d).exists(_.getPath.getName.endsWith(".parquet")))
+      Some(s.read.parquet(d.toString).select(col(keyCol)))
+    else None
+  }
+
+  /** See [[addTombstones]] — phase 3, the fold. `keyCol` is the row
+    * identity the tombstones carry; `partCol` the index's partition
+    * column. Touched-dir discovery is one pruned-join pass; the rewrite
+    * is O(touched dirs), bounded by the partition-value count.
+    */
+  private[graft] def compactTombstones(s: SparkSession, indexPath: String,
+      keyCol: String, partCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = Fs.path(indexPath)
+    // recovery sweep (see Scaladoc): restore/reclaim sibling residue first
+    val BakRe = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(root.getName) + "\\.bak_l(.+)")
+    Fs.list(root.getParent).foreach { st =>
+      val f = st.getPath
+      if (f.getName.startsWith(root.getName + ".stage_l")) Fs.delete(f): Unit
+      else {
+        val m = BakRe.matcher(f.getName)
+        if (m.matches()) {
+          val live = new Path(root, s"$partCol=${m.group(1)}")
+          if (Fs.isDir(live)) Fs.delete(f): Unit
+          else Fs.renameOrThrow(f, live,
+            "compactTombstones: restore orphaned backup")
+        }
+      }
+    }
+    // the sweep restores/reclaims at the FILESYSTEM level and the
+    // no-tombstone case returns right after it — invalidate the shared
+    // FileStatusCache unconditionally (not just after a fold), or a serve
+    // planned against the pre-restore listing dies on FILE_NOT_EXIST
+    s.catalog.refreshByPath(indexPath)
+    tombstonesOf(s, indexPath, keyCol).foreach { tomb0 =>
+      val tomb = org.apache.spark.sql.functions.broadcast(tomb0)
+      val touched = s.read.parquet(indexPath)
+        .join(tomb, Seq(keyCol)).select(partCol).distinct()
+        .collect().map(_.get(0).toString).sorted // ≤ #partition values
+      touched.foreach { l =>
+        val live = new Path(root, s"$partCol=$l")
+        val stage = Fs.path(indexPath + s".stage_l$l")
+        val bak = Fs.path(indexPath + s".bak_l$l")
+        val kept = s.read.parquet(live.toString)
+          .join(tomb, Seq(keyCol), "left_anti")
+        if (kept.isEmpty) Fs.delete(live): Unit
+        else {
+          kept.write.mode("overwrite").parquet(stage.toString)
+          Fs.renameOrThrow(live, bak, "compactTombstones: stage aside")
+          if (!scala.util.Try(Fs.rename(stage, live)).getOrElse(false)) {
+            Fs.rename(bak, live): Unit // roll back; previous contents kept
+            throw new java.io.IOException(
+              s"compactTombstones: cannot swap $stage into $live")
+          }
+          Fs.delete(bak): Unit
+        }
+      }
+      Fs.delete(new Path(root, "_tombstones")): Unit
+      // the swaps happened at the filesystem level — invalidate the shared
+      // file-listing cache (the compactStreamIndex lesson, SCALING.md r9)
+      s.catalog.refreshByPath(indexPath)
+    }
+  }
+
   /** `DELETE FROM t [WHERE p]` — full-statement match, optional `;`. */
   private val DeleteRe =
     """(?is)DELETE\s+FROM\s+([A-Za-z0-9_.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r

@@ -946,6 +946,29 @@ object QueriesE {
     bm25ProbePruned(s, indexRoot, dir, terms)
   }
 
+  /** e95's DELETE path — the sparse arm of the shared tombstone
+    * lifecycle ([[graft.api.Database.addTombstones]]): the epoch's
+    * doc_ids land under `<index>/_tombstones`, O(|epoch|); every probe
+    * ([[bm25ProbePruned]]) masks them by broadcast anti-join until
+    * [[compactBm25Deletes]] folds them into the touched `bucket=` dirs.
+    * Takedowns/opt-outs hit the posting index exactly as hard as the
+    * vector index (e94) — this is the same contract on the sparse arm.
+    * BM25 stats stay index-time (see the lifecycle Scaladoc): masking is
+    * immediate, df/avgdl refresh at the next rebuild.
+    */
+  private[graft] def deleteFromBm25Index(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, ids: org.apache.spark.sql.DataFrame): Unit =
+    graft.api.Database.addTombstones(s, indexPath, ids, "doc_id")
+
+  /** e95's COMPACTION — [[graft.api.Database.compactTombstones]] over the
+    * posting layout: rewrites ONLY the `bucket=` dirs holding a
+    * tombstoned doc's postings (≤ [[Bm25Buckets]]), staged sibling swaps,
+    * convergent recovery. Crash-injected in LlmSpec.
+    */
+  private[graft] def compactBm25Deletes(s: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit =
+    graft.api.Database.compactTombstones(s, indexPath, "doc_id", "bucket")
+
   /** The per-term score columns summed in term order (left-to-right chain
     * — any term count, [[sqlBm25Ctes]] mirrors the same fold).
     */
@@ -967,9 +990,15 @@ object QueriesE {
     val buckets = s.range(1).select(
         terms.map(t => pmod(xxhash64(lit(t)), lit(Bm25Buckets)).as(t)): _*)
       .collect()(0).toSeq.map(_.asInstanceOf[Long])
-    s.read.parquet(path)
+    val idx0 = s.read.parquet(path)
       .filter(col("bucket").isin(buckets.map(_.asInstanceOf[Any]): _*) &&
         col("word").isin(terms: _*))
+    // live tombstones (e95 deletes awaiting a fold) mask EVERY probe —
+    // broadcast anti-join, bounded by the delete-epoch contract
+    val idx = graft.api.Database.tombstonesOf(s, path, "doc_id")
+      .map(tomb => idx0.join(broadcast(tomb), Seq("doc_id"), "left_anti"))
+      .getOrElse(idx0)
+    idx
       .groupBy("doc_id", "len").pivot("word", terms).agg(first(col("tf")))
       .select(col("doc_id"), bm25ScoreCol(nd, avgdl, dfs, terms).as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(10)
@@ -1133,93 +1162,21 @@ object QueriesE {
     */
   private[graft] def deleteFromIvfPqIndex(s: org.apache.spark.sql.SparkSession,
       indexPath: String, ids: org.apache.spark.sql.DataFrame): Unit =
-    ids.select(col("vec_id").cast("long").as("vec_id")).coalesce(1)
-      .write.mode("append")
-      .parquet(graft.api.Fs.child(indexPath, "_tombstones").toString)
+    graft.api.Database.addTombstones(s, indexPath, ids, "vec_id")
 
   /** The live tombstone set, if any (None once a fold reclaimed it). */
   private def ivfPqTombstones(s: org.apache.spark.sql.SparkSession,
-      indexPath: String): Option[org.apache.spark.sql.DataFrame] = {
-    val d = graft.api.Fs.child(indexPath, "_tombstones")
-    if (graft.api.Fs.isDir(d) && graft.api.Fs.list(d)
-        .exists(_.getPath.getName.endsWith(".parquet")))
-      Some(s.read.parquet(d.toString).select(col("vec_id")))
-    else None
-  }
+      indexPath: String): Option[org.apache.spark.sql.DataFrame] =
+    graft.api.Database.tombstonesOf(s, indexPath, "vec_id")
 
-  /** e94's COMPACTION: folds the tombstones into the physical layout by
-    * rewriting ONLY the `list_id=` partition dirs that hold tombstoned
-    * rows (≤ the tombstoned-list count, bounded by the centroid count —
-    * never O(index)), then drops the tombstone dir so serving returns to
-    * a pure pruned scan. Each touched dir is rewritten through a staged
-    * swap whose stage AND backup live OUTSIDE the index root
-    * (`<index>.stage_l<l>` / `<index>.bak_l<l>`): residue from a crash at
-    * any point can never corrupt partition discovery over the root (a
-    * `list_id=3.bak` dir inside the root would type-conflict the
-    * partition column). The recovery sweep at the top makes every window
-    * convergent: an orphaned `.bak_l<l>` with no live `list_id=<l>` dir
-    * is a crash INSIDE the swap — restore it; with the live dir present
-    * it is superseded — drop it; a `.stage_l<l>` is un-promoted by
-    * construction — always reclaim. Crash-injected in LlmSpec.
+  /** e94's COMPACTION — the dense arm of the shared tombstone fold
+    * ([[graft.api.Database.compactTombstones]]: staged sibling swaps,
+    * convergent recovery sweep, touched-`list_id=` dirs only, ≤ the
+    * centroid count — never O(index)). Crash-injected in LlmSpec.
     */
   private[graft] def compactIvfPqDeletes(s: org.apache.spark.sql.SparkSession,
-      indexPath: String): Unit = {
-    import graft.api.Fs
-    import org.apache.hadoop.fs.Path
-    val root = Fs.path(indexPath)
-    // recovery sweep (see Scaladoc): restore/reclaim sibling residue
-    // first. Hadoop-FS walk — identical protocol on file://, hdfs://,
-    // s3a:// roots (object-store rename caveat: see [[graft.api.Fs]]).
-    val BakRe = java.util.regex.Pattern.compile(
-      java.util.regex.Pattern.quote(root.getName) + "\\.bak_l(\\d+)")
-    Fs.list(root.getParent).foreach { st =>
-      val f = st.getPath
-      if (f.getName.startsWith(root.getName + ".stage_l")) Fs.delete(f): Unit
-      else {
-        val m = BakRe.matcher(f.getName)
-        if (m.matches()) {
-          val live = new Path(root, s"list_id=${m.group(1)}")
-          if (Fs.isDir(live)) Fs.delete(f): Unit
-          else Fs.renameOrThrow(f, live,
-            "compactIvfPqDeletes: restore orphaned backup")
-        }
-      }
-    }
-    // the sweep restores/reclaims at the FILESYSTEM level and the
-    // no-tombstone case returns right after it — invalidate the shared
-    // FileStatusCache unconditionally (not just after a fold), or a serve
-    // planned against the pre-restore listing dies on FILE_NOT_EXIST
-    // (compactStreamIndex's recovery guards the same window; ADVICE r10)
-    s.catalog.refreshByPath(indexPath)
-    ivfPqTombstones(s, indexPath).foreach { tomb0 =>
-      val tomb = broadcast(tomb0)
-      val touched = s.read.parquet(indexPath)
-        .join(tomb, Seq("vec_id")).select("list_id").distinct()
-        .collect().map(_.getInt(0)).sorted // ≤ the centroid count
-      touched.foreach { l =>
-        val live = new Path(root, s"list_id=$l")
-        val stage = Fs.path(indexPath + s".stage_l$l")
-        val bak = Fs.path(indexPath + s".bak_l$l")
-        val kept = s.read.parquet(live.toString)
-          .join(tomb, Seq("vec_id"), "left_anti")
-        if (kept.isEmpty) Fs.delete(live): Unit
-        else {
-          kept.write.mode("overwrite").parquet(stage.toString)
-          Fs.renameOrThrow(live, bak, "compactIvfPqDeletes: stage aside")
-          if (!scala.util.Try(Fs.rename(stage, live)).getOrElse(false)) {
-            Fs.rename(bak, live): Unit // roll back; previous contents restored
-            throw new java.io.IOException(
-              s"compactIvfPqDeletes: cannot swap $stage into $live")
-          }
-          Fs.delete(bak): Unit
-        }
-      }
-      Fs.delete(new Path(root, "_tombstones")): Unit
-      // the swaps happened at the filesystem level — invalidate the shared
-      // file-listing cache (the compactStreamIndex lesson, SCALING.md r9)
-      s.catalog.refreshByPath(indexPath)
-    }
-  }
+      indexPath: String): Unit =
+    graft.api.Database.compactTombstones(s, indexPath, "vec_id", "list_id")
 
   /** e92's fresh query batch: three vectors NOT in the corpus — the
     * element-wise midpoints of corpus pairs (5,6), (7,8), (9,10) with
@@ -3130,6 +3087,45 @@ object QueriesE {
         .orderBy("phase", "qid", "pos")
     }),
 
+    // e95: DELETE lifecycle for the SPARSE index — e94's contract on the
+    // BM25 posting index (takedowns hit it exactly as hard as the vector
+    // index). Build the persisted bucketed index fresh, pin the delete
+    // epoch on the driver (the fixed query's rank-1 doc), tombstone it
+    // (O(epoch) append under `_tombstones`), serve MASKED (probe's
+    // broadcast anti-join), then compactBm25Deletes rewrites ONLY the
+    // `bucket=` dirs holding the doc's postings through crash-recoverable
+    // sibling staged swaps and drops the tombstones; serve again from the
+    // rewritten files. Gate emits both phases' top-10 (doc_id, score)
+    // plus the not_deleted proof column; the oracle computes the
+    // expected serve ONCE from the corpus definition (ranking minus the
+    // rank-1 doc) and cross-joins both phase labels — "masked ≡ folded ≡
+    // definition" hash-checked, e94's phase-label oracle shape. BM25
+    // stats stay index-time by contract (masking is immediate; df/avgdl
+    // refresh at rebuild), which is exactly why "ranking minus rank-1"
+    // IS the definition of the post-delete serve.
+    "e95_bm25_delete_serve" -> ((s, dir) => {
+      import s.implicits._
+      val out = graft.Scratch.root(dir, "e95_bm25_index")
+      // fresh build each run: the stage+swap replaces the whole index
+      // root, so a previous run's tombstones/compaction can't leak in
+      buildBm25Index(s, dir, out): Unit
+      val del = bm25ProbePruned(s, out, dir).collect().head.getLong(0)
+      deleteFromBm25Index(s, out, Seq(del).toDF("doc_id"))
+      // masked phase, materialized BEFORE the fold rewrites the files
+      // (and tombstones) its plan reads: ≤10 rows by construction
+      val masked = bm25ProbePruned(s, out, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      compactBm25Deletes(s, out)
+      val compacted = bm25ProbePruned(s, out, dir)
+        .withColumn("phase", lit("compacted"))
+      val maskedDf = masked.toSeq.toDF("doc_id", "score")
+        .withColumn("phase", lit("masked"))
+      compacted.unionByName(maskedDf)
+        .select(col("phase"), col("doc_id"), col("score"),
+          (col("doc_id") =!= del).as("not_deleted"))
+        .orderBy("phase", "doc_id")
+    }),
+
     // e91: LEARNED language ID — e10's hand-listed marker profiles
     // replaced by a classifier TRAINED IN-ENGINE: multinomial Naive Bayes
     // over hashed char bigrams (closed-form counts — no SGD, no
@@ -4318,6 +4314,21 @@ object QueriesE {
     "e82_bm25_index_persist" ->
       (s"WITH ${sqlBm25Ctes()} " +
         "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"),
+    // the expected post-delete serve from the corpus DEFINITION: removing
+    // the rank-1 doc cannot reorder the remainder, so the masked/folded
+    // top-10 is exactly ranks 2..11 of the full ranking; both phase
+    // labels cross-join the same rows (masked ≡ folded ≡ definition)
+    "e95_bm25_delete_serve" ->
+      (s"WITH ${sqlBm25Ctes()}, " +
+        "ranked AS (SELECT doc_id, score, " +
+        "row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM scored), " +
+        "del AS (SELECT doc_id FROM ranked WHERE rn = 1), " +
+        "served AS (SELECT doc_id, score FROM ranked WHERE rn >= 2 AND rn <= 11) " +
+        "SELECT ph.phase, s.doc_id, s.score, " +
+        "s.doc_id NOT IN (SELECT doc_id FROM del) AS not_deleted " +
+        "FROM served s CROSS JOIN " +
+        "(SELECT 'masked' AS phase UNION ALL SELECT 'compacted' AS phase) ph " +
+        "ORDER BY ph.phase, s.doc_id"),
     "e81_hybrid_rrf" ->
       (s"WITH ${sqlBm25Ctes()}, " +
         "sp AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_sparse " +

@@ -1691,4 +1691,61 @@ class LlmSpec extends AnyFunSuite {
       .select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
     assert(ids.toSeq == Seq(0L, 2L, 3L, 5L))
   }
+
+  // ---- e95 BM25 posting-index deletes: the SAME shared tombstone fold
+  // (Database.compactTombstones) on the sparse arm — bucket= dirs keyed
+  // by doc_id. The structural difference from e94: a doc's postings span
+  // MULTIPLE partition dirs (one per distinct word-hash bucket), so the
+  // fold must rewrite every bucket holding one — and only those. ----
+
+  /** Tiny bucket-partitioned posting layout: doc d posts word w(d%4) into
+    * bucket d%4 and w((d+1)%4) into bucket (d+1)%4 — two buckets per doc.
+    */
+  private def writeMiniPostings(docs: Seq[Long]): java.io.File = {
+    val root = new java.io.File(
+      java.nio.file.Files.createTempDirectory("bm25-crash").toFile, "idx")
+    docs.flatMap(d => Seq(
+        (d, s"w${d % 4}", 1L, 3L, (d % 4).toInt),
+        (d, s"w${(d + 1) % 4}", 2L, 3L, ((d + 1) % 4).toInt)))
+      .toDF("doc_id", "word", "tf", "len", "bucket")
+      .write.partitionBy("bucket").parquet(root.getPath)
+    root
+  }
+
+  test("e95 delete lifecycle: tombstone is logical; fold rewrites exactly the buckets holding the doc's postings") {
+    val root = writeMiniPostings(0L to 7L)
+    graft.llm.QueriesE.deleteFromBm25Index(spark, root.getPath,
+      Seq(5L).toDF("doc_id"))
+    assert(new java.io.File(root, "_tombstones").isDirectory)
+    assert(spark.read.parquet(root.getPath)
+      .filter(col("doc_id") === 5L).count() == 2L,
+      "the delete is logical until compaction")
+    // doc 5 posts into buckets 1 and 2; bucket 0 holds docs {0,3,4,7}
+    val untouchedMtime = new java.io.File(root, "bucket=0").lastModified()
+    graft.llm.QueriesE.compactBm25Deletes(spark, root.getPath)
+    val left = spark.read.parquet(root.getPath)
+    assert(left.filter(col("doc_id") === 5L).count() == 0L,
+      "every posting of the tombstoned doc is gone from the layout")
+    assert(left.count() == 14L,
+      "no other doc's postings were dropped")
+    assert(!new java.io.File(root, "_tombstones").exists(),
+      "tombstones reclaimed after the fold")
+    assert(new java.io.File(root, "bucket=0").lastModified() == untouchedMtime,
+      "buckets without the doc's postings are never rewritten")
+    assert(Option(root.getParentFile.listFiles()).get.map(_.getName).toSeq ==
+      Seq("idx"), "no .stage_l/.bak_l residue after a clean fold")
+  }
+
+  test("e95 recovery restores an orphaned .bak_l on the bucket layout") {
+    val root = writeMiniPostings(0L to 3L)
+    // crash window: bucket=2 renamed aside, process died pre-promotion
+    val live = new java.io.File(root, "bucket=2")
+    val bak = new java.io.File(root.getPath + ".bak_l2")
+    assert(live.renameTo(bak), "test setup: orphan the bucket aside")
+    spark.catalog.refreshByPath(root.getPath) // test isolation, not the fix
+    graft.llm.QueriesE.compactBm25Deletes(spark, root.getPath)
+    assert(!bak.exists() && live.isDirectory, "orphaned bucket restored")
+    assert(spark.read.parquet(root.getPath).count() == 8L,
+      "all postings readable again after recovery")
+  }
 }
