@@ -2608,7 +2608,9 @@ object QueriesE {
         (c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, j)
       }.sortBy(identity).take(2).map(_._2)
       val qDf = broadcast(base.filter(col("vec_id") === 0L).select(col("emb").as("q")))
-      s.read.parquet(out)
+      // tombstone-masked read (e94's lifecycle reaches the plain-IVF
+      // artifact too — a deleted vector must not serve from this layout)
+      Similarity.readIndexMasked(s, out)
         .filter(col("list_id").isin(probes.toIndexedSeq.map(_.asInstanceOf[Any]): _*) &&
           col("vec_id") =!= 0L)
         .crossJoin(qDf)
@@ -2975,7 +2977,9 @@ object QueriesE {
         explode(Similarity.ivfProbes(col("q"), centsAfter, NProbe)).as("pl"))
       val plists = probes.select("pl").distinct().collect()
         .map(_.getInt(0)).sorted // ≤ nlist+1 values — bounded by the centroid count
-      val idx = s.read.parquet(state.getPath)
+      // tombstone-masked: the rebalance preserves rows it doesn't move,
+      // so a delete epoch pending on this state must mask the serve here
+      val idx = Similarity.readIndexMasked(s, state.getPath)
         .filter(col("list_id").isin(plists.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
       idx.join(broadcast(probes),

@@ -24,6 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Read a persisted vector-index layout (e64's list dirs, f26's
+    * streamed layout, e89's rebalance state) with the shared
+    * delete-lifecycle tombstone mask applied
+    * ([[graft.api.Database.tombstonesOf]] on `vec_id`, broadcast
+    * anti-join bounded by the delete-epoch contract): a tombstoned
+    * vector can never serve from ANY index artifact — not just the
+    * IVFPQ path that owns the fold (e94). Plain scan (no extra plan
+    * nodes) when no tombstones exist, which is every gate's case; the
+    * probe's `list_id` partition pruning is unaffected either way
+    * (the mask is a post-scan anti-join, the filter still reaches the
+    * scan).
+    */
+  def readIndexMasked(s: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val df = s.read.parquet(path)
+    graft.api.Database.tombstonesOf(s, path, "vec_id")
+      .map(t => df.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(df)
+  }
+
   /** Dot product with fixed fold order; inputs must be array<double>.
     * Implemented as the codegen'd [[graft.functions.VecDot]] primitive loop
     * (the HOF formulation below is kept as the executable spec — both

@@ -1028,7 +1028,9 @@ object EventWindows {
       }.sortBy(identity).take(2).map(_._2)
       val qDf = broadcast(base.filter(col("vec_id") === 0L)
         .select(col("emb").as("q")))
-      spark.read.parquet(index.getPath)
+      // tombstone-masked (Similarity.readIndexMasked): a delete epoch
+      // pending on the streamed layout must not serve deleted vectors
+      Similarity.readIndexMasked(spark, index.getPath)
         .filter(col("list_id").isin(probes.toIndexedSeq.map(_.asInstanceOf[Any]): _*) &&
           col("vec_id") =!= 0L)
         .crossJoin(qDf)

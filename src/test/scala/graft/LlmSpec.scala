@@ -1692,6 +1692,24 @@ class LlmSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(0L, 2L, 3L, 5L))
   }
 
+  test("plain-IVF artifacts mask tombstones: a deleted vec_id never serves from the raw layout") {
+    val root = writeMiniIndex(0L to 8L)
+    graft.llm.QueriesE.deleteFromIvfPqIndex(spark, root.getPath,
+      Seq(4L).toDF("vec_id"))
+    // readIndexMasked is the read path of e64's probe, f26's streamed
+    // probe, and e89's rebalance serve — the r10 verdict's tombstone hole
+    val served = graft.llm.Similarity.readIndexMasked(spark, root.getPath)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(!served.contains(4L) && served.length == 8,
+      s"tombstoned id must not serve: ${served.toSeq}")
+    // the mask must not defeat partition pruning: list 1 = {1,4,7} on
+    // disk, serves {1,7} under the mask
+    val pruned = graft.llm.Similarity.readIndexMasked(spark, root.getPath)
+      .filter(col("list_id") === 1)
+    assert(pruned.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 7L))
+  }
+
   // ---- e95 BM25 posting-index deletes: the SAME shared tombstone fold
   // (Database.compactTombstones) on the sparse arm — bucket= dirs keyed
   // by doc_id. The structural difference from e94: a doc's postings span
