@@ -749,6 +749,34 @@ object QueriesE {
       "ORDER BY ph.phase, s.qid, s.pos"
   }
 
+  /** e96's fixed takedown list (the ARBITRARY-epoch gate variant of e94):
+    * vec_id 1 is a default query vector's own corpus row — its serve
+    * visibly changes — and 11/29 are ids the default serves never choose;
+    * all three exist at every SF (vec_ids are dense from 0).
+    */
+  private[graft] val E96TakedownIds = Seq(1L, 11L, 29L)
+
+  /** [[sqlIvfPqDeleteServe]] with the epoch as a LITERAL id list instead
+    * of the rank-1 derivation — the oracle side of e96.
+    */
+  private[graft] def sqlIvfPqTakedownServe(qsCte: String,
+      ids: Seq[Long]): String = {
+    val K = 5
+    val top = "SELECT qid, vec_id, pos FROM (SELECT qid, vec_id, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS pos " +
+      s"FROM %s) WHERE pos <= $K"
+    sqlIvfPqAdcCtes(qsCte) + ", " +
+      s"del AS (${ids.map(i => s"SELECT CAST($i AS BIGINT) AS vec_id")
+        .mkString(" UNION ALL ")}), " +
+      s"served AS (${top.format(
+        "(SELECT * FROM adc WHERE vec_id NOT IN (SELECT vec_id FROM del))")}) " +
+      "SELECT ph.phase, s.qid, s.pos, s.vec_id, " +
+      "s.vec_id NOT IN (SELECT vec_id FROM del) AS not_deleted " +
+      "FROM served s CROSS JOIN " +
+      "(SELECT 'masked' AS phase UNION ALL SELECT 'compacted' AS phase) ph " +
+      "ORDER BY ph.phase, s.qid, s.pos"
+  }
+
   /** DuckDB replica of e35 SemDeDup: the same k-means CTEs, final-centroid
     * assignment, then within-cluster pairwise cosine — a vector is pruned
     * iff an earlier-id member of ITS cluster clears the threshold.
@@ -3091,6 +3119,36 @@ object QueriesE {
         .orderBy("phase", "qid", "pos")
     }),
 
+    // e96: the delete epoch PARAMETERIZED — e94 derives its epoch from
+    // rank-1 serves, but the production input is an ARBITRARY takedown
+    // list (a legal/opt-out batch of ids, not something the index chose).
+    // Same lifecycle on its own index root: tombstone the fixed id set
+    // (includes vec_id 1 — a query vector's own corpus row, so its serve
+    // visibly changes — plus two ids the serves never chose), serve
+    // masked, fold, serve compacted; the oracle computes the definition
+    // serve (adc minus the literal id list) once and cross-joins the
+    // phase labels. The e88/e92 parameterization lesson, third
+    // application: the id-set is data, not a property of the index.
+    "e96_ann_takedown_epoch" -> ((s, dir) => {
+      import s.implicits._
+      val out = buildIvfPqIndex(s, dir, name = "e96_ivfpq")
+      deleteFromIvfPqIndex(s, out, E96TakedownIds.toDF("vec_id"))
+      // masked phase, materialized BEFORE the fold rewrites the files
+      // (and tombstones) its plan reads: |Q|·5 rows by construction
+      val masked = ivfPqServedTop(s, dir, out)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      compactIvfPqDeletes(s, out)
+      val compacted = ivfPqServedTop(s, dir, out)
+        .withColumn("phase", lit("compacted"))
+      val maskedDf = masked.toSeq.toDF("qid", "pos", "vec_id")
+        .withColumn("phase", lit("masked"))
+      compacted.unionByName(maskedDf)
+        .select(col("phase"), col("qid"), col("pos"), col("vec_id"),
+          (!col("vec_id").isin(E96TakedownIds.map(_.asInstanceOf[Any]): _*))
+            .as("not_deleted"))
+        .orderBy("phase", "qid", "pos")
+    }),
+
     // e95: DELETE lifecycle for the SPARSE index — e94's contract on the
     // BM25 posting index (takedowns hit it exactly as hard as the vector
     // index). Build the persisted bucketed index fresh, pin the delete
@@ -3929,6 +3987,8 @@ object QueriesE {
     "e93_ann_ivfadc_rerank" ->
       sqlIvfPqRecallOver(SqlIvfPqDefaultQs, rerankR = Some(E93RerankR)),
     "e94_ann_delete_serve" -> sqlIvfPqDeleteServe(SqlIvfPqDefaultQs),
+    "e96_ann_takedown_epoch" ->
+      sqlIvfPqTakedownServe(SqlIvfPqDefaultQs, E96TakedownIds),
     "e91_langid_learned" -> {
       // training (counts + integer-division quantization) and prediction
       // (table-lookup log scores, integer sums) unrolled end-to-end; the
