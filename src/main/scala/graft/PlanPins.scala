@@ -141,7 +141,10 @@ object PlanPins {
       // e94: the served-top-5 window is e90's per-query class (one
       // query's probed-list ADC candidates); no truth arm, so no
       // crossJoin allowlisting needed
-      "e94_ann_delete_serve")
+      "e94_ann_delete_serve",
+      // e96: e94's lifecycle with a literal takedown epoch — the same
+      // served-top-5 per-query window class, nothing else windows
+      "e96_ann_takedown_epoch")
 
   /** The plan-shape assertions, applied to a physical-plan string. Returns
     * the violations (empty = clean). Callers decide fail-fast (ScalaTest)
