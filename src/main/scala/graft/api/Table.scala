@@ -454,17 +454,51 @@ class Table(val db: Database, val qualified: String) {
     * if any manifest file was rewritten away (see [[snapshot]]'s contract).
     */
   def readVersion(v: Int): DataFrame = {
-    val mf = new File(path + ".versions", s"v$v.manifest")
-    require(mf.exists(), s"no snapshot v$v for table $qualified " +
-      s"(available: ${versions.mkString(", ")})")
-    val src = scala.io.Source.fromFile(mf, "UTF-8")
-    val rels = try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    val rels = manifestFiles(v)
     val missing = rels.filterNot(r => new File(path, r).isFile)
     require(missing.isEmpty,
       s"snapshot v$v of $qualified references rewritten/removed files " +
         s"(append-only contract violated): ${missing.take(5).mkString(", ")}")
     if (rels.isEmpty) df.limit(0)
     else db.loadFiles(path, rels.map(r => s"$path/$r"))
+  }
+
+  /** The manifest's relative data-file list (sorted as written). */
+  private def manifestFiles(v: Int): List[String] = {
+    val mf = new File(path + ".versions", s"v$v.manifest")
+    require(mf.exists(), s"no snapshot v$v for table $qualified " +
+      s"(available: ${versions.mkString(", ")})")
+    val src = scala.io.Source.fromFile(mf, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).toList finally src.close()
+  }
+
+  /** Rows appended between snapshots `from` and `to` — the incremental
+    * delta read (c19): under the append-only contract ([[snapshot]]),
+    * `to`'s manifest is a superset of `from`'s, and the difference IS
+    * the appended data, resolved at FILE granularity. At 100 TB this is
+    * the incremental-export primitive: two tiny manifest reads and a
+    * scan of ONLY the new files — no full-table anti-join (the naive
+    * `v2 EXCEPT v1` shuffles both snapshots end to end), no data copy.
+    * Fails loudly when `from` ⊄ `to` (a rewrite — compact / restore /
+    * upsert — broke file lineage between the snapshots; row-level diff
+    * is undefined at file granularity) or when a listed file was
+    * rewritten away.
+    */
+  def diffVersions(from: Int, to: Int): DataFrame = {
+    val older = manifestFiles(from)
+    val newer = manifestFiles(to)
+    val gone = older.filterNot(newer.toSet)
+    require(gone.isEmpty,
+      s"snapshot v$from of $qualified is not a subset of v$to — a rewrite " +
+        s"broke file lineage between them (file-granularity diff is " +
+        s"undefined): ${gone.take(5).mkString(", ")}")
+    val added = newer.filterNot(older.toSet)
+    val missing = added.filterNot(r => new File(path, r).isFile)
+    require(missing.isEmpty,
+      s"snapshot v$to of $qualified references rewritten/removed files " +
+        s"(append-only contract violated): ${missing.take(5).mkString(", ")}")
+    if (added.isEmpty) df.limit(0)
+    else db.loadFiles(path, added.map(r => s"$path/$r"))
   }
 
   /** Roll the table back to snapshot `v` — dataset versioning's undo

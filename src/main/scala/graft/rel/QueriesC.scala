@@ -240,6 +240,38 @@ object QueriesC {
         .select("version", "n", "key_sum").orderBy("version")
     }),
 
+    // c19: snapshot DIFF — the incremental delta read between two pinned
+    // versions: under the append-only contract v2's manifest is a
+    // superset of v1's, and the difference IS the appended rows,
+    // resolved at FILE granularity (two tiny manifest reads + a scan of
+    // ONLY the new files). At 100 TB this is the incremental-export
+    // primitive — the naive `v2 EXCEPT v1` shuffles both snapshots end
+    // to end; the manifest diff reads just the delta. Seed with the low
+    // orders key band, pin v1, append the next band, pin v2;
+    // diffVersions(v1, v2) must be exactly the appended band.
+    "c19_snapshot_diff" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 1000)
+        .write.mode("overwrite").parquet(db.pathOf("c19_orders"))
+      val tbl = db.table("c19_orders")
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete(): Unit
+      }
+      wipe(new java.io.File(tbl.path + ".versions"))
+      val v1 = tbl.snapshot()
+      tbl.write(orders.filter(
+        col("o_orderkey") > 1000 && col("o_orderkey") <= 3000))
+      val v2 = tbl.snapshot()
+      tbl.diffVersions(v1, v2).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"),
+        sum(col("o_custkey")).cast("long").as("cust_sum"),
+        min(col("o_orderkey")).cast("long").as("min_key"),
+        max(col("o_orderkey")).cast("long").as("max_key"))
+    }),
+
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
     // bad append lands, restore(v1) rolls the table back to the pinned
     // manifest via the staged atomic swap, and the read-back equals the
@@ -422,6 +454,12 @@ object QueriesC {
     "c14_restore" ->
       ("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +
         "ORDER BY s_suppkey"),
+    "c19_snapshot_diff" ->
+      ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS cust_sum, " +
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
+        "FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 3000"),
     "c16_vacuum" ->
       ("SELECT * FROM (VALUES ('bak', 1), ('recovered', 1), ('stage_bak', 1), " +
         "('stage_tmp', 1), ('stale_manifest', 1), ('upsert_stage', 1)) " +

@@ -540,6 +540,30 @@ class ApiSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](t.readVersion(99))
   }
 
+  test("diffVersions: exactly the appended rows, empty self-diff, rewrite breaks lineage loudly") {
+    val scratch = scratchDb()
+    scratch.store(db.table("nation").df, "tt2", "overwrite")
+    val t = scratch.table("tt2")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(t.path + ".versions"))
+    val v1 = t.snapshot()
+    t.write(db.table("nation").df.filter(col("n_nationkey") < 5))
+    val v2 = t.snapshot()
+    val delta = t.diffVersions(v1, v2)
+    assert(delta.count() == 5, "diff is exactly the appended rows")
+    assert(delta.agg(org.apache.spark.sql.functions.max(col("n_nationkey"))
+      .cast("long")).collect()(0).getLong(0) == 4L)
+    assert(t.diffVersions(v1, v1).count() == 0, "self-diff is empty")
+    assert(t.diffVersions(v2, v2).count() == 0)
+    // a rewrite between snapshots breaks file lineage — diff must refuse
+    t.compact()
+    val v3 = t.snapshot()
+    assertThrows[IllegalArgumentException](t.diffVersions(v1, v3))
+  }
+
   test("vacuum removes only crash artifacts, leaves live data and valid snapshots") {
     val scratch = scratchDb()
     scratch.store(db.table("nation").df, "vac1", "overwrite")
