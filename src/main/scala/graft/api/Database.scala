@@ -382,6 +382,14 @@ class Database(val spark: SparkSession, val root: String,
     * second vacuum really is a no-op. At 100 TB this is a metadata-only
     * directory walk.
     *
+    * The tombstone-fold residue class ([[Database.compactTombstones]]'s
+    * sibling `<index>.stage_l<v>` / `<index>.bak_l<v>` dirs) is covered
+    * too: an orphaned `.bak_l<v>` whose partition dir is missing is
+    * restored under the owner's partition column (inferred from the
+    * owner's own layout — a flat/empty owner leaves the backup for the
+    * owner's recovery sweep rather than guessing); `.stage_l` stages are
+    * always reclaimed; superseded/stranded `.bak_l` residue is dropped.
+    *
     * SINGLE-WRITER REQUIREMENT: vacuum must not run concurrently with any
     * write/replace/upsert on the same warehouse root. It cannot tell an
     * ORPHANED `.stage_tmp`/`.bak` from one an in-flight swap is about to
@@ -395,6 +403,19 @@ class Database(val spark: SparkSession, val root: String,
     import org.apache.hadoop.fs.Path
     var stageTmp = 0; var stageBak = 0; var bak = 0
     var upsertStage = 0; var stale = 0; var recovered = 0
+    var tombStage = 0; var tombBak = 0
+    // tombstone-fold sibling residue (compactTombstones: the fold stages
+    // and backs up each touched partition dir OUTSIDE the index root as
+    // <index>.stage_l<v> / <index>.bak_l<v>)
+    val TombBakRe = java.util.regex.Pattern.compile("(.+)\\.bak_l(.+)")
+    val TombStageRe = java.util.regex.Pattern.compile("(.+)\\.stage_l(.+)")
+    // the owner's partition column, inferred from its own layout (one
+    // `col=` child probe) — needed to rebuild the partition dir name a
+    // .bak_l<v> backup came from
+    def partColOf(owner: Path): Option[String] =
+      Fs.list(owner)
+        .find(c => c.isDirectory && c.getPath.getName.contains("="))
+        .map(_.getPath.getName.takeWhile(_ != '='))
     def primaryOf(p: Path, suffix: String): Path =
       new Path(p.getParent, p.getName.stripSuffix(suffix))
     // pass 1: restore orphaned backups (primary missing ⇒ the backup IS
@@ -405,11 +426,27 @@ class Database(val spark: SparkSession, val root: String,
       Fs.list(dir).foreach { st =>
         if (st.isDirectory) {
           val p = st.getPath; val n = p.getName
-          val sfx = Seq(".stage_bak", ".bak").find(n.endsWith)
-          sfx match {
-            case Some(x) if !Fs.exists(primaryOf(p, x)) =>
-              if (Fs.rename(p, primaryOf(p, x))) recovered += 1
-            case _ => recover(p)
+          val mTomb = TombBakRe.matcher(n)
+          if (mTomb.matches()) {
+            // a crash INSIDE compactTombstones' sibling swap leaves this
+            // backup holding the only copy of its partition: restore it
+            // under the owner's partition column. Owner flat/empty ⇒
+            // can't attribute — left for the owner's own recovery sweep.
+            val owner = new Path(p.getParent, mTomb.group(1))
+            partColOf(owner).foreach { c =>
+              val primary = new Path(owner, s"$c=${mTomb.group(2)}")
+              if (!Fs.exists(primary) && Fs.rename(p, primary)) recovered += 1
+              // primary present ⇒ superseded; the reclaim pass drops it
+            }
+          } else if (TombStageRe.matcher(n).matches()) {
+            () // un-promoted stage — reclaim pass collects it
+          } else {
+            val sfx = Seq(".stage_bak", ".bak").find(n.endsWith)
+            sfx match {
+              case Some(x) if !Fs.exists(primaryOf(p, x)) =>
+                if (Fs.rename(p, primaryOf(p, x))) recovered += 1
+              case _ => recover(p)
+            }
           }
         }
       }
@@ -417,10 +454,24 @@ class Database(val spark: SparkSession, val root: String,
       Fs.list(dir).foreach { st =>
         if (st.isDirectory) {
           val p = st.getPath; val n = p.getName
+          val mTombB = TombBakRe.matcher(n)
+          val mTombS = TombStageRe.matcher(n)
           if (n.endsWith(".stage_tmp")) { Fs.delete(p): Unit; stageTmp += 1 }
           else if (n.endsWith(".upsert_stage")) { Fs.delete(p): Unit; upsertStage += 1 }
           else if (n.endsWith(".stage_bak")) { Fs.delete(p): Unit; stageBak += 1 }
           else if (n.endsWith(".bak")) { Fs.delete(p): Unit; bak += 1 }
+          else if (mTombS.matches()) { Fs.delete(p): Unit; tombStage += 1 }
+          else if (mTombB.matches()) {
+            // superseded (live partition dir present) or stranded (owner
+            // gone entirely) ⇒ residue; owner present but unreadable
+            // layout ⇒ leave it — deleting could drop the only copy
+            val owner = new Path(p.getParent, mTombB.group(1))
+            val superseded = partColOf(owner).exists(c =>
+              Fs.exists(new Path(owner, s"$c=${mTombB.group(2)}")))
+            if (!Fs.exists(owner) || superseded) {
+              Fs.delete(p): Unit; tombBak += 1
+            }
+          }
           else if (n.endsWith(".versions")) {
             val tablePath = new Path(p.getParent, n.stripSuffix(".versions"))
             Fs.list(p)
@@ -445,7 +496,8 @@ class Database(val spark: SparkSession, val root: String,
     reclaim(Fs.path(root))
     Map("stage_tmp" -> stageTmp, "stage_bak" -> stageBak, "bak" -> bak,
       "upsert_stage" -> upsertStage, "stale_manifest" -> stale,
-      "recovered" -> recovered)
+      "recovered" -> recovered,
+      "tomb_stage" -> tombStage, "tomb_bak" -> tombBak)
   }
 
   /** Session-scoped logical view (ref datum/postgis/database.py:108-116). */

@@ -884,6 +884,37 @@ class ApiSpec extends AnyFunSuite {
     assert(got3.size == 64 && got3(5L) == "h5")
   }
 
+  test("vacuum handles tombstone-fold residue: orphaned .bak_l restored, .stage_l reclaimed, superseded .bak_l dropped") {
+    import spark.implicits._
+    val scratch = scratchDb()
+    // a list-partitioned serving index INSIDE the warehouse root — the
+    // e82/e94 placement vacuum's sweep is claimed to cover
+    val idx = new java.io.File(scratch.pathOf("vac_tomb_idx"))
+    Seq((0L, 0), (1L, 1), (2L, 2)).toDF("vec_id", "list_id")
+      .write.mode("overwrite").partitionBy("list_id").parquet(idx.getPath)
+    scratch.vacuum(): Unit // reset residue
+    // crash INSIDE compactTombstones' sibling swap: list_id=1 renamed
+    // aside, process died pre-promotion — the backup holds the only copy
+    val live = new java.io.File(idx, "list_id=1")
+    assert(live.renameTo(new java.io.File(idx.getPath + ".bak_l1")),
+      "test setup: orphan the partition aside")
+    // plus a stranded un-promoted stage
+    new java.io.File(idx.getPath + ".stage_l2").mkdirs()
+    val rep = scratch.vacuum()
+    assert(rep("recovered") == 1 && rep("tomb_stage") == 1 &&
+      rep("tomb_bak") == 0, s"$rep")
+    assert(live.isDirectory, "orphaned partition backup restored in place")
+    spark.catalog.refreshByPath(idx.getPath)
+    assert(spark.read.parquet(idx.getPath).count() == 3,
+      "all rows readable after restoration")
+    // superseded backup (live dir present) is residue — reclaimed
+    new java.io.File(idx.getPath + ".bak_l0").mkdirs()
+    val rep2 = scratch.vacuum()
+    assert(rep2("tomb_bak") == 1 && rep2("recovered") == 0, s"$rep2")
+    assert(!new java.io.File(idx.getPath + ".bak_l0").exists())
+    assert(scratch.vacuum().values.sum == 0, "vacuum converges")
+  }
+
   private def scratchDb() = {
     scratchN += 1
     val root = s"/root/repo/target/fixtures/test/api$scratchN"
