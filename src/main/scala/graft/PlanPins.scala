@@ -144,7 +144,10 @@ object PlanPins {
       "e94_ann_delete_serve",
       // e96: e94's lifecycle with a literal takedown epoch — the same
       // served-top-5 per-query window class, nothing else windows
-      "e96_ann_takedown_epoch")
+      "e96_ann_takedown_epoch",
+      // e97: the cascade audit's dense arm is ivfPqServedTop — e94's
+      // served-top-5 per-query window class (bounded |Q| partitions)
+      "e97_forget_cascade")
 
   /** The plan-shape assertions, applied to a physical-plan string. Returns
     * the violations (empty = clean). Callers decide fail-fast (ScalaTest)

@@ -749,12 +749,93 @@ object QueriesE {
       "ORDER BY ph.phase, s.qid, s.pos"
   }
 
+  /** e95/f36's definition serve: the post-delete top-10 is exactly ranks
+    * 2..11 of the full BM25 ranking (removing rank-1 can't reorder the
+    * remainder), cross-joined with both phase labels.
+    */
+  private[graft] lazy val sqlBm25DeleteServe: String =
+    s"WITH ${sqlBm25Ctes()}, " +
+      "ranked AS (SELECT doc_id, score, " +
+      "row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM scored), " +
+      "del AS (SELECT doc_id FROM ranked WHERE rn = 1), " +
+      "served AS (SELECT doc_id, score FROM ranked WHERE rn >= 2 AND rn <= 11) " +
+      "SELECT ph.phase, s.doc_id, s.score, " +
+      "s.doc_id NOT IN (SELECT doc_id FROM del) AS not_deleted " +
+      "FROM served s CROSS JOIN " +
+      "(SELECT 'masked' AS phase UNION ALL SELECT 'compacted' AS phase) ph " +
+      "ORDER BY ph.phase, s.doc_id"
+
   /** e96's fixed takedown list (the ARBITRARY-epoch gate variant of e94):
     * vec_id 1 is a default query vector's own corpus row — its serve
     * visibly changes — and 11/29 are ids the default serves never choose;
     * all three exist at every SF (vec_ids are dense from 0).
     */
   private[graft] val E96TakedownIds = Seq(1L, 11L, 29L)
+
+  /** e97's fixed forget list — ONE takedown batch propagated across every
+    * artifact (doc_id ↔ vec_id is 1:1 in the corpus contract): vec 1 is
+    * a default dense query's own corpus row (its serve visibly changes),
+    * docs 127/207 rank 1–2 in the default sparse serve at the gate SF.
+    */
+  private[graft] val E97ForgetIds = Seq(1L, 127L, 207L)
+
+  /** e97's cascade-audit oracle: every audited count computed from the
+    * DEFINITION of the post-forget state — the dense serve is the adc
+    * relation minus the forget list, the sparse serve the BM25 ranking
+    * minus it (index-time stats, e95's contract), the table the corpus
+    * minus it. A cascade that missed ANY artifact shows up as a non-zero
+    * forgotten-hit count or a wrong row count on the Spark side.
+    */
+  private[graft] lazy val sqlForgetCascade: String = {
+    val fdel = E97ForgetIds
+      .map(i => s"SELECT CAST($i AS BIGINT) AS fid")
+      .mkString(" UNION ALL ")
+    sqlIvfPqAdcCtes(SqlIvfPqDefaultQs) + ", " + sqlBm25Ctes() + ", " +
+      s"fdel AS ($fdel), " +
+      "sserved AS (SELECT doc_id FROM scored " +
+      "WHERE doc_id NOT IN (SELECT fid FROM fdel) " +
+      "ORDER BY score DESC, doc_id LIMIT 10), " +
+      "dserved AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS pos " +
+      "FROM (SELECT * FROM adc " +
+      "WHERE vec_id NOT IN (SELECT fid FROM fdel))) WHERE pos <= 5) " +
+      "SELECT artifact, item, value FROM (" +
+      "SELECT 'dense_index' AS artifact, 'serve_forgotten_hits' AS item, " +
+      "(SELECT count(*) FROM dserved " +
+      "WHERE vec_id IN (SELECT fid FROM fdel)) AS value " +
+      "UNION ALL SELECT 'dense_index', 'serve_rows', " +
+      "(SELECT count(*) FROM dserved) " +
+      "UNION ALL SELECT 'documents', 'forgotten_present', " +
+      "(SELECT count(*) FROM documents " +
+      "WHERE doc_id NOT IN (SELECT fid FROM fdel) " +
+      "AND doc_id IN (SELECT fid FROM fdel)) " +
+      "UNION ALL SELECT 'documents', 'rows_remaining', " +
+      "(SELECT count(*) FROM documents " +
+      "WHERE doc_id NOT IN (SELECT fid FROM fdel)) " +
+      "UNION ALL SELECT 'sparse_index', 'serve_forgotten_hits', " +
+      "(SELECT count(*) FROM sserved " +
+      "WHERE doc_id IN (SELECT fid FROM fdel)) " +
+      "UNION ALL SELECT 'sparse_index', 'serve_rows', " +
+      "(SELECT count(*) FROM sserved)" +
+      ") ORDER BY artifact, item"
+  }
+
+  /** e98's fixed forget list (doc_ids, the sparse arm's literal-epoch
+    * input): 127 and 207 rank 1–2 in the default-term BM25 serve at the
+    * gate SF — deleting them visibly changes the top-10 — and 11 is an
+    * arbitrary never-served id; the STATS REFRESH shifts every surviving
+    * score regardless (nd/avgdl/df all move), so the oracle is sensitive
+    * to the refresh itself, not just the membership change.
+    */
+  private[graft] val E98ForgetIds = Seq(11L, 127L, 207L)
+
+  /** e98's rebuild-equivalence oracle: the definitional BM25 top-10 over
+    * the corpus MINUS the forget list, stats recomputed on the survivors
+    * ([[sqlBm25Ctes]]'s excludeIds drops the docs before any statistic).
+    */
+  private[graft] lazy val sqlBm25StatsRefresh: String =
+    s"WITH ${sqlBm25Ctes(Bm25Terms, E98ForgetIds)} " +
+      "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"
 
   /** [[sqlIvfPqDeleteServe]] with the epoch as a LITERAL id list instead
     * of the rank-1 derivation — the oracle side of e96.
@@ -938,6 +1019,26 @@ object QueriesE {
         terms)
     }
 
+  /** REFRESHED corpus stats after a delete epoch (e98): (nd, avgdl,
+    * per-term df) recomputed over the corpus MINUS `excl` — the stats a
+    * full rebuild on the post-delete corpus would compute. One corpus
+    * token scan, same shape as index-time stats; at 100 TB the same
+    * numbers are maintainable incrementally (nd − |epoch|, tl minus the
+    * deleted docs' lens, df minus each deleted doc's term memberships —
+    * all O(epoch) deltas off the tombstone file), which is why the
+    * lifecycle can defer the refresh to fold time without a full scan.
+    */
+  private[graft] def bm25StatsExcluding(s: org.apache.spark.sql.SparkSession,
+      dir: String, excl: Seq[Long],
+      terms: Seq[String] = Bm25Terms): (Long, Double, Map[String, Long]) =
+    graft.Caches.memoVal(
+        s"${bm25Key(dir, terms)}|excl=${excl.sorted.mkString(",")}") {
+      bm25StatsOf(
+        bm25Words(s, dir)
+          .filter(!col("doc_id").isin(excl.map(_.asInstanceOf[Any]): _*)),
+        terms)
+    }
+
   /** (doc_id, word, tf, len, bucket) posting rows — the classic posting
     * entry with its doc norm denormalized in, bucketed by term hash.
     * Shared by e82's batch index build and f31's per-micro-batch build.
@@ -1013,8 +1114,11 @@ object QueriesE {
     */
   private[graft] def bm25ProbePruned(s: org.apache.spark.sql.SparkSession,
       path: String, dir: String,
-      terms: Seq[String] = Bm25Terms): org.apache.spark.sql.DataFrame = {
-    val (nd, avgdl, dfs) = bm25Stats(s, dir, terms = terms)
+      terms: Seq[String] = Bm25Terms,
+      statsOverride: Option[(Long, Double, Map[String, Long])] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val (nd, avgdl, dfs) = statsOverride.getOrElse(
+      bm25Stats(s, dir, terms = terms))
     val buckets = s.range(1).select(
         terms.map(t => pmod(xxhash64(lit(t)), lit(Bm25Buckets)).as(t)): _*)
       .collect()(0).toSeq.map(_.asInstanceOf[Long])
@@ -1071,7 +1175,15 @@ object QueriesE {
     * posting-union predicate both fold left over the term list, any
     * length).
     */
-  private[graft] def sqlBm25Ctes(ts: Seq[String] = Bm25Terms): String = {
+  /** `excludeIds` drops those doc_ids from the token relation BEFORE any
+    * statistic is computed — nd, tl, per-term df, and the serving set all
+    * reflect the post-delete corpus (e98's rebuild-equivalence oracle).
+    */
+  private[graft] def sqlBm25Ctes(ts: Seq[String] = Bm25Terms,
+      excludeIds: Seq[Long] = Nil): String = {
+    val excl =
+      if (excludeIds.isEmpty) ""
+      else s" AND doc_id NOT IN (${excludeIds.mkString(", ")})"
     val hits = ts.map(t => s"sum(CASE WHEN word = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(", ")
     def idf(t: String) = s"((nd + 1)::DOUBLE / (df_$t + 1)::DOUBLE)"
     def sc(t: String) =
@@ -1080,7 +1192,7 @@ object QueriesE {
         s"(tf_$t::DOUBLE + (1.2 * (0.25 + (0.75 * (len::DOUBLE / (tl::DOUBLE / nd::DOUBLE))))))) END)"
     "w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word " +
       "FROM documents WHERE text IS NOT NULL), " +
-      "wf AS (SELECT doc_id, word FROM w WHERE word <> ''), " +
+      s"wf AS (SELECT doc_id, word FROM w WHERE word <> ''$excl), " +
       "lens AS (SELECT doc_id, count(*) AS len FROM wf GROUP BY 1), " +
       "st AS (SELECT count(*) AS nd, sum(len) AS tl FROM lens), " +
       ts.map(t => s"d_$t AS (SELECT count(DISTINCT doc_id) AS df_$t FROM wf WHERE word = '$t')")
@@ -3149,6 +3261,61 @@ object QueriesE {
         .orderBy("phase", "qid", "pos")
     }),
 
+    // e97: the FORGET CASCADE — one takedown batch propagated through
+    // every artifact a document lives in, then audited: (1) the
+    // source-of-truth table via row-level DML DELETE (the reference's
+    // delete surface, datum/table.py:91-93, made per-row); (2) the
+    // sparse posting index (e95's tombstone + fold); (3) the dense
+    // IVFPQ index (e94's tombstone + fold). The production need behind
+    // e48's removal audit: a takedown/opt-out is not done until NO
+    // serving artifact can return the document. The audit relation
+    // counts, per artifact, the served rows and the forgotten-id hits —
+    // the oracle recomputes every count from the post-forget DEFINITION
+    // (corpus minus list; ranking minus list; adc minus list), so a
+    // cascade that missed any artifact hash-mismatches. Each leg is
+    // O(epoch) + touched-partition rewrites — never O(corpus) — except
+    // the table's DML rewrite, the reference-semantics floor.
+    "e97_forget_cascade" -> ((s, dir) => {
+      import s.implicits._
+      val ids = E97ForgetIds
+      // 1. the source-of-truth table: scratch copy + row-level DML
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val db = graft.api.Datum.connect("parquet:///root/repo/target/fixtures/out")
+      db.store(t(s, dir, "documents"), "e97_documents", "overwrite")
+      db.execute(
+        s"DELETE FROM e97_documents WHERE doc_id IN (${ids.mkString(", ")})")
+        .collect(): Unit
+      val tableDf = db.table("e97_documents").df
+      // 2. the sparse arm: tombstone + fold (e95's lifecycle)
+      val sOut = graft.Scratch.root(dir, "e97_bm25_index")
+      buildBm25Index(s, dir, sOut): Unit
+      deleteFromBm25Index(s, sOut, ids.toDF("doc_id"))
+      compactBm25Deletes(s, sOut)
+      val sServe = bm25ProbePruned(s, sOut, dir)
+      // 3. the dense arm: tombstone + fold (e94's lifecycle)
+      val dOut = buildIvfPqIndex(s, dir, name = "e97_ivfpq")
+      deleteFromIvfPqIndex(s, dOut, ids.toDF("vec_id"))
+      compactIvfPqDeletes(s, dOut)
+      val dServe = ivfPqServedTop(s, dir, dOut)
+      // the audit: per-artifact served rows + forgotten-id hits, each a
+      // bounded count over an already-bounded serve/table relation
+      val hitS = col("doc_id").isin(ids.map(_.asInstanceOf[Any]): _*)
+      val hitD = col("vec_id").isin(ids.map(_.asInstanceOf[Any]): _*)
+      Seq(
+        ("documents", "rows_remaining", tableDf),
+        ("documents", "forgotten_present", tableDf.filter(hitS)),
+        ("sparse_index", "serve_rows", sServe),
+        ("sparse_index", "serve_forgotten_hits", sServe.filter(hitS)),
+        ("dense_index", "serve_rows", dServe),
+        ("dense_index", "serve_forgotten_hits", dServe.filter(hitD)))
+        .map { case (a, i, rel) =>
+          rel.agg(count(lit(1)).as("value"))
+            .select(lit(a).as("artifact"), lit(i).as("item"), col("value"))
+        }
+        .reduce(_.unionByName(_))
+        .orderBy("artifact", "item")
+    }),
+
     // e95: DELETE lifecycle for the SPARSE index — e94's contract on the
     // BM25 posting index (takedowns hit it exactly as hard as the vector
     // index). Build the persisted bucketed index fresh, pin the delete
@@ -3186,6 +3353,31 @@ object QueriesE {
         .select(col("phase"), col("doc_id"), col("score"),
           (col("doc_id") =!= del).as("not_deleted"))
         .orderBy("phase", "doc_id")
+    }),
+
+    // e98: STATS REFRESH after the delete fold — e95 serves its masked /
+    // folded phases with INDEX-TIME stats by contract (masking is
+    // immediate; df/avgdl refresh deferred). e98 gates the refresh
+    // itself: tombstone a LITERAL forget list (the e96 parameterization
+    // on the sparse arm), fold it, recompute (nd, avgdl, per-term df)
+    // over the post-delete corpus, and serve from the compacted index
+    // with the refreshed stats. The hash-checked claim is REBUILD
+    // EQUIVALENCE: the served top-10 equals a fresh index built on the
+    // corpus minus the forget list — the oracle computes exactly that
+    // definition (stats and serving set both post-delete). The refresh
+    // is one corpus token scan here; at 100 TB the same numbers are
+    // maintainable as O(epoch) deltas off the tombstone file
+    // (bm25StatsExcluding's Scaladoc), so the fold never needs a full
+    // rescan.
+    "e98_bm25_stats_refresh" -> ((s, dir) => {
+      import s.implicits._
+      val out = graft.Scratch.root(dir, "e98_bm25_index")
+      // fresh build each run — a previous run's compaction can't leak in
+      buildBm25Index(s, dir, out): Unit
+      deleteFromBm25Index(s, out, E98ForgetIds.toDF("doc_id"))
+      compactBm25Deletes(s, out)
+      bm25ProbePruned(s, out, dir,
+        statsOverride = Some(bm25StatsExcluding(s, dir, E98ForgetIds)))
     }),
 
     // e91: LEARNED language ID — e10's hand-listed marker profiles
@@ -3989,6 +4181,8 @@ object QueriesE {
     "e94_ann_delete_serve" -> sqlIvfPqDeleteServe(SqlIvfPqDefaultQs),
     "e96_ann_takedown_epoch" ->
       sqlIvfPqTakedownServe(SqlIvfPqDefaultQs, E96TakedownIds),
+    // every audited count recomputed from the post-forget definition
+    "e97_forget_cascade" -> sqlForgetCascade,
     "e91_langid_learned" -> {
       // training (counts + integer-division quantization) and prediction
       // (table-lookup log scores, integer sums) unrolled end-to-end; the
@@ -4381,18 +4575,12 @@ object QueriesE {
     // the expected post-delete serve from the corpus DEFINITION: removing
     // the rank-1 doc cannot reorder the remainder, so the masked/folded
     // top-10 is exactly ranks 2..11 of the full ranking; both phase
-    // labels cross-join the same rows (masked ≡ folded ≡ definition)
-    "e95_bm25_delete_serve" ->
-      (s"WITH ${sqlBm25Ctes()}, " +
-        "ranked AS (SELECT doc_id, score, " +
-        "row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM scored), " +
-        "del AS (SELECT doc_id FROM ranked WHERE rn = 1), " +
-        "served AS (SELECT doc_id, score FROM ranked WHERE rn >= 2 AND rn <= 11) " +
-        "SELECT ph.phase, s.doc_id, s.score, " +
-        "s.doc_id NOT IN (SELECT doc_id FROM del) AS not_deleted " +
-        "FROM served s CROSS JOIN " +
-        "(SELECT 'masked' AS phase UNION ALL SELECT 'compacted' AS phase) ph " +
-        "ORDER BY ph.phase, s.doc_id"),
+    // labels cross-join the same rows (masked ≡ folded ≡ definition).
+    // Shared with f36 (the same lifecycle on the stream-maintained index)
+    "e95_bm25_delete_serve" -> sqlBm25DeleteServe,
+    // rebuild equivalence: definitional BM25 over the corpus minus the
+    // literal forget list, stats recomputed on the survivors
+    "e98_bm25_stats_refresh" -> sqlBm25StatsRefresh,
     "e81_hybrid_rrf" ->
       (s"WITH ${sqlBm25Ctes()}, " +
         "sp AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_sparse " +

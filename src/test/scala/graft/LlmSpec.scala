@@ -1766,4 +1766,52 @@ class LlmSpec extends AnyFunSuite {
     assert(spark.read.parquet(root.getPath).count() == 8L,
       "all postings readable again after recovery")
   }
+
+  test("e98 stats refresh: compacted-index serve equals a fresh rebuild on the post-delete corpus") {
+    import graft.llm.QueriesE
+    val dir = TestSpark.Sf
+    val ids = QueriesE.E98ForgetIds
+    val tmp = java.nio.file.Files.createTempDirectory("e98-refresh").toFile
+    val root = new java.io.File(tmp, "idx").getPath
+    QueriesE.buildBm25Index(spark, dir, root): Unit
+    QueriesE.deleteFromBm25Index(spark, root, ids.toDF("doc_id"))
+    QueriesE.compactBm25Deletes(spark, root)
+    val refreshedStats = QueriesE.bm25StatsExcluding(spark, dir, ids)
+    // the refresh really moves the stats: nd drops by the ids present
+    val present = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull &&
+        col("doc_id").isin(ids.map(_.asInstanceOf[Any]): _*)).count()
+    assert(refreshedStats._1 == QueriesE.bm25Stats(spark, dir)._1 - present,
+      "refreshed doc count = index-time count minus the forgotten docs")
+    val served = QueriesE.bm25ProbePruned(spark, root, dir,
+        statsOverride = Some(refreshedStats))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // rebuild-equivalence arm: a BRAND-NEW index over the corpus minus
+    // the forget docs must serve bit-identical rows with the same stats
+    val fresh = new java.io.File(tmp, "fresh").getPath
+    QueriesE.postingRows(
+        QueriesE.bm25Words(spark, dir)
+          .filter(!col("doc_id").isin(ids.map(_.asInstanceOf[Any]): _*)))
+      .write.partitionBy("bucket").parquet(fresh)
+    val rebuilt = QueriesE.bm25ProbePruned(spark, fresh, dir,
+        statsOverride = Some(refreshedStats))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == rebuilt,
+      s"compacted+refreshed serve must equal the rebuild: $served vs $rebuilt")
+  }
+
+  test("e97 forget cascade: no artifact serves a forgotten id; audited counts are consistent") {
+    val df = graft.llm.QueriesE.all("e97_forget_cascade")(spark, TestSpark.Sf)
+    val m = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("documents", "forgotten_present")) == 0L)
+    assert(m(("sparse_index", "serve_forgotten_hits")) == 0L)
+    assert(m(("dense_index", "serve_forgotten_hits")) == 0L)
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    val present = docs.filter(col("doc_id").isin(
+      graft.llm.QueriesE.E97ForgetIds.map(_.asInstanceOf[Any]): _*)).count()
+    assert(m(("documents", "rows_remaining")) == docs.count() - present)
+    assert(m(("sparse_index", "serve_rows")) >= 1L)
+    assert(m(("dense_index", "serve_rows")) >= 1L)
+  }
 }
