@@ -725,7 +725,8 @@ object Database {
     * compaction that doesn't shrink file count signals a mis-layout).
     */
   private[graft] def compactStreamIndex(spark: SparkSession, root: File,
-      partCol: String, upTo: Long = Long.MaxValue): Map[String, Long] = {
+      partCol: String, upTo: Long = Long.MaxValue,
+      mask: DataFrame => DataFrame = identity): Map[String, Long] = {
     val Marker = "_compacted_through"
     val rootP = Fs.path(root.getPath)
     def batchDirs: Seq[(Long, org.apache.hadoop.fs.Path)] =
@@ -784,9 +785,12 @@ object Database {
     val before = dataFiles
     if (dirs.size > 1) {
       val target = dirs.last
-      val all = spark.read.option("basePath", root.getPath)
+      // `mask` lets a caller fold row-level deletes into the SAME staged
+      // swap (compactStreamIndexWithTombstones) — one crash-safe rewrite,
+      // no second residue class inside the stream root
+      val all = mask(spark.read.option("basePath", root.getPath)
         .parquet(dirs.map(_._2.toString): _*)
-        .drop("batch")
+        .drop("batch"))
       val stage = new org.apache.hadoop.fs.Path(
         rootP, s"batch=${target._1}.stage_tmp")
       Fs.delete(stage): Unit
@@ -841,6 +845,36 @@ object Database {
       Some(compactStreamIndex(spark, root, partCol, upTo))
     else None
   }
+
+  /** [[compactStreamIndex]] with the row-level delete lifecycle folded in
+    * (f36): when `<root>/_tombstones` holds a pending epoch
+    * ([[addTombstones]] on `keyCol`), the batch fold's single staged
+    * rewrite also drops the tombstoned rows — no separate pass, no
+    * sibling residue inside the stream root (a `batch=2.bak_l3` dir
+    * would corrupt partition discovery over the root, which is why the
+    * per-partition fold ([[compactTombstones]]) is NOT used here).
+    * The tombstone dir is reclaimed ONLY when the fold covered every
+    * live batch dir (`dirs_after == 1`): a bounded mid-stream fold
+    * (`upTo = batchId − 1`) leaves later batches still carrying deleted
+    * rows, so the logical mask (probe-side anti-join) must stay in
+    * force until a full fold. Serving is delete-correct at every point:
+    * masked while tombstones exist, physically clean after.
+    */
+  private[graft] def compactStreamIndexWithTombstones(spark: SparkSession,
+      root: File, partCol: String, keyCol: String,
+      upTo: Long = Long.MaxValue): Map[String, Long] =
+    tombstonesOf(spark, root.getPath, keyCol) match {
+      case None => compactStreamIndex(spark, root, partCol, upTo)
+      case Some(t0) =>
+        val t = org.apache.spark.sql.functions.broadcast(t0)
+        val stats = compactStreamIndex(spark, root, partCol, upTo,
+          mask = df => df.join(t, Seq(keyCol), "left_anti"))
+        if (stats("dirs_folded") > 1 && stats("dirs_after") == 1) {
+          Fs.delete(Fs.child(root.getPath, "_tombstones")): Unit
+          spark.catalog.refreshByPath(root.getPath)
+        }
+        stats
+    }
 
   /** The shared incremental-state maintenance recipe (c12 upsert, f14 CDC
     * sink, f18 streaming IVM, f19 trending terms): given a persisted

@@ -665,6 +665,83 @@ object EventWindows {
     }
   }
 
+  /** f36: DELETE lifecycle on the STREAMED posting index — e95's contract
+    * where the index is maintained by ingest (f31/f32's pipeline): the
+    * delete epoch lands as doc_id tombstones under the stream root
+    * ([[graft.llm.QueriesE.deleteFromBm25Index]] — same entry point as
+    * the batch index), the pruned probe masks them immediately
+    * (bm25ProbePruned's broadcast anti-join, the shared code path), and
+    * the batch fold
+    * ([[graft.api.Database.compactStreamIndexWithTombstones]]) drops the
+    * rows inside its one staged swap — no second residue class in the
+    * stream root — reclaiming the epoch only once every batch dir has
+    * folded. The gate pins the full sequence: ingest 3 real
+    * micro-batches, pin the fixed query's rank-1 doc, tombstone it,
+    * serve MASKED, fold, assert the epoch reclaimed and the doc
+    * physically absent, serve COMPACTED; both phases' top-10 + the
+    * not_deleted proof are e95's phase-label oracle verbatim (same
+    * definition serve: ranks 2..11 of the full ranking).
+    */
+  def streamPostingsDeleteServe(spark: SparkSession, dir: String,
+      outRootOpt: Option[String] = None): DataFrame = {
+    val outRoot = outRootOpt.getOrElse(graft.Scratch.root(dir, "f36"))
+    withShufflePartitions(spark, 4) {
+      import graft.llm.QueriesE.{bm25Stats, bm25ProbePruned, postingRows}
+      import spark.implicits._
+      bm25Stats(spark, dir): Unit // index-time stats memo (batch-side)
+      val src = new java.io.File(outRoot, "src")
+      val index = new java.io.File(outRoot, "index")
+      val chk = new java.io.File(outRoot, "chk")
+      wipe(src); wipe(index); wipe(chk); new java.io.File(outRoot).mkdirs()
+      spark.read.parquet(s"$dir/documents.parquet").repartition(3)
+        .write.parquet(src.getPath)
+      val q = spark.readStream.schema(graft.llm.Dedup.docsSchema)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+        .filter(col("text").isNotNull)
+        .writeStream
+        .option("checkpointLocation", chk.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val words = batch.select(col("doc_id"),
+              explode(split(col("text"), " ")).as("word"))
+            .filter(col("word") =!= "").persist()
+          try postingRows(words).repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(new java.io.File(index, s"batch=$batchId").getPath)
+          finally { words.unpersist(); () }
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      // the delete epoch: the fixed query's rank-1 doc, pinned on the
+      // driver BEFORE the index mutates
+      val del = bm25ProbePruned(spark, index.getPath, dir)
+        .collect().head.getLong(0)
+      graft.llm.QueriesE.deleteFromBm25Index(spark, index.getPath,
+        Seq(del).toDF("doc_id"))
+      // masked phase, materialized BEFORE the fold rewrites the files
+      // (and tombstones) its plan reads
+      val masked = bm25ProbePruned(spark, index.getPath, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val stats = graft.api.Database.compactStreamIndexWithTombstones(
+        spark, index, "bucket", "doc_id")
+      assert(stats("dirs_after") == 1L,
+        s"terminated-stream fold must cover every batch dir: $stats")
+      assert(!new java.io.File(index, "_tombstones").exists(),
+        "a full fold reclaims the tombstone epoch")
+      assert(spark.read.parquet(index.getPath)
+        .filter(col("doc_id") === del).count() == 0L,
+        "the deleted doc is physically absent after the fold")
+      val compacted = bm25ProbePruned(spark, index.getPath, dir)
+        .withColumn("phase", lit("compacted"))
+      val maskedDf = masked.toSeq.toDF("doc_id", "score")
+        .withColumn("phase", lit("masked"))
+      compacted.unionByName(maskedDf)
+        .select(col("phase"), col("doc_id"), col("score"),
+          (col("doc_id") =!= del).as("not_deleted"))
+        .orderBy("phase", "doc_id")
+    }
+  }
+
   /** f35: POLICY-driven compaction of the streamed posting index — f32's
     * pipeline with the production trigger instead of a hard-coded batch
     * number: every foreachBatch evaluates the observed committed state

@@ -257,6 +257,13 @@ object QueriesF {
     "f35_policy_compaction" -> ((s, dir) =>
       EventWindows.streamPostingsPolicyCompacted(s, dir)),
 
+    // f36: DELETE lifecycle on the stream-maintained posting index —
+    // tombstone -> masked probe -> fold-with-mask -> compacted probe
+    // (e95's contract where ingest owns the index; see
+    // EventWindows.streamPostingsDeleteServe)
+    "f36_stream_delete_serve" -> ((s, dir) =>
+      EventWindows.streamPostingsDeleteServe(s, dir)),
+
     // f34: IVFPQ index maintenance ON INGEST — e90's trainings applied
     // scan-locally to the embedding stream (route + 4-byte encode),
     // appended per micro-batch in the list-partitioned layout, compacted
@@ -501,6 +508,9 @@ object QueriesF {
     "f35_policy_compaction" ->
       (s"WITH ${graft.llm.QueriesE.sqlBm25Ctes()} " +
         "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"),
+    // e95's definition serve verbatim: the stream-maintained index holds
+    // the same posting union, so masked == folded == ranks 2..11
+    "f36_stream_delete_serve" -> graft.llm.QueriesE.sqlBm25DeleteServe,
     // identical recall relation to e90 by construction (same trainings,
     // same probe, same ADC — only the index build path differs)
     "f34_stream_ivfpq_ingest" -> graft.llm.QueriesE.oracle("e90_ann_ivfpq"),

@@ -840,6 +840,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == 5L, s"policy fold preserves every row: $n")
   }
 
+  test("compactStreamIndexWithTombstones: bounded fold keeps the epoch, full fold drops rows and reclaims it") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compact-tomb").toFile
+    def writeBatch(id: Long, ids: Seq[Long]): Unit =
+      spark.createDataFrame(ids.map(i => (i, i % 3)))
+        .toDF("doc_id", "bucket")
+        .write.partitionBy("bucket")
+        .parquet(new java.io.File(root, s"batch=$id").getPath)
+    writeBatch(0, Seq(1L, 2L, 3L))
+    writeBatch(1, Seq(4L, 5L))
+    writeBatch(2, Seq(6L))
+    graft.api.Database.addTombstones(spark, root.getPath,
+      Seq(2L, 6L).toDF("doc_id"), "doc_id")
+    // bounded mid-stream fold (≤ 1): batch=2 is outside the fold and
+    // still carries deleted row 6 — the logical mask must stay in force
+    graft.api.Database.compactStreamIndexWithTombstones(spark, root,
+      "bucket", "doc_id", upTo = 1L): Unit
+    assert(new java.io.File(root, "_tombstones").isDirectory,
+      "bounded fold keeps the epoch (later batches still carry deleted rows)")
+    spark.catalog.refreshByPath(root.getPath)
+    val afterBounded = spark.read.parquet(root.getPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterBounded == Set(1L, 3L, 4L, 5L, 6L),
+      s"folded prefix drops its tombstoned rows, unfolded batch keeps its own: $afterBounded")
+    // full fold: every dir covered — rows physically gone, epoch reclaimed
+    val s2 = graft.api.Database.compactStreamIndexWithTombstones(spark, root,
+      "bucket", "doc_id")
+    assert(s2("dirs_after") == 1L, s"$s2")
+    assert(!new java.io.File(root, "_tombstones").exists(),
+      "a full fold reclaims the epoch")
+    val afterFull = spark.read.parquet(root.getPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterFull == Set(1L, 3L, 4L, 5L), s"$afterFull")
+  }
+
   test("f35 policy compaction serves e80's top-10 from the steady-state layout") {
     val df = graft.stream.QueriesF.all("f35_policy_compaction")(spark, TestSpark.Sf)
     val top = df.collect()
