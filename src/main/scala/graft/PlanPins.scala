@@ -147,7 +147,10 @@ object PlanPins {
       "e96_ann_takedown_epoch",
       // e97: the cascade audit's dense arm is ivfPqServedTop — e94's
       // served-top-5 per-query window class (bounded |Q| partitions)
-      "e97_forget_cascade")
+      "e97_forget_cascade",
+      // f37: e94's lifecycle on the stream-maintained index — the same
+      // served-top-5 per-query window class, nothing else windows
+      "f37_stream_ivfpq_delete")
 
   /** The plan-shape assertions, applied to a physical-plan string. Returns
     * the violations (empty = clean). Callers decide fail-fast (ScalaTest)

@@ -742,6 +742,90 @@ object EventWindows {
     }
   }
 
+  /** f37: DELETE lifecycle on the STREAM-maintained DENSE index — the
+    * last cell of the lifecycle matrix (e94 batch×dense, e95
+    * batch×sparse, f36 stream×sparse): f34's ingest owns the IVFPQ
+    * index (scan-local route+encode, `batch=<id>/list_id=` dirs), the
+    * delete epoch lands as vec_id tombstones under the stream root
+    * ([[graft.llm.QueriesE.deleteFromIvfPqIndex]] — same entry point as
+    * the batch artifact), the pruned-ADC serve masks them immediately
+    * (ivfPqServeCands' broadcast anti-join, the shared code path), and
+    * the batch fold ([[graft.api.Database.compactStreamIndexWithTombstones]])
+    * drops the rows inside its one staged swap, reclaiming the epoch
+    * only once every live batch dir folded. The gate pins the full
+    * sequence: ingest 3 real micro-batches, pin each query's rank-1
+    * served vec_id (so deletion provably moves every answer), tombstone
+    * them, serve MASKED, fold, assert the epoch reclaimed and the ids
+    * physically absent, serve COMPACTED. The streamed index holds rows
+    * identical to the batch-built artifact by construction, so the
+    * oracle is e94's definition serve verbatim
+    * ([[graft.llm.QueriesE.sqlIvfPqDeleteServe]]).
+    */
+  def streamIvfPqDeleteServe(spark: SparkSession, dir: String,
+      outRootOpt: Option[String] = None): DataFrame = {
+    val outRoot = outRootOpt.getOrElse(graft.Scratch.root(dir, "f37"))
+    withShufflePartitions(spark, 4) {
+      import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+      import graft.llm.{QueriesE, Similarity}
+      import spark.implicits._
+      val (_, cents, cbs) = QueriesE.ivfPqTrainings(spark, dir)
+      val src = new java.io.File(outRoot, "src")
+      val index = new java.io.File(outRoot, "index")
+      val chk = new java.io.File(outRoot, "chk")
+      wipe(src); wipe(index); wipe(chk); new java.io.File(outRoot).mkdirs()
+      spark.read.parquet(s"$dir/embeddings.parquet").repartition(3)
+        .write.parquet(src.getPath)
+      val schema = StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb"))
+        .withColumn("list_id", Similarity.ivfAssign(col("emb"), cents))
+        .select(Seq(col("vec_id"), col("list_id")) ++
+          Similarity.pqCodeCols(col("emb"), cbs): _*)
+        .writeStream
+        .option("checkpointLocation", chk.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.repartition(col("list_id"))
+            .write.mode("overwrite").partitionBy("list_id")
+            .parquet(new java.io.File(index, s"batch=$batchId").getPath)
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      // the delete epoch: each query's rank-1 served vec_id, pinned on
+      // the driver BEFORE the index mutates (|Q| ids by construction)
+      val delIds = QueriesE.ivfPqServedTop(spark, dir, index.getPath)
+        .filter(col("pos") === 1L).select("vec_id")
+        .collect().map(_.getLong(0)).toSeq.distinct.sorted
+      QueriesE.deleteFromIvfPqIndex(spark, index.getPath,
+        delIds.toDF("vec_id"))
+      // masked phase, materialized BEFORE the fold rewrites the files
+      // (and tombstones) its plan reads: |Q|·5 rows by construction
+      val masked = QueriesE.ivfPqServedTop(spark, dir, index.getPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val stats = graft.api.Database.compactStreamIndexWithTombstones(
+        spark, index, "list_id", "vec_id")
+      assert(stats("dirs_after") == 1L,
+        s"terminated-stream fold must cover every batch dir: $stats")
+      assert(!new java.io.File(index, "_tombstones").exists(),
+        "a full fold reclaims the tombstone epoch")
+      assert(spark.read.parquet(index.getPath)
+        .filter(col("vec_id")
+          .isin(delIds.map(_.asInstanceOf[Any]): _*)).count() == 0L,
+        "the deleted ids are physically absent after the fold")
+      val compacted = QueriesE.ivfPqServedTop(spark, dir, index.getPath)
+        .withColumn("phase", lit("compacted"))
+      val maskedDf = masked.toSeq.toDF("qid", "pos", "vec_id")
+        .withColumn("phase", lit("masked"))
+      compacted.unionByName(maskedDf)
+        .select(col("phase"), col("qid"), col("pos"), col("vec_id"),
+          (!col("vec_id").isin(delIds.map(_.asInstanceOf[Any]): _*))
+            .as("not_deleted"))
+        .orderBy("phase", "qid", "pos")
+    }
+  }
+
   /** f35: POLICY-driven compaction of the streamed posting index — f32's
     * pipeline with the production trigger instead of a hard-coded batch
     * number: every foreachBatch evaluates the observed committed state

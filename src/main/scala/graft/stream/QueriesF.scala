@@ -264,6 +264,13 @@ object QueriesF {
     "f36_stream_delete_serve" -> ((s, dir) =>
       EventWindows.streamPostingsDeleteServe(s, dir)),
 
+    // f37: DELETE lifecycle on the stream-maintained DENSE index — the
+    // last cell of the lifecycle matrix (e94 batch×dense, e95
+    // batch×sparse, f36 stream×sparse); see
+    // EventWindows.streamIvfPqDeleteServe
+    "f37_stream_ivfpq_delete" -> ((s, dir) =>
+      EventWindows.streamIvfPqDeleteServe(s, dir)),
+
     // f34: IVFPQ index maintenance ON INGEST — e90's trainings applied
     // scan-locally to the embedding stream (route + 4-byte encode),
     // appended per micro-batch in the list-partitioned layout, compacted
@@ -511,6 +518,11 @@ object QueriesF {
     // e95's definition serve verbatim: the stream-maintained index holds
     // the same posting union, so masked == folded == ranks 2..11
     "f36_stream_delete_serve" -> graft.llm.QueriesE.sqlBm25DeleteServe,
+    // e94's definition serve verbatim: the streamed index holds rows
+    // identical to the batch artifact, so masked == folded == adc minus
+    // each query's rank-1
+    "f37_stream_ivfpq_delete" -> graft.llm.QueriesE.sqlIvfPqDeleteServe(
+      graft.llm.QueriesE.SqlIvfPqDefaultQs),
     // identical recall relation to e90 by construction (same trainings,
     // same probe, same ADC — only the index build path differs)
     "f34_stream_ivfpq_ingest" -> graft.llm.QueriesE.oracle("e90_ann_ivfpq"),

@@ -893,6 +893,29 @@ class StreamingSpec extends AnyFunSuite {
       s"one marked batch dir after the terminal policy pass: ${dirs.map(_.getName).toSeq}")
   }
 
+  test("f37 stream IVFPQ delete: masked serve equals compacted serve, deleted ids absent") {
+    val df = graft.stream.QueriesF.all("f37_stream_ivfpq_delete")(spark, TestSpark.Sf)
+    val rows = df.collect()
+    graft.Caches.drain()
+    assert(rows.nonEmpty, "gate must serve rows")
+    assert(rows.forall(_.getAs[Boolean]("not_deleted")),
+      "no served row may carry a tombstoned vec_id in either phase")
+    val byPhase = rows.groupBy(_.getAs[String]("phase")).map { case (p, rs) =>
+      p -> rs.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("pos"),
+        r.getAs[Long]("vec_id"))).toSet
+    }
+    assert(byPhase.keySet == Set("masked", "compacted"), s"${byPhase.keySet}")
+    assert(byPhase("masked") == byPhase("compacted"),
+      "tombstone mask and physical fold must serve identical results")
+    // the fold left a single batch dir and no epoch in the stream root
+    val index = new java.io.File(graft.Scratch.root(TestSpark.Sf, "f37"), "index")
+    val dirs = Option(index.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(dirs.length == 1, s"${dirs.map(_.getName).toSeq}")
+    assert(!new java.io.File(index, "_tombstones").exists(),
+      "full fold reclaims the epoch")
+  }
+
   test("f25 stream chunker equals the batch e67 chunk windows") {
     val streamed = graft.stream.QueriesF.all("f25_stream_chunk")(spark, TestSpark.Sf)
       .collect()
