@@ -363,6 +363,7 @@ class Database(val spark: SparkSession, val root: String,
     // version manifests must not leak onto a future table reusing the name
     deleteRecursively(new File(pathOf(name) + ".properties"))
     deleteRecursively(new File(pathOf(name) + ".versions"))
+    deleteRecursively(new File(pathOf(name) + ".stats"))
     val v = viewNameOf(name)
     if (spark.catalog.tableExists(v)) spark.catalog.dropTempView(v): Unit
     markDirty()

@@ -501,6 +501,89 @@ class Table(val db: Database, val qualified: String) {
     else db.loadFiles(path, added.map(r => s"$path/$r"))
   }
 
+  /** Build the table's file-skipping sidecar (c20): per data file, the
+    * min/max of each of `cols` plus the row count, computed in ONE scan
+    * (`groupBy(input_file_name())` — map-side combinable, #files output
+    * rows) and written to `<path>.stats` through the staged swap so a
+    * reader never sees a half-written sidecar. This is the data-skipping
+    * primitive of the modern table formats: at 100 TB a range predicate
+    * on a clustered column prunes the scan from O(table) to O(matching
+    * files) using a sidecar that is O(#files) — the same metadata scale
+    * the snapshot manifests already handle. Stats are DERIVED state:
+    * rebuildable at any time, and [[readPruned]] treats files the
+    * sidecar doesn't cover as always-scan, so a stale sidecar can never
+    * lose rows — only skip fewer files. Returns the number of files
+    * covered.
+    */
+  def analyzeStats(cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "analyzeStats needs at least one column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      org.apache.spark.sql.functions.count(lit(1)).as("n_rows")
+    val stats = df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val stage = new File(path + ".stats.stage_tmp")
+    stats.coalesce(1) // #files rows — one sidecar file
+      .write.mode("overwrite").parquet(stage.getPath)
+    Database.swapDir(stage, new File(path + ".stats"))
+    db.spark.catalog.refreshByPath(path + ".stats")
+    db.spark.read.parquet(path + ".stats").count()
+  }
+
+  /** Range read with file skipping (c20): serve `column BETWEEN lo AND
+    * hi` scanning ONLY the files whose [min, max] band (from the
+    * [[analyzeStats]] sidecar) intersects the range, plus — always — the
+    * files the sidecar does not cover (appended after the last analyze:
+    * conservative, never loses rows). Files whose stats are NULL (every
+    * row null in `column`) are skipped: no row in them can satisfy a
+    * BETWEEN. Falls back to the plain filtered scan when there is no
+    * usable sidecar (missing, unreadable, or lacking `column`), when
+    * nothing can be pruned, and for stats entries whose files were
+    * rewritten away (intersected with the live listing). The residual
+    * predicate is always applied — skipping is an I/O optimization,
+    * never the filter itself.
+    */
+  def readPruned(column: String, lo: Any, hi: Any): DataFrame = {
+    val pred = col(column).between(lit(lo), lit(hi))
+    val full = df.filter(pred)
+    val statsDir = new File(path + ".stats")
+    if (!statsDir.isDirectory) return full
+    val entries = try {
+      db.spark.read.parquet(statsDir.getPath)
+        .select(col("file"),
+          (col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi))
+            .as("hit"))
+        .collect()
+        .map(r => normFileUri(r.getString(0)) -> (!r.isNullAt(1) && r.getBoolean(1)))
+        .toMap
+    } catch { case _: Exception => return full } // no usable sidecar
+    val all = currentDataFiles()
+    val chosen = all.filter { case (abs, _) =>
+      entries.get(normFileUri(new File(abs).toURI.toString)) match {
+        case Some(hit) => hit       // covered: scan only on range overlap
+        case None      => true      // uncovered (post-analyze append): scan
+      }
+    }
+    if (chosen.size == all.size) full // nothing pruned — plain plan
+    else if (chosen.isEmpty) full.limit(0)
+    else db.loadFiles(path, chosen.map(_._1)).filter(pred)
+  }
+
+  /** `file:` URI → filesystem path (decodes hive-escaped specials), for
+    * matching `input_file_name()` output against the local listing.
+    */
+  private def normFileUri(s: String): String =
+    try new java.net.URI(s).getPath catch { case _: Exception => s }
+
+  /** Live data files, (absolute, root-relative), sorted by relative path. */
+  private def currentDataFiles(): Seq[(String, String)] = {
+    val root = new File(path).toPath
+    Database.leafDirsOf(path).flatMap { leaf =>
+      Option(leaf.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && Database.isDataFile(f.getName))
+    }.map(f => (f.getPath, root.relativize(f.toPath).toString)).sortBy(_._2)
+  }
+
   /** Roll the table back to snapshot `v` — dataset versioning's undo
     * button: re-materializes the manifest's file set as the table's
     * contents via the standard staged atomic swap ([[Database.replaceAt]]

@@ -272,6 +272,48 @@ object QueriesC {
         max(col("o_orderkey")).cast("long").as("max_key"))
     }),
 
+    // c20: FILE SKIPPING — the data-skipping primitive of the modern
+    // table formats: analyzeStats builds a per-file min/max sidecar in
+    // one scan; readPruned serves a range predicate scanning ONLY the
+    // files whose band intersects (plus, always, files the sidecar
+    // doesn't cover — appended after the analyze — so skipping can never
+    // lose rows). Seed orders' low band range-clustered into 6 files,
+    // analyze, serve a narrow range (engine-asserts the scan touched
+    // strictly fewer files than the table holds), append an
+    // un-analyzed band, serve a range inside IT (engine-asserts the
+    // conservative path scanned the new file). Both phases' aggregates
+    // are the oracle's — pure WHERE clauses over orders.
+    "c20_file_skipping" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 3000)
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.mode("overwrite").parquet(db.pathOf("c20_orders"))
+      val tbl = db.table("c20_orders")
+      val covered = tbl.analyzeStats(Seq("o_orderkey"))
+      val pruned = tbl.readPruned("o_orderkey", 500L, 1500L)
+      assert(pruned.inputFiles.length < tbl.df.inputFiles.length,
+        s"range read must skip files: ${pruned.inputFiles.length} of " +
+          s"${tbl.df.inputFiles.length}")
+      def gauge(d: org.apache.spark.sql.DataFrame, phase: String) =
+        d.agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).cast("long").as("key_sum"),
+            min(col("o_orderkey")).cast("long").as("min_key"),
+            max(col("o_orderkey")).cast("long").as("max_key"))
+          .select(lit(phase).as("phase"), col("n"), col("key_sum"),
+            col("min_key"), col("max_key"), lit(covered > 0L).as("stats_ok"))
+      val coveredAgg = gauge(pruned, "covered")
+      // append AFTER the analyze: the new file has no stats — the
+      // conservative path must scan it (a sidecar can only skip, never
+      // hide)
+      tbl.write(orders.filter(
+        col("o_orderkey") > 3000 && col("o_orderkey") <= 4000))
+      val fresh = tbl.readPruned("o_orderkey", 3200L, 3800L)
+      assert(fresh.inputFiles.nonEmpty,
+        "conservative read must include the un-analyzed file")
+      coveredAgg.unionByName(gauge(fresh, "uncovered")).orderBy("phase")
+    }),
+
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
     // bad append lands, restore(v1) rolls the table back to the pinned
     // manifest via the staged atomic swap, and the read-back equals the
@@ -454,6 +496,20 @@ object QueriesC {
     "c14_restore" ->
       ("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +
         "ORDER BY s_suppkey"),
+    "c20_file_skipping" ->
+      ("SELECT * FROM (" +
+        "SELECT 'covered' AS phase, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key, TRUE AS stats_ok " +
+        "FROM orders WHERE o_orderkey BETWEEN 500 AND 1500 " +
+        "UNION ALL " +
+        "SELECT 'uncovered' AS phase, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key, TRUE AS stats_ok " +
+        "FROM orders WHERE o_orderkey BETWEEN 3200 AND 3800" +
+        ") ORDER BY phase"),
     "c19_snapshot_diff" ->
       ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
         "CAST(sum(o_custkey) AS BIGINT) AS cust_sum, " +

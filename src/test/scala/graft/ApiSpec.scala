@@ -884,6 +884,43 @@ class ApiSpec extends AnyFunSuite {
     assert(got3.size == 64 && got3(5L) == "h5")
   }
 
+  test("file skipping: pruned read scans only intersecting + uncovered files; stale sidecar stays conservative") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 600L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(6, col("k"))
+      .write.mode("overwrite").parquet(db2.pathOf("skip"))
+    val tbl = db2.table("skip")
+    val expect = (50L to 150L).toSet
+    // un-analyzed: plain full scan, correct values
+    val noStats = tbl.readPruned("k", 50L, 150L)
+    assert(noStats.inputFiles.length == tbl.df.inputFiles.length,
+      "no sidecar -> no skipping")
+    assert(noStats.select("k").collect().map(_.getLong(0)).toSet == expect)
+    assert(tbl.analyzeStats(Seq("k")) == 6L, "one stats row per file")
+    val pruned = tbl.readPruned("k", 50L, 150L)
+    assert(pruned.inputFiles.length < 6,
+      s"range-clustered files must be skipped: ${pruned.inputFiles.length}")
+    assert(pruned.select("k").collect().map(_.getLong(0)).toSet == expect,
+      "skipping must never change results")
+    // fully out of range: zero files scanned, empty result with schema
+    assert(tbl.readPruned("k", 10000L, 20000L).count() == 0L)
+    // append AFTER analyze: the new file has no stats — always scanned
+    tbl.write(Seq((1000L, "x")).toDF("k", "v"))
+    assert(tbl.readPruned("k", 900L, 1100L)
+      .select("k").collect().map(_.getLong(0)).toSeq == Seq(1000L),
+      "uncovered files are served conservatively")
+    // overwrite: every live file is unknown to the sidecar — full scan
+    db2.store((1L to 10L).map(k => (k, "w")).toDF("k", "v"), "skip", "overwrite")
+    assert(tbl.readPruned("k", 2L, 3L)
+      .select("k").collect().map(_.getLong(0)).toSet == Set(2L, 3L),
+      "a stale sidecar can skip nothing but must lose nothing")
+    // the sidecar dies with the table
+    db2.dropTable("skip")
+    assert(!new java.io.File(db2.pathOf("skip") + ".stats").exists(),
+      "dropTable must remove the stats sidecar")
+  }
+
   test("vacuum handles tombstone-fold residue: orphaned .bak_l restored, .stage_l reclaimed, superseded .bak_l dropped") {
     import spark.implicits._
     val scratch = scratchDb()
