@@ -254,6 +254,20 @@ class Table(val db: Database, val qualified: String) {
     // write-tmp/read-back/write-again, which at 100 TB would cost 3 passes
     // and leave a window where the table is deleted mid-overwrite.
     db.replaceTable(qualified, clustered)
+    // a clustered rewrite invalidates every [[analyzeStats]] entry (all
+    // files are new — readPruned would conservatively full-scan); refresh
+    // the sidecar for the columns it already tracks so clustering makes
+    // skipping BETTER, never silently useless (c21). Column set recovered
+    // from the sidecar's own schema; an unreadable sidecar is left for
+    // the conservative read path.
+    val statsDir = new File(path + ".stats")
+    if (statsDir.isDirectory) {
+      val tracked = try db.spark.read.parquet(statsDir.getPath)
+        .schema.fieldNames.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      catch { case _: Exception => Seq.empty[String] }
+      if (tracked.nonEmpty) analyzeStats(tracked): Unit
+    }
     idxName
   }
   def dropIndex(idxFields: Seq[String]): Unit = () // clustering is harmless to keep

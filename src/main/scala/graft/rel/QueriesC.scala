@@ -314,6 +314,41 @@ object QueriesC {
       coveredAgg.unionByName(gauge(fresh, "uncovered")).orderBy("phase")
     }),
 
+    // c21: CLUSTER → SKIP — the write-side half of c20's data skipping,
+    // measured end-to-end: on an interleaved layout (every file spans
+    // the whole key range) the sidecar can skip NOTHING (engine-asserts
+    // the pruned read touches every file); createIndex's clustered
+    // rewrite (range-repartition + in-file sort + atomic swap, c6's
+    // operator) makes the per-file bands disjoint and auto-refreshes the
+    // sidecar, after which the same range read provably touches fewer
+    // files (engine-asserted). This is Delta/Iceberg's OPTIMIZE →
+    // data-skipping loop: at 100 TB clustering is WHY a range scan reads
+    // 1/1000th of the files. Values gated as a pure WHERE over orders.
+    "c21_cluster_skipping" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 3000)
+        .withColumn("shard", pmod(col("o_orderkey"), lit(6)))
+        .repartition(6, col("shard")).drop("shard")
+        .write.mode("overwrite").parquet(db.pathOf("c21_orders"))
+      val tbl = db.table("c21_orders")
+      tbl.analyzeStats(Seq("o_orderkey")): Unit
+      val total = tbl.df.inputFiles.length
+      val before = tbl.readPruned("o_orderkey", 500L, 1500L)
+      assert(before.inputFiles.length == total,
+        s"interleaved bands can skip nothing: ${before.inputFiles.length}/$total")
+      tbl.createIndex(Seq("o_orderkey")): Unit // cluster + sidecar refresh
+      val after = tbl.readPruned("o_orderkey", 500L, 1500L)
+      assert(after.inputFiles.length < total,
+        s"clustered bands must skip: ${after.inputFiles.length}/$total")
+      after.agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"),
+          min(col("o_orderkey")).cast("long").as("min_key"),
+          max(col("o_orderkey")).cast("long").as("max_key"))
+        .select(col("n"), col("key_sum"), col("min_key"), col("max_key"),
+          lit(true).as("skipping_improved"))
+    }),
+
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
     // bad append lands, restore(v1) rolls the table back to the pinned
     // manifest via the staged atomic swap, and the read-back equals the
@@ -510,6 +545,11 @@ object QueriesC {
         "CAST(max(o_orderkey) AS BIGINT) AS max_key, TRUE AS stats_ok " +
         "FROM orders WHERE o_orderkey BETWEEN 3200 AND 3800" +
         ") ORDER BY phase"),
+    "c21_cluster_skipping" ->
+      ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key, TRUE AS skipping_improved " +
+        "FROM orders WHERE o_orderkey BETWEEN 500 AND 1500"),
     "c19_snapshot_diff" ->
       ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
         "CAST(sum(o_custkey) AS BIGINT) AS cust_sum, " +

@@ -921,6 +921,26 @@ class ApiSpec extends AnyFunSuite {
       "dropTable must remove the stats sidecar")
   }
 
+  test("createIndex refreshes an existing stats sidecar to the clustered layout") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 600L).map(k => (k, s"v$k")).toDF("k", "v")
+      .withColumn("shard", pmod(col("k"), lit(6)))
+      .repartition(6, col("shard")).drop("shard")
+      .write.mode("overwrite").parquet(db2.pathOf("clus"))
+    val tbl = db2.table("clus")
+    tbl.analyzeStats(Seq("k")): Unit
+    val total = tbl.df.inputFiles.length
+    assert(tbl.readPruned("k", 50L, 150L).inputFiles.length == total,
+      "interleaved bands skip nothing")
+    tbl.createIndex(Seq("k")): Unit
+    val after = tbl.readPruned("k", 50L, 150L)
+    assert(after.inputFiles.length < total,
+      s"clustered + auto-refreshed sidecar must skip: ${after.inputFiles.length}/$total")
+    assert(after.select("k").collect().map(_.getLong(0)).toSet ==
+      (50L to 150L).toSet, "clustering must never change results")
+  }
+
   test("vacuum handles tombstone-fold residue: orphaned .bak_l restored, .stage_l reclaimed, superseded .bak_l dropped") {
     import spark.implicits._
     val scratch = scratchDb()
