@@ -837,6 +837,13 @@ object QueriesE {
     s"WITH ${sqlBm25Ctes(Bm25Terms, E98ForgetIds)} " +
       "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"
 
+  /** e99's fixed forget list: 207 ranks 2nd in the default serve (the
+    * top-10 visibly changes), 42 is an arbitrary existing id, and
+    * 999999999 exists at NO scale factor — the delta path must treat an
+    * absent id as a no-op exactly like the recompute does.
+    */
+  private[graft] val E99ForgetIds = Seq(42L, 207L, 999999999L)
+
   /** [[sqlIvfPqDeleteServe]] with the epoch as a LITERAL id list instead
     * of the rank-1 derivation — the oracle side of e96.
     */
@@ -1038,6 +1045,40 @@ object QueriesE {
           .filter(!col("doc_id").isin(excl.map(_.asInstanceOf[Any]): _*)),
         terms)
     }
+
+  /** e99: the SAME refreshed stats computed as O(epoch) DELTAS off the
+    * index's OWN posting rows for the deleted ids — the claim
+    * [[bm25StatsExcluding]]'s Scaladoc argues, made executable. The
+    * posting entry (doc_id, word, tf, len) carries everything the
+    * update needs: nd' = nd − |deleted docs present|, tl' = tl − Σ their
+    * lens (len is the doc norm, denormalized per row), df'[t] = df[t] −
+    * |deleted docs containing t|. No corpus rescan: the arithmetic is
+    * O(|epoch| · terms) over rows the tombstone FOLD reads anyway — at
+    * 100 TB the fold maintains the stats as a side effect instead of
+    * re-tokenizing the corpus. An id absent from the index contributes
+    * nothing (same no-op as the recompute's filter). `tl` is recovered
+    * from the memoized (nd, avgdl) by rounding — exact while tl < 2^52,
+    * and the delta≡recompute gate assert would catch any drift. Must run
+    * BEFORE the fold (it reads the epoch's still-physical rows).
+    */
+  private[graft] def bm25StatsDeltaFromIndex(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, before: (Long, Double, Map[String, Long]),
+      excl: Seq[Long], terms: Seq[String] = Bm25Terms)
+      : (Long, Double, Map[String, Long]) = {
+    val (nd, avgdl, dfs) = before
+    val tl = math.round(avgdl * nd)
+    val rows = s.read.parquet(indexPath)
+      .filter(col("doc_id").isin(excl.map(_.asInstanceOf[Any]): _*))
+    val perDoc = rows.groupBy("doc_id").agg(max(col("len")).as("len"))
+      .agg(count(lit(1)).as("nd_d"), sum(col("len")).as("tl_d")).collect()(0)
+    val ndD = perDoc.getLong(0)
+    val tlD = if (perDoc.isNullAt(1)) 0L else perDoc.getLong(1)
+    val dfD = rows.filter(col("word").isin(terms: _*))
+      .groupBy("word").agg(countDistinct(col("doc_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ((nd - ndD), (tl - tlD).toDouble / (nd - ndD).toDouble,
+      dfs.map { case (t, c) => t -> (c - dfD.getOrElse(t, 0L)) })
+  }
 
   /** (doc_id, word, tf, len, bucket) posting rows — the classic posting
     * entry with its doc norm denormalized in, bucketed by term hash.
@@ -3380,6 +3421,35 @@ object QueriesE {
         statsOverride = Some(bm25StatsExcluding(s, dir, E98ForgetIds)))
     }),
 
+    // e99: INCREMENTAL stats maintenance — e98 gates the refresh, but
+    // computes it by re-tokenizing the corpus; e99 gates the O(epoch)
+    // DELTA path the 100 TB fold actually runs: the deleted docs'
+    // posting rows (which the tombstone fold reads anyway) carry the
+    // doc norms and term memberships, so nd/avgdl/df update by
+    // subtraction — no corpus rescan, ever. The engine pins
+    // delta ≡ full-recompute BIT-exactly before serving (one absent id
+    // in the epoch proves the no-op edge matches too), then serves the
+    // compacted index with the delta-maintained stats; the oracle is
+    // the rebuild definition (corpus minus list, stats recomputed) — so
+    // "delta-maintained ≡ rebuilt-from-scratch" is hash-checked end to
+    // end, turning bm25StatsExcluding's argued O(epoch) claim into a
+    // gated one.
+    "e99_bm25_stats_delta" -> ((s, dir) => {
+      import s.implicits._
+      val out = graft.Scratch.root(dir, "e99_bm25_index")
+      // fresh build each run — a previous run's compaction can't leak in
+      buildBm25Index(s, dir, out): Unit
+      deleteFromBm25Index(s, out, E99ForgetIds.toDF("doc_id"))
+      // O(epoch) delta off the index's still-physical epoch rows
+      val delta = bm25StatsDeltaFromIndex(s, out,
+        bm25Stats(s, dir), E99ForgetIds)
+      val recomputed = bm25StatsExcluding(s, dir, E99ForgetIds)
+      assert(delta == recomputed,
+        s"delta-maintained stats must equal the recompute: $delta vs $recomputed")
+      compactBm25Deletes(s, out)
+      bm25ProbePruned(s, out, dir, statsOverride = Some(delta))
+    }),
+
     // e91: LEARNED language ID — e10's hand-listed marker profiles
     // replaced by a classifier TRAINED IN-ENGINE: multinomial Naive Bayes
     // over hashed char bigrams (closed-form counts — no SGD, no
@@ -4581,6 +4651,11 @@ object QueriesE {
     // rebuild equivalence: definitional BM25 over the corpus minus the
     // literal forget list, stats recomputed on the survivors
     "e98_bm25_stats_refresh" -> sqlBm25StatsRefresh,
+    // same rebuild definition with e99's list: the delta-maintained
+    // stats must serve exactly what a from-scratch rebuild serves
+    "e99_bm25_stats_delta" ->
+      (s"WITH ${sqlBm25Ctes(Bm25Terms, E99ForgetIds)} " +
+        "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"),
     "e81_hybrid_rrf" ->
       (s"WITH ${sqlBm25Ctes()}, " +
         "sp AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_sparse " +
