@@ -534,8 +534,27 @@ class Table(val db: Database, val qualified: String) {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       org.apache.spark.sql.functions.count(lit(1)).as("n_rows")
-    val stats = df.groupBy(input_file_name().as("file"))
+    val computed = df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+    // a ZERO-ROW data file (e.g. an append of an empty frame) produces no
+    // group above — enumerate such files explicitly (n_rows = 0, null
+    // bands) or the sidecar could never cover a layout containing one:
+    // [[aggFromStats]] would refuse forever and [[readPruned]] would
+    // always conservatively scan the empty file
+    val seen = computed.select("file").collect()
+      .map(r => normFileUri(r.getString(0))).toSet
+    val empties = currentDataFiles().map(_._1)
+      .map(f => new File(f).toURI.toString)
+      .filterNot(u => seen.contains(normFileUri(u)))
+    val stats = if (empties.isEmpty) computed else {
+      import scala.jdk.CollectionConverters._
+      val rows = empties.map { u =>
+        org.apache.spark.sql.Row.fromSeq(u +: computed.schema.fields.toSeq.tail
+          .map(f => if (f.name == "n_rows") 0L else null))
+      }
+      computed.unionByName(
+        db.spark.createDataFrame(rows.asJava, computed.schema))
+    }
     val stage = new File(path + ".stats.stage_tmp")
     stats.coalesce(1) // #files rows — one sidecar file
       .write.mode("overwrite").parquet(stage.getPath)
@@ -581,6 +600,36 @@ class Table(val db: Database, val qualified: String) {
     if (chosen.size == all.size) full // nothing pruned — plain plan
     else if (chosen.isEmpty) full.limit(0)
     else db.loadFiles(path, chosen.map(_._1)).filter(pred)
+  }
+
+  /** Metadata-only aggregate (c22): one row of (n_rows, min, max of
+    * `column`) answered from the [[analyzeStats]] sidecar ALONE — zero
+    * data-file I/O — but ONLY when the sidecar covers exactly the live
+    * file set; `None` otherwise (a file appended or rewritten since the
+    * analyze could change any of the three answers, so the caller must
+    * fall back to the data scan). The modern table formats' metadata
+    * COUNT/MIN/MAX: at 100 TB the answer costs O(#files) sidecar rows
+    * instead of a table scan. Per-file row counts include rows where
+    * `column` is null (count semantics match `COUNT(*)`); min/max
+    * ignore all-null files (their band is null).
+    */
+  def aggFromStats(column: String): Option[DataFrame] = {
+    val statsDir = new File(path + ".stats")
+    if (!statsDir.isDirectory) return None
+    val stats = try {
+      val d = db.spark.read.parquet(statsDir.getPath)
+      if (!d.columns.contains(s"min_$column")) return None
+      d
+    } catch { case _: Exception => return None }
+    val covered = stats.select("file").collect()
+      .map(r => normFileUri(r.getString(0))).toSet
+    val live = currentDataFiles()
+      .map { case (abs, _) => normFileUri(new File(abs).toURI.toString) }.toSet
+    if (covered != live) return None
+    Some(stats.agg(
+      sum(col("n_rows")).cast("long").as("n_rows"),
+      min(col(s"min_$column")).as(s"min_$column"),
+      max(col(s"max_$column")).as(s"max_$column")))
   }
 
   /** `file:` URI → filesystem path (decodes hive-escaped specials), for

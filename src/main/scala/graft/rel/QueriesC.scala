@@ -327,9 +327,11 @@ object QueriesC {
     "c21_cluster_skipping" -> ((s, dir) => {
       val db = scratch(s)
       val orders = t(s, dir, "orders")
+      // round-robin: every file gets every-6th row, so each file's
+      // [min,max] band spans ~the whole key range (and no partition is
+      // empty — an empty file's null band is legitimately skippable)
       orders.filter(col("o_orderkey") <= 3000)
-        .withColumn("shard", pmod(col("o_orderkey"), lit(6)))
-        .repartition(6, col("shard")).drop("shard")
+        .repartition(6)
         .write.mode("overwrite").parquet(db.pathOf("c21_orders"))
       val tbl = db.table("c21_orders")
       tbl.analyzeStats(Seq("o_orderkey")): Unit
@@ -347,6 +349,46 @@ object QueriesC {
           max(col("o_orderkey")).cast("long").as("max_key"))
         .select(col("n"), col("key_sum"), col("min_key"), col("max_key"),
           lit(true).as("skipping_improved"))
+    }),
+
+    // c22: METADATA-ONLY aggregates — COUNT/MIN/MAX answered from c20's
+    // stats sidecar alone, zero data-file I/O (engine-asserts every
+    // input file of the serving plan is a sidecar file). The refusal
+    // edge is gated too: after an un-analyzed append the sidecar no
+    // longer covers the live file set and aggFromStats must return None
+    // (a metadata answer over stale coverage would be WRONG, unlike
+    // c20's skipping which degrades to a full scan) — re-analyze, and
+    // the metadata answer covers the grown table. At 100 TB this is the
+    // table formats' O(#files) COUNT(*) instead of a corpus scan.
+    "c22_stats_only_agg" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 3000)
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.mode("overwrite").parquet(db.pathOf("c22_orders"))
+      val tbl = db.table("c22_orders")
+      tbl.analyzeStats(Seq("o_orderkey")): Unit
+      def serve(phase: String) = {
+        val a = tbl.aggFromStats("o_orderkey")
+          .getOrElse(sys.error(s"covering sidecar must serve ($phase)"))
+        assert(a.inputFiles.nonEmpty && a.inputFiles.forall(_.contains(".stats")),
+          s"metadata-only plan reads data files: ${a.inputFiles.toSeq}")
+        a.select(lit(phase).as("phase"), col("n_rows"),
+          col("min_o_orderkey").cast("long").as("min_key"),
+          col("max_o_orderkey").cast("long").as("max_key"))
+      }
+      // materialized BEFORE the append + re-analyze swap out the very
+      // sidecar files its plan reads (the e94 masked-phase lesson)
+      val phase1 = serve("covered").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      tbl.write(orders.filter(
+        col("o_orderkey") > 3000 && col("o_orderkey") <= 4000))
+      assert(tbl.aggFromStats("o_orderkey").isEmpty,
+        "a sidecar that no longer covers the table must refuse")
+      tbl.analyzeStats(Seq("o_orderkey")): Unit
+      import s.implicits._
+      phase1.toSeq.toDF("phase", "n_rows", "min_key", "max_key")
+        .unionByName(serve("refreshed")).orderBy("phase")
     }),
 
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
@@ -544,6 +586,18 @@ object QueriesC {
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
         "CAST(max(o_orderkey) AS BIGINT) AS max_key, TRUE AS stats_ok " +
         "FROM orders WHERE o_orderkey BETWEEN 3200 AND 3800" +
+        ") ORDER BY phase"),
+    "c22_stats_only_agg" ->
+      ("SELECT * FROM (" +
+        "SELECT 'covered' AS phase, count(*) AS n_rows, " +
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
+        "FROM orders WHERE o_orderkey <= 3000 " +
+        "UNION ALL " +
+        "SELECT 'refreshed' AS phase, count(*) AS n_rows, " +
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
+        "FROM orders WHERE o_orderkey <= 4000" +
         ") ORDER BY phase"),
     "c21_cluster_skipping" ->
       ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +

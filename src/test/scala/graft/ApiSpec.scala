@@ -921,12 +921,30 @@ class ApiSpec extends AnyFunSuite {
       "dropTable must remove the stats sidecar")
   }
 
+  test("aggFromStats: metadata-only answer iff the sidecar tracks the column and covers the files") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartition(2)
+      .write.mode("overwrite").parquet(db2.pathOf("meta"))
+    val tbl = db2.table("meta")
+    assert(tbl.aggFromStats("k").isEmpty, "no sidecar -> refuse")
+    tbl.analyzeStats(Seq("k")): Unit
+    assert(tbl.aggFromStats("v").isEmpty, "untracked column -> refuse")
+    val a = tbl.aggFromStats("k").get
+    assert(a.inputFiles.forall(_.contains(".stats")), "zero data-file I/O")
+    val row = a.collect()(0)
+    assert(row.getLong(0) == 100L && row.getLong(1) == 1L &&
+      row.getLong(2) == 100L, s"$row")
+    tbl.write(Seq((101L, "x")).toDF("k", "v"))
+    assert(tbl.aggFromStats("k").isEmpty, "stale coverage -> refuse")
+  }
+
   test("createIndex refreshes an existing stats sidecar to the clustered layout") {
     import spark.implicits._
     val db2 = scratchDb()
     (1L to 600L).map(k => (k, s"v$k")).toDF("k", "v")
-      .withColumn("shard", pmod(col("k"), lit(6)))
-      .repartition(6, col("shard")).drop("shard")
+      .repartition(6)
       .write.mode("overwrite").parquet(db2.pathOf("clus"))
     val tbl = db2.table("clus")
     tbl.analyzeStats(Seq("k")): Unit
