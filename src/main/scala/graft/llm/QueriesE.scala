@@ -844,6 +844,12 @@ object QueriesE {
     */
   private[graft] val E99ForgetIds = Seq(42L, 207L, 999999999L)
 
+  /** e100's fixed delete epoch (dense arm): three existing vec_ids plus
+    * one that exists at no scale factor — the occupancy delta must treat
+    * the absent id as a no-op exactly like the recount does.
+    */
+  private[graft] val E100DeleteIds = Seq(3L, 17L, 29L, 999999999L)
+
   /** [[sqlIvfPqDeleteServe]] with the epoch as a LITERAL id list instead
     * of the rank-1 derivation — the oracle side of e96.
     */
@@ -3450,6 +3456,41 @@ object QueriesE {
       bm25ProbePruned(s, out, dir, statsOverride = Some(delta))
     }),
 
+    // e100: e99's lesson on the DENSE arm — IVF occupancy (e73's index-
+    // health metric) maintained as O(epoch) DELTAS through a delete
+    // epoch: the tombstoned rows' list memberships (rows the fold reads
+    // anyway) give the per-list decrements, so the monitor never
+    // recounts the index. The engine pins predicted ≡ post-fold recount
+    // per list (the absent id in the epoch proves the no-op edge), then
+    // emits the PREDICTED occupancy; the oracle recomputes the
+    // definition (kmeans assignment over the corpus minus the epoch) —
+    // so delta-maintained ≡ recomputed-from-scratch is hash-checked.
+    "e100_ivf_occupancy_delta" -> ((s, dir) => {
+      import s.implicits._
+      val K = 8
+      val out = buildIvfPqIndex(s, dir, name = "e100_ivfpq")
+      def counts() = s.read.parquet(out).groupBy("list_id")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val before = counts()
+      deleteFromIvfPqIndex(s, out, E100DeleteIds.toDF("vec_id"))
+      // the O(epoch) delta: tombstoned rows' list memberships, read
+      // while still physical (pre-fold)
+      val delta = s.read.parquet(out)
+        .filter(col("vec_id").isin(E100DeleteIds.map(_.asInstanceOf[Any]): _*))
+        .groupBy("list_id").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val predicted = (0 until K).map(j =>
+        j -> (before.getOrElse(j, 0L) - delta.getOrElse(j, 0L)))
+      compactIvfPqDeletes(s, out)
+      s.catalog.refreshByPath(out)
+      val after = counts()
+      assert(predicted.forall { case (j, n) => after.getOrElse(j, 0L) == n },
+        s"delta-maintained occupancy must equal the post-fold recount: " +
+          s"$predicted vs $after")
+      predicted.toDF("list_id", "n_vecs").orderBy("list_id")
+    }),
+
     // e91: LEARNED language ID — e10's hand-listed marker profiles
     // replaced by a classifier TRAINED IN-ENGINE: multinomial Naive Bayes
     // over hashed char bigrams (closed-form counts — no SGD, no
@@ -4656,6 +4697,24 @@ object QueriesE {
     "e99_bm25_stats_delta" ->
       (s"WITH ${sqlBm25Ctes(Bm25Terms, E99ForgetIds)} " +
         "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"),
+    // the definition recount: kmeans assignment over the corpus minus
+    // the epoch — what the delta-maintained occupancy must equal
+    "e100_ivf_occupancy_delta" -> {
+      val K = 8; val Iters = 3
+      val del = E100DeleteIds
+        .map(i => s"SELECT CAST($i AS BIGINT) AS vec_id")
+        .mkString(" UNION ALL ")
+      sqlKmeansCtes(K, Iters) + ", " +
+        sqlKmAssign("af", s"c$Iters") + ", " +
+        s"del AS ($del), " +
+        "occ AS (SELECT list AS list_id, count(*) AS n_vecs FROM af " +
+        "WHERE rn = 1 AND vec_id NOT IN (SELECT vec_id FROM del) GROUP BY list), " +
+        s"lists AS (SELECT unnest(range($K)) AS list_id) " +
+        "SELECT CAST(lists.list_id AS INT) AS list_id, " +
+        "CAST(coalesce(n_vecs, 0) AS BIGINT) AS n_vecs " +
+        "FROM lists LEFT JOIN occ ON lists.list_id = occ.list_id " +
+        "ORDER BY lists.list_id"
+    },
     "e81_hybrid_rrf" ->
       (s"WITH ${sqlBm25Ctes()}, " +
         "sp AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_sparse " +
