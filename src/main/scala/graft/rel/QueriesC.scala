@@ -475,6 +475,15 @@ object QueriesC {
       mkLeftover(s"$aux/bucket=0.bak")       // … its backup is redundant
       mkLeftover(s"$aux/bucket=1.bak")       // crash mid-swap: backup is
                                              // the ONLY copy → recovered
+      // the tombstone-fold residue classes (r12): a superseded sibling
+      // backup (live partition dir present) and an un-promoted stage
+      val aux2 = new java.io.File(db.pathOf("c16_nation")).getParent + "/c16_tomb"
+      wipe(new java.io.File(aux2))
+      wipe(new java.io.File(aux2 + ".bak_l0"))
+      wipe(new java.io.File(aux2 + ".stage_l1"))
+      mkLeftover(s"$aux2/list_id=0")         // fold promoted: live dir …
+      mkLeftover(aux2 + ".bak_l0")           // … its backup is residue
+      mkLeftover(aux2 + ".stage_l1")         // stranded fold stage
       db.vacuum().toSeq.toDF("kind", "n").orderBy("kind")
     }),
 
@@ -612,7 +621,8 @@ object QueriesC {
         "FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 3000"),
     "c16_vacuum" ->
       ("SELECT * FROM (VALUES ('bak', 1), ('recovered', 1), ('stage_bak', 1), " +
-        "('stage_tmp', 1), ('stale_manifest', 1), ('upsert_stage', 1)) " +
+        "('stage_tmp', 1), ('stale_manifest', 1), ('tomb_bak', 1), " +
+        "('tomb_stage', 1), ('upsert_stage', 1)) " +
         "t(kind, n) ORDER BY kind"),
     "c18_jdbc_read" ->
       ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
