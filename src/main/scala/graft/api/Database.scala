@@ -727,7 +727,8 @@ object Database {
     */
   private[graft] def compactStreamIndex(spark: SparkSession, root: File,
       partCol: String, upTo: Long = Long.MaxValue,
-      mask: DataFrame => DataFrame = identity): Map[String, Long] = {
+      mask: DataFrame => DataFrame = identity,
+      foldSingle: Boolean = false): Map[String, Long] = {
     val Marker = "_compacted_through"
     val rootP = Fs.path(root.getPath)
     def batchDirs: Seq[(Long, org.apache.hadoop.fs.Path)] =
@@ -784,7 +785,12 @@ object Database {
     }
     val dirs = batchDirs.filter(_._1 <= upTo)
     val before = dataFiles
-    if (dirs.size > 1) {
+    // `foldSingle` lets the tombstone wrapper rewrite even a SOLE
+    // committed dir (a single-batch stream, or a crash between a full
+    // fold and the epoch delete): without it a pending delete epoch
+    // could never be physically dropped from a one-dir index — the
+    // serving mask stays correct, but the tombstones linger forever
+    if (dirs.size > 1 || (foldSingle && dirs.size == 1)) {
       val target = dirs.last
       // `mask` lets a caller fold row-level deletes into the SAME staged
       // swap (compactStreamIndexWithTombstones) — one crash-safe rewrite,
@@ -869,8 +875,13 @@ object Database {
       case Some(t0) =>
         val t = org.apache.spark.sql.functions.broadcast(t0)
         val stats = compactStreamIndex(spark, root, partCol, upTo,
-          mask = df => df.join(t, Seq(keyCol), "left_anti"))
-        if (stats("dirs_folded") > 1 && stats("dirs_after") == 1) {
+          mask = df => df.join(t, Seq(keyCol), "left_anti"),
+          foldSingle = true)
+        // reclaim iff a rewrite happened AND it covered every live dir:
+        // after folding k of n dirs the listing holds n−k+1, so
+        // dirs_after == 1 with dirs_folded ≥ 1 ⟺ full coverage (the
+        // single-dir rewrite included — foldSingle makes it physical)
+        if (stats("dirs_folded") >= 1 && stats("dirs_after") == 1) {
           Fs.delete(Fs.child(root.getPath, "_tombstones")): Unit
           spark.catalog.refreshByPath(root.getPath)
         }

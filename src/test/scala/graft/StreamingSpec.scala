@@ -874,6 +874,21 @@ class StreamingSpec extends AnyFunSuite {
     val afterFull = spark.read.parquet(root.getPath)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(afterFull == Set(1L, 3L, 4L, 5L), s"$afterFull")
+    // the crash window between a full fold and the epoch delete — and
+    // equally a single-batch stream: ONE live dir + a pending epoch.
+    // Without foldSingle the rows could never be physically dropped
+    graft.api.Database.addTombstones(spark, root.getPath,
+      Seq(4L).toDF("doc_id"), "doc_id")
+    val s3 = graft.api.Database.compactStreamIndexWithTombstones(spark, root,
+      "bucket", "doc_id")
+    assert(s3("dirs_after") == 1L, s"$s3")
+    assert(!new java.io.File(root, "_tombstones").exists(),
+      "a single-dir fold still reclaims the epoch")
+    spark.catalog.refreshByPath(root.getPath)
+    val afterSingle = spark.read.parquet(root.getPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterSingle == Set(1L, 3L, 5L),
+      s"single-dir fold physically drops the tombstoned row: $afterSingle")
   }
 
   test("f35 policy compaction serves e80's top-10 from the steady-state layout") {
