@@ -379,6 +379,18 @@ class Table(val db: Database, val qualified: String) {
       .sortWithinPartitions("_z")
       .drop("_z")
     db.replaceTable(qualified, clustered)
+    // same sidecar refresh as [[createIndex]]: a clustered rewrite makes
+    // every stats entry stale, and z-order exists to FEED the per-file
+    // bands (c23) — refresh the tracked columns so the multi-dim bands
+    // become tight immediately
+    val statsDir = new File(path + ".stats")
+    if (statsDir.isDirectory) {
+      val tracked = try db.spark.read.parquet(statsDir.getPath)
+        .schema.fieldNames.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      catch { case _: Exception => Seq.empty[String] }
+      if (tracked.nonEmpty) analyzeStats(tracked): Unit
+    }
     (name +: idxFields :+ "zidx").mkString("_")
   }
 
@@ -576,16 +588,29 @@ class Table(val db: Database, val qualified: String) {
     * predicate is always applied — skipping is an I/O optimization,
     * never the filter itself.
     */
-  def readPruned(column: String, lo: Any, hi: Any): DataFrame = {
-    val pred = col(column).between(lit(lo), lit(hi))
+  def readPruned(column: String, lo: Any, hi: Any): DataFrame =
+    readPrunedAll(Seq((column, lo, hi)))
+
+  /** [[readPruned]] for a CONJUNCTION of ranges — the multi-dimensional
+    * skipping read z-order clustering (c23) exists to feed: a file is
+    * scanned only when EVERY predicate's [min, max] band intersects its
+    * range (a file all-null in any predicate column is skippable — no
+    * row in it can satisfy the AND). Same conservative contract as the
+    * one-column form: uncovered files always scan, the residual
+    * predicate always applies.
+    */
+  def readPrunedAll(preds: Seq[(String, Any, Any)]): DataFrame = {
+    require(preds.nonEmpty, "readPrunedAll needs at least one range")
+    val pred = preds.map { case (c, lo, hi) =>
+      col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
     val full = df.filter(pred)
     val statsDir = new File(path + ".stats")
     if (!statsDir.isDirectory) return full
     val entries = try {
+      val hit = preds.map { case (c, lo, hi) =>
+        col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi) }.reduce(_ && _)
       db.spark.read.parquet(statsDir.getPath)
-        .select(col("file"),
-          (col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi))
-            .as("hit"))
+        .select(col("file"), hit.as("hit"))
         .collect()
         .map(r => normFileUri(r.getString(0)) -> (!r.isNullAt(1) && r.getBoolean(1)))
         .toMap

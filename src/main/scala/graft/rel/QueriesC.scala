@@ -391,6 +391,46 @@ object QueriesC {
         .unionByName(serve("refreshed")).orderBy("phase")
     }),
 
+    // c23: Z-ORDER → MULTI-DIM SKIP — c21's loop in 2-D, the reason
+    // z-order exists: a single-key sort lets only the LEAD dimension
+    // skip; Morton interleaving keeps per-file bands tight in EVERY
+    // indexed dimension. createZOrderIndex (operator c8's engine) now
+    // auto-refreshes the sidecar like createIndex; the gate asserts
+    // that after the z-rewrite BOTH single-dimension range reads skip
+    // files, and that the conjunction (readPrunedAll) prunes at least
+    // as hard as either dimension alone. Values gated as a pure 2-D
+    // WHERE over orders.
+    "c23_zorder_skipping" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(6)
+        .write.mode("overwrite").parquet(db.pathOf("c23_orders"))
+      val tbl = db.table("c23_orders")
+      tbl.analyzeStats(Seq("o_orderkey", "o_custkey")): Unit
+      tbl.createZOrderIndex(Seq("o_orderkey", "o_custkey")): Unit
+      val total = tbl.df.inputFiles.length
+      val byKey = tbl.readPruned("o_orderkey", 200L, 600L)
+      val byCust = tbl.readPruned("o_custkey", 20L, 60L)
+      val box = tbl.readPrunedAll(
+        Seq(("o_orderkey", 200L, 600L), ("o_custkey", 20L, 60L)))
+      assert(byKey.inputFiles.length < total,
+        s"z-order must skip on dim 1: ${byKey.inputFiles.length}/$total")
+      assert(byCust.inputFiles.length < total,
+        s"z-order must skip on dim 2: ${byCust.inputFiles.length}/$total")
+      assert(box.inputFiles.length <=
+        math.min(byKey.inputFiles.length, byCust.inputFiles.length),
+        "the conjunction can only prune further")
+      box.agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"),
+          sum(col("o_custkey")).cast("long").as("cust_sum"),
+          min(col("o_orderkey")).cast("long").as("min_key"),
+          max(col("o_orderkey")).cast("long").as("max_key"))
+        .select(col("n"), col("key_sum"), col("cust_sum"),
+          col("min_key"), col("max_key"), lit(true).as("zorder_skips"))
+    }),
+
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
     // bad append lands, restore(v1) rolls the table back to the pinned
     // manifest via the staged atomic swap, and the read-back equals the
@@ -596,6 +636,13 @@ object QueriesC {
         "CAST(max(o_orderkey) AS BIGINT) AS max_key, TRUE AS stats_ok " +
         "FROM orders WHERE o_orderkey BETWEEN 3200 AND 3800" +
         ") ORDER BY phase"),
+    "c23_zorder_skipping" ->
+      ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS cust_sum, " +
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key, TRUE AS zorder_skips " +
+        "FROM orders WHERE o_orderkey BETWEEN 200 AND 600 " +
+        "AND o_custkey BETWEEN 20 AND 60"),
     "c22_stats_only_agg" ->
       ("SELECT * FROM (" +
         "SELECT 'covered' AS phase, count(*) AS n_rows, " +

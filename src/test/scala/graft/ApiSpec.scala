@@ -940,6 +940,23 @@ class ApiSpec extends AnyFunSuite {
     assert(tbl.aggFromStats("k").isEmpty, "stale coverage -> refuse")
   }
 
+  test("readPrunedAll: conjunction prunes per dim; an all-null band is skippable") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 50L).map(k => (k, None: Option[Long])).toDF("k", "g")
+      .coalesce(1).write.mode("overwrite").parquet(db2.pathOf("zz"))
+    (51L to 100L).map(k => (k, Some(k - 50L))).toDF("k", "g")
+      .coalesce(1).write.mode("append").parquet(db2.pathOf("zz"))
+    val tbl = db2.table("zz")
+    tbl.analyzeStats(Seq("k", "g")): Unit
+    assert(tbl.readPruned("k", 1L, 100L).inputFiles.length == 2,
+      "both files carry k in range")
+    val both = tbl.readPrunedAll(Seq(("k", 1L, 100L), ("g", 1L, 100L)))
+    assert(both.inputFiles.length == 1,
+      "the all-null g band fails the conjunction — no row there can match")
+    assert(both.count() == 50L, "values unchanged by the skip")
+  }
+
   test("createIndex refreshes an existing stats sidecar to the clustered layout") {
     import spark.implicits._
     val db2 = scratchDb()
