@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST JSON line of `sbt runMain graft.Bench`
+// stdout. sbt's default LoggedOutput strategy re-logs every forked line
+// with an `[info] ` prefix and appends an `[success]` trailer, which
+// defeats that parse (BENCH_r10–r12 recorded "parsed": null). Inherit
+// the raw stdout instead and drop the success banner so the bench's
+// final compact JSON line reaches the driver bare and last.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -74,7 +74,11 @@ object PlanPins {
       // e91: the NB score matrix is eval-docs × the broadcast per-lang
       // bias table (bounded by the language count) — O(n·L) constant
       // attachment, the e77 grading class
-      "e91_langid_learned")
+      "e91_langid_learned",
+      // e101: e41's class — the retrain gate's exact ground truth sweeps
+      // the (drifted) corpus against the broadcast 3-query probe batch;
+      // both serving arms under evaluation stay equi-joins on list id
+      "e101_ivf_retrain")
 
   /** E-group queries whose plans intentionally contain a Window exec. The
     * forbidden class is a window partitioned by a DATA-DEPENDENT UNBOUNDED

@@ -1,6 +1,5 @@
 package graft.api
 
-import java.io.File
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
 import org.apache.spark.sql.types._
@@ -43,21 +42,20 @@ class Database(val spark: SparkSession, val root: String,
     * schemas.
     */
   def tables: Seq[String] = {
-    val d = new File(root)
-    val entries = Option(d.listFiles()).getOrElse(Array.empty)
-    val top = entries.filter(f => f.getName.endsWith(s".$format"))
-      .map(_.getName.stripSuffix(s".$format"))
+    val entries = Fs.list(Fs.path(root))
+    val top = entries.map(_.getPath.getName)
+      .filter(_.endsWith(s".$format")).map(_.stripSuffix(s".$format"))
     // a schema dir is a PLAIN name: staging/backup dirs from replaceTable
     // (`t.parquet.stage_tmp`) contain the format suffix mid-name and must
     // not surface their part-files as phantom schema tables
     val nested = entries
-      .filter(f => f.isDirectory && !f.getName.contains(s".$format"))
+      .filter(st => st.isDirectory && !st.getPath.getName.contains(s".$format"))
       .flatMap { sd =>
-        Option(sd.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.endsWith(s".$format"))
-          .map(f => s"${sd.getName}.${f.getName.stripSuffix(s".$format")}")
+        Fs.list(sd.getPath).map(_.getPath.getName)
+          .filter(_.endsWith(s".$format"))
+          .map(n => s"${sd.getPath.getName}.${n.stripSuffix(s".$format")}")
       }
-    (top ++ nested).sorted.toSeq
+    (top ++ nested).sorted
   }
 
   /** `db.table(name)` / `db['name']` sugar (ref datum/database.py:28-30,53-55). */
@@ -237,7 +235,43 @@ class Database(val spark: SparkSession, val root: String,
     * the reference's backend did arbitrary SQL here; this covers the
     * façade's documented surface.
     */
-  def execute(stmt: String): DataFrame = stmt.trim match {
+  def execute(stmt0: String): DataFrame = {
+    // SQL route to the versioned tier (c26): `FROM t VERSION AS OF n`
+    // and `FROM t DIFF FROM n TO m` resolve through the snapshot
+    // manifests (Table.readVersion / diffVersions) by registering the
+    // pinned file-set read as a temp view and rewriting the clause to
+    // reference it — the reference's raw-SQL surface
+    // (datum/database.py:44-45) reaches time travel and delta reads
+    // without a second API. Spark's native VERSION AS OF only serves v2
+    // catalog tables, so the rewrite intercepts before the parser.
+    val stmt = if (Database.VersionedRef.matcher(stmt0).find())
+      rewriteVersionedRefs(stmt0) else stmt0
+    executeRewritten(stmt)
+  }
+
+  /** Replace `FROM <t> VERSION AS OF <n>` / `FROM <t> DIFF FROM <n> TO
+    * <m>` with a temp view over the corresponding manifest read. The
+    * view name carries the version pin, so two pins of the same table
+    * coexist in one statement (self-joins across versions work).
+    */
+  private def rewriteVersionedRefs(stmt: String): String = {
+    val vRe = """(?i)\bFROM\s+([A-Za-z0-9_.]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+    val dRe = """(?i)\bFROM\s+([A-Za-z0-9_.]+)\s+DIFF\s+FROM\s+(\d+)\s+TO\s+(\d+)""".r
+    val step1 = vRe.replaceAllIn(stmt, m => {
+      val t = m.group(1); val v = m.group(2).toInt
+      val view = s"${viewNameOf(t)}__v$v"
+      table(t).readVersion(v).createOrReplaceTempView(view)
+      s"FROM $view"
+    })
+    dRe.replaceAllIn(step1, m => {
+      val t = m.group(1); val from = m.group(2).toInt; val to = m.group(3).toInt
+      val view = s"${viewNameOf(t)}__diff_${from}_$to"
+      table(t).diffVersions(from, to).createOrReplaceTempView(view)
+      s"FROM $view"
+    })
+  }
+
+  private def executeRewritten(stmt: String): DataFrame = stmt.trim match {
     case Database.DeleteRe(tbl, where) =>
       val t = load(tbl)
       val total = t.count()
@@ -347,7 +381,7 @@ class Database(val spark: SparkSession, val root: String,
     */
   def createTable(name: String, cols: Seq[(String, String)]): Unit = {
     val path = pathOf(name)
-    if (!new File(path).exists()) {
+    if (!Fs.exists(Fs.path(path))) {
       val schema = StructType(
         StructField("id", LongType, nullable = false) +:
           cols.map { case (n, c) => StructField(n, coarseToSpark(c)) })
@@ -358,12 +392,12 @@ class Database(val spark: SparkSession, val root: String,
 
   def dropTable(name: String): Unit = {
     // ref datum/postgis/database.py:100-103 (DROP TABLE IF EXISTS)
-    deleteRecursively(new File(pathOf(name)))
+    Fs.delete(Fs.path(pathOf(name))): Unit
     // the sidecars die with the table — stale srid/bucket properties or
     // version manifests must not leak onto a future table reusing the name
-    deleteRecursively(new File(pathOf(name) + ".properties"))
-    deleteRecursively(new File(pathOf(name) + ".versions"))
-    deleteRecursively(new File(pathOf(name) + ".stats"))
+    Fs.delete(Fs.path(pathOf(name) + ".properties")): Unit
+    Fs.delete(Fs.path(pathOf(name) + ".versions")): Unit
+    Fs.delete(Fs.path(pathOf(name) + ".stats")): Unit
     val v = viewNameOf(name)
     if (spark.catalog.tableExists(v)) spark.catalog.dropTempView(v): Unit
     markDirty()
@@ -570,9 +604,10 @@ class Database(val spark: SparkSession, val root: String,
       keys: Seq[String]): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     // the in-memory catalog forgets tables across sessions but warehouse
-    // dirs persist — clear to avoid LOCATION_ALREADY_EXISTS
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    deleteRecursively(new File(wh, name))
+    // dirs persist — clear to avoid LOCATION_ALREADY_EXISTS (the warehouse
+    // dir is a URI — `file:/…` locally, `hdfs://…` on a cluster — which
+    // the Fs seam resolves by scheme)
+    Fs.delete(Fs.child(spark.conf.get("spark.sql.warehouse.dir"), name)): Unit
     df.write.bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*).saveAsTable(name)
   }
@@ -582,11 +617,6 @@ class Database(val spark: SparkSession, val root: String,
     */
   def save(): Unit = ()
   def close(): Unit = () // session lifecycle owned by caller
-
-  private[api] def deleteRecursively(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
-  }
 }
 
 object Database {
@@ -633,42 +663,46 @@ object Database {
   /** Hive partition columns of a table directory, outermost first —
     * derived from the `col=value` subdirectory names (one probe path;
     * layouts are uniform by construction). Empty for flat tables.
+    * Hadoop-FS walk — identical on file://, hdfs://, s3a:// roots (a
+    * java.io.File walk returns empty on any non-local scheme and every
+    * maintenance job silently mis-sizes).
     */
   private[api] def partitionColsOf(path: String): Seq[String] = {
     @annotation.tailrec
-    def walk(dir: File, acc: List[String]): List[String] = {
-      val sub = Option(dir.listFiles()).getOrElse(Array.empty)
-        .find(d => d.isDirectory && d.getName.contains("="))
+    def walk(dir: org.apache.hadoop.fs.Path, acc: List[String]): List[String] = {
+      val sub = Fs.list(dir)
+        .find(st => st.isDirectory && st.getPath.getName.contains("="))
       sub match {
-        case Some(s) => walk(s, acc :+ s.getName.takeWhile(_ != '='))
+        case Some(s) => walk(s.getPath, acc :+ s.getPath.getName.takeWhile(_ != '='))
         case None    => acc
       }
     }
-    walk(new File(path), Nil)
+    walk(Fs.path(path), Nil)
   }
 
   /** Leaf data directories of a hive-partitioned table (the dirs that hold
-    * actual data files); the table dir itself when flat.
+    * actual data files); the table dir itself when flat. Hadoop-FS walk.
     */
-  private[api] def leafDirsOf(path: String): Seq[File] = {
-    def walk(dir: File): Seq[File] = {
-      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.contains("="))
-      if (parts.isEmpty) Seq(dir) else parts.toSeq.flatMap(walk)
+  private[api] def leafDirsOf(path: String): Seq[org.apache.hadoop.fs.Path] = {
+    def walk(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val parts = Fs.list(dir)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      if (parts.isEmpty) Seq(dir) else parts.flatMap(st => walk(st.getPath))
     }
-    walk(new File(path))
+    walk(Fs.path(path))
   }
 
   /** Bytes of data files under a table directory, recursive — a
     * hive-partitioned table keeps its data one level (or more) down, so a
     * non-recursive listing would report 0 and missize every maintenance
-    * job. Commit markers (`_SUCCESS`, dotfiles) excluded.
+    * job. Commit markers (`_SUCCESS`, dotfiles) excluded. Hadoop-FS walk.
     */
   private[api] def dataBytes(path: String): Long = {
-    def walk(f: File): Long =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
-      else if (isDataFile(f.getName)) f.length else 0L
-    walk(new File(path))
+    def walk(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (st.isDirectory) Fs.list(st.getPath).map(walk).sum
+      else if (isDataFile(st.getPath.getName)) st.getLen else 0L
+    val p = Fs.path(path)
+    if (!Fs.exists(p)) 0L else walk(Fs.status(p))
   }
 
   private[api] def isDataFile(name: String): Boolean =
@@ -681,8 +715,8 @@ object Database {
     * new contents in place or the `.bak` copy on disk, so a crash leaves
     * the state recoverable instead of silently empty.
     */
-  private[graft] def wipeDir(f: File): Unit = {
-    Fs.delete(Fs.path(f.getPath)): Unit
+  private[graft] def wipeDir(path: String): Unit = {
+    Fs.delete(Fs.path(path)): Unit
   }
 
   /** Compaction for the append-per-micro-batch streaming index layout
@@ -725,12 +759,12 @@ object Database {
     * Returns file/dir counts before and after for observability (a
     * compaction that doesn't shrink file count signals a mis-layout).
     */
-  private[graft] def compactStreamIndex(spark: SparkSession, root: File,
+  private[graft] def compactStreamIndex(spark: SparkSession, root: String,
       partCol: String, upTo: Long = Long.MaxValue,
       mask: DataFrame => DataFrame = identity,
       foldSingle: Boolean = false): Map[String, Long] = {
     val Marker = "_compacted_through"
-    val rootP = Fs.path(root.getPath)
+    val rootP = Fs.path(root)
     def batchDirs: Seq[(Long, org.apache.hadoop.fs.Path)] =
       Fs.list(rootP)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
@@ -770,7 +804,7 @@ object Database {
           if (Fs.exists(primary)) Fs.delete(p): Unit
           else Fs.renameOrThrow(p, primary,
             "compactStreamIndex: restore orphaned backup")
-          spark.catalog.refreshByPath(root.getPath)
+          spark.catalog.refreshByPath(root)
         }
       }
     // recovery: a marker-carrying dir supersedes every lower batch id —
@@ -781,7 +815,7 @@ object Database {
       val hi = marked.map(_._1).max
       val superseded = batchDirs.filter(_._1 < hi)
       superseded.foreach { case (_, p) => Fs.delete(p): Unit }
-      if (superseded.nonEmpty) spark.catalog.refreshByPath(root.getPath)
+      if (superseded.nonEmpty) spark.catalog.refreshByPath(root)
     }
     val dirs = batchDirs.filter(_._1 <= upTo)
     val before = dataFiles
@@ -790,32 +824,48 @@ object Database {
     // fold and the epoch delete): without it a pending delete epoch
     // could never be physically dropped from a one-dir index — the
     // serving mask stays correct, but the tombstones linger forever
+    var folded = 0L
     if (dirs.size > 1 || (foldSingle && dirs.size == 1)) {
       val target = dirs.last
       // `mask` lets a caller fold row-level deletes into the SAME staged
       // swap (compactStreamIndexWithTombstones) — one crash-safe rewrite,
       // no second residue class inside the stream root
-      val all = mask(spark.read.option("basePath", root.getPath)
+      val all = mask(spark.read.option("basePath", root)
         .parquet(dirs.map(_._2.toString): _*)
         .drop("batch"))
-      val stage = new org.apache.hadoop.fs.Path(
-        rootP, s"batch=${target._1}.stage_tmp")
-      Fs.delete(stage): Unit
-      // repartition by the partition column ⇒ each value lands in one
-      // task ⇒ exactly one file per partition dir (the compaction point)
-      all.repartition(col(partCol))
-        .write.partitionBy(partCol).parquet(stage.toString)
-      Fs.touch(new org.apache.hadoop.fs.Path(stage, Marker))
-      swapDir(stage, target._2)
-      dirs.init.foreach { case (_, p) => Fs.delete(p): Unit }
-      // the swap + deletions happened at the FILESYSTEM level, invisible
-      // to Spark's shared FileStatusCache — a later read of the root can
-      // otherwise plan against the pre-compaction file list and die on
-      // FILE_NOT_EXIST (observed once in the r9 sf10 sweep). Writers
-      // invalidate this automatically; renames must do it by hand.
-      spark.catalog.refreshByPath(root.getPath)
+      // a mask that removes EVERY row would stage an empty partitioned
+      // write: partitionBy of an empty frame emits no data files, the
+      // swap would promote an empty batch dir, and every later read of
+      // the root fails schema inference — the index bricked. Skip the
+      // fold instead (take(1) probe — cheap, stops at the first
+      // surviving row): serving stays delete-correct through the
+      // tombstone mask, which is NOT reclaimed because dirs_folded
+      // reports 0. Physical reclamation of a fully-deleted index is the
+      // owner's drop, not a fold.
+      if (all.isEmpty) {
+        System.err.println(s"[graft] compactStreamIndex($root): mask " +
+          "removes every row — fold skipped, serving mask stays in force")
+      } else {
+        val stage = new org.apache.hadoop.fs.Path(
+          rootP, s"batch=${target._1}.stage_tmp")
+        Fs.delete(stage): Unit
+        // repartition by the partition column ⇒ each value lands in one
+        // task ⇒ exactly one file per partition dir (the compaction point)
+        all.repartition(col(partCol))
+          .write.partitionBy(partCol).parquet(stage.toString)
+        Fs.touch(new org.apache.hadoop.fs.Path(stage, Marker))
+        swapDir(stage, target._2)
+        dirs.init.foreach { case (_, p) => Fs.delete(p): Unit }
+        // the swap + deletions happened at the FILESYSTEM level, invisible
+        // to Spark's shared FileStatusCache — a later read of the root can
+        // otherwise plan against the pre-compaction file list and die on
+        // FILE_NOT_EXIST (observed once in the r9 sf10 sweep). Writers
+        // invalidate this automatically; renames must do it by hand.
+        spark.catalog.refreshByPath(root)
+        folded = dirs.size.toLong
+      }
     }
-    Map("dirs_folded" -> dirs.size.toLong,
+    Map("dirs_folded" -> folded,
       "dirs_after" -> batchDirs.size.toLong, // def: re-lists after the fold
       "files_before" -> before, "files_after" -> dataFiles)
   }
@@ -831,10 +881,10 @@ object Database {
     * "fired at least once" without hard-coding WHEN.
     */
   private[graft] def compactStreamIndexIfNeeded(spark: SparkSession,
-      root: File, partCol: String, maxDataFiles: Long,
+      root: String, partCol: String, maxDataFiles: Long,
       upTo: Long = Long.MaxValue): Option[Map[String, Long]] = {
     def batchDirs: Seq[(Long, org.apache.hadoop.fs.Path)] =
-      Fs.list(Fs.path(root.getPath))
+      Fs.list(Fs.path(root))
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
         .flatMap(st => scala.util.Try(
           st.getPath.getName.stripPrefix("batch=").toLong).toOption
@@ -868,9 +918,9 @@ object Database {
     * masked while tombstones exist, physically clean after.
     */
   private[graft] def compactStreamIndexWithTombstones(spark: SparkSession,
-      root: File, partCol: String, keyCol: String,
+      root: String, partCol: String, keyCol: String,
       upTo: Long = Long.MaxValue): Map[String, Long] =
-    tombstonesOf(spark, root.getPath, keyCol) match {
+    tombstonesOf(spark, root, keyCol) match {
       case None => compactStreamIndex(spark, root, partCol, upTo)
       case Some(t0) =>
         val t = org.apache.spark.sql.functions.broadcast(t0)
@@ -882,8 +932,8 @@ object Database {
         // dirs_after == 1 with dirs_folded ≥ 1 ⟺ full coverage (the
         // single-dir rewrite included — foldSingle makes it physical)
         if (stats("dirs_folded") >= 1 && stats("dirs_after") == 1) {
-          Fs.delete(Fs.child(root.getPath, "_tombstones")): Unit
-          spark.catalog.refreshByPath(root.getPath)
+          Fs.delete(Fs.child(root, "_tombstones")): Unit
+          spark.catalog.refreshByPath(root)
         }
         stats
     }
@@ -899,7 +949,7 @@ object Database {
     * plain parquet; format-aware callers pass their own.
     */
   private[graft] def mergeTouchedPartitions(partial: DataFrame, partCol: String,
-      state: File, stage: File,
+      state: String, stage: String,
       write: (DataFrame, String) => Unit = null,
       onSwapped: String => Unit = null)(
       merge: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
@@ -913,20 +963,20 @@ object Database {
     def dirName(v: String): String =
       s"$partCol=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .escapePathName(v)
-    val stateP = Fs.path(state.getPath)
-    val stageP = Fs.path(stage.getPath)
+    val stateP = Fs.path(state)
+    val stageP = Fs.path(stage)
     val dirs = touched
       .map(v => new org.apache.hadoop.fs.Path(stateP, dirName(v)))
       .filter(Fs.isDir).map(_.toString)
     val existing =
       if (dirs.isEmpty) None
-      else Some(sp.read.option("basePath", state.getPath)
+      else Some(sp.read.option("basePath", state)
         .parquet(dirs.toIndexedSeq: _*))
     val merged = merge(existing, partial)
     Fs.delete(stageP): Unit
     if (write == null)
-      merged.write.partitionBy(partCol).parquet(stage.getPath)
-    else write(merged, stage.getPath)
+      merged.write.partitionBy(partCol).parquet(stage)
+    else write(merged, stage)
     Fs.mkdirs(stateP)
     touched.foreach { v =>
       val src = new org.apache.hadoop.fs.Path(stageP, dirName(v))
@@ -952,7 +1002,7 @@ object Database {
     // the swaps happened at the FILESYSTEM level — invalidate Spark's
     // shared file-listing cache for the state root so a follow-up read
     // cannot plan against the pre-swap file list (see compactStreamIndex)
-    sp.catalog.refreshByPath(state.getPath)
+    sp.catalog.refreshByPath(state)
   }
 
   /** Exactly-once wrapper around [[mergeTouchedPartitions]] for merges
@@ -971,11 +1021,11 @@ object Database {
     * (touched-partition collect + staged write) inside the merge.
     */
   private[graft] def mergeTouchedPartitionsExactlyOnce(partial0: DataFrame,
-      partCol: String, state: File, stage: File, batchId: Long)(
+      partCol: String, state: String, stage: String, batchId: Long)(
       merge: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val ledger = new org.apache.hadoop.fs.Path(
-      Fs.path(state.getPath), "_batches")
+      Fs.path(state), "_batches")
     val marker = new org.apache.hadoop.fs.Path(ledger, s"b$batchId")
     if (batchId >= 0 && Fs.isFile(marker)) return
     val partLedger = new org.apache.hadoop.fs.Path(ledger, s"b$batchId.parts")
@@ -1011,8 +1061,8 @@ object Database {
     } finally { partial.unpersist(); () }
   }
 
-  private[graft] def swapDir(src: File, dst: File): Unit =
-    swapDir(Fs.path(src.getPath), Fs.path(dst.getPath))
+  private[graft] def swapDir(src: String, dst: String): Unit =
+    swapDir(Fs.path(src), Fs.path(dst))
 
   /** Hadoop-FS core of the backup-hop swap (dst → dst.bak, src → dst,
     * drop bak) — runs unchanged on file://, hdfs://, s3a:// roots. On
@@ -1122,7 +1172,15 @@ object Database {
       val touched = s.read.parquet(indexPath)
         .join(tomb, Seq(keyCol)).select(partCol).distinct()
         .collect().map(_.get(0).toString).sorted // ≤ #partition values
-      touched.foreach { l =>
+      touched.foreach { raw =>
+        // hive-escape the value exactly as Spark's partitioned writer
+        // named the dir (space/':'/'='/'/' etc.) — a raw value would
+        // make the fold read a nonexistent path and the vacuum restore
+        // rebuild a wrong dir name; the sweep regexes need no unescape
+        // because on-disk names (live, stage, bak) all carry the escaped
+        // form (mergeTouchedPartitions' ledger discipline)
+        val l = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(raw)
         val live = new Path(root, s"$partCol=$l")
         val stage = Fs.path(indexPath + s".stage_l$l")
         val bak = Fs.path(indexPath + s".bak_l$l")
@@ -1146,6 +1204,13 @@ object Database {
       s.catalog.refreshByPath(indexPath)
     }
   }
+
+  /** Fast containment probe for the versioned-read SQL forms — the
+    * rewrite (with its temp-view registration) only runs on statements
+    * that can possibly use them.
+    */
+  private[api] val VersionedRef = java.util.regex.Pattern.compile(
+    """(?i)\bVERSION\s+AS\s+OF\b|\bDIFF\s+FROM\s+\d+\s+TO\s+\d+""")
 
   /** `DELETE FROM t [WHERE p]` — full-statement match, optional `;`. */
   private val DeleteRe =

@@ -43,8 +43,23 @@ object Fs {
     * drop s3a credentials and `fs.defaultFS` by landing on a bare
     * `Configuration`) → bare `Configuration` only when no session exists
     * at all (session-free unit tests).
+    *
+    * SNAPSHOT SEMANTICS: the conf is captured ONCE per session instance —
+    * a runtime `spark.conf.set(...)` of a Hadoop key (e.g. s3a
+    * credentials) made AFTER the first Fs operation is NOT reflected
+    * here (deliberate: per-call `newHadoopConf()` clones thousands of
+    * entries on every directory of a vacuum walk). Set Hadoop keys
+    * before the first state-layer operation, or call
+    * [[invalidateConfCache]] after changing them.
     */
   @volatile private var cachedConf: (AnyRef, Configuration) = null
+
+  /** Drop the cached Hadoop conf so the next Fs operation re-snapshots
+    * the active session's conf — call after a runtime
+    * `spark.conf.set` of a Hadoop/filesystem key (see snapshot
+    * semantics above).
+    */
+  def invalidateConfCache(): Unit = { cachedConf = null }
   private def conf: Configuration = {
     val sess = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
@@ -64,6 +79,19 @@ object Fs {
 
   def path(s: String): Path = new Path(s)
   def child(parent: String, name: String): Path = new Path(parent, name)
+
+  /** Fully-qualified form (scheme + authority) of `p` under its own FS —
+    * the stable spelling for prefix-stripping a file path down to its
+    * table-root-relative name (listStatus returns qualified paths; a
+    * caller-built root is usually scheme-less, so qualify before
+    * comparing).
+    */
+  def qualify(p: Path): Path = {
+    val fs = of(p)
+    p.makeQualified(fs.getUri, fs.getWorkingDirectory)
+  }
+
+  def status(p: Path): FileStatus = of(p).getFileStatus(p)
 
   def exists(p: Path): Boolean = of(p).exists(p)
 
@@ -115,6 +143,16 @@ object Fs {
 
   /** Create an empty marker file (overwrites). */
   def touch(p: Path): Unit = of(p).create(p, true).close()
+
+  /** Write a small text file fully, overwriting (manifests / sidecar
+    * properties — never data). NOT atomic on any store: callers that need
+    * crash-safety stage + rename (the swap protocols) or tolerate a torn
+    * small write (the `.properties` sidecar — rewritten idempotently).
+    */
+  def writeUtf8(p: Path, s: String): Unit = {
+    val out = of(p).create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Read a small text file fully (manifests — never data). */
   def readUtf8(p: Path): String = {

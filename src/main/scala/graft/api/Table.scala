@@ -1,6 +1,5 @@
 package graft.api
 
-import java.io.File
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -141,7 +140,20 @@ class Table(val db: Database, val qualified: String) {
     // reference base columns, non-selected columns, or aliases — so filter
     // and sort run on the base frame with alias columns added alongside,
     // and the projection happens last.
-    var cur = df
+    //
+    // File skipping on the flagship read (c24): the reference's backend
+    // pruned every `where` for free via its indexes — here, range/equality
+    // conjuncts extracted from the where TEXT consult the [[analyzeStats]]
+    // sidecar and shrink the scan to the files whose bands can match
+    // (necessary conditions only, so the full residual predicate below
+    // keeps the semantics; uncovered files always scan). A table with no
+    // sidecar pays one metadata probe and plans the usual full scan.
+    var cur = where match {
+      case Some(w) =>
+        val bounds = Table.pruneBounds(db.spark, w)
+        (if (bounds.nonEmpty) prunedScan(bounds) else None).getOrElse(df)
+      case None => df
+    }
     where.foreach(w => cur = cur.filter(expr(w)))
     aliases.foreach { case (from, to) => cur = cur.withColumn(to, col(from)) }
     if (sort.nonEmpty) cur = cur.orderBy(sort.map(Table.sortExpr): _*)
@@ -223,7 +235,16 @@ class Table(val db: Database, val qualified: String) {
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
 
+    // delta-maintain the skipping sidecar (c25): snapshot the file set
+    // around the append — the difference IS the appended files — and
+    // extend the sidecar by scanning only them. Costs two O(#files)
+    // metadata listings, and only when a sidecar exists at all.
+    val hasStats = hasStatsSidecar
+    val before: Set[String] =
+      if (hasStats) currentDataFiles().map(_._1).toSet else Set.empty
     db.store(aligned, qualified, "append", chunkSize)
+    if (hasStats)
+      extendStats(currentDataFiles().map(_._1).filterNot(before))
   }
 
   /** TRUNCATE (ref datum/table.py:91-93, datum/postgis/table.py:170-177):
@@ -260,16 +281,23 @@ class Table(val db: Database, val qualified: String) {
     // skipping BETTER, never silently useless (c21). Column set recovered
     // from the sidecar's own schema; an unreadable sidecar is left for
     // the conservative read path.
-    val statsDir = new File(path + ".stats")
-    if (statsDir.isDirectory) {
-      val tracked = try db.spark.read.parquet(statsDir.getPath)
+    refreshStatsIfTracked()
+    idxName
+  }
+
+  /** Re-run [[analyzeStats]] for the columns the sidecar already tracks —
+    * the post-rewrite refresh shared by [[createIndex]] and
+    * [[createZOrderIndex]]. No sidecar (or an unreadable one) is left for
+    * the conservative read path.
+    */
+  private def refreshStatsIfTracked(): Unit =
+    if (hasStatsSidecar) {
+      val tracked = try db.spark.read.parquet(path + ".stats")
         .schema.fieldNames.toSeq
         .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
       catch { case _: Exception => Seq.empty[String] }
       if (tracked.nonEmpty) analyzeStats(tracked): Unit
     }
-    idxName
-  }
   def dropIndex(idxFields: Seq[String]): Unit = () // clustering is harmless to keep
 
   /** Range-partition count for a clustered rewrite: one partition per
@@ -317,12 +345,12 @@ class Table(val db: Database, val qualified: String) {
       // partition's merge stays shuffle-free (coalesce of its own files).
       var outFiles = 0
       Database.leafDirsOf(path).foreach { leaf =>
-        val files = Option(leaf.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && Database.isDataFile(f.getName))
-        val bytes = files.map(_.length).sum
+        val files = Fs.list(leaf)
+          .filter(st => st.isFile && Database.isDataFile(st.getPath.getName))
+        val bytes = files.map(_.getLen).sum
         val n = math.max(1, math.ceil(bytes.toDouble / (targetMB.toLong << 20)).toInt)
         if (files.length > n) {
-          db.replaceAt(leaf.getPath, db.loadDir(leaf.getPath).coalesce(n))
+          db.replaceAt(leaf.toString, db.loadDir(leaf.toString).coalesce(n))
           outFiles += n
         } else outFiles += files.length
       }
@@ -383,14 +411,7 @@ class Table(val db: Database, val qualified: String) {
     // every stats entry stale, and z-order exists to FEED the per-file
     // bands (c23) — refresh the tracked columns so the multi-dim bands
     // become tight immediately
-    val statsDir = new File(path + ".stats")
-    if (statsDir.isDirectory) {
-      val tracked = try db.spark.read.parquet(statsDir.getPath)
-        .schema.fieldNames.toSeq
-        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
-      catch { case _: Exception => Seq.empty[String] }
-      if (tracked.nonEmpty) analyzeStats(tracked): Unit
-    }
+    refreshStatsIfTracked()
     (name +: idxFields :+ "zidx").mkString("_")
   }
 
@@ -451,24 +472,21 @@ class Table(val db: Database, val qualified: String) {
     * rather than returning silently partial data.
     */
   def snapshot(): Int = {
-    val dir = new File(path + ".versions")
-    dir.mkdirs()
-    val root = new File(path).toPath
-    val files = Database.leafDirsOf(path).flatMap { leaf =>
-      Option(leaf.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && Database.isDataFile(f.getName))
-    }.map(f => root.relativize(f.toPath).toString).sorted
+    val dir = Fs.path(path + ".versions")
+    Fs.mkdirs(dir)
+    val files = currentDataFiles().map(_._2) // root-relative, sorted
     val v = versions.lastOption.getOrElse(0) + 1
-    val out = new java.io.PrintWriter(new File(dir, s"v$v.manifest"), "UTF-8")
-    try files.foreach(out.println) finally out.close()
+    // one small-text write via the Fs seam (file://, hdfs://, s3a://);
+    // \n-terminated lines, read back split on \r?\n (the CRLF lesson)
+    Fs.writeUtf8(new org.apache.hadoop.fs.Path(dir, s"v$v.manifest"),
+      files.map(_ + "\n").mkString)
     v
   }
 
   /** Snapshot versions recorded for this table, ascending. */
   def versions: Seq[Int] = {
-    val dir = new File(path + ".versions")
-    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-      .map(_.getName)
+    Fs.list(Fs.path(path + ".versions"))
+      .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
         n.stripPrefix("v").stripSuffix(".manifest") }
       .collect { case n if n.forall(_.isDigit) && n.nonEmpty => n.toInt }
@@ -481,7 +499,8 @@ class Table(val db: Database, val qualified: String) {
     */
   def readVersion(v: Int): DataFrame = {
     val rels = manifestFiles(v)
-    val missing = rels.filterNot(r => new File(path, r).isFile)
+    val missing = rels.filterNot(r =>
+      Fs.isFile(new org.apache.hadoop.fs.Path(Fs.path(path), r)))
     require(missing.isEmpty,
       s"snapshot v$v of $qualified references rewritten/removed files " +
         s"(append-only contract violated): ${missing.take(5).mkString(", ")}")
@@ -491,11 +510,11 @@ class Table(val db: Database, val qualified: String) {
 
   /** The manifest's relative data-file list (sorted as written). */
   private def manifestFiles(v: Int): List[String] = {
-    val mf = new File(path + ".versions", s"v$v.manifest")
-    require(mf.exists(), s"no snapshot v$v for table $qualified " +
+    val mf = Fs.child(path + ".versions", s"v$v.manifest")
+    require(Fs.exists(mf), s"no snapshot v$v for table $qualified " +
       s"(available: ${versions.mkString(", ")})")
-    val src = scala.io.Source.fromFile(mf, "UTF-8")
-    try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    Fs.readUtf8(mf).split("\r?\n").iterator
+      .map(_.trim).filter(_.nonEmpty).toList
   }
 
   /** Rows appended between snapshots `from` and `to` — the incremental
@@ -519,7 +538,8 @@ class Table(val db: Database, val qualified: String) {
         s"broke file lineage between them (file-granularity diff is " +
         s"undefined): ${gone.take(5).mkString(", ")}")
     val added = newer.filterNot(older.toSet)
-    val missing = added.filterNot(r => new File(path, r).isFile)
+    val missing = added.filterNot(r =>
+      Fs.isFile(new org.apache.hadoop.fs.Path(Fs.path(path), r)))
     require(missing.isEmpty,
       s"snapshot v$to of $qualified references rewritten/removed files " +
         s"(append-only contract violated): ${missing.take(5).mkString(", ")}")
@@ -543,22 +563,31 @@ class Table(val db: Database, val qualified: String) {
     */
   def analyzeStats(cols: Seq[String]): Long = {
     require(cols.nonEmpty, "analyzeStats needs at least one column")
+    val stats = perFileStats(df, currentDataFiles().map(_._1), cols)
+    writeStats(stats)
+    db.spark.read.parquet(path + ".stats").count()
+  }
+
+  /** Per-file (min, max per col, row count) over `src`, in ONE scan
+    * (`groupBy(input_file_name())` — map-side combinable, #files output
+    * rows). A ZERO-ROW data file (e.g. an append of an empty frame)
+    * produces no group — `expected` enumerates the file set so such
+    * files land explicitly (n_rows = 0, null bands); without them the
+    * sidecar could never cover a layout containing one: [[aggFromStats]]
+    * would refuse forever and [[readPruned]] would always conservatively
+    * scan the empty file.
+    */
+  private def perFileStats(src: DataFrame, expected: Seq[String],
+      cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       org.apache.spark.sql.functions.count(lit(1)).as("n_rows")
-    val computed = df.groupBy(input_file_name().as("file"))
+    val computed = src.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-    // a ZERO-ROW data file (e.g. an append of an empty frame) produces no
-    // group above — enumerate such files explicitly (n_rows = 0, null
-    // bands) or the sidecar could never cover a layout containing one:
-    // [[aggFromStats]] would refuse forever and [[readPruned]] would
-    // always conservatively scan the empty file
     val seen = computed.select("file").collect()
       .map(r => normFileUri(r.getString(0))).toSet
-    val empties = currentDataFiles().map(_._1)
-      .map(f => new File(f).toURI.toString)
-      .filterNot(u => seen.contains(normFileUri(u)))
-    val stats = if (empties.isEmpty) computed else {
+    val empties = expected.filterNot(u => seen.contains(normFileUri(u)))
+    if (empties.isEmpty) computed else {
       import scala.jdk.CollectionConverters._
       val rows = empties.map { u =>
         org.apache.spark.sql.Row.fromSeq(u +: computed.schema.fields.toSeq.tail
@@ -567,12 +596,37 @@ class Table(val db: Database, val qualified: String) {
       computed.unionByName(
         db.spark.createDataFrame(rows.asJava, computed.schema))
     }
-    val stage = new File(path + ".stats.stage_tmp")
+  }
+
+  /** Stage + atomically swap the sidecar (a reader never sees a
+    * half-written one), then drop Spark's cached listing of it.
+    */
+  private def writeStats(stats: DataFrame): Unit = {
     stats.coalesce(1) // #files rows — one sidecar file
-      .write.mode("overwrite").parquet(stage.getPath)
-    Database.swapDir(stage, new File(path + ".stats"))
+      .write.mode("overwrite").parquet(path + ".stats.stage_tmp")
+    Database.swapDir(path + ".stats.stage_tmp", path + ".stats")
     db.spark.catalog.refreshByPath(path + ".stats")
-    db.spark.read.parquet(path + ".stats").count()
+  }
+
+  /** Delta-maintain the sidecar after an append (c25 — e99's O(epoch)
+    * lesson applied to the metadata tier): the append knows exactly
+    * which files it landed, so extend the sidecar by scanning ONLY
+    * those files instead of refusing ([[aggFromStats]]) or degrading
+    * to a full rescan. O(appended files) data I/O + one tiny sidecar
+    * rewrite; at 100 TB the sidecar stays current under a trickle of
+    * appends without ever re-reading the table. No-op when no sidecar
+    * exists; an unreadable sidecar is left alone (the conservative
+    * paths already handle it).
+    */
+  private def extendStats(appended: Seq[String]): Unit = {
+    if (appended.isEmpty) return
+    val existing = try db.spark.read.parquet(path + ".stats")
+      catch { case _: Exception => return }
+    val tracked = existing.schema.fieldNames.toSeq
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+    if (tracked.isEmpty) return
+    val fresh = perFileStats(db.loadFiles(path, appended), appended, tracked)
+    writeStats(existing.unionByName(fresh))
   }
 
   /** Range read with file skipping (c20): serve `column BETWEEN lo AND
@@ -603,28 +657,51 @@ class Table(val db: Database, val qualified: String) {
     require(preds.nonEmpty, "readPrunedAll needs at least one range")
     val pred = preds.map { case (c, lo, hi) =>
       col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
-    val full = df.filter(pred)
-    val statsDir = new File(path + ".stats")
-    if (!statsDir.isDirectory) return full
+    prunedScan(preds.map { case (c, lo, hi) => (c, Some(lo), Some(hi)) })
+      .getOrElse(df).filter(pred)
+  }
+
+  /** The file-pruning core behind [[readPrunedAll]] and the sidecar-aware
+    * [[read]]: an UNFILTERED scan of only the files whose per-file
+    * min/max band (the [[analyzeStats]] sidecar) can intersect EVERY
+    * bound — one-sided bounds prune on their one side, a file all-null
+    * in any bounded column is skippable (NULL compares to nothing).
+    * Files the sidecar doesn't cover always scan. None = nothing
+    * prunable (no/unreadable sidecar, no tracked column among the
+    * bounds, or every file survives) — the caller uses its plain plan.
+    * The caller MUST still apply its full predicate: pruning is an I/O
+    * optimization, never the filter.
+    */
+  private def prunedScan(
+      bounds: Seq[(String, Option[Any], Option[Any])]): Option[DataFrame] = {
+    if (!hasStatsSidecar) return None
     val entries = try {
-      val hit = preds.map { case (c, lo, hi) =>
-        col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi) }.reduce(_ && _)
-      db.spark.read.parquet(statsDir.getPath)
-        .select(col("file"), hit.as("hit"))
+      val stats = db.spark.read.parquet(path + ".stats")
+      // only bounds over sidecar-tracked columns participate; the rest
+      // of the conjunction stays with the caller's residual predicate
+      val usable = bounds.filter { case (c, lo, hi) =>
+        stats.columns.contains(s"min_$c") && (lo.nonEmpty || hi.nonEmpty) }
+      if (usable.isEmpty) return None
+      val hit = usable.map { case (c, lo, hi) =>
+        val loOk = lo.map(l => col(s"max_$c") >= lit(l)).getOrElse(lit(true))
+        val hiOk = hi.map(h => col(s"min_$c") <= lit(h)).getOrElse(lit(true))
+        loOk && hiOk
+      }.reduce(_ && _)
+      stats.select(col("file"), hit.as("hit"))
         .collect()
         .map(r => normFileUri(r.getString(0)) -> (!r.isNullAt(1) && r.getBoolean(1)))
         .toMap
-    } catch { case _: Exception => return full } // no usable sidecar
+    } catch { case _: Exception => return None } // no usable sidecar
     val all = currentDataFiles()
     val chosen = all.filter { case (abs, _) =>
-      entries.get(normFileUri(new File(abs).toURI.toString)) match {
+      entries.get(normFileUri(abs)) match {
         case Some(hit) => hit       // covered: scan only on range overlap
         case None      => true      // uncovered (post-analyze append): scan
       }
     }
-    if (chosen.size == all.size) full // nothing pruned — plain plan
-    else if (chosen.isEmpty) full.limit(0)
-    else db.loadFiles(path, chosen.map(_._1)).filter(pred)
+    if (chosen.size == all.size) None // nothing pruned — plain plan
+    else if (chosen.isEmpty) Some(df.limit(0))
+    else Some(db.loadFiles(path, chosen.map(_._1)))
   }
 
   /** Metadata-only aggregate (c22): one row of (n_rows, min, max of
@@ -639,17 +716,16 @@ class Table(val db: Database, val qualified: String) {
     * ignore all-null files (their band is null).
     */
   def aggFromStats(column: String): Option[DataFrame] = {
-    val statsDir = new File(path + ".stats")
-    if (!statsDir.isDirectory) return None
+    if (!hasStatsSidecar) return None
     val stats = try {
-      val d = db.spark.read.parquet(statsDir.getPath)
+      val d = db.spark.read.parquet(path + ".stats")
       if (!d.columns.contains(s"min_$column")) return None
       d
     } catch { case _: Exception => return None }
     val covered = stats.select("file").collect()
       .map(r => normFileUri(r.getString(0))).toSet
     val live = currentDataFiles()
-      .map { case (abs, _) => normFileUri(new File(abs).toURI.toString) }.toSet
+      .map { case (abs, _) => normFileUri(abs) }.toSet
     if (covered != live) return None
     Some(stats.agg(
       sum(col("n_rows")).cast("long").as("n_rows"),
@@ -657,19 +733,30 @@ class Table(val db: Database, val qualified: String) {
       max(col(s"max_$column")).as(s"max_$column")))
   }
 
-  /** `file:` URI → filesystem path (decodes hive-escaped specials), for
-    * matching `input_file_name()` output against the local listing.
+  /** URI/path string → bare filesystem path (decodes `%XX` specials),
+    * for matching `input_file_name()` output (a full encoded URI)
+    * against the Hadoop listing (a qualified Path string). Both sides
+    * funnel through this, so `file:///a%20b`, `file:/a b`, and
+    * `hdfs://nn/a b` all compare on the decoded path component.
     */
   private def normFileUri(s: String): String =
     try new java.net.URI(s).getPath catch { case _: Exception => s }
 
-  /** Live data files, (absolute, root-relative), sorted by relative path. */
+  /** Live data files, (qualified path string, root-relative path),
+    * sorted by relative path. Hadoop-FS listing — the same file set on
+    * file://, hdfs://, s3a:// warehouses.
+    */
   private def currentDataFiles(): Seq[(String, String)] = {
-    val root = new File(path).toPath
+    val prefix = Fs.qualify(Fs.path(path)).toString + "/"
     Database.leafDirsOf(path).flatMap { leaf =>
-      Option(leaf.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && Database.isDataFile(f.getName))
-    }.map(f => (f.getPath, root.relativize(f.toPath).toString)).sortBy(_._2)
+      Fs.list(leaf)
+        .filter(st => st.isFile && Database.isDataFile(st.getPath.getName))
+    }.map { st =>
+      val q = st.getPath.toString // listStatus paths are qualified
+      require(q.startsWith(prefix),
+        s"data file $q outside table root $prefix")
+      (q, q.stripPrefix(prefix))
+    }.sortBy(_._2)
   }
 
   /** Roll the table back to snapshot `v` — dataset versioning's undo
@@ -694,19 +781,22 @@ class Table(val db: Database, val qualified: String) {
     // manifests are plain files, but a failed delete (or an unexpected
     // subdirectory) aborts instead of silently misreporting history.
     val fresh = snapshot()
-    val dir = new File(path + ".versions")
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName != s"v$fresh.manifest")
-      .foreach { f =>
-        db.deleteRecursively(f)
-        if (f.exists()) throw new java.io.IOException(
-          s"restore: cannot remove stale manifest ${f.getPath}")
+    val dir = Fs.path(path + ".versions")
+    Fs.list(dir)
+      .filter(_.getPath.getName != s"v$fresh.manifest")
+      .foreach { st =>
+        Fs.delete(st.getPath): Unit
+        if (Fs.exists(st.getPath)) throw new java.io.IOException(
+          s"restore: cannot remove stale manifest ${st.getPath}")
       }
     // collapse the surviving manifest to v1 (fresh history); if the rename
     // is refused, the vN name is still a fully valid single-entry history
-    val v1 = new File(dir, "v1.manifest")
-    if (fresh != 1 && new File(dir, s"v$fresh.manifest").renameTo(v1)) 1
-    else fresh
+    // (Fs.rename throws on an existing destination — same refusal class)
+    val v1 = new org.apache.hadoop.fs.Path(dir, "v1.manifest")
+    val collapsed = fresh != 1 && scala.util.Try(
+      Fs.rename(new org.apache.hadoop.fs.Path(dir, s"v$fresh.manifest"), v1)
+    ).getOrElse(false)
+    if (collapsed) 1 else fresh
   }
 
   /** Bucket-partition the table by a stable hash of `keyCols` — the
@@ -779,7 +869,7 @@ class Table(val db: Database, val qualified: String) {
     val d = delta.withColumn("bucket", b).persist()
     try {
       Database.mergeTouchedPartitions(d, "bucket",
-        new File(path), new File(path + ".upsert_stage"),
+        path, path + ".upsert_stage",
         write = (df, p) => db.storeAt(df, p, partitionBy = Seq("bucket"))) {
         (existing, dd) =>
           val keep = existing.map(
@@ -790,40 +880,58 @@ class Table(val db: Database, val qualified: String) {
     } finally { d.unpersist(); () }
   }
 
-  private def clearProps(keys: Seq[String]): Unit = {
-    val f = new File(path + ".properties")
-    if (f.exists()) {
-      val p = new java.util.Properties()
-      val in = new java.io.FileInputStream(f)
-      try p.load(in) finally in.close()
-      keys.foreach(p.remove)
-      val out = new java.io.FileOutputStream(f)
-      try p.store(out, null) finally out.close()
-    }
+  // `.properties` sidecar — the table's catalog record (srid, geom_type,
+  // pk, coarse overrides, bucket layout). Small-text I/O through the Fs
+  // seam: the identical sidecar on file://, hdfs://, s3a:// warehouses.
+  // store(Writer)/load(Reader) keep the full char range through UTF-8
+  // (the OutputStream variants are latin-1 + \u escapes — equivalent,
+  // but the Reader round-trip is what readUtf8/writeUtf8 give us).
+
+  /** Whether a readable `.stats` sidecar directory exists — false too
+    * for non-filesystem table paths (the JDBC adapter's `jdbc:…` URLs),
+    * which cannot carry sidecars at all.
+    */
+  private def hasStatsSidecar: Boolean =
+    (try Some(Fs.path(path + ".stats"))
+     catch { case _: IllegalArgumentException => None }).exists(Fs.isDir)
+
+  // a non-filesystem table path (the JDBC adapter's `jdbc:…` URLs) has
+  // no sidecar: every read degrades to None, a write fails loudly
+  private def propsPath: Option[org.apache.hadoop.fs.Path] =
+    try Some(Fs.path(path + ".properties"))
+    catch { case _: IllegalArgumentException => None }
+
+  private def loadProps(): java.util.Properties = {
+    val p = new java.util.Properties()
+    propsPath.filter(Fs.isFile).foreach(f =>
+      p.load(new java.io.StringReader(Fs.readUtf8(f))))
+    p
   }
+
+  private def storeProps(p: java.util.Properties): Unit = {
+    val sw = new java.io.StringWriter()
+    p.store(sw, null)
+    Fs.writeUtf8(propsPath.getOrElse(throw new IllegalStateException(
+      s"table $qualified has no filesystem path — no .properties sidecar")),
+      sw.toString)
+  }
+
+  private def clearProps(keys: Seq[String]): Unit =
+    if (propsPath.exists(Fs.isFile)) {
+      val p = loadProps()
+      keys.foreach(p.remove)
+      storeProps(p)
+    }
 
   private def setProps(kvs: Map[String, String]): Unit = {
-    val f = new File(path + ".properties")
-    val p = new java.util.Properties()
-    if (f.exists()) {
-      val in = new java.io.FileInputStream(f)
-      try p.load(in) finally in.close()
-    }
+    val p = loadProps()
     kvs.foreach { case (k, v) => p.setProperty(k, v) }
-    val out = new java.io.FileOutputStream(f)
-    try p.store(out, null) finally out.close()
+    storeProps(p)
   }
 
-  private def prop(key: String): Option[String] = {
-    val f = new File(path + ".properties")
-    if (!f.exists()) None
-    else {
-      val p = new java.util.Properties()
-      val in = new java.io.FileInputStream(f)
-      try p.load(in) finally in.close()
-      Option(p.getProperty(key))
-    }
-  }
+  private def prop(key: String): Option[String] =
+    if (!propsPath.exists(Fs.isFile)) None
+    else Option(loadProps().getProperty(key))
 }
 
 object Table {
@@ -833,6 +941,74 @@ object Table {
     * backends: num/text/date/geom + the catalog-only name/nclob).
     */
   val CoarseTypes = Set("num", "text", "date", "geom", "name", "nclob", "other")
+
+  /** Necessary-condition column bounds extracted from a SQL `where` text
+    * for sidecar file skipping: split the parsed expression on AND and
+    * keep the conjuncts of the shape `col <cmp> literal` (either operand
+    * order; BETWEEN desugars to >= AND <= in the parser). Each extracted
+    * bound is IMPLIED by the full predicate, so pruning on it can never
+    * lose rows — `OR`, `NOT`, functions-of-columns, and col-vs-col
+    * conjuncts simply contribute nothing. Strict `<`/`>` prune with
+    * their inclusive band check (a file whose max equals the bound is
+    * scanned unnecessarily, never wrongly skipped). Only plain
+    * single-part column names and atomic literal types participate;
+    * unparseable text yields Nil (the read falls back to the full scan).
+    */
+  private[api] def pruneBounds(spark: org.apache.spark.sql.SparkSession,
+      where: String): Seq[(String, Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    def colOf(e: Expression): Option[String] = e match {
+      case u: UnresolvedAttribute if u.nameParts.length == 1 => Some(u.name)
+      case _ => None
+    }
+    def valOf(e: Expression): Option[Any] = e match {
+      case l: Literal if l.value != null => l.dataType match {
+        case _: NumericType | StringType | DateType | _: TimestampType |
+             TimestampNTZType | BooleanType =>
+          Some(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+        case _ => None
+      }
+      case _ => None
+    }
+    // (column, value, columnIsLeftOperand) for `col <cmp> lit` in either
+    // operand order — a literal-first spelling flips the bound's side
+    def split(a: Expression, b: Expression): Option[(String, Any, Boolean)] =
+      colOf(a).flatMap(cn => valOf(b).map(v => (cn, v, true)))
+        .orElse(colOf(b).flatMap(cn => valOf(a).map(v => (cn, v, false))))
+    val parsed = scala.util.Try(
+      spark.sessionState.sqlParser.parseExpression(where)).toOption
+    parsed.toSeq.flatMap(conjuncts).flatMap {
+      // the parser emits BETWEEN as an unresolved `between(in, lo, hi)`
+      // call (resolved later to the RuntimeReplaceable Between — handle
+      // both spellings, pre- and post-analysis)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("between") &&
+            f.arguments.length == 3 =>
+        for (cn <- colOf(f.arguments(0)); l <- valOf(f.arguments(1));
+             h <- valOf(f.arguments(2)))
+          yield (cn, Some(l): Option[Any], Some(h): Option[Any])
+      case Between(in, lo, hi, _) =>
+        for (cn <- colOf(in); l <- valOf(lo); h <- valOf(hi))
+          yield (cn, Some(l): Option[Any], Some(h): Option[Any])
+      case EqualTo(a, b) =>
+        split(a, b).map { case (cn, v, _) => (cn, Some(v), Some(v)) }
+      case GreaterThanOrEqual(a, b) => split(a, b).map { case (cn, v, left) =>
+        if (left) (cn, Some(v), None) else (cn, None, Some(v)) }
+      case GreaterThan(a, b) => split(a, b).map { case (cn, v, left) =>
+        if (left) (cn, Some(v), None) else (cn, None, Some(v)) }
+      case LessThanOrEqual(a, b) => split(a, b).map { case (cn, v, left) =>
+        if (left) (cn, None, Some(v)) else (cn, Some(v), None) }
+      case LessThan(a, b) => split(a, b).map { case (cn, v, left) =>
+        if (left) (cn, None, Some(v)) else (cn, Some(v), None) }
+      case _ => None
+    }
+  }
 
   /** Parse "col DESC" / "col ASC" / bare expr sort specs (the reference
     * passes these through as SQL text, datum/postgis/table.py:159-163).

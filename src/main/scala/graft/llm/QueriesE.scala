@@ -1082,7 +1082,13 @@ object QueriesE {
     val dfD = rows.filter(col("word").isin(terms: _*))
       .groupBy("word").agg(countDistinct(col("doc_id")).as("d"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    ((nd - ndD), (tl - tlD).toDouble / (nd - ndD).toDouble,
+    // an epoch deleting EVERY indexed doc would make avgdl 0/0 → NaN and
+    // every downstream serve NaN-scored; the empty index has no mean doc
+    // length, so pin avgdl 0.0 (nd'=0 already makes any serve empty)
+    val ndAfter = nd - ndD
+    val avgdlAfter = if (ndAfter == 0L) 0.0
+      else (tl - tlD).toDouble / ndAfter.toDouble
+    (ndAfter, avgdlAfter,
       dfs.map { case (t, c) => t -> (c - dfD.getOrElse(t, 0L)) })
   }
 
@@ -1115,10 +1121,10 @@ object QueriesE {
       terms: Seq[String] = Bm25Terms): org.apache.spark.sql.DataFrame = {
     val words = graft.Caches.persistTracked(bm25Words(s, dir))
     bm25Stats(s, dir, Some(words), terms): Unit // stats memo off the same scan
-    val tmp = new java.io.File(indexRoot + ".stage_tmp")
+    val tmp = indexRoot + ".stage_tmp"
     postingRows(words) // overwrite mode clears any crashed build's orphan
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.getPath)
-    graft.api.Database.swapDir(tmp, new java.io.File(indexRoot))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    graft.api.Database.swapDir(tmp, indexRoot)
     bm25ProbePruned(s, indexRoot, dir, terms)
   }
 
@@ -3154,8 +3160,8 @@ object QueriesE {
             .otherwise(lit(K)))
         .select(col("vec_id"), col("emb"), col("new_list").as("list_id"))
       graft.api.Database.mergeTouchedPartitions(
-        graft.Caches.persistTracked(partial), "list_id", state,
-        new java.io.File(state.getPath + ".stage_tmp"))((_, p) => p)
+        graft.Caches.persistTracked(partial), "list_id", state.getPath,
+        state.getPath + ".stage_tmp")((_, p) => p)
       assert(dirSig == before,
         "rebalance must rewrite ONLY the hot and new lists' partition dirs")
       val qs = base.filter(col("vec_id") % 97 === 0 && col("vec_id") < 2048)
@@ -3489,6 +3495,89 @@ object QueriesE {
         s"delta-maintained occupancy must equal the post-fold recount: " +
           s"$predicted vs $after")
       predicted.toDF("list_id", "n_vecs").orderBy("list_id")
+    }),
+
+    // e101: RETRAIN-ON-THRESHOLD — the lifecycle hole the r12 verdict
+    // named (missing #5): deletes/ingest maintain membership and
+    // occupancy (e99/e100), but centroids were frozen at first training,
+    // so a drifted corpus degrades the index invisibly. The gate drifts
+    // the corpus deterministically (a rigid +3.0 translation of every
+    // vector, ids offset past the originals — 50% of the drifted corpus
+    // lies where NO stale centroid ever was), reads e73's monitor signal
+    // (max list share under the STALE centroids), and retrains when it
+    // crosses the threshold. Graded on both axes: occupancy skew falls
+    // back toward balance, and a frozen 3-query recall probe from the
+    // drifted region serves ≥ the stale index (the non-regression safety
+    // check — a retrain that lost recall must never swap in). Everything
+    // is the deterministic e18 training loop (fixed-point means,
+    // first-k-by-id init), so the DuckDB oracle replays training, drift,
+    // monitor, decision, and both serving arms bit-for-bit. At 100 TB:
+    // the monitor is e73's O(#lists) aggregate, the retrain one k-means
+    // over the corpus (samplable), and the recall probe a bounded
+    // ≤3-query grading pass — the decision costs metadata, the retrain
+    // runs only when the signal says the index is rotting.
+    "e101_ivf_retrain" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 8; val Iters = 3; val NProbe = 2; val TopK = 5
+      val Thresh = 0.3 // ideal share 1/8; drift concentrates ≥ ~0.5
+      val DriftBase = 10000000L
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb"))
+      val drifted = base.select(
+        (col("vec_id") + lit(DriftBase)).as("vec_id"),
+        transform(col("emb"), x => x + lit(3.0)).as("emb"))
+      val corpus = graft.Caches.persistTracked(base.unionByName(drifted))
+      val stale = Similarity.kmeansCentroids(base, "vec_id", K, Iters,
+        memoKey = s"kmeans|$dir|embeddings|k$K|it$Iters")
+      def skewOf(cents: Array[Array[Double]]): Double = {
+        val ns = corpus
+          .select(Similarity.ivfAssign(col("emb"), cents).as("l"))
+          .groupBy("l").agg(count(lit(1)).as("n"))
+          .collect().map(_.getLong(1))
+        ns.max.toDouble / ns.sum.toDouble
+      }
+      val skewStale = skewOf(stale)
+      val fired = skewStale > Thresh
+      assert(fired, f"the drift must trip the retrain threshold " +
+        f"(monitor signal $skewStale%.3f <= $Thresh)")
+      val fresh =
+        if (fired) Similarity.kmeansCentroids(corpus, "vec_id", K, Iters,
+          memoKey = s"kmeans|$dir|e101drift|k$K|it$Iters")
+        else stale
+      val skewFresh = skewOf(fresh)
+      val qs = corpus.filter(col("vec_id").isin(
+          DriftBase + 1L, DriftBase + 3L, DriftBase + 5L))
+        .select(col("vec_id").as("qid"), col("emb").as("q"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val truth = graft.Caches.persistTracked(
+        corpus.join(broadcast(qs), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            Similarity.cosine(col("emb"), col("q")).as("cos"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+          .select("qid", "vec_id"))
+      def hitsOf(cents: Array[Array[Double]]): Long = {
+        val assigned = corpus.select(col("vec_id"), col("emb"),
+          Similarity.ivfAssign(col("emb"), cents).as("l"))
+        val probes = qs.select(col("qid"), col("q"),
+          explode(Similarity.ivfProbes(col("q"), cents, NProbe)).as("pl"))
+        assigned.join(broadcast(probes),
+            col("l") === col("pl") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            Similarity.cosine(col("emb"), col("q")).as("cos"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+          .join(truth, Seq("qid", "vec_id"))
+          .count()
+      }
+      val hitsStale = hitsOf(stale)
+      val hitsFresh = hitsOf(fresh)
+      assert(hitsFresh >= hitsStale,
+        s"retrained index must serve >= the stale one's recall " +
+          s"($hitsFresh vs $hitsStale of ${3 * TopK})")
+      import s.implicits._
+      Seq((skewStale, skewFresh, fired, hitsStale, hitsFresh,
+        hitsFresh >= hitsStale))
+        .toDF("skew_stale", "skew_fresh", "fired",
+          "n_hit_stale", "n_hit_fresh", "retrain_non_regression")
     }),
 
     // e91: LEARNED language ID — e10's hand-listed marker profiles
@@ -4714,6 +4803,55 @@ object QueriesE {
         "CAST(coalesce(n_vecs, 0) AS BIGINT) AS n_vecs " +
         "FROM lists LEFT JOIN occ ON lists.list_id = occ.list_id " +
         "ORDER BY lists.list_id"
+    },
+    "e101_ivf_retrain" -> {
+      val K = 8; val Iters = 3; val NProbe = 2; val TopK = 5
+      val DriftBase = 10000000L
+      val cos =
+        s"(${sqlChain(i => s"v.emb[$i]*q.emb[$i]")}) / " +
+          s"(sqrt(${sqlChain(i => s"v.emb[$i]*v.emb[$i]")}) * " +
+          s"sqrt(${sqlChain(i => s"q.emb[$i]*q.emb[$i]")}))"
+      def probeCtes(pfx: String, cents: String): String =
+        s"${pfx}pd AS (SELECT q.qid, c.j, ${sqlL2N(Dims)("q", "c")} AS d " +
+          s"FROM $cents c CROSS JOIN qs q), " +
+          s"${pfx}pr AS (SELECT qid, j FROM ${pfx}pd QUALIFY " +
+          s"row_number() OVER (PARTITION BY qid ORDER BY d, j) <= $NProbe)"
+      def serveCtes(pfx: String, assign: String): String =
+        s"${pfx}sv AS (SELECT qid, vec_id FROM (" +
+          s"SELECT q.qid, v.vec_id, $cos AS cos " +
+          s"FROM $assign v JOIN ${pfx}pr p ON v.list = p.j " +
+          "JOIN qs q ON q.qid = p.qid " +
+          "WHERE v.rn = 1 AND v.vec_id <> q.qid) " +
+          s"QUALIFY row_number() OVER (PARTITION BY qid " +
+          s"ORDER BY cos DESC, vec_id) <= $TopK), " +
+          s"${pfx}h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit " +
+          s"FROM ${pfx}sv JOIN tr USING (qid, vec_id))"
+      sqlKmeansCtes(K, Iters) + ", " + // e + stale centroids c3
+        s"d AS (SELECT vec_id, emb FROM e UNION ALL " +
+        s"SELECT vec_id + $DriftBase AS vec_id, " +
+        "list_transform(emb, x -> x + 3.0) AS emb FROM e), " +
+        sqlKmeansLoop(Dims, "d", "f")(K, Iters) + ", " + // fresh fc3
+        sqlKmAssignN(Dims, "d")("sa", s"c$Iters") + ", " +
+        sqlKmAssignN(Dims, "d")("fa", s"fc$Iters") + ", " +
+        "sc AS (SELECT list, count(*) AS n FROM sa WHERE rn = 1 GROUP BY list), " +
+        "fcn AS (SELECT list, count(*) AS n FROM fa WHERE rn = 1 GROUP BY list), " +
+        "sk AS (SELECT CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS skew_stale FROM sc), " +
+        "fk AS (SELECT CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS skew_fresh FROM fcn), " +
+        "qs AS (SELECT vec_id AS qid, emb FROM d WHERE vec_id IN (" +
+        s"${DriftBase + 1}, ${DriftBase + 3}, ${DriftBase + 5})), " +
+        "tr AS (SELECT qid, vec_id FROM (" +
+        s"SELECT q.qid, v.vec_id, $cos AS cos FROM d v CROSS JOIN qs q " +
+        "WHERE v.vec_id <> q.qid) " +
+        s"QUALIFY row_number() OVER (PARTITION BY qid " +
+        s"ORDER BY cos DESC, vec_id) <= $TopK), " +
+        probeCtes("s", s"c$Iters") + ", " +
+        probeCtes("f", s"fc$Iters") + ", " +
+        serveCtes("s", "sa") + ", " +
+        serveCtes("f", "fa") + " " +
+        "SELECT sk.skew_stale, fk.skew_fresh, sk.skew_stale > 0.3 AS fired, " +
+        "sh.n_hit AS n_hit_stale, fh.n_hit AS n_hit_fresh, " +
+        "fh.n_hit >= sh.n_hit AS retrain_non_regression " +
+        "FROM sk, fk, sh, fh"
     },
     "e81_hybrid_rrf" ->
       (s"WITH ${sqlBm25Ctes()}, " +

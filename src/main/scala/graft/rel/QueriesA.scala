@@ -118,7 +118,7 @@ object QueriesA {
     "a9_binaryfile_ingest" -> ((s, dir) => {
       val out = new java.io.File("/root/repo/target/fixtures/out/a9_media_" +
         dir.replaceAll("[^A-Za-z0-9]", "_"))
-      graft.api.Database.wipeDir(out); out.mkdirs()
+      graft.api.Database.wipeDir(out.getPath); out.mkdirs()
       Q.t(s, dir, "documents").filter(col("doc_id") < 40)
         .select(col("doc_id"), col("text")).collect()
         .foreach { r =>

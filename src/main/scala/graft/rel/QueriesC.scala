@@ -303,11 +303,12 @@ object QueriesC {
           .select(lit(phase).as("phase"), col("n"), col("key_sum"),
             col("min_key"), col("max_key"), lit(covered > 0L).as("stats_ok"))
       val coveredAgg = gauge(pruned, "covered")
-      // append AFTER the analyze: the new file has no stats — the
-      // conservative path must scan it (a sidecar can only skip, never
-      // hide)
-      tbl.write(orders.filter(
-        col("o_orderkey") > 3000 && col("o_orderkey") <= 4000))
+      // OUT-OF-BAND append AFTER the analyze (no façade — façade appends
+      // delta-maintain the sidecar since c25): the new file has no stats
+      // — the conservative path must scan it (a sidecar can only skip,
+      // never hide)
+      orders.filter(col("o_orderkey") > 3000 && col("o_orderkey") <= 4000)
+        .write.mode("append").parquet(tbl.path)
       val fresh = tbl.readPruned("o_orderkey", 3200L, 3800L)
       assert(fresh.inputFiles.nonEmpty,
         "conservative read must include the un-analyzed file")
@@ -354,12 +355,14 @@ object QueriesC {
     // c22: METADATA-ONLY aggregates — COUNT/MIN/MAX answered from c20's
     // stats sidecar alone, zero data-file I/O (engine-asserts every
     // input file of the serving plan is a sidecar file). The refusal
-    // edge is gated too: after an un-analyzed append the sidecar no
-    // longer covers the live file set and aggFromStats must return None
-    // (a metadata answer over stale coverage would be WRONG, unlike
-    // c20's skipping which degrades to a full scan) — re-analyze, and
-    // the metadata answer covers the grown table. At 100 TB this is the
-    // table formats' O(#files) COUNT(*) instead of a corpus scan.
+    // edge is gated too: an OUT-OF-BAND append (raw parquet write, no
+    // façade — façade appends now delta-maintain the sidecar, c25)
+    // leaves the sidecar not covering the live file set and
+    // aggFromStats must return None (a metadata answer over stale
+    // coverage would be WRONG, unlike c20's skipping which degrades to
+    // a full scan) — re-analyze, and the metadata answer covers the
+    // grown table. At 100 TB this is the table formats' O(#files)
+    // COUNT(*) instead of a corpus scan.
     "c22_stats_only_agg" -> ((s, dir) => {
       val db = scratch(s)
       val orders = t(s, dir, "orders")
@@ -381,8 +384,11 @@ object QueriesC {
       // sidecar files its plan reads (the e94 masked-phase lesson)
       val phase1 = serve("covered").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      tbl.write(orders.filter(
-        col("o_orderkey") > 3000 && col("o_orderkey") <= 4000))
+      // out-of-band append: straight to the directory, no façade — the
+      // one channel that can leave the sidecar stale (c25 covers the
+      // façade channel)
+      orders.filter(col("o_orderkey") > 3000 && col("o_orderkey") <= 4000)
+        .write.mode("append").parquet(tbl.path)
       assert(tbl.aggFromStats("o_orderkey").isEmpty,
         "a sidecar that no longer covers the table must refuse")
       tbl.analyzeStats(Seq("o_orderkey")): Unit
@@ -429,6 +435,123 @@ object QueriesC {
           max(col("o_orderkey")).cast("long").as("max_key"))
         .select(col("n"), col("key_sum"), col("cust_sum"),
           col("min_key"), col("max_key"), lit(true).as("zorder_skips"))
+    }),
+
+    // c24: FILE SKIPPING ON THE FLAGSHIP READ — the reference's primary
+    // operator (ref datum/table.py:68-86) now gets c20's sidecar for
+    // free: a plain read(where=<SQL text>) extracts the range/equality
+    // conjuncts from the where text (Table.pruneBounds — necessary
+    // conditions only), consults the analyzeStats sidecar, and plans
+    // over only the files whose bands can match; the FULL where
+    // (including the non-extractable residue conjunct here) still
+    // applies on top, so the values gate as a pure WHERE over orders.
+    // The reference's backend pruned every read via its b-trees without
+    // the user asking — this closes the same gap for the 100 TB scan:
+    // engine-asserts the where-read touched strictly fewer files than
+    // the table holds, while a residue-only read still scans them all.
+    "c24_read_where_skipping" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 3000)
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.mode("overwrite").parquet(db.pathOf("c24_orders"))
+      val tbl = db.table("c24_orders")
+      tbl.analyzeStats(Seq("o_orderkey")): Unit
+      val total = tbl.df.inputFiles.length
+      val pruned = tbl.read(where =
+        Some("o_orderkey BETWEEN 500 AND 1500 AND o_orderpriority <> 'X'"))
+      assert(pruned.inputFiles.length < total,
+        s"read(where=) must skip files through the sidecar: " +
+          s"${pruned.inputFiles.length}/$total")
+      val residueOnly = tbl.read(where = Some("o_orderpriority <> 'X'"))
+      assert(residueOnly.inputFiles.length == total,
+        "a where with no extractable range must plan the full scan")
+      pruned.agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"),
+        sum(col("o_custkey")).cast("long").as("cust_sum"),
+        min(col("o_orderkey")).cast("long").as("min_key"),
+        max(col("o_orderkey")).cast("long").as("max_key"))
+    }),
+
+    // c25: DELTA-MAINTAINED SIDECAR — e99's O(epoch) lesson applied to
+    // the metadata tier: Table.write knows exactly which files it
+    // landed, so the append extends the stats sidecar by scanning ONLY
+    // those files — no refusal (c22's old edge), no full re-analyze. The
+    // gate: analyze, append THROUGH the façade, then (a) the
+    // metadata-only aggregate still serves (engine-asserts zero
+    // data-file I/O) and covers the appended band, and (b) a range read
+    // inside the OLD band still skips the appended file (it is covered,
+    // with a disjoint band — not merely conservatively scanned). At
+    // 100 TB the sidecar stays current under a trickle of appends
+    // without ever re-reading the table.
+    "c25_stats_delta_append" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 3000)
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.mode("overwrite").parquet(db.pathOf("c25_orders"))
+      val tbl = db.table("c25_orders")
+      tbl.analyzeStats(Seq("o_orderkey")): Unit
+      val preAppend = tbl.df.inputFiles.toSet
+      tbl.write(orders.filter(
+        col("o_orderkey") > 3000 && col("o_orderkey") <= 4000))
+      val appended = tbl.df.inputFiles.filterNot(preAppend).toSet
+      assert(appended.nonEmpty, "the append must land new files")
+      val meta = tbl.aggFromStats("o_orderkey").getOrElse(sys.error(
+        "a delta-maintained sidecar must keep serving after a façade append"))
+      assert(meta.inputFiles.nonEmpty &&
+        meta.inputFiles.forall(_.contains(".stats")),
+        s"metadata-only plan reads data files: ${meta.inputFiles.toSeq}")
+      val total = tbl.df.inputFiles.length
+      val oldBand = tbl.readPruned("o_orderkey", 500L, 1500L)
+      assert(oldBand.inputFiles.length < total,
+        s"the old-band read must skip: ${oldBand.inputFiles.length}/$total")
+      assert(oldBand.inputFiles.toSet.intersect(appended).isEmpty,
+        "the appended file must be SKIPPED (covered, disjoint band), " +
+          "not conservatively scanned")
+      meta.select(col("n_rows"),
+        col("min_o_orderkey").cast("long").as("min_key"),
+        col("max_o_orderkey").cast("long").as("max_key"))
+    }),
+
+    // c26: SQL ROUTE TO THE VERSIONED TIER — the reference's raw-SQL
+    // surface (ref datum/database.py:44-45) reaches time travel and
+    // delta reads without a second API: `FROM t VERSION AS OF n` and
+    // `FROM t DIFF FROM n TO m` in db.execute resolve through the
+    // snapshot manifests (c13/c19's engine). The gate engine-asserts the
+    // SQL route returns EXACTLY the API route's rows (readVersion /
+    // diffVersions), then hash-gates the values as pure WHEREs over
+    // orders. At 100 TB both routes cost two tiny manifest reads + a
+    // scan of only the pinned/delta files.
+    "c26_sql_time_travel" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 1000)
+        .write.mode("overwrite").parquet(db.pathOf("c26_orders"))
+      val tbl = db.table("c26_orders")
+      graft.api.Database.wipeDir(tbl.path + ".versions")
+      val v1 = tbl.snapshot()
+      tbl.write(orders.filter(
+        col("o_orderkey") > 1000 && col("o_orderkey") <= 3000))
+      val v2 = tbl.snapshot()
+      def gauge(from: String, phase: String) = db.execute(
+        s"SELECT '$phase' AS phase, count(*) AS n, " +
+          "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+          "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+          "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
+          s"FROM c26_orders $from")
+      val asOf = gauge(s"VERSION AS OF $v1", "asof")
+      val diff = gauge(s"DIFF FROM $v1 TO $v2", "diff")
+      // the SQL route must be the API route, not a sibling definition
+      val apiAsOf = tbl.readVersion(v1)
+        .agg(count(lit(1)), sum(col("o_orderkey")).cast("long")).collect()(0)
+      val sqlAsOf = asOf.select(col("n"), col("key_sum")).collect()(0)
+      assert(apiAsOf == sqlAsOf, s"SQL $sqlAsOf != API $apiAsOf")
+      val apiDiff = tbl.diffVersions(v1, v2)
+        .agg(count(lit(1)), sum(col("o_orderkey")).cast("long")).collect()(0)
+      val sqlDiff = diff.select(col("n"), col("key_sum")).collect()(0)
+      assert(apiDiff == sqlDiff, s"SQL $sqlDiff != API $apiDiff")
+      asOf.unionByName(diff).orderBy("phase")
     }),
 
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
@@ -660,6 +783,32 @@ object QueriesC {
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
         "CAST(max(o_orderkey) AS BIGINT) AS max_key, TRUE AS skipping_improved " +
         "FROM orders WHERE o_orderkey BETWEEN 500 AND 1500"),
+    "c24_read_where_skipping" ->
+      ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS cust_sum, " +
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
+        "FROM orders WHERE o_orderkey BETWEEN 500 AND 1500 " +
+        "AND o_orderpriority <> 'X'"),
+    "c25_stats_delta_append" ->
+      ("SELECT count(*) AS n_rows, " +
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
+        "FROM orders WHERE o_orderkey <= 4000"),
+    "c26_sql_time_travel" ->
+      ("SELECT * FROM (" +
+        "SELECT 'asof' AS phase, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
+        "FROM orders WHERE o_orderkey <= 1000 " +
+        "UNION ALL " +
+        "SELECT 'diff' AS phase, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
+        "FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 3000" +
+        ") ORDER BY phase"),
     "c19_snapshot_diff" ->
       ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
         "CAST(sum(o_custkey) AS BIGINT) AS cust_sum, " +

@@ -363,8 +363,12 @@ object QueriesF {
 
     // f16: exactly-once streaming append into a live JDBC backend (Derby):
     // per-batch rows + ledger entry commit in one backend transaction;
-    // replayed batches skip on the ledger hit. Read-back ≡ the source
-    // events (the oracle) proves no loss and no duplication.
+    // replayed batches skip on the ledger hit. The sink receives the
+    // BOUNDED ops slice (event_id < 100k — the serving-DB edge gets
+    // slices/aggregates by design, and the bound is what lets ×10/×100
+    // measure the Spark side instead of the single-node backend's serial
+    // commit). Read-back ≡ the source slice (the oracle) proves no loss
+    // and no duplication.
     "f16_stream_jdbc_sink" -> ((s, dir) =>
       EventWindows.eventsToJdbcExactlyOnce(s, dir).orderBy("event_id")),
 
@@ -599,7 +603,7 @@ object QueriesF {
         "WHERE v_id IS NOT NULL OR p_ts < wm ORDER BY p_id, v_id"),
     "f16_stream_jdbc_sink" ->
       ("SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value " +
-        "FROM events ORDER BY event_id"),
+        "FROM events WHERE event_id < 100000 ORDER BY event_id"),
     // the maintained view must equal a from-scratch daily aggregate
     "f18_stream_mview" ->
       ("SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n, " +

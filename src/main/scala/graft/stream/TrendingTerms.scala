@@ -43,7 +43,8 @@ object TrendingTerms {
     // two-level ledger (Database.mergeTouchedPartitionsExactlyOnce)
     // makes the plain-file multi-bucket commit exactly-once
     graft.api.Database.mergeTouchedPartitionsExactlyOnce(
-      termPartial(batch, nBuckets), "bucket", state, stage, batchId)(foldDf)
+      termPartial(batch, nBuckets), "bucket", state.getPath, stage.getPath,
+      batchId)(foldDf)
 
   /** The per-batch (term, df, bucket) partial (exposed for the
     * crash-replay test, which drives a fold that dies mid-swap).

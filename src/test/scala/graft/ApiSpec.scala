@@ -599,6 +599,42 @@ class ApiSpec extends AnyFunSuite {
     assert(scratch.vacuum().values.sum == 0)
   }
 
+  test("vacuum covers the .stats sidecar swap's crash residue (stage reclaimed, orphaned .bak restored)") {
+    import spark.implicits._
+    val scratch = scratchDb()
+    (1L to 600L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(6, col("k"))
+      .write.mode("overwrite").parquet(scratch.pathOf("vacstats"))
+    val t = scratch.table("vacstats")
+    scratch.vacuum() // reset residue from suites sharing the root
+    t.analyzeStats(Seq("k")): Unit
+    // crash A: writeStats died after staging, before the swap — the
+    // orphan .stats.stage_tmp is un-promoted by construction; vacuum
+    // reclaims it through the generic .stage_tmp class and the live
+    // sidecar keeps serving
+    val stage = new java.io.File(t.path + ".stats.stage_tmp")
+    stage.mkdirs()
+    val rep1 = scratch.vacuum()
+    assert(rep1("stage_tmp") == 1 && !stage.exists(), s"$rep1")
+    assert(t.readPruned("k", 50L, 150L).inputFiles.length < 6,
+      "sidecar still serves after stage reclaim")
+    // crash B: swapDir died between `.stats -> .stats.bak` and
+    // `stage -> .stats` — the .bak holds the ONLY copy; vacuum's recover
+    // pass must restore it, after which skipping serves again
+    val live = new java.io.File(t.path + ".stats")
+    assert(live.renameTo(new java.io.File(t.path + ".stats.bak")))
+    val rep2 = scratch.vacuum()
+    assert(rep2("recovered") == 1 && rep2("bak") == 0,
+      s"orphaned sidecar backup must be restored, never deleted: $rep2")
+    assert(t.readPruned("k", 50L, 150L).inputFiles.length < 6,
+      "restored sidecar serves")
+    // superseded .bak (primary present) is residue — reclaimed
+    val bak2 = new java.io.File(t.path + ".stats.bak"); bak2.mkdirs()
+    val rep3 = scratch.vacuum()
+    assert(rep3("bak") == 1 && !bak2.exists(), s"$rep3")
+    assert(scratch.vacuum().values.sum == 0, "convergent")
+  }
+
   test("e89 rebalance swap crash matrix: stage/mid-swap/between-swaps all recover with zero lost vectors") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -620,8 +656,8 @@ class ApiSpec extends AnyFunSuite {
     }
     def stageOf(state: java.io.File) = new java.io.File(state.getPath + ".stage_tmp")
     def merge(state: java.io.File): Unit =
-      api.Database.mergeTouchedPartitions(partial, "list_id", state,
-        stageOf(state))((_, p) => p)
+      api.Database.mergeTouchedPartitions(partial, "list_id", state.getPath,
+        stageOf(state).getPath)((_, p) => p)
     def snap(state: java.io.File): Map[Long, Long] =
       spark.read.parquet(state.getPath).collect()
         .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("list_id")).toMap
@@ -671,7 +707,8 @@ class ApiSpec extends AnyFunSuite {
     val c = mkState("c")
     var swaps = 0
     val boom = intercept[RuntimeException] {
-      api.Database.mergeTouchedPartitions(partial, "list_id", c, stageOf(c),
+      api.Database.mergeTouchedPartitions(partial, "list_id", c.getPath,
+        stageOf(c).getPath,
         onSwapped = { _ =>
           swaps += 1
           if (swaps == 1) throw new RuntimeException("simulated crash")
@@ -905,10 +942,21 @@ class ApiSpec extends AnyFunSuite {
       "skipping must never change results")
     // fully out of range: zero files scanned, empty result with schema
     assert(tbl.readPruned("k", 10000L, 20000L).count() == 0L)
-    // append AFTER analyze: the new file has no stats — always scanned
+    // façade append AFTER analyze: the sidecar is delta-maintained
+    // (c25), so the new file is covered — a range inside it serves, and
+    // a range outside it can now SKIP it
     tbl.write(Seq((1000L, "x")).toDF("k", "v"))
     assert(tbl.readPruned("k", 900L, 1100L)
       .select("k").collect().map(_.getLong(0)).toSeq == Seq(1000L),
+      "appended rows are served")
+    assert(tbl.readPruned("k", 50L, 150L).inputFiles.length < 7,
+      "a delta-maintained append stays skippable")
+    // OUT-OF-BAND append (no façade): the new file has no stats —
+    // always scanned, never hidden
+    Seq((2000L, "y")).toDF("k", "v")
+      .write.mode("append").parquet(db2.pathOf("skip"))
+    assert(tbl.readPruned("k", 1900L, 2100L)
+      .select("k").collect().map(_.getLong(0)).toSeq == Seq(2000L),
       "uncovered files are served conservatively")
     // overwrite: every live file is unknown to the sidecar — full scan
     db2.store((1L to 10L).map(k => (k, "w")).toDF("k", "v"), "skip", "overwrite")
@@ -936,7 +984,16 @@ class ApiSpec extends AnyFunSuite {
     val row = a.collect()(0)
     assert(row.getLong(0) == 100L && row.getLong(1) == 1L &&
       row.getLong(2) == 100L, s"$row")
+    // façade append: the sidecar is delta-maintained (c25) — the
+    // metadata answer tracks the append without a rescan
     tbl.write(Seq((101L, "x")).toDF("k", "v"))
+    val b = tbl.aggFromStats("k")
+      .getOrElse(fail("delta-maintained sidecar must keep serving"))
+    val rb = b.collect()(0)
+    assert(rb.getLong(0) == 101L && rb.getLong(2) == 101L, s"$rb")
+    // out-of-band append (no façade): coverage breaks -> refuse
+    Seq((102L, "y")).toDF("k", "v")
+      .write.mode("append").parquet(db2.pathOf("meta"))
     assert(tbl.aggFromStats("k").isEmpty, "stale coverage -> refuse")
   }
 

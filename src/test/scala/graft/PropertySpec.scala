@@ -311,7 +311,8 @@ object GraftSparkProps extends Properties("graft-spark") {
       batches.foreach { b =>
         val partial = b.toDF("bucket", "v")
           .groupBy("bucket").agg(org.apache.spark.sql.functions.sum($"v").as("s"))
-        graft.api.Database.mergeTouchedPartitions(partial, "bucket", state, stage) {
+        graft.api.Database.mergeTouchedPartitions(partial, "bucket",
+          state.getPath, stage.getPath) {
           (existing, p) =>
             existing.fold(p)(p.unionByName(_)).groupBy("bucket")
               .agg(org.apache.spark.sql.functions.sum($"s").as("s"))

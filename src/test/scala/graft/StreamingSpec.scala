@@ -377,7 +377,8 @@ class StreamingSpec extends AnyFunSuite {
     val partial = stream.TrendingTerms.termPartial(batch, 16)
     var swaps = 0
     val boom = intercept[RuntimeException] {
-      api.Database.mergeTouchedPartitions(partial, "bucket", crState, crStage,
+      api.Database.mergeTouchedPartitions(partial, "bucket",
+        crState.getPath, crStage.getPath,
         onSwapped = { v =>
           bl.mkdirs()
           new java.io.FileOutputStream(new java.io.File(bl, v)).close()
@@ -431,7 +432,7 @@ class StreamingSpec extends AnyFunSuite {
     val boom = intercept[RuntimeException] {
       api.Database.mergeTouchedPartitions(
         stream.EventWindows.upsertWinners(batch2, 16), "bucket",
-        crState, crStage,
+        crState.getPath, crStage.getPath,
         onSwapped = { _ =>
           swaps += 1
           if (swaps == 2) throw new RuntimeException("simulated crash")
@@ -484,7 +485,8 @@ class StreamingSpec extends AnyFunSuite {
     var swaps = 0
     val boom = intercept[RuntimeException] {
       api.Database.mergeTouchedPartitions(
-        stream.EventWindows.dailyPartial(batch2), "day", crState, crStage,
+        stream.EventWindows.dailyPartial(batch2), "day",
+        crState.getPath, crStage.getPath,
         onSwapped = { v =>
           dayLedger.mkdirs()
           new java.io.FileOutputStream(new java.io.File(dayLedger, v)).close()
@@ -727,7 +729,7 @@ class StreamingSpec extends AnyFunSuite {
     // simulate the crash window: batches 0..1 folded into batch=1 (marker
     // written, swap completed) but the process died BEFORE deleting the
     // superseded batch=0 — rows 1..5 exist twice on disk
-    graft.api.Database.compactStreamIndex(spark, root, "bucket", upTo = 1L): Unit
+    graft.api.Database.compactStreamIndex(spark, root.getPath, "bucket", upTo = 1L): Unit
     val folded = new java.io.File(root, "batch=1")
     assert(new java.io.File(folded, "_compacted_through").isFile)
     spark.createDataFrame(Seq((1L, 1L % 3), (2L, 2L % 3), (3L, 0L)))
@@ -737,7 +739,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(dup == 9, s"crash state holds duplicated rows, got $dup")
     // the next compaction's recovery pass must drop the superseded dir
     // FIRST, so the fold sees each row exactly once
-    graft.api.Database.compactStreamIndex(spark, root, "bucket"): Unit
+    graft.api.Database.compactStreamIndex(spark, root.getPath, "bucket"): Unit
     val rows = spark.read.parquet(root.getPath)
       .select(col("doc_id")).orderBy(col("doc_id")).collect().map(_.getLong(0))
     assert(rows.toSeq == (1L to 6L),
@@ -775,7 +777,7 @@ class StreamingSpec extends AnyFunSuite {
     // the next compaction's recovery pass must restore the orphaned .bak
     // (rows 4..5 become visible again), reclaim the un-promoted stage,
     // and then fold normally — every row exactly once, nothing lost
-    graft.api.Database.compactStreamIndex(spark, root, "bucket"): Unit
+    graft.api.Database.compactStreamIndex(spark, root.getPath, "bucket"): Unit
     val rows = spark.read.parquet(root.getPath)
       .select(col("doc_id")).orderBy(col("doc_id")).collect().map(_.getLong(0))
     assert(rows.toSeq == (1L to 6L),
@@ -806,7 +808,7 @@ class StreamingSpec extends AnyFunSuite {
     new java.io.FileOutputStream(
       new java.io.File(new java.io.File(root, "batch=1"),
         "_compacted_through")).close()
-    val stats = graft.api.Database.compactStreamIndex(spark, root, "bucket")
+    val stats = graft.api.Database.compactStreamIndex(spark, root.getPath, "bucket")
     assert(!stale.exists(), "superseded .bak reclaimed when the primary exists")
     // counts are defined over parsed batch=<long> dirs only — the residue
     // (and the marker recovery's deletions) never inflate files_before
@@ -825,15 +827,15 @@ class StreamingSpec extends AnyFunSuite {
         .parquet(new java.io.File(root, s"batch=$id").getPath)
     writeBatch(0, Seq(1L, 2L, 3L))
     // one committed dir: never folds regardless of budget
-    assert(graft.api.Database.compactStreamIndexIfNeeded(spark, root,
+    assert(graft.api.Database.compactStreamIndexIfNeeded(spark, root.getPath,
       "bucket", maxDataFiles = 0L).isEmpty, "a single dir has nothing to fold")
     writeBatch(1, Seq(4L, 5L))
     val live = spark.read.parquet(root.getPath).inputFiles.length.toLong
     // under budget: holds
-    assert(graft.api.Database.compactStreamIndexIfNeeded(spark, root,
+    assert(graft.api.Database.compactStreamIndexIfNeeded(spark, root.getPath,
       "bucket", maxDataFiles = live).isEmpty, "policy holds while under budget")
     // over budget: folds to one dir, rows intact
-    val stats = graft.api.Database.compactStreamIndexIfNeeded(spark, root,
+    val stats = graft.api.Database.compactStreamIndexIfNeeded(spark, root.getPath,
       "bucket", maxDataFiles = live - 1)
     assert(stats.exists(_("dirs_after") == 1L), s"policy fired and folded: $stats")
     val n = spark.read.parquet(root.getPath).count()
@@ -856,7 +858,7 @@ class StreamingSpec extends AnyFunSuite {
       Seq(2L, 6L).toDF("doc_id"), "doc_id")
     // bounded mid-stream fold (≤ 1): batch=2 is outside the fold and
     // still carries deleted row 6 — the logical mask must stay in force
-    graft.api.Database.compactStreamIndexWithTombstones(spark, root,
+    graft.api.Database.compactStreamIndexWithTombstones(spark, root.getPath,
       "bucket", "doc_id", upTo = 1L): Unit
     assert(new java.io.File(root, "_tombstones").isDirectory,
       "bounded fold keeps the epoch (later batches still carry deleted rows)")
@@ -866,7 +868,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterBounded == Set(1L, 3L, 4L, 5L, 6L),
       s"folded prefix drops its tombstoned rows, unfolded batch keeps its own: $afterBounded")
     // full fold: every dir covered — rows physically gone, epoch reclaimed
-    val s2 = graft.api.Database.compactStreamIndexWithTombstones(spark, root,
+    val s2 = graft.api.Database.compactStreamIndexWithTombstones(spark, root.getPath,
       "bucket", "doc_id")
     assert(s2("dirs_after") == 1L, s"$s2")
     assert(!new java.io.File(root, "_tombstones").exists(),
@@ -879,7 +881,7 @@ class StreamingSpec extends AnyFunSuite {
     // Without foldSingle the rows could never be physically dropped
     graft.api.Database.addTombstones(spark, root.getPath,
       Seq(4L).toDF("doc_id"), "doc_id")
-    val s3 = graft.api.Database.compactStreamIndexWithTombstones(spark, root,
+    val s3 = graft.api.Database.compactStreamIndexWithTombstones(spark, root.getPath,
       "bucket", "doc_id")
     assert(s3("dirs_after") == 1L, s"$s3")
     assert(!new java.io.File(root, "_tombstones").exists(),

@@ -75,10 +75,12 @@ def main(sf_dir, out_dir, json_out=None):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    json_out = None
-    if "--json" in sys.argv:
-        json_out = sys.argv[sys.argv.index("--json") + 1]
-        if json_out in args:
-            args.remove(json_out)
-    sys.exit(main(args[0], args[1], json_out))
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="strict DuckDB-vs-Spark result compare")
+    ap.add_argument("sf_dir", help="parquet table dir (e.g. /root/testdata/sf0.01)")
+    ap.add_argument("out_dir", help="Verify output dir (<name>.parquet + oracle_sql.json)")
+    ap.add_argument("--json", dest="json_out", default=None,
+                    help="write the per-query report here")
+    ns = ap.parse_args()
+    sys.exit(main(ns.sf_dir, ns.out_dir, ns.json_out))
