@@ -296,7 +296,65 @@ class Database(val spark: SparkSession, val root: String,
       rows.persist() // consumed twice: the count and the append
       try { val n = rows.count(); table(tbl).write(rows); rowcount(n) }
       finally { rows.unpersist(); () }
-    case _ => ensureRegistered(referencedRelations(stmt)); spark.sql(stmt)
+    case _ =>
+      ensureRegistered(referencedRelations(stmt))
+      // file skipping for raw SQL (c27): when the statement filters a
+      // physical table DIRECTLY (a Filter node sitting on the relation —
+      // the single-table SELECT/aggregate shape), extract the
+      // necessary-condition bounds (c24's algebra on the parsed
+      // conjuncts) and bind the table's temp view to the sidecar-pruned
+      // scan FOR THIS STATEMENT'S ANALYSIS: spark.sql resolves temp
+      // views eagerly, so the returned frame keeps the pruned file list
+      // while the immediately-restored full view serves every later
+      // statement (and any out-of-band spark.sql). A table referenced
+      // more than once is never pruned — one view binding would apply
+      // the first occurrence's bounds to every occurrence.
+      val bindings = prunedViewBindings(stmt)
+      bindings.foreach { case (_, view, pruned) =>
+        pruned.createOrReplaceTempView(view) }
+      try spark.sql(stmt)
+      finally bindings.foreach { case (tbl, _, _) => register(tbl) }
+  }
+
+  /** The (table, viewName, prunedScan) bindings [[execute]]'s default
+    * branch applies — nonempty only when a Filter sits directly on a
+    * once-referenced physical table whose stats sidecar can actually
+    * prune files for the filter's extracted bounds.
+    */
+  private def prunedViewBindings(
+      stmt: String): Seq[(String, String, DataFrame)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val planOpt = scala.util.Try(
+      spark.sessionState.sqlParser.parsePlan(stmt)).toOption
+    planOpt.toSeq.flatMap { plan =>
+      @annotation.tailrec
+      def relOf(p: LogicalPlan): Option[String] = p match {
+        case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
+          Some(u.multipartIdentifier.head)
+        case SubqueryAlias(_, child) => relOf(child)
+        case _ => None
+      }
+      val occurrences = plan.collectWithSubqueries {
+        case u: UnresolvedRelation =>
+          u.multipartIdentifier.mkString(".").toLowerCase
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      plan.collectWithSubqueries {
+        case Filter(cond, child) => (cond, relOf(child))
+      }.flatMap {
+        case (cond, Some(rel)) if occurrences.getOrElse(rel.toLowerCase, 0) == 1 =>
+          for {
+            // the SQL name is the sanitized view name — map it back to
+            // the physical table it was registered from
+            tbl <- tables.find(t => viewNameOf(t).equalsIgnoreCase(rel))
+            bounds = Table.pruneBoundsOf(cond)
+            if bounds.nonEmpty
+            pruned <- table(tbl).prunedScan(bounds)
+          } yield (tbl, viewNameOf(tbl), pruned)
+        case _ => None
+      }
+    }
   }
 
   private def rowcount(n: Long): DataFrame =

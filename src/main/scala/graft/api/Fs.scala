@@ -8,8 +8,14 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * `replaceAt` / `vacuum` / `compactStreamIndex` /
   * `compactStreamIndexIfNeeded` / `mergeTouchedPartitions` (+ the
   * exactly-once ledger), `QueriesE.deleteFromIvfPqIndex` /
-  * `compactIvfPqDeletes`, and the posting-index delete lifecycle. Every
-  * rename/list/delete in those protocols goes through
+  * `compactIvfPqDeletes`, and the posting-index delete lifecycle — AND
+  * (since r13) the METADATA tier: snapshot manifests
+  * (`Table.snapshot/versions/readVersion/diffVersions/restore`), the
+  * `.stats` skipping sidecar and its pruned reads, the `.properties`
+  * catalog sidecar, `Database.tables`/DDL, and the layout helpers every
+  * maintenance job sizes itself with
+  * (`partitionColsOf`/`leafDirsOf`/`dataBytes`). Every
+  * rename/list/delete in those paths goes through
   * `org.apache.hadoop.fs.FileSystem`, so the identical protocol runs on
   * `file://` (the local[32] test contract), `hdfs://`, and `s3a://`
   * warehouses — `java.io.File` renames exist only on a local JVM and

@@ -672,7 +672,7 @@ class Table(val db: Database, val qualified: String) {
     * The caller MUST still apply its full predicate: pruning is an I/O
     * optimization, never the filter.
     */
-  private def prunedScan(
+  private[api] def prunedScan(
       bounds: Seq[(String, Option[Any], Option[Any])]): Option[DataFrame] = {
     if (!hasStatsSidecar) return None
     val entries = try {
@@ -955,7 +955,16 @@ object Table {
     * unparseable text yields Nil (the read falls back to the full scan).
     */
   private[api] def pruneBounds(spark: org.apache.spark.sql.SparkSession,
-      where: String): Seq[(String, Option[Any], Option[Any])] = {
+      where: String): Seq[(String, Option[Any], Option[Any])] =
+    scala.util.Try(spark.sessionState.sqlParser.parseExpression(where))
+      .toOption.toSeq.flatMap(pruneBoundsOf)
+
+  /** [[pruneBounds]] on an already-parsed (unresolved) condition — the
+    * shared algebra behind the flagship read's text route (c24) and
+    * `db.execute`'s statement route (c27).
+    */
+  private[api] def pruneBoundsOf(cond: org.apache.spark.sql.catalyst
+      .expressions.Expression): Seq[(String, Option[Any], Option[Any])] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -981,9 +990,7 @@ object Table {
     def split(a: Expression, b: Expression): Option[(String, Any, Boolean)] =
       colOf(a).flatMap(cn => valOf(b).map(v => (cn, v, true)))
         .orElse(colOf(b).flatMap(cn => valOf(a).map(v => (cn, v, false))))
-    val parsed = scala.util.Try(
-      spark.sessionState.sqlParser.parseExpression(where)).toOption
-    parsed.toSeq.flatMap(conjuncts).flatMap {
+    conjuncts(cond).flatMap {
       // the parser emits BETWEEN as an unresolved `between(in, lo, hi)`
       // call (resolved later to the RuntimeReplaceable Between — handle
       // both spellings, pre- and post-analysis)

@@ -554,6 +554,62 @@ object QueriesC {
       asOf.unionByName(diff).orderBy("phase")
     }),
 
+    // c27: FILE SKIPPING FOR RAW SQL — c24's route on the reference's
+    // other user surface (db.execute, ref datum/database.py:44-45): a
+    // statement whose WHERE sits directly on a once-referenced physical
+    // table gets its range/equality conjuncts extracted from the PARSED
+    // plan and the table's temp view bound to the sidecar-pruned scan
+    // for that statement's analysis (spark.sql binds views eagerly; the
+    // full view is restored right after, so later statements see the
+    // whole table). Engine-asserts: the filtered statement plans
+    // strictly fewer input files; a statement referencing the table
+    // TWICE (each arm with a different predicate) is left unpruned —
+    // one view binding would apply the first occurrence's bounds to
+    // both. Values hash-gated as pure WHEREs over orders.
+    "c27_sql_where_skipping" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 3000)
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.mode("overwrite").parquet(db.pathOf("c27_orders"))
+      val tbl = db.table("c27_orders")
+      tbl.analyzeStats(Seq("o_orderkey")): Unit
+      val total = tbl.df.inputFiles.length
+      val pruned = db.execute(
+        "SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+          "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+          "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
+          "FROM c27_orders " +
+          "WHERE o_orderkey BETWEEN 500 AND 1500 AND o_orderpriority <> 'X'")
+      assert(pruned.inputFiles.length < total,
+        s"execute(WHERE) must skip files through the sidecar: " +
+          s"${pruned.inputFiles.length}/$total")
+      // twice-referenced: both arms must scan the FULL table (pruning
+      // either occurrence with the other's bounds would lose rows)
+      val twice = db.execute(
+        "SELECT count(*) AS n FROM (" +
+          "SELECT o_orderkey FROM c27_orders WHERE o_orderkey <= 700 " +
+          "UNION ALL " +
+          "SELECT o_orderkey FROM c27_orders WHERE o_orderkey > 700) u")
+      // DataFrame.inputFiles dedupes paths across the plan, so the
+      // structural check is the distinct file set staying FULL…
+      assert(twice.inputFiles.length == total,
+        s"a twice-referenced table must not be pruned: " +
+          s"${twice.inputFiles.length}/$total")
+      // …and the value check is total coverage: every row lands in
+      // exactly one arm, which any wrongly-shared pruning would break
+      val nTwice = twice.collect()(0).getLong(0)
+      assert(nTwice == tbl.count,
+        s"both arms must see the whole table: $nTwice vs ${tbl.count}")
+      // the full view is restored after the pruned statement — a later
+      // plain statement sees every file
+      val after = db.execute("SELECT count(*) AS n FROM c27_orders")
+      assert(after.inputFiles.length == total,
+        "the full view must be restored after a pruned statement")
+      pruned.select(col("n"), col("key_sum"), col("min_key"), col("max_key"),
+        lit(nTwice).as("n_total"))
+    }),
+
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
     // bad append lands, restore(v1) rolls the table back to the pinned
     // manifest via the staged atomic swap, and the read-back equals the
@@ -795,6 +851,13 @@ object QueriesC {
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
         "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
         "FROM orders WHERE o_orderkey <= 4000"),
+    "c27_sql_where_skipping" ->
+      ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key, " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey <= 3000) AS n_total " +
+        "FROM orders WHERE o_orderkey BETWEEN 500 AND 1500 " +
+        "AND o_orderpriority <> 'X'"),
     "c26_sql_time_travel" ->
       ("SELECT * FROM (" +
         "SELECT 'asof' AS phase, count(*) AS n, " +
