@@ -954,7 +954,7 @@ object Table {
     * single-part column names and atomic literal types participate;
     * unparseable text yields Nil (the read falls back to the full scan).
     */
-  private[api] def pruneBounds(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def pruneBounds(spark: org.apache.spark.sql.SparkSession,
       where: String): Seq[(String, Option[Any], Option[Any])] =
     scala.util.Try(spark.sessionState.sqlParser.parseExpression(where))
       .toOption.toSeq.flatMap(pruneBoundsOf)
@@ -963,7 +963,7 @@ object Table {
     * shared algebra behind the flagship read's text route (c24) and
     * `db.execute`'s statement route (c27).
     */
-  private[api] def pruneBoundsOf(cond: org.apache.spark.sql.catalyst
+  private[graft] def pruneBoundsOf(cond: org.apache.spark.sql.catalyst
       .expressions.Expression): Seq[(String, Option[Any], Option[Any])] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -1013,6 +1013,22 @@ object Table {
         if (left) (cn, None, Some(v)) else (cn, Some(v), None) }
       case LessThan(a, b) => split(a, b).map { case (cn, v, left) =>
         if (left) (cn, None, Some(v)) else (cn, Some(v), None) }
+      // IN over an all-literal list: col ∈ {v…} implies min ≤ col ≤ max
+      // — a (weaker) necessary condition the band check can still use.
+      // Only same-class Comparable values (mixed literal types would
+      // need SQL coercion semantics to order — leave those unpruned).
+      case In(c, vs) if vs.nonEmpty => for {
+        cn <- colOf(c)
+        lits = vs.map(valOf)
+        if lits.forall(_.nonEmpty)
+        values = lits.flatten
+        if values.map(_.getClass).distinct.lengthCompare(1) == 0 &&
+          values.head.isInstanceOf[Comparable[_]]
+      } yield {
+        val sorted = values.sortWith((a, b) =>
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+        (cn, Some(sorted.head): Option[Any], Some(sorted.last): Option[Any])
+      }
       case _ => None
     }
   }

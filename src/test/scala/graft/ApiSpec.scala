@@ -997,6 +997,30 @@ class ApiSpec extends AnyFunSuite {
     assert(tbl.aggFromStats("k").isEmpty, "stale coverage -> refuse")
   }
 
+  test("pruneBounds: necessary conditions only — BETWEEN/cmp/IN extracted, OR/NOT/functions ignored") {
+    def b(w: String) = api.Table.pruneBounds(spark, w)
+    assert(b("k BETWEEN 5 AND 9") == Seq(("k", Some(5), Some(9))))
+    assert(b("k >= 5 AND k < 9 AND v <> 'x'") ==
+      Seq(("k", Some(5), None), ("k", None, Some(9))))
+    // literal-first spellings flip the side
+    assert(b("5 <= k AND 9 > k") ==
+      Seq(("k", Some(5), None), ("k", None, Some(9))))
+    assert(b("k = 7") == Seq(("k", Some(7), Some(7))))
+    // IN over same-class literals contributes its [min, max] envelope
+    assert(b("k IN (9, 2, 5)") == Seq(("k", Some(2), Some(9))))
+    // mixed-class IN lists need SQL coercion semantics — unpruned
+    assert(b("k IN (1, 2.5)").isEmpty)
+    // OR / NOT / function-of-column conjuncts are not necessary
+    // conditions and must contribute nothing
+    assert(b("k = 1 OR k = 2").isEmpty)
+    assert(b("NOT (k = 1)").isEmpty)
+    assert(b("abs(k) < 5").isEmpty)
+    assert(b("k < 5 AND (g = 1 OR g = 2)") == Seq(("k", None, Some(5))))
+    // col-vs-col and unparseable text degrade to no pruning
+    assert(b("k < g").isEmpty)
+    assert(b("this is not sql").isEmpty)
+  }
+
   test("readPrunedAll: conjunction prunes per dim; an all-null band is skippable") {
     import spark.implicits._
     val db2 = scratchDb()
