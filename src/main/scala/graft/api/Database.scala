@@ -296,6 +296,20 @@ class Database(val spark: SparkSession, val root: String,
       rows.persist() // consumed twice: the count and the append
       try { val n = rows.count(); table(tbl).write(rows); rowcount(n) }
       finally { rows.unpersist(); () }
+    // metadata-only COUNT(*) (c28): the bare-count statement answers
+    // from the stats sidecar alone when its coverage is exact — the
+    // table formats' O(#files) COUNT on the reference's raw-SQL surface
+    // (zero data-file I/O; the serving plan's input files are the
+    // sidecar's). Stale/no coverage falls through to the normal scan.
+    case Database.CountStarRe(alias, tbl)
+        if tables.exists(_.equalsIgnoreCase(tbl)) =>
+      table(tbl).countFromStats match {
+        case Some(meta) =>
+          meta.select(col("n_rows")
+            .as(Option(alias).getOrElse("count(1)"))) // Spark's default name
+        case None => // stale/no sidecar — the conservative scan
+          ensureRegistered(referencedRelations(stmt)); spark.sql(stmt)
+      }
     case _ =>
       ensureRegistered(referencedRelations(stmt))
       // file skipping for raw SQL (c27): when the statement filters a
@@ -1269,6 +1283,13 @@ object Database {
     */
   private[api] val VersionedRef = java.util.regex.Pattern.compile(
     """(?i)\bVERSION\s+AS\s+OF\b|\bDIFF\s+FROM\s+\d+\s+TO\s+\d+""")
+
+  /** `SELECT COUNT(*) [AS a] FROM t` — the bare-count statement shape the
+    * metadata-only rewrite serves (c28). Any WHERE/GROUP BY/JOIN falls
+    * through to the general branch.
+    */
+  private val CountStarRe =
+    """(?is)SELECT\s+COUNT\(\s*\*\s*\)(?:\s+AS\s+([A-Za-z0-9_]+))?\s+FROM\s+([A-Za-z0-9_.]+)\s*;?\s*""".r
 
   /** `DELETE FROM t [WHERE p]` — full-statement match, optional `;`. */
   private val DeleteRe =

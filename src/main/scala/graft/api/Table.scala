@@ -733,6 +733,29 @@ class Table(val db: Database, val qualified: String) {
       max(col(s"max_$column")).as(s"max_$column")))
   }
 
+  /** Metadata-only COUNT(*) (c28): one row holding the table's row count
+    * summed from the [[analyzeStats]] sidecar — zero data-file I/O —
+    * under exactly [[aggFromStats]]'s coverage contract (None unless the
+    * sidecar covers precisely the live file set). Column-independent:
+    * any sidecar serves it, whatever columns it tracks, because n_rows
+    * is per-file. The raw-SQL surface routes `SELECT count(*) FROM t`
+    * here so the reference's `db.execute` gets the table formats'
+    * O(#files) COUNT instead of a table scan.
+    */
+  def countFromStats: Option[DataFrame] = {
+    if (!hasStatsSidecar) return None
+    val stats = try db.spark.read.parquet(path + ".stats")
+      catch { case _: Exception => return None }
+    if (!stats.columns.contains("n_rows")) return None
+    val covered = stats.select("file").collect()
+      .map(r => normFileUri(r.getString(0))).toSet
+    val live = currentDataFiles()
+      .map { case (abs, _) => normFileUri(abs) }.toSet
+    if (covered != live) return None
+    Some(stats.agg(
+      coalesce(sum(col("n_rows")), lit(0L)).cast("long").as("n_rows")))
+  }
+
   /** URI/path string → bare filesystem path (decodes `%XX` specials),
     * for matching `input_file_name()` output (a full encoded URI)
     * against the Hadoop listing (a qualified Path string). Both sides

@@ -602,12 +602,59 @@ object QueriesC {
       assert(nTwice == tbl.count,
         s"both arms must see the whole table: $nTwice vs ${tbl.count}")
       // the full view is restored after the pruned statement — a later
-      // plain statement sees every file
-      val after = db.execute("SELECT count(*) AS n FROM c27_orders")
+      // plain statement sees every file (a SUM, not a COUNT: the bare
+      // count now takes c28's metadata route and never touches data)
+      val after = db.execute(
+        "SELECT CAST(sum(o_orderkey) AS BIGINT) AS s FROM c27_orders")
       assert(after.inputFiles.length == total,
         "the full view must be restored after a pruned statement")
       pruned.select(col("n"), col("key_sum"), col("min_key"), col("max_key"),
         lit(nTwice).as("n_total"))
+    }),
+
+    // c28: METADATA-ONLY COUNT(*) ON THE RAW-SQL SURFACE — c22's
+    // capability reaches db.execute: the bare-count statement answers
+    // from the stats sidecar alone when coverage is exact (engine-asserts
+    // every input file of the serving plan is a sidecar file), and a
+    // façade append keeps it serving via c25's delta maintenance; an
+    // OUT-OF-BAND append breaks coverage and the same statement falls
+    // back to the conservative data scan (engine-asserted by the plan's
+    // input files, values identical either way — the refusal can never
+    // change an answer, only its cost). At 100 TB this is the table
+    // formats' O(#files) COUNT for the reference's primary SQL entry.
+    "c28_sql_count_metadata" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 3000)
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.mode("overwrite").parquet(db.pathOf("c28_orders"))
+      val tbl = db.table("c28_orders")
+      tbl.analyzeStats(Seq("o_orderkey")): Unit
+      val meta = db.execute("SELECT count(*) AS n FROM c28_orders")
+      assert(meta.inputFiles.nonEmpty &&
+        meta.inputFiles.forall(_.contains(".stats")),
+        s"metadata-only count reads data files: ${meta.inputFiles.toSeq}")
+      // materialized BEFORE the append swaps out the very sidecar file
+      // the plan reads (c22's e94 masked-phase lesson)
+      val nCovered = meta.collect()(0).getLong(0)
+      // façade append: c25's delta maintenance keeps the metadata route
+      tbl.write(orders.filter(
+        col("o_orderkey") > 3000 && col("o_orderkey") <= 4000))
+      val meta2 = db.execute("SELECT count(*) AS n FROM c28_orders")
+      assert(meta2.inputFiles.forall(_.contains(".stats")),
+        "delta-maintained sidecar must keep the metadata route")
+      val nAfterAppend = meta2.collect()(0).getLong(0)
+      // out-of-band append: coverage breaks -> the SAME statement plans
+      // the conservative data scan (correct answer, full cost)
+      orders.filter(col("o_orderkey") > 4000 && col("o_orderkey") <= 4500)
+        .write.mode("append").parquet(tbl.path)
+      val scan = db.execute("SELECT count(*) AS n FROM c28_orders")
+      assert(scan.inputFiles.exists(!_.contains(".stats")),
+        "stale coverage must fall back to the data scan")
+      val nFallback = scan.collect()(0).getLong(0)
+      import s.implicits._
+      Seq((nCovered, nAfterAppend, nFallback))
+        .toDF("n_covered", "n_after_append", "n_fallback")
     }),
 
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
@@ -851,6 +898,11 @@ object QueriesC {
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
         "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
         "FROM orders WHERE o_orderkey <= 4000"),
+    "c28_sql_count_metadata" ->
+      ("SELECT " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey <= 3000) AS n_covered, " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey <= 4000) AS n_after_append, " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey <= 4500) AS n_fallback"),
     "c27_sql_where_skipping" ->
       ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
