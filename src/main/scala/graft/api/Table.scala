@@ -671,16 +671,32 @@ class Table(val db: Database, val qualified: String) {
     * bounds, or every file survives) — the caller uses its plain plan.
     * The caller MUST still apply its full predicate: pruning is an I/O
     * optimization, never the filter.
+    *
+    * A bound participates ONLY when its literal's runtime type is
+    * order-compatible with the sidecar column's native type
+    * (string↔string, numeric↔numeric, date↔date, timestamp↔timestamp,
+    * …): the sidecar min/max are extrema in the column's NATIVE order,
+    * and the band check evaluates under Spark's cross-type coercion —
+    * for e.g. a string column vs a numeric literal the two orders
+    * disagree (lexicographic max "99" casts below row "100"), so the
+    * band is not a necessary condition and using it can silently skip a
+    * file holding a matching row. Mismatched bounds are dropped — their
+    * conjunct stays with the caller's residual predicate (conservative
+    * full scan). Within-numeric widening (int band, long/double literal)
+    * is safe because the casts are monotone.
     */
   private[api] def prunedScan(
       bounds: Seq[(String, Option[Any], Option[Any])]): Option[DataFrame] = {
     if (!hasStatsSidecar) return None
     val entries = try {
       val stats = db.spark.read.parquet(path + ".stats")
-      // only bounds over sidecar-tracked columns participate; the rest
-      // of the conjunction stays with the caller's residual predicate
+      // only bounds over sidecar-tracked columns, with type-compatible
+      // literals, participate; the rest of the conjunction stays with
+      // the caller's residual predicate
       val usable = bounds.filter { case (c, lo, hi) =>
-        stats.columns.contains(s"min_$c") && (lo.nonEmpty || hi.nonEmpty) }
+        stats.columns.contains(s"min_$c") && (lo.nonEmpty || hi.nonEmpty) &&
+          (lo.toSeq ++ hi.toSeq).forall(v =>
+            Table.bandComparable(stats.schema(s"min_$c").dataType, v)) }
       if (usable.isEmpty) return None
       val hit = usable.map { case (c, lo, hi) =>
         val loOk = lo.map(l => col(s"max_$c") >= lit(l)).getOrElse(lit(true))
@@ -965,6 +981,35 @@ object Table {
     */
   val CoarseTypes = Set("num", "text", "date", "geom", "name", "nclob", "other")
 
+  /** True iff a literal of `v`'s runtime class can be band-checked
+    * against sidecar min/max of Spark type `dt` WITHOUT the check losing
+    * its necessary-condition property under cross-type coercion. Safe
+    * pairs are the order-isomorphic ones: any numeric literal against
+    * any numeric column (numeric widening casts are monotone), string
+    * against string (both sides compare in Spark's UTF8 binary order),
+    * and date/timestamp/timestamp_ntz/boolean against their own kind.
+    * Everything else — notably a numeric literal against a STRING
+    * column, whose lexicographic min/max do not bound the per-row
+    * numeric casts — is rejected, so [[Table.prunedScan]] drops the
+    * bound and the conjunct stays with the residual predicate.
+    */
+  private[graft] def bandComparable(
+      dt: org.apache.spark.sql.types.DataType, v: Any): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType =>
+        v.isInstanceOf[java.lang.Number] || v.isInstanceOf[scala.math.BigDecimal]
+      case StringType    => v.isInstanceOf[String]
+      case DateType      => v.isInstanceOf[java.sql.Date] ||
+                            v.isInstanceOf[java.time.LocalDate]
+      case _: TimestampType => v.isInstanceOf[java.sql.Timestamp] ||
+                               v.isInstanceOf[java.time.Instant]
+      case TimestampNTZType => v.isInstanceOf[java.time.LocalDateTime]
+      case BooleanType   => v.isInstanceOf[java.lang.Boolean]
+      case _             => false
+    }
+  }
+
   /** Necessary-condition column bounds extracted from a SQL `where` text
     * for sidecar file skipping: split the parsed expression on AND and
     * keep the conjuncts of the shape `col <cmp> literal` (either operand
@@ -1040,6 +1085,11 @@ object Table {
       // — a (weaker) necessary condition the band check can still use.
       // Only same-class Comparable values (mixed literal types would
       // need SQL coercion semantics to order — leave those unpruned).
+      // Strings sort in Spark's UTF8 BINARY (code-point) order, not
+      // java.lang.String's UTF-16 code-unit order: the two diverge when
+      // supplementary-plane characters mix with U+E000–U+FFFF, and the
+      // envelope must be the min/max under the ordering the band check
+      // (and the sidecar min/max) actually use.
       case In(c, vs) if vs.nonEmpty => for {
         cn <- colOf(c)
         lits = vs.map(valOf)
@@ -1048,8 +1098,14 @@ object Table {
         if values.map(_.getClass).distinct.lengthCompare(1) == 0 &&
           values.head.isInstanceOf[Comparable[_]]
       } yield {
-        val sorted = values.sortWith((a, b) =>
-          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+        val sorted =
+          if (values.head.isInstanceOf[String])
+            values.map(_.asInstanceOf[String]).sortWith((a, b) =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(a)
+                .compareTo(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
+          else values.sortWith((a, b) =>
+            a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
         (cn, Some(sorted.head): Option[Any], Some(sorted.last): Option[Any])
       }
       case _ => None

@@ -657,6 +657,56 @@ object QueriesC {
         .toDF("n_covered", "n_after_append", "n_fallback")
     }),
 
+    // c29: TYPE-GUARDED BAND CHECK — the one shape where c24's skipping
+    // could silently LOSE rows: a STRING-typed tracked column compared
+    // to a NUMERIC literal. The sidecar min/max are lexicographic
+    // (min="100", max="99" for a file holding exactly those two rows),
+    // but the band check evaluates under Spark's cross-type coercion —
+    // cast("99")=99 < 100 would skip the file while its row "100"
+    // matches `code >= 100`, and no residual predicate can recover a
+    // skipped file. prunedScan therefore accepts a bound only when the
+    // literal's runtime type is order-compatible with the sidecar
+    // column's native type (Table.bandComparable): the numeric-literal
+    // where engine-asserts the FULL scan (bound dropped, conservative),
+    // while a string-literal where on the same column still prunes
+    // (orders agree). Values gate both arms bit-exact.
+    "c29_typed_band_guard" -> ((s, dir) => {
+      val db = scratch(s)
+      import s.implicits._
+      // two known files: A = {"100","99"} (lexicographic band inverted
+      // vs numeric), B = {"200","300"}
+      Seq("100", "99").toDF("code").coalesce(1)
+        .write.mode("overwrite").parquet(db.pathOf("c29_codes"))
+      Seq("200", "300").toDF("code").coalesce(1)
+        .write.mode("append").parquet(db.pathOf("c29_codes"))
+      val tbl = db.table("c29_codes")
+      tbl.analyzeStats(Seq("code")): Unit
+      val total = tbl.df.inputFiles.length
+      assert(total >= 2, s"fixture must land two files, got $total")
+      // numeric literal vs string column: the guard must DROP the bound
+      // (full scan) — the old band check would have skipped file A and
+      // lost its matching row "100"
+      val guarded = tbl.read(where = Some("code >= 100"))
+      assert(guarded.inputFiles.length == total,
+        s"type-mismatched bound must not prune: " +
+          s"${guarded.inputFiles.length}/$total")
+      // string literal vs string column: same column, compatible order
+      // — skipping still works (file B's band ["200","300"] > "150")
+      val prunedStr = tbl.read(where = Some("code <= '150'"))
+      assert(prunedStr.inputFiles.length < total,
+        s"type-matched string bound must prune: " +
+          s"${prunedStr.inputFiles.length}/$total")
+      guarded.agg(count(lit(1)).as("n"), min(col("code")).as("min_code"),
+          max(col("code")).as("max_code"))
+        .select(lit("numeric_guarded").as("phase"), col("n"),
+          col("min_code"), col("max_code"))
+        .unionAll(prunedStr.agg(count(lit(1)).as("n"),
+            min(col("code")).as("min_code"), max(col("code")).as("max_code"))
+          .select(lit("string_pruned").as("phase"), col("n"),
+            col("min_code"), col("max_code")))
+        .orderBy("phase")
+    }),
+
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
     // bad append lands, restore(v1) rolls the table back to the pinned
     // manifest via the staged atomic swap, and the read-back equals the
@@ -898,6 +948,18 @@ object QueriesC {
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
         "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
         "FROM orders WHERE o_orderkey <= 4000"),
+    "c29_typed_band_guard" ->
+      ("SELECT * FROM (" +
+        "SELECT 'numeric_guarded' AS phase, count(*) AS n, " +
+        "min(code) AS min_code, max(code) AS max_code " +
+        "FROM (VALUES ('100'),('99'),('200'),('300')) t(code) " +
+        "WHERE CAST(code AS DOUBLE) >= 100 " +
+        "UNION ALL " +
+        "SELECT 'string_pruned' AS phase, count(*) AS n, " +
+        "min(code) AS min_code, max(code) AS max_code " +
+        "FROM (VALUES ('100'),('99'),('200'),('300')) t(code) " +
+        "WHERE code <= '150'" +
+        ") ORDER BY phase"),
     "c28_sql_count_metadata" ->
       ("SELECT " +
         "(SELECT count(*) FROM orders WHERE o_orderkey <= 3000) AS n_covered, " +

@@ -1021,6 +1021,72 @@ class ApiSpec extends AnyFunSuite {
     assert(b("this is not sql").isEmpty)
   }
 
+  test("pruneBounds: IN-list string envelope sorts in Spark's UTF8 binary order") {
+    def b(w: String) = api.Table.pruneBounds(spark, w)
+    // U+1F600 (4-byte UTF8, F0…) sorts ABOVE U+FFFD (3-byte, EF…) in
+    // UTF8 binary order, but BELOW it in java.lang.String's UTF-16
+    // code-unit order (surrogate 0xD83D < 0xFFFD) — the envelope must
+    // use Spark's ordering or the hi bound is wrong and a file holding
+    // the emoji could be skipped
+    val emoji = "😀" // U+1F600
+    val repl = "�"        // U+FFFD
+    assert(emoji.compareTo(repl) < 0, "fixture: Java order has emoji first")
+    assert(b(s"k IN ('$repl', '$emoji')") ==
+      Seq(("k", Some(repl), Some(emoji))))
+  }
+
+  test("bandComparable: bounds participate only on order-isomorphic type pairs") {
+    import org.apache.spark.sql.types._
+    def ok(dt: DataType, v: Any) = api.Table.bandComparable(dt, v)
+    // numeric <-> numeric, any widths (widening casts are monotone)
+    assert(ok(IntegerType, 5) && ok(LongType, 5) && ok(IntegerType, 5L))
+    assert(ok(DoubleType, 5) && ok(IntegerType, 2.5) &&
+      ok(DecimalType(10, 2), 3L) && ok(LongType, BigDecimal(7)))
+    // string <-> string only
+    assert(ok(StringType, "x") && !ok(StringType, 5) &&
+      !ok(StringType, 5.0) && !ok(IntegerType, "5"))
+    // date/timestamp/ntz/boolean with their own kind only
+    assert(ok(DateType, java.sql.Date.valueOf("2024-01-01")) &&
+      ok(DateType, java.time.LocalDate.of(2024, 1, 1)) &&
+      !ok(DateType, "2024-01-01") && !ok(StringType,
+        java.sql.Date.valueOf("2024-01-01")))
+    assert(ok(TimestampType, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) &&
+      ok(TimestampType, java.time.Instant.EPOCH) &&
+      !ok(TimestampType, java.sql.Date.valueOf("2024-01-01")) &&
+      !ok(DateType, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    assert(ok(TimestampNTZType, java.time.LocalDateTime.of(2024, 1, 1, 0, 0)) &&
+      !ok(TimestampNTZType, java.time.Instant.EPOCH))
+    assert(ok(BooleanType, true) && !ok(BooleanType, 1))
+    // non-atomic stats types never band-check
+    assert(!ok(BinaryType, Array[Byte](1)) && !ok(ArrayType(IntegerType), Seq(1)))
+  }
+
+  test("prunedScan drops type-mismatched bounds: numeric literal never skips a string column's files") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    // file A's lexicographic band is inverted vs numeric: min="100",
+    // max="99" — the unguarded band check (cast("99")=99 < 100) would
+    // skip it and silently lose the matching row "100"
+    Seq("100", "99").toDF("code").coalesce(1)
+      .write.mode("overwrite").parquet(db2.pathOf("tg"))
+    Seq("200", "300").toDF("code").coalesce(1)
+      .write.mode("append").parquet(db2.pathOf("tg"))
+    val tbl = db2.table("tg")
+    tbl.analyzeStats(Seq("code")): Unit
+    val total = tbl.df.inputFiles.length
+    val guarded = tbl.read(where = Some("code >= 100"))
+    assert(guarded.inputFiles.length == total,
+      "numeric bound on a string column must fall back to the full scan")
+    assert(guarded.select("code").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("100", "200", "300"), "the would-be-skipped row '100' must survive")
+    // the same column with a type-matched literal still prunes
+    val pruned = tbl.read(where = Some("code <= '150'"))
+    assert(pruned.inputFiles.length < total,
+      "string bound on a string column must keep pruning")
+    assert(pruned.select("code").collect().map(_.getString(0)).toSeq ==
+      Seq("100"))
+  }
+
   test("readPrunedAll: conjunction prunes per dim; an all-null band is skippable") {
     import spark.implicits._
     val db2 = scratchDb()
