@@ -1059,6 +1059,18 @@ object Table {
       colOf(a).flatMap(cn => valOf(b).map(v => (cn, v, true)))
         .orElse(colOf(b).flatMap(cn => valOf(a).map(v => (cn, v, false))))
     conjuncts(cond).flatMap {
+      // OR-of-ranges: a disjunction bounds a column iff EVERY branch
+      // bounds it on that side — then the union band is (min of branch
+      // los, max of branch his), the IN-envelope lesson generalized
+      // (`k = 1 OR k = 5` ⇒ 1 ≤ k ≤ 5; `k BETWEEN 1 AND 3 OR k > 7` ⇒
+      // k ≥ 1). A branch that does not bound the column (a different
+      // column, a function, a non-literal) leaves the disjunction
+      // unbounded there, so the column contributes nothing — necessary
+      // conditions only, same contract as every other extraction.
+      // Branches recurse through pruneBoundsOf, so nested AND/OR/IN/
+      // BETWEEN shapes compose.
+      case Or(l, r) => orEnvelope(pruneBoundsOf(l), pruneBoundsOf(r))
+      case e => (e match {
       // the parser emits BETWEEN as an unresolved `between(in, lo, hi)`
       // call (resolved later to the RuntimeReplaceable Between — handle
       // both spellings, pre- and post-analysis)
@@ -1109,6 +1121,61 @@ object Table {
         (cn, Some(sorted.head): Option[Any], Some(sorted.last): Option[Any])
       }
       case _ => None
+      }).toSeq
+    }
+  }
+
+  /** Spark-order comparison of two extracted bound literals: defined
+    * only for same-runtime-class Comparables, with strings compared in
+    * UTF8 binary order (Spark's, not java.lang.String's). None = not
+    * orderable here → the caller drops the envelope (conservative).
+    */
+  private def cmpVals(a: Any, b: Any): Option[Int] =
+    if (a == null || b == null || a.getClass != b.getClass) None
+    else (a, b) match {
+      case (x: String, y: String) =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
+      case (x: Comparable[_], _) =>
+        Some(x.asInstanceOf[Comparable[Any]].compareTo(b))
+      case _ => None
+    }
+
+  /** Union envelope of a disjunction's two branch bound-sets: per
+    * column, lo = min of the branches' los (present only when BOTH
+    * branches bound the column below), hi = max of the his (both
+    * above). A branch's own conjunction may bound a column repeatedly
+    * (`k >= 5 AND k >= 7`) — its tightest orderable bound represents
+    * it. Columns whose values aren't mutually orderable ([[cmpVals]])
+    * are dropped.
+    */
+  private def orEnvelope(
+      lb: Seq[(String, Option[Any], Option[Any])],
+      rb: Seq[(String, Option[Any], Option[Any])])
+      : Seq[(String, Option[Any], Option[Any])] = {
+    // fold one branch's entries per column into (tightest lo, tightest hi)
+    def perCol(bs: Seq[(String, Option[Any], Option[Any])])
+        : Map[String, (Option[Any], Option[Any])] =
+      bs.groupBy(_._1).map { case (c, es) =>
+        val los = es.flatMap(_._2)
+        val his = es.flatMap(_._3)
+        def pick(vs: Seq[Any], wantMax: Boolean): Option[Any] =
+          vs.reduceOption { (a, b) =>
+            cmpVals(a, b) match {
+              case Some(n) => if ((n >= 0) == wantMax) a else b
+              case None    => a // any branch bound is a valid bound
+            }
+          }
+        c -> (pick(los, wantMax = true), pick(his, wantMax = false))
+      }
+    val lm = perCol(lb); val rm = perCol(rb)
+    lm.keySet.intersect(rm.keySet).toSeq.sorted.flatMap { c =>
+      val (llo, lhi) = lm(c); val (rlo, rhi) = rm(c)
+      val lo = for (a <- llo; b <- rlo; n <- cmpVals(a, b))
+        yield if (n <= 0) a else b
+      val hi = for (a <- lhi; b <- rhi; n <- cmpVals(a, b))
+        yield if (n >= 0) a else b
+      if (lo.isEmpty && hi.isEmpty) None else Some((c, lo, hi))
     }
   }
 

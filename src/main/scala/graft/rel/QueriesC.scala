@@ -466,11 +466,25 @@ object QueriesC {
       val residueOnly = tbl.read(where = Some("o_orderpriority <> 'X'"))
       assert(residueOnly.inputFiles.length == total,
         "a where with no extractable range must plan the full scan")
-      pruned.agg(count(lit(1)).as("n"),
-        sum(col("o_orderkey")).cast("long").as("key_sum"),
-        sum(col("o_custkey")).cast("long").as("cust_sum"),
-        min(col("o_orderkey")).cast("long").as("min_key"),
-        max(col("o_orderkey")).cast("long").as("max_key"))
+      // OR-of-ranges: every branch bounds o_orderkey, so the disjunction
+      // contributes its union envelope [500, 1100] and still skips the
+      // files wholly outside it — real users write ORs, not just ANDs
+      val orRead = tbl.read(where = Some(
+        "o_orderkey BETWEEN 500 AND 700 OR o_orderkey BETWEEN 900 AND 1100"))
+      assert(orRead.inputFiles.length < total,
+        s"an OR whose branches all bound the column must still skip: " +
+          s"${orRead.inputFiles.length}/$total")
+      def aggPhase(d: org.apache.spark.sql.DataFrame, phase: String) =
+        d.agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"),
+          sum(col("o_custkey")).cast("long").as("cust_sum"),
+          min(col("o_orderkey")).cast("long").as("min_key"),
+          max(col("o_orderkey")).cast("long").as("max_key"))
+          .select(lit(phase).as("phase"), col("n"), col("key_sum"),
+            col("cust_sum"), col("min_key"), col("max_key"))
+      aggPhase(pruned, "and_residue")
+        .unionAll(aggPhase(orRead, "or_union"))
+        .orderBy("phase")
     }),
 
     // c25: DELTA-MAINTAINED SIDECAR — e99's O(epoch) lesson applied to
@@ -937,12 +951,23 @@ object QueriesC {
         "CAST(max(o_orderkey) AS BIGINT) AS max_key, TRUE AS skipping_improved " +
         "FROM orders WHERE o_orderkey BETWEEN 500 AND 1500"),
     "c24_read_where_skipping" ->
-      ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+      ("SELECT * FROM (" +
+        "SELECT 'and_residue' AS phase, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
         "CAST(sum(o_custkey) AS BIGINT) AS cust_sum, " +
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
         "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
         "FROM orders WHERE o_orderkey BETWEEN 500 AND 1500 " +
-        "AND o_orderpriority <> 'X'"),
+        "AND o_orderpriority <> 'X' " +
+        "UNION ALL " +
+        "SELECT 'or_union' AS phase, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS cust_sum, " +
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
+        "FROM orders WHERE o_orderkey BETWEEN 500 AND 700 " +
+        "OR o_orderkey BETWEEN 900 AND 1100" +
+        ") ORDER BY phase"),
     "c25_stats_delta_append" ->
       ("SELECT count(*) AS n_rows, " +
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +

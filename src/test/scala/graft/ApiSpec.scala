@@ -1010,15 +1010,39 @@ class ApiSpec extends AnyFunSuite {
     assert(b("k IN (9, 2, 5)") == Seq(("k", Some(2), Some(9))))
     // mixed-class IN lists need SQL coercion semantics — unpruned
     assert(b("k IN (1, 2.5)").isEmpty)
-    // OR / NOT / function-of-column conjuncts are not necessary
-    // conditions and must contribute nothing
-    assert(b("k = 1 OR k = 2").isEmpty)
+    // NOT / function-of-column conjuncts are not necessary conditions
+    // and must contribute nothing
     assert(b("NOT (k = 1)").isEmpty)
     assert(b("abs(k) < 5").isEmpty)
-    assert(b("k < 5 AND (g = 1 OR g = 2)") == Seq(("k", None, Some(5))))
+    assert(b("k < 5 AND (g = 1 OR g = 2)") ==
+      Seq(("k", None, Some(5)), ("g", Some(1), Some(2))))
     // col-vs-col and unparseable text degrade to no pruning
     assert(b("k < g").isEmpty)
     assert(b("this is not sql").isEmpty)
+  }
+
+  test("pruneBounds: OR contributes the union band iff every branch bounds the column") {
+    def b(w: String) = api.Table.pruneBounds(spark, w)
+    // every branch bounds k on both sides -> [min of los, max of his]
+    assert(b("k = 1 OR k = 5") == Seq(("k", Some(1), Some(5))))
+    assert(b("k BETWEEN 1 AND 3 OR k BETWEEN 8 AND 9") ==
+      Seq(("k", Some(1), Some(9))))
+    // one branch open above -> union keeps only the shared lo side
+    assert(b("k BETWEEN 1 AND 3 OR k > 7") == Seq(("k", Some(1), None)))
+    // a branch on a DIFFERENT column leaves the disjunction unbounded
+    assert(b("k = 1 OR j = 5").isEmpty)
+    // a non-extractable branch (function) defeats the envelope
+    assert(b("k = 1 OR abs(k) = 5").isEmpty)
+    // branch conjunctions fold to their tightest bound first
+    assert(b("(k >= 2 AND k <= 3 AND g = 1) OR k IN (7, 9)") ==
+      Seq(("k", Some(2), Some(9))))
+    // nested ORs compose through recursion
+    assert(b("k = 1 OR (k = 4 OR k = 6)") == Seq(("k", Some(1), Some(6))))
+    // mixed literal classes across branches aren't orderable -> dropped
+    assert(b("k = 1 OR k = 2.5").isEmpty)
+    // OR alongside a plain conjunct: both contribute
+    assert(b("v >= 10 AND (k = 1 OR k = 5)") ==
+      Seq(("v", Some(10), None), ("k", Some(1), Some(5))))
   }
 
   test("pruneBounds: IN-list string envelope sorts in Spark's UTF8 binary order") {
