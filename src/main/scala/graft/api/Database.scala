@@ -236,6 +236,14 @@ class Database(val spark: SparkSession, val root: String,
     * façade's documented surface.
     */
   def execute(stmt0: String): DataFrame = {
+    // Thread-safety note: statement-scoped rewrites (versioned pins,
+    // pruned scans) bind UNIQUELY-NAMED temp views and never mutate the
+    // canonical per-table views, so concurrent execute/spark.sql calls
+    // on other threads always analyze against the full tables
+    // (pinned by ApiSpec's concurrent-statements test). DML statements
+    // (DELETE/INSERT) are copy-on-write against the table directory and
+    // follow the reference's single-connection semantics — concurrent
+    // DML on the SAME table races like any two writers would.
     // SQL route to the versioned tier (c26): `FROM t VERSION AS OF n`
     // and `FROM t DIFF FROM n TO m` resolve through the snapshot
     // manifests (Table.readVersion / diffVersions) by registering the
@@ -253,22 +261,39 @@ class Database(val spark: SparkSession, val root: String,
     * <m>` with a temp view over the corresponding manifest read. The
     * view name carries the version pin, so two pins of the same table
     * coexist in one statement (self-joins across versions work).
+    *
+    * Only identifiers naming a KNOWN table rewrite — the pattern
+    * occurring over an unknown name (e.g. inside a string literal) is
+    * left verbatim for Spark to parse. The manifest reads are resolved
+    * FIRST and views register only after every pin resolved: a rewrite
+    * that fails halfway (bad version number) leaves no view residue
+    * behind.
     */
   private def rewriteVersionedRefs(stmt: String): String = {
     val vRe = """(?i)\bFROM\s+([A-Za-z0-9_.]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
     val dRe = """(?i)\bFROM\s+([A-Za-z0-9_.]+)\s+DIFF\s+FROM\s+(\d+)\s+TO\s+(\d+)""".r
+    def known(t: String) = tables.exists(_.equalsIgnoreCase(t))
+    val staged = scala.collection.mutable.Buffer.empty[(String, DataFrame)]
     val step1 = vRe.replaceAllIn(stmt, m => {
       val t = m.group(1); val v = m.group(2).toInt
-      val view = s"${viewNameOf(t)}__v$v"
-      table(t).readVersion(v).createOrReplaceTempView(view)
-      s"FROM $view"
+      if (!known(t)) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val view = s"${viewNameOf(t)}__v$v"
+        staged += ((view, table(t).readVersion(v)))
+        s"FROM $view"
+      }
     })
-    dRe.replaceAllIn(step1, m => {
+    val step2 = dRe.replaceAllIn(step1, m => {
       val t = m.group(1); val from = m.group(2).toInt; val to = m.group(3).toInt
-      val view = s"${viewNameOf(t)}__diff_${from}_$to"
-      table(t).diffVersions(from, to).createOrReplaceTempView(view)
-      s"FROM $view"
+      if (!known(t)) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val view = s"${viewNameOf(t)}__diff_${from}_$to"
+        staged += ((view, table(t).diffVersions(from, to)))
+        s"FROM $view"
+      }
     })
+    staged.foreach { case (view, d) => d.createOrReplaceTempView(view) }
+    step2
   }
 
   private def executeRewritten(stmt: String): DataFrame = stmt.trim match {
@@ -312,62 +337,150 @@ class Database(val spark: SparkSession, val root: String,
       }
     case _ =>
       ensureRegistered(referencedRelations(stmt))
-      // file skipping for raw SQL (c27): when the statement filters a
-      // physical table DIRECTLY (a Filter node sitting on the relation —
-      // the single-table SELECT/aggregate shape), extract the
-      // necessary-condition bounds (c24's algebra on the parsed
-      // conjuncts) and bind the table's temp view to the sidecar-pruned
-      // scan FOR THIS STATEMENT'S ANALYSIS: spark.sql resolves temp
-      // views eagerly, so the returned frame keeps the pruned file list
-      // while the immediately-restored full view serves every later
-      // statement (and any out-of-band spark.sql). A table referenced
-      // more than once is never pruned — one view binding would apply
-      // the first occurrence's bounds to every occurrence.
-      val bindings = prunedViewBindings(stmt)
-      bindings.foreach { case (_, view, pruned) =>
-        pruned.createOrReplaceTempView(view) }
-      try spark.sql(stmt)
-      finally bindings.foreach { case (tbl, _, _) => register(tbl) }
+      executeWithSkipping(stmt)
   }
 
-  /** The (table, viewName, prunedScan) bindings [[execute]]'s default
-    * branch applies — nonempty only when a Filter sits directly on a
-    * once-referenced physical table whose stats sidecar can actually
-    * prune files for the filter's extracted bounds.
+  /** Statement-scoped unique suffix for pruned-view names — never reused,
+    * so concurrent statements can't collide on a binding.
     */
-  private def prunedViewBindings(
-      stmt: String): Seq[(String, String, DataFrame)] = {
+  private val prunedViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** File skipping for raw SQL (c27 single-table, c30 joins): rewrite the
+    * parsed statement so every FILTERED occurrence of a physical table
+    * plans over its sidecar-pruned scan.
+    *
+    * For each `Filter` node, the relations in its immediate scope (the
+    * filter's child through SubqueryAlias/Join chains) are collected;
+    * the filter's necessary-condition bounds ([[Table.pruneBoundsBy]])
+    * are attributed per occurrence — a qualified `o.k` to the occurrence
+    * aliased `o`, an unqualified `k` to the unique relation in scope
+    * whose schema carries it (ambiguity, or any opaque leaf in scope,
+    * drops the attribution — conservative). Each occurrence whose bounds
+    * actually prune files is substituted with a UNIQUELY-NAMED temp view
+    * over the pruned scan, wrapped in a SubqueryAlias carrying the
+    * original name so column qualifiers keep resolving; the rewritten
+    * plan then runs through the session analyzer (Bridge.ofRows — the
+    * spark.sql path minus the parse). The canonical temp view is NEVER
+    * touched, so a concurrent `spark.sql`/`execute` on another thread
+    * always analyzes against the full table, and self-joins prune each
+    * occurrence under its own bounds. WHERE bounds are safe under every
+    * join type: a skipped file holds no row satisfying the bound, and
+    * any output row the filter keeps must carry a non-null in-bound
+    * value from a scanned file — a pruned row's match either vanishes
+    * identically or null-extends into a row the filter rejects.
+    *
+    * Views register only AFTER the whole rewrite succeeds (a failed
+    * rewrite leaves no residue) and drop as soon as the analysis
+    * resolves them into file relations. Anything non-rewritable —
+    * unparseable, CTE-shadowed names, no sidecar, nothing pruned —
+    * degrades to the plain spark.sql.
+    */
+  private def executeWithSkipping(stmt: String): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter, SubqueryAlias}
-    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-    val planOpt = scala.util.Try(
-      spark.sessionState.sqlParser.parsePlan(stmt)).toOption
-    planOpt.toSeq.flatMap { plan =>
-      @annotation.tailrec
-      def relOf(p: LogicalPlan): Option[String] = p match {
-        case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
-          Some(u.multipartIdentifier.head)
-        case SubqueryAlias(_, child) => relOf(child)
-        case _ => None
-      }
-      val occurrences = plan.collectWithSubqueries {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join,
+      LogicalPlan, SubqueryAlias, UnresolvedWith}
+    // one filtered physical-table occurrence in a Filter's scope
+    case class Occ(node: UnresolvedRelation, alias: String, tbl: String,
+        wrapped: Boolean) {
+      lazy val schema: Option[org.apache.spark.sql.types.StructType] =
+        scala.util.Try(table(tbl).df.schema).toOption
+    }
+    val prepared = scala.util.Try {
+      val plan = spark.sessionState.sqlParser.parsePlan(stmt)
+      // CTE names shadow physical tables during resolution — a filtered
+      // reference to one must never be rewritten to the physical scan
+      val cteNames: Set[String] = plan.collectWithSubqueries {
+        case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+      }.flatten.toSet
+      def occOf(u: UnresolvedRelation, alias: String, wrapped: Boolean)
+          : Option[Occ] =
+        if (u.multipartIdentifier.length != 1 ||
+            cteNames.contains(u.multipartIdentifier.head.toLowerCase)) None
+        else tables
+          .find(t => viewNameOf(t).equalsIgnoreCase(u.multipartIdentifier.head))
+          .map(t => Occ(u, alias, t, wrapped))
+      // relations directly visible to a Filter: through alias/join
+      // chains, stopping at anything else (subquery, nested filter —
+      // those get their own Filter's scope). Boolean = scope also holds
+      // an opaque leaf, which disables unqualified-column attribution.
+      def scope(p: LogicalPlan): (Seq[Occ], Boolean) = p match {
         case u: UnresolvedRelation =>
-          u.multipartIdentifier.mkString(".").toLowerCase
-      }.groupBy(identity).view.mapValues(_.size).toMap
-      plan.collectWithSubqueries {
-        case Filter(cond, child) => (cond, relOf(child))
-      }.flatMap {
-        case (cond, Some(rel)) if occurrences.getOrElse(rel.toLowerCase, 0) == 1 =>
-          for {
-            // the SQL name is the sanitized view name — map it back to
-            // the physical table it was registered from
-            tbl <- tables.find(t => viewNameOf(t).equalsIgnoreCase(rel))
-            bounds = Table.pruneBoundsOf(cond)
-            if bounds.nonEmpty
-            pruned <- table(tbl).prunedScan(bounds)
-          } yield (tbl, viewNameOf(tbl), pruned)
-        case _ => None
+          occOf(u, u.multipartIdentifier.head, wrapped = false)
+            .map(o => (Seq(o), false)).getOrElse((Nil, true))
+        case SubqueryAlias(id, u: UnresolvedRelation) =>
+          occOf(u, id.name, wrapped = true)
+            .map(o => (Seq(o), false)).getOrElse((Nil, true))
+        case j: Join =>
+          val (l, lOpaque) = scope(j.left); val (r, rOpaque) = scope(j.right)
+          (l ++ r, lOpaque || rOpaque)
+        case _ => (Nil, true)
       }
+      val perOcc = scala.collection.mutable.Map
+        .empty[Int, (Occ, Seq[(String, Option[Any], Option[Any])])]
+      val occIds = new java.util.IdentityHashMap[UnresolvedRelation, Int]()
+      plan.collectWithSubqueries { case Filter(cond, child) =>
+        val (occs, opaque) = scope(child)
+        if (occs.nonEmpty) {
+          val base = occIds.size()
+          occs.zipWithIndex.foreach { case (o, i) =>
+            if (!occIds.containsKey(o.node)) occIds.put(o.node, base + i) }
+          // column key = (occurrence id, schema-cased column name)
+          def resolve(parts: Seq[String]): Option[(Int, String)] = {
+            def cased(o: Occ, col: String): Option[String] =
+              o.schema.flatMap(_.fields.collectFirst {
+                case f if f.name.equalsIgnoreCase(col) => f.name })
+            parts match {
+              case Seq(q, c) =>
+                occs.find(_.alias.equalsIgnoreCase(q)).flatMap(o =>
+                  cased(o, c).map(cc => (occIds.get(o.node), cc)))
+              case Seq(c) if !opaque =>
+                occs.flatMap(o => cased(o, c).map(cc => (o, cc))) match {
+                  case Seq((o, cc)) => Some((occIds.get(o.node), cc))
+                  case _ => None // absent everywhere, or ambiguous
+                }
+              case _ => None
+            }
+          }
+          Table.pruneBoundsBy(cond)(resolve).foreach {
+            case ((id, col), lo, hi) =>
+              val occ = occs.find(o => occIds.get(o.node) == id).get
+              val (_, prev) = perOcc.getOrElse(id, (occ, Nil))
+              perOcc(id) = (occ, prev :+ ((col, lo, hi)))
+          }
+        }
+      }: Unit
+      // occurrences whose bounds actually prune files get a unique view
+      val subs: Seq[(Occ, String, DataFrame)] = perOcc.values.toSeq
+        .sortBy { case (o, _) => occIds.get(o.node) }
+        .flatMap { case (occ, bounds) =>
+          table(occ.tbl).prunedScan(bounds).map { pruned =>
+            val view =
+              s"${viewNameOf(occ.tbl)}__pruned_${prunedViewSeq.incrementAndGet()}"
+            (occ, view, pruned)
+          }
+        }
+      if (subs.isEmpty) None
+      else {
+        val repl = new java.util.IdentityHashMap[UnresolvedRelation, LogicalPlan]()
+        subs.foreach { case (occ, view, _) =>
+          val rel = UnresolvedRelation(Seq(view))
+          repl.put(occ.node,
+            if (occ.wrapped) rel else SubqueryAlias(occ.alias, rel))
+        }
+        val rewritten = plan.transformDownWithSubqueries {
+          case u: UnresolvedRelation if repl.containsKey(u) => repl.get(u)
+        }
+        Some((rewritten, subs.map { case (_, v, d) => (v, d) }))
+      }
+    }.toOption.flatten
+    prepared match {
+      case None => spark.sql(stmt)
+      case Some((rewritten, views)) =>
+        // register only now — a failed rewrite above left no residue
+        views.foreach { case (v, d) => d.createOrReplaceTempView(v) }
+        try org.apache.spark.sql.graftglue.Bridge.ofRows(spark, rewritten)
+        finally views.foreach { case (v, _) =>
+          spark.catalog.dropTempView(v): Unit }
     }
   }
 

@@ -617,16 +617,36 @@ class Table(val db: Database, val qualified: String) {
     * appends without ever re-reading the table. No-op when no sidecar
     * exists; an unreadable sidecar is left alone (the conservative
     * paths already handle it).
+    *
+    * Runs AFTER the data append has committed, so no failure here may
+    * fail the write (a thrown exception would report failure for data
+    * that actually landed and invite a duplicate retry): any error —
+    * schema drift in the union, a concurrent sidecar swap mid-flight —
+    * is contained by DROPPING the sidecar (one file delete). A missing
+    * sidecar is strictly conservative: every skipping/metadata path
+    * falls back to the full scan, whereas a stale one that still covers
+    * the pre-append file set would be a lie [[aggFromStats]]'
+    * exact-coverage check happens to catch but future callers might not.
     */
   private def extendStats(appended: Seq[String]): Unit = {
     if (appended.isEmpty) return
     val existing = try db.spark.read.parquet(path + ".stats")
       catch { case _: Exception => return }
-    val tracked = existing.schema.fieldNames.toSeq
-      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
-    if (tracked.isEmpty) return
-    val fresh = perFileStats(db.loadFiles(path, appended), appended, tracked)
-    writeStats(existing.unionByName(fresh))
+    try {
+      val tracked = existing.schema.fieldNames.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      if (tracked.isEmpty) return
+      val fresh = perFileStats(db.loadFiles(path, appended), appended, tracked)
+      writeStats(existing.unionByName(fresh))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"extendStats: sidecar maintenance failed after a committed " +
+            s"append at $path - dropping the sidecar (skipping degrades " +
+            s"to full scans until the next analyzeStats): $e")
+        try { Fs.delete(Fs.path(path + ".stats")): Unit }
+        catch { case scala.util.control.NonFatal(_) => }
+    }
   }
 
   /** Range read with file skipping (c20): serve `column BETWEEN lo AND
@@ -1029,10 +1049,25 @@ object Table {
 
   /** [[pruneBounds]] on an already-parsed (unresolved) condition — the
     * shared algebra behind the flagship read's text route (c24) and
-    * `db.execute`'s statement route (c27).
+    * `db.execute`'s statement route (c27/c30). Plain single-part column
+    * names only.
     */
   private[graft] def pruneBoundsOf(cond: org.apache.spark.sql.catalyst
-      .expressions.Expression): Seq[(String, Option[Any], Option[Any])] = {
+      .expressions.Expression): Seq[(String, Option[Any], Option[Any])] =
+    pruneBoundsBy(cond)(parts =>
+      if (parts.length == 1) Some(parts.head) else None)
+
+  /** The bound-extraction algebra with a pluggable attribute resolver:
+    * `resolve` maps an attribute's name parts (e.g. `Seq("o",
+    * "o_orderkey")` for a qualified `o.o_orderkey`) to an opaque column
+    * key, or None to leave that conjunct unextracted. The SQL join route
+    * (c30) resolves qualifiers to per-occurrence relations; the
+    * single-table routes resolve only bare names. All other contracts
+    * ([[pruneBounds]]' scaladoc) are resolver-independent.
+    */
+  private[graft] def pruneBoundsBy[C](cond: org.apache.spark.sql.catalyst
+      .expressions.Expression)(resolve: Seq[String] => Option[C])
+      : Seq[(C, Option[Any], Option[Any])] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -1040,8 +1075,8 @@ object Table {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other     => Seq(other)
     }
-    def colOf(e: Expression): Option[String] = e match {
-      case u: UnresolvedAttribute if u.nameParts.length == 1 => Some(u.name)
+    def colOf(e: Expression): Option[C] = e match {
+      case u: UnresolvedAttribute => resolve(u.nameParts)
       case _ => None
     }
     def valOf(e: Expression): Option[Any] = e match {
@@ -1055,7 +1090,7 @@ object Table {
     }
     // (column, value, columnIsLeftOperand) for `col <cmp> lit` in either
     // operand order — a literal-first spelling flips the bound's side
-    def split(a: Expression, b: Expression): Option[(String, Any, Boolean)] =
+    def split(a: Expression, b: Expression): Option[(C, Any, Boolean)] =
       colOf(a).flatMap(cn => valOf(b).map(v => (cn, v, true)))
         .orElse(colOf(b).flatMap(cn => valOf(a).map(v => (cn, v, false))))
     conjuncts(cond).flatMap {
@@ -1067,9 +1102,10 @@ object Table {
       // column, a function, a non-literal) leaves the disjunction
       // unbounded there, so the column contributes nothing — necessary
       // conditions only, same contract as every other extraction.
-      // Branches recurse through pruneBoundsOf, so nested AND/OR/IN/
+      // Branches recurse through pruneBoundsBy, so nested AND/OR/IN/
       // BETWEEN shapes compose.
-      case Or(l, r) => orEnvelope(pruneBoundsOf(l), pruneBoundsOf(r))
+      case Or(l, r) =>
+        orEnvelope(pruneBoundsBy(l)(resolve), pruneBoundsBy(r)(resolve))
       case e => (e match {
       // the parser emits BETWEEN as an unresolved `between(in, lo, hi)`
       // call (resolved later to the RuntimeReplaceable Between — handle
@@ -1149,13 +1185,13 @@ object Table {
     * it. Columns whose values aren't mutually orderable ([[cmpVals]])
     * are dropped.
     */
-  private def orEnvelope(
-      lb: Seq[(String, Option[Any], Option[Any])],
-      rb: Seq[(String, Option[Any], Option[Any])])
-      : Seq[(String, Option[Any], Option[Any])] = {
+  private def orEnvelope[C](
+      lb: Seq[(C, Option[Any], Option[Any])],
+      rb: Seq[(C, Option[Any], Option[Any])])
+      : Seq[(C, Option[Any], Option[Any])] = {
     // fold one branch's entries per column into (tightest lo, tightest hi)
-    def perCol(bs: Seq[(String, Option[Any], Option[Any])])
-        : Map[String, (Option[Any], Option[Any])] =
+    def perCol(bs: Seq[(C, Option[Any], Option[Any])])
+        : Map[C, (Option[Any], Option[Any])] =
       bs.groupBy(_._1).map { case (c, es) =>
         val los = es.flatMap(_._2)
         val his = es.flatMap(_._3)
@@ -1169,7 +1205,7 @@ object Table {
         c -> (pick(los, wantMax = true), pick(his, wantMax = false))
       }
     val lm = perCol(lb); val rm = perCol(rb)
-    lm.keySet.intersect(rm.keySet).toSeq.sorted.flatMap { c =>
+    lm.keySet.intersect(rm.keySet).toSeq.sortBy(_.toString).flatMap { c =>
       val (llo, lhi) = lm(c); val (rlo, rhi) = rm(c)
       val lo = for (a <- llo; b <- rlo; n <- cmpVals(a, b))
         yield if (n <= 0) a else b

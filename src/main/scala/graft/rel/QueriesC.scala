@@ -721,6 +721,62 @@ object QueriesC {
         .orderBy("phase")
     }),
 
+    // c30: FILE SKIPPING INSIDE JOINS ON THE RAW-SQL SURFACE — the shape
+    // real analytics SQL takes (the reference's own catalog queries are
+    // joins, ref datum/postgis/table.py:116-128): a WHERE range on the
+    // fact side of a join now prunes that occurrence's files. The parsed
+    // statement is rewritten per occurrence to a uniquely-named pruned
+    // view (the canonical temp view is never touched — sequential and
+    // concurrent statements always see the full table), so self-joins
+    // prune each occurrence under its own bounds and c27's
+    // once-referenced restriction is gone. Engine-asserts: the join
+    // plans strictly fewer fact files; a filtered self-join still prunes
+    // and matches the unpruned plan; an unfiltered follow-up statement
+    // scans everything. Values gate as a plain join aggregate.
+    "c30_sql_join_skipping" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      orders.filter(col("o_orderkey") <= 3000)
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.mode("overwrite").parquet(db.pathOf("c30_orders"))
+      customer.write.mode("overwrite").parquet(db.pathOf("c30_customer"))
+      val tbl = db.table("c30_orders")
+      tbl.analyzeStats(Seq("o_orderkey")): Unit
+      val total = tbl.df.inputFiles.length
+      val joined = db.execute(
+        "SELECT c.c_mktsegment AS seg, count(*) AS n, " +
+          "CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum " +
+          "FROM c30_orders o JOIN c30_customer c " +
+          "ON o.o_custkey = c.c_custkey " +
+          "WHERE o.o_orderkey BETWEEN 500 AND 1500 " +
+          "GROUP BY c.c_mktsegment ORDER BY seg")
+      val factFiles = joined.inputFiles.count(_.contains("c30_orders"))
+      assert(factFiles < total,
+        s"the join's filtered fact side must skip files: $factFiles/$total")
+      // self-join: each occurrence prunes under its own bounds (the
+      // lifted once-referenced restriction); values must equal the
+      // unpruned plan over the canonical views
+      val selfSql = "SELECT count(*) AS n FROM c30_orders a " +
+        "JOIN c30_orders b ON a.o_orderkey = b.o_orderkey " +
+        "WHERE a.o_orderkey BETWEEN 500 AND 700 " +
+        "AND b.o_orderkey BETWEEN 500 AND 1500"
+      val self = db.execute(selfSql)
+      assert(self.inputFiles.count(_.contains("c30_orders")) < total,
+        "a filtered self-join must prune")
+      val selfN = self.collect()(0).getLong(0)
+      val fullN = s.sql(selfSql).collect()(0).getLong(0)
+      assert(selfN == fullN,
+        s"pruned self-join diverged from the full plan: $selfN vs $fullN")
+      // the binding is statement-scoped: the NEXT statement's plan scans
+      // the full table again
+      val after = db.execute(
+        "SELECT CAST(sum(o_orderkey) AS BIGINT) AS ks FROM c30_orders")
+      assert(after.inputFiles.count(_.contains("c30_orders")) == total,
+        "an unfiltered follow-up statement must see every file")
+      joined
+    }),
+
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
     // bad append lands, restore(v1) rolls the table back to the pinned
     // manifest via the staged atomic swap, and the read-back equals the
@@ -973,6 +1029,12 @@ object QueriesC {
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
         "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
         "FROM orders WHERE o_orderkey <= 4000"),
+    "c30_sql_join_skipping" ->
+      ("SELECT c.c_mktsegment AS seg, count(*) AS n, " +
+        "CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "WHERE o.o_orderkey BETWEEN 500 AND 1500 " +
+        "GROUP BY c.c_mktsegment ORDER BY seg"),
     "c29_typed_band_guard" ->
       ("SELECT * FROM (" +
         "SELECT 'numeric_guarded' AS phase, count(*) AS n, " +

@@ -13,4 +13,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Run an (unresolved) logical plan through the session's analyzer —
+    * exactly what `spark.sql` does after parsing. Lets the raw-SQL route
+    * execute a parsed statement whose relation leaves were rewritten
+    * (per-occurrence sidecar-pruned views, c30) without regenerating SQL
+    * text. `Dataset.ofRows` is `private[sql]` in Spark 4.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

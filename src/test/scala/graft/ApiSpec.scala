@@ -1178,6 +1178,180 @@ class ApiSpec extends AnyFunSuite {
     assert(scratch.vacuum().values.sum == 0, "vacuum converges")
   }
 
+  test("extendStats crash residue: a staged-but-unswapped delta leaves conservative reads; vacuum converges") {
+    import spark.implicits._
+    val scratch = scratchDb()
+    (1L to 600L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(6, col("k"))
+      .write.mode("overwrite").parquet(scratch.pathOf("exst"))
+    val t = scratch.table("exst")
+    scratch.vacuum(): Unit
+    t.analyzeStats(Seq("k")): Unit
+    // the real delta-maintenance path first: a façade append extends
+    // the sidecar and the metadata route keeps serving
+    t.write((601L to 700L).map(k => (k, s"v$k")).toDF("k", "v"))
+    assert(t.aggFromStats("k").nonEmpty, "delta maintenance serves")
+    // crash: a SECOND append committed its data, extendStats staged the
+    // extended sidecar, and the process died before the swap — live
+    // sidecar is the stale pre-append one, the stage is an orphan
+    (701L to 800L).map(k => (k, s"v$k")).toDF("k", "v")
+      .write.mode("append").parquet(t.path)
+    val stage = new java.io.File(t.path + ".stats.stage_tmp")
+    stage.mkdirs() // the orphaned stage (content irrelevant to vacuum)
+    // stale coverage -> the metadata route REFUSES (conservative), the
+    // pruned read still scans the uncovered file (never loses rows)
+    assert(t.aggFromStats("k").isEmpty, "stale sidecar must refuse")
+    assert(t.readPruned("k", 750L, 760L).count() == 11L,
+      "uncovered appended file must scan conservatively")
+    val rep = scratch.vacuum()
+    assert(rep("stage_tmp") == 1 && !stage.exists(), s"$rep")
+    // re-analyze restores exact coverage and the metadata route
+    t.analyzeStats(Seq("k")): Unit
+    val agg = t.aggFromStats("k").get.collect()(0)
+    assert(agg.getLong(0) == 800L, s"recovered coverage: $agg")
+    assert(scratch.vacuum().values.sum == 0, "convergent")
+  }
+
+  test("extendStats failure is contained: a poisoned sidecar never fails a committed append") {
+    import spark.implicits._
+    val scratch = scratchDb()
+    (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+      .write.mode("overwrite").parquet(scratch.pathOf("poison"))
+    val t = scratch.table("poison")
+    t.analyzeStats(Seq("k")): Unit
+    // poison the sidecar: replace it with one whose schema cannot union
+    // with fresh per-file stats (min_k becomes an array) — the append's
+    // data must still land and the write must NOT throw
+    val stats = t.path + ".stats"
+    val poisoned = spark.read.parquet(stats)
+      .withColumn("min_k", array(lit("x")))
+    val tmp = t.path + ".stats_poison"
+    poisoned.write.mode("overwrite").parquet(tmp)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
+    }
+    rmrf(new java.io.File(stats))
+    assert(new java.io.File(tmp).renameTo(new java.io.File(stats)))
+    spark.catalog.refreshByPath(stats)
+    t.write((101L to 150L).map(k => (k, s"v$k")).toDF("k", "v")) // must not throw
+    assert(t.count == 150L, "the append landed despite sidecar failure")
+    // containment dropped the sidecar -> skipping degrades to full scan
+    assert(!new java.io.File(stats).exists(),
+      "a failed maintenance must drop the sidecar, not leave a stale lie")
+    assert(t.readPruned("k", 10L, 20L).count() == 11L)
+  }
+
+  test("versioned-ref rewrite: unknown identifiers stay verbatim; a failed pin leaves no view residue") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(db2.pathOf("vr"))
+    val t = db2.table("vr")
+    val v1 = t.snapshot()
+    // the versioned phrase inside a string literal names an UNKNOWN
+    // table -> left verbatim, the statement returns the literal intact
+    val lit = db2.execute(
+      "SELECT 'FROM nosuch VERSION AS OF 1' AS s FROM vr WHERE k = 1")
+    assert(lit.collect()(0).getString(0) == "FROM nosuch VERSION AS OF 1")
+    // a bad version number fails loudly AND registers no view residue
+    val before = spark.catalog.listTables().count()
+    assertThrows[IllegalArgumentException](
+      db2.execute(s"SELECT * FROM vr VERSION AS OF 99"))
+    assert(spark.catalog.listTables().count() == before,
+      "failed rewrite must not leave temp views behind")
+    assert(db2.execute(s"SELECT count(*) AS n FROM vr VERSION AS OF $v1")
+      .collect()(0).getLong(0) == 2L)
+  }
+
+  test("SQL skipping: a CTE shadowing a physical table is never rewritten to the pruned scan") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 600L).map(k => (k, k % 7)).toDF("k", "g")
+      .repartitionByRange(6, col("k"))
+      .write.mode("overwrite").parquet(db2.pathOf("sh"))
+    db2.table("sh").analyzeStats(Seq("k")): Unit
+    // the CTE named `sh` holds DIFFERENT data (k+1000); the filtered
+    // reference must resolve to the CTE, not a pruned physical scan
+    val out = db2.execute(
+      "WITH sh AS (SELECT k + 1000 AS k FROM sh) " +
+        "SELECT count(*) AS n, CAST(min(k) AS BIGINT) AS lo FROM sh " +
+        "WHERE k BETWEEN 1050 AND 1100")
+    val r = out.collect()(0)
+    assert(r.getLong(0) == 51L && r.getLong(1) == 1050L,
+      s"CTE shadowing broken: ${r}")
+  }
+
+  test("SQL skipping: ambiguous unqualified columns never attribute to a side; qualified ones do") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 600L).map(k => (k, s"a$k")).toDF("k", "va")
+      .repartitionByRange(6, col("k"))
+      .write.mode("overwrite").parquet(db2.pathOf("ja"))
+    (1L to 600L).map(k => (k, s"b$k")).toDF("k", "vb")
+      .repartitionByRange(6, col("k"))
+      .write.mode("overwrite").parquet(db2.pathOf("jb"))
+    db2.table("ja").analyzeStats(Seq("k")): Unit
+    db2.table("jb").analyzeStats(Seq("k")): Unit
+    val totalA = db2.table("ja").df.inputFiles.length
+    // unqualified k is ambiguous across ja/jb -> Spark itself rejects
+    // the query; with USING the column resolves but our attribution
+    // must stay conservative. Use qualified bounds: both sides prune.
+    val both = db2.execute(
+      "SELECT count(*) AS n FROM ja JOIN jb ON ja.k = jb.k " +
+        "WHERE ja.k BETWEEN 50 AND 150 AND jb.k BETWEEN 50 AND 150")
+    assert(both.inputFiles.count(_.contains("/ja/")) < totalA,
+      "qualified fact bound must prune ja")
+    assert(both.collect()(0).getLong(0) == 101L)
+    // unqualified bound over a join of tables where only ONE side has
+    // the column -> attributed and pruned
+    val one = db2.execute(
+      "SELECT count(*) AS n FROM ja JOIN jb ON ja.k = jb.k " +
+        "WHERE va >= 'a' AND ja.k BETWEEN 50 AND 150")
+    assert(one.collect()(0).getLong(0) == 101L)
+  }
+
+  test("SQL skipping: concurrent statements never observe another statement's pruned binding") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 2000L).map(k => (k, k % 13)).toDF("k", "g")
+      .repartitionByRange(8, col("k"))
+      .write.mode("overwrite").parquet(db2.pathOf("cc"))
+    db2.table("cc").analyzeStats(Seq("k")): Unit
+    val total = db2.table("cc").df.inputFiles.length
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    // mix pruned range statements with full-table statements on many
+    // threads: every full statement must see every file and the full
+    // rowcount (the old bind-and-restore of the canonical view could
+    // leak a pruned file set into a concurrently-analyzed statement)
+    val futures = (1 to 24).map { i =>
+      Future {
+        if (i % 2 == 0) {
+          val d = db2.execute(
+            "SELECT count(*) AS n FROM cc WHERE k BETWEEN 100 AND 200")
+          d.collect()(0).getLong(0)
+        } else {
+          val d = db2.execute("SELECT count(*) AS n, " +
+            "CAST(min(k) AS BIGINT) AS lo, CAST(max(k) AS BIGINT) AS hi FROM cc")
+          val r = d.collect()(0)
+          assert(d.inputFiles.length == total,
+            s"full statement lost files: ${d.inputFiles.length}/$total")
+          assert(r.getLong(0) == 2000L && r.getLong(1) == 1L &&
+            r.getLong(2) == 2000L, s"full statement lost rows: $r")
+          r.getLong(0)
+        }
+      }
+    }
+    try {
+      val results = Await.result(Future.sequence(futures), 120.seconds)
+      assert(results.zipWithIndex.forall { case (n, idx) =>
+        if ((idx + 1) % 2 == 0) n == 101L else n == 2000L })
+    } finally { pool.shutdown(); () }
+  }
+
   private def scratchDb() = {
     scratchN += 1
     val root = s"/root/repo/target/fixtures/test/api$scratchN"
