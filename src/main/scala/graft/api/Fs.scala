@@ -14,15 +14,20 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * `.stats` skipping sidecar and its pruned reads, the `.properties`
   * catalog sidecar, `Database.tables`/DDL, and the layout helpers every
   * maintenance job sizes itself with
-  * (`partitionColsOf`/`leafDirsOf`/`dataBytes`). Every
-  * rename/list/delete in those paths goes through
-  * `org.apache.hadoop.fs.FileSystem`, so the identical protocol runs on
-  * `file://` (the local[32] test contract), `hdfs://`, and `s3a://`
-  * warehouses — `java.io.File` renames exist only on a local JVM and
-  * have no meaning where a 100 TB warehouse actually lives. Deliberately
-  * OUT of scope: query-fixture scratch setup (mkdirs/wipes of local
-  * Scratch roots in QueriesA–F/Dedup/EventWindows tests and gates),
-  * which is local[32]-only by design.
+  * (`partitionColsOf`/`leafDirsOf`/`dataBytes`) — AND (since r14) the
+  * STREAM-INDEX / INCREMENTAL-DEDUP state layer: the upsert/mview/
+  * trending merge steps (`EventWindows.upsertMerge` /
+  * `mviewMergeDaily` / `TrendingTerms.mergeBatch`), every stream
+  * index/state/sink root (f10/f14/f18/f19/f26/f31/f33–f37),
+  * `Dedup.ingestBatch`/`ingestStreamToParquet`, and e89/e100's
+  * partitioned index state. Every rename/list/delete in those paths
+  * goes through `org.apache.hadoop.fs.FileSystem`, so the identical
+  * protocol runs on `file://` (the local[32] test contract), `hdfs://`,
+  * and `s3a://` warehouses — `java.io.File` renames exist only on a
+  * local JVM and have no meaning where a 100 TB warehouse actually
+  * lives. Deliberately OUT of scope: query-fixture scratch setup
+  * (mkdirs/wipes of local Scratch roots in test fixtures and local-path
+  * gates), which is local[32]-only by design.
   *
   * ATOMICITY CONTRACT: the backup-hop swap protocol assumes `rename` is
   * atomic, which holds on local FS and HDFS (a NameNode metadata op).

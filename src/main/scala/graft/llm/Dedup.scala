@@ -310,10 +310,10 @@ object Dedup {
   /** The existing index partition dirs a batch's touched buckets map to —
     * factored out so tests can pin that a batch reads only its buckets.
     */
-  private[graft] def touchedIndexDirs(index: java.io.File,
-      buckets: Seq[Long]): Seq[java.io.File] =
-    buckets.distinct.sorted.map(b => new java.io.File(index, s"bucket=$b"))
-      .filter(_.isDirectory)
+  private[graft] def touchedIndexDirs(index: String,
+      buckets: Seq[Long]): Seq[String] =
+    buckets.distinct.sorted.map(b => s"$index/bucket=$b")
+      .filter(p => graft.api.Fs.isDir(graft.api.Fs.path(p)))
 
   /** One streaming near-dup INGEST step (the foreachBatch body, separated
     * for unit tests): band the batch with the native minhash kernel, flag
@@ -332,8 +332,8 @@ object Dedup {
     * pruning cannot change the flags: an index row joining a batch row on
     * (band, digest) shares its digest, hence its bucket.
     */
-  def ingestBatch(batch: DataFrame, index: java.io.File,
-      flags: java.io.File): Unit = {
+  def ingestBatch(batch: DataFrame, index: String,
+      flags: String): Unit = {
     val sp = batch.sparkSession
     // consumed by the flag joins, the touched-bucket collect, and the
     // index append
@@ -352,20 +352,20 @@ object Dedup {
       val pairs =
         if (dirs.isEmpty) within
         else within.unionByName(
-          sp.read.option("basePath", index.getPath)
-            .parquet(dirs.map(_.getPath): _*)
+          sp.read.option("basePath", index)
+            .parquet(dirs: _*)
             .drop("bucket").withColumnRenamed("doc_id", "idx_id")
             .join(banded, Seq("band", "digest"))
             .select(col("doc_id"), col("idx_id")))
       pairs.groupBy("doc_id")
         .agg(countDistinct(col("idx_id")).as("n_matches"),
           min(col("idx_id")).as("first_match"))
-        .write.mode("append").parquet(flags.getPath)
+        .write.mode("append").parquet(flags)
       // cluster rows by bucket before the partitioned append: without it
       // every task writes a sliver into every bucket dir (tasks × buckets
       // tiny files per batch); with it each bucket's rows land in one file
       banded.repartition(col("bucket"))
-        .write.partitionBy("bucket").mode("append").parquet(index.getPath)
+        .write.partitionBy("bucket").mode("append").parquet(index)
     } finally { banded.unpersist(); () }
   }
 
@@ -378,22 +378,20 @@ object Dedup {
     */
   def ingestStreamToParquet(spark: org.apache.spark.sql.SparkSession,
       dir: String, outRoot: String): DataFrame = {
-    def wipe(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
-      f.delete(): Unit
-    }
-    val index = new java.io.File(outRoot, "index")
-    val flags = new java.io.File(outRoot, "flags")
-    val chk = new java.io.File(outRoot, "chk")
-    wipe(index); wipe(flags); wipe(chk); new java.io.File(outRoot).mkdirs()
+    def wipe(p: String): Unit = { graft.api.Fs.delete(graft.api.Fs.path(p)): Unit }
+    val index = s"$outRoot/index"
+    val flags = s"$outRoot/flags"
+    val chk = s"$outRoot/chk"
+    wipe(index); wipe(flags); wipe(chk)
+    graft.api.Fs.mkdirs(graft.api.Fs.path(outRoot))
     val q = readStreamDocuments(spark, dir).writeStream
-      .option("checkpointLocation", chk.getPath)
+      .option("checkpointLocation", chk)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatch(batch, index, flags)
       }
       .start()
     try q.awaitTermination() finally q.stop()
-    spark.read.parquet(flags.getPath)
+    spark.read.parquet(flags)
   }
 }

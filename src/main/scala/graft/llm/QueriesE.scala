@@ -3145,13 +3145,13 @@ object QueriesE {
       val IvfSplit(base, listed, hot, sub, _, centsAfter) = ivfSplitState(s, dir)
       implicit val sp: org.apache.spark.sql.SparkSession = s
       val db = graft.api.Datum.connect("parquet:///root/repo/target/fixtures/out")
-      val state = new java.io.File(
-        db.pathOf("e89_ivf_" + dir.replaceAll("[^A-Za-z0-9]", "_")))
-      listed.write.mode("overwrite").partitionBy("list_id").parquet(state.getPath)
+      val state =
+        db.pathOf("e89_ivf_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      listed.write.mode("overwrite").partitionBy("list_id").parquet(state)
       def dirSig = (0 until K).filter(_ != hot).map { j =>
-        val d = new java.io.File(state, s"list_id=$j")
-        d.getName -> Option(d.listFiles()).getOrElse(Array.empty)
-          .map(f => (f.getName, f.length)).toSeq.sorted
+        val d = graft.api.Fs.path(s"$state/list_id=$j")
+        d.getName -> graft.api.Fs.list(d)
+          .map(st => (st.getPath.getName, st.getLen)).sorted
       }.toMap
       val before = dirSig
       val partial = listed.filter(col("list_id") === hot)
@@ -3160,8 +3160,8 @@ object QueriesE {
             .otherwise(lit(K)))
         .select(col("vec_id"), col("emb"), col("new_list").as("list_id"))
       graft.api.Database.mergeTouchedPartitions(
-        graft.Caches.persistTracked(partial), "list_id", state.getPath,
-        state.getPath + ".stage_tmp")((_, p) => p)
+        graft.Caches.persistTracked(partial), "list_id", state,
+        state + ".stage_tmp")((_, p) => p)
       assert(dirSig == before,
         "rebalance must rewrite ONLY the hot and new lists' partition dirs")
       val qs = base.filter(col("vec_id") % 97 === 0 && col("vec_id") < 2048)
@@ -3172,7 +3172,7 @@ object QueriesE {
         .map(_.getInt(0)).sorted // ≤ nlist+1 values — bounded by the centroid count
       // tombstone-masked: the rebalance preserves rows it doesn't move,
       // so a delete epoch pending on this state must mask the serve here
-      val idx = Similarity.readIndexMasked(s, state.getPath)
+      val idx = Similarity.readIndexMasked(s, state)
         .filter(col("list_id").isin(plists.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
       idx.join(broadcast(probes),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.rel.Q.dec2
+import graft.api.Fs
 
 /** Event-time windowing over the `events` stream table (SURVEY.md §2.4.F).
   * The reference has no streaming surface at all — this is the north-star
@@ -81,11 +82,10 @@ object EventWindows {
     val glob = s"$dir/events.*" // glob: the file source requires a dir/glob
     // footer sniff on the concrete file — the batch reader resolves a
     // glob too, but logs a spurious FileStreamSink existence error for it
-    val tsFile = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(_.getName.startsWith("events."))
-      .sortBy(_.getName).headOption
-      .fold(glob)(_.getPath)
+    val tsFile = Fs.list(Fs.path(dir))
+      .filter(_.getPath.getName.startsWith("events."))
+      .sortBy(_.getPath.getName).headOption
+      .fold(glob)(_.getPath.toString)
     val tsNative = spark.read.parquet(tsFile).schema("ts").dataType
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsNative) else f))
@@ -299,13 +299,8 @@ object EventWindows {
   def dedupToParquet(spark: SparkSession, dir: String,
       outRoot: String = "/root/repo/target/fixtures/out/f10"): DataFrame =
     withShufflePartitions(spark, 8) {
-      val out = new java.io.File(outRoot, "sink")
-      val chk = new java.io.File(outRoot, "chk")
-      def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
-        f.delete(): Unit
-      }
+      val out = s"$outRoot/sink"
+      val chk = s"$outRoot/chk"
       // self-contained declared query: re-run from a clean slate (the
       // checkpoint's job is restart-resume within one logical run)
       wipe(out); wipe(chk)
@@ -313,9 +308,9 @@ object EventWindows {
       val deduped = dedupStream(doubled)
         .select(col("event_id"), unix_micros(col("ts")).as("us"), col("user_id"),
           col("event_type"), col("value"), col("props"))
-      val q = toParquetSink(deduped, out.getPath, chk.getPath, availableNow = true)
+      val q = toParquetSink(deduped, out, chk, availableNow = true)
       try q.awaitTermination() finally q.stop()
-      spark.read.parquet(out.getPath)
+      spark.read.parquet(out)
     }
 
   /** Stream-static enrichment: the streaming events join a static broadcast
@@ -361,23 +356,23 @@ object EventWindows {
   def upsertLatestToParquet(spark: SparkSession, dir: String,
       outRoot: String = "/root/repo/target/fixtures/out/f14"): DataFrame =
     withShufflePartitions(spark, 8) {
-      val state = new java.io.File(outRoot, "state")
-      val stage = new java.io.File(outRoot, "state_stage")
-      val chk = new java.io.File(outRoot, "chk")
+      val state = s"$outRoot/state"
+      val stage = s"$outRoot/state_stage"
+      val chk = s"$outRoot/chk"
       // self-contained declared query: clean slate per logical run
-      wipe(state); wipe(stage); wipe(chk); new java.io.File(outRoot).mkdirs()
+      wipe(state); wipe(stage); wipe(chk); Fs.mkdirs(Fs.path(outRoot))
       val stream = readStreamEvents(spark, dir).select(col("user_id"),
         col("event_id"), unix_micros(col("ts")).as("us"),
         col("event_type"), col("value"))
       val q = stream.writeStream
-        .option("checkpointLocation", chk.getPath)
+        .option("checkpointLocation", chk)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
           upsertMerge(batch, state, stage)
         }
         .start()
       try q.awaitTermination() finally q.stop()
-      spark.read.parquet(state.getPath)
+      spark.read.parquet(state)
         .select("user_id", "event_id", "us", "event_type", "value")
     }
 
@@ -408,8 +403,8 @@ object EventWindows {
     * converges to the global argmax, because max over a total order is
     * associative.
     */
-  def upsertMerge(batch: DataFrame, state: java.io.File,
-      stage: java.io.File, nBuckets: Int = 16): Unit = {
+  def upsertMerge(batch: DataFrame, state: String,
+      stage: String, nBuckets: Int = 16): Unit = {
     // consumed twice (touched-bucket collect + staged write): materialize
     // the per-batch argmax once instead of re-running its window.
     // No replay ledger: argmax over a total order is IDEMPOTENT, so a
@@ -419,7 +414,7 @@ object EventWindows {
     val winners = upsertWinners(batch, nBuckets).persist()
     try {
       graft.api.Database.mergeTouchedPartitions(winners, "bucket",
-        state.getPath, stage.getPath)(upsertFoldDf)
+        state, stage)(upsertFoldDf)
     } finally { winners.unpersist(); () }
   }
 
@@ -435,11 +430,7 @@ object EventWindows {
       w: DataFrame): DataFrame =
     latestPerUser(existing.fold(w)(_.unionByName(w)))
 
-  private def wipe(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
-    f.delete(): Unit
-  }
+  private def wipe(p: String): Unit = { Fs.delete(Fs.path(p)): Unit }
 
   /** The purchases/views projections shared by the batch range join (f8)
     * and its streaming twin (f11): p(p_id, user_id, p_ts) ⋈ v(v_id,
@@ -558,13 +549,13 @@ object EventWindows {
     withShufflePartitions(spark, 8) {
       import graft.llm.QueriesE.{bm25Stats, bm25ProbePruned, postingRows}
       bm25Stats(spark, dir): Unit // index-time stats memo (batch-side)
-      val index = new java.io.File(outRoot, "index")
-      val chk = new java.io.File(outRoot, "chk")
-      wipe(index); wipe(chk); new java.io.File(outRoot).mkdirs()
+      val index = s"$outRoot/index"
+      val chk = s"$outRoot/chk"
+      wipe(index); wipe(chk); Fs.mkdirs(Fs.path(outRoot))
       val q = graft.llm.Dedup.readStreamDocuments(spark, dir)
         .filter(col("text").isNotNull)
         .writeStream
-        .option("checkpointLocation", chk.getPath)
+        .option("checkpointLocation", chk)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val words = batch.select(col("doc_id"),
@@ -574,12 +565,12 @@ object EventWindows {
           // un-repartitioned, every agg task writes into every bucket)
           try postingRows(words).repartition(col("bucket"))
             .write.mode("overwrite").partitionBy("bucket")
-            .parquet(new java.io.File(index, s"batch=$batchId").getPath)
+            .parquet(s"$index/batch=$batchId")
           finally { words.unpersist(); () }
         }
         .start()
       try q.awaitTermination() finally q.stop()
-      bm25ProbePruned(spark, index.getPath, dir)
+      bm25ProbePruned(spark, index, dir)
     }
 
   /** f32: COMPACTION of the streamed posting index — f31's append-only
@@ -608,20 +599,20 @@ object EventWindows {
     withShufflePartitions(spark, 4) {
       import graft.llm.QueriesE.{bm25Stats, bm25ProbePruned, postingRows}
       bm25Stats(spark, dir): Unit // index-time stats memo (batch-side)
-      val src = new java.io.File(outRoot, "src")
-      val index = new java.io.File(outRoot, "index")
-      val chk = new java.io.File(outRoot, "chk")
-      wipe(src); wipe(index); wipe(chk); new java.io.File(outRoot).mkdirs()
+      val src = s"$outRoot/src"
+      val index = s"$outRoot/index"
+      val chk = s"$outRoot/chk"
+      wipe(src); wipe(index); wipe(chk); Fs.mkdirs(Fs.path(outRoot))
       // 3 source files + maxFilesPerTrigger=1 ⇒ 3 real micro-batches: the
       // accumulation pattern the compactor exists for (any row split
       // yields the same posting union — per-doc rows, no cross-batch agg)
       spark.read.parquet(s"$dir/documents.parquet").repartition(3)
-        .write.parquet(src.getPath)
+        .write.parquet(src)
       val q = spark.readStream.schema(graft.llm.Dedup.docsSchema)
-        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+        .option("maxFilesPerTrigger", 1).parquet(src)
         .filter(col("text").isNotNull)
         .writeStream
-        .option("checkpointLocation", chk.getPath)
+        .option("checkpointLocation", chk)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val words = batch.select(col("doc_id"),
@@ -632,19 +623,19 @@ object EventWindows {
           // into every bucket dir — 8× the file commits for zero benefit)
           try postingRows(words).repartition(col("bucket"))
             .write.mode("overwrite").partitionBy("bucket")
-            .parquet(new java.io.File(index, s"batch=$batchId").getPath)
+            .parquet(s"$index/batch=$batchId")
           finally { words.unpersist(); () }
           // mid-stream maintenance: fold the already-committed batches
           // (≤ batchId−1 — batch ids a checkpoint replay can no longer
           // re-run) while ingest continues appending after us
           if (batchId == 2)
-            graft.api.Database.compactStreamIndex(spark, index.getPath, "bucket",
+            graft.api.Database.compactStreamIndex(spark, index, "bucket",
               upTo = batchId - 1): Unit
         }
         .start()
       try q.awaitTermination() finally q.stop()
       def postingSig(): (Long, java.math.BigDecimal) = {
-        val r = spark.read.parquet(index.getPath)
+        val r = spark.read.parquet(index)
           .agg(count(lit(1)),
             // order-independent multiset checksum; decimal(38,0) keeps the
             // sum exact under ANSI mode at any corpus size
@@ -654,14 +645,14 @@ object EventWindows {
         (r.getLong(0), r.getDecimal(1))
       }
       val sigBefore = postingSig()
-      val stats = graft.api.Database.compactStreamIndex(spark, index.getPath, "bucket")
+      val stats = graft.api.Database.compactStreamIndex(spark, index, "bucket")
       assert(stats("files_after") < stats("files_before"),
         s"compaction must shrink the data file count: $stats")
       assert(stats("dirs_after") == 1L,
         s"terminated-stream compaction folds to a single batch dir: $stats")
       assert(postingSig() == sigBefore,
         "compaction must leave the posting multiset bit-identical")
-      bm25ProbePruned(spark, index.getPath, dir)
+      bm25ProbePruned(spark, index, dir)
     }
   }
 
@@ -689,17 +680,17 @@ object EventWindows {
       import graft.llm.QueriesE.{bm25Stats, bm25ProbePruned, postingRows}
       import spark.implicits._
       bm25Stats(spark, dir): Unit // index-time stats memo (batch-side)
-      val src = new java.io.File(outRoot, "src")
-      val index = new java.io.File(outRoot, "index")
-      val chk = new java.io.File(outRoot, "chk")
-      wipe(src); wipe(index); wipe(chk); new java.io.File(outRoot).mkdirs()
+      val src = s"$outRoot/src"
+      val index = s"$outRoot/index"
+      val chk = s"$outRoot/chk"
+      wipe(src); wipe(index); wipe(chk); Fs.mkdirs(Fs.path(outRoot))
       spark.read.parquet(s"$dir/documents.parquet").repartition(3)
-        .write.parquet(src.getPath)
+        .write.parquet(src)
       val q = spark.readStream.schema(graft.llm.Dedup.docsSchema)
-        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+        .option("maxFilesPerTrigger", 1).parquet(src)
         .filter(col("text").isNotNull)
         .writeStream
-        .option("checkpointLocation", chk.getPath)
+        .option("checkpointLocation", chk)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val words = batch.select(col("doc_id"),
@@ -707,31 +698,31 @@ object EventWindows {
             .filter(col("word") =!= "").persist()
           try postingRows(words).repartition(col("bucket"))
             .write.mode("overwrite").partitionBy("bucket")
-            .parquet(new java.io.File(index, s"batch=$batchId").getPath)
+            .parquet(s"$index/batch=$batchId")
           finally { words.unpersist(); () }
         }
         .start()
       try q.awaitTermination() finally q.stop()
       // the delete epoch: the fixed query's rank-1 doc, pinned on the
       // driver BEFORE the index mutates
-      val del = bm25ProbePruned(spark, index.getPath, dir)
+      val del = bm25ProbePruned(spark, index, dir)
         .collect().head.getLong(0)
-      graft.llm.QueriesE.deleteFromBm25Index(spark, index.getPath,
+      graft.llm.QueriesE.deleteFromBm25Index(spark, index,
         Seq(del).toDF("doc_id"))
       // masked phase, materialized BEFORE the fold rewrites the files
       // (and tombstones) its plan reads
-      val masked = bm25ProbePruned(spark, index.getPath, dir)
+      val masked = bm25ProbePruned(spark, index, dir)
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
       val stats = graft.api.Database.compactStreamIndexWithTombstones(
-        spark, index.getPath, "bucket", "doc_id")
+        spark, index, "bucket", "doc_id")
       assert(stats("dirs_after") == 1L,
         s"terminated-stream fold must cover every batch dir: $stats")
-      assert(!new java.io.File(index, "_tombstones").exists(),
+      assert(!Fs.exists(Fs.path(s"$index/_tombstones")),
         "a full fold reclaims the tombstone epoch")
-      assert(spark.read.parquet(index.getPath)
+      assert(spark.read.parquet(index)
         .filter(col("doc_id") === del).count() == 0L,
         "the deleted doc is physically absent after the fold")
-      val compacted = bm25ProbePruned(spark, index.getPath, dir)
+      val compacted = bm25ProbePruned(spark, index, dir)
         .withColumn("phase", lit("compacted"))
       val maskedDf = masked.toSeq.toDF("doc_id", "score")
         .withColumn("phase", lit("masked"))
@@ -769,52 +760,52 @@ object EventWindows {
       import graft.llm.{QueriesE, Similarity}
       import spark.implicits._
       val (_, cents, cbs) = QueriesE.ivfPqTrainings(spark, dir)
-      val src = new java.io.File(outRoot, "src")
-      val index = new java.io.File(outRoot, "index")
-      val chk = new java.io.File(outRoot, "chk")
-      wipe(src); wipe(index); wipe(chk); new java.io.File(outRoot).mkdirs()
+      val src = s"$outRoot/src"
+      val index = s"$outRoot/index"
+      val chk = s"$outRoot/chk"
+      wipe(src); wipe(index); wipe(chk); Fs.mkdirs(Fs.path(outRoot))
       spark.read.parquet(s"$dir/embeddings.parquet").repartition(3)
-        .write.parquet(src.getPath)
+        .write.parquet(src)
       val schema = StructType(Seq(StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType))))
       val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+        .option("maxFilesPerTrigger", 1).parquet(src)
         .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb"))
         .withColumn("list_id", Similarity.ivfAssign(col("emb"), cents))
         .select(Seq(col("vec_id"), col("list_id")) ++
           Similarity.pqCodeCols(col("emb"), cbs): _*)
         .writeStream
-        .option("checkpointLocation", chk.getPath)
+        .option("checkpointLocation", chk)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           batch.repartition(col("list_id"))
             .write.mode("overwrite").partitionBy("list_id")
-            .parquet(new java.io.File(index, s"batch=$batchId").getPath)
+            .parquet(s"$index/batch=$batchId")
         }
         .start()
       try q.awaitTermination() finally q.stop()
       // the delete epoch: each query's rank-1 served vec_id, pinned on
       // the driver BEFORE the index mutates (|Q| ids by construction)
-      val delIds = QueriesE.ivfPqServedTop(spark, dir, index.getPath)
+      val delIds = QueriesE.ivfPqServedTop(spark, dir, index)
         .filter(col("pos") === 1L).select("vec_id")
         .collect().map(_.getLong(0)).toSeq.distinct.sorted
-      QueriesE.deleteFromIvfPqIndex(spark, index.getPath,
+      QueriesE.deleteFromIvfPqIndex(spark, index,
         delIds.toDF("vec_id"))
       // masked phase, materialized BEFORE the fold rewrites the files
       // (and tombstones) its plan reads: |Q|·5 rows by construction
-      val masked = QueriesE.ivfPqServedTop(spark, dir, index.getPath)
+      val masked = QueriesE.ivfPqServedTop(spark, dir, index)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val stats = graft.api.Database.compactStreamIndexWithTombstones(
-        spark, index.getPath, "list_id", "vec_id")
+        spark, index, "list_id", "vec_id")
       assert(stats("dirs_after") == 1L,
         s"terminated-stream fold must cover every batch dir: $stats")
-      assert(!new java.io.File(index, "_tombstones").exists(),
+      assert(!Fs.exists(Fs.path(s"$index/_tombstones")),
         "a full fold reclaims the tombstone epoch")
-      assert(spark.read.parquet(index.getPath)
+      assert(spark.read.parquet(index)
         .filter(col("vec_id")
           .isin(delIds.map(_.asInstanceOf[Any]): _*)).count() == 0L,
         "the deleted ids are physically absent after the fold")
-      val compacted = QueriesE.ivfPqServedTop(spark, dir, index.getPath)
+      val compacted = QueriesE.ivfPqServedTop(spark, dir, index)
         .withColumn("phase", lit("compacted"))
       val maskedDf = masked.toSeq.toDF("qid", "pos", "vec_id")
         .withColumn("phase", lit("masked"))
@@ -844,13 +835,13 @@ object EventWindows {
     withShufflePartitions(spark, 4) {
       import graft.llm.QueriesE.{bm25Stats, bm25ProbePruned, postingRows, Bm25Buckets}
       bm25Stats(spark, dir): Unit // index-time stats memo (batch-side)
-      val src = new java.io.File(outRoot, "src")
-      val index = new java.io.File(outRoot, "index")
-      val chk = new java.io.File(outRoot, "chk")
-      wipe(src); wipe(index); wipe(chk); new java.io.File(outRoot).mkdirs()
+      val src = s"$outRoot/src"
+      val index = s"$outRoot/index"
+      val chk = s"$outRoot/chk"
+      wipe(src); wipe(index); wipe(chk); Fs.mkdirs(Fs.path(outRoot))
       // 3 source files + maxFilesPerTrigger=1 ⇒ 3 real micro-batches
       spark.read.parquet(s"$dir/documents.parquet").repartition(3)
-        .write.parquet(src.getPath)
+        .write.parquet(src)
       // the budget: one file per bucket dir — the steady state a compacted
       // index maintains; any committed accumulation beyond it triggers
       val budget = Bm25Buckets.toLong
@@ -859,10 +850,10 @@ object EventWindows {
       var fired = 0
       var held = 0
       val q = spark.readStream.schema(graft.llm.Dedup.docsSchema)
-        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+        .option("maxFilesPerTrigger", 1).parquet(src)
         .filter(col("text").isNotNull)
         .writeStream
-        .option("checkpointLocation", chk.getPath)
+        .option("checkpointLocation", chk)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val words = batch.select(col("doc_id"),
@@ -870,11 +861,11 @@ object EventWindows {
             .filter(col("word") =!= "").persist()
           try postingRows(words).repartition(col("bucket"))
             .write.mode("overwrite").partitionBy("bucket")
-            .parquet(new java.io.File(index, s"batch=$batchId").getPath)
+            .parquet(s"$index/batch=$batchId")
           finally { words.unpersist(); () }
           // the policy, not a batch count, decides (replay-safe bound as
           // in f32: only batches ≤ batchId−1 are committed)
-          graft.api.Database.compactStreamIndexIfNeeded(spark, index.getPath,
+          graft.api.Database.compactStreamIndexIfNeeded(spark, index,
             "bucket", maxDataFiles = budget, upTo = batchId - 1) match {
             case Some(_) => fired += 1
             case None => held += 1
@@ -883,7 +874,7 @@ object EventWindows {
         .start()
       try q.awaitTermination() finally q.stop()
       def postingSig(): (Long, java.math.BigDecimal) = {
-        val r = spark.read.parquet(index.getPath)
+        val r = spark.read.parquet(index)
           .agg(count(lit(1)),
             sum(xxhash64(col("doc_id"), col("word"), col("tf"), col("len"),
               col("bucket")).cast("decimal(38,0)")))
@@ -897,13 +888,13 @@ object EventWindows {
         s"the policy must also hold off while under budget (fired=$fired held=$held)")
       // termination maintenance goes through the SAME policy — with the
       // accumulated tail over budget it folds to the steady-state layout
-      val stats = graft.api.Database.compactStreamIndexIfNeeded(spark, index.getPath,
+      val stats = graft.api.Database.compactStreamIndexIfNeeded(spark, index,
         "bucket", maxDataFiles = budget)
       assert(stats.exists(_("dirs_after") == 1L),
         s"terminal policy pass folds to a single batch dir: $stats")
       assert(postingSig() == sigBefore,
         "policy compaction must leave the posting multiset bit-identical")
-      bm25ProbePruned(spark, index.getPath, dir)
+      bm25ProbePruned(spark, index, dir)
     }
   }
 
@@ -927,38 +918,38 @@ object EventWindows {
       import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
       import graft.llm.Similarity
       val (_, cents, cbs) = graft.llm.QueriesE.ivfPqTrainings(spark, dir)
-      val src = new java.io.File(outRoot, "src")
-      val index = new java.io.File(outRoot, "index")
-      val chk = new java.io.File(outRoot, "chk")
-      wipe(src); wipe(index); wipe(chk); new java.io.File(outRoot).mkdirs()
+      val src = s"$outRoot/src"
+      val index = s"$outRoot/index"
+      val chk = s"$outRoot/chk"
+      wipe(src); wipe(index); wipe(chk); Fs.mkdirs(Fs.path(outRoot))
       // 3 source files + maxFilesPerTrigger=1 ⇒ 3 real micro-batches
       spark.read.parquet(s"$dir/embeddings.parquet").repartition(3)
-        .write.parquet(src.getPath)
+        .write.parquet(src)
       val schema = StructType(Seq(StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType))))
       val coded = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+        .option("maxFilesPerTrigger", 1).parquet(src)
         .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb"))
         .withColumn("list_id", Similarity.ivfAssign(col("emb"), cents))
         .select(Seq(col("vec_id"), col("list_id")) ++
           Similarity.pqCodeCols(col("emb"), cbs): _*)
       val q = coded.writeStream
-        .option("checkpointLocation", chk.getPath)
+        .option("checkpointLocation", chk)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           batch.repartition(col("list_id"))
             .write.mode("overwrite").partitionBy("list_id")
-            .parquet(new java.io.File(index, s"batch=$batchId").getPath)
+            .parquet(s"$index/batch=$batchId")
           if (batchId == 2)
-            graft.api.Database.compactStreamIndex(spark, index.getPath, "list_id",
+            graft.api.Database.compactStreamIndex(spark, index, "list_id",
               upTo = batchId - 1): Unit
         }
         .start()
       try q.awaitTermination() finally q.stop()
-      val stats = graft.api.Database.compactStreamIndex(spark, index.getPath, "list_id")
+      val stats = graft.api.Database.compactStreamIndex(spark, index, "list_id")
       assert(stats("dirs_after") == 1L,
         s"terminated-stream compaction folds to a single batch dir: $stats")
-      graft.llm.QueriesE.ivfPqRecall(spark, dir, index.getPath)
+      graft.llm.QueriesE.ivfPqRecall(spark, dir, index)
     }
   }
 
@@ -990,11 +981,11 @@ object EventWindows {
     val outRoot = outRootOpt.getOrElse(graft.Scratch.root(dir, "f33"))
     withShufflePartitions(spark, 8) {
       import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
-      val src = new java.io.File(outRoot, "src")
-      val good = new java.io.File(outRoot, "good")
-      val dead = new java.io.File(outRoot, "dead")
-      val chk = new java.io.File(outRoot, "chk")
-      wipe(src); wipe(good); wipe(dead); wipe(chk); new java.io.File(outRoot).mkdirs()
+      val src = s"$outRoot/src"
+      val good = s"$outRoot/good"
+      val dead = s"$outRoot/dead"
+      val chk = s"$outRoot/chk"
+      wipe(src); wipe(good); wipe(dead); wipe(chk); Fs.mkdirs(Fs.path(outRoot))
       val ev = graft.rel.Q.events(spark, dir)
         .select(col("event_id"), col("event_type"), col("value"), col("props"))
       val doctored = ev.withColumn("props",
@@ -1012,7 +1003,7 @@ object EventWindows {
         lit("not-a-number").as("value"), col("props")))
       val line = when(pmod(col("event_id"), lit(97)) === 29, lineDrift)
         .otherwise(line0)
-      doctored.select(line.as("value")).write.text(src.getPath)
+      doctored.select(line.as("value")).write.text(src)
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType),
@@ -1022,9 +1013,9 @@ object EventWindows {
       val q = spark.readStream.schema(schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(src.getPath)
+        .json(src)
         .writeStream
-        .option("checkpointLocation", chk.getPath)
+        .option("checkpointLocation", chk)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val b = batch.persist() // consumed twice: good split + dead split
@@ -1032,7 +1023,7 @@ object EventWindows {
             b.filter(!isBad)
               .select(col("event_id"), col("event_type"), col("value"),
                 get_json_object(col("props"), "$.k").cast("long").as("k"))
-              .write.mode("append").parquet(good.getPath)
+              .write.mode("append").parquet(good)
             b.filter(isBad)
               .select(
                 // a schema-drift row may lose its typed id — recover it
@@ -1043,7 +1034,7 @@ object EventWindows {
                 when(col("_corrupt_record").isNotNull, lit("type_drift"))
                   .otherwise(lit("bad_props")).as("error_class"),
                 coalesce(col("_corrupt_record"), col("props")).as("error"))
-              .write.mode("append").parquet(dead.getPath)
+              .write.mode("append").parquet(dead)
           } finally { b.unpersist(); () }
         }
         .start()
@@ -1052,7 +1043,7 @@ object EventWindows {
       // driver's pandas-backed compare folds numeric NULL to float NaN,
       // and NaN ≠ NaN fails the row even when both sides agree — strings
       // may be NULL (None compares equal), numerics must not
-      val g = spark.read.parquet(good.getPath)
+      val g = spark.read.parquet(good)
         .select(col("event_id"), lit("ok").as("status"),
           lit(null).cast("string").as("error_class"),
           col("event_type"), coalesce(col("value"), lit(-1.0)).as("value"),
@@ -1060,7 +1051,7 @@ object EventWindows {
           // vacuously true on good rows: the column asserts "every
           // dead-letter error payload is non-empty" across the union
           lit(true).as("error_payload_ok"))
-      val d = spark.read.parquet(dead.getPath)
+      val d = spark.read.parquet(dead)
         .select(col("event_id"), lit("quarantined").as("status"),
           col("error_class"), lit(null).cast("string").as("event_type"),
           lit(-1.0).as("value"), lit(-1L).as("k"),
@@ -1156,16 +1147,16 @@ object EventWindows {
           .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
       val cents = Similarity.kmeansCentroids(base, "vec_id", 8, 3,
         memoKey = s"kmeans|$dir|embeddings|k8|it3")
-      val index = new java.io.File(outRoot, "index")
-      val chk = new java.io.File(outRoot, "chk")
-      wipe(index); wipe(chk); new java.io.File(outRoot).mkdirs()
+      val index = s"$outRoot/index"
+      val chk = s"$outRoot/chk"
+      wipe(index); wipe(chk); Fs.mkdirs(Fs.path(outRoot))
       val schema = StructType(Seq(StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType))))
       val routed = spark.readStream.schema(schema).parquet(s"$dir/embeddings.*")
         .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb"))
         .withColumn("list_id", Similarity.ivfAssign(col("emb"), cents))
       val q = routed.writeStream
-        .option("checkpointLocation", chk.getPath)
+        .option("checkpointLocation", chk)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // idempotent per-batch write: a RETRIED micro-batch overwrites
@@ -1176,7 +1167,7 @@ object EventWindows {
           // of f19's swap-by-marker recipe; list_id stays the inner
           // partition key, so the probe's pruning is unchanged.
           batch.write.mode("overwrite").partitionBy("list_id")
-            .parquet(new java.io.File(index, s"batch=$batchId").getPath)
+            .parquet(s"$index/batch=$batchId")
         }
         .start()
       try q.awaitTermination() finally q.stop()
@@ -1191,7 +1182,7 @@ object EventWindows {
         .select(col("emb").as("q")))
       // tombstone-masked (Similarity.readIndexMasked): a delete epoch
       // pending on the streamed layout must not serve deleted vectors
-      Similarity.readIndexMasked(spark, index.getPath)
+      Similarity.readIndexMasked(spark, index)
         .filter(col("list_id").isin(probes.toIndexedSeq.map(_.asInstanceOf[Any]): _*) &&
           col("vec_id") =!= 0L)
         .crossJoin(qDf)
@@ -1308,7 +1299,7 @@ object EventWindows {
       sliceMax: Long = 100000L): DataFrame =
     withShufflePartitions(spark, 8) {
       val db = new graft.api.JdbcDatabase(spark, url)
-      val chk = new java.io.File("/root/repo/target/fixtures/out/f16/chk")
+      val chk = "/root/repo/target/fixtures/out/f16/chk"
       wipe(chk)
       // self-contained declared query: clean target + ledger per run
       db.dropTable("F16_EVENTS"); db.dropTable("F16_EVENTS_BATCHLOG")
@@ -1323,7 +1314,7 @@ object EventWindows {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema),
         "F16_EVENTS", "ignore")
       val q = stream.writeStream
-        .option("checkpointLocation", chk.getPath)
+        .option("checkpointLocation", chk)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           db.appendBatchExactlyOnce("F16_EVENTS", batch, batchId)
@@ -1345,19 +1336,19 @@ object EventWindows {
   def mviewMaintainStream(spark: SparkSession, dir: String,
       outRoot: String = "/root/repo/target/fixtures/out/f18"): DataFrame =
     withShufflePartitions(spark, 8) {
-      val state = new java.io.File(outRoot, "state")
-      val stage = new java.io.File(outRoot, "state_stage")
-      val chk = new java.io.File(outRoot, "chk")
-      wipe(state); wipe(stage); wipe(chk); new java.io.File(outRoot).mkdirs()
+      val state = s"$outRoot/state"
+      val stage = s"$outRoot/state_stage"
+      val chk = s"$outRoot/chk"
+      wipe(state); wipe(stage); wipe(chk); Fs.mkdirs(Fs.path(outRoot))
       val q = readStreamEvents(spark, dir).writeStream
-        .option("checkpointLocation", chk.getPath)
+        .option("checkpointLocation", chk)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, id: Long) =>
           mviewMergeDaily(batch, state, stage, batchId = id)
         }
         .start()
       try q.awaitTermination() finally q.stop()
-      spark.read.parquet(state.getPath)
+      spark.read.parquet(state)
         .select(col("day").cast("string").as("day"), col("event_type"),
           col("n"), col("sv").cast("double").as("sum_value"))
     }
@@ -1373,17 +1364,17 @@ object EventWindows {
   def mviewBackfill(spark: SparkSession, dir: String,
       outRoot: String = "/root/repo/target/fixtures/out/f20"): DataFrame = {
     val built = mviewMaintainStream(spark, dir, outRoot)
-    val state = new java.io.File(outRoot, "state")
-    val stage = new java.io.File(outRoot, "state_stage")
-    val day = Option(state.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("day="))
-      .map(_.getName.stripPrefix("day=")).sorted.head
-    wipe(new java.io.File(state, s"day=$day")) // the corrupted/bad day
+    val state = s"$outRoot/state"
+    val stage = s"$outRoot/state_stage"
+    val day = Fs.list(Fs.path(state))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+      .map(_.getPath.getName.stripPrefix("day=")).sorted.head
+    wipe(s"$state/day=$day") // the corrupted/bad day
     val dayRows = graft.rel.Q.events(spark, dir)
       .filter(date_format(col("ts").cast(TimestampType).cast("date"),
         "yyyy-MM-dd") === day)
     mviewMergeDaily(dayRows, state, stage) // same merge = the repair
-    built.sparkSession.read.parquet(state.getPath)
+    built.sparkSession.read.parquet(state)
       .select(col("day").cast("string").as("day"), col("event_type"),
         col("n"), col("sv").cast("double").as("sum_value"))
   }
@@ -1395,15 +1386,15 @@ object EventWindows {
     * so the final state equals the batch aggregate under ANY split of the
     * input into batches.
     */
-  def mviewMergeDaily(batch: DataFrame, state: java.io.File,
-      stage: java.io.File, batchId: Long = -1L): Unit =
+  def mviewMergeDaily(batch: DataFrame, state: String,
+      stage: String, batchId: Long = -1L): Unit =
     // additive counts/sums are NOT idempotent, so a checkpoint replay of
     // the same micro-batch after a crash mid-swap would double-count the
     // already-swapped days — the shared two-level ledger
     // (Database.mergeTouchedPartitionsExactlyOnce) folds a replay into
     // exactly the days the crashed run left unswapped
     graft.api.Database.mergeTouchedPartitionsExactlyOnce(
-      dailyPartial(batch), "day", state.getPath, stage.getPath,
+      dailyPartial(batch), "day", state, stage,
       batchId)(mviewFoldDf)
 
   /** The per-batch (day, event_type, n, sv) partial (exposed for the

@@ -1,7 +1,5 @@
 package graft.stream
 
-import java.io.File
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,14 +34,14 @@ object TrendingTerms {
     * where a bucket's previous state is deleted without the new state or
     * its .bak on disk).
     */
-  def mergeBatch(batch: DataFrame, state: File, stage: File,
+  def mergeBatch(batch: DataFrame, state: String, stage: String,
       nBuckets: Int = 16, batchId: Long = -1L): Unit =
     // counts are NOT idempotent (unlike f14's argmax), so a checkpoint
     // REPLAY must not re-fold state it already folded — the shared
     // two-level ledger (Database.mergeTouchedPartitionsExactlyOnce)
     // makes the plain-file multi-bucket commit exactly-once
     graft.api.Database.mergeTouchedPartitionsExactlyOnce(
-      termPartial(batch, nBuckets), "bucket", state.getPath, stage.getPath,
+      termPartial(batch, nBuckets), "bucket", state, stage,
       batchId)(foldDf)
 
   /** The per-batch (term, df, bucket) partial (exposed for the
@@ -72,26 +70,25 @@ object TrendingTerms {
   def trendingStream(spark: SparkSession, dir: String,
       outRoot: String = "/root/repo/target/fixtures/out/f19",
       k: Int = 20): DataFrame = {
-    val state = new File(outRoot, "state")
-    val stage = new File(outRoot, "stage")
-    val chk = new File(outRoot, "chk")
-    wipe(state); wipe(stage); wipe(chk); new File(outRoot).mkdirs()
+    val state = s"$outRoot/state"
+    val stage = s"$outRoot/stage"
+    val chk = s"$outRoot/chk"
+    wipe(state); wipe(stage); wipe(chk)
+    graft.api.Fs.mkdirs(graft.api.Fs.path(outRoot))
     val q = graft.llm.Dedup.readStreamDocuments(spark, dir).writeStream
-      .option("checkpointLocation", chk.getPath)
+      .option("checkpointLocation", chk)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         mergeBatch(batch, state, stage, batchId = id)
       }
       .start()
     try q.awaitTermination() finally q.stop()
-    spark.read.parquet(state.getPath)
+    spark.read.parquet(state)
       .select("term", "df")
       .orderBy(col("df").desc, col("term")).limit(k)
   }
 
-  private def wipe(f: File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
-    f.delete(): Unit
+  private def wipe(p: String): Unit = {
+    graft.api.Fs.delete(graft.api.Fs.path(p)): Unit
   }
 }

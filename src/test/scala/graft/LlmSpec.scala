@@ -1068,7 +1068,8 @@ class LlmSpec extends AnyFunSuite {
       val index = new java.io.File(root, s"$tag/index")
       val flags = new java.io.File(root, s"$tag/flags")
       wipe(index.getParentFile)
-      batches.foreach(b => graft.llm.Dedup.ingestBatch(dfOf(b), index, flags))
+      batches.foreach(b =>
+        graft.llm.Dedup.ingestBatch(dfOf(b), index.getPath, flags.getPath))
       spark.read.parquet(flags.getPath).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     }
@@ -1091,7 +1092,7 @@ class LlmSpec extends AnyFunSuite {
     val before = files()
     graft.llm.Dedup.ingestBatch(
       Seq((6L, "yet another brand new unique document text")).toDF("doc_id", "text"),
-      index, new java.io.File(root, "split/flags"))
+      index.getPath, new java.io.File(root, "split/flags").getPath)
     assert(files().intersect(before) == before, "index files must be append-only")
   }
 
@@ -1108,7 +1109,8 @@ class LlmSpec extends AnyFunSuite {
     // 12 distinct docs -> 48 band digests spread over many of the 64 buckets
     val corpus = (1L to 12L).map(i =>
       (i, s"document number $i with its own distinct running text body $i"))
-    graft.llm.Dedup.ingestBatch(corpus.toDF("doc_id", "text"), index, flags)
+    graft.llm.Dedup.ingestBatch(corpus.toDF("doc_id", "text"),
+      index.getPath, flags.getPath)
     val onDisk = index.listFiles().filter(_.getName.startsWith("bucket="))
       .map(_.getName).toSet
     assert(onDisk.size > 4, s"expected a spread of bucket dirs, got $onDisk")
@@ -1120,7 +1122,8 @@ class LlmSpec extends AnyFunSuite {
       .withColumn("bucket", graft.llm.Dedup.indexBucket(col("digest")))
     val touched = banded.select("bucket").distinct().collect().map(_.getLong(0)).toSeq
     assert(touched.nonEmpty && touched.size <= 4)
-    val dirs = graft.llm.Dedup.touchedIndexDirs(index, touched).map(_.getName).toSet
+    val dirs = graft.llm.Dedup.touchedIndexDirs(index.getPath, touched)
+      .map(_.split('/').last).toSet
     assert(dirs.subsetOf(onDisk))
     assert(dirs.size < onDisk.size,
       s"probe batch must read a strict subset of bucket dirs ($dirs vs $onDisk)")

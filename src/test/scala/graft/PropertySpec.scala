@@ -410,7 +410,8 @@ object GraftSparkProps extends Properties("graft-spark") {
       val state = new java.io.File(root, "state")
       val stage = new java.io.File(root, "stage")
       Seq(rows.take(cut), rows.drop(cut)).filter(_.nonEmpty).foreach { b =>
-        graft.stream.TrendingTerms.mergeBatch(b.toDF("doc_id", "text"), state, stage)
+        graft.stream.TrendingTerms.mergeBatch(b.toDF("doc_id", "text"),
+        state.getPath, stage.getPath)
       }
       val got =
         if (!state.isDirectory) Map.empty[String, Long]

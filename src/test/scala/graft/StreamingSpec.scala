@@ -281,7 +281,8 @@ class StreamingSpec extends AnyFunSuite {
       Seq(all(4)))         // user 3's only row
     batches.foreach { b =>
       EventWindows.upsertMerge(
-        b.toDF("user_id", "event_id", "us", "event_type", "value"), state, stage)
+        b.toDF("user_id", "event_id", "us", "event_type", "value"),
+        state.getPath, stage.getPath)
     }
     val got = spark.read.parquet(state.getPath).collect()
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
@@ -298,7 +299,8 @@ class StreamingSpec extends AnyFunSuite {
     val before = bucketState() - s"bucket=$u3Bucket"
     EventWindows.upsertMerge(
       Seq((3L, 29L, 10L, "view", 0.0)) // a loser row for user 3 only
-        .toDF("user_id", "event_id", "us", "event_type", "value"), state, stage)
+        .toDF("user_id", "event_id", "us", "event_type", "value"),
+        state.getPath, stage.getPath)
     assert(bucketState() - s"bucket=$u3Bucket" == before,
       "untouched buckets were rewritten")
     val got2 = spark.read.parquet(state.getPath).collect()
@@ -322,7 +324,8 @@ class StreamingSpec extends AnyFunSuite {
       (1L, "x y x y"), (2L, "x y z w"),
       (3L, "x y only here"), (4L, "p q r s"))
     Seq(all.take(2), all.drop(2)).foreach { b =>
-      stream.TrendingTerms.mergeBatch(b.toDF("doc_id", "text"), state, stage)
+      stream.TrendingTerms.mergeBatch(b.toDF("doc_id", "text"),
+        state.getPath, stage.getPath)
     }
     val got = spark.read.parquet(state.getPath)
       .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
@@ -337,7 +340,8 @@ class StreamingSpec extends AnyFunSuite {
     val before = bucketState()
     val touched = {
       // one term -> exactly one bucket touched by the next merge
-      stream.TrendingTerms.mergeBatch(Seq((5L, "x y")).toDF("doc_id", "text"), state, stage)
+      stream.TrendingTerms.mergeBatch(Seq((5L, "x y")).toDF("doc_id", "text"),
+      state.getPath, stage.getPath)
       spark.read.parquet(state.getPath).filter($"term" === "x y")
     }
     assert(touched.collect()(0).getAs[Long]("df") == 4L)
@@ -346,8 +350,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(changed.size == 1, s"exactly the one touched bucket was swapped: $changed")
     // replay safety: the same ledgered batch id folds once, not twice
     val replay = Seq((6L, "x y")).toDF("doc_id", "text")
-    stream.TrendingTerms.mergeBatch(replay, state, stage, batchId = 7L)
-    stream.TrendingTerms.mergeBatch(replay, state, stage, batchId = 7L)
+    stream.TrendingTerms.mergeBatch(replay, state.getPath, stage.getPath, batchId = 7L)
+    stream.TrendingTerms.mergeBatch(replay, state.getPath, stage.getPath, batchId = 7L)
     val dfXY = spark.read.parquet(state.getPath).filter($"term" === "x y")
       .collect()(0).getAs[Long]("df")
     assert(dfXY == 5L, s"replayed batch 7 must skip via the ledger, df = $dfXY")
@@ -367,7 +371,7 @@ class StreamingSpec extends AnyFunSuite {
       (new java.io.File(root, s"$tag/state"), new java.io.File(root, s"$tag/stage"))
     // reference: the batch folded once, no crash
     val (refState, refStage) = stateOf("ref")
-    stream.TrendingTerms.mergeBatch(batch, refState, refStage, batchId = 3L)
+    stream.TrendingTerms.mergeBatch(batch, refState.getPath, refStage.getPath, batchId = 3L)
     // crashed run: drive the same fold but die after the SECOND bucket
     // swap — exactly the state a kill mid-commit leaves (some buckets
     // folded AND marked, the rest untouched)
@@ -391,7 +395,7 @@ class StreamingSpec extends AnyFunSuite {
       "exactly the two swapped buckets are marked")
     // replay of batch 3: must fold ONLY the unmarked buckets, then the
     // state equals the crash-free reference exactly
-    stream.TrendingTerms.mergeBatch(batch, crState, crStage, batchId = 3L)
+    stream.TrendingTerms.mergeBatch(batch, crState.getPath, crStage.getPath, batchId = 3L)
     def snap(state: java.io.File): Map[(String, Int), Long] =
       spark.read.parquet(state.getPath).collect()
         .map(r => (r.getAs[String]("term"), r.getAs[Int]("bucket")) ->
@@ -399,7 +403,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap(crState) == snap(refState),
       "crash + replay must converge to the crash-free state (no double count)")
     // and the completed-batch marker now short-circuits a second replay
-    stream.TrendingTerms.mergeBatch(batch, crState, crStage, batchId = 3L)
+    stream.TrendingTerms.mergeBatch(batch, crState.getPath, crStage.getPath, batchId = 3L)
     assert(snap(crState) == snap(refState))
   }
 
@@ -422,12 +426,12 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("user_id", "event_id", "us", "event_type", "value")
     // reference: both batches folded, no crash
     val (refState, refStage) = stateOf("ref")
-    stream.EventWindows.upsertMerge(batch1, refState, refStage)
-    stream.EventWindows.upsertMerge(batch2, refState, refStage)
+    stream.EventWindows.upsertMerge(batch1, refState.getPath, refStage.getPath)
+    stream.EventWindows.upsertMerge(batch2, refState.getPath, refStage.getPath)
     // crashed run: fold batch 1, then die after the SECOND bucket swap of
     // batch 2 — some buckets hold batch-2 winners, the rest batch-1 state
     val (crState, crStage) = stateOf("crash")
-    stream.EventWindows.upsertMerge(batch1, crState, crStage)
+    stream.EventWindows.upsertMerge(batch1, crState.getPath, crStage.getPath)
     var swaps = 0
     val boom = intercept[RuntimeException] {
       api.Database.mergeTouchedPartitions(
@@ -441,7 +445,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(boom.getMessage == "simulated crash")
     // replay of batch 2 (no ledger needed — argmax is idempotent): the
     // already-swapped buckets re-fold to the same winners, the rest catch up
-    stream.EventWindows.upsertMerge(batch2, crState, crStage)
+    stream.EventWindows.upsertMerge(batch2, crState.getPath, crStage.getPath)
     def snap(state: java.io.File): Map[Long, (Long, Long, String, Double)] =
       spark.read.parquet(state.getPath).collect()
         .map(r => r.getAs[Long]("user_id") ->
@@ -450,7 +454,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap(crState) == snap(refState),
       "crash + replay must converge to the crash-free state")
     // and a SECOND full replay of the same batch is a no-op (idempotence)
-    stream.EventWindows.upsertMerge(batch2, crState, crStage)
+    stream.EventWindows.upsertMerge(batch2, crState.getPath, crStage.getPath)
     assert(snap(crState) == snap(refState))
   }
 
@@ -474,13 +478,13 @@ class StreamingSpec extends AnyFunSuite {
       (d(3, 15), "view", 5.00), (d(4, 40), "view", 7.25)).toDF("ts", "event_type", "value")
     // reference: both batches folded, no crash
     val (refState, refStage) = stateOf("ref")
-    stream.EventWindows.mviewMergeDaily(batch1, refState, refStage, batchId = 1L)
-    stream.EventWindows.mviewMergeDaily(batch2, refState, refStage, batchId = 2L)
+    stream.EventWindows.mviewMergeDaily(batch1, refState.getPath, refStage.getPath, batchId = 1L)
+    stream.EventWindows.mviewMergeDaily(batch2, refState.getPath, refStage.getPath, batchId = 2L)
     // crashed run: batch 1 commits, batch 2 dies after the SECOND day swap
     // with its per-day markers written (the marker-before-crash is what
     // the onSwapped hook guarantees: marker exists IFF the swap completed)
     val (crState, crStage) = stateOf("crash")
-    stream.EventWindows.mviewMergeDaily(batch1, crState, crStage, batchId = 1L)
+    stream.EventWindows.mviewMergeDaily(batch1, crState.getPath, crStage.getPath, batchId = 1L)
     val dayLedger = new java.io.File(new java.io.File(crState, "_batches"), "b2.parts")
     var swaps = 0
     val boom = intercept[RuntimeException] {
@@ -499,7 +503,7 @@ class StreamingSpec extends AnyFunSuite {
       "exactly the two swapped days are marked")
     // replay of batch 2: the ledger filters the marked days out of the
     // partial — WITHOUT it the additive sums would double-count them
-    stream.EventWindows.mviewMergeDaily(batch2, crState, crStage, batchId = 2L)
+    stream.EventWindows.mviewMergeDaily(batch2, crState.getPath, crStage.getPath, batchId = 2L)
     def snap(state: java.io.File): Map[(String, String), (Long, java.math.BigDecimal)] =
       spark.read.parquet(state.getPath).collect()
         .map(r => (r.getAs[Any]("day").toString, r.getAs[String]("event_type")) ->
@@ -507,7 +511,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap(crState) == snap(refState),
       "crash + replay must converge to the crash-free state (no double count)")
     // the completed-batch marker short-circuits a second replay entirely
-    stream.EventWindows.mviewMergeDaily(batch2, crState, crStage, batchId = 2L)
+    stream.EventWindows.mviewMergeDaily(batch2, crState.getPath, crStage.getPath, batchId = 2L)
     assert(snap(crState) == snap(refState))
   }
 
@@ -528,7 +532,8 @@ class StreamingSpec extends AnyFunSuite {
       (d(2, 30), "click", 0.75), (d(2, 40), "view", 3.00), (d(3, 15), "view", 5.00))
     val batches = Seq(all.take(3), all.drop(3))
     batches.foreach { b =>
-      EventWindows.mviewMergeDaily(b.toDF("ts", "event_type", "value"), state, stage)
+      EventWindows.mviewMergeDaily(b.toDF("ts", "event_type", "value"),
+        state.getPath, stage.getPath)
     }
     val got = spark.read.parquet(state.getPath)
       .collect().map(r => (r.getAs[Any]("day").toString, r.getAs[String]("event_type")) ->
@@ -549,7 +554,8 @@ class StreamingSpec extends AnyFunSuite {
     val day3 = partState().keys.max // day=1970-01-04 sorts last
     val before = partState() - day3
     EventWindows.mviewMergeDaily(
-      Seq((d(3, 50), "view", 1.00)).toDF("ts", "event_type", "value"), state, stage)
+      Seq((d(3, 50), "view", 1.00)).toDF("ts", "event_type", "value"),
+      state.getPath, stage.getPath)
     assert(partState() - day3 == before, "untouched day partitions were rewritten")
     val day3N = spark.read.parquet(state.getPath)
       .filter($"day".cast("string") === day3.stripPrefix("day=") && $"event_type" === "view")
