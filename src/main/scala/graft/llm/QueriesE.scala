@@ -3580,6 +3580,114 @@ object QueriesE {
           "n_hit_stale", "n_hit_fresh", "retrain_non_regression")
     }),
 
+    // e102: PQ CODEBOOK RETRAIN-ON-THRESHOLD — e101's pattern one layer
+    // down (the r13 verdict's missing #3): e101 closed centroid drift,
+    // but the PQ/IVFADC codebooks stayed frozen at first training, so a
+    // drifted corpus degrades ADC distances invisibly. The monitor is
+    // the textbook PQ health signal: MEAN RECONSTRUCTION ERROR — the
+    // per-vector sum over subspaces of the squared L2 to the nearest
+    // code word (exactly the quantity k-means minimized at training
+    // time), accumulated in the engine's exact fixed-point grid
+    // (floor(err·2²⁰) summed as BIGINT — order-free, bit-portable). The
+    // gate drifts the corpus (rigid +3.0 translation, ids offset), takes
+    // the training-time error on the base corpus as the reference
+    // signal, and fires when the live corpus's error exceeds 1.5× it;
+    // the retrain is the same deterministic per-subspace Lloyd loop, the
+    // swap is gated by BOTH a quantization-error improvement AND a
+    // frozen 3-query ADC recall probe vs exact-L2 truth (a retrain that
+    // lost recall must never swap in). Training, drift, monitor,
+    // decision, and both serving arms replay bit-exact in DuckDB. At
+    // 100 TB: the monitor is one scan + one fixed-point aggregate
+    // (samplable), the retrain m small k-means (samplable), the probe a
+    // bounded ≤3-query grading pass — codebooks stop rotting invisibly
+    // for the cost of metadata-rate monitoring.
+    "e102_pq_retrain" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val TopK = 5; val Thresh = 1.5
+      val DriftBase = 10000000L
+      val sub = PqSub
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb"))
+      val drifted = base.select(
+        (col("vec_id") + lit(DriftBase)).as("vec_id"),
+        transform(col("emb"), x => x + lit(3.0)).as("emb"))
+      val corpus = graft.Caches.persistTracked(base.unionByName(drifted))
+      val stale = Similarity.pqCodebooks(base, "vec_id", PqM, PqKSub,
+        PqIters, Dims, memoKey = s"pqcb|$dir|embeddings|m4|ks4|it2|d64")
+      // mean reconstruction error of `df` under codebooks `cbs`, on the
+      // exact fixed-point grid (bit-identical to the oracle's replay)
+      def errOf(df: org.apache.spark.sql.DataFrame,
+          cbs: Array[Array[Array[Double]]]): Double = {
+        val err = (0 until PqM).map(j => Similarity
+            .ivfAssignDist(slice(col("emb"), j * sub + 1, sub), cbs(j))
+            .getField("d"))
+          .reduce(_ + _)
+        val r = df.agg(
+          sum(floor(err * lit(Similarity.MeanScale))).cast("long"),
+          count(lit(1))).collect()(0)
+        r.getLong(0).toDouble / Similarity.MeanScale / r.getLong(1).toDouble
+      }
+      val errBaseline = errOf(base, stale)   // training-time reference
+      val errStale = errOf(corpus, stale)    // the live monitor reading
+      val fired = errStale > Thresh * errBaseline
+      assert(fired, f"the drift must trip the reconstruction-error " +
+        f"monitor ($errStale%.4f <= $Thresh x $errBaseline%.4f)")
+      val fresh =
+        if (fired) Similarity.pqCodebooks(corpus, "vec_id", PqM, PqKSub,
+          PqIters, Dims, memoKey = s"pqcb|$dir|e102drift|m4|ks4|it2|d64")
+        else stale
+      val errFresh = errOf(corpus, fresh)
+      assert(errFresh < errStale,
+        s"a retrain must reduce quantization error ($errFresh vs $errStale)")
+      // frozen drifted-region recall probe: ADC top-5 vs exact-L2 truth
+      val qids = Seq(DriftBase + 1L, DriftBase + 3L, DriftBase + 5L)
+      val qRows = corpus.filter(col("vec_id").isin(qids: _*))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      val qsDf = corpus.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("emb").as("q"))
+      val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("vec_id"))
+      val exactL2 = Similarity.dot(col("emb"), col("emb")) -
+        lit(2.0) * Similarity.dot(col("emb"), col("q")) +
+        Similarity.dot(col("q"), col("q"))
+      val truth = graft.Caches.persistTracked(
+        corpus.join(broadcast(qsDf), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), exactL2.as("dist"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+          .select("qid", "vec_id"))
+      def hitsOf(cbs: Array[Array[Array[Double]]]): Long = {
+        val coded = corpus.select(
+          col("vec_id") +: Similarity.pqCodeCols(col("emb"), cbs, Dims): _*)
+        qRows.map { case (qid, q) =>
+          val tables: Array[Array[Double]] = cbs.zipWithIndex.map {
+            case (cb, j) => cb.map { c =>
+              var acc = 0.0; var d = 0
+              while (d < sub) {
+                val t = c(d) - q(j * sub + d); acc += t * t; d += 1 }
+              acc
+            }
+          }
+          val adc = (0 until PqM).map(j =>
+            element_at(typedLit(tables(j).toSeq), col(s"code$j") + 1))
+            .reduce(_ + _)
+          coded.filter(col("vec_id") =!= qid)
+            .select(lit(qid).as("qid"), col("vec_id"), adc.as("adc"))
+            .orderBy(col("adc").asc, col("vec_id")).limit(TopK)
+            .select("qid", "vec_id")
+        }.reduce(_ unionAll _).join(truth, Seq("qid", "vec_id")).count()
+      }
+      val hitsStale = hitsOf(stale)
+      val hitsFresh = hitsOf(fresh)
+      assert(hitsFresh >= hitsStale,
+        s"retrained codebooks must serve >= the stale recall " +
+          s"($hitsFresh vs $hitsStale of ${3 * TopK})")
+      import s.implicits._
+      Seq((errBaseline, errStale, errFresh, fired, hitsStale, hitsFresh,
+        hitsFresh >= hitsStale))
+        .toDF("err_baseline", "err_stale", "err_fresh", "fired",
+          "n_hit_stale", "n_hit_fresh", "retrain_non_regression")
+    }),
+
     // e91: LEARNED language ID — e10's hand-listed marker profiles
     // replaced by a classifier TRAINED IN-ENGINE: multinomial Naive Bayes
     // over hashed char bigrams (closed-form counts — no SGD, no
@@ -4852,6 +4960,92 @@ object QueriesE {
         "sh.n_hit AS n_hit_stale, fh.n_hit AS n_hit_fresh, " +
         "fh.n_hit >= sh.n_hit AS retrain_non_regression " +
         "FROM sk, fk, sh, fh"
+    },
+    "e102_pq_retrain" -> {
+      val TopK = 5; val DriftBase = 10000000L
+      val sub = PqSub
+      // assign-with-distance of `baseCte`'s slice rows to `cents`:
+      // (vec_id, code, d) at the argmin — the same inner-subquery window
+      // shape as sqlKmAssignN, with d kept for the error fold
+      def distCte(name: String, baseCte: String, cents: String): String =
+        s"$name AS (SELECT vec_id, j AS code, d FROM (" +
+          "SELECT vec_id, j, d, row_number() OVER (PARTITION BY vec_id " +
+          "ORDER BY d, j) AS rn FROM (" +
+          s"SELECT v.vec_id, c.j, ${sqlL2N(sub)("v", "c")} AS d " +
+          s"FROM $baseCte v CROSS JOIN $cents c)) WHERE rn = 1)"
+      // mean reconstruction error on the exact fixed-point grid
+      def errCte(name: String, pfx: String): String =
+        s"$name AS (SELECT CAST(sum(CAST(floor((${(0 until PqM)
+          .map(j => s"d$j.d").mkString(" + ")}) * 1048576.0) AS BIGINT)) " +
+          "AS DOUBLE) / 1048576.0 / CAST(count(*) AS DOUBLE) AS err " +
+          s"FROM ${pfx}0 d0 " + (1 until PqM)
+            .map(j => s"JOIN ${pfx}$j d$j USING (vec_id) ").mkString + ")"
+      // per-query per-subspace ADC table: d(code) = ||q_j - c||^2
+      def dtCtes(pfx: String, cents: Int => String): String =
+        (0 until PqM).map { j =>
+          val lo = j * sub
+          s"${pfx}dt$j AS (SELECT q.qid, c.j AS code, " +
+            sqlChainN(sub)(i =>
+              s"(c.emb[$i]-q.emb[${lo + i}])*(c.emb[$i]-q.emb[${lo + i}])") +
+            s" AS d FROM ${cents(j)} c CROSS JOIN qs q)"
+        }.mkString(", ")
+      // ADC top-k per query + hit count vs exact-L2 truth
+      def serveCtes(pfx: String, codes: Int => String): String =
+        s"${pfx}sv AS (SELECT qid, vec_id FROM (" +
+          s"SELECT dt0.qid, c0.vec_id, ${(0 until PqM)
+            .map(j => s"dt$j.d").mkString(" + ")} AS adc " +
+          s"FROM ${codes(0)} c0 " +
+          (1 until PqM).map(j => s"JOIN ${codes(j)} c$j USING (vec_id) ")
+            .mkString +
+          s"JOIN ${pfx}dt0 dt0 ON dt0.code = c0.code " +
+          (1 until PqM).map(j =>
+            s"JOIN ${pfx}dt$j dt$j ON dt$j.code = c$j.code " +
+              s"AND dt$j.qid = dt0.qid ").mkString +
+          "WHERE c0.vec_id <> dt0.qid) " +
+          "QUALIFY row_number() OVER (PARTITION BY qid " +
+          s"ORDER BY adc, vec_id) <= $TopK), " +
+          s"${pfx}h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit " +
+          s"FROM ${pfx}sv JOIN tr USING (qid, vec_id))"
+      "WITH " + sqlPqCodeCtes + ", " + // e + stale codebooks p{j}c2
+        s"d AS (SELECT vec_id, emb FROM e UNION ALL " +
+        s"SELECT vec_id + $DriftBase AS vec_id, " +
+        "list_transform(emb, x -> x + 3.0) AS emb FROM e), " +
+        // corpus slices per subspace (shared by fresh training + assigns)
+        (0 until PqM).map { j =>
+          val lo = j * sub
+          s"sd$j AS (SELECT vec_id, emb[${lo + 1}:${lo + sub}] AS emb FROM d)"
+        }.mkString(", ") + ", " +
+        // fresh codebooks: the same Lloyd loop per subspace, over d
+        (0 until PqM).map(j =>
+          sqlKmeansLoop(sub, s"sd$j", s"fp$j")(PqKSub, PqIters))
+          .mkString(", ") + ", " +
+        // three error monitors: stale-on-base, stale-on-corpus,
+        // fresh-on-corpus (p{j}e are sqlPqCodeCtes' base slices)
+        (0 until PqM).map(j =>
+          distCte(s"bd$j", s"p${j}e", s"p${j}c$PqIters")).mkString(", ") + ", " +
+        (0 until PqM).map(j =>
+          distCte(s"sd_a$j", s"sd$j", s"p${j}c$PqIters")).mkString(", ") + ", " +
+        (0 until PqM).map(j =>
+          distCte(s"fd_a$j", s"sd$j", s"fp${j}c$PqIters")).mkString(", ") + ", " +
+        errCte("be", "bd") + ", " +
+        errCte("se", "sd_a") + ", " +
+        errCte("fe", "fd_a") + ", " +
+        s"qs AS (SELECT vec_id AS qid, emb FROM d WHERE vec_id IN (" +
+        s"${DriftBase + 1}, ${DriftBase + 3}, ${DriftBase + 5})), " +
+        "tr AS (SELECT qid, vec_id FROM (" +
+        s"SELECT q.qid, v.vec_id, ${sqlL2N(Dims)("v", "q")} AS dist " +
+        "FROM d v CROSS JOIN qs q WHERE v.vec_id <> q.qid) " +
+        "QUALIFY row_number() OVER (PARTITION BY qid " +
+        s"ORDER BY dist, vec_id) <= $TopK), " +
+        dtCtes("s", j => s"p${j}c$PqIters") + ", " +
+        dtCtes("f", j => s"fp${j}c$PqIters") + ", " +
+        serveCtes("s", j => s"sd_a$j") + ", " +
+        serveCtes("f", j => s"fd_a$j") + " " +
+        "SELECT be.err AS err_baseline, se.err AS err_stale, " +
+        "fe.err AS err_fresh, se.err > 1.5 * be.err AS fired, " +
+        "sh.n_hit AS n_hit_stale, fh.n_hit AS n_hit_fresh, " +
+        "fh.n_hit >= sh.n_hit AS retrain_non_regression " +
+        "FROM be, se, fe, sh, fh"
     },
     "e81_hybrid_rrf" ->
       (s"WITH ${sqlBm25Ctes()}, " +
