@@ -351,8 +351,9 @@ class Database(val spark: SparkSession, val root: String,
     *
     * For each `Filter` node, the relations in its immediate scope (the
     * filter's child through SubqueryAlias/Join chains) are collected;
-    * the filter's necessary-condition bounds ([[Table.pruneBoundsBy]])
-    * are attributed per occurrence — a qualified `o.k` to the occurrence
+    * the filter's necessary-condition DNF bands ([[Table.pruneDnfBy]] —
+    * disjoint OR ranges and IN lists prune exactly, not just their
+    * envelope) are attributed per occurrence — a qualified `o.k` to the occurrence
     * aliased `o`, an unqualified `k` to the unique relation in scope
     * whose schema carries it (ambiguity, or any opaque leaf in scope,
     * drops the attribution — conservative). Each occurrence whose bounds
@@ -416,7 +417,7 @@ class Database(val spark: SparkSession, val root: String,
         case _ => (Nil, true)
       }
       val perOcc = scala.collection.mutable.Map
-        .empty[Int, (Occ, Seq[(String, Option[Any], Option[Any])])]
+        .empty[Int, (Occ, Seq[Seq[Seq[(String, Option[Any], Option[Any])]]])]
       val occIds = new java.util.IdentityHashMap[UnresolvedRelation, Int]()
       plan.collectWithSubqueries { case Filter(cond, child) =>
         val (occs, opaque) = scope(child)
@@ -441,19 +442,29 @@ class Database(val spark: SparkSession, val root: String,
               case _ => None
             }
           }
-          Table.pruneBoundsBy(cond)(resolve).foreach {
-            case ((id, col), lo, hi) =>
-              val occ = occs.find(o => occIds.get(o.node) == id).get
-              val (_, prev) = perOcc.getOrElse(id, (occ, Nil))
-              perOcc(id) = (occ, prev :+ ((col, lo, hi)))
+          // project each extracted dnf onto each occurrence: a dnf
+          // constrains occurrence o only when EVERY branch bounds o
+          // (a branch silent on o matches any of o's files)
+          val dnfs = Table.pruneDnfBy(cond)(resolve)
+          occs.foreach { occ =>
+            val oid = occIds.get(occ.node)
+            val projected = dnfs.flatMap { branches =>
+              val mine = branches.map(_.collect {
+                case ((id, c), lo, hi) if id == oid => (c, lo, hi) })
+              if (mine.forall(_.nonEmpty)) Some(mine) else None
+            }
+            if (projected.nonEmpty) {
+              val (_, prev) = perOcc.getOrElse(oid, (occ, Nil))
+              perOcc(oid) = (occ, prev ++ projected)
+            }
           }
         }
       }: Unit
       // occurrences whose bounds actually prune files get a unique view
       val subs: Seq[(Occ, String, DataFrame)] = perOcc.values.toSeq
         .sortBy { case (o, _) => occIds.get(o.node) }
-        .flatMap { case (occ, bounds) =>
-          table(occ.tbl).prunedScan(bounds).map { pruned =>
+        .flatMap { case (occ, dnfs) =>
+          table(occ.tbl).prunedScanDnf(dnfs).map { pruned =>
             val view =
               s"${viewNameOf(occ.tbl)}__pruned_${prunedViewSeq.incrementAndGet()}"
             (occ, view, pruned)

@@ -150,8 +150,8 @@ class Table(val db: Database, val qualified: String) {
     // sidecar pays one metadata probe and plans the usual full scan.
     var cur = where match {
       case Some(w) =>
-        val bounds = Table.pruneBounds(db.spark, w)
-        (if (bounds.nonEmpty) prunedScan(bounds) else None).getOrElse(df)
+        val dnfs = Table.pruneDnf(db.spark, w)
+        (if (dnfs.nonEmpty) prunedScanDnf(dnfs) else None).getOrElse(df)
       case None => df
     }
     where.foreach(w => cur = cur.filter(expr(w)))
@@ -706,23 +706,54 @@ class Table(val db: Database, val qualified: String) {
     * is safe because the casts are monotone.
     */
   private[api] def prunedScan(
-      bounds: Seq[(String, Option[Any], Option[Any])]): Option[DataFrame] = {
-    if (!hasStatsSidecar) return None
+      bounds: Seq[(String, Option[Any], Option[Any])]): Option[DataFrame] =
+    prunedScanDnf(bounds.map(b => Seq(Seq(b))))
+
+  /** [[prunedScan]] generalized to a CONJUNCTION OF DISJUNCTIONS of
+    * conjunctive bands (the [[Table.pruneDnf]] shape): a file is scanned
+    * only when, for EVERY dnf, AT LEAST ONE branch's bands all intersect
+    * the file — which prunes the gap between disjoint OR ranges
+    * (`k < 400 OR k > 2600` skips the middle files; the collapsed union
+    * envelope could not) and turns an IN list into per-value point
+    * bands. Each band passes the same tracked-column + type-compat
+    * guard; a branch whose every band is unusable constrains nothing,
+    * which makes its whole dnf unusable (necessary conditions only). A
+    * file all-null in a band's column fails that band (no row there can
+    * match), composing correctly through OR/AND null semantics — the
+    * final null-is-miss check keeps skipping sound.
+    */
+  private[api] def prunedScanDnf(
+      dnfs: Seq[Seq[Seq[(String, Option[Any], Option[Any])]]])
+      : Option[DataFrame] = {
+    if (!hasStatsSidecar || dnfs.isEmpty) return None
     val entries = try {
       val stats = db.spark.read.parquet(path + ".stats")
       // only bounds over sidecar-tracked columns, with type-compatible
-      // literals, participate; the rest of the conjunction stays with
-      // the caller's residual predicate
-      val usable = bounds.filter { case (c, lo, hi) =>
+      // literals, participate; the rest of the predicate stays with the
+      // caller's residual filter
+      def usableBand(b: (String, Option[Any], Option[Any])): Boolean = {
+        val (c, lo, hi) = b
         stats.columns.contains(s"min_$c") && (lo.nonEmpty || hi.nonEmpty) &&
           (lo.toSeq ++ hi.toSeq).forall(v =>
-            Table.bandComparable(stats.schema(s"min_$c").dataType, v)) }
-      if (usable.isEmpty) return None
-      val hit = usable.map { case (c, lo, hi) =>
+            Table.bandComparable(stats.schema(s"min_$c").dataType, v))
+      }
+      def bandHit(b: (String, Option[Any], Option[Any])): Column = {
+        val (c, lo, hi) = b
         val loOk = lo.map(l => col(s"max_$c") >= lit(l)).getOrElse(lit(true))
         val hiOk = hi.map(h => col(s"min_$c") <= lit(h)).getOrElse(lit(true))
         loOk && hiOk
-      }.reduce(_ && _)
+      }
+      // a dnf constrains the scan only when EVERY branch kept at least
+      // one usable band — a branch reduced to nothing matches any file,
+      // making the whole disjunction non-pruning
+      val usable = dnfs.flatMap { branches =>
+        val kept = branches.map(_.filter(usableBand))
+        if (kept.nonEmpty && kept.forall(_.nonEmpty)) Some(kept) else None
+      }
+      if (usable.isEmpty) return None
+      val hit = usable.map(branches =>
+          branches.map(_.map(bandHit).reduce(_ && _)).reduce(_ || _))
+        .reduce(_ && _)
       stats.select(col("file"), hit.as("hit"))
         .collect()
         .map(r => normFileUri(r.getString(0)) -> (!r.isNullAt(1) && r.getBoolean(1)))
@@ -1158,6 +1189,92 @@ object Table {
       }
       case _ => None
       }).toSeq
+    }
+  }
+
+  /** Max IN-list size / OR fan-out that extracts per-value point
+    * branches instead of the collapsed envelope — bounds the size of the
+    * band-check expression evaluated over the O(#files) sidecar.
+    */
+  private val MaxDnfBranches = 32
+
+  /** [[pruneDnfOf]] on a SQL `where` text (the flagship read's route). */
+  private[graft] def pruneDnf(spark: org.apache.spark.sql.SparkSession,
+      where: String): Seq[Seq[Seq[(String, Option[Any], Option[Any])]]] =
+    scala.util.Try(spark.sessionState.sqlParser.parseExpression(where))
+      .toOption.toSeq.flatMap(pruneDnfOf)
+
+  /** DNF band extraction: the condition as a CONJUNCTION OF DISJUNCTIONS
+    * of conjunctive bands, for [[Table.prunedScanDnf]]. Extends
+    * [[pruneBoundsOf]]'s envelope algebra with branch structure:
+    * an OR conjunct keeps its branches SEPARATE (each branch's bands via
+    * the envelope extraction, so nesting composes), which prunes the gap
+    * between disjoint ranges; an IN list of ≤ [[MaxDnfBranches]]
+    * same-class values becomes per-value point branches (larger or
+    * mixed-class lists collapse to the envelope as before). Every
+    * branch of a disjunction must bound SOMETHING or the whole conjunct
+    * is dropped — necessary conditions only, exactly [[pruneBounds]]'
+    * contract.
+    */
+  private[graft] def pruneDnfOf(cond: org.apache.spark.sql.catalyst
+      .expressions.Expression)
+      : Seq[Seq[Seq[(String, Option[Any], Option[Any])]]] =
+    pruneDnfBy(cond)(parts =>
+      if (parts.length == 1) Some(parts.head) else None)
+
+  /** [[pruneDnfOf]] with the pluggable attribute resolver (the SQL join
+    * route's qualified-column form — see [[pruneBoundsBy]]).
+    */
+  private[graft] def pruneDnfBy[C](cond: org.apache.spark.sql.catalyst
+      .expressions.Expression)(resolve: Seq[String] => Option[C])
+      : Seq[Seq[Seq[(C, Option[Any], Option[Any])]]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    def disjuncts(e: Expression): Seq[Expression] = e match {
+      case Or(l, r) => disjuncts(l) ++ disjuncts(r)
+      case other    => Seq(other)
+    }
+    conjuncts(cond).flatMap {
+      case o: Or =>
+        val branches = disjuncts(o)
+        if (branches.length > MaxDnfBranches) {
+          // wide fan-out: the collapsed envelope keeps the check bounded
+          pruneBoundsBy(o)(resolve).map(b => Seq(Seq(b)))
+        } else {
+          val bands = branches.map(b => pruneBoundsBy(b)(resolve))
+          if (bands.forall(_.nonEmpty)) Seq(bands) else Nil
+        }
+      // IN as per-value point branches — prunes between the values,
+      // where the envelope had to scan (same literal discipline as the
+      // envelope case: same-class Comparables only)
+      case In(c, vs) if vs.nonEmpty && vs.length <= MaxDnfBranches =>
+        val cn = c match {
+          case u: UnresolvedAttribute => resolve(u.nameParts)
+          case _ => None
+        }
+        val lits = vs.map {
+          case l: Literal if l.value != null => l.dataType match {
+            case _: NumericType | StringType | DateType | _: TimestampType |
+                 TimestampNTZType | BooleanType =>
+              Some(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+            case _ => None
+          }
+          case _ => None
+        }
+        (cn, lits) match {
+          case (Some(n), ls) if ls.forall(_.nonEmpty) &&
+              ls.flatten.map(_.getClass).distinct.lengthCompare(1) == 0 =>
+            Seq(ls.flatten.map(v =>
+              Seq((n, Some(v): Option[Any], Some(v): Option[Any]))))
+          case _ => Nil
+        }
+      case other =>
+        pruneBoundsBy(other)(resolve).map(b => Seq(Seq(b)))
     }
   }
 

@@ -777,6 +777,58 @@ object QueriesC {
       joined
     }),
 
+    // c31: DISJUNCTIVE (DNF) FILE SKIPPING — the union envelope (c24's
+    // or_union arm) cannot prune the GAP between disjoint OR ranges:
+    // `k <= 400 OR k >= 2600` collapses to [400-ish, 2600-ish] and scans
+    // everything. The DNF band check (a file is scanned only when SOME
+    // branch's bands all intersect it — what Delta/Iceberg's data
+    // skipping actually evaluates) skips the middle files, and an IN
+    // list becomes per-value point bands that skip between the values.
+    // Engine-asserts: the disjoint-OR read scans strictly fewer files
+    // than the union envelope would (computed side-by-side), the IN
+    // read skips files between its two values, and the same shapes
+    // through the raw-SQL route prune identically. Values gate as pure
+    // WHEREs over orders.
+    "c31_dnf_skipping" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 3000)
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.mode("overwrite").parquet(db.pathOf("c31_orders"))
+      val tbl = db.table("c31_orders")
+      tbl.analyzeStats(Seq("o_orderkey")): Unit
+      val total = tbl.df.inputFiles.length
+      // the union envelope of (<=400 OR >=2600) spans the whole key
+      // range — under it this read scans ALL files; the DNF check must
+      // skip the gap between the two ranges
+      val orRead = tbl.read(where =
+        Some("o_orderkey <= 400 OR o_orderkey >= 2600"))
+      assert(orRead.inputFiles.length < total,
+        s"disjoint OR must skip the gap: ${orRead.inputFiles.length}/$total")
+      // IN -> per-value point bands: only the files holding 50 or 2950
+      val inRead = tbl.read(where = Some("o_orderkey IN (50, 2950)"))
+      assert(inRead.inputFiles.length < total &&
+        inRead.inputFiles.length <= orRead.inputFiles.length,
+        s"IN point bands must skip between the values: " +
+          s"${inRead.inputFiles.length}/$total")
+      // the raw-SQL route prunes the same shapes
+      val sqlOr = db.execute("SELECT count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM c31_orders " +
+        "WHERE o_orderkey <= 400 OR o_orderkey >= 2600")
+      assert(sqlOr.inputFiles.count(_.contains("c31_orders")) < total,
+        "the SQL route must prune disjoint ORs too")
+      def aggPhase(d: org.apache.spark.sql.DataFrame, phase: String) =
+        d.agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"),
+          min(col("o_orderkey")).cast("long").as("min_key"),
+          max(col("o_orderkey")).cast("long").as("max_key"))
+          .select(lit(phase).as("phase"), col("n"), col("key_sum"),
+            col("min_key"), col("max_key"))
+      aggPhase(orRead, "or_gap")
+        .unionAll(aggPhase(inRead, "in_points"))
+        .orderBy("phase")
+    }),
+
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
     // bad append lands, restore(v1) rolls the table back to the pinned
     // manifest via the staged atomic swap, and the read-back equals the
@@ -1029,6 +1081,21 @@ object QueriesC {
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
         "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
         "FROM orders WHERE o_orderkey <= 4000"),
+    "c31_dnf_skipping" ->
+      ("SELECT * FROM (" +
+        "SELECT 'in_points' AS phase, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
+        "FROM orders WHERE o_orderkey IN (50, 2950) " +
+        "UNION ALL " +
+        "SELECT 'or_gap' AS phase, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
+        "FROM orders WHERE (o_orderkey <= 400 OR o_orderkey >= 2600) " +
+        "AND o_orderkey <= 3000" +
+        ") ORDER BY phase"),
     "c30_sql_join_skipping" ->
       ("SELECT c.c_mktsegment AS seg, count(*) AS n, " +
         "CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum " +

@@ -1045,6 +1045,57 @@ class ApiSpec extends AnyFunSuite {
       Seq(("v", Some(10), None), ("k", Some(1), Some(5))))
   }
 
+  test("pruneDnf: disjoint ORs keep branch structure; IN becomes point bands; unbounded branches drop the conjunct") {
+    def d(w: String) = api.Table.pruneDnf(spark, w)
+    // disjoint ranges stay separate branches (the envelope collapsed them)
+    assert(d("k <= 400 OR k >= 2600") ==
+      Seq(Seq(Seq(("k", None, Some(400))), Seq(("k", Some(2600), None)))))
+    // IN -> per-value point branches, in list order
+    assert(d("k IN (5, 1, 9)") ==
+      Seq(Seq(Seq(("k", Some(5), Some(5))), Seq(("k", Some(1), Some(1))),
+        Seq(("k", Some(9), Some(9))))))
+    // a branch may bound a DIFFERENT column — still a necessary
+    // condition (a file failing BOTH bands holds no matching row)
+    assert(d("k = 1 OR j = 5") ==
+      Seq(Seq(Seq(("k", Some(1), Some(1))), Seq(("j", Some(5), Some(5))))))
+    // a branch with nothing extractable defeats the whole conjunct
+    assert(d("k = 1 OR abs(k) = 5").isEmpty)
+    // conjunction of a plain band and an OR: two dnfs
+    assert(d("v >= 10 AND (k = 1 OR k = 5)") ==
+      Seq(Seq(Seq(("v", Some(10), None))),
+        Seq(Seq(("k", Some(1), Some(1))), Seq(("k", Some(5), Some(5))))))
+    // branch conjunctions keep their bands together
+    assert(d("(k >= 2 AND j = 1) OR k = 7") ==
+      Seq(Seq(Seq(("k", Some(2), None), ("j", Some(1), Some(1))),
+        Seq(("k", Some(7), Some(7))))))
+    // unparseable -> nothing
+    assert(d("not sql at all").isEmpty)
+  }
+
+  test("prunedScanDnf: disjoint OR skips the gap files; IN skips between its values") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 3000L).map(k => (k, k % 7)).toDF("k", "g")
+      .repartitionByRange(6, col("k"))
+      .write.mode("overwrite").parquet(db2.pathOf("dnf"))
+    val tbl = db2.table("dnf")
+    tbl.analyzeStats(Seq("k")): Unit
+    val total = tbl.df.inputFiles.length
+    assert(total >= 5, s"fixture needs several files, got $total")
+    val gap = tbl.read(where = Some("k <= 400 OR k >= 2600"))
+    assert(gap.inputFiles.length < total, "the gap files must be skipped")
+    assert(gap.count() == 400L + 401L, "values unchanged by the skip")
+    val in = tbl.read(where = Some("k IN (50, 2950)"))
+    assert(in.inputFiles.length <= 2 && in.count() == 2L,
+      s"IN point bands: ${in.inputFiles.length} files")
+    // cross-column OR: a file failing BOTH bands is skippable; values ok
+    val cross = tbl.read(where = Some("k = 50 OR g = 99"))
+    assert(cross.count() == 1L, "g=99 never matches; k=50 once")
+    // the residual filter always applies: a range read inside one branch
+    val half = tbl.read(where = Some("(k <= 400 OR k >= 2600) AND k % 2 = 0"))
+    assert(half.count() == 200L + 201L)
+  }
+
   test("pruneBounds: IN-list string envelope sorts in Spark's UTF8 binary order") {
     def b(w: String) = api.Table.pruneBounds(spark, w)
     // U+1F600 (4-byte UTF8, F0…) sorts ABOVE U+FFFD (3-byte, EF…) in
