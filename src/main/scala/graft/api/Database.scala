@@ -337,7 +337,67 @@ class Database(val spark: SparkSession, val root: String,
       }
     case _ =>
       ensureRegistered(referencedRelations(stmt))
-      executeWithSkipping(stmt)
+      metadataAggStatement(stmt).getOrElse(executeWithSkipping(stmt))
+  }
+
+  /** Metadata-only MIN/MAX/COUNT statements (c32 — c28 generalized): a
+    * whole-table aggregate list `SELECT min(a) AS x, max(b) AS y,
+    * count(*) AS n FROM t` answers from the stats sidecar alone
+    * ([[Table.aggsFromStats]], zero data-file I/O) when every referenced
+    * column is tracked and coverage is exact. Matched on the PARSED plan
+    * (a Project of only min/max/count calls directly over a known
+    * physical table — any WHERE/GROUP BY/join/extra expression falls
+    * through), and only when every item carries an alias (the fallback
+    * scan then agrees on names by construction). None → the normal
+    * route, identical answer at scan cost.
+    */
+  private def metadataAggStatement(stmt: String): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
+      UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, SubqueryAlias}
+    val planOpt = scala.util.Try(
+      spark.sessionState.sqlParser.parsePlan(stmt)).toOption
+    planOpt.flatMap {
+      case Project(exprs, rel0) =>
+        val relName = rel0 match {
+          case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
+            Some(u.multipartIdentifier.head)
+          case SubqueryAlias(_, u: UnresolvedRelation)
+              if u.multipartIdentifier.length == 1 =>
+            Some(u.multipartIdentifier.head)
+          case _ => None
+        }
+        for {
+          rel <- relName
+          tbl <- tables.find(t => viewNameOf(t).equalsIgnoreCase(rel))
+          schema <- scala.util.Try(table(tbl).df.schema).toOption
+          specs <- {
+            def cased(c: String): Option[String] = schema.fields.collectFirst {
+              case f if f.name.equalsIgnoreCase(c) => f.name }
+            val ss = exprs.map {
+              case Alias(f: UnresolvedFunction, name)
+                  if !f.isDistinct && f.nameParts.length == 1 =>
+                (f.nameParts.head.toLowerCase, f.arguments) match {
+                  case ("count", Seq(_: UnresolvedStar)) =>
+                    Some(("count", "", name))
+                  case ("count", Seq(Literal(v, _))) if v != null =>
+                    Some(("count", "", name))
+                  case (fn @ ("min" | "max"),
+                      Seq(u: UnresolvedAttribute))
+                      if u.nameParts.length == 1 =>
+                    cased(u.name).map(c => (fn, c, name))
+                  case _ => None
+                }
+              case _ => None
+            }
+            if (ss.nonEmpty && ss.forall(_.nonEmpty)) Some(ss.flatten)
+            else None
+          }
+          out <- table(tbl).aggsFromStats(specs)
+        } yield out
+      case _ => None
+    }
   }
 
   /** Statement-scoped unique suffix for pruned-view names — never reused,

@@ -809,6 +809,42 @@ class Table(val db: Database, val qualified: String) {
     * here so the reference's `db.execute` gets the table formats'
     * O(#files) COUNT instead of a table scan.
     */
+  /** Metadata-only evaluation of a whole-table aggregate list — the
+    * multi-column generalization of [[aggFromStats]]/[[countFromStats]]
+    * behind the raw-SQL route (c32): each spec is ("count", "", alias),
+    * ("min", col, alias), or ("max", col, alias), answered from the
+    * [[analyzeStats]] sidecar ALONE under the exact-coverage contract
+    * (None when a referenced column isn't tracked, coverage is stale,
+    * or there's no sidecar — the caller falls back to the data scan).
+    * Per-file min/max ignore all-null files (their band is null), which
+    * is exactly SQL MIN/MAX's null-skipping; count sums n_rows (null
+    * rows included — COUNT(*) semantics).
+    */
+  def aggsFromStats(specs: Seq[(String, String, String)]): Option[DataFrame] = {
+    if (specs.isEmpty || !hasStatsSidecar) return None
+    val stats = try db.spark.read.parquet(path + ".stats")
+      catch { case _: Exception => return None }
+    if (!stats.columns.contains("n_rows")) return None
+    val ok = specs.forall {
+      case ("count", _, _)        => true
+      case ("min" | "max", c, _)  => stats.columns.contains(s"min_$c")
+      case _                      => false
+    }
+    if (!ok) return None
+    val covered = stats.select("file").collect()
+      .map(r => normFileUri(r.getString(0))).toSet
+    val live = currentDataFiles()
+      .map { case (abs, _) => normFileUri(abs) }.toSet
+    if (covered != live) return None
+    val aggs = specs.map {
+      case ("count", _, a) =>
+        coalesce(sum(col("n_rows")), lit(0L)).cast("long").as(a)
+      case ("min", c, a) => min(col(s"min_$c")).as(a)
+      case (_, c, a)     => max(col(s"max_$c")).as(a)
+    }
+    Some(stats.agg(aggs.head, aggs.tail: _*))
+  }
+
   def countFromStats: Option[DataFrame] = {
     if (!hasStatsSidecar) return None
     val stats = try db.spark.read.parquet(path + ".stats")

@@ -829,6 +829,51 @@ object QueriesC {
         .orderBy("phase")
     }),
 
+    // c32: METADATA-ONLY MIN/MAX/COUNT STATEMENTS — c28 generalized to
+    // the aggregate list real users write: `SELECT min(a), max(b),
+    // count(*) FROM t` answers from the stats sidecar alone when every
+    // referenced column is tracked and coverage is exact (engine-asserts
+    // the serving plan reads only sidecar files). Multi-column: min and
+    // max of DIFFERENT columns in one statement, answered by one
+    // O(#files) sidecar aggregate. A statement with a WHERE falls
+    // through to the skipping route; an untracked column falls through
+    // to the data scan — refusals can change cost, never answers
+    // (engine-asserted on both). At 100 TB this is the table formats'
+    // metadata aggregate on the reference's primary SQL entry.
+    "c32_sql_metadata_agg" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 3000)
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.mode("overwrite").parquet(db.pathOf("c32_orders"))
+      val tbl = db.table("c32_orders")
+      tbl.analyzeStats(Seq("o_orderkey", "o_custkey")): Unit
+      val meta = db.execute(
+        "SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, " +
+          "min(o_custkey) AS min_cust, max(o_custkey) AS max_cust, " +
+          "count(*) AS n FROM c32_orders")
+      assert(meta.inputFiles.nonEmpty &&
+        meta.inputFiles.forall(_.contains(".stats")),
+        s"metadata agg reads data files: ${meta.inputFiles.toSeq}")
+      // an untracked column refuses the metadata route (conservative
+      // data scan, same answer)
+      val scan = db.execute(
+        "SELECT min(o_totalprice) AS min_price FROM c32_orders")
+      assert(scan.inputFiles.exists(!_.contains(".stats")),
+        "untracked column must fall back to the data scan")
+      // a WHERE falls through to the skipping route, not this one
+      val where = db.execute(
+        "SELECT min(o_orderkey) AS lo FROM c32_orders " +
+          "WHERE o_orderkey >= 1000")
+      assert(where.inputFiles.exists(!_.contains(".stats")),
+        "a filtered aggregate must scan data (pruned), not the sidecar")
+      meta.select(col("min_key").cast("long"), col("max_key").cast("long"),
+        col("min_cust").cast("long"), col("max_cust").cast("long"),
+        col("n"))
+        .withColumn("min_price", lit(scan.collect()(0).getDouble(0)))
+        .withColumn("lo_where", lit(where.collect()(0).getLong(0)))
+    }),
+
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
     // bad append lands, restore(v1) rolls the table back to the pinned
     // manifest via the staged atomic swap, and the read-back equals the
@@ -1081,6 +1126,16 @@ object QueriesC {
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
         "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
         "FROM orders WHERE o_orderkey <= 4000"),
+    "c32_sql_metadata_agg" ->
+      ("SELECT CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key, " +
+        "CAST(min(o_custkey) AS BIGINT) AS min_cust, " +
+        "CAST(max(o_custkey) AS BIGINT) AS max_cust, " +
+        "count(*) AS n, " +
+        "min(o_totalprice) AS min_price, " +
+        "(SELECT CAST(min(o_orderkey) AS BIGINT) FROM orders " +
+        "WHERE o_orderkey >= 1000 AND o_orderkey <= 3000) AS lo_where " +
+        "FROM orders WHERE o_orderkey <= 3000"),
     "c31_dnf_skipping" ->
       ("SELECT * FROM (" +
         "SELECT 'in_points' AS phase, count(*) AS n, " +
