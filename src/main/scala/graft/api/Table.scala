@@ -1102,8 +1102,10 @@ object Table {
     * keep the conjuncts of the shape `col <cmp> literal` (either operand
     * order; BETWEEN desugars to >= AND <= in the parser). Each extracted
     * bound is IMPLIED by the full predicate, so pruning on it can never
-    * lose rows — `OR`, `NOT`, functions-of-columns, and col-vs-col
-    * conjuncts simply contribute nothing. Strict `<`/`>` prune with
+    * lose rows — functions-of-columns and col-vs-col conjuncts simply
+    * contribute nothing; `NOT` is first pushed through comparisons /
+    * AND / OR / BETWEEN / IN ([[nnf]]), so `NOT (k > 5)` prunes as
+    * `k <= 5`. Strict `<`/`>` prune with
     * their inclusive band check (a file whose max equals the bound is
     * scanned unnecessarily, never wrongly skipped). Only plain
     * single-part column names and atomic literal types participate;
@@ -1160,7 +1162,7 @@ object Table {
     def split(a: Expression, b: Expression): Option[(C, Any, Boolean)] =
       colOf(a).flatMap(cn => valOf(b).map(v => (cn, v, true)))
         .orElse(colOf(b).flatMap(cn => valOf(a).map(v => (cn, v, false))))
-    conjuncts(cond).flatMap {
+    conjuncts(nnf(cond)).flatMap {
       // OR-of-ranges: a disjunction bounds a column iff EVERY branch
       // bounds it on that side — then the union band is (min of branch
       // los, max of branch his), the IN-envelope lesson generalized
@@ -1234,6 +1236,50 @@ object Table {
     */
   private val MaxDnfBranches = 32
 
+  /** Negation-normal-form rewrite ahead of bound extraction: push `NOT`
+    * through AND/OR (De Morgan — exact in SQL's three-valued logic) and
+    * flip comparisons (`NOT (k > 5)` ⇒ `k <= 5`; for a null k both sides
+    * evaluate NULL, so the filter admits the same rows). `<>`/NOT-EQUAL
+    * becomes the two-sided gap `k < v OR k > v` (a point band the DNF
+    * check can skip on), NOT BETWEEN the outside ranges, NOT IN the
+    * conjunction of per-value gaps (capped at [[MaxDnfBranches]] values
+    * — wider lists stay opaque). `NOT (a <=> b)` is deliberately LEFT
+    * ALONE: null-safe equality is TRUE on a null operand where `<`/`>`
+    * are NULL, so the flip would skip files whose matching rows are all
+    * null — the one negation shape whose rewrite is unsound. Any other
+    * un-flippable `NOT` stays opaque and contributes nothing, exactly as
+    * before — the extraction's necessary-conditions contract is
+    * unchanged, only its reach grows.
+    */
+  private[graft] def nnf(e: org.apache.spark.sql.catalyst.expressions
+      .Expression): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def gap(a: Expression, b: Expression): Expression =
+      Or(LessThan(a, b), GreaterThan(a, b))
+    e match {
+      case Not(Not(x))    => nnf(x)
+      case Not(And(l, r)) => Or(nnf(Not(l)), nnf(Not(r)))
+      case Not(Or(l, r))  => And(nnf(Not(l)), nnf(Not(r)))
+      case Not(GreaterThan(a, b))        => LessThanOrEqual(a, b)
+      case Not(GreaterThanOrEqual(a, b)) => LessThan(a, b)
+      case Not(LessThan(a, b))           => GreaterThanOrEqual(a, b)
+      case Not(LessThanOrEqual(a, b))    => GreaterThan(a, b)
+      case Not(EqualTo(a, b))            => gap(a, b)
+      case Not(Between(in, lo, hi, _)) =>
+        Or(LessThan(in, lo), GreaterThan(in, hi))
+      case Not(f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction)
+          if f.nameParts.map(_.toLowerCase) == Seq("between") &&
+            f.arguments.length == 3 && !f.isDistinct =>
+        Or(LessThan(f.arguments(0), f.arguments(1)),
+          GreaterThan(f.arguments(0), f.arguments(2)))
+      case Not(In(c, vs)) if vs.nonEmpty && vs.length <= MaxDnfBranches =>
+        vs.map(v => gap(c, v)).reduce(And(_, _))
+      case And(l, r) => And(nnf(l), nnf(r))
+      case Or(l, r)  => Or(nnf(l), nnf(r))
+      case other     => other
+    }
+  }
+
   /** [[pruneDnfOf]] on a SQL `where` text (the flagship read's route). */
   private[graft] def pruneDnf(spark: org.apache.spark.sql.SparkSession,
       where: String): Seq[Seq[Seq[(String, Option[Any], Option[Any])]]] =
@@ -1275,7 +1321,7 @@ object Table {
       case Or(l, r) => disjuncts(l) ++ disjuncts(r)
       case other    => Seq(other)
     }
-    conjuncts(cond).flatMap {
+    conjuncts(nnf(cond)).flatMap {
       case o: Or =>
         val branches = disjuncts(o)
         if (branches.length > MaxDnfBranches) {

@@ -817,6 +817,13 @@ object QueriesC {
         "WHERE o_orderkey <= 400 OR o_orderkey >= 2600")
       assert(sqlOr.inputFiles.count(_.contains("c31_orders")) < total,
         "the SQL route must prune disjoint ORs too")
+      // NNF (r15): a negated range extracts its outside branches —
+      // NOT BETWEEN skips the middle files exactly like the explicit OR
+      val notRead = tbl.read(where =
+        Some("NOT (o_orderkey BETWEEN 500 AND 2500)"))
+      assert(notRead.inputFiles.length < total,
+        s"NOT-of-range must skip the negated middle: " +
+          s"${notRead.inputFiles.length}/$total")
       def aggPhase(d: org.apache.spark.sql.DataFrame, phase: String) =
         d.agg(count(lit(1)).as("n"),
           sum(col("o_orderkey")).cast("long").as("key_sum"),
@@ -826,6 +833,7 @@ object QueriesC {
             col("min_key"), col("max_key"))
       aggPhase(orRead, "or_gap")
         .unionAll(aggPhase(inRead, "in_points"))
+        .unionAll(aggPhase(notRead, "not_gap"))
         .orderBy("phase")
     }),
 
@@ -1149,6 +1157,13 @@ object QueriesC {
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
         "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
         "FROM orders WHERE (o_orderkey <= 400 OR o_orderkey >= 2600) " +
+        "AND o_orderkey <= 3000 " +
+        "UNION ALL " +
+        "SELECT 'not_gap' AS phase, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
+        "FROM orders WHERE NOT (o_orderkey BETWEEN 500 AND 2500) " +
         "AND o_orderkey <= 3000" +
         ") ORDER BY phase"),
     "c30_sql_join_skipping" ->

@@ -1010,8 +1010,9 @@ class ApiSpec extends AnyFunSuite {
     assert(b("k IN (9, 2, 5)") == Seq(("k", Some(2), Some(9))))
     // mixed-class IN lists need SQL coercion semantics — unpruned
     assert(b("k IN (1, 2.5)").isEmpty)
-    // NOT / function-of-column conjuncts are not necessary conditions
-    // and must contribute nothing
+    // NOT-of-equality normalizes to the two-sided gap, whose union
+    // envelope is unbounded — still contributes nothing HERE (the DNF
+    // route prunes it); function-of-column conjuncts stay opaque
     assert(b("NOT (k = 1)").isEmpty)
     assert(b("abs(k) < 5").isEmpty)
     assert(b("k < 5 AND (g = 1 OR g = 2)") ==
@@ -1070,6 +1071,35 @@ class ApiSpec extends AnyFunSuite {
         Seq(("k", Some(7), Some(7))))))
     // unparseable -> nothing
     assert(d("not sql at all").isEmpty)
+  }
+
+  test("nnf: NOT pushes through comparisons/AND/OR/BETWEEN/IN before extraction") {
+    def b(w: String) = api.Table.pruneBounds(spark, w)
+    def d(w: String) = api.Table.pruneDnf(spark, w)
+    // NOT-of-comparison flips (exact in 3VL: both sides NULL on a null k)
+    assert(b("NOT (k > 5)") == Seq(("k", None, Some(5))))
+    assert(b("NOT (k >= 5)") == Seq(("k", None, Some(5)))) // strict < prunes inclusively
+    assert(b("NOT (k < 5)") == Seq(("k", Some(5), None)))
+    assert(b("NOT (5 < k)") == Seq(("k", None, Some(5)))) // literal-first flips the side
+    // De Morgan: NOT (a OR b) = conjunction of flipped comparisons
+    assert(b("NOT (k > 9 OR k < 2)") ==
+      Seq(("k", None, Some(9)), ("k", Some(2), None)))
+    // NOT (a AND b) = disjunction — DNF keeps the branches
+    assert(d("NOT (k < 2 AND g = 1)").nonEmpty)
+    // NOT BETWEEN = the outside ranges as two DNF branches
+    assert(d("k NOT BETWEEN 500 AND 2500") ==
+      Seq(Seq(Seq(("k", None, Some(500))), Seq(("k", Some(2500), None)))))
+    // <> and NOT IN become point gaps the DNF check can skip on
+    assert(d("k <> 5") ==
+      Seq(Seq(Seq(("k", None, Some(5))), Seq(("k", Some(5), None)))))
+    assert(d("k NOT IN (3, 7)").length == 2) // one gap conjunct per value
+    // double negation cancels
+    assert(b("NOT (NOT (k > 5))") == Seq(("k", Some(5), None)))
+    // null-safe equality must stay OPAQUE: NOT (k <=> 5) is TRUE on a
+    // null k, so flipping it to a gap would skip all-null files that
+    // hold matching rows
+    assert(b("NOT (k <=> 5)").isEmpty)
+    assert(d("NOT (k <=> 5)").isEmpty)
   }
 
   test("prunedScanDnf: disjoint OR skips the gap files; IN skips between its values") {

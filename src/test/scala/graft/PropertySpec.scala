@@ -326,7 +326,14 @@ object GraftSparkProps extends Properties("graft-spark") {
         yield s"($a AND $b)"),
       2 -> (for { a <- skipExpr(depth - 1); b <- skipExpr(depth - 1) }
         yield s"($a OR $b)"),
-      1 -> skipExpr(depth - 1).map(e => s"(NOT $e)"))
+      // NOT is load-bearing since the NNF rewrite (r15): negations now
+      // EXTRACT bands instead of staying opaque, so the generator leans
+      // on them — including NOT-of-IN/BETWEEN via NOT over the atoms
+      2 -> skipExpr(depth - 1).map(e => s"(NOT $e)"),
+      1 -> (for { v <- skipInts; w <- skipInts }
+        yield s"k NOT BETWEEN $v AND $w"),
+      1 -> (for { n <- Gen.chooseNum(1, 4); vs <- Gen.listOfN(n, skipInts) }
+        yield s"k NOT IN (${vs.mkString(", ")})"))
   private val skipPreds: Gen[List[String]] =
     Gen.listOfN(8, skipExpr(2))
 
