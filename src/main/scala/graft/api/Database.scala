@@ -297,16 +297,18 @@ class Database(val spark: SparkSession, val root: String,
   }
 
   private def executeRewritten(stmt: String): DataFrame = stmt.trim match {
+    // DELETE: a WHERE routes through the file-granular copy-on-write
+    // path (c33 — only files whose sidecar bands can hold a matching row
+    // rewrite; the rest stay by reference); a bare DELETE FROM truncates.
     case Database.DeleteRe(tbl, where) =>
-      val t = load(tbl)
-      val total = t.count()
-      val kept = Option(where) match {
-        case Some(w) => t.filter(!coalesce(expr(w), lit(false)))
-        case None    => t.limit(0)
+      Option(where) match {
+        case Some(w) => rowcount(table(tbl).deleteWhere(w))
+        case None =>
+          val t = load(tbl)
+          val total = t.count()
+          replaceTable(tbl, t.limit(0))
+          rowcount(total)
       }
-      val keptN = kept.count()
-      replaceTable(tbl, kept)
-      rowcount(total - keptN)
     case Database.InsertRe(tbl, colList, body) =>
       ensureRegistered(referencedRelations(body))
       val rows0 = spark.sql(body)
@@ -700,6 +702,39 @@ class Database(val spark: SparkSession, val root: String,
     // <index>.stage_l<v> / <index>.bak_l<v>)
     val TombBakRe = java.util.regex.Pattern.compile("(.+)\\.bak_l(.+)")
     val TombStageRe = java.util.regex.Pattern.compile("(.+)\\.stage_l(.+)")
+    // copy-on-write DELETE residue (Table.deleteWhere): the backup dir's
+    // presence means the swap never COMMITTED (the drop of this dir IS
+    // the commit point) — roll the whole operation back: un-promote the
+    // token's staged files from the live tree, restore every original
+    // under its relative path, drop the backup. Runs before the generic
+    // backup handling so the `_bak_` infix never mis-classifies.
+    val CowBakRe = java.util.regex.Pattern.compile(
+      "(.+)\\.cowdel_bak_([a-f0-9]+)")
+    def rollbackCowDelete(bakDir: Path, ownerName: String,
+        token: String): Boolean = {
+      val owner = new Path(bakDir.getParent, ownerName)
+      def unpromote(d: Path): Unit = Fs.list(d).foreach { st =>
+        if (st.isDirectory) unpromote(st.getPath)
+        else if (st.getPath.getName.startsWith(s"cowdel_${token}_"))
+          Fs.delete(st.getPath): Unit
+      }
+      if (Fs.exists(owner)) unpromote(owner)
+      def restore(d: Path, rel: String): Unit = Fs.list(d).foreach { st =>
+        val childRel =
+          if (rel.isEmpty) st.getPath.getName
+          else rel + "/" + st.getPath.getName
+        if (st.isDirectory) restore(st.getPath, childRel)
+        else {
+          val dst = new Path(owner, childRel)
+          Fs.mkdirs(dst.getParent)
+          // an existing destination means a previous partial rollback
+          // already restored it — never clobber restored data
+          if (!Fs.exists(dst)) Fs.rename(st.getPath, dst): Unit
+        }
+      }
+      restore(bakDir, "")
+      Fs.delete(bakDir)
+    }
     // the owner's partition column, inferred from its own layout (one
     // `col=` child probe) — needed to rebuild the partition dir name a
     // .bak_l<v> backup came from
@@ -717,8 +752,12 @@ class Database(val spark: SparkSession, val root: String,
       Fs.list(dir).foreach { st =>
         if (st.isDirectory) {
           val p = st.getPath; val n = p.getName
+          val mCow = CowBakRe.matcher(n)
           val mTomb = TombBakRe.matcher(n)
-          if (mTomb.matches()) {
+          if (mCow.matches()) {
+            if (rollbackCowDelete(p, mCow.group(1), mCow.group(2)))
+              recovered += 1
+          } else if (mTomb.matches()) {
             // a crash INSIDE compactTombstones' sibling swap leaves this
             // backup holding the only copy of its partition: restore it
             // under the owner's partition column. Owner flat/empty ⇒

@@ -258,6 +258,148 @@ class Table(val db: Database, val qualified: String) {
       qualified, "overwrite")
   }
 
+  /** Predicate DELETE — file-granular copy-on-write (c33): rows matching
+    * `where` are removed by rewriting ONLY the files that can hold a
+    * matching row, keeping every other file by reference (zero data I/O
+    * for them). Candidates come from the skipping sidecar exactly as
+    * [[prunedScanDnf]] picks scan files — the DNF bands are necessary
+    * conditions, so a file whose bands miss provably contains no row to
+    * delete; uncovered files are always candidates. This is Delta's
+    * copy-on-write DELETE shape: at 100 TB a takedown epoch deleting a
+    * handful of documents rewrites the files those documents live in,
+    * not the corpus (the r14 verdict's one remaining
+    * O(table)-where-O(touched)-is-possible user surface). Falls back to
+    * the full staged rewrite when there is no usable sidecar or every
+    * file is a candidate; returns the number of rows deleted (rows whose
+    * predicate evaluates NULL are kept, SQL DELETE semantics).
+    *
+    * Swap protocol (single-writer, like every maintenance op): kept rows
+    * of the touched files are staged at `<path>.stage_tmp` (vacuum
+    * reclaims orphans), the touched originals hop to
+    * `<path>.cowdel_bak_<token>` (metadata-only renames), the staged
+    * files promote into the live tree under `cowdel_<token>_`-prefixed
+    * names, and the backup drop is the commit point. A crash anywhere
+    * before it leaves the backup holding every original byte —
+    * `Database.vacuum` rolls the table back (un-promotes the token's
+    * files, restores the originals). The skipping sidecar is then
+    * delta-maintained: touched entries drop, the promoted files get
+    * fresh bands — an O(#files) metadata rewrite, never a data rescan of
+    * untouched files.
+    */
+  private[api] def deleteWhere(where: String): Long = {
+    val dnfs = Table.pruneDnf(db.spark, where)
+    val split = (if (dnfs.nonEmpty) dnfHitMap(dnfs) else None).map { m =>
+      currentDataFiles().partition { case (abs, _) =>
+        m.getOrElse(normFileUri(abs), true) }
+    }
+    split match {
+      case Some((touched, _)) if touched.isEmpty =>
+        0L // no file's bands intersect the predicate — nothing to delete
+      case Some((touched, untouched)) if untouched.nonEmpty =>
+        cowDeleteFiles(where, touched)
+      case _ => // no usable sidecar, or every file is a candidate
+        val total = df.count()
+        val kept = df.filter(!coalesce(expr(where), lit(false)))
+        val keptN = kept.count()
+        db.replaceTable(qualified, kept)
+        total - keptN
+    }
+  }
+
+  /** The copy-on-write arm of [[deleteWhere]]: rewrite exactly `touched`
+    * (qualified path, root-relative path), keep everything else in place.
+    */
+  private def cowDeleteFiles(
+      where: String, touched: Seq[(String, String)]): Long = {
+    val touchedDf = db.loadFiles(path, touched.map(_._1))
+    val totalTouched = touchedDf.count()
+    val kept = touchedDf.filter(!coalesce(expr(where), lit(false)))
+    val keptN = kept.count()
+    if (keptN == totalTouched) return 0L // bands over-approximated: no hit
+    val stage = path + ".stage_tmp"
+    Fs.delete(Fs.path(stage)): Unit
+    db.storeAt(kept, stage, partitionBy = Database.partitionColsOf(path))
+    // token ties this swap's promoted files to its backup dir, so a
+    // crash is attributable: vacuum rolls back exactly this operation
+    val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val bak = path + ".cowdel_bak_" + token
+    touched.foreach { case (abs, rel) =>
+      val dst = new org.apache.hadoop.fs.Path(Fs.path(bak), rel)
+      Fs.mkdirs(dst.getParent)
+      Fs.renameOrThrow(Fs.path(abs), dst, "cow delete: stage originals aside")
+    }
+    val promoted = promoteStaged(stage, token)
+    // COMMIT: once the backup is gone the new file set is the table
+    Fs.delete(Fs.path(bak)): Unit
+    Fs.delete(Fs.path(stage)): Unit
+    db.markDirty()
+    db.spark.catalog.refreshByPath(path)
+    retargetStats(touched.map(_._1), promoted)
+    totalTouched - keptN
+  }
+
+  /** Move every staged data file into the live tree (same partition
+    * subdir, `cowdel_<token>_` name prefix — collision-proof and
+    * crash-attributable). Returns the promoted files' qualified paths.
+    */
+  private def promoteStaged(stage: String, token: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(dir: Path, rel: String): Unit = Fs.list(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory)
+        walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+      else if (Database.isDataFile(name)) {
+        val destDir =
+          if (rel.isEmpty) Fs.path(path) else new Path(Fs.path(path), rel)
+        Fs.mkdirs(destDir)
+        val dst = new Path(destDir, s"cowdel_${token}_$name")
+        Fs.renameOrThrow(st.getPath, dst, "cow delete: promote staged file")
+        out += Fs.qualify(dst).toString
+      }
+    }
+    val sp = Fs.path(stage)
+    if (Fs.exists(sp)) walk(sp, "")
+    out.toSeq
+  }
+
+  /** Delta-maintain the sidecar across a copy-on-write file swap: drop
+    * the removed files' entries, band the promoted files (an O(removed +
+    * promoted) data scan + one O(#files) sidecar rewrite). Best-effort,
+    * like [[extendStats]]: the post-swap sidecar is already SAFE without
+    * this (removed entries are ignored by the live-listing intersection,
+    * promoted files are uncovered → always scanned, exact-coverage gates
+    * the metadata route), so any failure just logs and leaves it.
+    */
+  private def retargetStats(
+      removed: Seq[String], promoted: Seq[String]): Unit = {
+    if (!hasStatsSidecar) return
+    try {
+      val existing = db.spark.read.parquet(path + ".stats")
+      val tracked = existing.schema.fieldNames.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      if (tracked.isEmpty) return
+      val gone = removed.map(normFileUri).toSet
+      val keptEntries = existing.collect().filter( // driver-side, O(#files)
+        r => !gone.contains(normFileUri(r.getString(r.fieldIndex("file")))))
+      import scala.jdk.CollectionConverters._
+      val keptDf = db.spark.createDataFrame(
+        keptEntries.toSeq.asJava, existing.schema)
+      val fresh =
+        if (promoted.isEmpty) keptDf
+        else keptDf.unionByName(
+          perFileStats(db.loadFiles(path, promoted), promoted, tracked))
+      writeStats(fresh)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"retargetStats: sidecar maintenance failed after a committed " +
+            s"COW delete at $path - leaving it (stale entries are ignored " +
+            s"by the live-file intersection; promoted files scan " +
+            s"conservatively until the next analyzeStats): $e")
+    }
+  }
+
   /** Index façade (ref datum/table.py:98-104, datum/postgis/table.py:309-334,
     * auto-name `t_f1_f2_idx`). Parquet has no b-tree; the physical analogue
     * is clustering: sort-within-partitions on the keys so row-group min/max
@@ -725,6 +867,34 @@ class Table(val db: Database, val qualified: String) {
   private[api] def prunedScanDnf(
       dnfs: Seq[Seq[Seq[(String, Option[Any], Option[Any])]]])
       : Option[DataFrame] = {
+    val entries = dnfHitMap(dnfs) match {
+      case Some(m) => m
+      case None    => return None
+    }
+    val all = currentDataFiles()
+    val chosen = all.filter { case (abs, _) =>
+      entries.get(normFileUri(abs)) match {
+        case Some(hit) => hit       // covered: scan only on range overlap
+        case None      => true      // uncovered (post-analyze append): scan
+      }
+    }
+    if (chosen.size == all.size) None // nothing pruned — plain plan
+    else if (chosen.isEmpty) Some(df.limit(0))
+    else Some(db.loadFiles(path, chosen.map(_._1)))
+  }
+
+  /** The sidecar band evaluation behind [[prunedScanDnf]] and the
+    * file-granular COW DELETE: per covered file, whether ANY row of it
+    * can satisfy the DNF band set (normalized path → hit). None = no
+    * usable sidecar or no usable band (the caller must treat every file
+    * as a candidate). Files NOT in the map are uncovered — always
+    * candidates. Sound by the band-necessity argument in
+    * [[prunedScanDnf]]'s scaladoc: a `false` here proves no matching
+    * row lives in the file.
+    */
+  private def dnfHitMap(
+      dnfs: Seq[Seq[Seq[(String, Option[Any], Option[Any])]]])
+      : Option[Map[String, Boolean]] = {
     if (!hasStatsSidecar || dnfs.isEmpty) return None
     val entries = try {
       val stats = db.spark.read.parquet(path + ".stats")
@@ -759,16 +929,7 @@ class Table(val db: Database, val qualified: String) {
         .map(r => normFileUri(r.getString(0)) -> (!r.isNullAt(1) && r.getBoolean(1)))
         .toMap
     } catch { case _: Exception => return None } // no usable sidecar
-    val all = currentDataFiles()
-    val chosen = all.filter { case (abs, _) =>
-      entries.get(normFileUri(abs)) match {
-        case Some(hit) => hit       // covered: scan only on range overlap
-        case None      => true      // uncovered (post-analyze append): scan
-      }
-    }
-    if (chosen.size == all.size) None // nothing pruned — plain plan
-    else if (chosen.isEmpty) Some(df.limit(0))
-    else Some(db.loadFiles(path, chosen.map(_._1)))
+    Some(entries)
   }
 
   /** Metadata-only aggregate (c22): one row of (n_rows, min, max of

@@ -882,6 +882,83 @@ object QueriesC {
         .withColumn("lo_where", lit(where.collect()(0).getLong(0)))
     }),
 
+    // c33: FILE-GRANULAR COPY-ON-WRITE DELETE — the r14 verdict's one
+    // remaining O(table)-where-O(touched)-is-possible user surface,
+    // closed: `DELETE FROM t WHERE …` consults the skipping sidecar and
+    // rewrites ONLY the files whose bands intersect the predicate (the
+    // DNF necessity argument — a missing band proves no matching row),
+    // keeping every other file BY REFERENCE. Delta's COW DELETE shape:
+    // at 100 TB a takedown deleting 1k docs rewrites the files they
+    // live in, not the corpus. Engine-asserts: (a) a provably-no-match
+    // DELETE touches ZERO files (bands decide without any data I/O);
+    // (b) untouched files survive byte-identical (same name, length,
+    // MD5 — kept by reference, the e89 recipe); (c) strictly fewer
+    // files rewrote than the table holds; (d) the sidecar is
+    // delta-maintained across the swap (metadata aggregates still
+    // serve, exact coverage). Rowcounts and the read-back hash-gate
+    // against DuckDB.
+    "c33_cow_delete" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 3000)
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.mode("overwrite").parquet(db.pathOf("c33_orders"))
+      val tbl = db.table("c33_orders")
+      tbl.analyzeStats(Seq("o_orderkey")): Unit
+      val total = tbl.df.inputFiles.length
+      def fileMap(): Map[String, (Long, String)] =
+        new java.io.File(tbl.path).listFiles().toSeq
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .map { f =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            f.getName -> (f.length(), md.map("%02x".format(_)).mkString)
+          }.toMap
+      val before = fileMap()
+      assert(before.size == total, s"flat layout expected: $before")
+      // (a) bands prove no row matches — zero file churn, zero data I/O
+      val rc0 = db.execute(
+        "DELETE FROM c33_orders WHERE o_orderkey BETWEEN 100000 AND 100100")
+        .collect()(0).getLong(0)
+      assert(rc0 == 0L, s"nothing above 100000 exists, got rc=$rc0")
+      assert(fileMap() == before,
+        "a provably-no-match DELETE must not touch any file")
+      // the COW delete proper
+      val rc = db.execute(
+        "DELETE FROM c33_orders WHERE o_orderkey BETWEEN 1000 AND 1400")
+        .collect()(0).getLong(0)
+      assert(rc > 0L, "the delete must remove rows")
+      val after = fileMap()
+      // (b) untouched files kept by reference — byte-identical
+      val survivors = before.keySet.intersect(after.keySet)
+      assert(survivors.nonEmpty, "some files must survive by reference")
+      survivors.foreach(f => assert(before(f) == after(f),
+        s"surviving file $f changed bytes — not kept by reference"))
+      // (c) strictly fewer files rewrote than the table holds
+      val rewrote = (before.keySet -- after.keySet).size
+      assert(rewrote > 0 && rewrote < total,
+        s"COW must rewrite a strict subset: $rewrote/$total")
+      // committed: no backup or stage residue beside the table
+      val parent = new java.io.File(tbl.path).getParentFile
+      assert(!parent.listFiles().exists(f =>
+        f.getName.contains("c33_orders.cowdel_bak_") ||
+          f.getName == "c33_orders.stage_tmp"),
+        "the swap must commit (no backup/stage residue)")
+      // (d) sidecar delta-maintained: metadata route still serves
+      val meta = tbl.aggFromStats("o_orderkey").getOrElse(sys.error(
+        "the sidecar must keep serving after a COW delete"))
+      assert(meta.inputFiles.nonEmpty &&
+        meta.inputFiles.forall(_.contains(".stats")),
+        s"metadata-only plan reads data files: ${meta.inputFiles.toSeq}")
+      tbl.df.agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"),
+        min(col("o_orderkey")).cast("long").as("min_key"),
+        max(col("o_orderkey")).cast("long").as("max_key"))
+        .withColumn("n_deleted", lit(rc))
+        .withColumn("n_deleted_nomatch", lit(rc0))
+    }),
+
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
     // bad append lands, restore(v1) rolls the table back to the pinned
     // manifest via the staged atomic swap, and the read-back equals the
@@ -1166,6 +1243,15 @@ object QueriesC {
         "FROM orders WHERE NOT (o_orderkey BETWEEN 500 AND 2500) " +
         "AND o_orderkey <= 3000" +
         ") ORDER BY phase"),
+    "c33_cow_delete" ->
+      ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key, " +
+        "(SELECT count(*) FROM orders " +
+        "WHERE o_orderkey BETWEEN 1000 AND 1400) AS n_deleted, " +
+        "CAST(0 AS BIGINT) AS n_deleted_nomatch " +
+        "FROM orders WHERE o_orderkey <= 3000 " +
+        "AND NOT (o_orderkey BETWEEN 1000 AND 1400)"),
     "c30_sql_join_skipping" ->
       ("SELECT c.c_mktsegment AS seg, count(*) AS n, " +
         "CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum " +

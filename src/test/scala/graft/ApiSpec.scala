@@ -1439,4 +1439,87 @@ class ApiSpec extends AnyFunSuite {
     new java.io.File(root).mkdirs()
     Datum.connect(s"parquet://$root")
   }
+
+  test("deleteWhere: COW on a hive-partitioned table keeps the layout and untouched files") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 3000L).map(k => (k, k % 4)).toDF("k", "g")
+      .repartitionByRange(4, col("k"))
+      .write.partitionBy("g").mode("overwrite").parquet(db2.pathOf("cowp"))
+    val tbl = db2.table("cowp")
+    tbl.analyzeStats(Seq("k")): Unit
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(tbl.path))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getAbsolutePath.stripPrefix(tbl.path) -> f.length()).toMap
+    }
+    val before = files()
+    val rc = db2.execute("DELETE FROM cowp WHERE k BETWEEN 100 AND 200")
+      .collect()(0).getLong(0)
+    assert(rc == 101L)
+    val after = files()
+    // partition layout preserved (g= dirs still the partitioning)
+    assert(new java.io.File(tbl.path).listFiles().filter(_.isDirectory)
+      .map(_.getName).forall(_.startsWith("g=")))
+    assert(after.keySet.forall(_.startsWith("/g=")),
+      s"every data file stays under a g= partition dir: $after")
+    // untouched files survive by reference
+    val survivors = before.keySet.intersect(after.keySet)
+    assert(survivors.nonEmpty && survivors.forall(f => before(f) == after(f)))
+    assert((before.keySet -- after.keySet).nonEmpty &&
+      (before.keySet -- after.keySet).size < before.size,
+      "a strict subset of files rewrites")
+    // content is the model
+    assert(tbl.count == 3000L - 101L)
+    assert(tbl.df.filter(col("k").between(100, 200)).count() == 0L)
+    assert(tbl.df.agg(sum(col("k"))).collect()(0).getLong(0) ==
+      (1L to 3000L).sum - (100L to 200L).sum)
+    // no sidecar -> the fallback full rewrite still deletes correctly
+    val db3 = scratchDb()
+    (1L to 50L).toDF("k").write.mode("overwrite").parquet(db3.pathOf("cowf"))
+    assert(db3.execute("DELETE FROM cowf WHERE k <= 10")
+      .collect()(0).getLong(0) == 10L)
+    assert(db3.table("cowf").count == 40L)
+  }
+
+  test("vacuum rolls back a crashed COW delete: promoted files un-promoted, originals restored") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(db2.pathOf("cowr"))
+    val tbl = db2.table("cowr")
+    val orig = new java.io.File(tbl.path).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).head
+    val origBytes = java.nio.file.Files.readAllBytes(orig.toPath)
+    // fabricate the post-crash state: original hopped to the backup dir,
+    // a token-marked replacement promoted into the live dir, commit
+    // (backup drop) never reached
+    val token = "ab12cd34ef56"
+    val bak = new java.io.File(tbl.path + ".cowdel_bak_" + token)
+    bak.mkdirs()
+    java.nio.file.Files.move(orig.toPath,
+      new java.io.File(bak, orig.getName).toPath)
+    (1L to 40L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(tbl.path + ".stage_tmp")
+    val stagedPart = new java.io.File(tbl.path + ".stage_tmp").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(stagedPart.toPath,
+      new java.io.File(tbl.path, s"cowdel_${token}_${stagedPart.getName}").toPath)
+    val report = db2.vacuum()
+    assert(report("recovered") >= 1, s"rollback must count as recovery: $report")
+    assert(!bak.exists, "the backup dir must be consumed")
+    // the table is byte-identically the original
+    val restored = new java.io.File(tbl.path).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(restored.map(_.getName).toSeq == Seq(orig.getName),
+      s"exactly the original file: ${restored.map(_.getName).toSeq}")
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(restored.head.toPath), origBytes))
+    spark.catalog.refreshByPath(tbl.path)
+    assert(tbl.count == 100L)
+  }
 }
