@@ -754,41 +754,80 @@ class Table(val db: Database, val qualified: String) {
     * lesson applied to the metadata tier): the append knows exactly
     * which files it landed, so extend the sidecar by scanning ONLY
     * those files instead of refusing ([[aggFromStats]]) or degrading
-    * to a full rescan. O(appended files) data I/O + one tiny sidecar
-    * rewrite; at 100 TB the sidecar stays current under a trickle of
-    * appends without ever re-reading the table. No-op when no sidecar
-    * exists; an unreadable sidecar is left alone (the conservative
-    * paths already handle it).
+    * to a full rescan. LOG-STRUCTURED (r15): the fresh entries land as
+    * ONE new segment file APPENDED into the `.stats` directory —
+    * O(appended files) data I/O + O(1) metadata writes, never the
+    * whole-sidecar rewrite (which at millions of files under a trickle
+    * of appends was quadratic metadata churn — Delta's O(delta) commit
+    * log + periodic checkpoint, applied here). Readers union the
+    * segments for free (one parquet directory read); once the segment
+    * count passes [[Table.StatsSegmentBudget]] the sidecar folds back
+    * to a single file through the staged swap (the f31/f35 policy-
+    * compaction recipe; crash residue is vacuum's existing
+    * `.stats.stage_*` class). No-op when no sidecar exists; an
+    * unreadable sidecar is left alone (the conservative paths already
+    * handle it).
     *
     * Runs AFTER the data append has committed, so no failure here may
     * fail the write (a thrown exception would report failure for data
-    * that actually landed and invite a duplicate retry): any error —
-    * schema drift in the union, a concurrent sidecar swap mid-flight —
-    * is contained by DROPPING the sidecar (one file delete). A missing
-    * sidecar is strictly conservative: every skipping/metadata path
-    * falls back to the full scan, whereas a stale one that still covers
-    * the pre-append file set would be a lie [[aggFromStats]]'
-    * exact-coverage check happens to catch but future callers might not.
+    * that actually landed and invite a duplicate retry). Failure
+    * containment distinguishes the two states a failure can leave:
+    * a sidecar that still READS is merely STALE — it no longer covers
+    * the appended files, which is exactly the safe state (skipping
+    * scans uncovered files unconditionally, the metadata routes refuse
+    * on inexact coverage) — so it is LEFT IN PLACE, keeping the
+    * acceleration for the 99% of files it still bands. Only a sidecar
+    * the failure left UNREADABLE (a torn segment) is dropped: that
+    * state disables every accelerated path anyway and would never heal
+    * on its own.
     */
   private def extendStats(appended: Seq[String]): Unit = {
     if (appended.isEmpty) return
-    val existing = try db.spark.read.parquet(path + ".stats")
-      catch { case _: Exception => return }
-    try {
-      val tracked = existing.schema.fieldNames.toSeq
+    val tracked = try {
+      val t = db.spark.read.parquet(path + ".stats").schema.fieldNames.toSeq
         .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
-      if (tracked.isEmpty) return
+      if (t.isEmpty) return
+      t
+    } catch { case _: Exception => return }
+    try {
       val fresh = perFileStats(db.loadFiles(path, appended), appended, tracked)
-      writeStats(existing.unionByName(fresh))
+      fresh.coalesce(1) // one segment file per append
+        .write.mode("append").parquet(path + ".stats")
+      db.spark.catalog.refreshByPath(path + ".stats")
+      compactStatsIfNeeded()
     } catch {
       case scala.util.control.NonFatal(e) =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"extendStats: sidecar maintenance failed after a committed " +
-            s"append at $path - dropping the sidecar (skipping degrades " +
+        val log = org.slf4j.LoggerFactory.getLogger(getClass)
+        val stillReads = try {
+          db.spark.read.parquet(path + ".stats").count(); true
+        } catch { case scala.util.control.NonFatal(_) => false }
+        if (stillReads)
+          log.warn(s"extendStats: sidecar maintenance failed after a " +
+            s"committed append at $path - leaving the (readable, stale) " +
+            s"sidecar in place: the appended files scan conservatively " +
+            s"and the metadata routes refuse on coverage until the next " +
+            s"append or analyzeStats: $e")
+        else {
+          log.warn(s"extendStats: sidecar maintenance failed AND left " +
+            s"$path.stats unreadable - dropping it (skipping degrades " +
             s"to full scans until the next analyzeStats): $e")
-        try { Fs.delete(Fs.path(path + ".stats")): Unit }
-        catch { case scala.util.control.NonFatal(_) => }
+          try { Fs.delete(Fs.path(path + ".stats")): Unit }
+          catch { case scala.util.control.NonFatal(_) => }
+        }
     }
+  }
+
+  /** Fold the sidecar's append-log segments back to one file when their
+    * count passes the budget — the O(delta)-append / periodic-checkpoint
+    * balance: reads stay one directory scan with a bounded file count,
+    * appends stay O(1) metadata. Staged swap, same crash class as
+    * [[writeStats]].
+    */
+  private def compactStatsIfNeeded(): Unit = {
+    val segs = Fs.list(Fs.path(path + ".stats"))
+      .count(st => st.isFile && Database.isDataFile(st.getPath.getName))
+    if (segs > Table.StatsSegmentBudget)
+      writeStats(db.spark.read.parquet(path + ".stats"))
   }
 
   /** Range read with file skipping (c20): serve `column BETWEEN lo AND
@@ -1390,6 +1429,13 @@ object Table {
       }).toSeq
     }
   }
+
+  /** Max `.stats` append-log segments before [[Table]]'s maintenance
+    * folds them to one file — bounds every reader's directory listing
+    * while keeping appends O(1) metadata (one segment per append, one
+    * fold per budget's worth — Delta's commit-log/checkpoint cadence).
+    */
+  private[graft] val StatsSegmentBudget = 12
 
   /** Max IN-list size / OR fan-out that extracts per-value point
     * branches instead of the collapsed envelope — bounds the size of the

@@ -1440,6 +1440,45 @@ class ApiSpec extends AnyFunSuite {
     Datum.connect(s"parquet://$root")
   }
 
+  test("extendStats is log-structured: an append ADDS one segment (O(delta) metadata); the budget folds") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 100L).toDF("k").coalesce(1)
+      .write.mode("overwrite").parquet(db2.pathOf("lss"))
+    val tbl = db2.table("lss")
+    tbl.analyzeStats(Seq("k")): Unit
+    def segs(): Seq[String] = new java.io.File(tbl.path + ".stats")
+      .listFiles().filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(_.getName).toSeq.sorted
+    val s0 = segs()
+    assert(s0.size == 1, s"analyze writes the compacted form: $s0")
+    tbl.write((101L to 120L).toDF("k").coalesce(1))
+    val s1 = segs()
+    // THE log-structure pin: the pre-append segment file survives
+    // untouched and exactly one new segment landed — append cost is
+    // O(appended files), never an O(#files) sidecar rewrite
+    assert(s1.size == 2 && s0.forall(s1.contains),
+      s"append must add a segment, not rewrite: $s0 -> $s1")
+    // the unioned segments serve exactly
+    val m = tbl.aggFromStats("k").getOrElse(sys.error("must serve")).collect()(0)
+    assert(m.getLong(0) == 120L &&
+      m.getLong(m.fieldIndex("min_k")) == 1L &&
+      m.getLong(m.fieldIndex("max_k")) == 120L)
+    // and the appended file's band participates in skipping (disjoint
+    // range -> the original file is skipped)
+    val high = tbl.readPruned("k", 110L, 118L)
+    assert(high.inputFiles.length == 1 && high.count() == 9L)
+    // the budget folds the log back to one file, values unchanged
+    (1 to graft.api.Table.StatsSegmentBudget).foreach { i =>
+      tbl.write(Seq(1000L + i.toLong).toDF("k")) }
+    assert(segs().size <= 2,
+      s"passing the budget must fold the segments: ${segs()}")
+    val m2 = tbl.aggFromStats("k").getOrElse(sys.error("must serve")).collect()(0)
+    assert(m2.getLong(0) == 120L + graft.api.Table.StatsSegmentBudget &&
+      m2.getLong(m2.fieldIndex("max_k")) ==
+        1000L + graft.api.Table.StatsSegmentBudget)
+  }
+
   test("deleteWhere: COW on a hive-partitioned table keeps the layout and untouched files") {
     import spark.implicits._
     val db2 = scratchDb()
