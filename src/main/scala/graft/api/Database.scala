@@ -348,20 +348,28 @@ class Database(val spark: SparkSession, val root: String,
     * ([[Table.aggsFromStats]], zero data-file I/O) when every referenced
     * column is tracked and coverage is exact. Matched on the PARSED plan
     * (a Project of only min/max/count calls directly over a known
-    * physical table — any WHERE/GROUP BY/join/extra expression falls
+    * physical table — any GROUP BY/join/extra expression falls
     * through), and only when every item carries an alias (the fallback
-    * scan then agrees on names by construction). None → the normal
-    * route, identical answer at scan cost.
+    * scan then agrees on names by construction). A WHERE is accepted
+    * since r15 when the per-file bands DECIDE it exactly for every file
+    * ([[Table.aggsFromStatsFiltered]], c34) — a straddling file, a null
+    * in a referenced column, or any unevaluable predicate shape refuses.
+    * None → the normal route, identical answer at scan cost.
     */
   private def metadataAggStatement(stmt: String): Option[DataFrame] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
       UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
-    import org.apache.spark.sql.catalyst.plans.logical.{Project, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project,
+      SubqueryAlias}
     val planOpt = scala.util.Try(
       spark.sessionState.sqlParser.parsePlan(stmt)).toOption
     planOpt.flatMap {
-      case Project(exprs, rel0) =>
+      case Project(exprs, rel1) =>
+        val (condOpt, rel0) = rel1 match {
+          case Filter(c, child) => (Some(c), child)
+          case other            => (None, other)
+        }
         val relName = rel0 match {
           case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
             Some(u.multipartIdentifier.head)
@@ -396,7 +404,10 @@ class Database(val spark: SparkSession, val root: String,
             if (ss.nonEmpty && ss.forall(_.nonEmpty)) Some(ss.flatten)
             else None
           }
-          out <- table(tbl).aggsFromStats(specs)
+          out <- condOpt match {
+            case None    => table(tbl).aggsFromStats(specs)
+            case Some(c) => table(tbl).aggsFromStatsFiltered(specs, c)
+          }
         } yield out
       case _ => None
     }

@@ -721,8 +721,13 @@ class Table(val db: Database, val qualified: String) {
     */
   private def perFileStats(src: DataFrame, expected: Seq[String],
       cols: Seq[String]): DataFrame = {
+    // nnull_<c> (rows where c IS NULL) rides along since r15: the
+    // filtered metadata route needs it — a file counts as all-satisfying
+    // only when the predicate's columns have no nulls there (a null row
+    // is filtered out, which n_rows alone can't see)
     val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nnull_$c"))) :+
       org.apache.spark.sql.functions.count(lit(1)).as("n_rows")
     val computed = src.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -733,7 +738,9 @@ class Table(val db: Database, val qualified: String) {
       import scala.jdk.CollectionConverters._
       val rows = empties.map { u =>
         org.apache.spark.sql.Row.fromSeq(u +: computed.schema.fields.toSeq.tail
-          .map(f => if (f.name == "n_rows") 0L else null))
+          .map(f =>
+            if (f.name == "n_rows" || f.name.startsWith("nnull_")) 0L
+            else null))
       }
       computed.unionByName(
         db.spark.createDataFrame(rows.asJava, computed.schema))
@@ -783,14 +790,20 @@ class Table(val db: Database, val qualified: String) {
     */
   private def extendStats(appended: Seq[String]): Unit = {
     if (appended.isEmpty) return
-    val tracked = try {
-      val t = db.spark.read.parquet(path + ".stats").schema.fieldNames.toSeq
-        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
-      if (t.isEmpty) return
-      t
+    val existingFields = try {
+      val fs = db.spark.read.parquet(path + ".stats").schema.fieldNames.toSeq
+      if (!fs.exists(_.startsWith("min_"))) return
+      fs
     } catch { case _: Exception => return }
+    val tracked = existingFields
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
     try {
+      // align the segment to the analyze-time schema: every segment of
+      // one sidecar carries the same columns (a pre-r15 sidecar without
+      // nnull_ columns keeps its shape; mixed-schema segments would make
+      // plain directory reads see a random footer's columns)
       val fresh = perFileStats(db.loadFiles(path, appended), appended, tracked)
+        .select(existingFields.map(col): _*)
       fresh.coalesce(1) // one segment file per append
         .write.mode("append").parquet(path + ".stats")
       db.spark.catalog.refreshByPath(path + ".stats")
@@ -1043,6 +1056,93 @@ class Table(val db: Database, val qualified: String) {
       case (_, c, a)     => max(col(s"max_$c")).as(a)
     }
     Some(stats.agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** [[aggsFromStats]] with a WHERE (r15): `SELECT min(a), count(*) FROM
+    * t WHERE <cond>` still answers from the sidecar ALONE when the
+    * per-file bands DECIDE the predicate for EVERY covered file —
+    * all-true files contribute their band/rowcount, all-false files
+    * drop, and one straddler refuses the whole route (`None` — the
+    * caller's pruned scan gives the identical answer at scan cost).
+    * Decidability demands exactness, not just necessity, so the
+    * evaluation is three-valued interval logic over the parsed
+    * condition ([[Table.triOf]]) — comparisons/BETWEEN/IN of tracked
+    * columns vs literals under AND/OR/NOT; any other node refuses. A
+    * file with NULLs in a referenced column refuses too (its rows'
+    * predicate can evaluate NULL, which two-valued interval logic can't
+    * see) — that needs the `nnull_` columns analyzeStats records since
+    * r15, so a pre-r15 sidecar refuses (conservative). Same
+    * exact-coverage contract as every metadata route. At 100 TB this is
+    * Iceberg's filtered metadata aggregate: a time-range COUNT over a
+    * time-clustered corpus costs O(#files) sidecar rows, zero data I/O.
+    */
+  def aggsFromStatsFiltered(specs: Seq[(String, String, String)],
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[DataFrame] = {
+    if (specs.isEmpty || !hasStatsSidecar) return None
+    val stats = try db.spark.read.parquet(path + ".stats")
+      catch { case _: Exception => return None }
+    if (!stats.columns.contains("n_rows")) return None
+    val ok = specs.forall {
+      case ("count", _, _)        => true
+      case ("min" | "max", c, _)  => stats.columns.contains(s"min_$c")
+      case _                      => false
+    }
+    if (!ok) return None
+    // every column the predicate references must be tracked WITH null
+    // counts; resolve case-insensitively to the sidecar's spelling
+    val refs = Table.referencedCols(cond) match {
+      case Some(rs) if rs.nonEmpty => rs
+      case _                       => return None
+    }
+    def side(prefix: String, c: String): Option[String] =
+      stats.columns.find(_.equalsIgnoreCase(s"$prefix$c"))
+    val colMap = refs.map { c =>
+      (side("min_", c), side("max_", c), side("nnull_", c)) match {
+        case (Some(mn), Some(mx), Some(nn)) => c.toLowerCase -> (mn, mx, nn)
+        case _ => return None
+      }
+    }.toMap
+    val rows = try stats.collect() catch { case _: Exception => return None }
+    val covered = rows.map(r => normFileUri(r.getString(r.fieldIndex("file"))))
+      .toSet
+    val live = currentDataFiles()
+      .map { case (abs, _) => normFileUri(abs) }.toSet
+    if (covered != live) return None
+    // decide every covered file; one undecidable file refuses the route
+    val decided = rows.map { r =>
+      val nRows = r.getLong(r.fieldIndex("n_rows"))
+      if (nRows == 0L) Some(r -> false) // no rows: contributes nothing
+      else {
+        val nullsSeen = colMap.valuesIterator.exists { case (_, _, nn) =>
+          r.isNullAt(r.fieldIndex(nn)) || r.getLong(r.fieldIndex(nn)) > 0L }
+        if (nullsSeen) None
+        else {
+          def band(c: String): Option[(Any, Any)] =
+            colMap.get(c.toLowerCase).map { case (mn, mx, _) =>
+              (r.get(r.fieldIndex(mn)), r.get(r.fieldIndex(mx))) }
+          Table.triOf(cond, band) match {
+            case Some(Table.AllTrue)  => Some(r -> true)
+            case Some(Table.AllFalse) => Some(r -> false)
+            case _                    => None // straddles: needs a read
+          }
+        }
+      }
+    }
+    if (decided.exists(_.isEmpty)) return None
+    val keep = decided.flatten.collect { case (r, true) =>
+      r.getString(r.fieldIndex("file")) }.toSeq
+    val aggs = specs.map {
+      case ("count", _, a) =>
+        coalesce(sum(col("n_rows")), lit(0L)).cast("long").as(a)
+      case ("min", c, a) => min(col(s"min_$c")).as(a)
+      case (_, c, a)     => max(col(s"max_$c")).as(a)
+    }
+    // aggregate over the all-true files' sidecar rows: answer types are
+    // the bands' (= the columns'), and the serving plan reads ONLY the
+    // sidecar (the gate's inputFiles assertion)
+    Some(stats.filter(col("file").isin(keep.map(_.asInstanceOf[Any]): _*))
+      .agg(aggs.head, aggs.tail: _*))
   }
 
   def countFromStats: Option[DataFrame] = {
@@ -1565,6 +1665,154 @@ object Table {
       case other =>
         pruneBoundsBy(other)(resolve).map(b => Seq(Seq(b)))
     }
+  }
+
+  /** Three-valued interval evaluation for the FILTERED metadata route
+    * ([[Table.aggsFromStatsFiltered]]): does a file whose referenced
+    * columns span the given [min, max] bands (no nulls, > 0 rows)
+    * satisfy the predicate on EVERY row, on NO row, or possibly both?
+    */
+  private[graft] sealed trait Tri
+  private[graft] case object AllTrue extends Tri
+  private[graft] case object AllFalse extends Tri
+  private[graft] case object Mixed extends Tri
+
+  /** Bare column names a condition references (lower-cased); None when
+    * any attribute is qualified — the filtered metadata route resolves
+    * bare names against one table only.
+    */
+  private[graft] def referencedCols(e: org.apache.spark.sql.catalyst
+      .expressions.Expression): Option[Set[String]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val out = scala.collection.mutable.Set.empty[String]
+    var ok = true
+    e.foreach {
+      case u: UnresolvedAttribute =>
+        if (u.nameParts.length == 1) { out += u.name.toLowerCase; () }
+        else ok = false
+      case _ =>
+    }
+    if (ok) Some(out.toSet) else None
+  }
+
+  /** Decide a predicate against per-file bands — EXACT three-valued
+    * interval logic, not the extraction's necessary conditions: the
+    * caller guarantees the file has rows and NO NULLS in any referenced
+    * column, so per-row evaluation is two-valued and AllTrue/AllFalse
+    * compose exactly through Kleene AND/OR/NOT. Supported atoms:
+    * comparisons / BETWEEN / IN of a bare column vs literals (either
+    * operand order); any other node — or a band/literal pair that isn't
+    * exactly orderable ([[cmpLoose]]) — returns None and the route
+    * refuses. `band(col)` supplies (min, max); a null band under
+    * non-null rows cannot happen, but None/null refuse defensively.
+    */
+  private[graft] def triOf(e: org.apache.spark.sql.catalyst.expressions
+      .Expression, band: String => Option[(Any, Any)]): Option[Tri] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
+      UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    def colBand(x: Expression): Option[(Any, Any)] = x match {
+      case u: UnresolvedAttribute if u.nameParts.length == 1 =>
+        band(u.name).filter { case (mn, mx) => mn != null && mx != null }
+      case _ => None
+    }
+    def litVal(x: Expression): Option[Any] = x match {
+      case l: Literal if l.value != null => l.dataType match {
+        case _: NumericType | StringType | DateType | _: TimestampType |
+             TimestampNTZType | BooleanType =>
+          Some(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+        case _ => None
+      }
+      case _ => None
+    }
+    def evalOp(mn: Any, mx: Any, v: Any, op: String): Option[Tri] =
+      for (cl <- cmpLoose(mn, v); ch <- cmpLoose(mx, v)) yield op match {
+        case ">=" => if (cl >= 0) AllTrue else if (ch < 0) AllFalse else Mixed
+        case ">"  => if (cl > 0) AllTrue else if (ch <= 0) AllFalse else Mixed
+        case "<=" => if (ch <= 0) AllTrue else if (cl > 0) AllFalse else Mixed
+        case "<"  => if (ch < 0) AllTrue else if (cl >= 0) AllFalse else Mixed
+        case _    => if (cl == 0 && ch == 0) AllTrue
+                     else if (ch < 0 || cl > 0) AllFalse else Mixed
+      }
+    def flip(op: String): String = op match {
+      case ">"  => "<"
+      case ">=" => "<="
+      case "<"  => ">"
+      case "<=" => ">="
+      case o    => o
+    }
+    def cmpAtom(a: Expression, b: Expression, op: String): Option[Tri] =
+      (colBand(a), litVal(b)) match {
+        case (Some((mn, mx)), Some(v)) => evalOp(mn, mx, v, op)
+        case _ => (litVal(a), colBand(b)) match {
+          case (Some(v), Some((mn, mx))) => evalOp(mn, mx, v, flip(op))
+          case _ => None
+        }
+      }
+    def and3(a: Tri, b: Tri): Tri = (a, b) match {
+      case (AllFalse, _) | (_, AllFalse) => AllFalse
+      case (AllTrue, AllTrue)            => AllTrue
+      case _                             => Mixed
+    }
+    def or3(a: Tri, b: Tri): Tri = (a, b) match {
+      case (AllTrue, _) | (_, AllTrue) => AllTrue
+      case (AllFalse, AllFalse)        => AllFalse
+      case _                           => Mixed
+    }
+    e match {
+      case And(l, r) =>
+        for (a <- triOf(l, band); b <- triOf(r, band)) yield and3(a, b)
+      case Or(l, r) =>
+        for (a <- triOf(l, band); b <- triOf(r, band)) yield or3(a, b)
+      case Not(x) => triOf(x, band).map {
+        case AllTrue  => AllFalse
+        case AllFalse => AllTrue
+        case Mixed    => Mixed
+      }
+      case GreaterThanOrEqual(a, b) => cmpAtom(a, b, ">=")
+      case GreaterThan(a, b)        => cmpAtom(a, b, ">")
+      case LessThanOrEqual(a, b)    => cmpAtom(a, b, "<=")
+      case LessThan(a, b)           => cmpAtom(a, b, "<")
+      case EqualTo(a, b)            => cmpAtom(a, b, "=")
+      case Between(in, lo, hi, _) =>
+        triOf(And(GreaterThanOrEqual(in, lo), LessThanOrEqual(in, hi)), band)
+      case f: UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("between") &&
+            f.arguments.length == 3 && !f.isDistinct =>
+        triOf(And(GreaterThanOrEqual(f.arguments(0), f.arguments(1)),
+          LessThanOrEqual(f.arguments(0), f.arguments(2))), band)
+      case In(c, vs) if vs.nonEmpty && vs.length <= MaxDnfBranches =>
+        // no nulls in scope, so IN is exactly the OR of equalities
+        triOf(vs.map(v => EqualTo(c, v): Expression).reduce(Or(_, _)), band)
+      case l: Literal if l.dataType == BooleanType && l.value != null =>
+        Some(if (l.value == true) AllTrue else AllFalse)
+      case _ => None
+    }
+  }
+
+  /** [[cmpVals]] widened for the filtered metadata route: same-class
+    * values compare in Spark order; CROSS-class is allowed only for
+    * integral pairs (exact under long widening — the common `bigint
+    * column vs int literal` SQL shape). Cross-class FLOATING comparisons
+    * refuse: Spark coerces decimal-vs-double through binary doubles
+    * while exact decimal math doesn't, and the two orders disagree on
+    * non-representable literals — the r13 type-guard lesson, applied to
+    * the exactness tier.
+    */
+  private def cmpLoose(a: Any, b: Any): Option[Int] = {
+    def integral(n: Any): Boolean = n match {
+      case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+           _: java.lang.Long => true
+      case _ => false
+    }
+    if (a == null || b == null) None
+    else if (a.getClass == b.getClass) cmpVals(a, b)
+    else if (integral(a) && integral(b))
+      Some(java.lang.Long.compare(
+        a.asInstanceOf[java.lang.Number].longValue,
+        b.asInstanceOf[java.lang.Number].longValue))
+    else None
   }
 
   /** Spark-order comparison of two extracted bound literals: defined

@@ -869,10 +869,12 @@ object QueriesC {
         "SELECT min(o_totalprice) AS min_price FROM c32_orders")
       assert(scan.inputFiles.exists(!_.contains(".stats")),
         "untracked column must fall back to the data scan")
-      // a WHERE falls through to the skipping route, not this one
+      // a WHERE over an UNTRACKED column falls through to the skipping
+      // route, not this one (a tracked-column WHERE the bands decide
+      // exactly now serves from metadata — that's c34's gate)
       val where = db.execute(
         "SELECT min(o_orderkey) AS lo FROM c32_orders " +
-          "WHERE o_orderkey >= 1000")
+          "WHERE o_orderkey >= 1000 AND o_orderpriority <> 'X'")
       assert(where.inputFiles.exists(!_.contains(".stats")),
         "a filtered aggregate must scan data (pruned), not the sidecar")
       meta.select(col("min_key").cast("long"), col("max_key").cast("long"),
@@ -880,6 +882,68 @@ object QueriesC {
         col("n"))
         .withColumn("min_price", lit(scan.collect()(0).getDouble(0)))
         .withColumn("lo_where", lit(where.collect()(0).getLong(0)))
+    }),
+
+    // c34: FILTERED METADATA AGGREGATES — c32 with a WHERE: `SELECT
+    // min(k), max(k), count(*) FROM t WHERE <pred>` still answers from
+    // the sidecar ALONE when the per-file bands DECIDE the predicate
+    // for every file (all-true files contribute their band/rowcount,
+    // all-false files drop; exactness needs no nulls in referenced
+    // columns — the nnull_ stats analyzeStats records since r15). One
+    // straddling file refuses the route and the pruned scan serves the
+    // identical answer — refusals change cost, never answers
+    // (engine-asserted on both arms). Iceberg's filtered metadata
+    // aggregate on the reference's SQL surface: a time-range COUNT over
+    // a time-clustered 100 TB corpus costs O(#files) sidecar rows.
+    "c34_filtered_metadata_agg" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      // three EXPLICIT band files — [1,1000], [1001,2000], [2001,3000] —
+      // so predicate boundaries at 1001/2000 decide every file exactly
+      // and 1500 provably straddles the middle file
+      orders.filter(col("o_orderkey") <= 1000).coalesce(1)
+        .write.mode("overwrite").parquet(db.pathOf("c34_orders"))
+      orders.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 2000)
+        .coalesce(1).write.mode("append").parquet(db.pathOf("c34_orders"))
+      orders.filter(col("o_orderkey") > 2000 && col("o_orderkey") <= 3000)
+        .coalesce(1).write.mode("append").parquet(db.pathOf("c34_orders"))
+      val tbl = db.table("c34_orders")
+      tbl.analyzeStats(Seq("o_orderkey")): Unit
+      // decidable range: every file fully inside or outside -> sidecar
+      val served = db.execute(
+        "SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi, " +
+          "count(*) AS n FROM c34_orders WHERE o_orderkey >= 1001")
+      assert(served.inputFiles.nonEmpty &&
+        served.inputFiles.forall(_.contains(".stats")),
+        s"decidable WHERE must serve from metadata: ${served.inputFiles.toSeq}")
+      // decidable BETWEEN + NOT compose through the 3-valued logic
+      val between = db.execute(
+        "SELECT count(*) AS n_mid FROM c34_orders " +
+          "WHERE o_orderkey BETWEEN 1001 AND 2000")
+      assert(between.inputFiles.forall(_.contains(".stats")),
+        "a file-aligned BETWEEN must serve from metadata")
+      val negated = db.execute(
+        "SELECT count(*) AS n_out FROM c34_orders " +
+          "WHERE NOT (o_orderkey BETWEEN 1001 AND 2000)")
+      assert(negated.inputFiles.forall(_.contains(".stats")),
+        "the negation of a decidable predicate is decidable")
+      // an all-false predicate: zero-row answer, still metadata-only
+      val none = db.execute(
+        "SELECT count(*) AS n_none FROM c34_orders WHERE o_orderkey > 90000")
+      assert(none.inputFiles.forall(_.contains(".stats")),
+        "an all-false predicate decides from metadata")
+      // a straddling boundary refuses -> (pruned) data scan, same answer
+      val straddle = db.execute(
+        "SELECT min(o_orderkey) AS lo_straddle, count(*) AS n_straddle " +
+          "FROM c34_orders WHERE o_orderkey >= 1500")
+      assert(straddle.inputFiles.exists(!_.contains(".stats")),
+        "a straddling file must fall through to the data scan")
+      served
+        .crossJoin(between).crossJoin(negated).crossJoin(none)
+        .crossJoin(straddle)
+        .select(col("lo").cast("long"), col("hi").cast("long"), col("n"),
+          col("n_mid"), col("n_out"), col("n_none"),
+          col("lo_straddle").cast("long"), col("n_straddle"))
     }),
 
     // c33: FILE-GRANULAR COPY-ON-WRITE DELETE — the r14 verdict's one
@@ -1219,7 +1283,8 @@ object QueriesC {
         "count(*) AS n, " +
         "min(o_totalprice) AS min_price, " +
         "(SELECT CAST(min(o_orderkey) AS BIGINT) FROM orders " +
-        "WHERE o_orderkey >= 1000 AND o_orderkey <= 3000) AS lo_where " +
+        "WHERE o_orderkey >= 1000 AND o_orderkey <= 3000 " +
+        "AND o_orderpriority <> 'X') AS lo_where " +
         "FROM orders WHERE o_orderkey <= 3000"),
     "c31_dnf_skipping" ->
       ("SELECT * FROM (" +
@@ -1243,6 +1308,23 @@ object QueriesC {
         "FROM orders WHERE NOT (o_orderkey BETWEEN 500 AND 2500) " +
         "AND o_orderkey <= 3000" +
         ") ORDER BY phase"),
+    "c34_filtered_metadata_agg" ->
+      ("SELECT " +
+        "(SELECT CAST(min(o_orderkey) AS BIGINT) FROM orders " +
+        "WHERE o_orderkey >= 1001 AND o_orderkey <= 3000) AS lo, " +
+        "(SELECT CAST(max(o_orderkey) AS BIGINT) FROM orders " +
+        "WHERE o_orderkey >= 1001 AND o_orderkey <= 3000) AS hi, " +
+        "(SELECT count(*) FROM orders " +
+        "WHERE o_orderkey >= 1001 AND o_orderkey <= 3000) AS n, " +
+        "(SELECT count(*) FROM orders " +
+        "WHERE o_orderkey BETWEEN 1001 AND 2000) AS n_mid, " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey <= 3000 " +
+        "AND NOT (o_orderkey BETWEEN 1001 AND 2000)) AS n_out, " +
+        "CAST(0 AS BIGINT) AS n_none, " +
+        "(SELECT CAST(min(o_orderkey) AS BIGINT) FROM orders " +
+        "WHERE o_orderkey >= 1500 AND o_orderkey <= 3000) AS lo_straddle, " +
+        "(SELECT count(*) FROM orders " +
+        "WHERE o_orderkey >= 1500 AND o_orderkey <= 3000) AS n_straddle"),
     "c33_cow_delete" ->
       ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +

@@ -1440,6 +1440,61 @@ class ApiSpec extends AnyFunSuite {
     Datum.connect(s"parquet://$root")
   }
 
+  test("aggsFromStatsFiltered: exact when bands decide; refuses on nulls, straddlers, and float cross-class") {
+    import spark.implicits._
+    def cond(w: String) = spark.sessionState.sqlParser.parseExpression(w)
+    val db2 = scratchDb()
+    (1L to 10L).map(k => (k, k * 1.5)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(db2.pathOf("fma"))
+    (11L to 20L).map(k => (k, k * 1.5)).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(db2.pathOf("fma"))
+    val tbl = db2.table("fma")
+    tbl.analyzeStats(Seq("k", "v")): Unit
+    val n = Seq(("count", "", "n"))
+    // file-aligned predicates decide: answers match the scan exactly
+    def served(w: String): Long =
+      tbl.aggsFromStatsFiltered(n, cond(w))
+        .getOrElse(sys.error(s"must serve: $w")).collect()(0).getLong(0)
+    assert(served("k <= 10") == 10L)
+    assert(served("k BETWEEN 11 AND 20") == 10L)
+    assert(served("NOT (k BETWEEN 11 AND 20)") == 10L)
+    assert(served("k <= 10 OR k >= 11") == 20L)
+    assert(served("k > 900") == 0L)
+    assert(served("k IN (999)") == 0L)
+    // min/max take the all-true files' bands, typed like the column
+    val mm = tbl.aggsFromStatsFiltered(
+      Seq(("min", "k", "lo"), ("max", "k", "hi")), cond("k >= 11"))
+      .getOrElse(sys.error("must serve")).collect()(0)
+    assert(mm.getLong(0) == 11L && mm.getLong(1) == 20L)
+    // a straddling boundary refuses (15 is inside file 2)
+    assert(tbl.aggsFromStatsFiltered(n, cond("k >= 15")).isEmpty)
+    // a DOUBLE column vs an integer literal is cross-class non-integral
+    // -> refuses even on a file-aligned boundary (the float-order trap)
+    assert(tbl.aggsFromStatsFiltered(n, cond("v <= 15.0")).isEmpty)
+    // untracked column refuses
+    assert(tbl.aggsFromStatsFiltered(n, cond("z <= 10")).isEmpty)
+    // a NULL in a referenced column refuses the route entirely (a null
+    // row's predicate can evaluate NULL — 2-valued interval logic lies
+    // under NOT), even though the bands would decide
+    val db3 = scratchDb()
+    ((1L to 10L).map(java.lang.Long.valueOf) :+ null.asInstanceOf[java.lang.Long])
+      .map(Tuple1(_)).toDF("k").coalesce(1)
+      .write.mode("overwrite").parquet(db3.pathOf("fmn"))
+    val tbn = db3.table("fmn")
+    tbn.analyzeStats(Seq("k")): Unit
+    assert(tbn.aggsFromStatsFiltered(n, cond("k <= 10")).isEmpty)
+    // and the SQL route agrees end-to-end: decidable serves from the
+    // sidecar, the null table scans
+    val sql = db2.execute(
+      "SELECT count(*) AS n FROM fma WHERE k <= 10")
+    assert(sql.inputFiles.forall(_.contains(".stats")))
+    assert(sql.collect()(0).getLong(0) == 10L)
+    val sqlNull = db3.execute(
+      "SELECT count(*) AS n FROM fmn WHERE k <= 10")
+    assert(sqlNull.inputFiles.exists(!_.contains(".stats")))
+    assert(sqlNull.collect()(0).getLong(0) == 10L)
+  }
+
   test("extendStats is log-structured: an append ADDS one segment (O(delta) metadata); the budget folds") {
     import spark.implicits._
     val db2 = scratchDb()
