@@ -833,12 +833,17 @@ class Database(val spark: SparkSession, val root: String,
           } else reclaim(p) // schema/table/partition dirs — walk through
         }
       }
-    recover(Fs.path(root))
-    reclaim(Fs.path(root))
-    Map("stage_tmp" -> stageTmp, "stage_bak" -> stageBak, "bak" -> bak,
-      "upsert_stage" -> upsertStage, "stale_manifest" -> stale,
-      "recovered" -> recovered,
-      "tomb_stage" -> tombStage, "tomb_bak" -> tombBak)
+    // the lease makes the SINGLE-WRITER REQUIREMENT checkable (r15): a
+    // second concurrent vacuum refuses loudly instead of reclaiming this
+    // one's in-flight staging; a crashed vacuum's lease lapses at ttl
+    Database.withMaintenanceLease(s"$root/.vacuum", "vacuum") {
+      recover(Fs.path(root))
+      reclaim(Fs.path(root))
+      Map("stage_tmp" -> stageTmp, "stage_bak" -> stageBak, "bak" -> bak,
+        "upsert_stage" -> upsertStage, "stale_manifest" -> stale,
+        "recovered" -> recovered,
+        "tomb_stage" -> tombStage, "tomb_bak" -> tombBak)
+    }
   }
 
   /** Session-scoped logical view (ref datum/postgis/database.py:108-116). */
@@ -1205,7 +1210,8 @@ object Database {
     val committed = batchDirs.filter(_._1 <= upTo)
     val live = committed.map { case (_, p) => filesIn(p) }.sum
     if (committed.size > 1 && live > maxDataFiles)
-      Some(compactStreamIndex(spark, root, partCol, upTo))
+      Some(withMaintenanceLease(root, s"compactStreamIndex($root)") {
+        compactStreamIndex(spark, root, partCol, upTo) })
     else None
   }
 
@@ -1226,6 +1232,7 @@ object Database {
   private[graft] def compactStreamIndexWithTombstones(spark: SparkSession,
       root: String, partCol: String, keyCol: String,
       upTo: Long = Long.MaxValue): Map[String, Long] =
+      withMaintenanceLease(root, s"compactStreamIndexWithTombstones($root)") {
     tombstonesOf(spark, root, keyCol) match {
       case None => compactStreamIndex(spark, root, partCol, upTo)
       case Some(t0) =>
@@ -1243,6 +1250,7 @@ object Database {
         }
         stats
     }
+  } // lease released
 
   /** The shared incremental-state maintenance recipe (c12 upsert, f14 CDC
     * sink, f18 streaming IVM, f19 trending terms): given a persisted
@@ -1367,6 +1375,76 @@ object Database {
     } finally { partial.unpersist(); () }
   }
 
+  /** Default maintenance-lease ttl — long enough for any single fold /
+    * vacuum pass at rehearsal scale, short enough that a crashed
+    * maintainer's lease lapses within one operational beat.
+    */
+  private[graft] val MaintenanceLeaseTtlMs: Long = 15L * 60L * 1000L
+
+  /** Leases this thread already holds (owner paths) — maintenance
+    * recipes nest (a fold may trigger a compaction), and a reentrant
+    * acquire by the SAME maintainer must not refuse itself.
+    */
+  private val heldLeases = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue(): scala.collection.mutable.Set[String] =
+      scala.collection.mutable.Set.empty[String]
+  }
+
+  /** Best-effort single-MAINTAINER lease (r15 — the r14 verdict's
+    * "convention, not a mechanism" gap): vacuum / compaction / fold
+    * entry points acquire `<owner>.maintenance_lease` via atomic
+    * create-if-absent before touching shared residue, REFUSE LOUDLY
+    * when another live maintainer holds it, and take over a lease whose
+    * ttl lapsed (a crashed holder must not wedge maintenance forever).
+    * This makes the documented single-writer contract CHECKABLE — two
+    * concurrent vacuums now fail fast instead of silently reclaiming
+    * each other's in-flight staging. It is NOT a general lock service:
+    * create-if-absent is atomic on local/HDFS but only approximate on
+    * object stores, and the stale-takeover delete+create has a race
+    * window — multi-writer warehouses still need a real lock service or
+    * a transactional table format (the same boundary README documents
+    * for writes). Release deletes the lease only when it is still OURS;
+    * a ttl-expired lease another maintainer took over is left alone.
+    */
+  private[graft] def withMaintenanceLease[T](owner: String, what: String,
+      ttlMs: Long = MaintenanceLeaseTtlMs)(body: => T): T = {
+    val held = heldLeases.get()
+    if (held.contains(owner)) return body // reentrant within one maintainer
+    val lease = Fs.path(owner + ".maintenance_lease")
+    val me = java.util.UUID.randomUUID().toString
+    def payload(expires: Long) =
+      s"holder=$me\nexpires=$expires\nwhat=$what\n"
+    def acquire(): Boolean =
+      Fs.createNewUtf8(lease, payload(System.currentTimeMillis() + ttlMs)) || {
+        val txt = try Fs.readUtf8(lease)
+          catch { case scala.util.control.NonFatal(_) => "" }
+        val expires = txt.split("\r?\n").collectFirst {
+          case l if l.startsWith("expires=") =>
+            scala.util.Try(l.stripPrefix("expires=").trim.toLong).getOrElse(0L)
+        }.getOrElse(0L)
+        if (System.currentTimeMillis() <= expires)
+          throw new IllegalStateException(
+            s"$what: another maintainer holds $lease (expires " +
+              s"${java.time.Instant.ofEpochMilli(expires)}) - maintenance " +
+              "is single-writer; wait for it, or let a crashed holder's " +
+              "ttl lapse for takeover")
+        // stale: take over (delete + recreate — the documented race)
+        Fs.delete(lease): Unit
+        Fs.createNewUtf8(lease, payload(System.currentTimeMillis() + ttlMs))
+      }
+    if (!acquire()) throw new IllegalStateException(
+      s"$what: lost the stale-lease takeover race at $lease - another " +
+        "maintainer is active")
+    held += owner
+    try body finally {
+      held -= owner
+      try {
+        if (Fs.readUtf8(lease).contains(s"holder=$me"))
+          Fs.delete(lease): Unit
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
+  }
+
   private[graft] def swapDir(src: String, dst: String): Unit =
     swapDir(Fs.path(src), Fs.path(dst))
 
@@ -1449,7 +1527,8 @@ object Database {
     * is O(touched dirs), bounded by the partition-value count.
     */
   private[graft] def compactTombstones(s: SparkSession, indexPath: String,
-      keyCol: String, partCol: String): Unit = {
+      keyCol: String, partCol: String): Unit =
+      withMaintenanceLease(indexPath, s"compactTombstones($indexPath)") {
     import org.apache.hadoop.fs.Path
     val root = Fs.path(indexPath)
     // recovery sweep (see Scaladoc): restore/reclaim sibling residue first
@@ -1509,7 +1588,7 @@ object Database {
       // file-listing cache (the compactStreamIndex lesson, SCALING.md r9)
       s.catalog.refreshByPath(indexPath)
     }
-  }
+  } // lease released
 
   /** Fast containment probe for the versioned-read SQL forms — the
     * rewrite (with its temp-view registration) only runs on statements

@@ -165,6 +165,20 @@ object Fs {
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Create-if-absent write of a small text file — the lease primitive:
+    * `create(overwrite = false)` is atomic on local/HDFS (one winner
+    * among concurrent creators); object stores only approximate it
+    * (S3A's conditional create landed late and consistency varies), the
+    * documented caveat on every lease user. False = already exists /
+    * lost the race.
+    */
+  def createNewUtf8(p: Path, s: String): Boolean =
+    try {
+      val out = of(p).create(p, false)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
   /** Read a small text file fully (manifests — never data). */
   def readUtf8(p: Path): String = {
     val in = of(p).open(p)

@@ -471,7 +471,8 @@ class Table(val db: Database, val qualified: String) {
     * not clustering — use createIndex/createZOrderIndex to order).
     * Returns the output file-group count.
     */
-  def compact(targetMB: Int = 128): Int = {
+  def compact(targetMB: Int = 128): Int =
+      Database.withMaintenanceLease(path, s"compact($qualified)") {
     val pcols = Database.partitionColsOf(path)
     if (pcols.isEmpty) {
       val bytes = Database.dataBytes(path)
@@ -498,7 +499,7 @@ class Table(val db: Database, val qualified: String) {
       }
       outFiles
     }
-  }
+  } // lease released
 
   /** Z-order (Morton) clustering — the multi-dimensional analogue of
     * [[createIndex]]: interleaves the bits of each key's min/max-normalized

@@ -1440,6 +1440,46 @@ class ApiSpec extends AnyFunSuite {
     Datum.connect(s"parquet://$root")
   }
 
+  test("maintenance lease: concurrent maintainer refuses loudly; stale lease is taken over; release is clean") {
+    import graft.api.{Database, Fs}
+    val db2 = scratchDb()
+    val owner = db2.pathOf("lease_probe")
+    val leaseFile = Fs.path(owner + ".maintenance_lease")
+    // while held: a second maintainer (another thread) refuses loudly;
+    // the SAME maintainer re-enters fine (folds trigger compactions)
+    Database.withMaintenanceLease(owner, "op-a") {
+      Database.withMaintenanceLease(owner, "op-a-nested") { () } // reentrant
+      @volatile var refused = false
+      val th = new Thread(() =>
+        try Database.withMaintenanceLease(owner, "op-b") { () }
+        catch { case _: IllegalStateException => refused = true })
+      th.start(); th.join()
+      assert(refused, "a second live maintainer must refuse loudly")
+    }
+    assert(!Fs.exists(leaseFile), "release must drop the lease")
+    // a STALE lease (crashed holder, ttl lapsed) is taken over
+    Fs.writeUtf8(leaseFile, "holder=dead-maintainer\nexpires=123\n")
+    var ran = false
+    Database.withMaintenanceLease(owner, "op-c") { ran = true }
+    assert(ran && !Fs.exists(leaseFile))
+    // a LIVE foreign lease refuses until its ttl lapses
+    Fs.writeUtf8(leaseFile,
+      s"holder=other\nexpires=${System.currentTimeMillis() + 600000L}\n")
+    intercept[IllegalStateException] {
+      Database.withMaintenanceLease(owner, "op-d") { () } }
+    assert(Fs.exists(leaseFile), "a refused acquire must not disturb the holder")
+    Fs.delete(leaseFile): Unit
+    // the wired entry points acquire/release transparently
+    import spark.implicits._
+    (1L to 100L).toDF("k").repartition(8)
+      .write.mode("overwrite").parquet(db2.pathOf("lease_t"))
+    assert(db2.table("lease_t").compact() >= 1)
+    db2.vacuum(): Unit
+    assert(new java.io.File(db2.pathOf("lease_t")).getParentFile.listFiles()
+      .forall(f => !f.getName.endsWith(".maintenance_lease")),
+      "no lease residue after maintenance")
+  }
+
   test("aggsFromStatsFiltered: exact when bands decide; refuses on nulls, straddlers, and float cross-class") {
     import spark.implicits._
     def cond(w: String) = spark.sessionState.sqlParser.parseExpression(w)
