@@ -262,21 +262,29 @@ class Database(val spark: SparkSession, val root: String,
     * view name carries the version pin, so two pins of the same table
     * coexist in one statement (self-joins across versions work).
     *
-    * Only identifiers naming a KNOWN table rewrite — the pattern
-    * occurring over an unknown name (e.g. inside a string literal) is
-    * left verbatim for Spark to parse. The manifest reads are resolved
-    * FIRST and views register only after every pin resolved: a rewrite
-    * that fails halfway (bad version number) leaves no view residue
-    * behind.
+    * Only identifiers naming a KNOWN table rewrite, and only OUTSIDE
+    * string literals — a known table name whose `FROM t VERSION AS OF`
+    * text sits inside a quoted literal (odd count of `'` before the
+    * match; `''` escapes toggle twice and cancel) is data, not syntax,
+    * and mutating it would silently change the statement's result. The
+    * manifest reads are resolved FIRST and views register only after
+    * every pin resolved: a rewrite that fails halfway (bad version
+    * number) leaves no view residue behind.
     */
   private def rewriteVersionedRefs(stmt: String): String = {
     val vRe = """(?i)\bFROM\s+([A-Za-z0-9_.]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
     val dRe = """(?i)\bFROM\s+([A-Za-z0-9_.]+)\s+DIFF\s+FROM\s+(\d+)\s+TO\s+(\d+)""".r
     def known(t: String) = tables.exists(_.equalsIgnoreCase(t))
+    def inLiteral(s: String, pos: Int): Boolean = {
+      var i = 0; var in = false
+      while (i < pos) { if (s.charAt(i) == '\'') in = !in; i += 1 }
+      in
+    }
     val staged = scala.collection.mutable.Buffer.empty[(String, DataFrame)]
     val step1 = vRe.replaceAllIn(stmt, m => {
       val t = m.group(1); val v = m.group(2).toInt
-      if (!known(t)) java.util.regex.Matcher.quoteReplacement(m.matched)
+      if (!known(t) || inLiteral(stmt, m.start))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
       else {
         val view = s"${viewNameOf(t)}__v$v"
         staged += ((view, table(t).readVersion(v)))
@@ -285,7 +293,8 @@ class Database(val spark: SparkSession, val root: String,
     })
     val step2 = dRe.replaceAllIn(step1, m => {
       val t = m.group(1); val from = m.group(2).toInt; val to = m.group(3).toInt
-      if (!known(t)) java.util.regex.Matcher.quoteReplacement(m.matched)
+      if (!known(t) || inLiteral(step1, m.start))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
       else {
         val view = s"${viewNameOf(t)}__diff_${from}_$to"
         staged += ((view, table(t).diffVersions(from, to)))
@@ -563,6 +572,19 @@ class Database(val spark: SparkSession, val root: String,
         // register only now — a failed rewrite above left no residue
         views.foreach { case (v, d) => d.createOrReplaceTempView(v) }
         try org.apache.spark.sql.graftglue.Bridge.ofRows(spark, rewritten)
+        catch {
+          // honor the documented contract — anything non-rewritable
+          // degrades to the plain spark.sql: a statement shape whose
+          // analysis the pruned-view substitution broke must not fail
+          // where the unrewritten statement would succeed. Skipping is
+          // an optimization, never a semantics change.
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"executeWithSkipping: pruned-plan analysis failed; " +
+                s"retrying the statement unrewritten (skipping lost, " +
+                s"semantics kept): $e")
+            spark.sql(stmt)
+        }
         finally views.foreach { case (v, _) =>
           spark.catalog.dropTempView(v): Unit }
     }

@@ -1440,6 +1440,32 @@ class ApiSpec extends AnyFunSuite {
     Datum.connect(s"parquet://$root")
   }
 
+  test("versioned-ref rewrite skips matches inside string literals (even for known tables)") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 5L).toDF("k").write.mode("overwrite").parquet(db2.pathOf("vlit"))
+    // the table is KNOWN but has no snapshots: before the guard, the
+    // literal's text was rewritten (and readVersion(99) threw); now the
+    // literal is data and round-trips verbatim
+    val lit = db2.execute(
+      "SELECT 'see FROM vlit VERSION AS OF 99 for history' AS s")
+      .collect()(0).getString(0)
+    assert(lit == "see FROM vlit VERSION AS OF 99 for history")
+    val lit2 = db2.execute(
+      "SELECT 'a FROM vlit DIFF FROM 1 TO 2 b' AS s").collect()(0).getString(0)
+    assert(lit2 == "a FROM vlit DIFF FROM 1 TO 2 b")
+    // '' escapes toggle twice and cancel: still inside the literal
+    val lit3 = db2.execute(
+      "SELECT 'it''s FROM vlit VERSION AS OF 7 text' AS s")
+      .collect()(0).getString(0)
+    assert(lit3 == "it's FROM vlit VERSION AS OF 7 text")
+    // outside a literal the rewrite still works (real manifest read)
+    graft.api.Database.wipeDir(db2.pathOf("vlit") + ".versions")
+    val v1 = db2.table("vlit").snapshot()
+    assert(db2.execute(s"SELECT count(*) AS n FROM vlit VERSION AS OF $v1")
+      .collect()(0).getLong(0) == 5L)
+  }
+
   test("maintenance lease: concurrent maintainer refuses loudly; stale lease is taken over; release is clean") {
     import graft.api.{Database, Fs}
     val db2 = scratchDb()
