@@ -791,43 +791,63 @@ class Table(val db: Database, val qualified: String) {
     */
   private def extendStats(appended: Seq[String]): Unit = {
     if (appended.isEmpty) return
-    val existingFields = try {
-      val fs = db.spark.read.parquet(path + ".stats").schema.fieldNames.toSeq
-      if (!fs.exists(_.startsWith("min_"))) return
-      fs
+    val existingSchema = try {
+      val sc = db.spark.read.parquet(path + ".stats").schema
+      if (!sc.fieldNames.exists(_.startsWith("min_"))) return
+      sc
     } catch { case _: Exception => return }
-    val tracked = existingFields
+    val tracked = existingSchema.fieldNames.toSeq
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    def drop(why: String): Unit = {
+      log.warn(s"extendStats: $why at $path - dropping the sidecar " +
+        s"(skipping degrades to full scans until the next analyzeStats)")
+      try { Fs.delete(Fs.path(path + ".stats")): Unit }
+      catch { case scala.util.control.NonFatal(_) => }
+    }
     try {
       // align the segment to the analyze-time schema: every segment of
       // one sidecar carries the same columns (a pre-r15 sidecar without
       // nnull_ columns keeps its shape; mixed-schema segments would make
       // plain directory reads see a random footer's columns)
       val fresh = perFileStats(db.loadFiles(path, appended), appended, tracked)
-        .select(existingFields.map(col): _*)
+        .select(existingSchema.fieldNames.toSeq.map(col): _*)
+      // SCHEMA DRIFT is corruption, not a transient (the ADVICE
+      // distinction): a sidecar whose column types no longer match what
+      // a fresh analyze would produce (hand-edited, or the table's
+      // schema evolved since the analyze) would serve WRONG values to
+      // the metadata routes while reading "successfully" — drop it
+      // before an append could legitimize it with a mixed-type segment.
+      val drift = existingSchema.fields.find(f =>
+        fresh.schema(f.name).dataType != f.dataType)
+      if (drift.nonEmpty) {
+        drop(s"sidecar schema drift on '${drift.get.name}' " +
+          s"(${drift.get.dataType} vs fresh ${fresh.schema(drift.get.name).dataType})")
+        return
+      }
       fresh.coalesce(1) // one segment file per append
         .write.mode("append").parquet(path + ".stats")
       db.spark.catalog.refreshByPath(path + ".stats")
       compactStatsIfNeeded()
     } catch {
       case scala.util.control.NonFatal(e) =>
-        val log = org.slf4j.LoggerFactory.getLogger(getClass)
-        val stillReads = try {
-          db.spark.read.parquet(path + ".stats").count(); true
+        // transient vs corruption: a sidecar that still READS with its
+        // entry-time schema is merely STALE — exactly the safe state
+        // (appended files scan conservatively, coverage gates the
+        // metadata routes) — keep it. Anything else is dropped.
+        val healthy = try {
+          val d = db.spark.read.parquet(path + ".stats")
+          d.count()
+          d.schema == existingSchema
         } catch { case scala.util.control.NonFatal(_) => false }
-        if (stillReads)
+        if (healthy)
           log.warn(s"extendStats: sidecar maintenance failed after a " +
             s"committed append at $path - leaving the (readable, stale) " +
             s"sidecar in place: the appended files scan conservatively " +
             s"and the metadata routes refuse on coverage until the next " +
             s"append or analyzeStats: $e")
-        else {
-          log.warn(s"extendStats: sidecar maintenance failed AND left " +
-            s"$path.stats unreadable - dropping it (skipping degrades " +
-            s"to full scans until the next analyzeStats): $e")
-          try { Fs.delete(Fs.path(path + ".stats")): Unit }
-          catch { case scala.util.control.NonFatal(_) => }
-        }
+        else drop(s"sidecar maintenance failed and left the sidecar " +
+          s"unhealthy ($e)")
     }
   }
 

@@ -898,33 +898,35 @@ object QueriesC {
     "c34_filtered_metadata_agg" -> ((s, dir) => {
       val db = scratch(s)
       val orders = t(s, dir, "orders")
-      // three EXPLICIT band files — [1,1000], [1001,2000], [2001,3000] —
-      // so predicate boundaries at 1001/2000 decide every file exactly
-      // and 1500 provably straddles the middle file
-      orders.filter(col("o_orderkey") <= 1000).coalesce(1)
+      // three EXPLICIT band files — [0,200], [201,400], [401,600] —
+      // so predicate boundaries at 201/400 decide every file exactly and
+      // 300 provably straddles the middle file. The 0–600 domain is
+      // fully populated at EVERY test SF (sf0.001 holds keys 0..1499),
+      // so the straddle/decide split never depends on the scale factor.
+      orders.filter(col("o_orderkey") <= 200).coalesce(1)
         .write.mode("overwrite").parquet(db.pathOf("c34_orders"))
-      orders.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 2000)
+      orders.filter(col("o_orderkey") > 200 && col("o_orderkey") <= 400)
         .coalesce(1).write.mode("append").parquet(db.pathOf("c34_orders"))
-      orders.filter(col("o_orderkey") > 2000 && col("o_orderkey") <= 3000)
+      orders.filter(col("o_orderkey") > 400 && col("o_orderkey") <= 600)
         .coalesce(1).write.mode("append").parquet(db.pathOf("c34_orders"))
       val tbl = db.table("c34_orders")
       tbl.analyzeStats(Seq("o_orderkey")): Unit
       // decidable range: every file fully inside or outside -> sidecar
       val served = db.execute(
         "SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi, " +
-          "count(*) AS n FROM c34_orders WHERE o_orderkey >= 1001")
+          "count(*) AS n FROM c34_orders WHERE o_orderkey >= 201")
       assert(served.inputFiles.nonEmpty &&
         served.inputFiles.forall(_.contains(".stats")),
         s"decidable WHERE must serve from metadata: ${served.inputFiles.toSeq}")
       // decidable BETWEEN + NOT compose through the 3-valued logic
       val between = db.execute(
         "SELECT count(*) AS n_mid FROM c34_orders " +
-          "WHERE o_orderkey BETWEEN 1001 AND 2000")
+          "WHERE o_orderkey BETWEEN 201 AND 400")
       assert(between.inputFiles.forall(_.contains(".stats")),
         "a file-aligned BETWEEN must serve from metadata")
       val negated = db.execute(
         "SELECT count(*) AS n_out FROM c34_orders " +
-          "WHERE NOT (o_orderkey BETWEEN 1001 AND 2000)")
+          "WHERE NOT (o_orderkey BETWEEN 201 AND 400)")
       assert(negated.inputFiles.forall(_.contains(".stats")),
         "the negation of a decidable predicate is decidable")
       // an all-false predicate: zero-row answer, still metadata-only
@@ -935,7 +937,7 @@ object QueriesC {
       // a straddling boundary refuses -> (pruned) data scan, same answer
       val straddle = db.execute(
         "SELECT min(o_orderkey) AS lo_straddle, count(*) AS n_straddle " +
-          "FROM c34_orders WHERE o_orderkey >= 1500")
+          "FROM c34_orders WHERE o_orderkey >= 300")
       assert(straddle.inputFiles.exists(!_.contains(".stats")),
         "a straddling file must fall through to the data scan")
       served
@@ -1311,20 +1313,20 @@ object QueriesC {
     "c34_filtered_metadata_agg" ->
       ("SELECT " +
         "(SELECT CAST(min(o_orderkey) AS BIGINT) FROM orders " +
-        "WHERE o_orderkey >= 1001 AND o_orderkey <= 3000) AS lo, " +
+        "WHERE o_orderkey >= 201 AND o_orderkey <= 600) AS lo, " +
         "(SELECT CAST(max(o_orderkey) AS BIGINT) FROM orders " +
-        "WHERE o_orderkey >= 1001 AND o_orderkey <= 3000) AS hi, " +
+        "WHERE o_orderkey >= 201 AND o_orderkey <= 600) AS hi, " +
         "(SELECT count(*) FROM orders " +
-        "WHERE o_orderkey >= 1001 AND o_orderkey <= 3000) AS n, " +
+        "WHERE o_orderkey >= 201 AND o_orderkey <= 600) AS n, " +
         "(SELECT count(*) FROM orders " +
-        "WHERE o_orderkey BETWEEN 1001 AND 2000) AS n_mid, " +
-        "(SELECT count(*) FROM orders WHERE o_orderkey <= 3000 " +
-        "AND NOT (o_orderkey BETWEEN 1001 AND 2000)) AS n_out, " +
+        "WHERE o_orderkey BETWEEN 201 AND 400) AS n_mid, " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey <= 600 " +
+        "AND NOT (o_orderkey BETWEEN 201 AND 400)) AS n_out, " +
         "CAST(0 AS BIGINT) AS n_none, " +
         "(SELECT CAST(min(o_orderkey) AS BIGINT) FROM orders " +
-        "WHERE o_orderkey >= 1500 AND o_orderkey <= 3000) AS lo_straddle, " +
+        "WHERE o_orderkey >= 300 AND o_orderkey <= 600) AS lo_straddle, " +
         "(SELECT count(*) FROM orders " +
-        "WHERE o_orderkey >= 1500 AND o_orderkey <= 3000) AS n_straddle"),
+        "WHERE o_orderkey >= 300 AND o_orderkey <= 600) AS n_straddle"),
     "c33_cow_delete" ->
       ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +

@@ -1322,6 +1322,36 @@ class ApiSpec extends AnyFunSuite {
     assert(t.readPruned("k", 10L, 20L).count() == 11L)
   }
 
+  test("extendStats transient failure LEAVES the readable sidecar (stale coverage stays safe)") {
+    import spark.implicits._
+    val scratch = scratchDb()
+    (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(scratch.pathOf("trans"))
+    val t = scratch.table("trans")
+    t.analyzeStats(Seq("k")): Unit
+    val statsDir = new java.io.File(t.path + ".stats")
+    // inject a TRANSIENT failure: a file squatting on the committer's
+    // _temporary path makes the segment append's job setup fail while
+    // the sidecar itself stays perfectly readable (underscore-prefixed
+    // names are invisible to parquet reads)
+    val squatter = new java.io.File(statsDir, "_temporary")
+    new java.io.FileOutputStream(squatter).close()
+    try t.write((101L to 120L).map(k => (k, s"v$k")).toDF("k", "v"))
+    finally { squatter.delete(): Unit }
+    assert(t.count == 120L, "the append landed despite sidecar failure")
+    assert(statsDir.exists,
+      "a transient failure must LEAVE the readable sidecar (ADVICE: " +
+        "only corruption drops)")
+    // stale is safe: uncovered appended files scan; coverage refuses
+    assert(t.aggFromStats("k").isEmpty, "stale coverage must refuse")
+    assert(t.readPruned("k", 101L, 120L).count() == 20L,
+      "skipping stays sound over the stale sidecar")
+    // still serving for the files it covers: old-band read skips nothing
+    // wrongly and a re-analyze restores coverage
+    t.analyzeStats(Seq("k")): Unit
+    assert(t.aggFromStats("k").nonEmpty)
+  }
+
   test("versioned-ref rewrite: unknown identifiers stay verbatim; a failed pin leaves no view residue") {
     import spark.implicits._
     val db2 = scratchDb()
