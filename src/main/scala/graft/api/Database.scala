@@ -318,6 +318,19 @@ class Database(val spark: SparkSession, val root: String,
           replaceTable(tbl, t.limit(0))
           rowcount(total)
       }
+    // UPDATE: the reference's third row-level DML (its backends ran it
+    // natively; Spark has none over parquet) — the COW swap applies the
+    // SET assignments to matching rows in ONLY the files whose bands can
+    // hold a match (c35); rowcount = matched rows.
+    case Database.UpdateRe(tbl, setClause, where) =>
+      val sets = Database.splitTopLevel(setClause, ',').map { a =>
+        val i = a.indexOf('=') // LHS is a bare column name
+        require(i > 0 && !a.substring(0, i).trim.isEmpty &&
+          a.substring(0, i).trim.matches("[A-Za-z0-9_]+"),
+          s"UPDATE: malformed assignment '${a.trim}'")
+        (a.substring(0, i).trim, a.substring(i + 1).trim)
+      }
+      rowcount(table(tbl).updateWhere(sets, Option(where)))
     case Database.InsertRe(tbl, colList, body) =>
       ensureRegistered(referencedRelations(body))
       val rows0 = spark.sql(body)
@@ -402,7 +415,16 @@ class Database(val spark: SparkSession, val root: String,
                     Some(("count", "", name))
                   case ("count", Seq(Literal(v, _))) if v != null =>
                     Some(("count", "", name))
-                  case (fn @ ("min" | "max"),
+                  // COUNT(c) excludes nulls — served as n_rows − nnull_c
+                  case ("count", Seq(u: UnresolvedAttribute))
+                      if u.nameParts.length == 1 =>
+                    cased(u.name).map(c => ("countcol", c, name))
+                  // SUM/AVG serve from the exact per-file BIGINT sums
+                  // analyzeStats records for integral tracked columns
+                  // (r15 — one step past the table formats' metadata
+                  // count/min/max); non-integral columns have no sum_
+                  // sidecar column, so specServable refuses them
+                  case (fn @ ("min" | "max" | "sum" | "avg"),
                       Seq(u: UnresolvedAttribute))
                       if u.nameParts.length == 1 =>
                     cased(u.name).map(c => (fn, c, name))
@@ -1629,6 +1651,39 @@ object Database {
   /** `DELETE FROM t [WHERE p]` — full-statement match, optional `;`. */
   private val DeleteRe =
     """(?is)DELETE\s+FROM\s+([A-Za-z0-9_.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+
+  /** `UPDATE t SET a = e1, b = e2 [WHERE p]` — full-statement match,
+    * optional `;`. The reference's backends ran UPDATE natively
+    * (db.execute passes through, datum/database.py:44-45); Spark has no
+    * UPDATE over parquet, so the engine routes it through the same
+    * file-granular copy-on-write swap as DELETE (c35). The first
+    * `WHERE` keyword outside the SET text is the boundary — a `WHERE`
+    * inside a SET string literal is not supported (documented).
+    */
+  private val UpdateRe =
+    """(?is)UPDATE\s+([A-Za-z0-9_.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+
+  /** Split on a separator at paren depth 0 and outside string literals
+    * (`''` escapes re-toggle and stay inside) — the SET-clause comma /
+    * assignment `=` discipline.
+    */
+  private[api] def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    s.foreach { ch =>
+      if (inStr) { cur += ch; if (ch == '\'') inStr = false }
+      else ch match {
+        case '\''             => inStr = true; cur += ch
+        case '('              => depth += 1; cur += ch
+        case ')'              => depth -= 1; cur += ch
+        case c if c == sep && depth == 0 => out += cur.toString; cur.clear()
+        case c                => cur += c
+      }
+    }
+    out += cur.toString
+    out.toSeq
+  }
 
   /** `INSERT INTO t [(c1, c2)] VALUES …|SELECT …` — full-statement match
     * (`\b` after the keyword: `VALUES(…)` with no space is common SQL).

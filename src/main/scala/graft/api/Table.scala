@@ -306,6 +306,53 @@ class Table(val db: Database, val qualified: String) {
     }
   }
 
+  /** Predicate UPDATE — the same file-granular copy-on-write shape as
+    * [[deleteWhere]] on the reference's other row-level DML: rows
+    * matching `where` get each SET assignment applied (cast back to the
+    * column's type — UPDATE never mutates the schema); everything else,
+    * including every file whose bands prove no match, stays by
+    * reference. `where` None = all rows (the full-rewrite path).
+    * Returns the matched-row count (SQL UPDATE rowcount semantics; a
+    * NULL predicate row is unmatched).
+    */
+  private[api] def updateWhere(
+      sets: Seq[(String, String)], where: Option[String]): Long = {
+    val schema = df.schema
+    val assigns = sets.map { case (c, rhs) =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"UPDATE $qualified: no column '$c'"))
+      (f.name, expr(rhs).cast(f.dataType))
+    }
+    val matchedCond = where.map(w => coalesce(expr(w), lit(false)))
+      .getOrElse(lit(true))
+    def applySets(src: DataFrame): DataFrame =
+      assigns.foldLeft(src) { case (d, (c, rhs)) =>
+        d.withColumn(c, when(matchedCond, rhs).otherwise(col(c))) }
+        .select(schema.fieldNames.toSeq.map(col): _*)
+    val split = where.toSeq.flatMap(w => Table.pruneDnf(db.spark, w)) match {
+      case Nil  => None
+      case dnfs => dnfHitMap(dnfs).map { m =>
+        currentDataFiles().partition { case (abs, _) =>
+          m.getOrElse(normFileUri(abs), true) } }
+    }
+    split match {
+      case Some((touched, _)) if touched.isEmpty =>
+        0L // no file's bands intersect the predicate — nothing to update
+      case Some((touched, untouched)) if untouched.nonEmpty =>
+        val touchedDf = db.loadFiles(path, touched.map(_._1))
+        val matched = touchedDf.filter(matchedCond).count()
+        if (matched == 0L) 0L // bands over-approximated: no hit, no churn
+        else {
+          cowSwapFiles(touched, applySets(touchedDf))
+          matched
+        }
+      case _ =>
+        val matched = df.filter(matchedCond).count()
+        db.replaceTable(qualified, applySets(df))
+        matched
+    }
+  }
+
   /** The copy-on-write arm of [[deleteWhere]]: rewrite exactly `touched`
     * (qualified path, root-relative path), keep everything else in place.
     */
@@ -316,9 +363,20 @@ class Table(val db: Database, val qualified: String) {
     val kept = touchedDf.filter(!coalesce(expr(where), lit(false)))
     val keptN = kept.count()
     if (keptN == totalTouched) return 0L // bands over-approximated: no hit
+    cowSwapFiles(touched, kept)
+    totalTouched - keptN
+  }
+
+  /** The shared staged swap behind the copy-on-write DML paths: replace
+    * exactly `touched` with `replacement`'s rows (see [[deleteWhere]]'s
+    * protocol scaladoc — stage, backup-hop, token-marked promote, commit
+    * on backup drop, vacuum rollback, sidecar retarget).
+    */
+  private def cowSwapFiles(
+      touched: Seq[(String, String)], replacement: DataFrame): Unit = {
     val stage = path + ".stage_tmp"
     Fs.delete(Fs.path(stage)): Unit
-    db.storeAt(kept, stage, partitionBy = Database.partitionColsOf(path))
+    db.storeAt(replacement, stage, partitionBy = Database.partitionColsOf(path))
     // token ties this swap's promoted files to its backup dir, so a
     // crash is attributable: vacuum rolls back exactly this operation
     val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -326,7 +384,7 @@ class Table(val db: Database, val qualified: String) {
     touched.foreach { case (abs, rel) =>
       val dst = new org.apache.hadoop.fs.Path(Fs.path(bak), rel)
       Fs.mkdirs(dst.getParent)
-      Fs.renameOrThrow(Fs.path(abs), dst, "cow delete: stage originals aside")
+      Fs.renameOrThrow(Fs.path(abs), dst, "cow swap: stage originals aside")
     }
     val promoted = promoteStaged(stage, token)
     // COMMIT: once the backup is gone the new file set is the table
@@ -335,7 +393,6 @@ class Table(val db: Database, val qualified: String) {
     db.markDirty()
     db.spark.catalog.refreshByPath(path)
     retargetStats(touched.map(_._1), promoted)
-    totalTouched - keptN
   }
 
   /** Move every staged data file into the live tree (same partition
@@ -725,10 +782,23 @@ class Table(val db: Database, val qualified: String) {
     // nnull_<c> (rows where c IS NULL) rides along since r15: the
     // filtered metadata route needs it — a file counts as all-satisfying
     // only when the predicate's columns have no nulls there (a null row
-    // is filtered out, which n_rows alone can't see)
+    // is filtered out, which n_rows alone can't see). INTEGRAL columns
+    // also record sum_<c> (exact, order-free in BIGINT while the true
+    // sum fits — the overflow case wraps identically in the scan route),
+    // which lets SUM/AVG/COUNT(col) statements answer metadata-only —
+    // one step past the table formats' count/min/max.
+    val integral: Set[String] = {
+      val byName = src.schema.fields.map(f => f.name -> f.dataType).toMap
+      cols.filter(c => byName.get(c).exists {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }).toSet
+    }
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nnull_$c"))) :+
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nnull_$c")) ++
+        (if (integral(c)) Seq(sum(col(c)).cast("long").as(s"sum_$c"))
+         else Nil)) :+
       org.apache.spark.sql.functions.count(lit(1)).as("n_rows")
     val computed = src.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1059,23 +1129,13 @@ class Table(val db: Database, val qualified: String) {
     val stats = try db.spark.read.parquet(path + ".stats")
       catch { case _: Exception => return None }
     if (!stats.columns.contains("n_rows")) return None
-    val ok = specs.forall {
-      case ("count", _, _)        => true
-      case ("min" | "max", c, _)  => stats.columns.contains(s"min_$c")
-      case _                      => false
-    }
-    if (!ok) return None
+    if (!specs.forall(s => Table.specServable(s, stats.columns))) return None
     val covered = stats.select("file").collect()
       .map(r => normFileUri(r.getString(0))).toSet
     val live = currentDataFiles()
       .map { case (abs, _) => normFileUri(abs) }.toSet
     if (covered != live) return None
-    val aggs = specs.map {
-      case ("count", _, a) =>
-        coalesce(sum(col("n_rows")), lit(0L)).cast("long").as(a)
-      case ("min", c, a) => min(col(s"min_$c")).as(a)
-      case (_, c, a)     => max(col(s"max_$c")).as(a)
-    }
+    val aggs = specs.map(Table.specAgg)
     Some(stats.agg(aggs.head, aggs.tail: _*))
   }
 
@@ -1104,12 +1164,7 @@ class Table(val db: Database, val qualified: String) {
     val stats = try db.spark.read.parquet(path + ".stats")
       catch { case _: Exception => return None }
     if (!stats.columns.contains("n_rows")) return None
-    val ok = specs.forall {
-      case ("count", _, _)        => true
-      case ("min" | "max", c, _)  => stats.columns.contains(s"min_$c")
-      case _                      => false
-    }
-    if (!ok) return None
+    if (!specs.forall(s => Table.specServable(s, stats.columns))) return None
     // every column the predicate references must be tracked WITH null
     // counts; resolve case-insensitively to the sidecar's spelling
     val refs = Table.referencedCols(cond) match {
@@ -1153,12 +1208,7 @@ class Table(val db: Database, val qualified: String) {
     if (decided.exists(_.isEmpty)) return None
     val keep = decided.flatten.collect { case (r, true) =>
       r.getString(r.fieldIndex("file")) }.toSeq
-    val aggs = specs.map {
-      case ("count", _, a) =>
-        coalesce(sum(col("n_rows")), lit(0L)).cast("long").as(a)
-      case ("min", c, a) => min(col(s"min_$c")).as(a)
-      case (_, c, a)     => max(col(s"max_$c")).as(a)
-    }
+    val aggs = specs.map(Table.specAgg)
     // aggregate over the all-true files' sidecar rows: answer types are
     // the bands' (= the columns'), and the serving plan reads ONLY the
     // sidecar (the gate's inputFiles assertion)
@@ -1686,6 +1736,47 @@ object Table {
       case other =>
         pruneBoundsBy(other)(resolve).map(b => Seq(Seq(b)))
     }
+  }
+
+  /** Can this aggregate spec be answered by a sidecar carrying `cols`?
+    * ("count", "", a) needs only n_rows; min/max need the band; sum/avg
+    * need the per-file `sum_` column analyzeStats records for INTEGRAL
+    * tracked columns (exact, order-free); countcol (COUNT(c), nulls
+    * excluded) and avg need `nnull_`.
+    */
+  private[api] def specServable(spec: (String, String, String),
+      cols: Array[String]): Boolean = spec match {
+    case ("count", _, _)       => true
+    case ("min" | "max", c, _) => cols.contains(s"min_$c")
+    case ("sum", c, _)         => cols.contains(s"sum_$c")
+    case ("countcol", c, _)    => cols.contains(s"nnull_$c")
+    case ("avg", c, _) =>
+      cols.contains(s"sum_$c") && cols.contains(s"nnull_$c")
+    case _ => false
+  }
+
+  /** The sidecar aggregate for one spec — evaluated over (a subset of)
+    * the sidecar rows, so the whole-table and filtered routes share it.
+    * COUNT(*) sums n_rows (0 over no rows); COUNT(c) subtracts the null
+    * counts; SUM folds the exact per-file BIGINT sums (NULL over an
+    * empty/all-null selection — SQL sum semantics); AVG divides them in
+    * DOUBLE exactly as Spark's Average does for integral input (NULL on
+    * a zero count).
+    */
+  private[api] def specAgg(spec: (String, String, String))
+      : org.apache.spark.sql.Column = spec match {
+    case ("count", _, a) =>
+      coalesce(sum(col("n_rows")), lit(0L)).cast("long").as(a)
+    case ("min", c, a) => min(col(s"min_$c")).as(a)
+    case ("max", c, a) => max(col(s"max_$c")).as(a)
+    case ("sum", c, a) => sum(col(s"sum_$c")).cast("long").as(a)
+    case ("countcol", c, a) =>
+      coalesce(sum(col("n_rows") - col(s"nnull_$c")), lit(0L))
+        .cast("long").as(a)
+    case (_, c, a) => // avg
+      val cnt = sum(col("n_rows") - col(s"nnull_$c"))
+      (sum(col(s"sum_$c")).cast("double") /
+        when(cnt === 0L, lit(null)).otherwise(cnt).cast("double")).as(a)
   }
 
   /** Three-valued interval evaluation for the FILTERED metadata route

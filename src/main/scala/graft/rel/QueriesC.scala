@@ -859,7 +859,11 @@ object QueriesC {
       val meta = db.execute(
         "SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, " +
           "min(o_custkey) AS min_cust, max(o_custkey) AS max_cust, " +
-          "count(*) AS n FROM c32_orders")
+          "count(*) AS n, " +
+          // SUM/AVG/COUNT(col) serve from the per-file exact BIGINT sums
+          // + null counts (r15) — one step past count/min/max
+          "sum(o_custkey) AS cust_sum, avg(o_custkey) AS cust_avg, " +
+          "count(o_custkey) AS n_cust FROM c32_orders")
       assert(meta.inputFiles.nonEmpty &&
         meta.inputFiles.forall(_.contains(".stats")),
         s"metadata agg reads data files: ${meta.inputFiles.toSeq}")
@@ -879,7 +883,8 @@ object QueriesC {
         "a filtered aggregate must scan data (pruned), not the sidecar")
       meta.select(col("min_key").cast("long"), col("max_key").cast("long"),
         col("min_cust").cast("long"), col("max_cust").cast("long"),
-        col("n"))
+        col("n"), col("cust_sum").cast("long"), col("cust_avg"),
+        col("n_cust"))
         .withColumn("min_price", lit(scan.collect()(0).getDouble(0)))
         .withColumn("lo_where", lit(where.collect()(0).getLong(0)))
     }),
@@ -940,12 +945,16 @@ object QueriesC {
           "FROM c34_orders WHERE o_orderkey >= 300")
       assert(straddle.inputFiles.exists(!_.contains(".stats")),
         "a straddling file must fall through to the data scan")
+      // scalars attach as literals (the c32 shape) — a crossJoin chain
+      // of 1-row frames would plan BNLJ and trip the plan pins
+      val st = straddle.collect()(0)
       served
-        .crossJoin(between).crossJoin(negated).crossJoin(none)
-        .crossJoin(straddle)
-        .select(col("lo").cast("long"), col("hi").cast("long"), col("n"),
-          col("n_mid"), col("n_out"), col("n_none"),
-          col("lo_straddle").cast("long"), col("n_straddle"))
+        .select(col("lo").cast("long"), col("hi").cast("long"), col("n"))
+        .withColumn("n_mid", lit(between.collect()(0).getLong(0)))
+        .withColumn("n_out", lit(negated.collect()(0).getLong(0)))
+        .withColumn("n_none", lit(none.collect()(0).getLong(0)))
+        .withColumn("lo_straddle", lit(st.getLong(0)))
+        .withColumn("n_straddle", lit(st.getLong(1)))
     }),
 
     // c33: FILE-GRANULAR COPY-ON-WRITE DELETE — the r14 verdict's one
@@ -1023,6 +1032,62 @@ object QueriesC {
         max(col("o_orderkey")).cast("long").as("max_key"))
         .withColumn("n_deleted", lit(rc))
         .withColumn("n_deleted_nomatch", lit(rc0))
+    }),
+
+    // c35: COPY-ON-WRITE UPDATE — the reference's THIRD row-level DML:
+    // its backends ran `UPDATE … SET … WHERE …` natively through
+    // db.execute; Spark has no UPDATE over parquet, so the engine routes
+    // it through c33's file-granular swap — SET assignments apply to
+    // matching rows (cast back to the column's type; schema never
+    // mutates) in ONLY the files whose sidecar bands can hold a match,
+    // everything else survives by reference. Same engine assertions as
+    // c33: zero churn on a provably-no-match UPDATE, byte-identical
+    // survivors, strict-subset rewrite, sidecar retargeted (metadata
+    // routes keep serving). Rowcount = matched rows. Values hash-gate
+    // against DuckDB's CASE-WHEN replay of the assignment.
+    "c35_cow_update" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 1200)
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.mode("overwrite").parquet(db.pathOf("c35_orders"))
+      val tbl = db.table("c35_orders")
+      tbl.analyzeStats(Seq("o_orderkey")): Unit
+      val total = tbl.df.inputFiles.length
+      def fileMap(): Map[String, Long] =
+        new java.io.File(tbl.path).listFiles().toSeq
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .map(f => f.getName -> f.length()).toMap
+      val before = fileMap()
+      val rc0 = db.execute(
+        "UPDATE c35_orders SET o_custkey = 0 WHERE o_orderkey > 900000")
+        .collect()(0).getLong(0)
+      assert(rc0 == 0L && fileMap() == before,
+        "a provably-no-match UPDATE must touch nothing")
+      val rc = db.execute(
+        "UPDATE c35_orders SET o_custkey = o_custkey + 1000000, " +
+          "o_orderpriority = 'X-UPDATED' " +
+          "WHERE o_orderkey BETWEEN 300 AND 500")
+        .collect()(0).getLong(0)
+      assert(rc > 0L, "the update must match rows")
+      val after = fileMap()
+      val survivors = before.keySet.intersect(after.keySet)
+      assert(survivors.nonEmpty && survivors.forall(f => before(f) == after(f)),
+        "untouched files must survive by reference")
+      val rewrote = (before.keySet -- after.keySet).size
+      assert(rewrote > 0 && rewrote < total,
+        s"COW must rewrite a strict subset: $rewrote/$total")
+      val meta = tbl.aggFromStats("o_orderkey").getOrElse(sys.error(
+        "the sidecar must keep serving after a COW update"))
+      assert(meta.inputFiles.forall(_.contains(".stats")))
+      tbl.df.agg(count(lit(1)).as("n"),
+        sum(col("o_custkey")).cast("long").as("cust_sum"),
+        sum(when(col("o_orderpriority") === "X-UPDATED", 1L).otherwise(0L))
+          .as("n_marked"),
+        min(col("o_orderkey")).cast("long").as("min_key"),
+        max(col("o_orderkey")).cast("long").as("max_key"))
+        .withColumn("n_updated", lit(rc))
     }),
 
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
@@ -1283,6 +1348,9 @@ object QueriesC {
         "CAST(min(o_custkey) AS BIGINT) AS min_cust, " +
         "CAST(max(o_custkey) AS BIGINT) AS max_cust, " +
         "count(*) AS n, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS cust_sum, " +
+        "avg(o_custkey) AS cust_avg, " +
+        "count(o_custkey) AS n_cust, " +
         "min(o_totalprice) AS min_price, " +
         "(SELECT CAST(min(o_orderkey) AS BIGINT) FROM orders " +
         "WHERE o_orderkey >= 1000 AND o_orderkey <= 3000 " +
@@ -1327,6 +1395,17 @@ object QueriesC {
         "WHERE o_orderkey >= 300 AND o_orderkey <= 600) AS lo_straddle, " +
         "(SELECT count(*) FROM orders " +
         "WHERE o_orderkey >= 300 AND o_orderkey <= 600) AS n_straddle"),
+    "c35_cow_update" ->
+      ("SELECT count(*) AS n, " +
+        "CAST(sum(CASE WHEN o_orderkey BETWEEN 300 AND 500 " +
+        "THEN o_custkey + 1000000 ELSE o_custkey END) AS BIGINT) AS cust_sum, " +
+        "(SELECT count(*) FROM orders " +
+        "WHERE o_orderkey BETWEEN 300 AND 500) AS n_marked, " +
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key, " +
+        "(SELECT count(*) FROM orders " +
+        "WHERE o_orderkey BETWEEN 300 AND 500) AS n_updated " +
+        "FROM orders WHERE o_orderkey <= 1200"),
     "c33_cow_delete" ->
       ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +

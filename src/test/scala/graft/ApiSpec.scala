@@ -1562,6 +1562,12 @@ class ApiSpec extends AnyFunSuite {
       Seq(("min", "k", "lo"), ("max", "k", "hi")), cond("k >= 11"))
       .getOrElse(sys.error("must serve")).collect()(0)
     assert(mm.getLong(0) == 11L && mm.getLong(1) == 20L)
+    // filtered SUM/AVG serve from the same decided file set
+    val sa = tbl.aggsFromStatsFiltered(
+      Seq(("sum", "k", "s"), ("avg", "k", "a")), cond("k >= 11"))
+      .getOrElse(sys.error("filtered sum/avg must serve")).collect()(0)
+    assert(sa.getLong(0) == (11L to 20L).sum &&
+      sa.getDouble(1) == (11L to 20L).sum.toDouble / 10.0)
     // a straddling boundary refuses (15 is inside file 2)
     assert(tbl.aggsFromStatsFiltered(n, cond("k >= 15")).isEmpty)
     // a DOUBLE column vs an integer literal is cross-class non-integral
@@ -1589,6 +1595,43 @@ class ApiSpec extends AnyFunSuite {
       "SELECT count(*) AS n FROM fmn WHERE k <= 10")
     assert(sqlNull.inputFiles.exists(!_.contains(".stats")))
     assert(sqlNull.collect()(0).getLong(0) == 10L)
+  }
+
+  test("metadata SUM/AVG/COUNT(col): exact per-file BIGINT sums; nulls excluded; non-integral refuses") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    val rows: Seq[(java.lang.Long, Double)] =
+      ((1L to 10L).map(java.lang.Long.valueOf) :+
+        null.asInstanceOf[java.lang.Long] :+
+        null.asInstanceOf[java.lang.Long]).map(k => (k, 1.5))
+    rows.toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(db2.pathOf("msum"))
+    (11L to 20L).map(k => (java.lang.Long.valueOf(k), 2.5)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(db2.pathOf("msum"))
+    val tbl = db2.table("msum")
+    tbl.analyzeStats(Seq("k", "v")): Unit
+    // whole-table statement serves from the sidecar alone
+    val meta = db2.execute("SELECT sum(k) AS s, avg(k) AS a, " +
+      "count(k) AS nk, count(*) AS n FROM msum")
+    assert(meta.inputFiles.nonEmpty &&
+      meta.inputFiles.forall(_.contains(".stats")),
+      s"SUM/AVG/COUNT(col) must serve metadata-only: ${meta.inputFiles.toSeq}")
+    val r = meta.collect()(0)
+    assert(r.getLong(0) == (1L to 20L).sum, "sum excludes nothing but nulls")
+    assert(r.getDouble(1) == (1L to 20L).sum.toDouble / 20.0, "avg over non-null rows")
+    assert(r.getLong(2) == 20L, "COUNT(col) excludes the 2 null rows")
+    assert(r.getLong(3) == 22L, "COUNT(*) includes them")
+    // a DOUBLE column has no per-file sum (fold-order hazard): data scan
+    val dbl = db2.execute("SELECT sum(v) AS sv FROM msum")
+    assert(dbl.inputFiles.exists(!_.contains(".stats")),
+      "non-integral SUM must fall through to the data scan")
+    // the FILTERED route serves sum/avg too when the bands decide and
+    // the predicate columns are null-free in every file — here they are
+    // not (file 1 holds null ks), so it refuses; the null-free fma
+    // fixture in the filtered test covers the serving side
+    def cond(w: String) = spark.sessionState.sqlParser.parseExpression(w)
+    assert(tbl.aggsFromStatsFiltered(
+      Seq(("sum", "k", "s")), cond("k >= 11")).isEmpty)
   }
 
   test("extendStats is log-structured: an append ADDS one segment (O(delta) metadata); the budget folds") {
@@ -1672,6 +1715,46 @@ class ApiSpec extends AnyFunSuite {
     assert(db3.execute("DELETE FROM cowf WHERE k <= 10")
       .collect()(0).getLong(0) == 10L)
     assert(db3.table("cowf").count == 40L)
+  }
+
+  test("UPDATE DML: matched rows get SET applied (typed), NULL where is unmatched, no-sidecar falls back") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    val rows: Seq[(java.lang.Long, Double, String)] =
+      (1L to 20L).map(k => (if (k == 7L) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(k), k * 1.0, s"v$k"))
+    rows.toDF("k", "price", "tag").coalesce(1)
+      .write.mode("overwrite").parquet(db2.pathOf("upd"))
+    // no sidecar: the fallback full rewrite still updates correctly
+    val rc = db2.execute(
+      "UPDATE upd SET price = price + 0.5, tag = 'hit' WHERE k <= 5")
+      .collect()(0).getLong(0)
+    assert(rc == 5L, s"matched-row count: $rc")
+    val t = db2.table("upd")
+    assert(t.df.filter(col("tag") === "hit").count() == 5L)
+    assert(t.df.filter(col("k") === 3L).select("price")
+      .collect()(0).getDouble(0) == 3.5)
+    // the NULL-k row is UNMATCHED (SQL: null predicate filters out)
+    assert(t.df.filter(col("k").isNull).select("tag")
+      .collect()(0).getString(0) == "v7")
+    // SET value casts back to the column's type: schema never mutates
+    db2.execute("UPDATE upd SET price = 2 WHERE k = 10").collect(): Unit
+    assert(t.df.schema("price").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(t.df.filter(col("k") === 10L).select("price")
+      .collect()(0).getDouble(0) == 2.0)
+    // no WHERE: every row matches
+    assert(db2.execute("UPDATE upd SET tag = 'all'")
+      .collect()(0).getLong(0) == 20L)
+    assert(t.df.filter(col("tag") === "all").count() == 20L)
+    // unknown column refuses loudly
+    intercept[IllegalArgumentException] {
+      db2.execute("UPDATE upd SET nosuch = 1 WHERE k = 1") }
+    // SET exprs with commas inside calls parse (top-level split)
+    db2.execute("UPDATE upd SET tag = concat('a', 'b'), price = 9.0 " +
+      "WHERE k = 1").collect(): Unit
+    assert(t.df.filter(col("k") === 1L).select("tag", "price").collect()(0)
+      .toSeq == Seq("ab", 9.0))
   }
 
   test("vacuum rolls back a crashed COW delete: promoted files un-promoted, originals restored") {
