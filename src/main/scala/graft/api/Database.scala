@@ -331,6 +331,21 @@ class Database(val spark: SparkSession, val root: String,
         (a.substring(0, i).trim, a.substring(i + 1).trim)
       }
       rowcount(table(tbl).updateWhere(sets, Option(where)))
+    // MERGE INTO (c36): the fourth row-level DML — Spark has no MERGE
+    // over plain parquet, so the statement routes through the same
+    // file-granular copy-on-write swap as DELETE/UPDATE (the Delta
+    // two-pass shape: find touched files, rewrite only those; WHEN NOT
+    // MATCHED inserts append as fresh files). Anything starting with
+    // the keyword parses here or fails loudly — a plain-spark.sql
+    // fallback could never run it.
+    case m if m.length >= 6 && m.substring(0, 6).equalsIgnoreCase("MERGE ") =>
+      val ms = Database.parseMerge(m)
+      val tname = tables.find(_.equalsIgnoreCase(ms.target)).getOrElse(
+        throw new IllegalArgumentException(
+          s"MERGE INTO ${ms.target}: unknown table"))
+      ensureRegistered(referencedRelations(ms.sourceSql))
+      rowcount(table(tname).mergeInto(spark.sql(ms.sourceSql), ms.srcAlias,
+        ms.tgtAlias, ms.cond, ms.matched, ms.notMatched))
     case Database.InsertRe(tbl, colList, body) =>
       ensureRegistered(referencedRelations(body))
       val rows0 = spark.sql(body)
@@ -1690,4 +1705,201 @@ object Database {
     */
   private val InsertRe =
     """(?is)INSERT\s+INTO\s+([A-Za-z0-9_.]+)\s*(?:\(([^)]*)\)\s*)?((?:VALUES|SELECT)\b.+?)\s*;?\s*""".r
+
+  // ---- MERGE INTO (c36) — statement grammar -------------------------------
+
+  /** A `WHEN MATCHED THEN …` action. */
+  private[api] sealed trait MergeAction
+  private[api] final case class MergeUpdate(sets: Seq[(String, String)])
+      extends MergeAction
+  private[api] case object MergeDelete extends MergeAction
+  /** cols/vals None = `INSERT *` (source columns by target name). */
+  private[api] final case class MergeInsert(
+      cols: Option[Seq[String]], vals: Option[Seq[String]]) extends MergeAction
+
+  /** Parsed `MERGE INTO target [AS a] USING source [AS b] ON cond
+    * WHEN [NOT] MATCHED [AND c] THEN …` — aliases already resolved
+    * (defaulting to the unqualified relation name, ANSI scoping).
+    */
+  private[api] final case class MergeStmt(target: String, tgtAlias: String,
+      sourceSql: String, srcAlias: String, cond: String,
+      matched: Seq[(Option[String], MergeAction)],
+      notMatched: Seq[(Option[String], MergeInsert)])
+
+  private def isIdentChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** Index of the first occurrence of keyword `kw` at paren depth 0,
+    * outside string literals AND outside CASE…END expressions, on word
+    * boundaries; -1 when absent. The CASE tracking is what lets a
+    * `CASE WHEN … THEN … END` inside a SET expression survive the
+    * WHEN/THEN clause splitting.
+    */
+  private[api] def topLevelKeyword(s: String, kw: String, from: Int = 0): Int = {
+    def wordAt(i: Int, w: String): Boolean =
+      s.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+        (i + w.length == s.length || !isIdentChar(s.charAt(i + w.length)))
+    var i = math.max(from, 0); var depth = 0; var caseDepth = 0
+    var inStr = false
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case _ =>
+          if (depth == 0) {
+            if (wordAt(i, "CASE")) caseDepth += 1
+            else if (caseDepth > 0 && wordAt(i, "END")) caseDepth -= 1
+            else if (caseDepth == 0 && wordAt(i, kw)) return i
+          }
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Index just past the `)` matching the `(` at `open` (string-aware);
+    * -1 when unbalanced.
+    */
+  private def matchedParenEnd(s: String, open: Int): Int = {
+    var i = open; var depth = 0; var inStr = false
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1; if (depth == 0) return i + 1
+        case _    =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split `s` on top-level occurrences of keyword `kw` (the pieces do
+    * not include the keyword).
+    */
+  private[api] def splitTopLevelKeyword(s: String, kw: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    var start = 0
+    var i = topLevelKeyword(s, kw, 0)
+    while (i >= 0) {
+      out += s.substring(start, i)
+      start = i + kw.length
+      i = topLevelKeyword(s, kw, start)
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  private val MergeHeadRe =
+    """(?is)\s*MERGE\s+INTO\s+([A-Za-z0-9_.]+)(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z0-9_]+))?\s+USING\s+""".r
+  private val BareSourceRe = """(?s)\s*([A-Za-z0-9_.]+)""".r
+  private val SrcAliasRe = """(?is)\s*(?:AS\s+)?(?!ON\b)([A-Za-z0-9_]+)""".r
+  private val OnKwRe = """(?is)\s*ON\b""".r
+  private val WhenHeadRe = """(?is)^\s*(NOT\s+)?MATCHED\b""".r
+  private val AndKwRe = """(?is)^AND\s+""".r
+  private val UpdActRe = """(?is)UPDATE\s+SET\s+(.+)""".r
+  private val DelActRe = """(?is)DELETE\s*""".r
+  private val InsActRe = """(?is)INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*""".r
+  private val InsStarActRe = """(?is)INSERT\s+\*\s*""".r
+
+  /** Parse a `MERGE INTO` statement. Throws on any MERGE that doesn't
+    * fit the supported grammar — the caller only routes statements that
+    * start with the keyword here, and there is deliberately no
+    * plain-`spark.sql` fallback (Spark cannot run MERGE over plain
+    * parquet, so a silent fall-through could never succeed).
+    *
+    * Known limitation (documented like UPDATE's): the `WHEN … AND`
+    * condition and the ON condition may contain CASE…END, but a bare
+    * `WHEN`/`THEN` inside a string literal in them is taken as a clause
+    * boundary only if unbalanced scanning reaches it — literals and
+    * parens are tracked, so `'WHEN'` in a quoted string is safe.
+    */
+  private[api] def parseMerge(stmt0: String): MergeStmt = {
+    val stmt = stmt0.trim.stripSuffix(";")
+    def bad(why: String): Nothing =
+      throw new IllegalArgumentException(s"MERGE: $why in: $stmt")
+    val head = MergeHeadRe.findPrefixMatchOf(stmt).getOrElse(
+      bad("expected MERGE INTO <table> [AS <alias>] USING <source>"))
+    val target = head.group(1)
+    val tgtAlias = Option(head.group(2)).getOrElse(target.split('.').last)
+    val rest = stmt.substring(head.end)
+    // source: ( subquery ) | table name
+    val (sourceSql, srcNameOpt, afterSrc) = {
+      val t = rest.indexWhere(!_.isWhitespace)
+      if (t >= 0 && rest.charAt(t) == '(') {
+        val end = matchedParenEnd(rest, t)
+        if (end < 0) bad("unbalanced parens in USING source")
+        (rest.substring(t + 1, end - 1).trim, None, rest.substring(end))
+      } else BareSourceRe.findPrefixMatchOf(rest) match {
+        case Some(m) =>
+          (s"SELECT * FROM ${m.group(1)}", Some(m.group(1)),
+            rest.substring(m.end))
+        case None => bad("expected a table name or (subquery) after USING")
+      }
+    }
+    val (srcAliasOpt, afterAlias) = SrcAliasRe.findPrefixMatchOf(afterSrc) match {
+      case Some(m) => (Some(m.group(1)), afterSrc.substring(m.end))
+      case None    => (None, afterSrc)
+    }
+    val srcAlias = srcAliasOpt.orElse(srcNameOpt.map(_.split('.').last))
+      .getOrElse(bad("a subquery source needs an alias"))
+    val onM = OnKwRe.findPrefixMatchOf(afterAlias).getOrElse(
+      bad("expected ON <condition>"))
+    val afterOn = afterAlias.substring(onM.end)
+    val firstWhen = topLevelKeyword(afterOn, "WHEN")
+    if (firstWhen < 0) bad("expected at least one WHEN clause")
+    val cond = afterOn.substring(0, firstWhen).trim
+    if (cond.isEmpty) bad("empty ON condition")
+    val matched =
+      scala.collection.mutable.Buffer.empty[(Option[String], MergeAction)]
+    val notMatched =
+      scala.collection.mutable.Buffer.empty[(Option[String], MergeInsert)]
+    splitTopLevelKeyword(afterOn.substring(firstWhen), "WHEN")
+      .filter(_.trim.nonEmpty).foreach { ct =>
+        val hm = WhenHeadRe.findPrefixMatchOf(ct).getOrElse(
+          bad(s"unparseable WHEN clause '${ct.trim}'"))
+        val isNot = hm.group(1) != null
+        val restC = ct.substring(hm.end)
+        val thenIdx = topLevelKeyword(restC, "THEN")
+        if (thenIdx < 0) bad(s"WHEN clause missing THEN: '${ct.trim}'")
+        val pre = restC.substring(0, thenIdx).trim
+        val andCond: Option[String] =
+          if (pre.isEmpty) None
+          else {
+            val am = AndKwRe.findPrefixMatchOf(pre).getOrElse(
+              bad(s"expected AND <condition> before THEN, got '$pre'"))
+            Some(pre.substring(am.end).trim)
+          }
+        def parseAssign(a: String): (String, String) = {
+          val i = a.indexOf('=')
+          if (i <= 0 || !a.substring(0, i).trim.matches("[A-Za-z0-9_]+"))
+            bad(s"malformed assignment '${a.trim}'")
+          (a.substring(0, i).trim, a.substring(i + 1).trim)
+        }
+        (restC.substring(thenIdx + 4).trim, isNot) match {
+          case (UpdActRe(sets), false) =>
+            matched += ((andCond,
+              MergeUpdate(splitTopLevel(sets, ',').map(parseAssign))))
+          case (DelActRe(), false) => matched += ((andCond, MergeDelete))
+          case (InsStarActRe(), true) =>
+            notMatched += ((andCond, MergeInsert(None, None)))
+          case (InsActRe(cols, vals), true) =>
+            notMatched += ((andCond, MergeInsert(
+              Some(cols.split(",").map(_.trim).toSeq),
+              Some(splitTopLevel(vals, ',').map(_.trim)))))
+          case (other, _) => bad(
+            s"unsupported ${if (isNot) "NOT MATCHED" else "MATCHED"} " +
+              s"action '$other' (MATCHED takes UPDATE SET …|DELETE, " +
+              "NOT MATCHED takes INSERT (…) VALUES (…)|INSERT *)")
+        }
+      }
+    if (matched.isEmpty && notMatched.isEmpty) bad("no WHEN clauses")
+    MergeStmt(target, tgtAlias, sourceSql, srcAlias, cond,
+      matched.toSeq, notMatched.toSeq)
+  }
 }

@@ -367,6 +367,217 @@ class Table(val db: Database, val qualified: String) {
     totalTouched - keptN
   }
 
+  /** `MERGE INTO` (c36) — the fourth row-level DML, Delta's two-pass
+    * copy-on-write shape over plain parquet. Pass 1 joins the source
+    * against the target to find the files holding ANY matching row —
+    * pre-pruned through the skipping sidecar when the ON condition
+    * carries an integral equi-key ([[mergeCandidateFiles]]: files whose
+    * bands miss the source key envelope provably hold no match and are
+    * never read). Pass 2 rewrites ONLY the touched files through the
+    * staged COW swap ([[cowSwapFiles]]), applying the WHEN MATCHED
+    * clauses in order (first applicable wins, SQL MERGE semantics); a
+    * target row matching multiple source rows throws, per ANSI/Delta
+    * (the update would be nondeterministic). WHEN NOT MATCHED inserts
+    * append as new files through [[write]] — untouched files survive by
+    * reference either way, and both paths delta-maintain the sidecar.
+    * Returns updated + deleted + inserted (the affected-row count).
+    *
+    * Scale: at 100 TB the rewrite cost is O(files holding matches) and
+    * the touched-file discovery scan is O(band-candidate files) — a CDC
+    * batch touching 1k keys rewrites the files they live in, not the
+    * corpus. The source is persisted once and consumed by the discovery
+    * join, the rewrite join, and the insert anti-join.
+    */
+  private[api] def mergeInto(source0: DataFrame, srcAlias: String,
+      tgtAlias: String, cond: String,
+      matched: Seq[(Option[String], Database.MergeAction)],
+      notMatched: Seq[(Option[String], Database.MergeInsert)]): Long = {
+    val schema = df.schema
+    Seq("__gf_file", "__gf_src", "__gf_rid").foreach { r =>
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(r)) &&
+        !source0.schema.fieldNames.exists(_.equalsIgnoreCase(r)),
+        s"MERGE $qualified: reserved column name '$r' present")
+    }
+    matched.foreach {
+      case (_, u: Database.MergeUpdate) => u.sets.foreach { case (c, _) =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"MERGE $qualified: no column '$c'") }
+      case _ =>
+    }
+    val source = source0.persist()
+    try {
+      val allFiles = currentDataFiles()
+      val candidates = mergeCandidateFiles(source, srcAlias, tgtAlias,
+        cond, allFiles)
+      // pass 1: which files hold at least one matching row?
+      val touched: Seq[(String, String)] =
+        if (candidates.isEmpty) Nil
+        else {
+          val scan = db.loadFiles(path, candidates.map(_._1))
+            .withColumn("__gf_file", input_file_name())
+          val hit = scan.alias(tgtAlias)
+            .join(source.alias(srcAlias), expr(cond), "inner")
+            .select(col("__gf_file")).distinct()
+            .collect().map(r => normFileUri(r.getString(0))).toSet
+          allFiles.filter { case (abs, _) => hit.contains(normFileUri(abs)) }
+        }
+      // ORDER OF PHASES: (1) the matched-side counts + ANSI cardinality
+      // check (read-only — a violation must abort before ANY effect),
+      // (2) inserts materialize and append (their anti-join reads the
+      // touched files, which the swap renames away; appended files are
+      // not in `touched`, so the explicit-list swap is unaffected),
+      // (3) the COW swap commits the matched-side rewrite.
+      var nUpdated = 0L; var nDeleted = 0L
+      var pendingSwap: Option[DataFrame] = None
+      if (touched.nonEmpty && matched.nonEmpty) {
+        val tdf = db.loadFiles(path, touched.map(_._1))
+          .withColumn("__gf_rid", monotonically_increasing_id())
+        val joined = tdf.alias(tgtAlias).join(
+          source.withColumn("__gf_src", lit(true)).alias(srcAlias),
+          expr(cond), "left_outer")
+        val matchedFlag = coalesce(col("__gf_src"), lit(false))
+        val conds = matched.map { case (a, _) =>
+          a.map(x => coalesce(expr(x), lit(false))).getOrElse(lit(true)) }
+        val applicable = conds.zipWithIndex.map { case (c, i) =>
+          val earlier = conds.take(i).foldLeft(lit(false))(_ || _)
+          matchedFlag && c && !earlier }
+        def maskOf(pick: Database.MergeAction => Boolean): Column =
+          matched.zip(applicable).collect {
+            case ((_, act), app) if pick(act) => app }
+            .foldLeft(lit(false))(_ || _)
+        val updMask = maskOf(_.isInstanceOf[Database.MergeUpdate])
+        val delMask = maskOf(_ == Database.MergeDelete)
+        // one pass: affected counts + the ANSI cardinality check
+        val st = joined.agg(
+          sum(when(updMask, 1L).otherwise(0L)),
+          sum(when(delMask, 1L).otherwise(0L)),
+          sum(when(matchedFlag, 1L).otherwise(0L)),
+          countDistinct(when(matchedFlag, col("__gf_rid")))).collect()(0)
+        def l(i: Int): Long = if (st.isNullAt(i)) 0L else st.getLong(i)
+        if (l(2) > l(3)) throw new IllegalStateException(
+          s"MERGE INTO $qualified: ${l(2) - l(3)} target row matches are " +
+            "duplicated — a target row matched multiple source rows " +
+            "(ANSI cardinality violation; deduplicate the source)")
+        nUpdated = l(0); nDeleted = l(1)
+        if (nUpdated + nDeleted > 0) {
+          val updPairs = matched.zip(applicable).collect {
+            case ((_, u: Database.MergeUpdate), app) => (u, app) }
+          val outCols = schema.fields.toSeq.map { f =>
+            val base = col(s"$tgtAlias.${f.name}")
+            val hits = updPairs.flatMap { case (u, app) =>
+              u.sets.find(_._1.equalsIgnoreCase(f.name))
+                .map(kv => (app, expr(kv._2).cast(f.dataType))) }
+            hits.foldRight(base) { case ((app, v), acc) =>
+              when(app, v).otherwise(acc) }.as(f.name)
+          }
+          pendingSwap = Some(joined.filter(!delMask).select(outCols: _*))
+        }
+      }
+      var nInserted = 0L
+      if (notMatched.nonEmpty) {
+        // a source row matching ANY target row matches one in a touched
+        // file (pass 1 found every matching pair), so the anti-join
+        // needs only the touched files, not the table
+        val tKeys =
+          if (touched.isEmpty) df.limit(0)
+          else db.loadFiles(path, touched.map(_._1))
+        val unmatched = source.alias(srcAlias)
+          .join(tKeys.alias(tgtAlias), expr(cond), "left_anti")
+        val nconds = notMatched.map { case (a, _) =>
+          a.map(x => coalesce(expr(x), lit(false))).getOrElse(lit(true)) }
+        val perClause = notMatched.zipWithIndex.map { case ((_, ins), i) =>
+          val earlier = nconds.take(i).foldLeft(lit(false))(_ || _)
+          val sel = unmatched.filter(nconds(i) && !earlier)
+          val assigned: Map[String, String] = ins match {
+            case Database.MergeInsert(Some(cols), Some(vals)) =>
+              require(cols.length == vals.length, s"MERGE $qualified: " +
+                s"INSERT has ${cols.length} columns but ${vals.length} values")
+              cols.foreach(c => require(
+                schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+                s"MERGE $qualified: no column '$c'"))
+              cols.map(_.toLowerCase).zip(vals).toMap
+            case _ => // INSERT * — source columns by target name, all required
+              schema.fieldNames.toSeq.map { c =>
+                require(source.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+                  s"MERGE $qualified: INSERT * needs source column '$c'")
+                c.toLowerCase -> s"$srcAlias.$c"
+              }.toMap
+          }
+          sel.select(schema.fields.toSeq.map { f =>
+            assigned.get(f.name.toLowerCase)
+              .map(v => expr(v).cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType)).as(f.name) }: _*)
+        }
+        val inserts = perClause.reduce(_.unionByName(_)).persist()
+        try {
+          nInserted = inserts.count()
+          if (nInserted > 0) write(inserts)
+        } finally { inserts.unpersist(); () }
+      }
+      pendingSwap.foreach(cowSwapFiles(touched, _))
+      nUpdated + nDeleted + nInserted
+    } finally { source.unpersist(); () }
+  }
+
+  /** Pass-1 candidate files for [[mergeInto]]: when the ON condition
+    * carries a top-level integral equi-key `tgt.k = src.k` over a
+    * sidecar-tracked column, files whose bands miss the source key
+    * envelope [min(k), max(k)] provably hold no matching row (the c33
+    * band-necessity argument applied to a join — Delta/Iceberg's
+    * stats-pruned MERGE discovery), so only band-hit files are read.
+    * Anything else — no sidecar, no simple equi-key, non-integral key
+    * types — returns all files: the unpruned Delta MERGE shape,
+    * correct at scan cost.
+    */
+  private def mergeCandidateFiles(source: DataFrame, srcAlias: String,
+      tgtAlias: String, cond: String, allFiles: Seq[(String, String)])
+      : Seq[(String, String)] = {
+    if (!hasStatsSidecar) return allFiles
+    val schema = df.schema
+    def isIntegral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    def colOf(ref: String, alias: String, fields: Seq[String],
+        otherFields: Seq[String]): Option[String] = {
+      val p = ref.split('.')
+      if (p.length == 2 && p(0).equalsIgnoreCase(alias))
+        fields.find(_.equalsIgnoreCase(p(1)))
+      else if (p.length == 1)
+        // a bare name must be unambiguous across the two sides
+        fields.find(_.equalsIgnoreCase(p(0)))
+          .filterNot(_ => otherFields.exists(_.equalsIgnoreCase(p(0))))
+      else None
+    }
+    val tFields = schema.fieldNames.toSeq
+    val sFields = source.schema.fieldNames.toSeq
+    val EqRe = """(?s)\s*([A-Za-z0-9_.]+)\s*=\s*([A-Za-z0-9_.]+)\s*""".r
+    val keyPair = Database.splitTopLevelKeyword(cond, "AND").view.flatMap {
+      case EqRe(a, b) =>
+        colOf(a, tgtAlias, tFields, sFields).flatMap(t =>
+            colOf(b, srcAlias, sFields, tFields).map(sc => (t, sc)))
+          .orElse(colOf(b, tgtAlias, tFields, sFields).flatMap(t =>
+            colOf(a, srcAlias, sFields, tFields).map(sc => (t, sc))))
+      case _ => None
+    }.headOption
+    keyPair match {
+      case Some((t, sc)) if isIntegral(schema(t).dataType) &&
+          isIntegral(source.schema(sc).dataType) =>
+        val r = source.agg(min(col(sc)).cast("long"),
+          max(col(sc)).cast("long")).collect()(0)
+        if (r.isNullAt(0)) Nil // no non-null source keys — nothing matches
+        else {
+          val where = s"$t >= ${r.getLong(0)} AND $t <= ${r.getLong(1)}"
+          dnfHitMap(Table.pruneDnf(db.spark, where)) match {
+            case Some(m) => allFiles.filter { case (abs, _) =>
+              m.getOrElse(normFileUri(abs), true) }
+            case None => allFiles
+          }
+        }
+      case _ => allFiles
+    }
+  }
+
   /** The shared staged swap behind the copy-on-write DML paths: replace
     * exactly `touched` with `replacement`'s rows (see [[deleteWhere]]'s
     * protocol scaladoc — stage, backup-hop, token-marked promote, commit

@@ -1090,6 +1090,105 @@ object QueriesC {
         .withColumn("n_updated", lit(rc))
     }),
 
+    // c36: MERGE INTO — the fourth row-level DML and Delta's CDC
+    // workhorse (the reference's backends would run MERGE natively
+    // through db.execute; Spark has none over plain parquet). Two-pass
+    // file-granular COW: pass 1 finds the files holding any match —
+    // pre-pruned by the skipping sidecar (files whose bands miss the
+    // source key envelope are never read) — pass 2 rewrites ONLY those,
+    // applying WHEN MATCHED clauses in order (DELETE for keys % 10 = 0,
+    // UPDATE for the rest); WHEN NOT MATCHED inserts append as fresh
+    // files. Engine asserts: a provably-no-match update-only MERGE
+    // touches zero files; survivors are byte-identical; a strict subset
+    // rewrote; the ANSI multi-match cardinality violation throws BEFORE
+    // any effect (table byte-identical after); the sidecar keeps
+    // serving. DuckDB replays the post-merge state declaratively.
+    "c36_sql_merge" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 2400)
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.mode("overwrite").parquet(db.pathOf("c36_orders"))
+      val tbl = db.table("c36_orders")
+      tbl.analyzeStats(Seq("o_orderkey")): Unit
+      val total = tbl.df.inputFiles.length
+      // CDC batch: upserts for keys 600-800 (every 10th a delete),
+      // inserts with fresh keys 9000000+
+      orders.filter(col("o_orderkey").between(600, 800))
+        .select(col("o_orderkey").as("k"),
+          (col("o_custkey") + 5000000).cast("long").as("new_cust"))
+        .unionByName(orders.filter(col("o_orderkey").between(100, 200))
+          .select((col("o_orderkey") + 9000000).cast("long").as("k"),
+            col("o_custkey").cast("long").as("new_cust")))
+        .coalesce(1).write.mode("overwrite").parquet(db.pathOf("c36_src"))
+      orders.filter(col("o_orderkey") <= 100)
+        .select((col("o_orderkey") + 900000).cast("long").as("k"),
+          lit(0L).as("new_cust"))
+        .coalesce(1).write.mode("overwrite").parquet(db.pathOf("c36_far"))
+      def fileMap(): Map[String, (Long, String)] =
+        new java.io.File(tbl.path).listFiles().toSeq
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .map { f =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            f.getName -> (f.length(), md.map("%02x".format(_)).mkString)
+          }.toMap
+      val before = fileMap()
+      // (a) bands prove no source key matches — zero churn, zero pass-2
+      val rc0 = db.execute(
+        "MERGE INTO c36_orders t USING c36_far s ON t.o_orderkey = s.k " +
+          "WHEN MATCHED THEN UPDATE SET o_custkey = s.new_cust")
+        .collect()(0).getLong(0)
+      assert(rc0 == 0L, s"no key above 900000 exists, got rc=$rc0")
+      assert(fileMap() == before,
+        "a provably-no-match MERGE must not touch any file")
+      // (b) the ANSI cardinality violation aborts BEFORE any effect
+      val aKey = orders.filter(col("o_orderkey").between(600, 800))
+        .agg(min(col("o_orderkey")).cast("long")).collect()(0).getLong(0)
+      val dup = scala.util.Try(db.execute(
+        s"MERGE INTO c36_orders t USING (SELECT CAST($aKey AS BIGINT) AS k " +
+          s"UNION ALL SELECT CAST($aKey AS BIGINT)) s ON t.o_orderkey = s.k " +
+          "WHEN MATCHED THEN DELETE " +
+          "WHEN NOT MATCHED THEN INSERT (o_orderkey) VALUES (s.k)").collect())
+      assert(dup.isFailure, "a doubly-matched target row must throw")
+      assert(fileMap() == before,
+        "a failed MERGE must leave the table byte-identical")
+      // the CDC merge proper
+      val rc = db.execute(
+        "MERGE INTO c36_orders t USING c36_src s ON t.o_orderkey = s.k " +
+          "WHEN MATCHED AND s.k % 10 = 0 THEN DELETE " +
+          "WHEN MATCHED THEN UPDATE SET o_custkey = s.new_cust, " +
+          "o_orderpriority = 'X-MERGED' " +
+          "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, " +
+          "o_orderpriority) VALUES (s.k, s.new_cust, 'X-INSERTED')")
+        .collect()(0).getLong(0)
+      assert(rc > 0L, "the merge must affect rows")
+      val after = fileMap()
+      val survivors = before.keySet.intersect(after.keySet)
+      assert(survivors.nonEmpty, "some files must survive by reference")
+      survivors.foreach(f => assert(before(f) == after(f),
+        s"surviving file $f changed bytes — not kept by reference"))
+      val rewrote = (before.keySet -- after.keySet).size
+      assert(rewrote > 0 && rewrote < total,
+        s"COW must rewrite a strict subset: $rewrote/$total")
+      // sidecar delta-maintained across both the append and the swap
+      val meta = tbl.aggFromStats("o_orderkey").getOrElse(sys.error(
+        "the sidecar must keep serving after a MERGE"))
+      assert(meta.inputFiles.forall(_.contains(".stats")),
+        s"metadata-only plan reads data files: ${meta.inputFiles.toSeq}")
+      tbl.df.agg(count(lit(1)).as("n"),
+        sum(col("o_custkey")).cast("long").as("cust_sum"),
+        sum(when(col("o_orderpriority") === "X-MERGED", 1L).otherwise(0L))
+          .as("n_merged"),
+        sum(when(col("o_orderpriority") === "X-INSERTED", 1L).otherwise(0L))
+          .as("n_inserted"),
+        min(col("o_orderkey")).cast("long").as("min_key"),
+        max(col("o_orderkey")).cast("long").as("max_key"))
+        .withColumn("n_affected", lit(rc))
+        .withColumn("n_affected_nomatch", lit(rc0))
+    }),
+
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
     // bad append lands, restore(v1) rolls the table back to the pinned
     // manifest via the staged atomic swap, and the read-back equals the
@@ -1406,6 +1505,27 @@ object QueriesC {
         "(SELECT count(*) FROM orders " +
         "WHERE o_orderkey BETWEEN 300 AND 500) AS n_updated " +
         "FROM orders WHERE o_orderkey <= 1200"),
+    "c36_sql_merge" ->
+      ("WITH fin AS (" +
+        "SELECT o_orderkey AS k, " +
+        "CASE WHEN o_orderkey BETWEEN 600 AND 800 AND o_orderkey % 10 <> 0 " +
+        "THEN o_custkey + 5000000 ELSE o_custkey END AS ck, " +
+        "CASE WHEN o_orderkey BETWEEN 600 AND 800 AND o_orderkey % 10 <> 0 " +
+        "THEN 'X-MERGED' ELSE o_orderpriority END AS pri " +
+        "FROM orders WHERE o_orderkey <= 2400 " +
+        "AND NOT (o_orderkey BETWEEN 600 AND 800 AND o_orderkey % 10 = 0) " +
+        "UNION ALL " +
+        "SELECT o_orderkey + 9000000, o_custkey, 'X-INSERTED' " +
+        "FROM orders WHERE o_orderkey BETWEEN 100 AND 200) " +
+        "SELECT count(*) AS n, CAST(sum(ck) AS BIGINT) AS cust_sum, " +
+        "CAST(sum(CASE WHEN pri = 'X-MERGED' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_merged, " +
+        "CAST(sum(CASE WHEN pri = 'X-INSERTED' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_inserted, " +
+        "CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key, " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey BETWEEN 600 AND 800) " +
+        "+ (SELECT count(*) FROM orders WHERE o_orderkey BETWEEN 100 AND 200) " +
+        "AS n_affected, CAST(0 AS BIGINT) AS n_affected_nomatch FROM fin"),
     "c33_cow_delete" ->
       ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +

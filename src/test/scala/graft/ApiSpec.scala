@@ -1757,6 +1757,109 @@ class ApiSpec extends AnyFunSuite {
       .toSeq == Seq("ab", 9.0))
   }
 
+  test("MERGE INTO: upsert + conditional delete through the COW swap; INSERT *") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 100L).map(k => (k, k * 10.0)).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(db2.pathOf("mt"))
+    db2.table("mt").analyzeStats(Seq("k")): Unit
+    // source: keys 90..110 — 90..100 match, 101..110 insert; v = -1 marker
+    (90L to 110L).map(k => (k, -1.0)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(db2.pathOf("mtsrc"))
+    val rc = db2.execute(
+      "MERGE INTO mt USING mtsrc s ON mt.k = s.k " +
+        "WHEN MATCHED AND s.k % 2 = 0 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT *").collect()(0).getLong(0)
+    // matched 90..100: evens 90,92..100 deleted (6), odds updated (5);
+    // 101..110 inserted (10)
+    assert(rc == 21L, s"affected-row count: $rc")
+    val t = db2.table("mt")
+    assert(t.count == 100L - 6L + 10L)
+    assert(t.df.filter(col("v") === -1.0).count() == 15L) // 5 upd + 10 ins
+    assert(t.df.filter(col("k").between(90, 100) && col("k") % 2 === 0)
+      .count() == 0L, "even matched keys must be deleted")
+    assert(t.df.filter(col("k") === 91L).select("v")
+      .collect()(0).getDouble(0) == -1.0, "odd matched keys must update")
+    assert(t.df.filter(col("k") === 50L).select("v")
+      .collect()(0).getDouble(0) == 500.0, "unmatched rows untouched")
+  }
+
+  test("MERGE INTO: cardinality violation aborts before any effect; null source key inserts") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(db2.pathOf("mc"))
+    // duplicate source key 5 + an insertable key: the ANSI check must
+    // throw and leave the table untouched (no insert landed either,
+    // even though the insert phase is computed before the swap)
+    val err = intercept[IllegalStateException] {
+      db2.execute("MERGE INTO mc USING (SELECT 5 AS k UNION ALL " +
+        "SELECT 5 UNION ALL SELECT 99) s ON mc.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = 0 " +
+        "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)").collect()
+    }
+    assert(err.getMessage.contains("cardinality"))
+    val t = db2.table("mc")
+    assert(t.count == 10L, "a failed MERGE must have zero effect")
+    assert(t.df.agg(sum(col("v"))).collect()(0).getDouble(0) == 55.0)
+    // a NULL source key never matches (SQL equi-join) — the row flows
+    // to NOT MATCHED and inserts
+    val rc = db2.execute("MERGE INTO mc USING (SELECT CAST(NULL AS BIGINT)" +
+      " AS k) s ON mc.k = s.k " +
+      "WHEN MATCHED THEN DELETE " +
+      "WHEN NOT MATCHED THEN INSERT (v) VALUES (42.0)")
+      .collect()(0).getLong(0)
+    assert(rc == 1L)
+    assert(t.df.filter(col("k").isNull && col("v") === 42.0).count() == 1L)
+  }
+
+  test("MERGE INTO: clause grammar — CASE in SET, NOT MATCHED AND, first-match-wins, errors") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 6L).map(k => (k, "old")).toDF("k", "tag").coalesce(1)
+      .write.mode("overwrite").parquet(db2.pathOf("mg"))
+    // CASE…END inside a SET expression survives the WHEN/THEN clause
+    // splitting (the scanner tracks CASE depth); two NOT MATCHED
+    // clauses apply first-match-wins
+    val rc = db2.execute(
+      "MERGE INTO mg USING (SELECT 4 AS k UNION ALL SELECT 20 " +
+        "UNION ALL SELECT 30) s ON mg.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET " +
+        "tag = CASE WHEN s.k > 3 THEN 'big' ELSE 'small' END " +
+        "WHEN NOT MATCHED AND s.k < 25 THEN INSERT (k, tag) " +
+        "VALUES (s.k, 'low') " +
+        "WHEN NOT MATCHED THEN INSERT (k, tag) VALUES (s.k, 'high')")
+      .collect()(0).getLong(0)
+    assert(rc == 3L)
+    val t = db2.table("mg")
+    assert(t.df.filter(col("k") === 4L).select("tag")
+      .collect()(0).getString(0) == "big")
+    assert(t.df.filter(col("k") === 20L).select("tag")
+      .collect()(0).getString(0) == "low")
+    assert(t.df.filter(col("k") === 30L).select("tag")
+      .collect()(0).getString(0) == "high")
+    // grammar errors are loud: subquery without alias, MATCHED INSERT,
+    // unknown SET column, unknown target
+    intercept[IllegalArgumentException] { db2.execute(
+      "MERGE INTO mg USING (SELECT 1 AS k) ON mg.k = k " +
+        "WHEN MATCHED THEN DELETE") }
+    intercept[IllegalArgumentException] { db2.execute(
+      "MERGE INTO mg USING (SELECT 1 AS k) s ON mg.k = s.k " +
+        "WHEN MATCHED THEN INSERT (k) VALUES (s.k)") }
+    intercept[IllegalArgumentException] { db2.execute(
+      "MERGE INTO mg USING (SELECT 1 AS k) s ON mg.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET nosuch = 1") }
+    intercept[IllegalArgumentException] { db2.execute(
+      "MERGE INTO nosuch_table USING (SELECT 1 AS k) s ON 1 = 1 " +
+        "WHEN MATCHED THEN DELETE") }
+    // INSERT * needs every target column in the source
+    intercept[IllegalArgumentException] { db2.execute(
+      "MERGE INTO mg USING (SELECT 77 AS k) s ON mg.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT *").collect() }
+  }
+
   test("vacuum rolls back a crashed COW delete: promoted files un-promoted, originals restored") {
     import spark.implicits._
     val db2 = scratchDb()

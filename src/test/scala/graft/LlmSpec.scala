@@ -1502,8 +1502,10 @@ class LlmSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l =>
       l.contains("PartitionFilters") && l.contains("list_id")),
       s"code scan must partition-prune on list_id:\n$plan")
-    // the persisted artifact holds codes only — no raw vectors
-    val out = graft.Scratch.root(TestSpark.Sf, "e90_ivfpq")
+    // the persisted artifact holds codes only — no raw vectors (e90
+    // serves straight from the shared pristine root since the r15
+    // clone refactor; the name is pinned by buildIvfPqIndex's caller)
+    val out = graft.Scratch.root(TestSpark.Sf, "ivfpq_pristine_index")
     val cols = spark.read.parquet(out).columns.toSet
     assert(cols == Set("vec_id", "list_id", "code0", "code1", "code2", "code3"),
       s"IVFADC index stores codes, not vectors: $cols")
