@@ -331,6 +331,58 @@ class Database(val spark: SparkSession, val root: String,
         (a.substring(0, i).trim, a.substring(i + 1).trim)
       }
       rowcount(table(tbl).updateWhere(sets, Option(where)))
+    // Warehouse DDL through the raw-SQL surface (c37): the reference's
+    // backends ran DDL natively through db.execute — here CREATE TABLE
+    // AS / typed CREATE TABLE / DROP TABLE / CREATE VIEW / DROP VIEW
+    // bind to the warehouse façade (db.tables, the pathOf layout,
+    // sidecar cleanup), NOT Spark's session catalog: before these arms
+    // a CTAS through execute landed in the spark-warehouse dir where
+    // db.tables could never see it.
+    case Database.CtasRe(orReplace, ifNotExists, tbl, sel) =>
+      val exists = tables.exists(_.equalsIgnoreCase(tbl))
+      if (exists && ifNotExists != null) rowcount(0L)
+      else if (exists && orReplace == null)
+        throw new IllegalArgumentException(s"CREATE TABLE $tbl: table " +
+          "exists (use OR REPLACE or IF NOT EXISTS)")
+      else {
+        ensureRegistered(referencedRelations(sel))
+        val rows = executeWithSkipping(sel)
+        val n = rows.count()
+        // the staged swap makes a self-referencing OR REPLACE safe
+        // (SELECT from the table being replaced reads the originals)
+        if (exists) replaceTable(tbl, rows) else store(rows, tbl, "overwrite")
+        rowcount(n)
+      }
+    case Database.CreateTableColsRe(ifNotExists, tbl, colsDdl) =>
+      val exists = tables.exists(_.equalsIgnoreCase(tbl))
+      if (exists && ifNotExists != null) rowcount(0L)
+      else if (exists)
+        throw new IllegalArgumentException(s"CREATE TABLE $tbl: table " +
+          "exists (use IF NOT EXISTS)")
+      else {
+        val schema = StructType.fromDDL(colsDdl) // "a BIGINT, b STRING", …
+        store(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+          tbl, "overwrite")
+        rowcount(0L)
+      }
+    case Database.DropTableRe(ifExists, tbl) =>
+      val t = tables.find(_.equalsIgnoreCase(tbl))
+      if (t.isEmpty && ifExists == null)
+        throw new IllegalArgumentException(s"DROP TABLE $tbl: no such table")
+      t.foreach(dropTable)
+      rowcount(0L)
+    case Database.CreateViewRe(orReplace, v, sel) =>
+      if (orReplace == null && spark.catalog.tableExists(v))
+        throw new IllegalArgumentException(
+          s"CREATE VIEW $v: view exists (use OR REPLACE)")
+      createView(v, sel)
+      rowcount(0L)
+    case Database.DropViewRe(ifExists, v) =>
+      if (ifExists == null && !spark.catalog.tableExists(v))
+        throw new IllegalArgumentException(s"DROP VIEW $v: no such view")
+      dropView(v)
+      rowcount(0L)
     // MERGE INTO (c36): the fourth row-level DML — Spark has no MERGE
     // over plain parquet, so the statement routes through the same
     // file-granular copy-on-write swap as DELETE/UPDATE (the Delta
@@ -1705,6 +1757,28 @@ object Database {
     */
   private val InsertRe =
     """(?is)INSERT\s+INTO\s+([A-Za-z0-9_.]+)\s*(?:\(([^)]*)\)\s*)?((?:VALUES|SELECT)\b.+?)\s*;?\s*""".r
+
+  // ---- warehouse DDL statements (c37) --------------------------------------
+
+  /** `CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t AS SELECT …` */
+  private val CtasRe =
+    """(?is)CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z0-9_.]+)\s+AS\s+(SELECT\b.+?)\s*;?\s*""".r
+
+  /** `CREATE TABLE [IF NOT EXISTS] t (a BIGINT, b STRING, …)` — the
+    * column list is Spark DDL, parsed by `StructType.fromDDL` (nested
+    * types, DECIMAL(p,s) etc. come for free).
+    */
+  private val CreateTableColsRe =
+    """(?is)CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z0-9_.]+)\s*\((.+)\)\s*;?\s*""".r
+
+  private val DropTableRe =
+    """(?is)DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z0-9_.]+)\s*;?\s*""".r
+
+  private val CreateViewRe =
+    """(?is)CREATE\s+(?:(OR\s+REPLACE)\s+)?VIEW\s+([A-Za-z0-9_]+)\s+AS\s+(SELECT\b.+?)\s*;?\s*""".r
+
+  private val DropViewRe =
+    """(?is)DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z0-9_]+)\s*;?\s*""".r
 
   // ---- MERGE INTO (c36) — statement grammar -------------------------------
 

@@ -563,11 +563,24 @@ class Table(val db: Database, val qualified: String) {
     keyPair match {
       case Some((t, sc)) if isIntegral(schema(t).dataType) &&
           isIntegral(source.schema(sc).dataType) =>
-        val r = source.agg(min(col(sc)).cast("long"),
-          max(col(sc)).cast("long")).collect()(0)
-        if (r.isNullAt(0)) Nil // no non-null source keys — nothing matches
+        // a small key set prunes PER-POINT (the IN-list DNF from c31):
+        // a CDC batch of scattered keys would make a [min,max] envelope
+        // span the whole table, but each point still only hits the
+        // files whose band contains it. Larger sets fall back to the
+        // envelope (an O(keys)-term predicate stops paying for itself).
+        val sample = source.select(col(sc).cast("long").as("k"))
+          .na.drop().distinct()
+          .limit(Table.MergeInKeyMax + 1).collect().map(_.getLong(0))
+        if (sample.isEmpty) Nil // no non-null source keys — nothing matches
         else {
-          val where = s"$t >= ${r.getLong(0)} AND $t <= ${r.getLong(1)}"
+          val where =
+            if (sample.length <= Table.MergeInKeyMax)
+              s"$t IN (${sample.sorted.mkString(", ")})"
+            else {
+              val r = source.agg(min(col(sc)).cast("long"),
+                max(col(sc)).cast("long")).collect()(0)
+              s"$t >= ${r.getLong(0)} AND $t <= ${r.getLong(1)}"
+            }
           dnfHitMap(Table.pruneDnf(db.spark, where)) match {
             case Some(m) => allFiles.filter { case (abs, _) =>
               m.getOrElse(normFileUri(abs), true) }
@@ -1644,6 +1657,13 @@ class Table(val db: Database, val qualified: String) {
 
 object Table {
   val GeomNames = Set("wkt", "geom", "geometry", "shape")
+
+  /** [[Table.mergeCandidateFiles]] switches from per-point IN-list
+    * pruning to the [min,max] envelope above this many distinct source
+    * keys — bounds both the driver-side collect and the band-check
+    * predicate's term count.
+    */
+  val MergeInKeyMax = 256
 
   /** The full coarse-type lattice (ref FIELD_TYPE_MAP values across both
     * backends: num/text/date/geom + the catalog-only name/nclob).

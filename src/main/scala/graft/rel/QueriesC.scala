@@ -1189,6 +1189,84 @@ object QueriesC {
         .withColumn("n_affected_nomatch", lit(rc0))
     }),
 
+    // c37: warehouse DDL through the raw-SQL surface — the reference's
+    // users ran CREATE TABLE AS / CREATE TABLE (typed) / DROP TABLE /
+    // CREATE VIEW / DROP VIEW straight through db.execute (its backends
+    // were live databases). Before this arm, a CTAS through execute
+    // landed in Spark's session catalog where db.tables could never see
+    // it; now all five bind to the warehouse façade: CTAS stores under
+    // pathOf (self-referencing OR REPLACE reads the originals through
+    // the staged swap), typed CREATE parses Spark DDL, DROP removes the
+    // dir AND its sidecars, views are session-scoped like the API's.
+    // Engine asserts existence/IF EXISTS/OR REPLACE semantics and the
+    // physical dir lifecycle; DuckDB replays the surviving content.
+    "c37_sql_ddl" -> ((s, dir) => {
+      val db = scratch(s)
+      val nation = t(s, dir, "nation")
+      nation.write.mode("overwrite").parquet(db.pathOf("c37_nation"))
+      // idempotence: clear any prior run's artifacts through the same
+      // SQL surface under test
+      db.execute("DROP TABLE IF EXISTS c37_big").collect(): Unit
+      db.execute("DROP TABLE IF EXISTS c37_typed").collect(): Unit
+      db.execute("DROP VIEW IF EXISTS c37_v").collect(): Unit
+      // CTAS lands in the warehouse, visible to db.tables, rowcount = n
+      val n1 = db.execute("CREATE TABLE c37_big AS SELECT n_nationkey, " +
+        "n_name FROM c37_nation WHERE n_nationkey >= 10")
+        .collect()(0).getLong(0)
+      assert(db.tables.contains("c37_big"), "CTAS must land in the warehouse")
+      assert(new java.io.File(db.pathOf("c37_big")).isDirectory,
+        "CTAS must write the pathOf layout")
+      assert(n1 > 0L, "CTAS rowcount")
+      // plain CREATE on an existing table errors; IF NOT EXISTS no-ops
+      assert(scala.util.Try(db.execute(
+        "CREATE TABLE c37_big AS SELECT 1 AS x")).isFailure,
+        "CREATE TABLE on an existing table must refuse")
+      assert(db.execute("CREATE TABLE IF NOT EXISTS c37_big " +
+        "AS SELECT 1 AS x").collect()(0).getLong(0) == 0L)
+      assert(db.table("c37_big").df.columns.contains("n_name"),
+        "IF NOT EXISTS must leave the existing table untouched")
+      // self-referencing OR REPLACE: reads originals via the staged swap
+      db.execute("CREATE OR REPLACE TABLE c37_big AS " +
+        "SELECT n_nationkey + 100 AS n_nationkey, n_name FROM c37_big")
+        .collect(): Unit
+      // typed CREATE TABLE (Spark DDL columns) + INSERT INTO through SQL
+      db.execute(
+        "CREATE TABLE c37_typed (k BIGINT, label STRING, price DECIMAL(10,2))")
+        .collect(): Unit
+      assert(db.tables.contains("c37_typed"))
+      db.execute("INSERT INTO c37_typed VALUES (1, 'a', 1.50), " +
+        "(2, 'b', 2.25)").collect(): Unit
+      // CREATE VIEW through SQL, select through it
+      db.execute("CREATE VIEW c37_v AS SELECT label, price FROM c37_typed " +
+        "WHERE k = 2").collect(): Unit
+      val p2 = db.execute("SELECT * FROM c37_v")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("price") * 100)).cast("long").as("v"))
+        .withColumn("phase", lit("typed_view"))
+      val p2rows = p2.collect() // materialize BEFORE the drops below
+      // DROP TABLE removes the dir (and sidecars); DROP VIEW the view;
+      // a bare DROP of a missing object refuses, IF EXISTS no-ops
+      db.execute("DROP TABLE c37_typed").collect(): Unit
+      assert(!db.tables.contains("c37_typed"))
+      assert(!new java.io.File(db.pathOf("c37_typed")).exists())
+      assert(scala.util.Try(db.execute("DROP TABLE c37_typed")).isFailure)
+      db.execute("DROP VIEW c37_v").collect(): Unit
+      assert(scala.util.Try(db.execute("DROP VIEW c37_v")).isFailure)
+      db.execute("DROP VIEW IF EXISTS c37_v").collect(): Unit
+      val nC37 = db.tables.count(_.startsWith("c37_"))
+      val p1 = db.table("c37_big").df
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("n_nationkey")).cast("long").as("v"))
+        .withColumn("phase", lit("ctas"))
+      val p3 = p1.sparkSession.range(1)
+        .select(lit(nC37.toLong).as("n"), lit(0L).as("v"),
+          lit("post_drop").as("phase"))
+      p1.unionByName(p1.sparkSession.createDataFrame(
+          java.util.Arrays.asList(p2rows: _*), p2.schema))
+        .unionByName(p3)
+        .select("phase", "n", "v").orderBy("phase")
+    }),
+
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
     // bad append lands, restore(v1) rolls the table back to the pinned
     // manifest via the staged atomic swap, and the read-back equals the
@@ -1505,6 +1583,15 @@ object QueriesC {
         "(SELECT count(*) FROM orders " +
         "WHERE o_orderkey BETWEEN 300 AND 500) AS n_updated " +
         "FROM orders WHERE o_orderkey <= 1200"),
+    "c37_sql_ddl" ->
+      ("SELECT * FROM (" +
+        "SELECT 'ctas' AS phase, count(*) AS n, " +
+        "CAST(sum(n_nationkey + 100) AS BIGINT) AS v " +
+        "FROM nation WHERE n_nationkey >= 10 " +
+        "UNION ALL SELECT 'typed_view', CAST(1 AS BIGINT), " +
+        "CAST(225 AS BIGINT) " +
+        "UNION ALL SELECT 'post_drop', CAST(2 AS BIGINT), CAST(0 AS BIGINT)" +
+        ") ORDER BY phase"),
     "c36_sql_merge" ->
       ("WITH fin AS (" +
         "SELECT o_orderkey AS k, " +

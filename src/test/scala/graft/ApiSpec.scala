@@ -1860,6 +1860,86 @@ class ApiSpec extends AnyFunSuite {
         "WHEN NOT MATCHED THEN INSERT *").collect() }
   }
 
+  test("MERGE INTO: sparse gap keys touch nothing; a point key rewrites only its file") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    // two band-disjoint files with a gap between them
+    (1L to 100L).map(k => (k, 0.0)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(db2.pathOf("mp"))
+    (201L to 300L).map(k => (k, 0.0)).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(db2.pathOf("mp"))
+    val tbl = db2.table("mp")
+    tbl.analyzeStats(Seq("k")): Unit
+    def files(): Map[String, Long] =
+      new java.io.File(tbl.path).listFiles().toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(f => f.getName -> f.length()).toMap
+    val before = files()
+    assert(before.size == 2)
+    // keys 150/350 sit inside the [min,max] envelope but in band gaps:
+    // the per-point IN pruning proves no match without reading data
+    val rc0 = db2.execute("MERGE INTO mp USING (SELECT 150 AS k UNION ALL " +
+      "SELECT 350) s ON mp.k = s.k WHEN MATCHED THEN UPDATE SET v = 1")
+      .collect()(0).getLong(0)
+    assert(rc0 == 0L && files() == before,
+      "gap keys must not touch any file")
+    // one point key in the second file's band: only that file rewrites
+    val rc = db2.execute("MERGE INTO mp USING (SELECT 250 AS k) s " +
+      "ON mp.k = s.k WHEN MATCHED THEN UPDATE SET v = 1")
+      .collect()(0).getLong(0)
+    assert(rc == 1L)
+    val after = files()
+    val survivors = before.keySet.intersect(after.keySet)
+    assert(survivors.size == 1 &&
+      survivors.forall(f => before(f) == after(f)),
+      s"exactly the un-hit file survives by reference: $before -> $after")
+    assert(tbl.df.filter(col("v") === 1.0).count() == 1L)
+  }
+
+  test("SQL DDL binds to the warehouse: CTAS, typed CREATE, DROP cleans sidecars") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 30L).map(k => (k, s"n$k")).toDF("k", "nm").coalesce(1)
+      .write.mode("overwrite").parquet(db2.pathOf("dsrc"))
+    // CTAS visible to db.tables; rowcount = rows stored
+    assert(db2.execute("CREATE TABLE dt AS SELECT * FROM dsrc WHERE k <= 10")
+      .collect()(0).getLong(0) == 10L)
+    assert(db2.tables.contains("dt"))
+    assert(db2.table("dt").count == 10L)
+    // typed CREATE parses Spark DDL incl. DECIMAL(p,s); nested commas ok
+    db2.execute("CREATE TABLE dty (a BIGINT, b DECIMAL(10,2), " +
+      "c ARRAY<STRING>)").collect(): Unit
+    val sch = db2.table("dty").df.schema
+    assert(sch("b").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2), s"got $sch")
+    assert(db2.table("dty").count == 0L)
+    // IF NOT EXISTS no-ops on the typed form too
+    db2.execute("CREATE TABLE IF NOT EXISTS dty (x INT)").collect(): Unit
+    assert(db2.table("dty").df.columns.toSeq == Seq("a", "b", "c"))
+    // DROP TABLE kills the stats sidecar with the table: a fresh table
+    // reusing the name must not inherit stale skipping metadata
+    db2.table("dt").analyzeStats(Seq("k")): Unit
+    assert(new java.io.File(db2.pathOf("dt") + ".stats").exists())
+    db2.execute("DROP TABLE dt").collect(): Unit
+    assert(!new java.io.File(db2.pathOf("dt") + ".stats").exists(),
+      "DROP TABLE must remove the stats sidecar")
+    assert(!db2.tables.contains("dt"))
+    // views: CREATE errors on existing without OR REPLACE, OR REPLACE
+    // swaps, DROP VIEW IF EXISTS no-ops
+    db2.execute("CREATE VIEW dv AS SELECT k FROM dsrc WHERE k = 1")
+      .collect(): Unit
+    intercept[IllegalArgumentException] { db2.execute(
+      "CREATE VIEW dv AS SELECT k FROM dsrc") }
+    db2.execute("CREATE OR REPLACE VIEW dv AS SELECT k FROM dsrc " +
+      "WHERE k <= 3").collect(): Unit
+    assert(db2.execute("SELECT count(*) AS n FROM dv")
+      .collect()(0).getLong(0) == 3L)
+    db2.execute("DROP VIEW dv").collect(): Unit
+    db2.execute("DROP VIEW IF EXISTS dv").collect(): Unit
+    intercept[IllegalArgumentException] { db2.execute("DROP VIEW dv") }
+  }
+
   test("vacuum rolls back a crashed COW delete: promoted files un-promoted, originals restored") {
     import spark.implicits._
     val db2 = scratchDb()
