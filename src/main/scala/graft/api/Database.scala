@@ -194,8 +194,9 @@ class Database(val spark: SparkSession, val root: String,
     * Table.write/delete).
     */
   def store(df: org.apache.spark.sql.DataFrame, name: String,
-      mode: String, chunkSize: Int = 0): Unit = {
-    storeAt(df, pathOf(name), mode, chunkSize)
+      mode: String, chunkSize: Int = 0,
+      partitionBy: Seq[String] = Nil): Unit = {
+    storeAt(df, pathOf(name), mode, chunkSize, partitionBy)
     markDirty()
   }
 

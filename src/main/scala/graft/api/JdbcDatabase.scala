@@ -106,7 +106,9 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
     }
 
   override def store(df: DataFrame, name: String, mode: String,
-      chunkSize: Int = 0): Unit = {
+      chunkSize: Int = 0, partitionBy: Seq[String] = Nil): Unit = {
+    require(partitionBy.isEmpty,
+      "JDBC tables have no directory partitioning") // file-layout concept
     geomFor(name) match {
       case Some((gcol, srid)) if df.columns.exists(_.equalsIgnoreCase(gcol)) =>
         // geometry write: bulk-load the WKT rows to a stage table

@@ -242,7 +242,15 @@ class Table(val db: Database, val qualified: String) {
     val hasStats = hasStatsSidecar
     val before: Set[String] =
       if (hasStats) currentDataFiles().map(_._1).toSet else Set.empty
-    db.store(aligned, qualified, "append", chunkSize)
+    // appends into a hive-partitioned table must land under the
+    // partition dirs — a flat file at the root would break partition
+    // discovery for every subsequent read. Nil for flat tables (the
+    // historical path, unchanged) and for backends where the path is
+    // not a listable directory (JDBC: no directory layout to preserve).
+    val partCols =
+      try Database.partitionColsOf(path)
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    db.store(aligned, qualified, "append", chunkSize, partitionBy = partCols)
     if (hasStats)
       extendStats(currentDataFiles().map(_._1).filterNot(before))
   }

@@ -1897,6 +1897,34 @@ class ApiSpec extends AnyFunSuite {
     assert(tbl.df.filter(col("v") === 1.0).count() == 1L)
   }
 
+  test("appends into a hive-partitioned table keep the partition layout (write / INSERT / MERGE insert)") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 40L).map(k => (k, k % 4)).toDF("k", "g")
+      .write.partitionBy("g").mode("overwrite").parquet(db2.pathOf("pa"))
+    val tbl = db2.table("pa")
+    def rootFlatFiles(): Seq[String] =
+      new java.io.File(tbl.path).listFiles().toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).map(_.getName)
+    // Table.write append
+    tbl.write(Seq((100L, 1L)).toDF("k", "g"))
+    // SQL INSERT INTO
+    db2.execute("INSERT INTO pa VALUES (101, 2)").collect(): Unit
+    // MERGE insert arm
+    db2.execute("MERGE INTO pa USING (SELECT CAST(102 AS BIGINT) AS k, " +
+      "CAST(3 AS BIGINT) AS g) s ON pa.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT *").collect(): Unit
+    assert(rootFlatFiles().isEmpty,
+      s"appends must land under g= dirs, found flat: ${rootFlatFiles()}")
+    assert(tbl.count == 43L)
+    assert(tbl.df.filter(col("k") >= 100L)
+      .select(col("k"), col("g").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((100L, 1L), (101L, 2L), (102L, 3L)),
+      "appended rows read back with their partition values")
+  }
+
   test("SQL DDL binds to the warehouse: CTAS, typed CREATE, DROP cleans sidecars") {
     import spark.implicits._
     val db2 = scratchDb()
