@@ -339,8 +339,10 @@ class Database(val spark: SparkSession, val root: String,
     // sidecar cleanup), NOT Spark's session catalog: before these arms
     // a CTAS through execute landed in the spark-warehouse dir where
     // db.tables could never see it.
-    case Database.CtasRe(orReplace, ifNotExists, tbl, sel) =>
+    case Database.CtasRe(orReplace, ifNotExists, tbl, partCols, sel) =>
       val exists = tables.exists(_.equalsIgnoreCase(tbl))
+      val pcols = Option(partCols).map(_.split(",").map(_.trim).toSeq
+        .filter(_.nonEmpty)).getOrElse(Nil)
       if (exists && ifNotExists != null) rowcount(0L)
       else if (exists && orReplace == null)
         throw new IllegalArgumentException(s"CREATE TABLE $tbl: table " +
@@ -351,9 +353,30 @@ class Database(val spark: SparkSession, val root: String,
         val n = rows.count()
         // the staged swap makes a self-referencing OR REPLACE safe
         // (SELECT from the table being replaced reads the originals)
-        if (exists) replaceTable(tbl, rows) else store(rows, tbl, "overwrite")
+        if (exists) replaceAt(pathOf(tbl), rows, pcols)
+        else store(rows, tbl, "overwrite", partitionBy = pcols)
+        markDirty()
         rowcount(n)
       }
+    // INSERT OVERWRITE: whole-content replace with the target's schema
+    // kept (the INSERT INTO alignment rules), atomic via the staged
+    // swap — a self-referencing SELECT reads the originals
+    case Database.InsertOverwriteRe(tbl, body) =>
+      val tname = tables.find(_.equalsIgnoreCase(tbl)).getOrElse(
+        throw new IllegalArgumentException(
+          s"INSERT OVERWRITE $tbl: unknown table"))
+      ensureRegistered(referencedRelations(body))
+      val rows0 = spark.sql(body)
+      val target = load(tname).schema
+      require(rows0.columns.length == target.fields.length,
+        s"INSERT OVERWRITE $tname: ${rows0.columns.length} values for " +
+          s"${target.fields.length} columns")
+      val rows = rows0.toDF(target.fieldNames.toSeq: _*)
+        .select(target.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+      val n = rows.count()
+      replaceTable(tname, rows)
+      rowcount(n)
     case Database.CreateTableColsRe(ifNotExists, tbl, colsDdl) =>
       val exists = tables.exists(_.equalsIgnoreCase(tbl))
       if (exists && ifNotExists != null) rowcount(0L)
@@ -1761,9 +1784,18 @@ object Database {
 
   // ---- warehouse DDL statements (c37) --------------------------------------
 
-  /** `CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t AS SELECT …` */
+  /** `CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t [PARTITIONED BY
+    * (c1, …)] AS SELECT …`
+    */
   private val CtasRe =
-    """(?is)CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z0-9_.]+)\s+AS\s+(SELECT\b.+?)\s*;?\s*""".r
+    """(?is)CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z0-9_.]+)\s+(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s+)?AS\s+(SELECT\b.+?)\s*;?\s*""".r
+
+  /** `INSERT OVERWRITE [TABLE] t SELECT …|VALUES …` — whole-content
+    * replace through the staged swap (reads of the replaced table see
+    * the originals until the swap commits).
+    */
+  private val InsertOverwriteRe =
+    """(?is)INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([A-Za-z0-9_.]+)\s+((?:SELECT|VALUES)\b.+?)\s*;?\s*""".r
 
   /** `CREATE TABLE [IF NOT EXISTS] t (a BIGINT, b STRING, …)` — the
     * column list is Spark DDL, parsed by `StructType.fromDDL` (nested

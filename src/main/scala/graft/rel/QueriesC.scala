@@ -1208,6 +1208,8 @@ object QueriesC {
       // SQL surface under test
       db.execute("DROP TABLE IF EXISTS c37_big").collect(): Unit
       db.execute("DROP TABLE IF EXISTS c37_typed").collect(): Unit
+      db.execute("DROP TABLE IF EXISTS c37_ow").collect(): Unit
+      db.execute("DROP TABLE IF EXISTS c37_part").collect(): Unit
       db.execute("DROP VIEW IF EXISTS c37_v").collect(): Unit
       // CTAS lands in the warehouse, visible to db.tables, rowcount = n
       val n1 = db.execute("CREATE TABLE c37_big AS SELECT n_nationkey, " +
@@ -1244,6 +1246,21 @@ object QueriesC {
           sum((col("price") * 100)).cast("long").as("v"))
         .withColumn("phase", lit("typed_view"))
       val p2rows = p2.collect() // materialize BEFORE the drops below
+      // INSERT OVERWRITE: whole-content replace, schema kept, rowcount
+      db.execute("CREATE TABLE c37_ow AS SELECT n_nationkey FROM " +
+        "c37_nation").collect(): Unit
+      val rcOw = db.execute("INSERT OVERWRITE c37_ow " +
+        "SELECT n_nationkey + 1000 FROM c37_nation WHERE n_nationkey < 5")
+        .collect()(0).getLong(0)
+      assert(rcOw == 5L, s"overwrite rowcount: $rcOw")
+      // partitioned CTAS: hive layout from the PARTITIONED BY clause
+      db.execute("CREATE TABLE c37_part PARTITIONED BY (n_regionkey) AS " +
+        "SELECT n_nationkey, n_regionkey FROM c37_nation").collect(): Unit
+      assert(new java.io.File(db.pathOf("c37_part")).listFiles().exists(f =>
+        f.isDirectory && f.getName.startsWith("n_regionkey=")),
+        "PARTITIONED BY must produce the hive layout")
+      assert(db.table("c37_part").count == nation.count())
+      db.execute("DROP TABLE c37_part").collect(): Unit
       // DROP TABLE removes the dir (and sidecars); DROP VIEW the view;
       // a bare DROP of a missing object refuses, IF EXISTS no-ops
       db.execute("DROP TABLE c37_typed").collect(): Unit
@@ -1261,9 +1278,13 @@ object QueriesC {
       val p3 = p1.sparkSession.range(1)
         .select(lit(nC37.toLong).as("n"), lit(0L).as("v"),
           lit("post_drop").as("phase"))
+      val p4 = db.table("c37_ow").df
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("n_nationkey")).cast("long").as("v"))
+        .withColumn("phase", lit("overwrite"))
       p1.unionByName(p1.sparkSession.createDataFrame(
           java.util.Arrays.asList(p2rows: _*), p2.schema))
-        .unionByName(p3)
+        .unionByName(p3).unionByName(p4)
         .select("phase", "n", "v").orderBy("phase")
     }),
 
@@ -1590,7 +1611,10 @@ object QueriesC {
         "FROM nation WHERE n_nationkey >= 10 " +
         "UNION ALL SELECT 'typed_view', CAST(1 AS BIGINT), " +
         "CAST(225 AS BIGINT) " +
-        "UNION ALL SELECT 'post_drop', CAST(2 AS BIGINT), CAST(0 AS BIGINT)" +
+        "UNION ALL SELECT 'post_drop', CAST(3 AS BIGINT), CAST(0 AS BIGINT) " +
+        "UNION ALL SELECT 'overwrite', count(*), " +
+        "CAST(sum(n_nationkey + 1000) AS BIGINT) " +
+        "FROM nation WHERE n_nationkey < 5" +
         ") ORDER BY phase"),
     "c36_sql_merge" ->
       ("WITH fin AS (" +

@@ -1930,6 +1930,10 @@ class ApiSpec extends AnyFunSuite {
     val db2 = scratchDb()
     (1L to 30L).map(k => (k, s"n$k")).toDF("k", "nm").coalesce(1)
       .write.mode("overwrite").parquet(db2.pathOf("dsrc"))
+    // idempotence across JVM runs: the scratch dir persists
+    db2.execute("DROP TABLE IF EXISTS dt").collect(): Unit
+    db2.execute("DROP TABLE IF EXISTS dty").collect(): Unit
+    db2.execute("DROP VIEW IF EXISTS dv").collect(): Unit
     // CTAS visible to db.tables; rowcount = rows stored
     assert(db2.execute("CREATE TABLE dt AS SELECT * FROM dsrc WHERE k <= 10")
       .collect()(0).getLong(0) == 10L)
@@ -1966,6 +1970,21 @@ class ApiSpec extends AnyFunSuite {
     db2.execute("DROP VIEW dv").collect(): Unit
     db2.execute("DROP VIEW IF EXISTS dv").collect(): Unit
     intercept[IllegalArgumentException] { db2.execute("DROP VIEW dv") }
+    // INSERT OVERWRITE: whole-content replace, schema kept, VALUES form
+    // works, arity mismatch refuses, self-referencing SELECT reads the
+    // originals through the staged swap
+    assert(db2.execute("INSERT OVERWRITE dsrc SELECT k + 100, nm " +
+      "FROM dsrc WHERE k <= 3").collect()(0).getLong(0) == 3L)
+    assert(db2.table("dsrc").count == 3L)
+    assert(db2.table("dsrc").df.agg(sum(col("k"))).collect()(0)
+      .getLong(0) == 101L + 102L + 103L)
+    assert(db2.execute("INSERT OVERWRITE TABLE dsrc VALUES (1, 'one')")
+      .collect()(0).getLong(0) == 1L)
+    assert(db2.table("dsrc").count == 1L)
+    intercept[IllegalArgumentException] { db2.execute(
+      "INSERT OVERWRITE dsrc SELECT 1") }
+    intercept[IllegalArgumentException] { db2.execute(
+      "INSERT OVERWRITE nosuch SELECT 1, 'x'") }
   }
 
   test("vacuum rolls back a crashed COW delete: promoted files un-promoted, originals restored") {
