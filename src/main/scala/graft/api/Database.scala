@@ -349,14 +349,19 @@ class Database(val spark: SparkSession, val root: String,
           "exists (use OR REPLACE or IF NOT EXISTS)")
       else {
         ensureRegistered(referencedRelations(sel))
-        val rows = executeWithSkipping(sel)
-        val n = rows.count()
-        // the staged swap makes a self-referencing OR REPLACE safe
-        // (SELECT from the table being replaced reads the originals)
-        if (exists) replaceAt(pathOf(tbl), rows, pcols)
-        else store(rows, tbl, "overwrite", partitionBy = pcols)
-        markDirty()
-        rowcount(n)
+        // persisted so the reported rowcount and the stored content come
+        // from ONE execution — a non-deterministic SELECT (rand(), a
+        // concurrently-modified source) must not disagree with itself
+        val rows = executeWithSkipping(sel).persist()
+        try {
+          val n = rows.count()
+          // the staged swap makes a self-referencing OR REPLACE safe
+          // (SELECT from the table being replaced reads the originals)
+          if (exists) replaceAt(pathOf(tbl), rows, pcols)
+          else store(rows, tbl, "overwrite", partitionBy = pcols)
+          markDirty()
+          rowcount(n)
+        } finally { rows.unpersist(); () }
       }
     // INSERT OVERWRITE: whole-content replace with the target's schema
     // kept (the INSERT INTO alignment rules), atomic via the staged
@@ -366,7 +371,10 @@ class Database(val spark: SparkSession, val root: String,
         throw new IllegalArgumentException(
           s"INSERT OVERWRITE $tbl: unknown table"))
       ensureRegistered(referencedRelations(body))
-      val rows0 = spark.sql(body)
+      // the body's SELECT rides the same sidecar skipping as the CTAS
+      // arm (a range-WHERE source prunes its scan), and persists so the
+      // rowcount and the stored content come from one execution
+      val rows0 = executeWithSkipping(body)
       val target = load(tname).schema
       require(rows0.columns.length == target.fields.length,
         s"INSERT OVERWRITE $tname: ${rows0.columns.length} values for " +
@@ -374,9 +382,12 @@ class Database(val spark: SparkSession, val root: String,
       val rows = rows0.toDF(target.fieldNames.toSeq: _*)
         .select(target.fields.toSeq.map(f =>
           col(f.name).cast(f.dataType).as(f.name)): _*)
-      val n = rows.count()
-      replaceTable(tname, rows)
-      rowcount(n)
+        .persist()
+      try {
+        val n = rows.count()
+        replaceTable(tname, rows)
+        rowcount(n)
+      } finally { rows.unpersist(); () }
     case Database.CreateTableColsRe(ifNotExists, tbl, colsDdl) =>
       val exists = tables.exists(_.equalsIgnoreCase(tbl))
       if (exists && ifNotExists != null) rowcount(0L)
@@ -390,6 +401,17 @@ class Database(val spark: SparkSession, val root: String,
           tbl, "overwrite")
         rowcount(0L)
       }
+    // any OTHER CREATE TABLE shape — typed CTAS `(cols) AS SELECT …`,
+    // `USING parquet AS SELECT …`, `CREATE OR REPLACE TABLE t (cols)`,
+    // … — fails loudly: the plain-spark.sql fallthrough would land it
+    // in Spark's session catalog, invisible to db.tables — exactly the
+    // divergence the c37 arms close (MERGE takes the same stance).
+    case m @ Database.CreateTableGuardRe() =>
+      throw new IllegalArgumentException(
+        "CREATE TABLE: unsupported statement shape for the warehouse " +
+          "surface (supported: CTAS with optional OR REPLACE / IF NOT " +
+          "EXISTS / PARTITIONED BY, and typed CREATE TABLE [IF NOT " +
+          s"EXISTS] t (cols)); got: ${m.take(120)}")
     case Database.DropTableRe(ifExists, tbl) =>
       val t = tables.find(_.equalsIgnoreCase(tbl))
       if (t.isEmpty && ifExists == null)
@@ -1803,6 +1825,13 @@ object Database {
     */
   private val CreateTableColsRe =
     """(?is)CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z0-9_.]+)\s*\((.+)\)\s*;?\s*""".r
+
+  /** Catch-all for CREATE TABLE shapes the two supported arms miss —
+    * matched AFTER them so unrecognized variants refuse instead of
+    * falling through to Spark's session catalog.
+    */
+  private[api] val CreateTableGuardRe =
+    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\b.*""".r
 
   private val DropTableRe =
     """(?is)DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z0-9_.]+)\s*;?\s*""".r

@@ -541,6 +541,14 @@ class Table(val db: Database, val qualified: String) {
       tgtAlias: String, cond: String, allFiles: Seq[(String, String)])
       : Seq[(String, String)] = {
     if (!hasStatsSidecar) return allFiles
+    // a top-level OR makes NO single conjunct necessary: for
+    // `t.k = s.k AND t.a = 1 OR s.force = 1` a row can match through
+    // the right branch with t.k != s.k, so pruning on the equi-key
+    // would drop files holding genuine matches (and the NOT MATCHED
+    // anti-join, reading only the incomplete touched set, would then
+    // re-insert already-matching source rows). Bands only ever prune
+    // on a necessary conjunct — bail to the unpruned scan.
+    if (Database.topLevelKeyword(cond, "OR") >= 0) return allFiles
     val schema = df.schema
     def isIntegral(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType => true

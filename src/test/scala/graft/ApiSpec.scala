@@ -1897,6 +1897,56 @@ class ApiSpec extends AnyFunSuite {
     assert(tbl.df.filter(col("v") === 1.0).count() == 1L)
   }
 
+  test("MERGE INTO: a top-level OR in ON disables band pruning (rows matching only through the other branch still update)") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    // two band-disjoint files; the OR's right branch matches into the
+    // second file even though the equi-key points at the first — band
+    // pruning on `mp2.k = s.k` alone would silently skip that match
+    (1L to 100L).map(k => (k, 0.0)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(db2.pathOf("mp2"))
+    (201L to 300L).map(k => (k, 0.0)).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(db2.pathOf("mp2"))
+    val tbl = db2.table("mp2")
+    tbl.analyzeStats(Seq("k")): Unit
+    val rc = db2.execute("MERGE INTO mp2 USING (SELECT 50 AS k, " +
+      "250 AS alt) s ON mp2.k = s.k OR mp2.k = s.alt " +
+      "WHEN MATCHED THEN UPDATE SET v = 1")
+      .collect()(0).getLong(0)
+    assert(rc == 2L, s"both branches must match, got $rc")
+    assert(tbl.df.filter(col("v") === 1.0).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(50L, 250L),
+      "the OR's second branch must update the second file's row")
+    // and NOT MATCHED must not re-insert a row that matched through
+    // the OR branch band pruning would have missed
+    val rc2 = db2.execute("MERGE INTO mp2 USING (SELECT 60 AS k, " +
+      "260 AS alt) s ON mp2.k = s.k OR mp2.k = s.alt " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, 9)")
+      .collect()(0).getLong(0)
+    assert(rc2 == 0L, "a source row matching through either branch is MATCHED")
+    assert(tbl.count == 200L)
+  }
+
+  test("unsupported CREATE TABLE shapes refuse instead of leaking into the session catalog") {
+    val db2 = scratchDb()
+    // typed CTAS, USING clause, OR REPLACE with a column list: all
+    // unsupported — each must throw, and none may land in Spark's
+    // session catalog (the db.tables-invisible divergence c37 closed)
+    Seq(
+      "CREATE TABLE ctg1 (a INT) AS SELECT 1 AS a",
+      "CREATE TABLE ctg2 USING parquet AS SELECT 1 AS a",
+      "CREATE OR REPLACE TABLE ctg3 (a INT, b STRING)"
+    ).foreach { stmt =>
+      val e = intercept[IllegalArgumentException] { db2.execute(stmt) }
+      assert(e.getMessage.contains("CREATE TABLE"), s"loud refuse: $stmt")
+    }
+    Seq("ctg1", "ctg2", "ctg3").foreach { t =>
+      assert(!db2.spark.catalog.tableExists(t),
+        s"$t must not leak into the session catalog")
+      assert(!db2.tables.contains(t))
+    }
+  }
+
   test("appends into a hive-partitioned table keep the partition layout (write / INSERT / MERGE insert)") {
     import spark.implicits._
     val db2 = scratchDb()
