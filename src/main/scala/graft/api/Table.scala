@@ -386,7 +386,10 @@ class Table(val db: Database, val qualified: String) {
     * clauses in order (first applicable wins, SQL MERGE semantics); a
     * target row matching multiple source rows throws, per ANSI/Delta
     * (the update would be nondeterministic). WHEN NOT MATCHED inserts
-    * append as new files through [[write]] — untouched files survive by
+    * stage beside the rewrite and promote under the SAME swap token
+    * (one commit point for the whole statement — vacuum rolls back
+    * inserts and rewrite together); an insert-only MERGE appends
+    * through [[write]], its single effect. Untouched files survive by
     * reference either way, and both paths delta-maintain the sidecar.
     * Returns updated + deleted + inserted (the affected-row count).
     *
@@ -431,10 +434,12 @@ class Table(val db: Database, val qualified: String) {
         }
       // ORDER OF PHASES: (1) the matched-side counts + ANSI cardinality
       // check (read-only — a violation must abort before ANY effect),
-      // (2) inserts materialize and append (their anti-join reads the
-      // touched files, which the swap renames away; appended files are
-      // not in `touched`, so the explicit-list swap is unaffected),
-      // (3) the COW swap commits the matched-side rewrite.
+      // (2) inserts materialize (their anti-join reads the touched
+      // files, which the swap renames away — counted before any swap),
+      // (3) ONE commit: when a matched-side rewrite is pending, the
+      // inserts stage beside it and promote under the same swap token
+      // (crash ⇒ vacuum rolls back the whole MERGE); an insert-only
+      // MERGE appends through [[write]] — its single effect.
       var nUpdated = 0L; var nDeleted = 0L
       var pendingSwap: Option[DataFrame] = None
       if (touched.nonEmpty && matched.nonEmpty) {
@@ -482,6 +487,7 @@ class Table(val db: Database, val qualified: String) {
         }
       }
       var nInserted = 0L
+      var stagedInserts: Option[DataFrame] = None
       if (notMatched.nonEmpty) {
         // a source row matching ANY target row matches one in a touched
         // file (pass 1 found every matching pair), so the anti-join
@@ -517,12 +523,18 @@ class Table(val db: Database, val qualified: String) {
               .getOrElse(lit(null).cast(f.dataType)).as(f.name) }: _*)
         }
         val inserts = perClause.reduce(_.unionByName(_)).persist()
+        var handoff = false
         try {
           nInserted = inserts.count()
-          if (nInserted > 0) write(inserts)
-        } finally { inserts.unpersist(); () }
+          if (nInserted > 0) {
+            if (pendingSwap.isDefined) { stagedInserts = Some(inserts)
+              handoff = true }
+            else write(inserts)
+          }
+        } finally { if (!handoff) { inserts.unpersist(); () } }
       }
-      pendingSwap.foreach(cowSwapFiles(touched, _))
+      try pendingSwap.foreach(cowSwapFiles(touched, _, stagedInserts))
+      finally { stagedInserts.foreach(_.unpersist()); () }
       nUpdated + nDeleted + nInserted
     } finally { source.unpersist(); () }
   }
@@ -613,10 +625,22 @@ class Table(val db: Database, val qualified: String) {
     * on backup drop, vacuum rollback, sidecar retarget).
     */
   private def cowSwapFiles(
-      touched: Seq[(String, String)], replacement: DataFrame): Unit = {
+      touched: Seq[(String, String)], replacement: DataFrame,
+      extraAppend: Option[DataFrame] = None): Unit = {
     val stage = path + ".stage_tmp"
+    val insStage = path + ".ins.stage_tmp"
     Fs.delete(Fs.path(stage)): Unit
+    Fs.delete(Fs.path(insStage)): Unit
     db.storeAt(replacement, stage, partitionBy = Database.partitionColsOf(path))
+    // MERGE's NOT MATCHED inserts stage beside the rewrite and promote
+    // under the SAME token: the backup drop is then one commit point
+    // for the whole statement — a crash before it has vacuum un-promote
+    // the inserts together with the rewrite (no partial-commit window
+    // where inserts landed but updates/deletes were lost). Both stage
+    // writes happen while the originals are still in place, so a cache
+    // eviction recomputing either DataFrame re-reads live files.
+    extraAppend.foreach(a =>
+      db.storeAt(a, insStage, partitionBy = Database.partitionColsOf(path)))
     // token ties this swap's promoted files to its backup dir, so a
     // crash is attributable: vacuum rolls back exactly this operation
     val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -626,10 +650,12 @@ class Table(val db: Database, val qualified: String) {
       Fs.mkdirs(dst.getParent)
       Fs.renameOrThrow(Fs.path(abs), dst, "cow swap: stage originals aside")
     }
-    val promoted = promoteStaged(stage, token)
+    val promoted = promoteStaged(stage, token) ++
+      (if (extraAppend.isDefined) promoteStaged(insStage, token) else Nil)
     // COMMIT: once the backup is gone the new file set is the table
     Fs.delete(Fs.path(bak)): Unit
     Fs.delete(Fs.path(stage)): Unit
+    Fs.delete(Fs.path(insStage)): Unit
     db.markDirty()
     db.spark.catalog.refreshByPath(path)
     retargetStats(touched.map(_._1), promoted)

@@ -2037,6 +2037,53 @@ class ApiSpec extends AnyFunSuite {
       "INSERT OVERWRITE nosuch SELECT 1, 'x'") }
   }
 
+  test("MERGE inserts promote under the rewrite's swap token: one commit point, partition layout kept") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 40L).map(k => (k, k % 4)).toDF("k", "g")
+      .write.partitionBy("g").mode("overwrite").parquet(db2.pathOf("ma"))
+    val tbl = db2.table("ma")
+    tbl.analyzeStats(Seq("k")): Unit
+    def dataFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+          .toSeq.flatMap(walk)
+        else if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
+          Seq(f) else Nil
+      walk(new java.io.File(tbl.path)).map(_.getName).toSet
+    }
+    val before = dataFiles()
+    val rc = db2.execute("MERGE INTO ma USING (SELECT CAST(4 AS BIGINT) " +
+      "AS k, CAST(0 AS BIGINT) AS g UNION ALL SELECT 100, 1 " +
+      "UNION ALL SELECT 101, 2) s ON ma.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET k = 400 " +
+      "WHEN NOT MATCHED THEN INSERT *").collect()(0).getLong(0)
+    assert(rc == 3L)
+    // every new file — rewrite AND inserts — carries ONE swap token:
+    // the backup drop commits the whole statement; a crash before it
+    // has vacuum un-promote inserts together with the rewrite
+    val fresh = dataFiles() -- before
+    assert(fresh.nonEmpty && fresh.forall(_.startsWith("cowdel_")),
+      s"all new files must be token-promoted: $fresh")
+    val tokens = fresh.map(_.split("_")(1))
+    assert(tokens.size == 1,
+      s"rewrite and inserts must share one swap token: $tokens")
+    // committed clean: no stage/backup residue beside the table
+    val parent = new java.io.File(tbl.path).getParentFile
+    assert(!parent.listFiles().exists(f =>
+      f.getName.contains("ma.cowdel_bak_") ||
+        f.getName.endsWith(".stage_tmp")),
+      "the swap must commit with no residue")
+    // inserts landed under their hive partition dirs, not flat
+    assert(!new java.io.File(tbl.path).listFiles().exists(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")),
+      "appends must land under g= dirs")
+    assert(tbl.count == 42L)
+    assert(tbl.df.filter(col("k") >= 100L).select(col("k"),
+      col("g").cast("long")).collect().map(r => (r.getLong(0),
+      r.getLong(1))).toSet == Set((100L, 1L), (101L, 2L), (400L, 0L)))
+  }
+
   test("vacuum rolls back a crashed COW delete: promoted files un-promoted, originals restored") {
     import spark.implicits._
     val db2 = scratchDb()
