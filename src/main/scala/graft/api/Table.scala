@@ -540,16 +540,19 @@ class Table(val db: Database, val qualified: String) {
   }
 
   /** Pass-1 candidate files for [[mergeInto]]: when the ON condition
-    * carries a top-level integral equi-key `tgt.k = src.k` over a
-    * sidecar-tracked column, files whose bands miss the source key
-    * envelope [min(k), max(k)] provably hold no matching row (the c33
-    * band-necessity argument applied to a join — Delta/Iceberg's
-    * stats-pruned MERGE discovery), so only band-hit files are read.
-    * Anything else — no sidecar, no simple equi-key, non-integral key
-    * types — returns all files: the unpruned Delta MERGE shape,
-    * correct at scan cost.
+    * carries a top-level integral-or-string equi-key `tgt.k = src.k`
+    * over a sidecar-tracked column, files whose bands miss the source
+    * keys provably hold no matching row (the c33 band-necessity
+    * argument applied to a join — Delta/Iceberg's stats-pruned MERGE
+    * discovery), so only band-hit files are read. Both key types prune
+    * PER-POINT for ≤ [[Table.MergeInKeyMax]] distinct keys and by
+    * [min, max] envelope beyond. Anything else — no sidecar, no simple
+    * equi-key, other key types, a top-level OR — returns all files:
+    * the unpruned Delta MERGE shape, correct at scan cost.
+    * `private[graft]` as the gate/test seam for candidate-count
+    * assertions.
     */
-  private def mergeCandidateFiles(source: DataFrame, srcAlias: String,
+  private[graft] def mergeCandidateFiles(source: DataFrame, srcAlias: String,
       tgtAlias: String, cond: String, allFiles: Seq[(String, String)])
       : Seq[(String, String)] = {
     if (!hasStatsSidecar) return allFiles
@@ -588,32 +591,48 @@ class Table(val db: Database, val qualified: String) {
             colOf(a, srcAlias, sFields, tFields).map(sc => (t, sc))))
       case _ => None
     }.headOption
+    def hitFilter(where: String): Seq[(String, String)] =
+      dnfHitMap(Table.pruneDnf(db.spark, where)) match {
+        case Some(m) => allFiles.filter { case (abs, _) =>
+          m.getOrElse(normFileUri(abs), true) }
+        case None => allFiles
+      }
+    // a small key set prunes PER-POINT (the IN-list DNF from c31): a
+    // CDC batch of scattered keys would make a [min,max] envelope span
+    // the whole table, but each point still only hits the files whose
+    // band contains it. Larger sets fall back to the envelope (an
+    // O(keys)-term predicate stops paying for itself).
     keyPair match {
       case Some((t, sc)) if isIntegral(schema(t).dataType) &&
           isIntegral(source.schema(sc).dataType) =>
-        // a small key set prunes PER-POINT (the IN-list DNF from c31):
-        // a CDC batch of scattered keys would make a [min,max] envelope
-        // span the whole table, but each point still only hits the
-        // files whose band contains it. Larger sets fall back to the
-        // envelope (an O(keys)-term predicate stops paying for itself).
         val sample = source.select(col(sc).cast("long").as("k"))
           .na.drop().distinct()
           .limit(Table.MergeInKeyMax + 1).collect().map(_.getLong(0))
         if (sample.isEmpty) Nil // no non-null source keys — nothing matches
+        else if (sample.length <= Table.MergeInKeyMax)
+          hitFilter(s"$t IN (${sample.sorted.mkString(", ")})")
         else {
-          val where =
-            if (sample.length <= Table.MergeInKeyMax)
-              s"$t IN (${sample.sorted.mkString(", ")})"
-            else {
-              val r = source.agg(min(col(sc)).cast("long"),
-                max(col(sc)).cast("long")).collect()(0)
-              s"$t >= ${r.getLong(0)} AND $t <= ${r.getLong(1)}"
-            }
-          dnfHitMap(Table.pruneDnf(db.spark, where)) match {
-            case Some(m) => allFiles.filter { case (abs, _) =>
-              m.getOrElse(normFileUri(abs), true) }
-            case None => allFiles
-          }
+          val r = source.agg(min(col(sc)).cast("long"),
+            max(col(sc)).cast("long")).collect()(0)
+          hitFilter(s"$t >= ${r.getLong(0)} AND $t <= ${r.getLong(1)}")
+        }
+      // string equi-keys (doc_id-style CDC — the e97 shape): same
+      // per-point IN pruning; on a lexicographically scattered key set
+      // the envelope spans the whole table, the points don't
+      case Some((t, sc)) if schema(t).dataType == StringType &&
+          source.schema(sc).dataType == StringType =>
+        // Spark-SQL string literal (backslash-escaped, default parser)
+        def q(v: String) =
+          "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        val sample = source.select(col(sc).as("k")).na.drop().distinct()
+          .limit(Table.MergeInKeyMax + 1).collect().map(_.getString(0))
+        if (sample.isEmpty) Nil
+        else if (sample.length <= Table.MergeInKeyMax)
+          hitFilter(s"$t IN (${sample.sorted.map(q).mkString(", ")})")
+        else {
+          val r = source.select(col(sc).as("k")).na.drop()
+            .agg(min(col("k")), max(col("k"))).collect()(0)
+          hitFilter(s"$t >= ${q(r.getString(0))} AND $t <= ${q(r.getString(1))}")
         }
       case _ => allFiles
     }
@@ -1509,7 +1528,7 @@ class Table(val db: Database, val qualified: String) {
     * sorted by relative path. Hadoop-FS listing — the same file set on
     * file://, hdfs://, s3a:// warehouses.
     */
-  private def currentDataFiles(): Seq[(String, String)] = {
+  private[graft] def currentDataFiles(): Seq[(String, String)] = {
     val prefix = Fs.qualify(Fs.path(path)).toString + "/"
     Database.leafDirsOf(path).flatMap { leaf =>
       Fs.list(leaf)

@@ -1177,6 +1177,46 @@ object QueriesC {
         "the sidecar must keep serving after a MERGE"))
       assert(meta.inputFiles.forall(_.contains(".stats")),
         s"metadata-only plan reads data files: ${meta.inputFiles.toSeq}")
+      // string-key CDC phase (the doc_id shape): discovery must prune
+      // PER-POINT — a lexicographically scattered key set (one key near
+      // each end) makes the [min,max] envelope span every file, but the
+      // two points hit exactly two. The seam-asserted candidate count
+      // IS the 100 TB discovery cost.
+      import s.implicits._
+      orders.filter(col("o_orderkey") <= 2400)
+        .select(concat(lit("D"), lpad(col("o_orderkey").cast("string"),
+          7, "0")).as("doc_id"), col("o_custkey").cast("long").as("val"))
+        .repartitionByRange(6, col("doc_id"))
+        .write.mode("overwrite").parquet(db.pathOf("c36_sdocs"))
+      val sdocs = db.table("c36_sdocs")
+      sdocs.analyzeStats(Seq("doc_id")): Unit
+      val totalS = sdocs.df.inputFiles.length
+      val loHi = sdocs.df.agg(min(col("doc_id")), max(col("doc_id")))
+        .collect()(0)
+      Seq((loHi.getString(0), -5L), (loHi.getString(1), -5L),
+        ("D9000001", 42L)).toDF("k", "nv")
+        .coalesce(1).write.mode("overwrite").parquet(db.pathOf("c36_ssrc"))
+      val cands = sdocs.mergeCandidateFiles(db.table("c36_ssrc").df,
+        "s", "t", "t.doc_id = s.k", sdocs.currentDataFiles())
+      assert(cands.size <= 2 && cands.size < totalS,
+        s"per-point string pruning must beat the spanning envelope: " +
+          s"${cands.size}/$totalS candidate files")
+      def fileSetS(): Set[String] =
+        new java.io.File(sdocs.path).listFiles().toSeq
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")).map(_.getName).toSet
+      val beforeS = fileSetS()
+      val rcS = db.execute(
+        "MERGE INTO c36_sdocs t USING c36_ssrc s ON t.doc_id = s.k " +
+          "WHEN MATCHED THEN UPDATE SET val = s.nv " +
+          "WHEN NOT MATCHED THEN INSERT (doc_id, val) VALUES (s.k, s.nv)")
+        .collect()(0).getLong(0)
+      assert(rcS == 3L, s"string CDC affected-rows: $rcS")
+      val rewroteS = (beforeS -- fileSetS()).size
+      assert(rewroteS == cands.size,
+        s"exactly the candidate files rewrite: $rewroteS/${cands.size}")
+      val sAgg = sdocs.df.agg(count(lit(1)).cast("long"),
+        sum(col("val")).cast("long")).collect()(0)
       tbl.df.agg(count(lit(1)).as("n"),
         sum(col("o_custkey")).cast("long").as("cust_sum"),
         sum(when(col("o_orderpriority") === "X-MERGED", 1L).otherwise(0L))
@@ -1187,6 +1227,9 @@ object QueriesC {
         max(col("o_orderkey")).cast("long").as("max_key"))
         .withColumn("n_affected", lit(rc))
         .withColumn("n_affected_nomatch", lit(rc0))
+        .withColumn("n_str", lit(sAgg.getLong(0)))
+        .withColumn("str_sum", lit(sAgg.getLong(1)))
+        .withColumn("n_str_affected", lit(rcS))
     }),
 
     // c37: warehouse DDL through the raw-SQL surface — the reference's
@@ -1627,7 +1670,15 @@ object QueriesC {
         "AND NOT (o_orderkey BETWEEN 600 AND 800 AND o_orderkey % 10 = 0) " +
         "UNION ALL " +
         "SELECT o_orderkey + 9000000, o_custkey, 'X-INSERTED' " +
-        "FROM orders WHERE o_orderkey BETWEEN 100 AND 200) " +
+        "FROM orders WHERE o_orderkey BETWEEN 100 AND 200), " +
+        // fin2 replays the string-key CDC phase: the scattered source
+        // hits exactly the min/max doc_id rows (zero-padding keeps
+        // lexicographic order = numeric order), plus the one insert
+        "fin2 AS (SELECT CASE WHEN o_orderkey = (SELECT min(o_orderkey) " +
+        "FROM orders WHERE o_orderkey <= 2400) OR o_orderkey = " +
+        "(SELECT max(o_orderkey) FROM orders WHERE o_orderkey <= 2400) " +
+        "THEN -5 ELSE o_custkey END AS val FROM orders " +
+        "WHERE o_orderkey <= 2400 UNION ALL SELECT 42) " +
         "SELECT count(*) AS n, CAST(sum(ck) AS BIGINT) AS cust_sum, " +
         "CAST(sum(CASE WHEN pri = 'X-MERGED' THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_merged, " +
@@ -1636,7 +1687,10 @@ object QueriesC {
         "CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key, " +
         "(SELECT count(*) FROM orders WHERE o_orderkey BETWEEN 600 AND 800) " +
         "+ (SELECT count(*) FROM orders WHERE o_orderkey BETWEEN 100 AND 200) " +
-        "AS n_affected, CAST(0 AS BIGINT) AS n_affected_nomatch FROM fin"),
+        "AS n_affected, CAST(0 AS BIGINT) AS n_affected_nomatch, " +
+        "(SELECT count(*) FROM fin2) AS n_str, " +
+        "(SELECT CAST(sum(val) AS BIGINT) FROM fin2) AS str_sum, " +
+        "CAST(3 AS BIGINT) AS n_str_affected FROM fin"),
     "c33_cow_delete" ->
       ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +

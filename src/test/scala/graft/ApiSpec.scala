@@ -2037,6 +2037,48 @@ class ApiSpec extends AnyFunSuite {
       "INSERT OVERWRITE nosuch SELECT 1, 'x'") }
   }
 
+  test("MERGE string-key discovery prunes per-point where the envelope spans everything") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    // four band-disjoint files on a string key
+    Seq("a", "g", "m", "t").zipWithIndex.foreach { case (p, i) =>
+      (1 to 50).map(n => (f"$p$n%03d", 0L)).toDF("doc_id", "v")
+        .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+        .parquet(db2.pathOf("msk"))
+    }
+    val tbl = db2.table("msk")
+    tbl.analyzeStats(Seq("doc_id")): Unit
+    val all = tbl.currentDataFiles()
+    assert(all.size == 4)
+    // scattered: first and last band — the envelope [a005, t005] spans
+    // every file; per-point IN pruning hits exactly two
+    val src = Seq(("a005", 1L), ("t005", 1L)).toDF("k", "nv")
+    val cands = tbl.mergeCandidateFiles(src, "s", "t",
+      "t.doc_id = s.k", all)
+    assert(cands.size == 2, s"per-point: ${cands.size} candidates")
+    // keys in the lexicographic gaps prove no match at all
+    val gap = Seq(("c001", 1L), ("p001", 1L)).toDF("k", "nv")
+    assert(tbl.mergeCandidateFiles(gap, "s", "t",
+      "t.doc_id = s.k", all).isEmpty, "gap keys hit no band")
+    // a quoted key must not break the literal (escaping)
+    val quo = Seq(("o'brien", 1L)).toDF("k", "nv")
+    assert(tbl.mergeCandidateFiles(quo, "s", "t",
+      "t.doc_id = s.k", all).isEmpty)
+    // > MergeInKeyMax distinct keys: envelope fallback still prunes to
+    // the files the [min,max] range intersects
+    val many = (1 to 300).map(n => (f"a$n%03d", 1L)).toDF("k", "nv")
+    val env = tbl.mergeCandidateFiles(many, "s", "t", "t.doc_id = s.k", all)
+    assert(env.size == 1, s"envelope over a-prefix keys: ${env.size}")
+    // and the real MERGE over the scattered source updates both rows
+    src.createOrReplaceTempView("msk_src")
+    val rc = db2.execute("MERGE INTO msk t USING msk_src s " +
+      "ON t.doc_id = s.k WHEN MATCHED THEN UPDATE SET v = s.nv")
+      .collect()(0).getLong(0)
+    assert(rc == 2L)
+    assert(tbl.df.filter(col("v") === 1L).select("doc_id").collect()
+      .map(_.getString(0)).toSet == Set("a005", "t005"))
+  }
+
   test("MERGE inserts promote under the rewrite's swap token: one commit point, partition layout kept") {
     import spark.implicits._
     val db2 = scratchDb()
