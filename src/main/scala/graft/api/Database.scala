@@ -736,8 +736,10 @@ class Database(val spark: SparkSession, val root: String,
     * or re-cluster of a day-partitioned 100 TB table keeps its partition
     * pruning instead of silently flattening to one directory.
     */
-  private[api] def replaceTable(name: String, df: DataFrame): Unit =
-    replaceAt(pathOf(name), df, Database.partitionColsOf(pathOf(name)))
+  private[api] def replaceTable(name: String, df: DataFrame,
+      expectedVersion: Option[Long] = None): Unit =
+    replaceAt(pathOf(name), df, Database.partitionColsOf(pathOf(name)),
+      expectedVersion)
 
   /** Staged write + atomic directory swap at an explicit path (the
     * primitive behind [[replaceTable]] and per-partition compaction).
@@ -745,10 +747,19 @@ class Database(val spark: SparkSession, val root: String,
     * local/HDFS, copy+delete (windows narrowed, not closed) on S3A.
     */
   private[api] def replaceAt(path: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      expectedVersion: Option[Long] = None): Unit = {
     val tmp = Fs.path(path + ".stage_tmp"); val bak = Fs.path(path + ".stage_bak")
     Fs.delete(tmp): Unit; Fs.delete(bak): Unit
     storeAt(df, tmp.toString, partitionBy = partitionBy)
+    // optimistic commit check before the swap: a DML writer passes the
+    // version it captured at listing time (CAS refuses on a race); any
+    // other tracked-table rewrite bumps unconditionally so an in-flight
+    // DML writer's later CAS refuses instead of promoting stale files
+    try expectedVersion match {
+      case Some(v) => Table.casBumpVersion(path, v, s"replaceAt $path")
+      case None    => Table.bumpVersionIfTracked(path)
+    } catch { case e: Throwable => Fs.delete(tmp): Unit; throw e }
     val orig = Fs.path(path)
     if (Fs.exists(orig) && !Fs.rename(orig, bak))
       throw new java.io.IOException(s"replaceAt: cannot stage $path")
@@ -824,6 +835,7 @@ class Database(val spark: SparkSession, val root: String,
     Fs.delete(Fs.path(pathOf(name) + ".properties")): Unit
     Fs.delete(Fs.path(pathOf(name) + ".versions")): Unit
     Fs.delete(Fs.path(pathOf(name) + ".stats")): Unit
+    Fs.delete(Fs.path(Table.versionDirOf(pathOf(name)))): Unit
     val v = viewNameOf(name)
     if (spark.catalog.tableExists(v)) spark.catalog.dropTempView(v): Unit
     markDirty()

@@ -203,7 +203,11 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
     }
   }
 
-  override private[api] def replaceTable(name: String, df: DataFrame): Unit = {
+  // expectedVersion is ignored: the backend transaction IS the commit
+  // arbitration here (plain-file optimistic versioning is a parquet
+  // warehouse concern)
+  override private[api] def replaceTable(name: String, df: DataFrame,
+      expectedVersion: Option[Long] = None): Unit = {
     stagedTxn(df, name + "_GRAFT_STAGE") { (st, q, stage) =>
       val cols = df.schema.fieldNames.map(c => s"$q$c$q").mkString(", ")
       st.executeUpdate(s"DELETE FROM $name"): Unit

@@ -295,6 +295,9 @@ class Table(val db: Database, val qualified: String) {
     * untouched files.
     */
   private[api] def deleteWhere(where: String): Long = {
+    // version captured BEFORE the file listing: the commit CAS refuses
+    // if any other writer commits in between (optimistic concurrency)
+    val v0 = Table.versionOf(path)
     val dnfs = Table.pruneDnf(db.spark, where)
     val split = (if (dnfs.nonEmpty) dnfHitMap(dnfs) else None).map { m =>
       currentDataFiles().partition { case (abs, _) =>
@@ -304,12 +307,12 @@ class Table(val db: Database, val qualified: String) {
       case Some((touched, _)) if touched.isEmpty =>
         0L // no file's bands intersect the predicate — nothing to delete
       case Some((touched, untouched)) if untouched.nonEmpty =>
-        cowDeleteFiles(where, touched)
+        cowDeleteFiles(where, touched, v0)
       case _ => // no usable sidecar, or every file is a candidate
         val total = df.count()
         val kept = df.filter(!coalesce(expr(where), lit(false)))
         val keptN = kept.count()
-        db.replaceTable(qualified, kept)
+        db.replaceTable(qualified, kept, Some(v0))
         total - keptN
     }
   }
@@ -331,6 +334,7 @@ class Table(val db: Database, val qualified: String) {
         throw new IllegalArgumentException(s"UPDATE $qualified: no column '$c'"))
       (f.name, expr(rhs).cast(f.dataType))
     }
+    val v0 = Table.versionOf(path) // captured before the file listing
     val matchedCond = where.map(w => coalesce(expr(w), lit(false)))
       .getOrElse(lit(true))
     def applySets(src: DataFrame): DataFrame =
@@ -351,12 +355,13 @@ class Table(val db: Database, val qualified: String) {
         val matched = touchedDf.filter(matchedCond).count()
         if (matched == 0L) 0L // bands over-approximated: no hit, no churn
         else {
-          cowSwapFiles(touched, applySets(touchedDf))
+          cowSwapFiles(touched, applySets(touchedDf),
+            expectedVersion = Some(v0))
           matched
         }
       case _ =>
         val matched = df.filter(matchedCond).count()
-        db.replaceTable(qualified, applySets(df))
+        db.replaceTable(qualified, applySets(df), Some(v0))
         matched
     }
   }
@@ -365,13 +370,13 @@ class Table(val db: Database, val qualified: String) {
     * (qualified path, root-relative path), keep everything else in place.
     */
   private def cowDeleteFiles(
-      where: String, touched: Seq[(String, String)]): Long = {
+      where: String, touched: Seq[(String, String)], v0: Long): Long = {
     val touchedDf = db.loadFiles(path, touched.map(_._1))
     val totalTouched = touchedDf.count()
     val kept = touchedDf.filter(!coalesce(expr(where), lit(false)))
     val keptN = kept.count()
     if (keptN == totalTouched) return 0L // bands over-approximated: no hit
-    cowSwapFiles(touched, kept)
+    cowSwapFiles(touched, kept, expectedVersion = Some(v0))
     totalTouched - keptN
   }
 
@@ -417,6 +422,7 @@ class Table(val db: Database, val qualified: String) {
     }
     val source = source0.persist()
     try {
+      val v0 = Table.versionOf(path) // captured before the file listing
       val allFiles = currentDataFiles()
       val candidates = mergeCandidateFiles(source, srcAlias, tgtAlias,
         cond, allFiles)
@@ -533,7 +539,8 @@ class Table(val db: Database, val qualified: String) {
           }
         } finally { if (!handoff) { inserts.unpersist(); () } }
       }
-      try pendingSwap.foreach(cowSwapFiles(touched, _, stagedInserts))
+      try pendingSwap.foreach(
+        cowSwapFiles(touched, _, stagedInserts, Some(v0)))
       finally { stagedInserts.foreach(_.unpersist()); () }
       nUpdated + nDeleted + nInserted
     } finally { source.unpersist(); () }
@@ -643,9 +650,10 @@ class Table(val db: Database, val qualified: String) {
     * protocol scaladoc — stage, backup-hop, token-marked promote, commit
     * on backup drop, vacuum rollback, sidecar retarget).
     */
-  private def cowSwapFiles(
+  private[graft] def cowSwapFiles(
       touched: Seq[(String, String)], replacement: DataFrame,
-      extraAppend: Option[DataFrame] = None): Unit = {
+      extraAppend: Option[DataFrame] = None,
+      expectedVersion: Option[Long] = None): Unit = {
     val stage = path + ".stage_tmp"
     val insStage = path + ".ins.stage_tmp"
     Fs.delete(Fs.path(stage)): Unit
@@ -660,6 +668,17 @@ class Table(val db: Database, val qualified: String) {
     // eviction recomputing either DataFrame re-reads live files.
     extraAppend.foreach(a =>
       db.storeAt(a, insStage, partitionBy = Database.partitionColsOf(path)))
+    // optimistic commit check BEFORE any live file moves: a concurrent
+    // writer that committed since our file listing makes this CAS
+    // refuse — the staged copies are dropped and the table is untouched
+    try expectedVersion match {
+      case Some(v) => Table.casBumpVersion(path, v, s"COW swap $qualified")
+      case None    => Table.bumpVersionIfTracked(path)
+    } catch { case e: Throwable =>
+      Fs.delete(Fs.path(stage)): Unit
+      Fs.delete(Fs.path(insStage)): Unit
+      throw e
+    }
     // token ties this swap's promoted files to its backup dir, so a
     // crash is attributable: vacuum rolls back exactly this operation
     val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -839,6 +858,10 @@ class Table(val db: Database, val qualified: String) {
           outFiles += n
         } else outFiles += files.length
       }
+      // the per-leaf swaps bump no TABLE version (the version dir sits
+      // beside the table root, not each leaf) — bump once here so an
+      // in-flight DML writer's CAS refuses against the rewritten files
+      Table.bumpVersionIfTracked(path)
       outFiles
     }
   } // lease released
@@ -1725,6 +1748,86 @@ object Table {
     * predicate's term count.
     */
   val MergeInKeyMax = 256
+
+  /** Optimistic commit arbitration for concurrent DML writers (r16).
+    * Every copy-on-write swap / staged replace bumps a monotone table
+    * version held as marker files `v<n>` under `<path>.commit_version/`
+    * (a directory of empty files — create-if-absent is the atomic
+    * primitive, same seam as the maintenance lease). A DML writer
+    * captures the version BEFORE its file listing and commits through
+    * [[casBumpVersion]]: if any other writer committed in between, the
+    * marker it wants already exists (or the version moved) and the
+    * commit REFUSES LOUDLY before any live file is touched — the loser
+    * retries against a fresh listing instead of silently promoting a
+    * rewrite derived from files that no longer exist. Single-writer
+    * cost: one tiny-directory listing + one create per swap. Tracking
+    * activates on the first CAS (appends never arbitrate — they remove
+    * nothing). Same object-store caveat as the lease: create-if-absent
+    * is atomic on local/HDFS, approximate on S3 — multi-writer object
+    * stores still need a lock service or a transactional commit log.
+    */
+  private[graft] def versionDirOf(path: String): String =
+    path + ".commit_version"
+
+  /** Current committed version: max marker, 0 when untracked. Also 0
+    * for non-filesystem "paths" (the JDBC adapter's `jdbc:` locators —
+    * its backend transaction is the commit arbitration there).
+    */
+  private[graft] def versionOf(path: String): Long =
+    try {
+      val dir = Fs.path(versionDirOf(path))
+      if (!Fs.exists(dir)) 0L
+      else Fs.list(dir).flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("v").toLong).toOption)
+        .foldLeft(0L)(math.max)
+    } catch { case _: IllegalArgumentException => 0L }
+
+  /** Compare-and-swap commit: create marker `v(expected+1)` iff the
+    * version is still `expected`. Throws [[IllegalStateException]] when
+    * another writer moved it — callers abort BEFORE mutating the table.
+    * Markers older than a small keep-window prune with the bump (the
+    * window keeps the predecessor marker around so a stale writer's
+    * create collides instead of landing in a pruned gap).
+    */
+  private[graft] def casBumpVersion(
+      path: String, expected: Long, what: String): Unit = {
+    val dir = Fs.path(versionDirOf(path))
+    val live = versionOf(path)
+    def refuse(at: Long): Nothing = throw new IllegalStateException(
+      s"$what: concurrent writer detected — table version moved " +
+        s"(expected $expected, found $at). The file listing this " +
+        "commit rewrote is stale; re-run the statement against the " +
+        "current table state.")
+    if (live != expected) refuse(live)
+    Fs.mkdirs(dir)
+    if (!Fs.createNewUtf8(
+        new org.apache.hadoop.fs.Path(dir, "v" + (expected + 1)), ""))
+      refuse(expected + 1)
+    Fs.list(dir).foreach { st =>
+      scala.util.Try(st.getPath.getName.stripPrefix("v").toLong).toOption
+        .filter(_ <= expected - 8).foreach(_ => Fs.delete(st.getPath): Unit)
+    }
+  }
+
+  /** Unconditional bump for non-DML rewrites (compaction, clustering,
+    * restore — already lease-arbitrated): invalidates any in-flight DML
+    * writer's captured version so ITS commit refuses. No-op until the
+    * first DML activates tracking.
+    */
+  private[graft] def bumpVersionIfTracked(path: String): Unit = {
+    val dir = Fs.path(versionDirOf(path))
+    if (!Fs.exists(dir)) return
+    var tries = 0
+    while (tries < 16) {
+      val v = versionOf(path)
+      if (Fs.createNewUtf8(
+          new org.apache.hadoop.fs.Path(dir, "v" + (v + 1)), "")) return
+      tries += 1
+    }
+    throw new IllegalStateException(
+      s"bumpVersion($path): 16 consecutive CAS collisions — a hot " +
+        "writer race; back off and retry")
+  }
 
   /** The full coarse-type lattice (ref FIELD_TYPE_MAP values across both
     * backends: num/text/date/geom + the catalog-only name/nclob).

@@ -2126,6 +2126,72 @@ class ApiSpec extends AnyFunSuite {
       r.getLong(1))).toSet == Set((100L, 1L), (101L, 2L), (400L, 0L)))
   }
 
+  test("optimistic commit: concurrent DML writers refuse instead of racing the COW swap") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 200L).map(k => (k, 0L)).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(db2.pathOf("occ"))
+    val tbl = db2.table("occ")
+    tbl.analyzeStats(Seq("k")): Unit
+    val p = tbl.path
+    // the numbered scratch root persists across suite runs: clear any
+    // previous run's version sidecar (overwrite replaces only the data)
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(api.Table.versionDirOf(p)))
+    // tracking activates on the first DML commit and bumps per commit
+    assert(api.Table.versionOf(p) == 0L)
+    db2.execute("DELETE FROM occ WHERE k BETWEEN 10 AND 12").collect(): Unit
+    assert(api.Table.versionOf(p) == 1L, "COW delete bumps the version")
+    db2.execute("UPDATE occ SET v = 1 WHERE k BETWEEN 60 AND 62")
+      .collect(): Unit
+    assert(api.Table.versionOf(p) == 2L, "COW update bumps the version")
+    // writer A: lists files at v2; writer B commits first (v3); A's
+    // promote must refuse LOUDLY before touching any live file
+    val vA = api.Table.versionOf(p)
+    val listedA = tbl.currentDataFiles()
+    // A's replacement is already materialized (literal rows): the race
+    // hits at COMMIT time, which is exactly what the CAS must catch
+    val replA = (500L to 510L).map(k => (k, 7L)).toDF("k", "v")
+    db2.execute("DELETE FROM occ WHERE k BETWEEN 110 AND 112")
+      .collect(): Unit // writer B wins
+    val before = tbl.df.orderBy("k").collect().toSeq
+    val err = intercept[IllegalStateException] {
+      tbl.cowSwapFiles(listedA, replA, None, Some(vA))
+    }
+    assert(err.getMessage.contains("concurrent writer"),
+      s"loud refusal: ${err.getMessage}")
+    // the refused commit left the table untouched and no residue
+    spark.catalog.refreshByPath(p)
+    assert(tbl.df.orderBy("k").collect().toSeq == before,
+      "the loser must not mix epochs")
+    val parent = new java.io.File(p).getParentFile
+    assert(!parent.listFiles().exists(f =>
+      f.getName.contains("occ.parquet.cowdel_bak_") ||
+        f.getName == "occ.parquet.stage_tmp"),
+      "refused swap leaves no stage/backup residue")
+    // the stale CAS also refuses directly, and a fresh retry succeeds
+    intercept[IllegalStateException] {
+      api.Table.casBumpVersion(p, vA, "stale retry")
+    }
+    db2.execute("DELETE FROM occ WHERE k BETWEEN 120 AND 121")
+      .collect(): Unit
+    assert(api.Table.versionOf(p) == vA + 2,
+      "a re-run against the fresh state commits")
+    // non-DML rewrites on a tracked table invalidate in-flight writers
+    val vBefore = api.Table.versionOf(p)
+    tbl.compact()
+    assert(api.Table.versionOf(p) > vBefore,
+      "compaction must bump a tracked table's version")
+    // DROP cleans the version sidecar with the table
+    db2.dropTable("occ")
+    assert(!new java.io.File(api.Table.versionDirOf(p)).exists())
+  }
+
   test("vacuum rolls back a crashed COW delete: promoted files un-promoted, originals restored") {
     import spark.implicits._
     val db2 = scratchDb()
