@@ -180,13 +180,24 @@ class Database(val spark: SparkSession, val root: String,
     * schema inference — the "reflection" analogue for schemaless formats
     * (parquet reflects from footers for free).
     */
-  private[api] def load(name: String): org.apache.spark.sql.DataFrame = format match {
-    case "parquet" => spark.read.parquet(pathOf(name))
-    case "orc"     => spark.read.orc(pathOf(name))
-    case "csv"     => spark.read.option("header", "true").option("inferSchema", "true").csv(pathOf(name))
-    case "json"    => spark.read.json(pathOf(name))
-    case other     => throw new IllegalArgumentException(
-      s"unsupported format '$other' (supported: parquet, orc, csv, json)")
+  private[api] def load(name: String): org.apache.spark.sql.DataFrame = {
+    // a declared schema (ALTER TABLE ADD COLUMN, c38) overrides footer
+    // reflection: pre-ALTER files null-fill the added columns by name
+    def declared = Table.declaredSchemaOf(pathOf(name))
+    format match {
+      case "parquet" => declared match {
+        case Some(s) => spark.read.schema(s).parquet(pathOf(name))
+        case None    => spark.read.parquet(pathOf(name))
+      }
+      case "orc" => declared match {
+        case Some(s) => spark.read.schema(s).orc(pathOf(name))
+        case None    => spark.read.orc(pathOf(name))
+      }
+      case "csv"     => spark.read.option("header", "true").option("inferSchema", "true").csv(pathOf(name))
+      case "json"    => spark.read.json(pathOf(name))
+      case other     => throw new IllegalArgumentException(
+        s"unsupported format '$other' (supported: parquet, orc, csv, json)")
+    }
   }
 
   /** Save a DataFrame as a table of this database (the public "create
@@ -401,6 +412,28 @@ class Database(val spark: SparkSession, val root: String,
           tbl, "overwrite")
         rowcount(0L)
       }
+    // ALTER TABLE (c38): ADD COLUMN is metadata-only (declared-schema
+    // overlay, typed NULL backfill); DROP/RENAME COLUMN are staged
+    // atomic rewrites with sidecar retarget. The reference passed ALTER
+    // through to its backend (datum/database.py:44-45) — this is the
+    // last weekly-use DDL statement the warehouse surface lacked.
+    case Database.AlterAddColRe(tbl, ifNotExists, c, typeDdl) =>
+      val t = tables.find(_.equalsIgnoreCase(tbl)).getOrElse(
+        throw new IllegalArgumentException(s"ALTER TABLE $tbl: unknown table"))
+      rowcount(table(t).alterAddColumn(c, typeDdl.trim, ifNotExists != null))
+    case Database.AlterDropColRe(tbl, ifExists, c) =>
+      val t = tables.find(_.equalsIgnoreCase(tbl)).getOrElse(
+        throw new IllegalArgumentException(s"ALTER TABLE $tbl: unknown table"))
+      rowcount(table(t).alterDropColumn(c, ifExists != null))
+    case Database.AlterRenameColRe(tbl, from, to) =>
+      val t = tables.find(_.equalsIgnoreCase(tbl)).getOrElse(
+        throw new IllegalArgumentException(s"ALTER TABLE $tbl: unknown table"))
+      rowcount(table(t).alterRenameColumn(from, to))
+    case m @ Database.AlterGuardRe() =>
+      throw new IllegalArgumentException(
+        "ALTER TABLE: unsupported statement shape (supported: ADD " +
+          "COLUMN [IF NOT EXISTS] c TYPE, DROP COLUMN [IF EXISTS] c, " +
+          s"RENAME COLUMN a TO b); got: ${m.take(120)}")
     // any OTHER CREATE TABLE shape — typed CTAS `(cols) AS SELECT …`,
     // `USING parquet AS SELECT …`, `CREATE OR REPLACE TABLE t (cols)`,
     // … — fails loudly: the plain-spark.sql fallthrough would land it
@@ -775,13 +808,18 @@ class Database(val spark: SparkSession, val root: String,
     * partition's leaf dir, staging dirs — partition columns are NOT
     * inferred because the path points below them).
     */
-  private[api] def loadDir(path: String): DataFrame = format match {
-    case "parquet" => spark.read.parquet(path)
-    case "orc"     => spark.read.orc(path)
-    case "csv"     => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
-    case "json"    => spark.read.json(path)
-    case other     => throw new IllegalArgumentException(
-      s"unsupported format '$other' (supported: parquet, orc, csv, json)")
+  private[api] def loadDir(path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    def r0 = spark.read
+    def r = schema.map(r0.schema).getOrElse(r0)
+    format match {
+      case "parquet" => r.parquet(path)
+      case "orc"     => r.orc(path)
+      case "csv"     => r0.option("header", "true").option("inferSchema", "true").csv(path)
+      case "json"    => r0.json(path)
+      case other     => throw new IllegalArgumentException(
+        s"unsupported format '$other' (supported: parquet, orc, csv, json)")
+    }
   }
 
   /** Format-dispatched read of an EXPLICIT file list (snapshot manifests —
@@ -789,7 +827,15 @@ class Database(val spark: SparkSession, val root: String,
     * even though the paths point at leaf files.
     */
   private[api] def loadFiles(basePath: String, files: Seq[String]): DataFrame = {
-    val r = spark.read.option("basePath", basePath)
+    // an ALTERed table's declared schema applies here too: the COW DML
+    // paths read explicit (possibly pre-ALTER) file lists, and their
+    // rewrite must carry the added columns, not drop them. Non-table
+    // basePaths (manifests, index dirs) have no sidecar → None.
+    val r0 = spark.read.option("basePath", basePath)
+    val r = Table.declaredSchemaOf(basePath) match {
+      case Some(s) if format == "parquet" || format == "orc" => r0.schema(s)
+      case _ => r0
+    }
     format match {
       case "parquet" => r.parquet(files: _*)
       case "orc"     => r.orc(files: _*)
@@ -1837,6 +1883,25 @@ object Database {
     */
   private val CreateTableColsRe =
     """(?is)CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z0-9_.]+)\s*\((.+)\)\s*;?\s*""".r
+
+  // ---- ALTER TABLE (c38) ---------------------------------------------------
+
+  /** `ALTER TABLE t ADD COLUMN [IF NOT EXISTS] c TYPE` — TYPE is Spark
+    * DDL (DECIMAL(p,s), nested types come free via StructType.fromDDL).
+    */
+  private val AlterAddColRe =
+    """(?is)ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+ADD\s+COLUMNS?\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z0-9_]+)\s+([^,;]+?)\s*;?\s*""".r
+
+  private val AlterDropColRe =
+    """(?is)ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+DROP\s+COLUMNS?\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z0-9_]+)\s*;?\s*""".r
+
+  private val AlterRenameColRe =
+    """(?is)ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+RENAME\s+COLUMN\s+([A-Za-z0-9_]+)\s+TO\s+([A-Za-z0-9_]+)\s*;?\s*""".r
+
+  /** Catch-all AFTER the supported ALTER arms: unrecognized variants
+    * refuse instead of falling through to Spark's session catalog.
+    */
+  private[api] val AlterGuardRe = """(?is)ALTER\s+TABLE\b.*""".r
 
   /** Catch-all for CREATE TABLE shapes the two supported arms miss —
     * matched AFTER them so unrecognized variants refuse instead of

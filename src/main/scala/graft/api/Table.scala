@@ -366,6 +366,107 @@ class Table(val db: Database, val qualified: String) {
     }
   }
 
+  /** `ALTER TABLE … ADD COLUMN` (c38) — METADATA-ONLY: the evolved
+    * schema is recorded in the `.properties` sidecar
+    * ([[Table.SchemaProp]]) and applied at read time; existing files
+    * null-fill the new column (typed), later appends carry it
+    * physically. Zero data I/O at any table size — the one schema
+    * migration a 100 TB table can afford weekly. The reference passed
+    * ALTER straight through to its backend
+    * (`datum/database.py:44-45`); plain parquet has no native ALTER,
+    * so the declared-schema overlay is the engine's analogue of
+    * Delta's schema-in-the-log.
+    */
+  private[api] def alterAddColumn(
+      c: String, typeDdl: String, ifNotExists: Boolean): Long = {
+    require(db.format == "parquet" || db.format == "orc",
+      s"ALTER TABLE $qualified: ADD COLUMN needs a schema-carrying " +
+        s"format (parquet/orc), not '${db.format}'")
+    val cur = df.schema
+    if (cur.fieldNames.exists(_.equalsIgnoreCase(c))) {
+      if (ifNotExists) return 0L
+      throw new IllegalArgumentException(
+        s"ALTER TABLE $qualified ADD COLUMN: column '$c' exists " +
+          "(use IF NOT EXISTS)")
+    }
+    val parsed = StructType.fromDDL(s"`$c` $typeDdl") // validates the type
+    setProps(Map(Table.SchemaProp ->
+      StructType(cur.fields :+ parsed.fields(0)).toDDL))
+    db.markDirty()
+    db.spark.catalog.refreshByPath(path)
+    0L
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` (c38) — a staged full rewrite
+    * (projection), atomic via [[Database.replaceAt]] and arbitrated by
+    * the optimistic commit version. Physically removing the bytes is
+    * the point (a metadata-only hide would resurrect old data if the
+    * name were ever re-added); the declared-schema overlay clears
+    * because the rewrite makes the footers the truth again. A tracked
+    * sidecar re-analyzes without the dropped column.
+    */
+  private[api] def alterDropColumn(c: String, ifExists: Boolean): Long = {
+    val cur = df.schema
+    val f = cur.fields.find(_.name.equalsIgnoreCase(c)).getOrElse {
+      if (ifExists) return 0L
+      throw new IllegalArgumentException(
+        s"ALTER TABLE $qualified DROP COLUMN: no column '$c'")
+    }
+    require(cur.fields.length > 1,
+      s"ALTER TABLE $qualified: cannot drop the only column")
+    val pcols = Database.partitionColsOf(path)
+    require(!pcols.exists(_.equalsIgnoreCase(c)),
+      s"ALTER TABLE $qualified: cannot drop partition column '$c'")
+    val v0 = Table.versionOf(path)
+    db.replaceTable(qualified, df.drop(f.name), Some(v0))
+    clearProps(Seq(Table.SchemaProp))
+    retargetStatsColumns(_.filterNot(_.equalsIgnoreCase(c)))
+    db.spark.catalog.refreshByPath(path)
+    0L
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN a TO b` (c38) — a staged full
+    * rewrite: parquet maps columns by NAME, so without a column-id log
+    * the files must physically carry the new name (a metadata rename
+    * would null out every pre-rename file). The sidecar re-analyzes
+    * with the renamed tracking list, so skipping stays live under the
+    * new name.
+    */
+  private[api] def alterRenameColumn(from: String, to: String): Long = {
+    val cur = df.schema
+    val f = cur.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER TABLE $qualified RENAME COLUMN: no column '$from'"))
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"ALTER TABLE $qualified RENAME COLUMN: column '$to' exists")
+    val pcols = Database.partitionColsOf(path)
+    require(!pcols.exists(_.equalsIgnoreCase(from)),
+      s"ALTER TABLE $qualified: cannot rename partition column '$from'")
+    val v0 = Table.versionOf(path)
+    db.replaceTable(qualified, df.withColumnRenamed(f.name, to), Some(v0))
+    clearProps(Seq(Table.SchemaProp))
+    retargetStatsColumns(_.map(t =>
+      if (t.equalsIgnoreCase(from)) to else t))
+    db.spark.catalog.refreshByPath(path)
+    0L
+  }
+
+  /** Post-rewrite sidecar retarget for the ALTER arms: a full rewrite
+    * replaces every file, so the old entries are dead — re-analyze the
+    * (remapped) tracked columns, or drop the sidecar when nothing
+    * remains tracked.
+    */
+  private def retargetStatsColumns(remap: Seq[String] => Seq[String]): Unit =
+    if (hasStatsSidecar) {
+      val tracked = try db.spark.read.parquet(path + ".stats")
+        .schema.fieldNames.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      catch { case _: Exception => Seq.empty[String] }
+      val next = remap(tracked)
+      if (next.nonEmpty) analyzeStats(next): Unit
+      else Fs.delete(Fs.path(path + ".stats")): Unit
+    }
+
   /** The copy-on-write arm of [[deleteWhere]]: rewrite exactly `touched`
     * (qualified path, root-relative path), keep everything else in place.
     */
@@ -854,7 +955,15 @@ class Table(val db: Database, val qualified: String) {
         val bytes = files.map(_.getLen).sum
         val n = math.max(1, math.ceil(bytes.toDouble / (targetMB.toLong << 20)).toInt)
         if (files.length > n) {
-          db.replaceAt(leaf.toString, db.loadDir(leaf.toString).coalesce(n))
+          // an ALTERed table's leaf dirs can mix pre/post-ALTER files:
+          // read them under the declared schema (minus the partition
+          // columns, which live in the dir name) so the merge carries
+          // the added columns instead of picking a pre-ALTER footer
+          val declared = Table.declaredSchemaOf(path).map(s =>
+            org.apache.spark.sql.types.StructType(s.fields.filterNot(f =>
+              pcols.exists(_.equalsIgnoreCase(f.name)))))
+          db.replaceAt(leaf.toString,
+            db.loadDir(leaf.toString, declared).coalesce(n))
           outFiles += n
         } else outFiles += files.length
       }
@@ -1741,6 +1850,34 @@ class Table(val db: Database, val qualified: String) {
 
 object Table {
   val GeomNames = Set("wkt", "geom", "geometry", "shape")
+
+  /** `.properties` key holding a table's DECLARED schema (Spark DDL) —
+    * written by `ALTER TABLE … ADD COLUMN` (c38) and applied at read
+    * time: files written before the ALTER simply lack the column and
+    * null-fill it (typed), files written after carry it physically.
+    * This is the metadata-only schema evolution a plain-parquet
+    * warehouse can have without a column-mapping log: O(1) at any
+    * table size, name-mapped. Physical rewrites (DROP/RENAME COLUMN,
+    * compaction of the whole table) materialize the declared schema
+    * into the footers and clear the property.
+    */
+  private[api] val SchemaProp = "graft.schema.ddl"
+
+  /** The declared schema recorded for `path`, if any. None for
+    * non-filesystem paths and tables never ALTERed.
+    */
+  private[api] def declaredSchemaOf(path: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    try {
+      val p = Fs.path(path + ".properties")
+      if (!Fs.isFile(p)) None
+      else {
+        val props = new java.util.Properties()
+        props.load(new java.io.StringReader(Fs.readUtf8(p)))
+        Option(props.getProperty(SchemaProp))
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+      }
+    } catch { case _: IllegalArgumentException => None }
 
   /** [[Table.mergeCandidateFiles]] switches from per-point IN-list
     * pruning to the [min,max] envelope above this many distinct source

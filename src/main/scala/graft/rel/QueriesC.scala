@@ -1331,6 +1331,65 @@ object QueriesC {
         .select("phase", "n", "v").orderBy("phase")
     }),
 
+    // c38: ALTER TABLE through the raw-SQL surface — the last
+    // weekly-use DDL statement the warehouse lacked (the reference
+    // passed ALTER straight through to its live backend,
+    // datum/database.py:44-45). ADD COLUMN is METADATA-ONLY: the
+    // evolved schema records in the .properties sidecar and applies at
+    // read time — zero data churn at any table size (engine-asserted:
+    // no file touched), typed NULL backfill, appends carry the column
+    // physically. RENAME/DROP COLUMN are staged atomic rewrites;
+    // RENAME retargets the skipping sidecar so metadata routes keep
+    // serving under the new name (engine-asserted). Unsupported ALTER
+    // shapes refuse loudly. DuckDB replays the final state.
+    "c38_sql_alter" -> ((s, dir) => {
+      val db = scratch(s)
+      val nation = t(s, dir, "nation")
+      nation.write.mode("overwrite").parquet(db.pathOf("c38_n"))
+      val tbl = db.table("c38_n")
+      new java.io.File(tbl.path + ".properties").delete(): Unit // stale runs
+      tbl.analyzeStats(Seq("n_nationkey")): Unit
+      def files(): Map[String, Long] =
+        new java.io.File(tbl.path).listFiles().toSeq
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")).map(f => f.getName -> f.length())
+          .toMap
+      val before = files()
+      db.execute("ALTER TABLE c38_n ADD COLUMN score DOUBLE").collect(): Unit
+      assert(files() == before,
+        "ADD COLUMN must be metadata-only: no data file touched")
+      assert(db.table("c38_n").df.schema("score").dataType ==
+        org.apache.spark.sql.types.DoubleType, "typed NULL backfill")
+      val metaAdd = tbl.aggFromStats("n_nationkey").getOrElse(sys.error(
+        "the skipping sidecar must keep serving after ADD COLUMN"))
+      assert(metaAdd.inputFiles.forall(_.contains(".stats")),
+        s"metadata-only plan reads data files: ${metaAdd.inputFiles.toSeq}")
+      // the append carries the new column physically; old files null-fill
+      db.execute("INSERT INTO c38_n VALUES (900, 'zz', 0, 1.5)")
+        .collect(): Unit
+      // RENAME: staged rewrite + sidecar retarget to the new name
+      db.execute("ALTER TABLE c38_n RENAME COLUMN n_nationkey TO nk")
+        .collect(): Unit
+      assert(db.table("c38_n").aggFromStats("nk").isDefined,
+        "the sidecar must keep serving under the renamed column")
+      // DROP: physically gone
+      db.execute("ALTER TABLE c38_n DROP COLUMN n_regionkey").collect(): Unit
+      assert(!db.table("c38_n").df.columns.contains("n_regionkey"))
+      // unsupported ALTER shapes refuse instead of leaking to the
+      // session catalog
+      assert(scala.util.Try(db.execute(
+        "ALTER TABLE c38_n SET TBLPROPERTIES ('x'='1')")).isFailure,
+        "unsupported ALTER must refuse")
+      // engine-assert the typed NULL backfill (the compare sentinel
+      // below exists because the strict comparator treats NaN != NaN)
+      assert(db.table("c38_n").df.filter(col("score").isNull).count() ==
+        nation.count(), "pre-ALTER rows must null-fill the added column")
+      db.table("c38_n").df
+        .select(col("nk").cast("long").as("nk"), col("n_name"),
+          coalesce(col("score"), lit(-1.0)).as("score"))
+        .orderBy("nk")
+    }),
+
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
     // bad append lands, restore(v1) rolls the table back to the pinned
     // manifest via the staged atomic swap, and the read-back equals the
@@ -1691,6 +1750,11 @@ object QueriesC {
         "(SELECT count(*) FROM fin2) AS n_str, " +
         "(SELECT CAST(sum(val) AS BIGINT) FROM fin2) AS str_sum, " +
         "CAST(3 AS BIGINT) AS n_str_affected FROM fin"),
+    "c38_sql_alter" ->
+      ("SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name, " +
+        "CAST(-1.0 AS DOUBLE) AS score FROM nation " +
+        "UNION ALL SELECT 900, 'zz', CAST(1.5 AS DOUBLE) " +
+        "ORDER BY nk"),
     "c33_cow_delete" ->
       ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +

@@ -2126,6 +2126,89 @@ class ApiSpec extends AnyFunSuite {
       r.getLong(1))).toSet == Set((100L, 1L), (101L, 2L), (400L, 0L)))
   }
 
+  test("ALTER TABLE: metadata-only ADD COLUMN, rewrite DROP/RENAME, DML over mixed-schema files") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 100L).map(k => (k, s"n$k")).toDF("k", "name")
+      .repartitionByRange(2, col("k"))
+      .write.mode("overwrite").parquet(db2.pathOf("alt"))
+    val tbl = db2.table("alt")
+    new java.io.File(tbl.path + ".properties").delete(): Unit // stale runs
+    tbl.analyzeStats(Seq("k")): Unit
+    def files(): Map[String, Long] =
+      new java.io.File(tbl.path).listFiles().toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).map(f => f.getName -> f.length()).toMap
+    val before = files()
+    // ADD COLUMN: zero data churn, typed NULL backfill
+    db2.execute("ALTER TABLE alt ADD COLUMN score DOUBLE").collect(): Unit
+    assert(files() == before, "ADD COLUMN must touch no data file")
+    val d = db2.table("alt").df
+    assert(d.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(d.filter(col("score").isNull).count() == 100L)
+    // duplicate refuses; IF NOT EXISTS no-ops
+    intercept[IllegalArgumentException] {
+      db2.execute("ALTER TABLE alt ADD COLUMN score DOUBLE") }
+    db2.execute("ALTER TABLE alt ADD COLUMN IF NOT EXISTS score DOUBLE")
+      .collect(): Unit
+    // appends carry the column physically; old files keep null-filling
+    db2.execute("INSERT INTO alt VALUES (300, 'x', 1.5)").collect(): Unit
+    assert(db2.table("alt").df.filter(col("score").isNotNull).count() == 1L)
+    // COW UPDATE over pre-ALTER files must carry the added column
+    val rc = db2.execute("UPDATE alt SET score = 9.9 WHERE k BETWEEN 5 AND 6")
+      .collect()(0).getLong(0)
+    assert(rc == 2L)
+    val dd = db2.table("alt").df
+    assert(dd.filter(col("score") === 9.9).count() == 2L)
+    assert(dd.columns.toSeq.sorted == Seq("k", "name", "score"),
+      "the rewrite must not drop or duplicate columns")
+    assert(dd.count() == 101L)
+    // RENAME COLUMN: physical rewrite, sidecar retargets to the new name
+    db2.execute("ALTER TABLE alt RENAME COLUMN k TO id").collect(): Unit
+    val dr = db2.table("alt").df
+    assert(dr.columns.contains("id") && !dr.columns.contains("k"))
+    assert(db2.table("alt").aggFromStats("id").isDefined,
+      "skipping sidecar must keep serving under the renamed column")
+    assert(dr.agg(sum(col("id"))).collect()(0).getLong(0) ==
+      (1L to 100L).sum + 300L)
+    // DROP COLUMN: physically gone
+    db2.execute("ALTER TABLE alt DROP COLUMN name").collect(): Unit
+    assert(db2.table("alt").df.columns.toSeq.sorted == Seq("id", "score"))
+    intercept[IllegalArgumentException] {
+      db2.execute("ALTER TABLE alt DROP COLUMN nosuch") }
+    db2.execute("ALTER TABLE alt DROP COLUMN IF EXISTS nosuch")
+      .collect(): Unit
+    // unsupported ALTER shapes refuse loudly
+    intercept[IllegalArgumentException] {
+      db2.execute("ALTER TABLE alt SET TBLPROPERTIES ('a'='b')") }
+    intercept[IllegalArgumentException] {
+      db2.execute("ALTER TABLE nosuch ADD COLUMN x INT") }
+  }
+
+  test("ALTER ADD then compact: partitioned leaf merge keeps the added column's values") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 40L).map(k => (k, k % 2)).toDF("k", "g")
+      .repartition(4).write.partitionBy("g").mode("overwrite")
+      .parquet(db2.pathOf("altc"))
+    val tbl = db2.table("altc")
+    new java.io.File(tbl.path + ".properties").delete(): Unit
+    db2.execute("ALTER TABLE altc ADD COLUMN tag STRING").collect(): Unit
+    // post-ALTER append physically carries `tag` into each partition
+    db2.execute("INSERT INTO altc VALUES (100, 'hot', 0), (101, 'hot', 1)")
+      .collect(): Unit
+    assert(db2.table("altc").df.filter(col("tag") === "hot").count() == 2L)
+    tbl.compact(): Unit
+    // the leaf merges read mixed pre/post-ALTER files under the
+    // declared schema — a footer-picked read would silently drop `tag`
+    val after = db2.table("altc").df
+    assert(after.count() == 42L)
+    assert(after.filter(col("tag") === "hot").count() == 2L,
+      "compaction must not lose post-ALTER column data")
+    assert(after.filter(col("tag").isNull).count() == 40L)
+  }
+
   test("optimistic commit: concurrent DML writers refuse instead of racing the COW swap") {
     import spark.implicits._
     val db2 = scratchDb()
