@@ -527,60 +527,67 @@ class Table(val db: Database, val qualified: String) {
       val allFiles = currentDataFiles()
       val candidates = mergeCandidateFiles(source, srcAlias, tgtAlias,
         cond, allFiles)
-      // pass 1: which files hold at least one matching row?
-      val touched: Seq[(String, String)] =
-        if (candidates.isEmpty) Nil
-        else {
-          val scan = db.loadFiles(path, candidates.map(_._1))
-            .withColumn("__gf_file", input_file_name())
-          val hit = scan.alias(tgtAlias)
-            .join(source.alias(srcAlias), expr(cond), "inner")
-            .select(col("__gf_file")).distinct()
-            .collect().map(r => normFileUri(r.getString(0))).toSet
-          allFiles.filter { case (abs, _) => hit.contains(normFileUri(abs)) }
-        }
-      // ORDER OF PHASES: (1) the matched-side counts + ANSI cardinality
-      // check (read-only — a violation must abort before ANY effect),
+      // ORDER OF PHASES: (1) ONE fused read-only pass over the
+      // candidate files — per-file hit set (discovery), affected
+      // counts, and the ANSI cardinality check together (a violation
+      // must abort before ANY effect; r15 ran discovery and counts as
+      // separate passes, so every matched MERGE paid a second full
+      // touched-file read — fused, the discovery scan IS the audit),
       // (2) inserts materialize (their anti-join reads the touched
       // files, which the swap renames away — counted before any swap),
       // (3) ONE commit: when a matched-side rewrite is pending, the
       // inserts stage beside it and promote under the same swap token
-      // (crash ⇒ vacuum rolls back the whole MERGE); an insert-only
+      // (crash => vacuum rolls back the whole MERGE); an insert-only
       // MERGE appends through [[write]] — its single effect.
       var nUpdated = 0L; var nDeleted = 0L
+      var touched: Seq[(String, String)] = Nil
       var pendingSwap: Option[DataFrame] = None
-      if (touched.nonEmpty && matched.nonEmpty) {
-        val tdf = db.loadFiles(path, touched.map(_._1))
-          .withColumn("__gf_rid", monotonically_increasing_id())
-        val joined = tdf.alias(tgtAlias).join(
-          source.withColumn("__gf_src", lit(true)).alias(srcAlias),
-          expr(cond), "left_outer")
-        val matchedFlag = coalesce(col("__gf_src"), lit(false))
+      if (candidates.nonEmpty) {
         val conds = matched.map { case (a, _) =>
           a.map(x => coalesce(expr(x), lit(false))).getOrElse(lit(true)) }
-        val applicable = conds.zipWithIndex.map { case (c, i) =>
-          val earlier = conds.take(i).foldLeft(lit(false))(_ || _)
-          matchedFlag && c && !earlier }
-        def maskOf(pick: Database.MergeAction => Boolean): Column =
+        def joinOf(scan: DataFrame): (DataFrame, Column, Seq[Column]) = {
+          val joined = scan.alias(tgtAlias).join(
+            source.withColumn("__gf_src", lit(true)).alias(srcAlias),
+            expr(cond), "left_outer")
+          val matchedFlag = coalesce(col("__gf_src"), lit(false))
+          val applicable = conds.zipWithIndex.map { case (c, i) =>
+            val earlier = conds.take(i).foldLeft(lit(false))(_ || _)
+            matchedFlag && c && !earlier }
+          (joined, matchedFlag, applicable)
+        }
+        def maskOf(applicable: Seq[Column])(
+            pick: Database.MergeAction => Boolean): Column =
           matched.zip(applicable).collect {
             case ((_, act), app) if pick(act) => app }
             .foldLeft(lit(false))(_ || _)
-        val updMask = maskOf(_.isInstanceOf[Database.MergeUpdate])
-        val delMask = maskOf(_ == Database.MergeDelete)
-        // one pass: affected counts + the ANSI cardinality check
+        val (joined, matchedFlag, applicable) = joinOf(
+          db.loadFiles(path, candidates.map(_._1))
+            .withColumn("__gf_file", input_file_name())
+            .withColumn("__gf_rid", monotonically_increasing_id()))
+        val updMask = maskOf(applicable)(_.isInstanceOf[Database.MergeUpdate])
+        val delMask = maskOf(applicable)(_ == Database.MergeDelete)
         val st = joined.agg(
+          collect_set(when(matchedFlag, col("__gf_file"))),
           sum(when(updMask, 1L).otherwise(0L)),
           sum(when(delMask, 1L).otherwise(0L)),
           sum(when(matchedFlag, 1L).otherwise(0L)),
           countDistinct(when(matchedFlag, col("__gf_rid")))).collect()(0)
         def l(i: Int): Long = if (st.isNullAt(i)) 0L else st.getLong(i)
-        if (l(2) > l(3)) throw new IllegalStateException(
-          s"MERGE INTO $qualified: ${l(2) - l(3)} target row matches are " +
+        if (matched.nonEmpty && l(3) > l(4)) throw new IllegalStateException(
+          s"MERGE INTO $qualified: ${l(3) - l(4)} target row matches are " +
             "duplicated — a target row matched multiple source rows " +
             "(ANSI cardinality violation; deduplicate the source)")
-        nUpdated = l(0); nDeleted = l(1)
-        if (nUpdated + nDeleted > 0) {
-          val updPairs = matched.zip(applicable).collect {
+        val hit = st.getSeq[String](0).map(normFileUri).toSet
+        touched = allFiles.filter { case (abs, _) =>
+          hit.contains(normFileUri(abs)) }
+        nUpdated = l(1); nDeleted = l(2)
+        if (nUpdated + nDeleted > 0 && touched.nonEmpty) {
+          // pass 2 (rewrite) joins ONLY the files holding matches —
+          // candidate files with no hit survive by reference unread
+          val (tJoined, _, tApplicable) = joinOf(
+            db.loadFiles(path, touched.map(_._1)))
+          val tDelMask = maskOf(tApplicable)(_ == Database.MergeDelete)
+          val updPairs = matched.zip(tApplicable).collect {
             case ((_, u: Database.MergeUpdate), app) => (u, app) }
           val outCols = schema.fields.toSeq.map { f =>
             val base = col(s"$tgtAlias.${f.name}")
@@ -590,7 +597,7 @@ class Table(val db: Database, val qualified: String) {
             hits.foldRight(base) { case ((app, v), acc) =>
               when(app, v).otherwise(acc) }.as(f.name)
           }
-          pendingSwap = Some(joined.filter(!delMask).select(outCols: _*))
+          pendingSwap = Some(tJoined.filter(!tDelMask).select(outCols: _*))
         }
       }
       var nInserted = 0L

@@ -1177,46 +1177,6 @@ object QueriesC {
         "the sidecar must keep serving after a MERGE"))
       assert(meta.inputFiles.forall(_.contains(".stats")),
         s"metadata-only plan reads data files: ${meta.inputFiles.toSeq}")
-      // string-key CDC phase (the doc_id shape): discovery must prune
-      // PER-POINT — a lexicographically scattered key set (one key near
-      // each end) makes the [min,max] envelope span every file, but the
-      // two points hit exactly two. The seam-asserted candidate count
-      // IS the 100 TB discovery cost.
-      import s.implicits._
-      orders.filter(col("o_orderkey") <= 2400)
-        .select(concat(lit("D"), lpad(col("o_orderkey").cast("string"),
-          7, "0")).as("doc_id"), col("o_custkey").cast("long").as("val"))
-        .repartitionByRange(6, col("doc_id"))
-        .write.mode("overwrite").parquet(db.pathOf("c36_sdocs"))
-      val sdocs = db.table("c36_sdocs")
-      sdocs.analyzeStats(Seq("doc_id")): Unit
-      val totalS = sdocs.df.inputFiles.length
-      val loHi = sdocs.df.agg(min(col("doc_id")), max(col("doc_id")))
-        .collect()(0)
-      Seq((loHi.getString(0), -5L), (loHi.getString(1), -5L),
-        ("D9000001", 42L)).toDF("k", "nv")
-        .coalesce(1).write.mode("overwrite").parquet(db.pathOf("c36_ssrc"))
-      val cands = sdocs.mergeCandidateFiles(db.table("c36_ssrc").df,
-        "s", "t", "t.doc_id = s.k", sdocs.currentDataFiles())
-      assert(cands.size <= 2 && cands.size < totalS,
-        s"per-point string pruning must beat the spanning envelope: " +
-          s"${cands.size}/$totalS candidate files")
-      def fileSetS(): Set[String] =
-        new java.io.File(sdocs.path).listFiles().toSeq
-          .filter(f => f.isFile && !f.getName.startsWith("_") &&
-            !f.getName.startsWith(".")).map(_.getName).toSet
-      val beforeS = fileSetS()
-      val rcS = db.execute(
-        "MERGE INTO c36_sdocs t USING c36_ssrc s ON t.doc_id = s.k " +
-          "WHEN MATCHED THEN UPDATE SET val = s.nv " +
-          "WHEN NOT MATCHED THEN INSERT (doc_id, val) VALUES (s.k, s.nv)")
-        .collect()(0).getLong(0)
-      assert(rcS == 3L, s"string CDC affected-rows: $rcS")
-      val rewroteS = (beforeS -- fileSetS()).size
-      assert(rewroteS == cands.size,
-        s"exactly the candidate files rewrite: $rewroteS/${cands.size}")
-      val sAgg = sdocs.df.agg(count(lit(1)).cast("long"),
-        sum(col("val")).cast("long")).collect()(0)
       tbl.df.agg(count(lit(1)).as("n"),
         sum(col("o_custkey")).cast("long").as("cust_sum"),
         sum(when(col("o_orderpriority") === "X-MERGED", 1L).otherwise(0L))
@@ -1227,8 +1187,55 @@ object QueriesC {
         max(col("o_orderkey")).cast("long").as("max_key"))
         .withColumn("n_affected", lit(rc))
         .withColumn("n_affected_nomatch", lit(rc0))
-        .withColumn("n_str", lit(sAgg.getLong(0)))
-        .withColumn("str_sum", lit(sAgg.getLong(1)))
+    }),
+
+    // c39: string-key MERGE CDC (the doc_id shape) — discovery must
+    // prune PER-POINT: a lexicographically scattered key set (one key
+    // near each end of the table) makes the [min,max] envelope span
+    // every file, but the two points band-hit exactly two. The
+    // seam-asserted candidate count IS the 100 TB discovery cost, and
+    // the rewrite is engine-asserted to touch exactly the candidate
+    // files. DuckDB replays the post-merge state (the scattered source
+    // hits the min/max doc_id rows — zero-padding keeps lexicographic
+    // order aligned with numeric order — plus one insert).
+    "c39_merge_string_cdc" -> ((s, dir) => {
+      import s.implicits._
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 2400)
+        .select(concat(lit("D"), lpad(col("o_orderkey").cast("string"),
+          7, "0")).as("doc_id"), col("o_custkey").cast("long").as("val"))
+        .repartitionByRange(6, col("doc_id"))
+        .write.mode("overwrite").parquet(db.pathOf("c39_sdocs"))
+      val sdocs = db.table("c39_sdocs")
+      sdocs.analyzeStats(Seq("doc_id")): Unit
+      val totalS = sdocs.df.inputFiles.length
+      val loHi = sdocs.df.agg(min(col("doc_id")), max(col("doc_id")))
+        .collect()(0)
+      Seq((loHi.getString(0), -5L), (loHi.getString(1), -5L),
+        ("D9000001", 42L)).toDF("k", "nv")
+        .coalesce(1).write.mode("overwrite").parquet(db.pathOf("c39_ssrc"))
+      val cands = sdocs.mergeCandidateFiles(db.table("c39_ssrc").df,
+        "s", "t", "t.doc_id = s.k", sdocs.currentDataFiles())
+      assert(cands.size <= 2 && cands.size < totalS,
+        s"per-point string pruning must beat the spanning envelope: " +
+          s"${cands.size}/$totalS candidate files")
+      def fileSetS(): Set[String] =
+        new java.io.File(sdocs.path).listFiles().toSeq
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")).map(_.getName).toSet
+      val beforeS = fileSetS()
+      val rcS = db.execute(
+        "MERGE INTO c39_sdocs t USING c39_ssrc s ON t.doc_id = s.k " +
+          "WHEN MATCHED THEN UPDATE SET val = s.nv " +
+          "WHEN NOT MATCHED THEN INSERT (doc_id, val) VALUES (s.k, s.nv)")
+        .collect()(0).getLong(0)
+      assert(rcS == 3L, s"string CDC affected-rows: $rcS")
+      val rewroteS = (beforeS -- fileSetS()).size
+      assert(rewroteS == cands.size,
+        s"exactly the candidate files rewrite: $rewroteS/${cands.size}")
+      sdocs.df.agg(count(lit(1)).cast("long").as("n_str"),
+        sum(col("val")).cast("long").as("str_sum"))
         .withColumn("n_str_affected", lit(rcS))
     }),
 
@@ -1729,15 +1736,7 @@ object QueriesC {
         "AND NOT (o_orderkey BETWEEN 600 AND 800 AND o_orderkey % 10 = 0) " +
         "UNION ALL " +
         "SELECT o_orderkey + 9000000, o_custkey, 'X-INSERTED' " +
-        "FROM orders WHERE o_orderkey BETWEEN 100 AND 200), " +
-        // fin2 replays the string-key CDC phase: the scattered source
-        // hits exactly the min/max doc_id rows (zero-padding keeps
-        // lexicographic order = numeric order), plus the one insert
-        "fin2 AS (SELECT CASE WHEN o_orderkey = (SELECT min(o_orderkey) " +
-        "FROM orders WHERE o_orderkey <= 2400) OR o_orderkey = " +
-        "(SELECT max(o_orderkey) FROM orders WHERE o_orderkey <= 2400) " +
-        "THEN -5 ELSE o_custkey END AS val FROM orders " +
-        "WHERE o_orderkey <= 2400 UNION ALL SELECT 42) " +
+        "FROM orders WHERE o_orderkey BETWEEN 100 AND 200) " +
         "SELECT count(*) AS n, CAST(sum(ck) AS BIGINT) AS cust_sum, " +
         "CAST(sum(CASE WHEN pri = 'X-MERGED' THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_merged, " +
@@ -1746,10 +1745,18 @@ object QueriesC {
         "CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key, " +
         "(SELECT count(*) FROM orders WHERE o_orderkey BETWEEN 600 AND 800) " +
         "+ (SELECT count(*) FROM orders WHERE o_orderkey BETWEEN 100 AND 200) " +
-        "AS n_affected, CAST(0 AS BIGINT) AS n_affected_nomatch, " +
-        "(SELECT count(*) FROM fin2) AS n_str, " +
-        "(SELECT CAST(sum(val) AS BIGINT) FROM fin2) AS str_sum, " +
-        "CAST(3 AS BIGINT) AS n_str_affected FROM fin"),
+        "AS n_affected, CAST(0 AS BIGINT) AS n_affected_nomatch FROM fin"),
+    "c39_merge_string_cdc" ->
+      // replays the scattered string-key CDC: the source hits exactly
+      // the min/max doc_id rows (zero-padded doc ids keep lexicographic
+      // order aligned with numeric order), plus one insert
+      ("WITH fin2 AS (SELECT CASE WHEN o_orderkey = (SELECT min(o_orderkey) " +
+        "FROM orders WHERE o_orderkey <= 2400) OR o_orderkey = " +
+        "(SELECT max(o_orderkey) FROM orders WHERE o_orderkey <= 2400) " +
+        "THEN -5 ELSE o_custkey END AS val FROM orders " +
+        "WHERE o_orderkey <= 2400 UNION ALL SELECT 42) " +
+        "SELECT count(*) AS n_str, CAST(sum(val) AS BIGINT) AS str_sum, " +
+        "CAST(3 AS BIGINT) AS n_str_affected FROM fin2"),
     "c38_sql_alter" ->
       ("SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name, " +
         "CAST(-1.0 AS DOUBLE) AS score FROM nation " +
