@@ -882,6 +882,12 @@ class Database(val spark: SparkSession, val root: String,
     Fs.delete(Fs.path(pathOf(name) + ".versions")): Unit
     Fs.delete(Fs.path(pathOf(name) + ".stats")): Unit
     Fs.delete(Fs.path(Table.versionDirOf(pathOf(name)))): Unit
+    // DML-retention dirs die with the table too
+    val tp = Fs.path(pathOf(name))
+    if (Fs.exists(tp.getParent)) Fs.list(tp.getParent)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(tp.getName + ".retain_"))
+      .foreach(st => Fs.delete(st.getPath): Unit)
     val v = viewNameOf(name)
     if (spark.catalog.tableExists(v)) spark.catalog.dropTempView(v): Unit
     markDirty()
@@ -922,7 +928,9 @@ class Database(val spark: SparkSession, val root: String,
     import org.apache.hadoop.fs.Path
     var stageTmp = 0; var stageBak = 0; var bak = 0
     var upsertStage = 0; var stale = 0; var recovered = 0
-    var tombStage = 0; var tombBak = 0
+    var tombStage = 0; var tombBak = 0; var retainExpired = 0
+    // DML-retention area (Table.setCowRetention): `<table>.retain_<millis>_<token>`
+    val RetainRe = java.util.regex.Pattern.compile("(.+)\\.retain_(\\d+)_([a-f0-9]+)")
     // tombstone-fold sibling residue (compactTombstones: the fold stages
     // and backs up each touched partition dir OUTSIDE the index root as
     // <index>.stage_l<v> / <index>.bak_l<v>)
@@ -1030,6 +1038,11 @@ class Database(val spark: SparkSession, val root: String,
           }
           else if (n.endsWith(".versions")) {
             val tablePath = new Path(p.getParent, n.stripSuffix(".versions"))
+            // retention-backed manifests stay valid: a file a COW swap
+            // retired still serves from a `<table>.retain_*` sibling
+            val retainDirs = Fs.list(p.getParent).filter(d =>
+              d.isDirectory && d.getPath.getName.startsWith(
+                n.stripSuffix(".versions") + ".retain_")).map(_.getPath)
             Fs.list(p)
               .filter(m => m.getPath.getName.startsWith("v") &&
                 m.getPath.getName.endsWith(".manifest"))
@@ -1041,11 +1054,25 @@ class Database(val spark: SparkSession, val root: String,
                 val rels = Fs.readUtf8(m.getPath)
                   .split("\r?\n").iterator.map(_.trim).filter(_.nonEmpty)
                   .toList
-                if (!rels.forall(r => Fs.isFile(new Path(tablePath, r))) &&
-                    Fs.delete(m.getPath))
+                def reachable(r: String): Boolean =
+                  Fs.isFile(new Path(tablePath, r)) ||
+                    retainDirs.exists(rd => Fs.isFile(new Path(rd, r)))
+                if (!rels.forall(reachable) && Fs.delete(m.getPath))
                   stale += 1
               }
-          } else reclaim(p) // schema/table/partition dirs — walk through
+          }
+          else if (RetainRe.matcher(n).matches()) {
+            // DML-retention area: reclaim only past the owner's ttl —
+            // this is retained HISTORY, not crash residue
+            val mm = RetainRe.matcher(n); mm.matches(): Unit
+            val stamp = scala.util.Try(mm.group(2).toLong).getOrElse(0L)
+            val ttl = Table.retainTtlOf(
+              new Path(p.getParent, mm.group(1)).toString)
+            if (System.currentTimeMillis() - stamp > ttl) {
+              Fs.delete(p): Unit; retainExpired += 1
+            }
+          }
+          else reclaim(p) // schema/table/partition dirs — walk through
         }
       }
     // the lease makes the SINGLE-WRITER REQUIREMENT checkable (r15): a
@@ -1057,7 +1084,8 @@ class Database(val spark: SparkSession, val root: String,
       Map("stage_tmp" -> stageTmp, "stage_bak" -> stageBak, "bak" -> bak,
         "upsert_stage" -> upsertStage, "stale_manifest" -> stale,
         "recovered" -> recovered,
-        "tomb_stage" -> tombStage, "tomb_bak" -> tombBak)
+        "tomb_stage" -> tombStage, "tomb_bak" -> tombBak,
+        "retain_expired" -> retainExpired)
     }
   }
 

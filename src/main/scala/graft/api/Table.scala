@@ -776,6 +776,10 @@ class Table(val db: Database, val qualified: String) {
     // eviction recomputing either DataFrame re-reads live files.
     extraAppend.foreach(a =>
       db.storeAt(a, insStage, partitionBy = Database.partitionColsOf(path)))
+    // DML-surviving time travel (opt-in): pin the pre-DML file set so
+    // readVersion can serve it from the retention area after the swap
+    val retain = cowRetentionOn
+    if (retain) snapshot(): Unit
     // optimistic commit check BEFORE any live file moves: a concurrent
     // writer that committed since our file listing makes this CAS
     // refuse — the staged copies are dropped and the table is untouched
@@ -798,8 +802,16 @@ class Table(val db: Database, val qualified: String) {
     }
     val promoted = promoteStaged(stage, token) ++
       (if (extraAppend.isDefined) promoteStaged(insStage, token) else Nil)
-    // COMMIT: once the backup is gone the new file set is the table
-    Fs.delete(Fs.path(bak)): Unit
+    // COMMIT: once the backup is gone (deleted, or — retention mode —
+    // retired to `<path>.retain_<millis>_<token>` with its relative
+    // paths intact) the new file set is the table. The retire is one
+    // metadata rename; a crash before it still reads as uncommitted
+    // and vacuum rolls the swap back, exactly as in the default mode.
+    if (retain)
+      Fs.renameOrThrow(Fs.path(bak),
+        Fs.path(path + ".retain_" + System.currentTimeMillis() + "_" + token),
+        "cow swap: retire replaced files to the retention area")
+    else Fs.delete(Fs.path(bak)): Unit
     Fs.delete(Fs.path(stage)): Unit
     Fs.delete(Fs.path(insStage)): Unit
     db.markDirty()
@@ -1107,6 +1119,22 @@ class Table(val db: Database, val qualified: String) {
     v
   }
 
+  /** Opt into DML-SURVIVING time travel (see [[Table.RetainProp]]):
+    * copy-on-write DML swaps then auto-snapshot the pre-DML state and
+    * retire replaced files to `<path>.retain_*` instead of deleting
+    * them, so [[readVersion]] serves across DELETE/UPDATE/MERGE.
+    * `Database.vacuum` reclaims retention dirs past
+    * `graft.retain.ttl.ms` (default 7 days). OFF by default: legal
+    * deletion (the e97 forget cascade) requires the bytes gone at
+    * commit, and that stays the standard contract.
+    */
+  def setCowRetention(on: Boolean): Unit =
+    if (on) setProps(Map(Table.RetainProp -> "true"))
+    else clearProps(Seq(Table.RetainProp))
+
+  private def cowRetentionOn: Boolean =
+    prop(Table.RetainProp).contains("true")
+
   /** Snapshot versions recorded for this table, ascending. */
   def versions: Seq[Int] = {
     Fs.list(Fs.path(path + ".versions"))
@@ -1123,13 +1151,41 @@ class Table(val db: Database, val qualified: String) {
     */
   def readVersion(v: Int): DataFrame = {
     val rels = manifestFiles(v)
-    val missing = rels.filterNot(r =>
+    val (live, gone) = rels.partition(r =>
       Fs.isFile(new org.apache.hadoop.fs.Path(Fs.path(path), r)))
-    require(missing.isEmpty,
-      s"snapshot v$v of $qualified references rewritten/removed files " +
-        s"(append-only contract violated): ${missing.take(5).mkString(", ")}")
-    if (rels.isEmpty) df.limit(0)
-    else db.loadFiles(path, rels.map(r => s"$path/$r"))
+    if (rels.isEmpty) return df.limit(0)
+    if (gone.isEmpty) return db.loadFiles(path, rels.map(r => s"$path/$r"))
+    // DML-surviving resolution: a file a COW swap replaced lives on —
+    // relative path intact — under a sibling `<path>.retain_*` dir
+    // until vacuum's ttl reclaims it. Each replaced file retires
+    // exactly once (a retired file never returns to the live tree), so
+    // the first retention dir holding the rel path IS its home. Reads
+    // union per-root so hive partition columns resolve against each
+    // root's own layout.
+    val tableName = Fs.path(path).getName
+    val retainDirs = Fs.list(Fs.path(path).getParent)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(tableName + ".retain_"))
+      .map(_.getPath)
+    val resolved: Map[String, org.apache.hadoop.fs.Path] = gone.flatMap {
+      r => retainDirs.collectFirst {
+        case rd if Fs.isFile(new org.apache.hadoop.fs.Path(rd, r)) => r -> rd
+      }
+    }.toMap
+    val unresolved = gone.filterNot(resolved.contains)
+    require(unresolved.isEmpty,
+      s"snapshot v$v of $qualified references files neither live nor " +
+        s"retained (append-only contract violated without retention, " +
+        s"or history vacuumed past the retention ttl): " +
+        unresolved.take(5).mkString(", "))
+    val parts =
+      (if (live.isEmpty) Nil
+       else Seq(db.loadFiles(path, live.map(r => s"$path/$r")))) ++
+        resolved.groupBy(_._2).toSeq.sortBy(_._1.toString).map {
+          case (rd, m) => db.loadFiles(rd.toString,
+            m.keys.toSeq.sorted.map(r => s"$rd/$r"))
+        }
+    parts.reduce(_.unionByName(_))
   }
 
   /** The manifest's relative data-file list (sorted as written). */
@@ -1857,6 +1913,40 @@ class Table(val db: Database, val qualified: String) {
 
 object Table {
   val GeomNames = Set("wkt", "geom", "geometry", "shape")
+
+  /** `.properties` keys for DML-SURVIVING time travel (r16): when
+    * [[Table.setCowRetention]] enabled `graft.retain.cow`, every
+    * copy-on-write DML swap (c33/c35/c36) auto-snapshots the pre-DML
+    * file set and RETIRES the replaced files to a sibling
+    * `<path>.retain_<millis>_<token>` directory instead of deleting
+    * them at commit — `readVersion` then resolves manifest files
+    * through the retention area, so point-in-time reads survive
+    * row-level DML (the audit/debug view a governance pipeline wants
+    * right up until legal deletion requires the bytes gone — which is
+    * why OFF is the default and e97's forget cascade stays physical).
+    * `Database.vacuum` reclaims retention dirs older than
+    * `graft.retain.ttl.ms` (default 7 days).
+    */
+  private[api] val RetainProp = "graft.retain.cow"
+  private[api] val RetainTtlProp = "graft.retain.ttl.ms"
+  private[api] val RetainDefaultTtlMs: Long = 7L * 24 * 3600 * 1000
+
+  /** Retention ttl for `path`'s DML-retained history: the table's
+    * `graft.retain.ttl.ms` property, defaulting to
+    * [[RetainDefaultTtlMs]]. Read by `Database.vacuum`'s reclaim pass.
+    */
+  private[api] def retainTtlOf(path: String): Long =
+    try {
+      val p = Fs.path(path + ".properties")
+      if (!Fs.isFile(p)) RetainDefaultTtlMs
+      else {
+        val props = new java.util.Properties()
+        props.load(new java.io.StringReader(Fs.readUtf8(p)))
+        Option(props.getProperty(RetainTtlProp))
+          .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+          .getOrElse(RetainDefaultTtlMs)
+      }
+    } catch { case _: Exception => RetainDefaultTtlMs }
 
   /** `.properties` key holding a table's DECLARED schema (Spark DDL) —
     * written by `ALTER TABLE … ADD COLUMN` (c38) and applied at read

@@ -1397,6 +1397,62 @@ object QueriesC {
         .orderBy("nk")
     }),
 
+    // c40: DML-SURVIVING time travel (retention mode) — c13's snapshots
+    // are valid across appends only; any COW rewrite invalidates them
+    // (the documented default: legal deletion needs the bytes gone at
+    // commit). With per-table opt-in `setCowRetention(true)`, every COW
+    // DML auto-snapshots the pre-DML file set and RETIRES replaced
+    // files to a `<path>.retain_*` sibling instead of deleting them —
+    // readVersion then serves point-in-time reads across DELETE and
+    // UPDATE (Delta's retention semantics over plain files). Engine
+    // asserts: both pre-DML versions serve exactly, vacuum leaves
+    // fresh history alone (ttl-gated reclaim is ApiSpec-covered), the
+    // default stays physical. DuckDB replays all three time points.
+    "c40_dml_time_travel" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 1500)
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.mode("overwrite").parquet(db.pathOf("c40_orders"))
+      val tbl = db.table("c40_orders")
+      // idempotence across verify/bench runs: clear prior history
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete(): Unit
+      }
+      wipe(new java.io.File(tbl.path + ".versions"))
+      wipe(new java.io.File(tbl.path + ".properties"))
+      new java.io.File(tbl.path).getParentFile.listFiles()
+        .filter(_.getName.startsWith("c40_orders.parquet.retain_"))
+        .foreach(wipe)
+      tbl.analyzeStats(Seq("o_orderkey")): Unit
+      tbl.setCowRetention(true)
+      val rcDel = db.execute(
+        "DELETE FROM c40_orders WHERE o_orderkey BETWEEN 200 AND 400")
+        .collect()(0).getLong(0)
+      assert(rcDel > 0L)
+      val v1 = tbl.versions.head
+      db.execute("UPDATE c40_orders SET o_custkey = 0 " +
+        "WHERE o_orderkey BETWEEN 500 AND 600").collect(): Unit
+      val v2 = tbl.versions.last
+      assert(v2 > v1, "each retained DML pins its pre-state")
+      // vacuum must leave fresh retained history alone
+      val rep = db.vacuum()
+      assert(rep.getOrElse("retain_expired", 0) == 0,
+        s"fresh retention reclaimed: $rep")
+      def phase(name: String, d: org.apache.spark.sql.DataFrame) =
+        d.agg(count(lit(1)).cast("long").as("n"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"),
+          sum(col("o_custkey")).cast("long").as("cust_sum"))
+          .withColumn("phase", lit(name))
+      phase("v1_pre_delete", tbl.readVersion(v1))
+        .unionByName(phase("v2_pre_update", tbl.readVersion(v2)))
+        .unionByName(phase("live", tbl.df))
+        .select("phase", "n", "key_sum", "cust_sum")
+        .orderBy("phase")
+    }),
+
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
     // bad append lands, restore(v1) rolls the table back to the pinned
     // manifest via the staged atomic swap, and the read-back equals the
@@ -1746,6 +1802,22 @@ object QueriesC {
         "(SELECT count(*) FROM orders WHERE o_orderkey BETWEEN 600 AND 800) " +
         "+ (SELECT count(*) FROM orders WHERE o_orderkey BETWEEN 100 AND 200) " +
         "AS n_affected, CAST(0 AS BIGINT) AS n_affected_nomatch FROM fin"),
+    "c40_dml_time_travel" ->
+      ("WITH seed AS (SELECT o_orderkey, o_custkey FROM orders " +
+        "WHERE o_orderkey <= 1500), " +
+        "v2 AS (SELECT * FROM seed " +
+        "WHERE NOT (o_orderkey BETWEEN 200 AND 400)), " +
+        "live AS (SELECT o_orderkey, CASE WHEN o_orderkey BETWEEN 500 " +
+        "AND 600 THEN 0 ELSE o_custkey END AS o_custkey FROM v2) " +
+        "SELECT 'v1_pre_delete' AS phase, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS cust_sum FROM seed " +
+        "UNION ALL SELECT 'v2_pre_update', count(*), " +
+        "CAST(sum(o_orderkey) AS BIGINT), CAST(sum(o_custkey) AS BIGINT) " +
+        "FROM v2 " +
+        "UNION ALL SELECT 'live', count(*), " +
+        "CAST(sum(o_orderkey) AS BIGINT), CAST(sum(o_custkey) AS BIGINT) " +
+        "FROM live ORDER BY phase"),
     "c39_merge_string_cdc" ->
       // replays the scattered string-key CDC: the source hits exactly
       // the min/max doc_id rows (zero-padded doc ids keep lexicographic

@@ -2275,6 +2275,83 @@ class ApiSpec extends AnyFunSuite {
     assert(!new java.io.File(api.Table.versionDirOf(p)).exists())
   }
 
+  test("DML-surviving time travel: retained COW swaps serve pre-DML versions until the ttl reclaims them") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 200L).map(k => (k, k * 10.0)).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(db2.pathOf("ret"))
+    val tbl = db2.table("ret")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(tbl.path + ".versions"))
+    wipe(new java.io.File(tbl.path + ".properties"))
+    new java.io.File(tbl.path).getParentFile.listFiles()
+      .filter(_.getName.startsWith("ret.parquet.retain_")).foreach(wipe)
+    tbl.analyzeStats(Seq("k")): Unit
+    tbl.setCowRetention(true)
+    // COW DELETE auto-pins the pre-DML state and retires, not deletes
+    val rc = db2.execute("DELETE FROM ret WHERE k BETWEEN 10 AND 20")
+      .collect()(0).getLong(0)
+    assert(rc == 11L)
+    val v1 = tbl.versions.head
+    assert(tbl.readVersion(v1).count() == 200L,
+      "the pre-DELETE version must serve from the retention area")
+    // a second DML layers another version; both still serve
+    db2.execute("UPDATE ret SET v = 0 WHERE k BETWEEN 100 AND 110")
+      .collect(): Unit
+    val v2 = tbl.versions.last
+    assert(v2 > v1)
+    assert(tbl.readVersion(v1).agg(sum(col("v"))).collect()(0)
+      .getDouble(0) == (1L to 200L).map(_ * 10.0).sum,
+      "v1 = the untouched original")
+    assert(tbl.readVersion(v2).count() == 189L,
+      "v2 = post-DELETE, pre-UPDATE")
+    assert(tbl.readVersion(v2).filter(col("v") === 0.0).count() == 0L)
+    assert(tbl.count == 189L)
+    // vacuum honors the ttl: fresh history survives, expired reclaims
+    val rep0 = db2.vacuum()
+    assert(rep0.getOrElse("retain_expired", 0) == 0,
+      s"fresh retention must survive vacuum: $rep0")
+    assert(tbl.readVersion(v1).count() == 200L)
+    // expire: ttl=0 property, vacuum reclaims, version fails loudly.
+    // (Written through the Fs seam — a raw FileWriter would break the
+    // Hadoop-local CRC sidecar and the engine's read of the property.)
+    val propsP = api.Fs.path(tbl.path + ".properties")
+    val props = new java.util.Properties()
+    props.load(new java.io.StringReader(api.Fs.readUtf8(propsP)))
+    props.setProperty("graft.retain.ttl.ms", "0")
+    val sw = new java.io.StringWriter(); props.store(sw, null)
+    api.Fs.writeUtf8(propsP, sw.toString)
+    Thread.sleep(5)
+    val rep1 = db2.vacuum()
+    assert(rep1.getOrElse("retain_expired", 0) >= 2,
+      s"expired retention dirs must reclaim: $rep1")
+    // vacuum reclaims expired history coherently: the retain dirs go,
+    // and their now-unreachable manifests go with them (same pass or
+    // the next, depending on listing order) — either way the read
+    // fails loudly, never serves partial history
+    val err = intercept[IllegalArgumentException] {
+      tbl.readVersion(v1).count() }
+    assert(err.getMessage.contains("retention") ||
+      err.getMessage.contains("no snapshot"),
+      s"post-reclaim read must fail loudly: ${err.getMessage}")
+    // default-off contract unchanged: a fresh table's COW delete
+    // leaves no retention residue (bytes gone at commit)
+    (1L to 50L).map(k => (k, 0L)).toDF("k", "v")
+      .repartitionByRange(2, col("k"))
+      .write.mode("overwrite").parquet(db2.pathOf("ret2"))
+    val t2 = db2.table("ret2")
+    t2.analyzeStats(Seq("k")): Unit
+    db2.execute("DELETE FROM ret2 WHERE k <= 5").collect(): Unit
+    assert(!new java.io.File(t2.path).getParentFile.listFiles()
+      .exists(_.getName.startsWith("ret2.parquet.retain_")),
+      "retention is opt-in: default DML deletes its backup at commit")
+  }
+
   test("vacuum rolls back a crashed COW delete: promoted files un-promoted, originals restored") {
     import spark.implicits._
     val db2 = scratchDb()
