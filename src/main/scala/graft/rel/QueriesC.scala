@@ -1894,7 +1894,8 @@ object QueriesC {
         "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
         "FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 3000"),
     "c16_vacuum" ->
-      ("SELECT * FROM (VALUES ('bak', 1), ('recovered', 1), ('stage_bak', 1), " +
+      ("SELECT * FROM (VALUES ('bak', 1), ('recovered', 1), " +
+        "('retain_expired', 0), ('stage_bak', 1), " +
         "('stage_tmp', 1), ('stale_manifest', 1), ('tomb_bak', 1), " +
         "('tomb_stage', 1), ('upsert_stage', 1)) " +
         "t(kind, n) ORDER BY kind"),
