@@ -285,6 +285,7 @@ class Database(val spark: SparkSession, val root: String,
     */
   private def rewriteVersionedRefs(stmt: String): String = {
     val vRe = """(?i)\bFROM\s+([A-Za-z0-9_.]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+    val tRe = """(?i)\bFROM\s+([A-Za-z0-9_.]+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
     val dRe = """(?i)\bFROM\s+([A-Za-z0-9_.]+)\s+DIFF\s+FROM\s+(\d+)\s+TO\s+(\d+)""".r
     def known(t: String) = tables.exists(_.equalsIgnoreCase(t))
     def inLiteral(s: String, pos: Int): Boolean = {
@@ -303,9 +304,25 @@ class Database(val spark: SparkSession, val root: String,
         s"FROM $view"
       }
     })
-    val step2 = dRe.replaceAllIn(step1, m => {
-      val t = m.group(1); val from = m.group(2).toInt; val to = m.group(3).toInt
+    // `TIMESTAMP AS OF '<ts>'` resolves to a concrete version FIRST
+    // (versionAt: latest snapshot wall-clock <= the bound, loud refusal
+    // when the bound predates history), then rides the same pinned
+    // manifest read as VERSION AS OF — the SQL route IS the API route.
+    val step1t = tRe.replaceAllIn(step1, m => {
+      val t = m.group(1); val ts = m.group(2)
       if (!known(t) || inLiteral(step1, m.start))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val tbl = table(t)
+        val v = tbl.versionAt(Table.parseTsMillis(ts))
+        val view = s"${viewNameOf(t)}__v$v"
+        staged += ((view, tbl.readVersion(v)))
+        s"FROM $view"
+      }
+    })
+    val step2 = dRe.replaceAllIn(step1t, m => {
+      val t = m.group(1); val from = m.group(2).toInt; val to = m.group(3).toInt
+      if (!known(t) || inLiteral(step1t, m.start))
         java.util.regex.Matcher.quoteReplacement(m.matched)
       else {
         val view = s"${viewNameOf(t)}__diff_${from}_$to"
@@ -330,6 +347,16 @@ class Database(val spark: SparkSession, val root: String,
           replaceTable(tbl, t.limit(0))
           rowcount(total)
       }
+    // TRUNCATE TABLE t — the reference's truncate (datum/table.py:91-93)
+    // reached through the raw-SQL surface: identical to bare DELETE FROM
+    // (staged swap, retention-aware, rowcount = rows removed)
+    case Database.TruncateRe(tbl) =>
+      val tname = tables.find(_.equalsIgnoreCase(tbl)).getOrElse(
+        throw new IllegalArgumentException(s"TRUNCATE TABLE $tbl: unknown table"))
+      val t = load(tname)
+      val total = t.count()
+      replaceTable(tname, t.limit(0))
+      rowcount(total)
     // UPDATE: the reference's third row-level DML (its backends ran it
     // natively; Spark has none over parquet) — the COW swap applies the
     // SET assignments to matching rows in ONLY the files whose bands can
@@ -421,6 +448,10 @@ class Database(val spark: SparkSession, val root: String,
       val t = tables.find(_.equalsIgnoreCase(tbl)).getOrElse(
         throw new IllegalArgumentException(s"ALTER TABLE $tbl: unknown table"))
       rowcount(table(t).alterAddColumn(c, typeDdl.trim, ifNotExists != null))
+    case Database.AlterColTypeRe(tbl, c, typeDdl) =>
+      val t = tables.find(_.equalsIgnoreCase(tbl)).getOrElse(
+        throw new IllegalArgumentException(s"ALTER TABLE $tbl: unknown table"))
+      rowcount(table(t).alterColumnType(c, typeDdl.trim))
     case Database.AlterDropColRe(tbl, ifExists, c) =>
       val t = tables.find(_.equalsIgnoreCase(tbl)).getOrElse(
         throw new IllegalArgumentException(s"ALTER TABLE $tbl: unknown table"))
@@ -433,7 +464,8 @@ class Database(val spark: SparkSession, val root: String,
       throw new IllegalArgumentException(
         "ALTER TABLE: unsupported statement shape (supported: ADD " +
           "COLUMN [IF NOT EXISTS] c TYPE, DROP COLUMN [IF EXISTS] c, " +
-          s"RENAME COLUMN a TO b); got: ${m.take(120)}")
+          "RENAME COLUMN a TO b, ALTER COLUMN c TYPE t); " +
+          s"got: ${m.take(120)}")
     // any OTHER CREATE TABLE shape — typed CTAS `(cols) AS SELECT …`,
     // `USING parquet AS SELECT …`, `CREATE OR REPLACE TABLE t (cols)`,
     // … — fails loudly: the plain-spark.sql fallthrough would land it
@@ -794,13 +826,35 @@ class Database(val spark: SparkSession, val root: String,
       case None    => Table.bumpVersionIfTracked(path)
     } catch { case e: Throwable => Fs.delete(tmp): Unit; throw e }
     val orig = Fs.path(path)
+    // Retention (r17): a table opted into DML-surviving time travel
+    // keeps its history across the FULL-TABLE replace paths too — a
+    // DELETE/UPDATE whose predicate can't split on the sidecar, ALTER
+    // DROP/RENAME, INSERT OVERWRITE, TRUNCATE all land here, and the
+    // user can't control which internal path a statement takes. Same
+    // protocol as Table.cowSwapFiles' retention arm: snapshot the
+    // pre-replace file set (after the commit check — a refused commit
+    // leaves no spurious manifest; before any live move), then RETIRE
+    // the backup to `<path>.retain_<millis>_<token>` instead of
+    // deleting it — readVersion resolves the whole pre-replace state
+    // through the retention area, vacuum reclaims it past the ttl.
+    // The retire replaces the delete at the same point, so no new
+    // crash window: a crash before it leaves bak + live primary, which
+    // vacuum reclaims (that one op's history lost, table intact).
+    val retain = Table.cowRetentionAt(path) && Fs.exists(orig)
+    if (retain) Table.snapshotAt(path): Unit
     if (Fs.exists(orig) && !Fs.rename(orig, bak))
       throw new java.io.IOException(s"replaceAt: cannot stage $path")
     if (!Fs.rename(tmp, orig)) {
       Fs.rename(bak, orig): Unit // roll back; table untouched
       throw new java.io.IOException(s"replaceAt: cannot swap $tmp into place")
     }
-    Fs.delete(bak): Unit
+    if (retain) {
+      val token = java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      Fs.renameOrThrow(bak,
+        Fs.path(path + ".retain_" + System.currentTimeMillis() + "_" + token),
+        "replaceAt: retire replaced table state to the retention area")
+    } else Fs.delete(bak): Unit
     markDirty()
   }
 
@@ -1051,8 +1105,11 @@ class Database(val spark: SparkSession, val root: String,
                 // separator): split on \r?\n and trim, or CRLF lines keep
                 // a trailing \r, every isFile probe misses, and vacuum
                 // deletes VALID manifests as stale
+                // `#`-prefixed lines are manifest metadata (the r17
+                // `#ts=` wall-clock header), not file paths
                 val rels = Fs.readUtf8(m.getPath)
-                  .split("\r?\n").iterator.map(_.trim).filter(_.nonEmpty)
+                  .split("\r?\n").iterator.map(_.trim)
+                  .filter(l => l.nonEmpty && !l.startsWith("#"))
                   .toList
                 def reachable(r: String): Boolean =
                   Fs.isFile(new Path(tablePath, r)) ||
@@ -1838,7 +1895,7 @@ object Database {
     * that can possibly use them.
     */
   private[api] val VersionedRef = java.util.regex.Pattern.compile(
-    """(?i)\bVERSION\s+AS\s+OF\b|\bDIFF\s+FROM\s+\d+\s+TO\s+\d+""")
+    """(?i)\bVERSION\s+AS\s+OF\b|\bTIMESTAMP\s+AS\s+OF\b|\bDIFF\s+FROM\s+\d+\s+TO\s+\d+""")
 
   /** `SELECT COUNT(*) [AS a] FROM t` — the bare-count statement shape the
     * metadata-only rewrite serves (c28). Any WHERE/GROUP BY/JOIN falls
@@ -1850,6 +1907,15 @@ object Database {
   /** `DELETE FROM t [WHERE p]` — full-statement match, optional `;`. */
   private val DeleteRe =
     """(?is)DELETE\s+FROM\s+([A-Za-z0-9_.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+
+  /** `TRUNCATE TABLE t` — statement sugar for the bare-DELETE contract
+    * (ref datum/postgis/table.py:170-177 TRUNCATE, and
+    * datum/oracle_stgeom/database.py:196-202's truncate-via-DELETE with
+    * its DML rowcount): whole-content replace through the staged swap,
+    * rowcount = rows removed.
+    */
+  private val TruncateRe =
+    """(?is)TRUNCATE\s+(?:TABLE\s+)?([A-Za-z0-9_.]+)\s*;?\s*""".r
 
   /** `UPDATE t SET a = e1, b = e2 [WHERE p]` — full-statement match,
     * optional `;`. The reference's backends ran UPDATE natively
@@ -1916,9 +1982,21 @@ object Database {
 
   /** `ALTER TABLE t ADD COLUMN [IF NOT EXISTS] c TYPE` — TYPE is Spark
     * DDL (DECIMAL(p,s), nested types come free via StructType.fromDDL).
+    * The type capture runs to end-of-statement so comma-bearing DDL
+    * types (`DECIMAL(10,2)`, `STRUCT<a: INT, b: STRING>`, `MAP<…>`)
+    * match; fromDDL validates, and [[Table.alterAddColumn]] refuses a
+    * capture that parses as more than one column (multi-column ADD
+    * stays unsupported, loudly).
     */
   private val AlterAddColRe =
-    """(?is)ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+ADD\s+COLUMNS?\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z0-9_]+)\s+([^,;]+?)\s*;?\s*""".r
+    """(?is)ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+ADD\s+COLUMNS?\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z0-9_]+)\s+(.+?)\s*;?\s*""".r
+
+  /** `ALTER TABLE t ALTER COLUMN c TYPE <ddl>` — metadata-only safe
+    * widening through the declared-schema overlay
+    * ([[Table.alterColumnType]]); unsafe retypes refuse loudly.
+    */
+  private val AlterColTypeRe =
+    """(?is)ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+ALTER\s+COLUMNS?\s+([A-Za-z0-9_]+)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+?)\s*;?\s*""".r
 
   private val AlterDropColRe =
     """(?is)ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+DROP\s+COLUMNS?\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z0-9_]+)\s*;?\s*""".r

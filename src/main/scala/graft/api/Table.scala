@@ -253,6 +253,19 @@ class Table(val db: Database, val qualified: String) {
     db.store(aligned, qualified, "append", chunkSize, partitionBy = partCols)
     if (hasStats)
       extendStats(currentDataFiles().map(_._1).filterNot(before))
+    // Optimistic-commit visibility for appends (r17): once version
+    // tracking is active (first DML CAS created the marker dir), a
+    // committed append bumps the version so a concurrent FULL-REPLACE
+    // writer (deleteWhere/updateWhere without a usable sidecar, ALTER
+    // DROP/RENAME, INSERT OVERWRITE) whose file listing predates this
+    // append refuses at its CAS instead of silently destroying the
+    // appended files in its directory swap. File-granular COW swaps
+    // never endangered appends (untouched files survive by reference),
+    // and this is a no-op until tracking activates, so appends stay
+    // coordination-free on never-DML'd tables. An append that lands
+    // AFTER a replacer's CAS but before its directory swap remains a
+    // documented race (plain-file OCC, not a transaction log).
+    Table.bumpVersionIfTracked(path)
   }
 
   /** TRUNCATE (ref datum/table.py:91-93, datum/postgis/table.py:170-177):
@@ -390,8 +403,55 @@ class Table(val db: Database, val qualified: String) {
           "(use IF NOT EXISTS)")
     }
     val parsed = StructType.fromDDL(s"`$c` $typeDdl") // validates the type
+    require(parsed.fields.length == 1,
+      s"ALTER TABLE $qualified ADD COLUMN: one column per statement " +
+        s"(got '$c $typeDdl', which parses as ${parsed.fields.length} " +
+        "columns)")
     setProps(Map(Table.SchemaProp ->
       StructType(cur.fields :+ parsed.fields(0)).toDDL))
+    db.markDirty()
+    db.spark.catalog.refreshByPath(path)
+    0L
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE t` (r17) — METADATA-ONLY type
+    * WIDENING via the declared-schema overlay, for upcasts Spark's
+    * parquet readers promote losslessly at scan time (SPARK-40876,
+    * in 4.1): integral widening (byte→short→int→long), float→double,
+    * int→double, and decimal precision growth at the same scale.
+    * Existing files keep their narrow physical type and read back
+    * widened; appends carry the wide type physically (write() casts to
+    * the declared schema). Anything not on the safe list refuses loudly
+    * — a narrowing or repr-changing ALTER needs an explicit rewrite
+    * (CTAS), not a silent full-table job hidden behind DDL. The
+    * skipping sidecar stays valid as-is: min/max under a widening cast
+    * are the same values, and the band check compares integral classes
+    * exactly cross-class ([[Table.cmpLoose]]) while refusing
+    * float-vs-double to the conservative scan.
+    */
+  private[api] def alterColumnType(c: String, typeDdl: String): Long = {
+    require(db.format == "parquet" || db.format == "orc",
+      s"ALTER TABLE $qualified: ALTER COLUMN TYPE needs a " +
+        s"schema-carrying format (parquet/orc), not '${db.format}'")
+    val cur = df.schema
+    val f = cur.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER TABLE $qualified ALTER COLUMN: no column '$c'"))
+    val parsed = StructType.fromDDL(s"`${f.name}` $typeDdl")
+    require(parsed.fields.length == 1,
+      s"ALTER TABLE $qualified ALTER COLUMN: malformed type '$typeDdl'")
+    val to = parsed.fields(0).dataType
+    if (to == f.dataType) return 0L // idempotent no-op
+    require(Table.isSafeWidening(f.dataType, to),
+      s"ALTER TABLE $qualified ALTER COLUMN ${f.name}: " +
+        s"${f.dataType.simpleString} → ${to.simpleString} is not a safe " +
+        "metadata-only widening (supported: integral widening, " +
+        "float→double, int→double, decimal precision growth at the " +
+        "same scale); rewrite explicitly via CREATE TABLE AS")
+    require(!Database.partitionColsOf(path).exists(_.equalsIgnoreCase(c)),
+      s"ALTER TABLE $qualified: cannot retype partition column '$c'")
+    setProps(Map(Table.SchemaProp -> StructType(cur.fields.map(x =>
+      if (x.name == f.name) x.copy(dataType = to) else x)).toDDL))
     db.markDirty()
     db.spark.catalog.refreshByPath(path)
     0L
@@ -509,6 +569,35 @@ class Table(val db: Database, val qualified: String) {
       tgtAlias: String, cond: String,
       matched: Seq[(Option[String], Database.MergeAction)],
       notMatched: Seq[(Option[String], Database.MergeInsert)]): Long = {
+    // MERGE schema evolution (r17, opt-in — see [[setAutoMerge]]): an
+    // INSERT clause naming an unknown target column, or INSERT * from
+    // a source with extra columns, composes the metadata-only ADD
+    // COLUMN with the merge — typed from the source expression, old
+    // files null-fill at read, the statement then runs against the
+    // evolved schema. Default-off tables keep the loud unknown-column
+    // refusal below.
+    if (notMatched.nonEmpty && autoMergeOn) {
+      val have = df.schema.fieldNames
+      def typeOf(v: String) =
+        source0.alias(srcAlias).select(expr(v).as("__gf_t"))
+          .schema("__gf_t").dataType
+      val newCols = notMatched.flatMap {
+        case (_, Database.MergeInsert(Some(cols), Some(vals)))
+            if cols.length == vals.length =>
+          cols.zip(vals).filterNot { case (c, _) =>
+            have.exists(_.equalsIgnoreCase(c)) }
+            .map { case (c, v) => (c, typeOf(v)) }
+        case (_, Database.MergeInsert(None, None)) => // INSERT *
+          source0.schema.fields.toSeq.filterNot(f =>
+            have.exists(_.equalsIgnoreCase(f.name)))
+            .map(f => (f.name, f.dataType))
+        case _ => Nil
+      }
+      newCols.map(_._1.toLowerCase).distinct.foreach { lc =>
+        val (c, dt) = newCols.find(_._1.toLowerCase == lc).get
+        alterAddColumn(c, dt.sql, ifNotExists = true): Unit
+      }
+    }
     val schema = df.schema
     Seq("__gf_file", "__gf_src", "__gf_rid").foreach { r =>
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(r)) &&
@@ -776,13 +865,10 @@ class Table(val db: Database, val qualified: String) {
     // eviction recomputing either DataFrame re-reads live files.
     extraAppend.foreach(a =>
       db.storeAt(a, insStage, partitionBy = Database.partitionColsOf(path)))
-    // DML-surviving time travel (opt-in): pin the pre-DML file set so
-    // readVersion can serve it from the retention area after the swap
-    val retain = cowRetentionOn
-    if (retain) snapshot(): Unit
     // optimistic commit check BEFORE any live file moves: a concurrent
     // writer that committed since our file listing makes this CAS
     // refuse — the staged copies are dropped and the table is untouched
+    val retain = cowRetentionOn
     try expectedVersion match {
       case Some(v) => Table.casBumpVersion(path, v, s"COW swap $qualified")
       case None    => Table.bumpVersionIfTracked(path)
@@ -791,6 +877,12 @@ class Table(val db: Database, val qualified: String) {
       Fs.delete(Fs.path(insStage)): Unit
       throw e
     }
+    // DML-surviving time travel (opt-in): pin the pre-DML file set so
+    // readVersion can serve it from the retention area after the swap.
+    // AFTER the commit check (a refused lost-race commit must leave no
+    // spurious manifest in .versions), still before any live file moves
+    // (the manifest describes exactly the pre-swap state).
+    if (retain) snapshot(): Unit
     // token ties this swap's promoted files to its backup dir, so a
     // crash is attributable: vacuum rolls back exactly this operation
     val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -1107,17 +1199,10 @@ class Table(val db: Database, val qualified: String) {
     * snapshots; [[readVersion]] fails loudly listing the missing files
     * rather than returning silently partial data.
     */
-  def snapshot(): Int = {
-    val dir = Fs.path(path + ".versions")
-    Fs.mkdirs(dir)
-    val files = currentDataFiles().map(_._2) // root-relative, sorted
-    val v = versions.lastOption.getOrElse(0) + 1
-    // one small-text write via the Fs seam (file://, hdfs://, s3a://);
-    // \n-terminated lines, read back split on \r?\n (the CRLF lesson)
-    Fs.writeUtf8(new org.apache.hadoop.fs.Path(dir, s"v$v.manifest"),
-      files.map(_ + "\n").mkString)
-    v
-  }
+  def snapshot(): Int = Table.snapshotAt(path)
+  // one small-text manifest write via the Fs seam (file://, hdfs://,
+  // s3a://); \n-terminated lines, read back split on \r?\n (the CRLF
+  // lesson). Shared with Database.replaceAt's retention arm.
 
   /** Opt into DML-SURVIVING time travel (see [[Table.RetainProp]]):
     * copy-on-write DML swaps then auto-snapshot the pre-DML state and
@@ -1134,6 +1219,23 @@ class Table(val db: Database, val qualified: String) {
 
   private def cowRetentionOn: Boolean =
     prop(Table.RetainProp).contains("true")
+
+  /** Opt into MERGE schema evolution (Delta's `autoMerge`, r17): a
+    * WHEN NOT MATCHED INSERT naming a target column that doesn't exist
+    * yet — or `INSERT *` from a source carrying extra columns — ADDs
+    * the column first through the metadata-only declared-schema
+    * overlay ([[alterAddColumn]]), typed from the source expression;
+    * pre-existing files null-fill at read, only new data carries it
+    * physically. OFF by default: an unknown column in a MERGE is more
+    * often a typo than an intended migration, and the standard
+    * contract refuses loudly (c36's pin).
+    */
+  def setAutoMerge(on: Boolean): Unit =
+    if (on) setProps(Map(Table.AutoMergeProp -> "true"))
+    else clearProps(Seq(Table.AutoMergeProp))
+
+  private def autoMergeOn: Boolean =
+    prop(Table.AutoMergeProp).contains("true")
 
   /** Snapshot versions recorded for this table, ascending. */
   def versions: Seq[Int] = {
@@ -1194,8 +1296,49 @@ class Table(val db: Database, val qualified: String) {
     require(Fs.exists(mf), s"no snapshot v$v for table $qualified " +
       s"(available: ${versions.mkString(", ")})")
     Fs.readUtf8(mf).split("\r?\n").iterator
-      .map(_.trim).filter(_.nonEmpty).toList
+      .map(_.trim).filter(n => n.nonEmpty && !n.startsWith("#")).toList
   }
+
+  /** Wall-clock (epoch millis) each snapshot was taken at, ascending by
+    * version: the `#ts=` manifest header when present, else the manifest
+    * file's modification time (pre-r17 manifests). One tiny-file read
+    * per version — O(#snapshots), metadata-scale.
+    */
+  def versionTimestamps: Seq[(Int, Long)] = versions.map { v =>
+    val mf = Fs.child(path + ".versions", s"v$v.manifest")
+    val ts = Fs.readUtf8(mf).split("\r?\n").iterator.map(_.trim)
+      .collectFirst { case l if l.startsWith("#ts=") =>
+        l.stripPrefix("#ts=").toLong }
+      .getOrElse(Fs.list(Fs.path(path + ".versions"))
+        .find(_.getPath.getName == s"v$v.manifest")
+        .map(_.getModificationTime).getOrElse(0L))
+    (v, ts)
+  }
+
+  /** The snapshot version current AS OF `tsMillis`: the latest version
+    * whose wall-clock is <= the bound (Delta/Iceberg's timestamp
+    * resolution rule). Refuses loudly when the bound predates every
+    * snapshot — serving the oldest version instead would silently
+    * misrepresent a state that never existed at that time.
+    */
+  def versionAt(tsMillis: Long): Int = {
+    val vts = versionTimestamps
+    require(vts.nonEmpty, s"no snapshots for table $qualified")
+    val at = vts.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"timestamp ${new java.sql.Timestamp(tsMillis)} predates the " +
+        s"earliest snapshot of $qualified " +
+        s"(${new java.sql.Timestamp(vts.head._2)}); no state to serve")
+    at.maxBy(_._2)._1
+  }
+
+  /** Read the table AS OF a wall-clock timestamp — `versionAt` then
+    * [[readVersion]] (so DML-retention resolution and the loud
+    * vacuumed-past-ttl refusal both apply). Accepts
+    * `yyyy-MM-dd[ HH:mm:ss[.f]]` with ' ' or 'T' separator.
+    */
+  def readTimestamp(ts: String): DataFrame =
+    readVersion(versionAt(Table.parseTsMillis(ts)))
 
   /** Rows appended between snapshots `from` and `to` — the incremental
     * delta read (c19): under the append-only contract ([[snapshot]]),
@@ -1928,6 +2071,55 @@ object Table {
     * `graft.retain.ttl.ms` (default 7 days).
     */
   private[api] val RetainProp = "graft.retain.cow"
+
+  /** `.properties` key for MERGE schema evolution
+    * ([[Table.setAutoMerge]]). */
+  private[api] val AutoMergeProp = "graft.schema.automerge"
+
+  /** The static (path-only) view of [[Table.setCowRetention]] for
+    * callers below the Table façade: [[Database.replaceAt]] must honor
+    * retention on the FULL-TABLE replace paths too (deleteWhere/
+    * updateWhere without a usable sidecar, ALTER DROP/RENAME rewrites,
+    * INSERT OVERWRITE, TRUNCATE) — a user cannot control which internal
+    * path a DELETE takes, so retention that only covered the
+    * file-granular swap would silently lose history on the fallback.
+    */
+  private[api] def cowRetentionAt(path: String): Boolean =
+    try {
+      val p = Fs.path(path + ".properties")
+      Fs.isFile(p) && {
+        val props = new java.util.Properties()
+        props.load(new java.io.StringReader(Fs.readUtf8(p)))
+        "true" == props.getProperty(RetainProp)
+      }
+    } catch { case _: IllegalArgumentException => false }
+
+  /** Static snapshot of `path`'s current data-file set (the path-only
+    * core of [[Table.snapshot]], shared with [[Database.replaceAt]]'s
+    * retention arm): writes `v<n>.manifest` with the root-relative,
+    * sorted live data files and returns `n`.
+    */
+  private[api] def snapshotAt(path: String): Int = {
+    val dir = Fs.path(path + ".versions")
+    Fs.mkdirs(dir)
+    val prefix = Fs.qualify(Fs.path(path)).toString + "/"
+    val files = Database.leafDirsOf(path).flatMap { leaf =>
+      Fs.list(leaf)
+        .filter(st => st.isFile && Database.isDataFile(st.getPath.getName))
+    }.map(_.getPath.toString.stripPrefix(prefix)).sorted
+    val v = Fs.list(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest") }
+      .collect { case n if n.nonEmpty && n.forall(_.isDigit) => n.toInt }
+      .foldLeft(0)(math.max) + 1
+    // `#ts=` header: the snapshot's wall-clock, read by versionAt for
+    // `TIMESTAMP AS OF` resolution. `#`-prefixed lines are manifest
+    // metadata, skipped by manifestFiles (pre-r17 manifests have none —
+    // versionAt falls back to the manifest file's modification time).
+    Fs.writeUtf8(new org.apache.hadoop.fs.Path(dir, s"v$v.manifest"),
+      s"#ts=${System.currentTimeMillis()}\n" + files.map(_ + "\n").mkString)
+    v
+  }
   private[api] val RetainTtlProp = "graft.retain.ttl.ms"
   private[api] val RetainDefaultTtlMs: Long = 7L * 24 * 3600 * 1000
 
@@ -1975,6 +2167,45 @@ object Table {
           .map(org.apache.spark.sql.types.StructType.fromDDL)
       }
     } catch { case _: IllegalArgumentException => None }
+
+  /** The widenings [[Table.alterColumnType]] accepts metadata-only:
+    * exactly the lossless scan-time promotions Spark 4's parquet
+    * readers perform (SPARK-40876) — the values are unchanged, only
+    * their physical width differs across files.
+    */
+  private[api] def isSafeWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4; case _ => -1
+    }
+    (from, to) match {
+      case (a, b) if rank(a) > 0 && rank(b) > 0 => rank(a) < rank(b)
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d1.scale == d2.scale && d2.precision > d1.precision
+      case _ => false
+    }
+  }
+
+  /** Parse a user-facing timestamp string to epoch millis for
+    * [[Table.versionAt]]: `yyyy-MM-dd[ HH:mm:ss[.f…]]`, ' ' or 'T'
+    * separator, interpreted in the JVM default zone (the session zone —
+    * pinned UTC by the build, matching the `System.currentTimeMillis`
+    * wall-clock the manifests record).
+    */
+  private[api] def parseTsMillis(s: String): Long = {
+    val t = s.trim.replace("T", " ")
+    val full = if (t.matches("""\d{4}-\d{2}-\d{2}""")) t + " 00:00:00" else t
+    try java.sql.Timestamp.valueOf(full).getTime
+    catch { case _: IllegalArgumentException =>
+      throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF: cannot parse '$s' " +
+          "(expected yyyy-MM-dd[ HH:mm:ss[.f]])")
+    }
+  }
 
   /** [[Table.mergeCandidateFiles]] switches from per-point IN-list
     * pruning to the [min,max] envelope above this many distinct source
@@ -2049,7 +2280,10 @@ object Table {
     * first DML activates tracking.
     */
   private[graft] def bumpVersionIfTracked(path: String): Unit = {
-    val dir = Fs.path(versionDirOf(path))
+    // non-filesystem locators (the JDBC adapter's `jdbc:` paths) carry
+    // no version sidecar — the backend transaction arbitrates there
+    val dir = try Fs.path(versionDirOf(path))
+      catch { case _: IllegalArgumentException => return }
     if (!Fs.exists(dir)) return
     var tries = 0
     while (tries < 16) {

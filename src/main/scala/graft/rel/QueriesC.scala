@@ -1208,6 +1208,9 @@ object QueriesC {
         .repartitionByRange(6, col("doc_id"))
         .write.mode("overwrite").parquet(db.pathOf("c39_sdocs"))
       val sdocs = db.table("c39_sdocs")
+      // idempotence: a prior run's autoMerge/schema overlay must not
+      // pre-evolve this run's table
+      new java.io.File(sdocs.path + ".properties").delete(): Unit
       sdocs.analyzeStats(Seq("doc_id")): Unit
       val totalS = sdocs.df.inputFiles.length
       val loHi = sdocs.df.agg(min(col("doc_id")), max(col("doc_id")))
@@ -1234,8 +1237,35 @@ object QueriesC {
       val rewroteS = (beforeS -- fileSetS()).size
       assert(rewroteS == cands.size,
         s"exactly the candidate files rewrite: $rewroteS/${cands.size}")
-      sdocs.df.agg(count(lit(1)).cast("long").as("n_str"),
-        sum(col("val")).cast("long").as("str_sum"))
+      // MERGE schema evolution (r17, autoMerge): a later CDC batch
+      // carries a NEW column. The default contract refuses loudly
+      // (unknown INSERT column = usually a typo); with per-table
+      // setAutoMerge(true) the column ADDs through c38's metadata-only
+      // overlay (typed from the source expression), pre-existing rows
+      // null-fill at read, and the merge applies in the same statement.
+      Seq(("D9000002", 77L, "beta")).toDF("k", "nv", "tag")
+        .coalesce(1).write.mode("overwrite").parquet(db.pathOf("c39_ssrc2"))
+      val evoStmt =
+        "MERGE INTO c39_sdocs t USING c39_ssrc2 s ON t.doc_id = s.k " +
+          "WHEN MATCHED THEN UPDATE SET val = s.nv " +
+          "WHEN NOT MATCHED THEN INSERT (doc_id, val, src_tag) " +
+          "VALUES (s.k, s.nv, s.tag)"
+      assert(scala.util.Try(db.execute(evoStmt)).isFailure,
+        "default contract: an unknown INSERT column must refuse")
+      sdocs.setAutoMerge(true)
+      val rcE = db.execute(evoStmt).collect()(0).getLong(0)
+      assert(rcE == 1L, s"evolution merge affected-rows: $rcE")
+      val evolved = db.table("c39_sdocs").df
+      assert(evolved.schema("src_tag").dataType ==
+        org.apache.spark.sql.types.StringType,
+        "the evolved column must carry the source expression's type")
+      assert(evolved.filter(col("src_tag").isNull).count() ==
+        evolved.count() - 1L,
+        "pre-evolution rows must null-fill the new column")
+      evolved.agg(count(lit(1)).cast("long").as("n_str"),
+        sum(col("val")).cast("long").as("str_sum"),
+        sum(when(col("src_tag").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_tagged"))
         .withColumn("n_str_affected", lit(rcS))
     }),
 
@@ -1391,10 +1421,43 @@ object QueriesC {
       // below exists because the strict comparator treats NaN != NaN)
       assert(db.table("c38_n").df.filter(col("score").isNull).count() ==
         nation.count(), "pre-ALTER rows must null-fill the added column")
+      // ALTER COLUMN TYPE widening (r17): metadata-only via the
+      // declared-schema overlay — pre-ALTER files keep their narrow
+      // physical type and read back widened (Spark 4's parquet
+      // scan-time promotion); the post-ALTER append carries a value
+      // only the wide type can hold; narrowing refuses loudly.
+      db.dropTable("c38_w")
+      db.execute("CREATE TABLE c38_w (k INT, v FLOAT)").collect(): Unit
+      db.execute("INSERT INTO c38_w VALUES (1, 1.5), (2, 2.5)")
+        .collect(): Unit
+      def filesW(): Map[String, Long] =
+        new java.io.File(db.pathOf("c38_w")).listFiles().toSeq
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")).map(f => f.getName -> f.length())
+          .toMap
+      val beforeW = filesW()
+      db.execute("ALTER TABLE c38_w ALTER COLUMN k TYPE BIGINT")
+        .collect(): Unit
+      db.execute("ALTER TABLE c38_w ALTER COLUMN v TYPE DOUBLE")
+        .collect(): Unit
+      assert(filesW() == beforeW,
+        "type widening must be metadata-only: no data file touched")
+      val schW = db.table("c38_w").df.schema
+      assert(schW("k").dataType == org.apache.spark.sql.types.LongType &&
+        schW("v").dataType == org.apache.spark.sql.types.DoubleType)
+      db.execute("INSERT INTO c38_w VALUES (9000000000, 3.5)")
+        .collect(): Unit // needs the widened k
+      assert(scala.util.Try(db.execute(
+        "ALTER TABLE c38_w ALTER COLUMN k TYPE INT")).isFailure,
+        "narrowing must refuse")
+      val wRows = db.table("c38_w").df
+        .select(col("k").as("nk"), lit("w").as("n_name"),
+          col("v").as("score"))
       db.table("c38_n").df
         .select(col("nk").cast("long").as("nk"), col("n_name"),
           coalesce(col("score"), lit(-1.0)).as("score"))
-        .orderBy("nk")
+        .unionByName(wRows)
+        .orderBy("nk", "n_name")
     }),
 
     // c40: DML-SURVIVING time travel (retention mode) — c13's snapshots
@@ -1451,6 +1514,52 @@ object QueriesC {
         .unionByName(phase("live", tbl.df))
         .select("phase", "n", "key_sum", "cust_sum")
         .orderBy("phase")
+    }),
+
+    // c41: TIMESTAMP-BASED time travel (r17) — the form users actually
+    // type. Every snapshot manifest records its wall-clock (`#ts=`
+    // header); `FROM t TIMESTAMP AS OF '<ts>'` in db.execute (and
+    // Table.readTimestamp) resolves to the latest snapshot taken at or
+    // before the bound (Delta/Iceberg's rule) and rides the same pinned
+    // manifest read as VERSION AS OF. Engine asserts: the SQL route is
+    // the API route exactly; a bound predating every snapshot refuses
+    // loudly (serving the oldest would fabricate a state that never
+    // existed). Resolution cost is O(#snapshots) tiny-file reads —
+    // metadata-scale at 100 TB. DuckDB replays both time points as
+    // pure WHEREs over orders.
+    "c41_ts_time_travel" -> ((s, dir) => {
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 1000)
+        .write.mode("overwrite").parquet(db.pathOf("c41_orders"))
+      val tbl = db.table("c41_orders")
+      graft.api.Database.wipeDir(tbl.path + ".versions")
+      tbl.snapshot(): Unit
+      val ts1 = System.currentTimeMillis()
+      Thread.sleep(20) // distinct wall-clocks across the two snapshots
+      tbl.write(orders.filter(
+        col("o_orderkey") > 1000 && col("o_orderkey") <= 3000))
+      tbl.snapshot(): Unit
+      Thread.sleep(5)
+      val ts2 = System.currentTimeMillis()
+      def fmt(ms: Long) = new java.sql.Timestamp(ms).toString
+      def gauge(phase: String, ref: String) = db.execute(
+        s"SELECT '$phase' AS phase, count(*) AS n, " +
+          "CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
+          s"FROM c41_orders TIMESTAMP AS OF '$ref'")
+      val a = gauge("asof_v1", fmt(ts1))
+      val b = gauge("asof_v2", fmt(ts2))
+      // the SQL route must be the API route, not a sibling definition
+      val api1 = tbl.readTimestamp(fmt(ts1))
+        .agg(count(lit(1)), sum(col("o_orderkey")).cast("long")).collect()(0)
+      val sql1 = a.select(col("n"), col("key_sum")).collect()(0)
+      assert(api1 == sql1, s"SQL $sql1 != API $api1")
+      // a bound predating all history refuses loudly
+      val tsOld = tbl.versionTimestamps.head._2 - 1
+      val refused = try { tbl.versionAt(tsOld); false }
+        catch { case _: IllegalArgumentException => true }
+      assert(refused, "a timestamp before the earliest snapshot must refuse")
+      a.unionByName(b).orderBy("phase")
     }),
 
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
@@ -1818,6 +1927,13 @@ object QueriesC {
         "UNION ALL SELECT 'live', count(*), " +
         "CAST(sum(o_orderkey) AS BIGINT), CAST(sum(o_custkey) AS BIGINT) " +
         "FROM live ORDER BY phase"),
+    "c41_ts_time_travel" ->
+      ("SELECT 'asof_v1' AS phase, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
+        "FROM orders WHERE o_orderkey <= 1000 " +
+        "UNION ALL SELECT 'asof_v2', count(*), " +
+        "CAST(sum(o_orderkey) AS BIGINT) " +
+        "FROM orders WHERE o_orderkey <= 3000 ORDER BY phase"),
     "c39_merge_string_cdc" ->
       // replays the scattered string-key CDC: the source hits exactly
       // the min/max doc_id rows (zero-padded doc ids keep lexicographic
@@ -1826,14 +1942,19 @@ object QueriesC {
         "FROM orders WHERE o_orderkey <= 2400) OR o_orderkey = " +
         "(SELECT max(o_orderkey) FROM orders WHERE o_orderkey <= 2400) " +
         "THEN -5 ELSE o_custkey END AS val FROM orders " +
-        "WHERE o_orderkey <= 2400 UNION ALL SELECT 42) " +
+        "WHERE o_orderkey <= 2400 UNION ALL SELECT 42 " +
+        "UNION ALL SELECT 77) " +
         "SELECT count(*) AS n_str, CAST(sum(val) AS BIGINT) AS str_sum, " +
+        "CAST(1 AS BIGINT) AS n_tagged, " +
         "CAST(3 AS BIGINT) AS n_str_affected FROM fin2"),
     "c38_sql_alter" ->
       ("SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name, " +
         "CAST(-1.0 AS DOUBLE) AS score FROM nation " +
         "UNION ALL SELECT 900, 'zz', CAST(1.5 AS DOUBLE) " +
-        "ORDER BY nk"),
+        "UNION ALL SELECT 1, 'w', CAST(1.5 AS DOUBLE) " +
+        "UNION ALL SELECT 2, 'w', CAST(2.5 AS DOUBLE) " +
+        "UNION ALL SELECT 9000000000, 'w', CAST(3.5 AS DOUBLE) " +
+        "ORDER BY nk, n_name"),
     "c33_cow_delete" ->
       ("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
         "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +

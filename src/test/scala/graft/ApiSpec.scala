@@ -2390,4 +2390,155 @@ class ApiSpec extends AnyFunSuite {
     spark.catalog.refreshByPath(tbl.path)
     assert(tbl.count == 100L)
   }
+
+  test("r17: retention survives the full-replace fallback paths (sidecar-less DELETE, ALTER DROP, TRUNCATE)") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 100L).map(k => (k, k * 2.0)).toDF("k", "v")
+      .repartitionByRange(2, col("k"))
+      .write.mode("overwrite").parquet(db2.pathOf("retf"))
+    val tbl = db2.table("retf")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(tbl.path + ".versions"))
+    wipe(new java.io.File(tbl.path + ".properties"))
+    wipe(new java.io.File(api.Table.versionDirOf(tbl.path)))
+    new java.io.File(tbl.path).getParentFile.listFiles()
+      .filter(_.getName.startsWith("retf.parquet.retain_")).foreach(wipe)
+    tbl.setCowRetention(true)
+    // NO stats sidecar: this predicate DELETE takes the full-table
+    // replace fallback — before r17 it deleted the pre-DML state
+    // unconditionally and broke every retained version
+    val rc = db2.execute("DELETE FROM retf WHERE k <= 10")
+      .collect()(0).getLong(0)
+    assert(rc == 10L)
+    val v1 = tbl.versions.head
+    assert(tbl.readVersion(v1).count() == 100L,
+      "pre-DELETE state must serve from the retention area after a " +
+        "fallback full replace")
+    // ALTER DROP COLUMN is a staged full rewrite: history still serves
+    db2.execute("ALTER TABLE retf DROP COLUMN v").collect(): Unit
+    assert(db2.table("retf").df.columns.toSeq == Seq("k"))
+    val v2 = tbl.versions.sorted.apply(1)
+    assert(tbl.readVersion(v2).columns.toSeq == Seq("k", "v"),
+      "the pre-ALTER version serves with its original schema")
+    assert(tbl.readVersion(v2).count() == 90L)
+    // TRUNCATE retires the whole pre-truncate state
+    val rcT = db2.execute("TRUNCATE TABLE retf").collect()(0).getLong(0)
+    assert(rcT == 90L)
+    assert(tbl.count == 0L)
+    val v3 = tbl.versions.sorted.last
+    assert(tbl.readVersion(v3).count() == 90L,
+      "pre-TRUNCATE state must survive on a retention table")
+    assert(tbl.readVersion(v1).count() == 100L,
+      "all layers of history stay resolvable")
+  }
+
+  test("r17: appends bump the tracked version so a racing full-replace CAS refuses") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 50L).toDF("k").coalesce(1)
+      .write.mode("overwrite").parquet(db2.pathOf("aocc"))
+    val tbl = db2.table("aocc")
+    val p = tbl.path
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(api.Table.versionDirOf(p)))
+    // appends stay coordination-free until the first DML activates
+    // tracking (a never-DML'd ingest table pays nothing)
+    tbl.write((100L to 102L).toDF("k"))
+    assert(api.Table.versionOf(p) == 0L,
+      "no version sidecar before tracking activates")
+    db2.execute("DELETE FROM aocc WHERE k = 1").collect(): Unit
+    val v1 = api.Table.versionOf(p)
+    assert(v1 >= 1L)
+    // a full-replace writer lists the table here (captures v1) …
+    tbl.write(Seq(200L).toDF("k"))
+    assert(api.Table.versionOf(p) == v1 + 1,
+      "a committed append must bump the tracked version")
+    // … so its commit CAS refuses instead of destroying the append
+    intercept[IllegalStateException] {
+      api.Table.casBumpVersion(p, v1, "full replace racing an append")
+    }
+    assert(tbl.df.filter(col("k") === 200L).count() == 1L)
+  }
+
+  test("r17: ALTER ADD COLUMN accepts comma-bearing DDL types; multi-column capture refuses") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 5L).toDF("k")
+      .write.mode("overwrite").parquet(db2.pathOf("altt"))
+    val tbl = db2.table("altt")
+    new java.io.File(tbl.path + ".properties").delete(): Unit
+    db2.execute("ALTER TABLE altt ADD COLUMN price DECIMAL(10,2)")
+      .collect(): Unit
+    val sch1 = db2.table("altt").df.schema
+    assert(sch1("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(db2.table("altt").df.filter(col("price").isNull).count() == 5L,
+      "typed NULL backfill on pre-ALTER files")
+    db2.execute("ALTER TABLE altt ADD COLUMN meta STRUCT<a: INT, b: STRING>")
+      .collect(): Unit
+    assert(db2.table("altt").df.schema("meta").dataType
+      .isInstanceOf[org.apache.spark.sql.types.StructType])
+    // a capture parsing as two columns refuses loudly (no silent drop)
+    val err = intercept[IllegalArgumentException] {
+      db2.execute("ALTER TABLE altt ADD COLUMN x INT, y STRING") }
+    assert(err.getMessage.contains("one column per statement"),
+      s"got: ${err.getMessage}")
+  }
+
+  test("r17: a refused COW commit leaves no spurious version manifest (retention mode)") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 80L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .repartitionByRange(2, col("k"))
+      .write.mode("overwrite").parquet(db2.pathOf("retm"))
+    val tbl = db2.table("retm")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(tbl.path + ".versions"))
+    wipe(new java.io.File(tbl.path + ".properties"))
+    wipe(new java.io.File(api.Table.versionDirOf(tbl.path)))
+    new java.io.File(tbl.path).getParentFile.listFiles()
+      .filter(_.getName.startsWith("retm.parquet.retain_")).foreach(wipe)
+    tbl.analyzeStats(Seq("k")): Unit
+    tbl.setCowRetention(true)
+    db2.execute("DELETE FROM retm WHERE k <= 3").collect(): Unit
+    val manifestsBefore = tbl.versions
+    val vLive = api.Table.versionOf(tbl.path)
+    val listed = tbl.currentDataFiles()
+    intercept[IllegalStateException] {
+      // stale expected version: the CAS refuses — and must do so
+      // BEFORE the retention snapshot fires
+      tbl.cowSwapFiles(listed, tbl.df.limit(0), None, Some(vLive - 1))
+    }
+    assert(tbl.versions == manifestsBefore,
+      "a lost-race commit must not write a version manifest")
+  }
+
+  test("r17: TRUNCATE TABLE statement sugar — reference rowcount contract, schema kept") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 42L).map(k => (k, s"s$k")).toDF("k", "s")
+      .write.mode("overwrite").parquet(db2.pathOf("trc"))
+    val out = db2.execute("TRUNCATE TABLE trc").collect()
+    assert(out(0).getLong(0) == 42L, "rowcount = rows removed")
+    assert(db2.table("trc").count == 0L)
+    assert(db2.table("trc").df.columns.toSeq == Seq("k", "s"),
+      "truncate keeps the schema")
+    // idempotent re-run, and unknown tables refuse
+    assert(db2.execute("TRUNCATE trc").collect()(0).getLong(0) == 0L)
+    intercept[IllegalArgumentException] {
+      db2.execute("TRUNCATE TABLE nosuch") }
+  }
 }
