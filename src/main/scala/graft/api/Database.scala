@@ -130,7 +130,13 @@ class Database(val spark: SparkSession, val root: String,
     val sameCtx = owner != null && (owner._1.get eq this) &&
       owner._2 == epoch && owner._3 == ts
     val have: Set[String] = if (sameCtx) owner._4 else Set.empty
-    val missing = want -- have
+    // a manifest-pinned table re-binds EVERY statement: its view must
+    // re-resolve the latest published manifest at statement time, not
+    // serve a DataFrame whose file list a later swap has moved aside —
+    // per-statement snapshot resolution, the Delta/Iceberg read shape
+    val repin = want.filter(t => (format == "parquet" || format == "orc") &&
+      Table.pinnedReadsAt(pathOf(t)))
+    val missing = (want -- have) ++ repin
     if (!sameCtx || missing.nonEmpty) {
       missing.foreach(register)
       Database.sessionOwner.put(spark,
@@ -181,6 +187,20 @@ class Database(val spark: SparkSession, val root: String,
     * (parquet reflects from footers for free).
     */
   private[api] def load(name: String): org.apache.spark.sql.DataFrame = {
+    // manifest-pinned reads (r17): an opted-in table's reads resolve
+    // through its latest published snapshot manifest, never a directory
+    // listing — a reader racing a COW swap serves the pre-swap version
+    // exactly (Table.setPinnedReads)
+    if ((format == "parquet" || format == "orc") &&
+        Table.pinnedReadsAt(pathOf(name)))
+      table(name).readPinnedLatest()
+    else loadRaw(name)
+  }
+
+  /** The directory-listing read behind [[load]] — also the pinned
+    * path's schema-only probe (an empty manifest still needs a schema).
+    */
+  private[api] def loadRaw(name: String): org.apache.spark.sql.DataFrame = {
     // a declared schema (ALTER TABLE ADD COLUMN, c38) overrides footer
     // reflection: pre-ALTER files null-fill the added columns by name
     def declared = Table.declaredSchemaOf(pathOf(name))
@@ -840,7 +860,10 @@ class Database(val spark: SparkSession, val root: String,
     // The retire replaces the delete at the same point, so no new
     // crash window: a crash before it leaves bak + live primary, which
     // vacuum reclaims (that one op's history lost, table intact).
-    val retain = Table.cowRetentionAt(path) && Fs.exists(orig)
+    val swapProps = Table.propsAt(path) // one sidecar read per swap
+    val retain = "true" == swapProps.getProperty(Table.RetainProp) &&
+      Fs.exists(orig)
+    val pinned = "true" == swapProps.getProperty(Table.PinnedProp)
     if (retain) Table.snapshotAt(path): Unit
     if (Fs.exists(orig) && !Fs.rename(orig, bak))
       throw new java.io.IOException(s"replaceAt: cannot stage $path")
@@ -848,6 +871,11 @@ class Database(val spark: SparkSession, val root: String,
       Fs.rename(bak, orig): Unit // roll back; table untouched
       throw new java.io.IOException(s"replaceAt: cannot swap $tmp into place")
     }
+    // pinned readers: publish the post-replace manifest while the
+    // backup still holds the pre-state (swap-then-publish — a reader
+    // on the previous manifest resolves through .stage_bak until it
+    // retires/drops)
+    if (pinned) Table.snapshotAt(path): Unit
     if (retain) {
       val token = java.util.UUID.randomUUID().toString
         .replace("-", "").take(12)

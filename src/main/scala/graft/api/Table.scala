@@ -266,6 +266,9 @@ class Table(val db: Database, val qualified: String) {
     // AFTER a replacer's CAS but before its directory swap remains a
     // documented race (plain-file OCC, not a transaction log).
     Table.bumpVersionIfTracked(path)
+    // pinned readers advance to the appended state only when the new
+    // manifest publishes — after every appended file is in place
+    if (pinnedOn) snapshot(): Unit
   }
 
   /** TRUNCATE (ref datum/table.py:91-93, datum/postgis/table.py:170-177):
@@ -274,9 +277,11 @@ class Table(val db: Database, val qualified: String) {
     */
   def delete(cascade: Boolean = false): Unit = {
     val schema = df.schema
-    db.store(db.spark.createDataFrame(
-      db.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-      qualified, "overwrite")
+    // staged swap (not a plain overwrite-in-place): atomic under the
+    // backup-hop protocol, retention-aware, and publishes the pinned
+    // manifest — identical contract to the TRUNCATE statement arm
+    db.replaceTable(qualified, db.spark.createDataFrame(
+      db.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
   }
 
   /** Predicate DELETE — file-granular copy-on-write (c33): rows matching
@@ -868,7 +873,9 @@ class Table(val db: Database, val qualified: String) {
     // optimistic commit check BEFORE any live file moves: a concurrent
     // writer that committed since our file listing makes this CAS
     // refuse — the staged copies are dropped and the table is untouched
-    val retain = cowRetentionOn
+    val swapProps = Table.propsAt(path) // one sidecar read per swap
+    val retain = "true" == swapProps.getProperty(Table.RetainProp)
+    val pinned = "true" == swapProps.getProperty(Table.PinnedProp)
     try expectedVersion match {
       case Some(v) => Table.casBumpVersion(path, v, s"COW swap $qualified")
       case None    => Table.bumpVersionIfTracked(path)
@@ -894,6 +901,11 @@ class Table(val db: Database, val qualified: String) {
     }
     val promoted = promoteStaged(stage, token) ++
       (if (extraAppend.isDefined) promoteStaged(insStage, token) else Nil)
+    // pinned readers: publish the POST-swap manifest now that every
+    // promoted file is live (swap-then-publish) — readers resolving the
+    // previous manifest mid-swap keep serving the pre-swap files from
+    // the backup dir until it retires/drops below
+    if (pinned) snapshot(): Unit
     // COMMIT: once the backup is gone (deleted, or — retention mode —
     // retired to `<path>.retain_<millis>_<token>` with its relative
     // paths intact) the new file set is the table. The retire is one
@@ -936,33 +948,71 @@ class Table(val db: Database, val qualified: String) {
     out.toSeq
   }
 
-  /** Delta-maintain the sidecar across a copy-on-write file swap: drop
-    * the removed files' entries, band the promoted files (an O(removed +
-    * promoted) data scan + one O(#files) sidecar rewrite). Best-effort,
-    * like [[extendStats]]: the post-swap sidecar is already SAFE without
-    * this (removed entries are ignored by the live-listing intersection,
-    * promoted files are uncovered → always scanned, exact-coverage gates
-    * the metadata route), so any failure just logs and leaves it.
+  /** The sidecar's CURRENT entries: the raw segment union minus removal
+    * TOMBSTONES. A tombstone is a row with `n_rows = -1` (real entries
+    * are always >= 0) whose `file` carries the removed entry's exact
+    * raw spelling — appended as one segment by [[retargetStats]], so a
+    * COW swap's sidecar maintenance is O(delta) like [[extendStats]]'s
+    * appends, never a full rewrite. Every metadata reader folds through
+    * here; [[compactStatsIfNeeded]]'s periodic fold makes the
+    * tombstones physical (drops both row classes) at the segment
+    * budget — Delta's commit-log + checkpoint shape on the sidecar
+    * itself.
+    */
+  private def statsFolded(raw: DataFrame): DataFrame = {
+    val tomb = raw.filter(col("n_rows") < 0L).select("file")
+    raw.filter(col("n_rows") >= 0L).join(tomb, Seq("file"), "left_anti")
+  }
+
+  /** Delta-maintain the sidecar across a copy-on-write file swap: the
+    * removed files' entries are masked by ONE appended tombstone
+    * segment ([[statsFolded]]), the promoted files get fresh bands as
+    * one more segment (an O(removed + promoted) data scan + O(1)
+    * metadata appends — never the r16 full-sidecar rewrite, which at
+    * millions of files made every DML pay O(#files) write I/O).
+    * Best-effort, like [[extendStats]]: the post-swap sidecar is
+    * already SAFE without this (removed entries are ignored by the
+    * live-listing intersection, promoted files are uncovered → always
+    * scanned, exact-coverage gates the metadata route), so any failure
+    * just logs and leaves it.
     */
   private def retargetStats(
       removed: Seq[String], promoted: Seq[String]): Unit = {
     if (!hasStatsSidecar) return
     try {
       val existing = db.spark.read.parquet(path + ".stats")
-      val tracked = existing.schema.fieldNames.toSeq
+      val schema = existing.schema
+      val tracked = schema.fieldNames.toSeq
         .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
       if (tracked.isEmpty) return
       val gone = removed.map(normFileUri).toSet
-      val keptEntries = existing.collect().filter( // driver-side, O(#files)
-        r => !gone.contains(normFileUri(r.getString(r.fieldIndex("file")))))
-      import scala.jdk.CollectionConverters._
-      val keptDf = db.spark.createDataFrame(
-        keptEntries.toSeq.asJava, existing.schema)
-      val fresh =
-        if (promoted.isEmpty) keptDf
-        else keptDf.unionByName(
-          perFileStats(db.loadFiles(path, promoted), promoted, tracked))
-      writeStats(fresh)
+      // the removed entries' RAW spellings (input_file_name URIs), so
+      // the fold's anti-join matches on plain string equality — one
+      // driver read of the file column, no data I/O, no rewrite
+      val goneRaw = existing.select("file").collect().map(_.getString(0))
+        .filter(r => gone.contains(normFileUri(r))).distinct.toSeq
+      if (goneRaw.nonEmpty) {
+        import scala.jdk.CollectionConverters._
+        val fi = schema.fieldIndex("file")
+        val ni = schema.fieldIndex("n_rows")
+        val rows: Seq[org.apache.spark.sql.Row] = goneRaw.map { raw =>
+          org.apache.spark.sql.Row.fromSeq(schema.fields.indices.map {
+            case `fi` => raw
+            case `ni` => -1L
+            case _    => null
+          })
+        }
+        db.spark.createDataFrame(rows.asJava, schema)
+          .coalesce(1) // one tombstone segment per swap
+          .write.mode("append").parquet(path + ".stats")
+      }
+      if (promoted.nonEmpty)
+        perFileStats(db.loadFiles(path, promoted), promoted, tracked)
+          .select(schema.fieldNames.toSeq.map(col): _*)
+          .coalesce(1) // one fresh-bands segment per swap
+          .write.mode("append").parquet(path + ".stats")
+      db.spark.catalog.refreshByPath(path + ".stats")
+      compactStatsIfNeeded()
     } catch {
       case scala.util.control.NonFatal(e) =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -1082,6 +1132,9 @@ class Table(val db: Database, val qualified: String) {
       // beside the table root, not each leaf) — bump once here so an
       // in-flight DML writer's CAS refuses against the rewritten files
       Table.bumpVersionIfTracked(path)
+      // per-leaf swaps also publish no table-level manifest — pinned
+      // readers advance here, after every leaf merge landed
+      if (pinnedOn) snapshot(): Unit
       outFiles
     }
   } // lease released
@@ -1237,6 +1290,62 @@ class Table(val db: Database, val qualified: String) {
   private def autoMergeOn: Boolean =
     prop(Table.AutoMergeProp).contains("true")
 
+  /** Opt into MANIFEST-PINNED reads (r17) — reader snapshot isolation,
+    * the read-side counterpart of the writers' optimistic commit: every
+    * read of this table resolves through the LATEST published snapshot
+    * manifest instead of a directory listing, and every façade mutation
+    * (append, COW DML swap, staged replace, compaction, upsert)
+    * publishes a fresh manifest AFTER its files are in place
+    * (swap-then-publish). A reader racing a COW swap therefore serves
+    * the pre-swap version EXACTLY — mid-swap, the manifest's files
+    * resolve through the swap's own backup dir ([[resolveFileHomes]]),
+    * never a half-renamed directory; after the commit, the next read
+    * picks up the new manifest. This is Delta/Iceberg's reader contract
+    * (membership = the log, not the listing) over plain files; the
+    * reference's backends gave readers transaction isolation for free
+    * (datum/postgis/database.py:36-41). Isolation is per RESOLUTION
+    * (statement/df-creation time): an in-flight DataFrame outliving a
+    * later committed swap fails loudly once its files move — never
+    * silently partial; point-in-time access across commits is
+    * [[readVersion]]/[[readTimestamp]]'s job (combine with
+    * [[setCowRetention]] to keep those bytes). Cost: one
+    * tiny manifest read per query plan, O(#files) like the listing it
+    * replaces. Caveat: writes must go through the façade — a raw
+    * `df.write` append beside it is invisible until the next publish.
+    */
+  def setPinnedReads(on: Boolean): Unit =
+    if (on) {
+      setProps(Map(Table.PinnedProp -> "true"))
+      snapshot(): Unit // publish the current state as the pinned view
+    } else clearProps(Seq(Table.PinnedProp))
+
+  private[api] def pinnedOn: Boolean =
+    prop(Table.PinnedProp).contains("true")
+
+  /** The latest published pinned view. */
+  private[api] def readPinnedLatest(): DataFrame = {
+    val vs = versions
+    require(vs.nonEmpty,
+      s"pinned reads enabled on $qualified but no published manifest " +
+        "(re-enable via setPinnedReads(true) or call snapshot())")
+    readResolved(manifestFiles(vs.last), s"pinned read v${vs.last}")
+  }
+
+  /** The file set a metadata route must anchor on: the latest pinned
+    * manifest's files (resolved to wherever they live) on a pinned
+    * table, the live listing otherwise. Mid-swap, manifest files
+    * resolved into a backup root no longer match the sidecar's
+    * recorded live paths, so every exact-coverage check refuses and
+    * the route falls through to the (pinned, correct) scan —
+    * conservatism exactly when isolation demands it.
+    */
+  private def readTargetFiles(): Seq[(String, String)] =
+    if (pinnedOn && versions.nonEmpty)
+      resolveFileHomes(manifestFiles(versions.last), "pinned read")
+        .map { case (rd, r) =>
+          (Fs.qualify(new org.apache.hadoop.fs.Path(rd, r)).toString, r) }
+    else currentDataFiles()
+
   /** Snapshot versions recorded for this table, ascending. */
   def versions: Seq[Int] = {
     Fs.list(Fs.path(path + ".versions"))
@@ -1251,43 +1360,62 @@ class Table(val db: Database, val qualified: String) {
     * lists (partition columns stay resolvable via basePath). Fails loudly
     * if any manifest file was rewritten away (see [[snapshot]]'s contract).
     */
-  def readVersion(v: Int): DataFrame = {
-    val rels = manifestFiles(v)
+  def readVersion(v: Int): DataFrame =
+    readResolved(manifestFiles(v), s"snapshot v$v")
+
+  /** Where each of `rels` lives right now: the live tree, a
+    * `.retain_*` retention dir (a committed COW swap on a retention
+    * table), or an UNCOMMITTED swap's backup (`.cowdel_bak_*` /
+    * `.stage_bak` — mid-swap or crashed-before-commit, where the
+    * backed-up originals are still officially the table). Each
+    * replaced file retires exactly once, so the first sibling holding
+    * the rel path IS its home. Fails loudly on any unresolvable file
+    * (history vacuumed past the ttl, or out-of-façade writes).
+    */
+  private def resolveFileHomes(rels: List[String], what: String)
+      : Seq[(org.apache.hadoop.fs.Path, String)] = {
+    val root = Fs.path(path)
     val (live, gone) = rels.partition(r =>
-      Fs.isFile(new org.apache.hadoop.fs.Path(Fs.path(path), r)))
-    if (rels.isEmpty) return df.limit(0)
-    if (gone.isEmpty) return db.loadFiles(path, rels.map(r => s"$path/$r"))
-    // DML-surviving resolution: a file a COW swap replaced lives on —
-    // relative path intact — under a sibling `<path>.retain_*` dir
-    // until vacuum's ttl reclaims it. Each replaced file retires
-    // exactly once (a retired file never returns to the live tree), so
-    // the first retention dir holding the rel path IS its home. Reads
-    // union per-root so hive partition columns resolve against each
-    // root's own layout.
-    val tableName = Fs.path(path).getName
-    val retainDirs = Fs.list(Fs.path(path).getParent)
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(tableName + ".retain_"))
-      .map(_.getPath)
+      Fs.isFile(new org.apache.hadoop.fs.Path(root, r)))
+    val liveHomes = live.map(r => (root, r))
+    if (gone.isEmpty) return liveHomes
+    val tableName = root.getName
+    val fallbackDirs = Fs.list(root.getParent)
+      .filter(st => st.isDirectory && {
+        val n = st.getPath.getName
+        n.startsWith(tableName + ".retain_") ||
+          n.startsWith(tableName + ".cowdel_bak_") ||
+          n == tableName + ".stage_bak"
+      }).map(_.getPath)
     val resolved: Map[String, org.apache.hadoop.fs.Path] = gone.flatMap {
-      r => retainDirs.collectFirst {
+      r => fallbackDirs.collectFirst {
         case rd if Fs.isFile(new org.apache.hadoop.fs.Path(rd, r)) => r -> rd
       }
     }.toMap
     val unresolved = gone.filterNot(resolved.contains)
     require(unresolved.isEmpty,
-      s"snapshot v$v of $qualified references files neither live nor " +
+      s"$what of $qualified references files neither live nor " +
         s"retained (append-only contract violated without retention, " +
         s"or history vacuumed past the retention ttl): " +
         unresolved.take(5).mkString(", "))
-    val parts =
-      (if (live.isEmpty) Nil
-       else Seq(db.loadFiles(path, live.map(r => s"$path/$r")))) ++
-        resolved.groupBy(_._2).toSeq.sortBy(_._1.toString).map {
-          case (rd, m) => db.loadFiles(rd.toString,
-            m.keys.toSeq.sorted.map(r => s"$rd/$r"))
-        }
-    parts.reduce(_.unionByName(_))
+    liveHomes ++ gone.map(r => (resolved(r), r))
+  }
+
+  /** Read exactly `rels`, wherever each currently lives
+    * ([[resolveFileHomes]]). Reads union per-root so hive partition
+    * columns resolve against each root's own layout;
+    * `allowMissingColumns` tolerates a declared-schema overlay the
+    * backup roots don't carry (the overlay's added columns null-fill,
+    * exactly their read semantics).
+    */
+  private def readResolved(rels: List[String], what: String): DataFrame = {
+    if (rels.isEmpty) return db.loadRaw(qualified).limit(0)
+    val homes = resolveFileHomes(rels, what)
+    val root = Fs.path(path)
+    homes.groupBy(_._1).toSeq.sortBy { case (rd, _) =>
+      (rd != root, rd.toString) }.map { case (rd, m) =>
+      db.loadFiles(rd.toString, m.map(_._2).sorted.map(r => s"$rd/$r"))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The manifest's relative data-file list (sorted as written). */
@@ -1554,7 +1682,7 @@ class Table(val db: Database, val qualified: String) {
     val segs = Fs.list(Fs.path(path + ".stats"))
       .count(st => st.isFile && Database.isDataFile(st.getPath.getName))
     if (segs > Table.StatsSegmentBudget)
-      writeStats(db.spark.read.parquet(path + ".stats"))
+      writeStats(statsFolded(db.spark.read.parquet(path + ".stats")))
   }
 
   /** Range read with file skipping (c20): serve `column BETWEEN lo AND
@@ -1637,14 +1765,20 @@ class Table(val db: Database, val qualified: String) {
       case Some(m) => m
       case None    => return None
     }
-    val all = currentDataFiles()
+    val all = readTargetFiles()
     val chosen = all.filter { case (abs, _) =>
       entries.get(normFileUri(abs)) match {
         case Some(hit) => hit       // covered: scan only on range overlap
         case None      => true      // uncovered (post-analyze append): scan
       }
     }
-    if (chosen.size == all.size) None // nothing pruned — plain plan
+    // a pinned read mid-swap resolves some files into a backup root —
+    // outside the table's basePath, so the explicit-file scan can't
+    // bind them. Refuse the pruning (the caller's plain plan is the
+    // pinned read, correct at scan cost); the window is one swap wide.
+    val prefix = Fs.qualify(Fs.path(path)).toString + "/"
+    if (chosen.exists(!_._1.startsWith(prefix))) None
+    else if (chosen.size == all.size) None // nothing pruned — plain plan
     else if (chosen.isEmpty) Some(df.limit(0))
     else Some(db.loadFiles(path, chosen.map(_._1)))
   }
@@ -1663,7 +1797,7 @@ class Table(val db: Database, val qualified: String) {
       : Option[Map[String, Boolean]] = {
     if (!hasStatsSidecar || dnfs.isEmpty) return None
     val entries = try {
-      val stats = db.spark.read.parquet(path + ".stats")
+      val stats = statsFolded(db.spark.read.parquet(path + ".stats"))
       // only bounds over sidecar-tracked columns, with type-compatible
       // literals, participate; the rest of the predicate stays with the
       // caller's residual filter
@@ -1714,11 +1848,11 @@ class Table(val db: Database, val qualified: String) {
     val stats = try {
       val d = db.spark.read.parquet(path + ".stats")
       if (!d.columns.contains(s"min_$column")) return None
-      d
+      statsFolded(d)
     } catch { case _: Exception => return None }
     val covered = stats.select("file").collect()
       .map(r => normFileUri(r.getString(0))).toSet
-    val live = currentDataFiles()
+    val live = readTargetFiles()
       .map { case (abs, _) => normFileUri(abs) }.toSet
     if (covered != live) return None
     Some(stats.agg(
@@ -1749,13 +1883,13 @@ class Table(val db: Database, val qualified: String) {
     */
   def aggsFromStats(specs: Seq[(String, String, String)]): Option[DataFrame] = {
     if (specs.isEmpty || !hasStatsSidecar) return None
-    val stats = try db.spark.read.parquet(path + ".stats")
+    val stats = try statsFolded(db.spark.read.parquet(path + ".stats"))
       catch { case _: Exception => return None }
     if (!stats.columns.contains("n_rows")) return None
     if (!specs.forall(s => Table.specServable(s, stats.columns))) return None
     val covered = stats.select("file").collect()
       .map(r => normFileUri(r.getString(0))).toSet
-    val live = currentDataFiles()
+    val live = readTargetFiles()
       .map { case (abs, _) => normFileUri(abs) }.toSet
     if (covered != live) return None
     val aggs = specs.map(Table.specAgg)
@@ -1784,7 +1918,7 @@ class Table(val db: Database, val qualified: String) {
       cond: org.apache.spark.sql.catalyst.expressions.Expression)
       : Option[DataFrame] = {
     if (specs.isEmpty || !hasStatsSidecar) return None
-    val stats = try db.spark.read.parquet(path + ".stats")
+    val stats = try statsFolded(db.spark.read.parquet(path + ".stats"))
       catch { case _: Exception => return None }
     if (!stats.columns.contains("n_rows")) return None
     if (!specs.forall(s => Table.specServable(s, stats.columns))) return None
@@ -1805,7 +1939,7 @@ class Table(val db: Database, val qualified: String) {
     val rows = try stats.collect() catch { case _: Exception => return None }
     val covered = rows.map(r => normFileUri(r.getString(r.fieldIndex("file"))))
       .toSet
-    val live = currentDataFiles()
+    val live = readTargetFiles()
       .map { case (abs, _) => normFileUri(abs) }.toSet
     if (covered != live) return None
     // decide every covered file; one undecidable file refuses the route
@@ -1841,12 +1975,12 @@ class Table(val db: Database, val qualified: String) {
 
   def countFromStats: Option[DataFrame] = {
     if (!hasStatsSidecar) return None
-    val stats = try db.spark.read.parquet(path + ".stats")
+    val stats = try statsFolded(db.spark.read.parquet(path + ".stats"))
       catch { case _: Exception => return None }
     if (!stats.columns.contains("n_rows")) return None
     val covered = stats.select("file").collect()
       .map(r => normFileUri(r.getString(0))).toSet
-    val live = currentDataFiles()
+    val live = readTargetFiles()
       .map { case (abs, _) => normFileUri(abs) }.toSet
     if (covered != live) return None
     Some(stats.agg(
@@ -1997,6 +2131,8 @@ class Table(val db: Database, val qualified: String) {
           keep.fold(dd)(_.unionByName(dd))
       }
       db.markDirty()
+      // bucket-dir swaps publish no table-level manifest themselves
+      if (pinnedOn) snapshot(): Unit
     } finally { d.unpersist(); () }
   }
 
@@ -2076,6 +2212,17 @@ object Table {
     * ([[Table.setAutoMerge]]). */
   private[api] val AutoMergeProp = "graft.schema.automerge"
 
+  /** `.properties` key for manifest-pinned reads
+    * ([[Table.setPinnedReads]]). */
+  private[api] val PinnedProp = "graft.read.pinned"
+
+  /** Static (path-only) view of [[Table.setPinnedReads]], for
+    * [[Database.load]]'s read dispatch and [[Database.replaceAt]]'s
+    * post-swap publish.
+    */
+  private[api] def pinnedReadsAt(path: String): Boolean =
+    "true" == propsAt(path).getProperty(PinnedProp)
+
   /** The static (path-only) view of [[Table.setCowRetention]] for
     * callers below the Table façade: [[Database.replaceAt]] must honor
     * retention on the FULL-TABLE replace paths too (deleteWhere/
@@ -2085,14 +2232,23 @@ object Table {
     * file-granular swap would silently lose history on the fallback.
     */
   private[api] def cowRetentionAt(path: String): Boolean =
+    "true" == propsAt(path).getProperty(RetainProp)
+
+  /** One static read of `path`'s `.properties` sidecar — empty when
+    * absent or when the path is not a filesystem locator (JDBC). The
+    * per-swap callers ([[Database.replaceAt]], [[Table.cowSwapFiles]])
+    * read this ONCE and check every flag off it, so a fold of many
+    * partition swaps pays one tiny read per swap, not one per flag.
+    */
+  private[api] def propsAt(path: String): java.util.Properties = {
+    val props = new java.util.Properties()
     try {
       val p = Fs.path(path + ".properties")
-      Fs.isFile(p) && {
-        val props = new java.util.Properties()
+      if (Fs.isFile(p))
         props.load(new java.io.StringReader(Fs.readUtf8(p)))
-        "true" == props.getProperty(RetainProp)
-      }
-    } catch { case _: IllegalArgumentException => false }
+    } catch { case _: IllegalArgumentException => () }
+    props
+  }
 
   /** Static snapshot of `path`'s current data-file set (the path-only
     * core of [[Table.snapshot]], shared with [[Database.replaceAt]]'s

@@ -1562,6 +1562,86 @@ object QueriesC {
       a.unionByName(b).orderBy("phase")
     }),
 
+    // c42: MANIFEST-PINNED READS (r17) — reader snapshot isolation,
+    // the read-side counterpart of r16's writer OCC. With per-table
+    // opt-in setPinnedReads(true), every read (API and SQL) resolves
+    // through the latest PUBLISHED snapshot manifest instead of a
+    // directory listing, and every façade mutation publishes
+    // swap-then-publish — so a reader racing a COW swap serves the
+    // pre-swap version EXACTLY (manifest files resolve through the
+    // swap's own backup dir mid-swap). Delta/Iceberg's reader contract
+    // over plain files; the reference's backends gave readers
+    // transaction isolation for free (datum/postgis/database.py:36-41).
+    // Engine asserts: a crash-injected mid-swap state (original hopped
+    // to the backup, uncommitted token file in the live tree) reads
+    // bit-identically to the committed state, the uncommitted file is
+    // invisible, the backup-resolved file serves, and vacuum's
+    // rollback restores an all-live read. DuckDB replays all three
+    // phases as the same WHERE. At 100 TB: one tiny manifest read per
+    // statement replaces the O(#files) directory listing.
+    "c42_pinned_reads" -> ((s, dir) => {
+      import s.implicits._
+      val db = scratch(s)
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") <= 2000)
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.mode("overwrite").parquet(db.pathOf("c42_orders"))
+      val tbl = db.table("c42_orders")
+      graft.api.Database.wipeDir(tbl.path + ".versions")
+      graft.api.Database.wipeDir(graft.api.Table.versionDirOf(tbl.path))
+      new java.io.File(tbl.path + ".properties").delete(): Unit
+      new java.io.File(tbl.path).getParentFile.listFiles()
+        .filter(f => f.getName.startsWith("c42_orders.parquet.retain_") ||
+          f.getName.startsWith("c42_orders.parquet.cowdel_bak_"))
+        .foreach(f => graft.api.Database.wipeDir(f.getPath))
+      tbl.analyzeStats(Seq("o_orderkey")): Unit
+      tbl.setPinnedReads(true)
+      // committed façade mutations publish and advance the pinned view
+      tbl.write(orders.filter(
+        col("o_orderkey") > 2000 && col("o_orderkey") <= 3000))
+      db.execute(
+        "DELETE FROM c42_orders WHERE o_orderkey BETWEEN 100 AND 200")
+        .collect(): Unit
+      // each phase MATERIALIZES at its own point in time (a lazily
+      // returned plan would re-read the mid-swap file set after
+      // vacuum's rollback moved it again)
+      def gauge(phase: String): (String, Long, Long) = {
+        val r = db.execute(
+          "SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) " +
+            "AS key_sum FROM c42_orders").collect()(0)
+        (phase, r.getLong(0), r.getLong(1))
+      }
+      val committed = gauge("committed")
+      // crash-inject a concurrent writer's mid-swap state
+      val token = "c42deadbeef0"
+      val live = new java.io.File(tbl.path).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val victim = live.minBy(_.getName)
+      val bak = new java.io.File(tbl.path + ".cowdel_bak_" + token)
+      bak.mkdirs()
+      java.nio.file.Files.move(victim.toPath,
+        new java.io.File(bak, victim.getName).toPath)
+      java.nio.file.Files.copy(live.filterNot(_ == victim).head.toPath,
+        new java.io.File(tbl.path, s"cowdel_${token}_dup.parquet").toPath)
+      s.catalog.refreshByPath(tbl.path)
+      val midswap = gauge("midswap")
+      assert((midswap._2, midswap._3) == (committed._2, committed._3),
+        "a mid-swap pinned read must serve the pre-swap version exactly")
+      val pinnedScan = db.table("c42_orders").df
+      assert(!pinnedScan.inputFiles.exists(_.contains(s"cowdel_${token}_")),
+        "an uncommitted promoted file must be invisible to pinned reads")
+      assert(pinnedScan.inputFiles.exists(_.contains("cowdel_bak_")),
+        "the backed-up original must serve from the swap's backup dir")
+      // vacuum rolls the crashed swap back; reads are all-live again
+      assert(db.vacuum().getOrElse("recovered", 0) >= 1)
+      val recovered = gauge("recovered")
+      assert(db.table("c42_orders").df.inputFiles
+        .forall(!_.contains("cowdel_bak_")), "post-recovery all-live read")
+      Seq(committed, midswap, recovered).toDF("phase", "n", "key_sum")
+        .orderBy("phase")
+    }),
+
     // c14: snapshot RESTORE — the rollback half of c13's versioning: a
     // bad append lands, restore(v1) rolls the table back to the pinned
     // manifest via the staged atomic swap, and the read-back equals the
@@ -1927,6 +2007,16 @@ object QueriesC {
         "UNION ALL SELECT 'live', count(*), " +
         "CAST(sum(o_orderkey) AS BIGINT), CAST(sum(o_custkey) AS BIGINT) " +
         "FROM live ORDER BY phase"),
+    "c42_pinned_reads" ->
+      ("WITH fin42 AS (SELECT o_orderkey FROM orders " +
+        "WHERE o_orderkey <= 3000 " +
+        "AND NOT (o_orderkey BETWEEN 100 AND 200)) " +
+        "SELECT 'committed' AS phase, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM fin42 " +
+        "UNION ALL SELECT 'midswap', count(*), " +
+        "CAST(sum(o_orderkey) AS BIGINT) FROM fin42 " +
+        "UNION ALL SELECT 'recovered', count(*), " +
+        "CAST(sum(o_orderkey) AS BIGINT) FROM fin42 ORDER BY phase"),
     "c41_ts_time_travel" ->
       ("SELECT 'asof_v1' AS phase, count(*) AS n, " +
         "CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +

@@ -2526,6 +2526,127 @@ class ApiSpec extends AnyFunSuite {
       "a lost-race commit must not write a version manifest")
   }
 
+  test("r17: manifest-pinned reads serve the pre-swap version across a mid-swap window") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 200L).map(k => (k, k * 3.0)).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(db2.pathOf("pin"))
+    val tbl = db2.table("pin")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(tbl.path + ".versions"))
+    wipe(new java.io.File(tbl.path + ".properties"))
+    wipe(new java.io.File(api.Table.versionDirOf(tbl.path)))
+    new java.io.File(tbl.path).getParentFile.listFiles()
+      .filter(f => f.getName.startsWith("pin.parquet.retain_") ||
+        f.getName.startsWith("pin.parquet.cowdel_bak_")).foreach(wipe)
+    tbl.analyzeStats(Seq("k")): Unit
+    tbl.setPinnedReads(true)
+    assert(tbl.versions.nonEmpty, "enabling pinned reads publishes v1")
+    // committed façade mutations advance the pinned view
+    tbl.write((201L to 250L).map(k => (k, k * 3.0)).toDF("k", "v"))
+    assert(db2.table("pin").count == 250L, "append publishes")
+    val rc = db2.execute("DELETE FROM pin WHERE k BETWEEN 10 AND 20")
+      .collect()(0).getLong(0)
+    assert(rc == 11L)
+    assert(db2.table("pin").count == 239L, "COW swap publishes")
+    val keySum = db2.table("pin").df.agg(sum(col("k"))).collect()(0).getLong(0)
+    // CRASH-INJECT a mid-swap state from a concurrent writer: one live
+    // file hops to the swap's backup dir, an uncommitted token-marked
+    // replacement sits in the live tree, commit (backup drop) never
+    // reached
+    val token = "feedc0de1234"
+    val live = new java.io.File(tbl.path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val victim = live.minBy(_.getName)
+    val bak = new java.io.File(tbl.path + ".cowdel_bak_" + token)
+    bak.mkdirs()
+    java.nio.file.Files.move(victim.toPath,
+      new java.io.File(bak, victim.getName).toPath)
+    val donor = live.filterNot(_ == victim).head
+    java.nio.file.Files.copy(donor.toPath,
+      new java.io.File(tbl.path, s"cowdel_${token}_dup.parquet").toPath)
+    spark.catalog.refreshByPath(tbl.path)
+    // a pinned reader mid-swap serves the PRE-SWAP version exactly:
+    // the manifest's files resolve through the backup dir, the
+    // uncommitted token file is invisible (not in the manifest)
+    assert(db2.table("pin").count == 239L,
+      "mid-swap pinned read must serve the pre-swap version exactly")
+    assert(db2.table("pin").df.agg(sum(col("k"))).collect()(0)
+      .getLong(0) == keySum, "pre-swap values, not a half-renamed mix")
+    assert(!db2.table("pin").df.inputFiles.exists(
+      _.contains(s"cowdel_${token}_")),
+      "an uncommitted promoted file must be invisible to pinned reads")
+    assert(db2.table("pin").df.inputFiles.exists(_.contains("cowdel_bak_")),
+      "the backed-up original must serve from the swap's backup dir")
+    // the SQL route re-resolves per statement — same isolation
+    assert(db2.execute("SELECT count(*) AS n FROM pin")
+      .collect()(0).getLong(0) == 239L)
+    // vacuum rolls the crashed swap back; pinned reads keep serving
+    assert(db2.vacuum()("recovered") >= 1)
+    assert(db2.table("pin").count == 239L)
+    assert(db2.table("pin").df.inputFiles.forall(!_.contains("cowdel_bak_")),
+      "post-recovery reads are all-live again")
+    // an ALREADY-RESOLVED frame across a LATER committed swap fails
+    // loudly (its file paths physically moved) — never a half state;
+    // fresh reads pick up the new manifest. Point-in-time access to
+    // the pre-swap state is readVersion/readTimestamp's job (retention
+    // keeps those bytes; an in-flight frame is not a snapshot handle).
+    val stale = db2.table("pin").df
+    val staleCount = stale.count() // resolves + reads fine pre-swap
+    assert(staleCount == 239L)
+    db2.execute("DELETE FROM pin WHERE k BETWEEN 30 AND 40").collect(): Unit
+    assert(db2.table("pin").count == 228L,
+      "next read picks up the new manifest")
+  }
+
+  test("r17: DML sidecar maintenance is O(delta) — tombstone + fresh-band segments, no rewrite") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 200L).map(k => (k, k * 2.0)).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(db2.pathOf("sd"))
+    val tbl = db2.table("sd")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(tbl.path + ".stats"))
+    wipe(new java.io.File(tbl.path + ".properties"))
+    wipe(new java.io.File(api.Table.versionDirOf(tbl.path)))
+    tbl.analyzeStats(Seq("k")): Unit
+    def segs(): Map[String, Long] =
+      new java.io.File(tbl.path + ".stats").listFiles().toSeq
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    val before = segs()
+    val rc = db2.execute("DELETE FROM sd WHERE k BETWEEN 10 AND 20")
+      .collect()(0).getLong(0)
+    assert(rc == 11L)
+    val after = segs()
+    assert(before.forall { case (n, len) => after.get(n).contains(len) },
+      "the analyze-time segment must survive byte-identical (no rewrite)")
+    assert(after.size == before.size + 2,
+      s"exactly one tombstone + one fresh-band segment appended: " +
+        s"${before.size} -> ${after.size}")
+    // the folded sidecar still serves the exact metadata routes
+    val n = tbl.countFromStats.getOrElse(sys.error(
+      "the sidecar must keep serving the metadata count after a DML swap"))
+      .collect()(0).getLong(0)
+    assert(n == 189L, s"folded metadata count: $n")
+    // and file skipping still prunes with correct results
+    val pruned = tbl.readPruned("k", 150L, 160L)
+    assert(pruned.count() == 11L)
+    assert(pruned.inputFiles.length < tbl.df.inputFiles.length,
+      "skipping must still prune after the tombstone fold")
+  }
+
   test("r17: TRUNCATE TABLE statement sugar — reference rowcount contract, schema kept") {
     import spark.implicits._
     val db2 = scratchDb()
