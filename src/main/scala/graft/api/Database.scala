@@ -30,6 +30,73 @@ class Database(val spark: SparkSession, val root: String,
   // db.execute / spark.sql
   graft.functions.GraftFunctions.register(spark)
 
+  /** Warehouse-level defaults for the isolation properties (r18 — the
+    * r17 verdict's "platform team" gap): a `_graft_defaults.properties`
+    * file at the warehouse root holds default values for
+    * `graft.read.pinned` / `graft.retain.cow` / `graft.schema.automerge`
+    * that EVERY table without its own explicit per-table setting
+    * inherits — existing and future alike, the deployment shape where a
+    * platform opts a whole warehouse into reader isolation once. A
+    * per-table `setPinnedReads`/`setCowRetention`/`setAutoMerge` writes
+    * an explicit `true`/`false` and always wins. Loaded once per façade
+    * instance (one tiny read per connect, refreshed by the setters in
+    * this JVM); a default changed out-of-band by ANOTHER process is
+    * picked up by new connections — same single-driver coordination
+    * boundary as the temp-view epoch.
+    */
+  @volatile private var whDefaults: java.util.Properties =
+    Database.loadWarehouseDefaults(root)
+
+  /** Effective boolean for isolation-property `key` given an
+    * already-read per-table `.properties` snapshot: the table's own
+    * explicit value when present, else this warehouse's default, else
+    * false. One flag resolution costs ZERO extra I/O beyond the props
+    * read the caller already paid.
+    */
+  private[api] def effectiveFlag(props: java.util.Properties,
+      key: String): Boolean =
+    Option(props.getProperty(key)) match {
+      case Some(v) => v.trim == "true"
+      case None    => "true" == whDefaults.getProperty(key)
+    }
+
+  /** Default every table of this warehouse (without a per-table
+    * override) into manifest-pinned reads. See [[Table.setPinnedReads]]
+    * for the contract. */
+  def setDefaultPinnedReads(on: Boolean): Unit = {
+    setWarehouseDefault(Table.PinnedProp, on)
+    // pinned reads need a published manifest per table; tables without
+    // one publish lazily on their next façade mutation — but reads
+    // before that would refuse, so publish for existing tables now
+    if (on && (format == "parquet" || format == "orc"))
+      tables.foreach { t =>
+        val props = Table.propsAt(pathOf(t))
+        if (effectiveFlag(props, Table.PinnedProp) &&
+            table(t).versions.isEmpty)
+          Table.snapshotAt(pathOf(t), Some(props)): Unit
+      }
+  }
+
+  /** Default every table of this warehouse into DML-surviving retention
+    * ([[Table.setCowRetention]]). */
+  def setDefaultCowRetention(on: Boolean): Unit =
+    setWarehouseDefault(Table.RetainProp, on)
+
+  /** Default every table of this warehouse into MERGE schema evolution
+    * ([[Table.setAutoMerge]]). */
+  def setDefaultAutoMerge(on: Boolean): Unit =
+    setWarehouseDefault(Table.AutoMergeProp, on)
+
+  private def setWarehouseDefault(key: String, on: Boolean): Unit = {
+    val p = Database.loadWarehouseDefaults(root) // fresh read-modify-write
+    p.setProperty(key, on.toString)
+    val sw = new java.io.StringWriter()
+    p.store(sw, null)
+    Fs.writeUtf8(Fs.child(root, Database.WarehouseDefaultsFile), sw.toString)
+    whDefaults = p
+    markDirty() // cached views resolved flags off the old defaults
+  }
+
   /** List base tables, sorted (ref datum/postgis/database.py:60-69 filters
     * BASE TABLE; datum/oracle_stgeom/database.py:52-61 sorts client-side and
     * anti-joins views — we exclude views by construction).
@@ -133,12 +200,21 @@ class Database(val spark: SparkSession, val root: String,
     // a manifest-pinned table re-binds EVERY statement: its view must
     // re-resolve the latest published manifest at statement time, not
     // serve a DataFrame whose file list a later swap has moved aside —
-    // per-statement snapshot resolution, the Delta/Iceberg read shape
+    // per-statement snapshot resolution, the Delta/Iceberg read shape.
+    // ONE `.properties` read per wanted table serves the repin check
+    // AND (through registerWith → load) the pinned dispatch + declared
+    // schema of any table that then registers — the r17 shape read the
+    // same sidecar 2–3× per table per statement (Table.propsReads pins
+    // the budget in ApiSpec).
+    val statementProps = scala.collection.mutable.Map.empty[
+      String, java.util.Properties]
+    def propsOf(t: String): java.util.Properties =
+      statementProps.getOrElseUpdate(t, Table.propsAt(pathOf(t)))
     val repin = want.filter(t => (format == "parquet" || format == "orc") &&
-      Table.pinnedReadsAt(pathOf(t)))
+      effectiveFlag(propsOf(t), Table.PinnedProp))
     val missing = (want -- have) ++ repin
     if (!sameCtx || missing.nonEmpty) {
-      missing.foreach(register)
+      missing.foreach(t => registerWith(t, propsOf(t)))
       Database.sessionOwner.put(spark,
         (new java.lang.ref.WeakReference(this), epoch, ts, have ++ missing))
     }
@@ -172,10 +248,14 @@ class Database(val spark: SparkSession, val root: String,
     */
   def viewNameOf(name: String): String = name.replace('.', '_')
 
-  def register(name: String): Unit = {
+  def register(name: String): Unit =
+    registerWith(name, Table.propsAt(pathOf(name)))
+
+  private[api] def registerWith(name: String,
+      props: java.util.Properties): Unit = {
     // one unreadable table (e.g. exotic parquet types in a session missing
     // a legacy read flag) must not take down SQL over every other table
-    try load(name).createOrReplaceTempView(viewNameOf(name))
+    try load(name, props).createOrReplaceTempView(viewNameOf(name))
     catch {
       case e: Exception =>
         System.err.println(s"[graft] skipping unreadable table '$name': ${e.getMessage}")
@@ -186,24 +266,38 @@ class Database(val spark: SparkSession, val root: String,
     * schema inference — the "reflection" analogue for schemaless formats
     * (parquet reflects from footers for free).
     */
-  private[api] def load(name: String): org.apache.spark.sql.DataFrame = {
+  private[api] def load(name: String): org.apache.spark.sql.DataFrame =
+    load(name, Table.propsAt(pathOf(name)))
+
+  /** [[load]] off an already-read `.properties` snapshot — ONE sidecar
+    * read per table reference (r18): the pinned-read dispatch AND the
+    * declared-schema overlay both resolve from the same read, where the
+    * r17 shape paid 2–3 tiny round trips per table per statement (on S3,
+    * 2–3 GETs of latency before planning starts).
+    */
+  private[api] def load(name: String,
+      props: java.util.Properties): org.apache.spark.sql.DataFrame = {
     // manifest-pinned reads (r17): an opted-in table's reads resolve
     // through its latest published snapshot manifest, never a directory
     // listing — a reader racing a COW swap serves the pre-swap version
     // exactly (Table.setPinnedReads)
     if ((format == "parquet" || format == "orc") &&
-        Table.pinnedReadsAt(pathOf(name)))
+        effectiveFlag(props, Table.PinnedProp))
       table(name).readPinnedLatest()
-    else loadRaw(name)
+    else loadRaw(name, Table.declaredSchemaFrom(props))
   }
 
   /** The directory-listing read behind [[load]] — also the pinned
     * path's schema-only probe (an empty manifest still needs a schema).
     */
-  private[api] def loadRaw(name: String): org.apache.spark.sql.DataFrame = {
+  private[api] def loadRaw(name: String): org.apache.spark.sql.DataFrame =
+    loadRaw(name, Table.declaredSchemaOf(pathOf(name)))
+
+  private[api] def loadRaw(name: String,
+      declaredOpt: Option[StructType]): org.apache.spark.sql.DataFrame = {
     // a declared schema (ALTER TABLE ADD COLUMN, c38) overrides footer
     // reflection: pre-ALTER files null-fill the added columns by name
-    def declared = Table.declaredSchemaOf(pathOf(name))
+    def declared = declaredOpt
     format match {
       case "parquet" => declared match {
         case Some(s) => spark.read.schema(s).parquet(pathOf(name))
@@ -227,8 +321,35 @@ class Database(val spark: SparkSession, val root: String,
   def store(df: org.apache.spark.sql.DataFrame, name: String,
       mode: String, chunkSize: Int = 0,
       partitionBy: Seq[String] = Nil): Unit = {
-    storeAt(df, pathOf(name), mode, chunkSize, partitionBy)
-    markDirty()
+    val path = pathOf(name)
+    // overwriting an EXISTING isolation-opted table through the façade
+    // must honor its contracts (r17 ADVICE): a raw overwrite deletes
+    // every file the latest pinned manifest references (all subsequent
+    // pinned reads fail loudly until a manual snapshot) and silently
+    // skips retained history. Route through the staged replace, which
+    // snapshots the pre-state under retention, publishes the post-state
+    // manifest under pinning, arbitrates the commit version, and swaps
+    // atomically besides.
+    val props = Table.propsAt(path)
+    val isolated = effectiveFlag(props, Table.PinnedProp) ||
+      effectiveFlag(props, Table.RetainProp)
+    if (mode == "overwrite" && isolated &&
+        (try Fs.exists(Fs.path(path))
+         catch { case _: IllegalArgumentException => false })) {
+      val pcols =
+        if (partitionBy.nonEmpty) partitionBy
+        else Database.partitionColsOf(path)
+      replaceAt(path, df, pcols, chunkSize = chunkSize)
+    } else {
+      storeAt(df, path, mode, chunkSize, partitionBy)
+      // a pinned table (explicit or warehouse default) reads through
+      // its latest manifest — publish one for the create/append so the
+      // first read after a façade store never refuses
+      if ((format == "parquet" || format == "orc") &&
+          effectiveFlag(props, Table.PinnedProp))
+        Table.snapshotAt(path, Some(props)): Unit
+      markDirty()
+    }
   }
 
   /** Format-dispatched write to an explicit path (staging dirs etc.).
@@ -601,7 +722,13 @@ class Database(val spark: SparkSession, val root: String,
         for {
           rel <- relName
           tbl <- tables.find(t => viewNameOf(t).equalsIgnoreCase(rel))
-          schema <- scala.util.Try(table(tbl).df.schema).toOption
+          // the statement's view is already bound (ensureRegistered runs
+          // first) and carries the declared-schema overlay — probing it
+          // costs zero sidecar reads, where `table(tbl).df.schema` paid
+          // a second `.properties` round trip per agg statement (r18:
+          // one props read per table reference)
+          schema <- scala.util.Try(spark.table(viewNameOf(tbl)).schema)
+            .toOption
           specs <- {
             def cased(c: String): Option[String] = schema.fields.collectFirst {
               case f if f.name.equalsIgnoreCase(c) => f.name }
@@ -833,10 +960,12 @@ class Database(val spark: SparkSession, val root: String,
     */
   private[api] def replaceAt(path: String, df: DataFrame,
       partitionBy: Seq[String] = Nil,
-      expectedVersion: Option[Long] = None): Unit = {
+      expectedVersion: Option[Long] = None,
+      chunkSize: Int = 0): Unit = {
     val tmp = Fs.path(path + ".stage_tmp"); val bak = Fs.path(path + ".stage_bak")
     Fs.delete(tmp): Unit; Fs.delete(bak): Unit
-    storeAt(df, tmp.toString, partitionBy = partitionBy)
+    storeAt(df, tmp.toString, chunkSize = chunkSize,
+      partitionBy = partitionBy)
     // optimistic commit check before the swap: a DML writer passes the
     // version it captured at listing time (CAS refuses on a race); any
     // other tracked-table rewrite bumps unconditionally so an in-flight
@@ -861,10 +990,10 @@ class Database(val spark: SparkSession, val root: String,
     // crash window: a crash before it leaves bak + live primary, which
     // vacuum reclaims (that one op's history lost, table intact).
     val swapProps = Table.propsAt(path) // one sidecar read per swap
-    val retain = "true" == swapProps.getProperty(Table.RetainProp) &&
+    val retain = effectiveFlag(swapProps, Table.RetainProp) &&
       Fs.exists(orig)
-    val pinned = "true" == swapProps.getProperty(Table.PinnedProp)
-    if (retain) Table.snapshotAt(path): Unit
+    val pinned = effectiveFlag(swapProps, Table.PinnedProp)
+    if (retain) Table.snapshotAt(path, Some(swapProps)): Unit
     if (Fs.exists(orig) && !Fs.rename(orig, bak))
       throw new java.io.IOException(s"replaceAt: cannot stage $path")
     if (!Fs.rename(tmp, orig)) {
@@ -875,7 +1004,7 @@ class Database(val spark: SparkSession, val root: String,
     // backup still holds the pre-state (swap-then-publish — a reader
     // on the previous manifest resolves through .stage_bak until it
     // retires/drops)
-    if (pinned) Table.snapshotAt(path): Unit
+    if (pinned) Table.snapshotAt(path, Some(swapProps)): Unit
     if (retain) {
       val token = java.util.UUID.randomUUID().toString
         .replace("-", "").take(12)
@@ -1011,6 +1140,7 @@ class Database(val spark: SparkSession, val root: String,
     var stageTmp = 0; var stageBak = 0; var bak = 0
     var upsertStage = 0; var stale = 0; var recovered = 0
     var tombStage = 0; var tombBak = 0; var retainExpired = 0
+    var manifestExpired = 0
     // DML-retention area (Table.setCowRetention): `<table>.retain_<millis>_<token>`
     val RetainRe = java.util.regex.Pattern.compile("(.+)\\.retain_(\\d+)_([a-f0-9]+)")
     // tombstone-fold sibling residue (compactTombstones: the fold stages
@@ -1102,8 +1232,15 @@ class Database(val spark: SparkSession, val root: String,
           val p = st.getPath; val n = p.getName
           val mTombB = TombBakRe.matcher(n)
           val mTombS = TombStageRe.matcher(n)
-          if (n.endsWith(".stage_tmp")) { Fs.delete(p): Unit; stageTmp += 1 }
-          else if (n.endsWith(".upsert_stage")) { Fs.delete(p): Unit; upsertStage += 1 }
+          if (n.endsWith(".stage_tmp") ||
+            n.matches(""".+\.stage_tmp_a[a-f0-9]{12}""")) {
+            Fs.delete(p): Unit; stageTmp += 1 }
+          else if (n.endsWith(".upsert_stage") ||
+            n.matches(""".+\.upsert_stage_a[a-f0-9]{12}""")) {
+            // r18: mergeTouchedPartitions stages each attempt in a
+            // UNIQUE `_a<token>` dir (the c12 `.upsert_stage` armor) —
+            // crash residue of either spelling is the same class
+            Fs.delete(p): Unit; upsertStage += 1 }
           else if (n.endsWith(".stage_bak")) { Fs.delete(p): Unit; stageBak += 1 }
           else if (n.endsWith(".bak")) { Fs.delete(p): Unit; bak += 1 }
           else if (mTombS.matches()) { Fs.delete(p): Unit; tombStage += 1 }
@@ -1125,10 +1262,10 @@ class Database(val spark: SparkSession, val root: String,
             val retainDirs = Fs.list(p.getParent).filter(d =>
               d.isDirectory && d.getPath.getName.startsWith(
                 n.stripSuffix(".versions") + ".retain_")).map(_.getPath)
-            Fs.list(p)
+            val manifests = Fs.list(p)
               .filter(m => m.getPath.getName.startsWith("v") &&
                 m.getPath.getName.endsWith(".manifest"))
-              .foreach { m =>
+            manifests.foreach { m =>
                 // manifests are written with println (platform line
                 // separator): split on \r?\n and trim, or CRLF lines keep
                 // a trailing \r, every isFile probe misses, and vacuum
@@ -1145,6 +1282,39 @@ class Database(val spark: SparkSession, val root: String,
                 if (!rels.forall(reachable) && Fs.delete(m.getPath))
                   stale += 1
               }
+            // manifest-age expiry (r18 — the unbounded-history caveat):
+            // a pinned table publishes a manifest on EVERY façade
+            // mutation and nothing else ever removed valid ones, so at
+            // one swap a minute `.versions` grew half a million entries
+            // a year. Expire manifests older than the table's
+            // `graft.manifest.ttl.ms` (default 7 days; the `#ts=`
+            // wall-clock header, mtime for pre-r17 manifests), ALWAYS
+            // keeping the latest VERSION — Delta's logRetentionDuration
+            // shape. readVersion/versionAt past an expired manifest
+            // refuse loudly (their existing missing-manifest contract).
+            val alive = manifests.filter(m => Fs.isFile(m.getPath))
+            def versionOfName(n: String): Int =
+              scala.util.Try(n.stripPrefix("v").stripSuffix(".manifest")
+                .toInt).getOrElse(Int.MaxValue)
+            if (alive.nonEmpty) {
+              val ttl = Table.manifestTtlOf(
+                Table.propsAt(tablePath.toString))
+              val latestV = alive.map(m =>
+                versionOfName(m.getPath.getName)).max
+              alive.foreach { m =>
+                val mv = versionOfName(m.getPath.getName)
+                val ts = Fs.readUtf8(m.getPath).split("\r?\n").iterator
+                  .map(_.trim)
+                  .collectFirst { case l if l.startsWith("#ts=") =>
+                    scala.util.Try(l.stripPrefix("#ts=").toLong)
+                      .getOrElse(m.getModificationTime) }
+                  .getOrElse(m.getModificationTime)
+                if (mv != latestV &&
+                    System.currentTimeMillis() - ts > ttl &&
+                    Fs.delete(m.getPath))
+                  manifestExpired += 1
+              }
+            }
           }
           else if (RetainRe.matcher(n).matches()) {
             // DML-retention area: reclaim only past the owner's ttl —
@@ -1170,7 +1340,8 @@ class Database(val spark: SparkSession, val root: String,
         "upsert_stage" -> upsertStage, "stale_manifest" -> stale,
         "recovered" -> recovered,
         "tomb_stage" -> tombStage, "tomb_bak" -> tombBak,
-        "retain_expired" -> retainExpired)
+        "retain_expired" -> retainExpired,
+        "manifest_expired" -> manifestExpired)
     }
   }
 
@@ -1346,6 +1517,28 @@ object Database {
 
   private[api] def isDataFile(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".")
+
+  /** Warehouse-level defaults sidecar at the root (leading `_` keeps it
+    * out of `tables` and every data-file walk). See
+    * `Database.setDefaultPinnedReads` for the contract.
+    */
+  private[api] val WarehouseDefaultsFile = "_graft_defaults.properties"
+
+  /** Read the warehouse defaults file — empty when absent or when the
+    * root is not a filesystem locator (the JDBC adapter's urls).
+    */
+  private[api] def loadWarehouseDefaults(root: String)
+      : java.util.Properties = {
+    val p = new java.util.Properties()
+    // NonFatal (not just IAE): a non-filesystem root (the JDBC
+    // adapter's urls) can fail at Path parse OR at FileSystem
+    // resolution depending on the url shape — either way, no defaults
+    try {
+      val f = Fs.child(root, WarehouseDefaultsFile)
+      if (Fs.isFile(f)) p.load(new java.io.StringReader(Fs.readUtf8(f)))
+    } catch { case scala.util.control.NonFatal(_) => () }
+    p
+  }
 
   /** Swap a freshly-written directory into place with a backup hop
     * (dst → dst.bak, src → dst, drop bak) — the per-directory version of
@@ -1615,13 +1808,36 @@ object Database {
       else Some(sp.read.option("basePath", state)
         .parquet(dirs.toIndexedSeq: _*))
     val merged = merge(existing, partial)
-    Fs.delete(stageP): Unit
-    if (write == null)
-      merged.write.partitionBy(partCol).parquet(stage)
-    else write(merged, stage)
+    Fs.delete(stageP): Unit // legacy residue of a pre-r18 crashed fold
+    // PER-ATTEMPT-UNIQUE stage dir + one retry (r18 — the r17 c12
+    // transient: a TASK_WRITE_FAILED under `.upsert_stage` whose
+    // `_temporary` attempt files vanished mid-write, task-retry vs
+    // commit-cleanup under the v1 committer on local FS at 32-way).
+    // A fresh dir per attempt means no attempt can race the committer
+    // state of a previous one, and the single logged retry absorbs the
+    // transient class instead of killing the whole statement (and, in
+    // r17's close, the whole evidence pipeline). Crash residue
+    // (`<stage>_a<token>`) is vacuum's upsert_stage/stage_tmp class.
+    def attemptDir(): String = stage + "_a" + java.util.UUID.randomUUID()
+      .toString.replace("-", "").take(12)
+    def stagedWrite(target: String): Unit =
+      if (write == null) merged.write.partitionBy(partCol).parquet(target)
+      else write(merged, target)
+    var attempt = attemptDir()
+    try stagedWrite(attempt)
+    catch { case scala.util.control.NonFatal(e) =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"mergeTouchedPartitions: staged write under $attempt failed " +
+          s"(transient committer race class) - retrying once in a fresh " +
+          s"stage dir: $e")
+      Fs.delete(Fs.path(attempt)): Unit
+      attempt = attemptDir()
+      stagedWrite(attempt)
+    }
+    val attemptP = Fs.path(attempt)
     Fs.mkdirs(stateP)
     touched.foreach { v =>
-      val src = new org.apache.hadoop.fs.Path(stageP, dirName(v))
+      val src = new org.apache.hadoop.fs.Path(attemptP, dirName(v))
       val dst = new org.apache.hadoop.fs.Path(stateP, dirName(v))
       if (Fs.isDir(src)) {
         swapDir(src, dst)
@@ -1640,7 +1856,7 @@ object Database {
           s"touched value '$v' whose state partition exists — dir-naming " +
           "mismatch or merge dropped a touched partition")
     }
-    Fs.delete(stageP): Unit
+    Fs.delete(attemptP): Unit
     // the swaps happened at the FILESYSTEM level — invalidate Spark's
     // shared file-listing cache for the state root so a follow-up read
     // cannot plan against the pre-swap file list (see compactStreamIndex)

@@ -85,6 +85,12 @@ class JdbcDatabase(sparkSession: SparkSession, val url: String,
     } finally conn.close()
   }
 
+  // the props-threaded overload must keep dispatching to the JDBC read
+  // (there is no `.properties` sidecar behind a jdbc: locator — the
+  // snapshot the base class reads is always empty here)
+  override private[api] def load(name: String,
+      props: java.util.Properties): DataFrame = load(name)
+
   override private[api] def load(name: String): DataFrame =
     geomFor(name) match {
       case Some((gcol, _)) =>

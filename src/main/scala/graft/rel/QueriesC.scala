@@ -1708,7 +1708,18 @@ object QueriesC {
         f.delete(): Unit
       }
       wipe(new java.io.File(tbl.path + ".versions"))
+      // manifest-age expiry arm (r18): a table whose manifests expire
+      // immediately (ttl < 0) — two published snapshots, vacuum keeps
+      // the LATEST and expires the rest (Delta's logRetentionDuration
+      // shape; the bound that keeps a once-a-minute pinned publisher at
+      // O(window) manifests, not half a million a year)
+      nation.write.mode("overwrite").parquet(db.pathOf("c16_ttl"))
+      val ttlTbl = db.table("c16_ttl")
+      wipe(new java.io.File(ttlTbl.path + ".versions"))
       db.vacuum() // reset: clear residue from any earlier aborted run
+      ttlTbl.setManifestTtlMs(-1L)
+      ttlTbl.snapshot()
+      ttlTbl.snapshot()
       tbl.snapshot()
       tbl.compact() // rewrite → the manifest above is now stale
       def mkLeftover(path: String): Unit = {
@@ -2105,8 +2116,8 @@ object QueriesC {
         "CAST(max(o_orderkey) AS BIGINT) AS max_key " +
         "FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 3000"),
     "c16_vacuum" ->
-      ("SELECT * FROM (VALUES ('bak', 1), ('recovered', 1), " +
-        "('retain_expired', 0), ('stage_bak', 1), " +
+      ("SELECT * FROM (VALUES ('bak', 1), ('manifest_expired', 1), " +
+        "('recovered', 1), ('retain_expired', 0), ('stage_bak', 1), " +
         "('stage_tmp', 1), ('stale_manifest', 1), ('tomb_bak', 1), " +
         "('tomb_stage', 1), ('upsert_stage', 1)) " +
         "t(kind, n) ORDER BY kind"),

@@ -2662,4 +2662,220 @@ class ApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       db2.execute("TRUNCATE TABLE nosuch") }
   }
+
+  test("r18: versionAt tie-breaks equal wall-clocks toward the newest version") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 10L).toDF("k").write.mode("overwrite").parquet(db2.pathOf("tie"))
+    val tbl = db2.table("tie")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(tbl.path + ".versions"))
+    val v1 = tbl.snapshot()
+    val v2 = tbl.snapshot()
+    // force the exact hazard: both manifests carry the SAME #ts=
+    // wall-clock (a retain+pinned DML publishes pre- and post-swap
+    // manifests back-to-back within one millisecond)
+    def mf(v: Int) = new java.io.File(tbl.path + ".versions", s"v$v.manifest")
+    val ts1 = scala.io.Source.fromFile(mf(v1)).getLines()
+      .find(_.startsWith("#ts=")).get.stripPrefix("#ts=").toLong
+    val body2 = scala.io.Source.fromFile(mf(v2)).getLines().toList
+      .map(l => if (l.startsWith("#ts=")) s"#ts=$ts1" else l)
+    // rewrite through the Fs seam so the local FS checksum stays valid
+    api.Fs.writeUtf8(api.Fs.path(mf(v2).getPath),
+      body2.map(_ + "\n").mkString)
+    assert(tbl.versionAt(ts1) == v2,
+      "equal timestamps must resolve to the NEWEST version (post-swap " +
+        "state), not the first manifest listed")
+  }
+
+  test("r18: manifest keep-window bounds a pinned table's history across 100 mutations") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 50L).map(k => (k, k * 2.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(db2.pathOf("mk"))
+    val tbl = db2.table("mk")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(tbl.path + ".versions"))
+    wipe(new java.io.File(tbl.path + ".properties"))
+    tbl.setPinnedReads(true)
+    tbl.setManifestKeep(5)
+    // 100 publishes (a pinned table publishes one per façade mutation)
+    (1 to 99).foreach(_ => tbl.snapshot(): Unit)
+    assert(tbl.versions.length == 5,
+      s"keep-window must bound the manifest count, got ${tbl.versions.length}")
+    assert(tbl.versions.max == 100, "the latest version always survives")
+    // real mutations stay inside the window too, and pinned reads serve
+    tbl.write((51L to 60L).map(k => (k, k * 2.0)).toDF("k", "v"))
+    assert(tbl.versions.length == 5)
+    assert(db2.table("mk").count == 60L)
+    // a pruned version refuses loudly (readVersion's missing-manifest
+    // contract), never serves silently-partial history
+    intercept[IllegalArgumentException](tbl.readVersion(1))
+  }
+
+  test("r18: statement bind reads each referenced table's sidecar at most once") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 30L).map(k => (k, k * 3.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(db2.pathOf("pr"))
+    db2.execute("SELECT sum(v) AS s FROM pr").collect(): Unit // warm bind
+    val before = api.Table.propsReads.get()
+    db2.execute("SELECT sum(v) AS s FROM pr").collect(): Unit
+    val delta = api.Table.propsReads.get() - before
+    assert(delta <= 1,
+      s"a warm statement bind must read the .properties sidecar at most " +
+        s"once per referenced table (pinned dispatch + declared schema + " +
+        s"repin off ONE read); observed $delta")
+  }
+
+  test("r18: autoMerge evolution rolls back when the merge refuses pre-commit") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(db2.pathOf("am"))
+    val tbl = db2.table("am")
+    // a prior run's evolved declared schema must not pre-seed src_tag
+    new java.io.File(tbl.path + ".properties").delete(): Unit
+    tbl.setAutoMerge(true)
+    // the INSERT names an unknown column (evolution adds it), then the
+    // duplicate source key 5 fails the ANSI cardinality check — the
+    // refused statement must leave NO evolved column behind (Delta
+    // commits evolution atomically with the merge)
+    val err = intercept[IllegalStateException] {
+      db2.execute("MERGE INTO am USING (SELECT 5 AS k UNION ALL " +
+        "SELECT 5 UNION ALL SELECT 99) s ON am.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = 0 " +
+        "WHEN NOT MATCHED THEN INSERT (k, src_tag) VALUES (s.k, 7)").collect()
+    }
+    assert(err.getMessage.contains("cardinality"))
+    assert(!db2.table("am").df.columns.contains("src_tag"),
+      "a refused MERGE must roll its schema evolution back")
+    assert(db2.table("am").count == 10L)
+    // the same statement WITHOUT the violation commits evolution + data
+    val rc = db2.execute("MERGE INTO am USING (SELECT 5 AS k UNION ALL " +
+      "SELECT 99) s ON am.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = 0 " +
+      "WHEN NOT MATCHED THEN INSERT (k, src_tag) VALUES (s.k, 7)")
+      .collect()(0).getLong(0)
+    assert(rc == 2L)
+    val t = db2.table("am").df
+    assert(t.columns.contains("src_tag"))
+    assert(t.filter(col("k") === 99L && col("src_tag") === 7).count() == 1L)
+  }
+
+  test("r18: store-overwrite honors pinned + retention contracts (no silent history loss)") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 40L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(db2.pathOf("sov"))
+    val tbl = db2.table("sov")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(tbl.path + ".versions"))
+    wipe(new java.io.File(tbl.path + ".properties"))
+    new java.io.File(tbl.path).getParentFile.listFiles()
+      .filter(_.getName.startsWith("sov.parquet.retain_")).foreach(wipe)
+    tbl.setPinnedReads(true)
+    tbl.setCowRetention(true)
+    val preV = tbl.versions.max
+    // the façade overwrite routes through the staged replace: pre-state
+    // snapshots + retires to the retention area, post-state publishes
+    db2.store((100L to 105L).map(k => (k, k * 1.0)).toDF("k", "v"),
+      "sov", "overwrite")
+    assert(db2.table("sov").count == 6L,
+      "pinned reads serve the overwritten state (post-state manifest " +
+        "published — r17 left them failing until a manual snapshot)")
+    assert(tbl.readVersion(preV).count() == 40L,
+      "retained pre-overwrite history stays servable")
+  }
+
+  test("r18: warehouse-level defaults opt tables in; per-table override wins") {
+    import spark.implicits._
+    // DEDICATED root (not the numbered scratch sequence): the defaults
+    // file opts every table of its warehouse in, and scratch numbers
+    // shift between filtered and full test runs — a leaked defaults
+    // file must never poison an unrelated test's scratch
+    val root = "/root/repo/target/fixtures/test/whdefaults"
+    def preWipe(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(preWipe)
+      f.delete(): Unit
+    }
+    preWipe(new java.io.File(root))
+    new java.io.File(root).mkdirs()
+    val db2 = Datum.connect(s"parquet://$root")
+    db2.setDefaultCowRetention(true)
+    db2.setDefaultPinnedReads(true)
+    // a NEW table inherits both defaults with no per-table property
+    db2.store((1L to 30L).map(k => (k, k * 1.0)).toDF("k", "v"), "wd",
+      "overwrite")
+    val tbl = db2.table("wd")
+    assert(tbl.versions.nonEmpty,
+      "a pinned-by-default table publishes its manifest at create")
+    def retainDirs() = Option(new java.io.File(tbl.path).getParentFile
+      .listFiles()).getOrElse(Array.empty)
+      .count(_.getName.startsWith("wd.parquet.retain_"))
+    val r0 = retainDirs()
+    assert(db2.execute("DELETE FROM wd WHERE k <= 3").collect()(0)
+      .getLong(0) == 3L)
+    assert(retainDirs() > r0,
+      "a DML swap under the warehouse retention default retires files " +
+        "to the retention area")
+    assert(db2.table("wd").count == 27L, "pinned read serves post-swap")
+    // explicit per-table FALSE beats the warehouse default
+    tbl.setCowRetention(false)
+    val r1 = retainDirs()
+    assert(db2.execute("DELETE FROM wd WHERE k <= 6").collect()(0)
+      .getLong(0) == 3L)
+    assert(retainDirs() == r1,
+      "an explicit per-table override must win over the warehouse default")
+  }
+
+  test("r18: ALTER COLUMN TYPE widening retypes the skipping sidecar; DML keeps metadata routes") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1 to 200).map(k => (k, k * 5.0)).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(db2.pathOf("wt"))
+    val tbl = db2.table("wt")
+    // a prior run's widened declared schema / sidecar must not leak in
+    def preWipe(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(preWipe)
+      f.delete(): Unit
+    }
+    preWipe(new java.io.File(tbl.path + ".properties"))
+    preWipe(new java.io.File(tbl.path + ".stats"))
+    tbl.analyzeStats(Seq("k")): Unit
+    db2.execute("ALTER TABLE wt ALTER COLUMN k TYPE BIGINT").collect(): Unit
+    val sidecar = spark.read.parquet(tbl.path + ".stats")
+    assert(sidecar.schema("min_k").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "the sidecar's band types must follow the widened column")
+    // the metadata COUNT route still serves (coverage intact, uniform
+    // footers), and a COW DML's appended segments stay type-uniform
+    assert(db2.execute("SELECT count(*) AS n FROM wt").collect()(0)
+      .getLong(0) == 200L)
+    assert(db2.execute("DELETE FROM wt WHERE k BETWEEN 10 AND 19")
+      .collect()(0).getLong(0) == 10L)
+    assert(db2.execute("SELECT count(*) AS n FROM wt").collect()(0)
+      .getLong(0) == 190L)
+    val post = spark.read.parquet(tbl.path + ".stats")
+    assert(post.schema("min_k").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "post-DML appended segments must carry the widened type too")
+    assert(post.filter(col("n_rows") < 0).count() >= 1,
+      "the swap's tombstone segment landed (O(delta) maintenance)")
+  }
 }
