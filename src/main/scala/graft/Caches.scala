@@ -87,9 +87,69 @@ object Caches {
   def memoVal[A](key: String)(build: => A): A =
     memoValMap.getOrElseUpdate(key, build).asInstanceOf[A]
 
+  /** Non-building peek / explicit put — for memo users whose "build" is
+    * a side effect of work they do anyway (e.g. a snapshot-manifest
+    * read's inferred schema, r18): peek for a prior value, do the work
+    * with or without it, put the result for the next caller.
+    */
+  def peekVal[A](key: String): Option[A] =
+    memoValMap.get(key).map(_.asInstanceOf[A])
+
+  def putVal(key: String, v: Any): Unit = { memoValMap.putIfAbsent(key, v); () }
+
   def clearMemo(): Unit = {
     memoMap.values.foreach(_.unpersist())
     memoMap.clear()
     memoValMap.clear()
+  }
+
+  /** Engine-internal short-lived persists (r18): the per-file stats
+    * aggregate is consumed twice within one sidecar maintenance call
+    * (zero-row-file discovery collect + the segment write) — persisting
+    * it halves the data scans of every ANALYZE/maintenance pass. A
+    * dedicated registry (not [[persistTracked]]) because the engine owns
+    * the lifetime: the maintenance call drains it before returning, so
+    * nothing leaks into the caller's query lifetime.
+    */
+  private val statsTracked =
+    ThreadLocal.withInitial[java.util.ArrayDeque[DataFrame]](() => new java.util.ArrayDeque[DataFrame]())
+
+  def persistStats(df: DataFrame): DataFrame = {
+    df.persist(); statsTracked.get.add(df); df
+  }
+
+  def drainStats(): Unit = {
+    val q = statsTracked.get
+    var df = q.poll()
+    while (df != null) { df.unpersist(); df = q.poll() }
+  }
+
+  /** Schema-memoized parquet read of an IMMUTABLE path (r18 optimization
+    * round, guide §1/§6): `spark.read.parquet(dir)` runs a footer
+    * schema-inference job on every call — ~20–80 ms of driver+job fixed
+    * cost that the profiler showed repeated in EVERY query (each source
+    * table, each probe of a built index). The testdata corpus is
+    * read-only and an index root's schema is construction-constant
+    * (folds/tombstone compactions rewrite the same columns), so the
+    * schema from the first read serves every later one; passing it via
+    * `spark.read.schema(...)` skips the inference job entirely while the
+    * FILE LISTING stays fresh per read (data changes are still seen —
+    * only the schema is pinned). At cluster scale the same call is 1+
+    * object-store GETs of footer latency per statement — the fix
+    * transfers. Do NOT use for paths whose schema can change in-session
+    * (warehouse tables: Database keeps an epoch-invalidated cache).
+    */
+  def readParquetStableSchema(s: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val key = s"parquet-schema|$path"
+    memoValMap.get(key) match {
+      case Some(sc) =>
+        s.read.schema(sc.asInstanceOf[org.apache.spark.sql.types.StructType])
+          .parquet(path)
+      case None =>
+        val df = s.read.parquet(path)
+        memoValMap.putIfAbsent(key, df.schema)
+        df
+    }
   }
 }

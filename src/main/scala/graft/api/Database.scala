@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, sum, when}
 import org.apache.spark.sql.types._
 
 /** Spark-native analogue of the reference `Database` adapter
@@ -293,6 +293,37 @@ class Database(val spark: SparkSession, val root: String,
   private[api] def loadRaw(name: String): org.apache.spark.sql.DataFrame =
     loadRaw(name, Table.declaredSchemaOf(pathOf(name)))
 
+  /** Schema memo for live directory reads (r18 optimization round):
+    * `spark.read.parquet(dir)` pays a footer schema-inference job per
+    * call — the profiler measured 6–11 such jobs per DML/DDL gate
+    * (every statement re-binding its referenced tables, every `.df`).
+    * The memo replays the inferred schema via `spark.read.schema(...)`
+    * (listing stays fresh — data changes are always seen) and is
+    * invalidated by BOTH the façade write epoch and the table dir's
+    * modification time, so façade writes AND out-of-band top-level file
+    * churn (gate idempotence resets, raw appends) re-infer. On stores
+    * without usable dir mtimes this degrades to epoch-only — the same
+    * out-of-band caveat [[markDirty]] already documents. At cluster
+    * scale the win is the same: footer GETs per statement collapse to
+    * one per mutation.
+    */
+  private[api] def schemaMemoRead(path: String,
+      infer: => org.apache.spark.sql.DataFrame)(
+      withSchema: StructType => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val epoch = Database.writeEpoch(spark, root)
+    val mtime = try Fs.status(Fs.path(path)).getModificationTime
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    Database.schemaMemo.get((spark, path)) match {
+      case Some((e, m, sc)) if e == epoch && m == mtime && mtime >= 0L =>
+        withSchema(sc)
+      case _ =>
+        val df = infer
+        Database.schemaMemo.put((spark, path), (epoch, mtime, df.schema))
+        df
+    }
+  }
+
   private[api] def loadRaw(name: String,
       declaredOpt: Option[StructType]): org.apache.spark.sql.DataFrame = {
     // a declared schema (ALTER TABLE ADD COLUMN, c38) overrides footer
@@ -301,11 +332,15 @@ class Database(val spark: SparkSession, val root: String,
     format match {
       case "parquet" => declared match {
         case Some(s) => spark.read.schema(s).parquet(pathOf(name))
-        case None    => spark.read.parquet(pathOf(name))
+        case None    => schemaMemoRead(pathOf(name),
+          spark.read.parquet(pathOf(name)))(
+          s => spark.read.schema(s).parquet(pathOf(name)))
       }
       case "orc" => declared match {
         case Some(s) => spark.read.schema(s).orc(pathOf(name))
-        case None    => spark.read.orc(pathOf(name))
+        case None    => schemaMemoRead(pathOf(name),
+          spark.read.orc(pathOf(name)))(
+          s => spark.read.schema(s).orc(pathOf(name)))
       }
       case "csv"     => spark.read.option("header", "true").option("inferSchema", "true").csv(pathOf(name))
       case "json"    => spark.read.json(pathOf(name))
@@ -1037,15 +1072,25 @@ class Database(val spark: SparkSession, val root: String,
     * Table.readVersion). `basePath` keeps hive partition columns resolvable
     * even though the paths point at leaf files.
     */
-  private[api] def loadFiles(basePath: String, files: Seq[String]): DataFrame = {
+  private[api] def loadFiles(basePath: String, files: Seq[String],
+      schemaHint: Option[StructType] = None): DataFrame = {
     // an ALTERed table's declared schema applies here too: the COW DML
     // paths read explicit (possibly pre-ALTER) file lists, and their
     // rewrite must carry the added columns, not drop them. Non-table
     // basePaths (manifests, index dirs) have no sidecar → None.
+    // `schemaHint` (r18 optimization): the DML hot path reads subsets of
+    // the CURRENT live file set whose schema the caller already holds
+    // (it just loaded the table) — passing it skips the per-call footer
+    // inference job. Only used when no declared schema overrides, and
+    // never for versioned/retention file lists (whose schema is the
+    // files' own, not the live table's).
     val r0 = spark.read.option("basePath", basePath)
     val r = Table.declaredSchemaOf(basePath) match {
       case Some(s) if format == "parquet" || format == "orc" => r0.schema(s)
-      case _ => r0
+      case _ => schemaHint match {
+        case Some(s) if format == "parquet" || format == "orc" => r0.schema(s)
+        case _ => r0
+      }
     }
     format match {
       case "parquet" => r.parquet(files: _*)
@@ -1462,6 +1507,15 @@ object Database {
     writeEpochs.computeIfAbsent(spark,
       _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
 
+  /** (session, table dir) → (write epoch, dir mtime, inferred schema) —
+    * see `Database.schemaMemoRead`. Bounded by the table count; entries
+    * die with the session (weak outer key would need a two-level map —
+    * a TrieMap keyed by the session identity hash keeps it simple and
+    * the values are small StructTypes).
+    */
+  private[api] val schemaMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Long, Long, StructType)]
+
   private def writeEpoch(spark: SparkSession, root: String): Long =
     Option(epochsOf(spark).get(root)).map(_.longValue).getOrElse(0L)
 
@@ -1669,22 +1723,29 @@ object Database {
       // write: partitionBy of an empty frame emits no data files, the
       // swap would promote an empty batch dir, and every later read of
       // the root fails schema inference — the index bricked. Skip the
-      // fold instead (take(1) probe — cheap, stops at the first
-      // surviving row): serving stays delete-correct through the
+      // fold instead: serving stays delete-correct through the
       // tombstone mask, which is NOT reclaimed because dirs_folded
       // reports 0. Physical reclamation of a fully-deleted index is the
-      // owner's drop, not a fold.
-      if (all.isEmpty) {
+      // owner's drop, not a fold. Detected from the STAGED write's own
+      // listing (r18 optimization: the r17 shape ran a separate
+      // isEmpty probe job — a full masked read — before every fold;
+      // the staged dir having no partition subdirs IS the empty proof,
+      // for free, and an abandoned stage is the recovery sweep's
+      // existing `.stage_tmp` residue class).
+      val stage = new org.apache.hadoop.fs.Path(
+        rootP, s"batch=${target._1}.stage_tmp")
+      Fs.delete(stage): Unit
+      // repartition by the partition column ⇒ each value lands in one
+      // task ⇒ exactly one file per partition dir (the compaction point)
+      all.repartition(col(partCol))
+        .write.partitionBy(partCol).parquet(stage.toString)
+      val stagedEmpty = !Fs.list(stage).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      if (stagedEmpty) {
+        Fs.delete(stage): Unit
         System.err.println(s"[graft] compactStreamIndex($root): mask " +
           "removes every row — fold skipped, serving mask stays in force")
       } else {
-        val stage = new org.apache.hadoop.fs.Path(
-          rootP, s"batch=${target._1}.stage_tmp")
-        Fs.delete(stage): Unit
-        // repartition by the partition column ⇒ each value lands in one
-        // task ⇒ exactly one file per partition dir (the compaction point)
-        all.repartition(col(partCol))
-          .write.partitionBy(partCol).parquet(stage.toString)
         Fs.touch(new org.apache.hadoop.fs.Path(stage, Marker))
         swapDir(stage, target._2)
         dirs.init.foreach { case (_, p) => Fs.delete(p): Unit }
@@ -2080,7 +2141,8 @@ object Database {
       java.util.regex.Pattern.quote(root.getName) + "\\.bak_l(.+)")
     Fs.list(root.getParent).foreach { st =>
       val f = st.getPath
-      if (f.getName.startsWith(root.getName + ".stage_l")) Fs.delete(f): Unit
+      if (f.getName.startsWith(root.getName + ".stage_l") ||
+          f.getName == root.getName + ".stage_fold") Fs.delete(f): Unit
       else {
         val m = BakRe.matcher(f.getName)
         if (m.matches()) {
@@ -2097,36 +2159,73 @@ object Database {
     // planned against the pre-restore listing dies on FILE_NOT_EXIST
     s.catalog.refreshByPath(indexPath)
     tombstonesOf(s, indexPath, keyCol).foreach { tomb0 =>
-      val tomb = org.apache.spark.sql.functions.broadcast(tomb0)
+      val tomb = org.apache.spark.sql.functions.broadcast(tomb0.distinct())
+      // ONE pruned discovery pass (r18 optimization): per partition
+      // value, the row total AND the tombstone-hit count together — the
+      // r17 shape ran one discovery job plus, PER touched dir, an
+      // isEmpty probe job and a rewrite job, all serialized on the
+      // driver (2·dirs + 1 jobs; at a 100-way touched set that is the
+      // fold's wall-clock). The hit count decides emptied-dir drops
+      // with no extra pass.
       val touched = s.read.parquet(indexPath)
-        .join(tomb, Seq(keyCol)).select(partCol).distinct()
-        .collect().map(_.get(0).toString).sorted // ≤ #partition values
-      touched.foreach { raw =>
+        .join(tomb.withColumn("__gf_hit", lit(true)),
+          Seq(keyCol), "left_outer")
+        // native value (for a partition-PRUNING rewrite filter) + the
+        // canonical string rendering (for the on-disk dir names)
+        .groupBy(col(partCol), col(partCol).cast("string").as("__gf_ps"))
+        .agg(count(lit(1)).as("__gf_n"),
+          sum(when(col("__gf_hit"), 1L).otherwise(0L)).as("__gf_nhit"))
+        .filter(col("__gf_nhit") > 0L)
+        .collect()
+        .map(r => (r.get(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._2) // ≤ #partition values
+      val (emptied, rewrite) =
+        touched.partition { case (_, _, n, nhit) => n == nhit }
+      // all surviving touched dirs rewrite through ONE staged
+      // partitioned write (`.stage_fold`, reclaimed by the sweep above),
+      // then swap per-dir under the same sibling .bak_l protocol —
+      // crash windows and convergent recovery are unchanged, the job
+      // count drops from O(touched) to 1. repartition(partCol) lands
+      // each value in one task ⇒ one file per rewritten dir (the fold
+      // doubles as compaction, same as the stream-index fold).
+      val stageFold = Fs.path(indexPath + ".stage_fold")
+      if (rewrite.nonEmpty) {
+        Fs.delete(stageFold): Unit
+        s.read.parquet(indexPath)
+          .filter(col(partCol).isin(rewrite.map(_._1).toSeq: _*))
+          .join(tomb, Seq(keyCol), "left_anti")
+          .repartition(col(partCol))
+          .write.partitionBy(partCol).parquet(stageFold.toString)
+      }
+      def escaped(raw: String): String =
         // hive-escape the value exactly as Spark's partitioned writer
         // named the dir (space/':'/'='/'/' etc.) — a raw value would
         // make the fold read a nonexistent path and the vacuum restore
         // rebuild a wrong dir name; the sweep regexes need no unescape
         // because on-disk names (live, stage, bak) all carry the escaped
         // form (mergeTouchedPartitions' ledger discipline)
-        val l = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .escapePathName(raw)
-        val live = new Path(root, s"$partCol=$l")
-        val stage = Fs.path(indexPath + s".stage_l$l")
-        val bak = Fs.path(indexPath + s".bak_l$l")
-        val kept = s.read.parquet(live.toString)
-          .join(tomb, Seq(keyCol), "left_anti")
-        if (kept.isEmpty) Fs.delete(live): Unit
-        else {
-          kept.write.mode("overwrite").parquet(stage.toString)
-          Fs.renameOrThrow(live, bak, "compactTombstones: stage aside")
-          if (!scala.util.Try(Fs.rename(stage, live)).getOrElse(false)) {
-            Fs.rename(bak, live): Unit // roll back; previous contents kept
-            throw new java.io.IOException(
-              s"compactTombstones: cannot swap $stage into $live")
-          }
-          Fs.delete(bak): Unit
-        }
+      emptied.foreach { case (_, raw, _, _) =>
+        Fs.delete(new Path(root, s"$partCol=${escaped(raw)}")): Unit
       }
+      rewrite.foreach { case (_, raw, _, _) =>
+        val l = escaped(raw)
+        val live = new Path(root, s"$partCol=$l")
+        val stage = new Path(stageFold, s"$partCol=$l")
+        val bak = Fs.path(indexPath + s".bak_l$l")
+        if (!Fs.isDir(stage)) throw new IllegalStateException(
+          s"compactTombstones: staged dir ${stage.getName} missing for " +
+            s"touched value '$raw' — dir-naming mismatch")
+        Fs.renameOrThrow(live, bak, "compactTombstones: stage aside")
+        if (!scala.util.Try(Fs.rename(stage, live)).getOrElse(false)) {
+          Fs.rename(bak, live): Unit // roll back; previous contents kept
+          throw new java.io.IOException(
+            s"compactTombstones: cannot swap $stage into $live")
+        }
+        Fs.delete(bak): Unit
+      }
+      Fs.delete(stageFold): Unit
       Fs.delete(new Path(root, "_tombstones")): Unit
       // the swaps happened at the filesystem level — invalidate the shared
       // file-listing cache (the compactStreamIndex lesson, SCALING.md r9)

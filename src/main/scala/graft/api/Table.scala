@@ -252,7 +252,8 @@ class Table(val db: Database, val qualified: String) {
       catch { case scala.util.control.NonFatal(_) => Nil }
     db.store(aligned, qualified, "append", chunkSize, partitionBy = partCols)
     if (hasStats)
-      extendStats(currentDataFiles().map(_._1).filterNot(before))
+      extendStats(currentDataFiles().map(_._1).filterNot(before),
+        Some(target))
     // Optimistic-commit visibility for appends (r17): once version
     // tracking is active (first DML CAS created the marker dir), a
     // committed append bumps the version so a concurrent FULL-REPLACE
@@ -369,7 +370,7 @@ class Table(val db: Database, val qualified: String) {
       case Some((touched, _)) if touched.isEmpty =>
         0L // no file's bands intersect the predicate — nothing to update
       case Some((touched, untouched)) if untouched.nonEmpty =>
-        val touchedDf = db.loadFiles(path, touched.map(_._1))
+        val touchedDf = db.loadFiles(path, touched.map(_._1), Some(schema))
         val matched = touchedDf.filter(matchedCond).count()
         if (matched == 0L) 0L // bands over-approximated: no hit, no churn
         else {
@@ -471,7 +472,7 @@ class Table(val db: Database, val qualified: String) {
     // than left to poison future appends.
     if (hasStatsSidecar) {
       try {
-        val cur2 = db.spark.read.parquet(path + ".stats")
+        val cur2 = statsDf()
         val touched = Seq(s"min_${f.name}", s"max_${f.name}")
           .flatMap(n => cur2.columns.find(_.equalsIgnoreCase(n)))
         if (touched.nonEmpty)
@@ -554,7 +555,7 @@ class Table(val db: Database, val qualified: String) {
     */
   private def retargetStatsColumns(remap: Seq[String] => Seq[String]): Unit =
     if (hasStatsSidecar) {
-      val tracked = try db.spark.read.parquet(path + ".stats")
+      val tracked = try statsDf()
         .schema.fieldNames.toSeq
         .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
       catch { case _: Exception => Seq.empty[String] }
@@ -568,7 +569,7 @@ class Table(val db: Database, val qualified: String) {
     */
   private def cowDeleteFiles(
       where: String, touched: Seq[(String, String)], v0: Long): Long = {
-    val touchedDf = db.loadFiles(path, touched.map(_._1))
+    val touchedDf = db.loadFiles(path, touched.map(_._1), Some(df.schema))
     val totalTouched = touchedDf.count()
     val kept = touchedDf.filter(!coalesce(expr(where), lit(false)))
     val keptN = kept.count()
@@ -707,7 +708,7 @@ class Table(val db: Database, val qualified: String) {
             case ((_, act), app) if pick(act) => app }
             .foldLeft(lit(false))(_ || _)
         val (joined, matchedFlag, applicable) = joinOf(
-          db.loadFiles(path, candidates.map(_._1))
+          db.loadFiles(path, candidates.map(_._1), Some(schema))
             .withColumn("__gf_file", input_file_name())
             .withColumn("__gf_rid", monotonically_increasing_id()))
         val updMask = maskOf(applicable)(_.isInstanceOf[Database.MergeUpdate])
@@ -731,7 +732,7 @@ class Table(val db: Database, val qualified: String) {
           // pass 2 (rewrite) joins ONLY the files holding matches —
           // candidate files with no hit survive by reference unread
           val (tJoined, _, tApplicable) = joinOf(
-            db.loadFiles(path, touched.map(_._1)))
+            db.loadFiles(path, touched.map(_._1), Some(schema)))
           val tDelMask = maskOf(tApplicable)(_ == Database.MergeDelete)
           val updPairs = matched.zip(tApplicable).collect {
             case ((_, u: Database.MergeUpdate), app) => (u, app) }
@@ -754,7 +755,7 @@ class Table(val db: Database, val qualified: String) {
         // needs only the touched files, not the table
         val tKeys =
           if (touched.isEmpty) df.limit(0)
-          else db.loadFiles(path, touched.map(_._1))
+          else db.loadFiles(path, touched.map(_._1), Some(schema))
         val unmatched = source.alias(srcAlias)
           .join(tKeys.alias(tgtAlias), expr(cond), "left_anti")
         val nconds = notMatched.map { case (a, _) =>
@@ -918,19 +919,21 @@ class Table(val db: Database, val qualified: String) {
       extraAppend: Option[DataFrame] = None,
       expectedVersion: Option[Long] = None): Unit = {
     val stage = path + ".stage_tmp"
-    val insStage = path + ".ins.stage_tmp"
     Fs.delete(Fs.path(stage)): Unit
-    Fs.delete(Fs.path(insStage)): Unit
-    db.storeAt(replacement, stage, partitionBy = Database.partitionColsOf(path))
-    // MERGE's NOT MATCHED inserts stage beside the rewrite and promote
-    // under the SAME token: the backup drop is then one commit point
-    // for the whole statement — a crash before it has vacuum un-promote
-    // the inserts together with the rewrite (no partial-commit window
-    // where inserts landed but updates/deletes were lost). Both stage
-    // writes happen while the originals are still in place, so a cache
-    // eviction recomputing either DataFrame re-reads live files.
-    extraAppend.foreach(a =>
-      db.storeAt(a, insStage, partitionBy = Database.partitionColsOf(path)))
+    // MERGE's NOT MATCHED inserts stage WITH the rewrite in one staged
+    // write (r18 optimization: the r17 shape wrote a second `.ins`
+    // stage dir — one extra write job + commit round per MERGE) and
+    // promote under the SAME token: the backup drop is then one commit
+    // point for the whole statement — a crash before it has vacuum
+    // un-promote the inserts together with the rewrite (no
+    // partial-commit window where inserts landed but updates/deletes
+    // were lost). The stage write happens while the originals are still
+    // in place, so a cache eviction recomputing either DataFrame
+    // re-reads live files (the insert frame is persisted by mergeInto
+    // besides).
+    val staged = extraAppend
+      .map(a => replacement.unionByName(a)).getOrElse(replacement)
+    db.storeAt(staged, stage, partitionBy = Database.partitionColsOf(path))
     // optimistic commit check BEFORE any live file moves: a concurrent
     // writer that committed since our file listing makes this CAS
     // refuse — the staged copies are dropped and the table is untouched
@@ -942,7 +945,6 @@ class Table(val db: Database, val qualified: String) {
       case None    => Table.bumpVersionIfTracked(path)
     } catch { case e: Throwable =>
       Fs.delete(Fs.path(stage)): Unit
-      Fs.delete(Fs.path(insStage)): Unit
       throw e
     }
     // DML-surviving time travel (opt-in): pin the pre-DML file set so
@@ -960,8 +962,7 @@ class Table(val db: Database, val qualified: String) {
       Fs.mkdirs(dst.getParent)
       Fs.renameOrThrow(Fs.path(abs), dst, "cow swap: stage originals aside")
     }
-    val promoted = promoteStaged(stage, token) ++
-      (if (extraAppend.isDefined) promoteStaged(insStage, token) else Nil)
+    val promoted = promoteStaged(stage, token)
     // pinned readers: publish the POST-swap manifest now that every
     // promoted file is live (swap-then-publish) — readers resolving the
     // previous manifest mid-swap keep serving the pre-swap files from
@@ -978,10 +979,9 @@ class Table(val db: Database, val qualified: String) {
         "cow swap: retire replaced files to the retention area")
     else Fs.delete(Fs.path(bak)): Unit
     Fs.delete(Fs.path(stage)): Unit
-    Fs.delete(Fs.path(insStage)): Unit
     db.markDirty()
     db.spark.catalog.refreshByPath(path)
-    retargetStats(touched.map(_._1), promoted)
+    retargetStats(touched.map(_._1), promoted, Some(replacement.schema))
   }
 
   /** Move every staged data file into the live tree (same partition
@@ -1038,16 +1038,23 @@ class Table(val db: Database, val qualified: String) {
     * just logs and leaves it.
     */
   private def retargetStats(
-      removed: Seq[String], promoted: Seq[String]): Unit = {
+      removed: Seq[String], promoted: Seq[String],
+      promotedSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Unit = {
     if (!hasStatsSidecar) return
     try {
-      val existing = db.spark.read.parquet(path + ".stats")
+      val existing = statsDf()
       val schema = existing.schema
       val tracked = schema.fieldNames.toSeq
         .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
       if (tracked.isEmpty) return
       val gone = removed.map(normFileUri).toSet
-      if (removed.nonEmpty) {
+      // ONE appended segment per swap (r18 optimization: the r17 shape
+      // wrote the tombstones and the fresh bands as two separate append
+      // jobs — fused, the swap's sidecar maintenance is a single write
+      // job carrying both row classes; fold semantics are unchanged
+      // because segments are unioned by the directory read either way).
+      val tombSeg: Option[DataFrame] = if (removed.isEmpty) None else {
         // the removed entries' RAW spellings (input_file_name URIs), so
         // the fold's anti-join matches on plain string equality. The
         // filter runs ON THE CLUSTER (a broadcast of the O(delta)
@@ -1065,16 +1072,15 @@ class Table(val db: Database, val qualified: String) {
             case other    => lit(null).cast(f.dataType).as(other)
           }
         }
-        existing.select("file").as[String]
+        Some(existing.select("file").as[String]
           .filter(r => goneB.value.contains(Table.normFileUri(r)))
           .distinct()
           .toDF("file")
-          .select(tombCols: _*)
-          .coalesce(1) // one tombstone segment per swap
-          .write.mode("append").parquet(path + ".stats")
+          .select(tombCols: _*))
       }
       if (promoted.nonEmpty) {
-        val fresh = perFileStats(db.loadFiles(path, promoted), promoted,
+        val fresh = perFileStats(
+          db.loadFiles(path, promoted, promotedSchema), promoted,
           tracked).select(schema.fieldNames.toSeq.map(col): _*)
         // TYPE DRIFT guard (extendStats' policy, applied to the DML
         // path too): after an ALTER COLUMN TYPE widening a fresh
@@ -1100,10 +1106,12 @@ class Table(val db: Database, val qualified: String) {
           db.spark.catalog.refreshByPath(path + ".stats")
           return
         }
-        fresh
-          .coalesce(1) // one fresh-bands segment per swap
+        val seg = tombSeg.map(_.unionByName(fresh)).getOrElse(fresh)
+        seg
+          .coalesce(1) // ONE segment per swap: tombstones + fresh bands
           .write.mode("append").parquet(path + ".stats")
-      }
+      } else tombSeg.foreach(
+        _.coalesce(1).write.mode("append").parquet(path + ".stats"))
       db.spark.catalog.refreshByPath(path + ".stats")
       compactStatsIfNeeded()
     } catch {
@@ -1113,7 +1121,7 @@ class Table(val db: Database, val qualified: String) {
             s"COW delete at $path - leaving it (stale entries are ignored " +
             s"by the live-file intersection; promoted files scan " +
             s"conservatively until the next analyzeStats): $e")
-    }
+    } finally graft.Caches.drainStats()
   }
 
   /** Index façade (ref datum/table.py:98-104, datum/postgis/table.py:309-334,
@@ -1150,7 +1158,7 @@ class Table(val db: Database, val qualified: String) {
     */
   private def refreshStatsIfTracked(): Unit =
     if (hasStatsSidecar) {
-      val tracked = try db.spark.read.parquet(path + ".stats")
+      val tracked = try statsDf()
         .schema.fieldNames.toSeq
         .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
       catch { case _: Exception => Seq.empty[String] }
@@ -1446,7 +1454,9 @@ class Table(val db: Database, val qualified: String) {
     require(vs.nonEmpty,
       s"pinned reads enabled on $qualified but no published manifest " +
         "(re-enable via setPinnedReads(true) or call snapshot())")
-    readResolved(manifestFiles(vs.last), s"pinned read v${vs.last}")
+    val rels = manifestFiles(vs.last)
+    readResolved(rels, s"pinned read v${vs.last}",
+      Some(s"manifest-schema|$path|v${vs.last}|${rels.hashCode}"))
   }
 
   /** The file set a metadata route must anchor on: the latest pinned
@@ -1478,8 +1488,11 @@ class Table(val db: Database, val qualified: String) {
     * lists (partition columns stay resolvable via basePath). Fails loudly
     * if any manifest file was rewritten away (see [[snapshot]]'s contract).
     */
-  def readVersion(v: Int): DataFrame =
-    readResolved(manifestFiles(v), s"snapshot v$v")
+  def readVersion(v: Int): DataFrame = {
+    val rels = manifestFiles(v)
+    readResolved(rels, s"snapshot v$v",
+      Some(s"manifest-schema|$path|v$v|${rels.hashCode}"))
+  }
 
   /** Where each of `rels` lives right now: the live tree, a
     * `.retain_*` retention dir (a committed COW swap on a retention
@@ -1526,14 +1539,25 @@ class Table(val db: Database, val qualified: String) {
     * backup roots don't carry (the overlay's added columns null-fill,
     * exactly their read semantics).
     */
-  private def readResolved(rels: List[String], what: String): DataFrame = {
+  private def readResolved(rels: List[String], what: String,
+      memoKey: Option[String] = None): DataFrame = {
     if (rels.isEmpty) return db.loadRaw(qualified).limit(0)
     val homes = resolveFileHomes(rels, what)
     val root = Fs.path(path)
-    homes.groupBy(_._1).toSeq.sortBy { case (rd, _) =>
+    // manifest-keyed schema memo (r18 optimization): a snapshot's file
+    // set is immutable (append-only contract — every home of a rel path
+    // holds the same bytes), so its inferred schema is a constant of
+    // (table, version, file set) — replaying it skips the footer
+    // schema-inference job every pinned/versioned statement pays.
+    // A declared-schema overlay still takes precedence inside loadFiles.
+    val hint = memoKey.flatMap(k =>
+      graft.Caches.peekVal[org.apache.spark.sql.types.StructType](k))
+    val out = homes.groupBy(_._1).toSeq.sortBy { case (rd, _) =>
       (rd != root, rd.toString) }.map { case (rd, m) =>
-      db.loadFiles(rd.toString, m.map(_._2).sorted.map(r => s"$rd/$r"))
+      db.loadFiles(rd.toString, m.map(_._2).sorted.map(r => s"$rd/$r"), hint)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (hint.isEmpty) memoKey.foreach(k => graft.Caches.putVal(k, out.schema))
+    out
   }
 
   /** The manifest's relative data-file list (sorted as written). */
@@ -1639,7 +1663,8 @@ class Table(val db: Database, val qualified: String) {
     require(cols.nonEmpty, "analyzeStats needs at least one column")
     val stats = perFileStats(df, currentDataFiles().map(_._1), cols)
     writeStats(stats)
-    db.spark.read.parquet(path + ".stats").count()
+    graft.Caches.drainStats()
+    statsDf().count()
   }
 
   /** Per-file (min, max per col, row count) over `src`, in ONE scan
@@ -1674,8 +1699,15 @@ class Table(val db: Database, val qualified: String) {
         (if (integral(c)) Seq(sum(col(c)).cast("long").as(s"sum_$c"))
          else Nil)) :+
       org.apache.spark.sql.functions.count(lit(1)).as("n_rows")
-    val computed = src.groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
+    // ONE data scan (r18 optimization): the `seen` collect below
+    // materializes the aggregate, and the caller's sidecar write used to
+    // recompute it from scratch — every analyzeStats paid the table scan
+    // TWICE (at 100 TB: two full corpus reads for one ANALYZE). Persist
+    // the #files-row result so the write replays it from cache; the tiny
+    // cache is dropped right after the caller's write (drainStats).
+    val computed = graft.Caches.persistStats(
+      src.groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*))
     val seen = computed.select("file").collect()
       .map(r => normFileUri(r.getString(0))).toSet
     val empties = expected.filterNot(u => seen.contains(normFileUri(u)))
@@ -1733,10 +1765,12 @@ class Table(val db: Database, val qualified: String) {
     * state disables every accelerated path anyway and would never heal
     * on its own.
     */
-  private def extendStats(appended: Seq[String]): Unit = {
+  private def extendStats(appended: Seq[String],
+      appendedSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Unit = {
     if (appended.isEmpty) return
     val existingSchema = try {
-      val sc = db.spark.read.parquet(path + ".stats").schema
+      val sc = statsDf().schema
       if (!sc.fieldNames.exists(_.startsWith("min_"))) return
       sc
     } catch { case _: Exception => return }
@@ -1754,7 +1788,8 @@ class Table(val db: Database, val qualified: String) {
       // one sidecar carries the same columns (a pre-r15 sidecar without
       // nnull_ columns keeps its shape; mixed-schema segments would make
       // plain directory reads see a random footer's columns)
-      val fresh = perFileStats(db.loadFiles(path, appended), appended, tracked)
+      val fresh = perFileStats(
+        db.loadFiles(path, appended, appendedSchema), appended, tracked)
         .select(existingSchema.fieldNames.toSeq.map(col): _*)
       // SCHEMA DRIFT is corruption, not a transient (the ADVICE
       // distinction): a sidecar whose column types no longer match what
@@ -1780,7 +1815,7 @@ class Table(val db: Database, val qualified: String) {
         // (appended files scan conservatively, coverage gates the
         // metadata routes) — keep it. Anything else is dropped.
         val healthy = try {
-          val d = db.spark.read.parquet(path + ".stats")
+          val d = statsDf()
           d.count()
           d.schema == existingSchema
         } catch { case scala.util.control.NonFatal(_) => false }
@@ -1792,7 +1827,7 @@ class Table(val db: Database, val qualified: String) {
             s"append or analyzeStats: $e")
         else drop(s"sidecar maintenance failed and left the sidecar " +
           s"unhealthy ($e)")
-    }
+    } finally graft.Caches.drainStats()
   }
 
   /** Fold the sidecar's append-log segments back to one file when their
@@ -1805,7 +1840,7 @@ class Table(val db: Database, val qualified: String) {
     val segs = Fs.list(Fs.path(path + ".stats"))
       .count(st => st.isFile && Database.isDataFile(st.getPath.getName))
     if (segs > Table.StatsSegmentBudget)
-      writeStats(statsFolded(db.spark.read.parquet(path + ".stats")))
+      writeStats(statsFolded(statsDf()))
   }
 
   /** Range read with file skipping (c20): serve `column BETWEEN lo AND
@@ -1920,7 +1955,7 @@ class Table(val db: Database, val qualified: String) {
       : Option[Map[String, Boolean]] = {
     if (!hasStatsSidecar || dnfs.isEmpty) return None
     val entries = try {
-      val stats = statsFolded(db.spark.read.parquet(path + ".stats"))
+      val stats = statsFolded(statsDf())
       // only bounds over sidecar-tracked columns, with type-compatible
       // literals, participate; the rest of the predicate stays with the
       // caller's residual filter
@@ -1969,7 +2004,7 @@ class Table(val db: Database, val qualified: String) {
   def aggFromStats(column: String): Option[DataFrame] = {
     if (!hasStatsSidecar) return None
     val stats = try {
-      val d = db.spark.read.parquet(path + ".stats")
+      val d = statsDf()
       if (!d.columns.contains(s"min_$column")) return None
       statsFolded(d)
     } catch { case _: Exception => return None }
@@ -2007,7 +2042,7 @@ class Table(val db: Database, val qualified: String) {
     */
   def aggsFromStats(specs: Seq[(String, String, String)]): Option[DataFrame] = {
     if (specs.isEmpty || !hasStatsSidecar) return None
-    val stats = try statsFolded(db.spark.read.parquet(path + ".stats"))
+    val stats = try statsFolded(statsDf())
       catch { case _: Exception => return None }
     if (!stats.columns.contains("n_rows")) return None
     if (!specs.forall(s => Table.specServable(s, stats.columns))) return None
@@ -2043,7 +2078,7 @@ class Table(val db: Database, val qualified: String) {
       cond: org.apache.spark.sql.catalyst.expressions.Expression)
       : Option[DataFrame] = {
     if (specs.isEmpty || !hasStatsSidecar) return None
-    val stats = try statsFolded(db.spark.read.parquet(path + ".stats"))
+    val stats = try statsFolded(statsDf())
       catch { case _: Exception => return None }
     if (!stats.columns.contains("n_rows")) return None
     if (!specs.forall(s => Table.specServable(s, stats.columns))) return None
@@ -2100,7 +2135,7 @@ class Table(val db: Database, val qualified: String) {
 
   def countFromStats: Option[DataFrame] = {
     if (!hasStatsSidecar) return None
-    val stats = try statsFolded(db.spark.read.parquet(path + ".stats"))
+    val stats = try statsFolded(statsDf())
       catch { case _: Exception => return None }
     if (!stats.columns.contains("n_rows")) return None
     // the collect EXECUTES the sidecar read — a torn/mixed-footer
@@ -2278,6 +2313,18 @@ class Table(val db: Database, val qualified: String) {
     * for non-filesystem table paths (the JDBC adapter's `jdbc:…` URLs),
     * which cannot carry sidecars at all.
     */
+  /** Sidecar read with the shared schema memo (r18 optimization): every
+    * metadata route / skipping path / maintenance pass reads `.stats`,
+    * and each raw `spark.read.parquet` paid a footer-inference job —
+    * 3–5 per DML/skipping gate. Epoch+mtime invalidation (appends and
+    * folds touch the dir) keeps it exact; a missing/torn sidecar throws
+    * exactly as the raw read did (callers' guards unchanged).
+    */
+  private def statsDf(): DataFrame =
+    db.schemaMemoRead(path + ".stats",
+      db.spark.read.parquet(path + ".stats"))(
+      s => db.spark.read.schema(s).parquet(path + ".stats"))
+
   private def hasStatsSidecar: Boolean =
     (try Some(Fs.path(path + ".stats"))
      catch { case _: IllegalArgumentException => None }).exists(Fs.isDir)

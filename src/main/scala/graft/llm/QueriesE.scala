@@ -1104,9 +1104,15 @@ object QueriesE {
     */
   private[graft] def postingRows(
       words: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
-    words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .join(lens, "doc_id")
+    // r18 optimization (guide §2.3 "aggregate before you shuffle"): the
+    // doc norm is the SUM of the doc's term frequencies, so derive lens
+    // from the tf aggregate instead of a second full groupBy over the
+    // raw token relation — the corpus-size input shuffles once, not
+    // twice; the lens pass aggregates the (already tiny) tf relation.
+    // len values are identical by construction (Σ tf = token count).
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val lens = tf.groupBy("doc_id").agg(sum(col("tf")).as("len"))
+    tf.join(lens, "doc_id")
       .withColumn("bucket", pmod(xxhash64(col("word")), lit(Bm25Buckets)))
   }
 
@@ -3400,32 +3406,54 @@ object QueriesE {
       // files survive the DML by reference.
       implicit val sp: org.apache.spark.sql.SparkSession = s
       val db = graft.api.Datum.connect("parquet:///root/repo/target/fixtures/out")
-      db.store(t(s, dir, "documents")
-        .repartitionByRange(8, col("doc_id")), "e97_documents", "overwrite")
-      val dtbl = db.table("e97_documents")
-      dtbl.analyzeStats(Seq("doc_id")): Unit
-      val preFiles = dtbl.df.inputFiles.toSet
-      db.execute(
-        s"DELETE FROM e97_documents WHERE doc_id IN (${ids.mkString(", ")})")
-        .collect(): Unit
-      val postFiles = db.table("e97_documents").df.inputFiles.toSet
-      assert(preFiles.intersect(postFiles).nonEmpty,
-        "the DML DELETE must keep non-matching files by reference " +
-          s"(COW): pre=${preFiles.size} post=${postFiles.size}")
-      assert((preFiles -- postFiles).size < preFiles.size,
-        "a strict subset of files must rewrite")
-      val tableDf = db.table("e97_documents").df
+      // The three artifact legs are INDEPENDENT until the audit (own
+      // dirs, own maintenance leases) — overlap them on driver threads
+      // (guide §2.6: actions are only sequential because the driver
+      // calls them sequentially; each leg's tail of tiny maintenance
+      // jobs back-fills the others' idle cores). Results are identical
+      // by construction: every serve materializes only after ITS leg's
+      // fold committed, and the audit joins all three. At 100 TB the
+      // same overlap hides each index's fold latency behind the table's
+      // DML rewrite — the cascade's wall-clock is max(legs), not Σ.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
       // 2. the sparse arm: tombstone + fold (e95's lifecycle)
-      val sOut = graft.Scratch.root(dir, "e97_bm25_index")
-      clonedBm25Index(s, dir, sOut)
-      deleteFromBm25Index(s, sOut, ids.toDF("doc_id"))
-      compactBm25Deletes(s, sOut)
-      val sServe = bm25ProbePruned(s, sOut, dir)
+      val sparseLeg = Future {
+        val sOut = graft.Scratch.root(dir, "e97_bm25_index")
+        clonedBm25Index(s, dir, sOut)
+        deleteFromBm25Index(s, sOut, ids.toDF("doc_id"))
+        compactBm25Deletes(s, sOut)
+        bm25ProbePruned(s, sOut, dir)
+      }(ec)
       // 3. the dense arm: tombstone + fold (e94's lifecycle)
-      val dOut = clonedIvfPqIndex(s, dir, "e97_ivfpq")
-      deleteFromIvfPqIndex(s, dOut, ids.toDF("vec_id"))
-      compactIvfPqDeletes(s, dOut)
-      val dServe = ivfPqServedTop(s, dir, dOut)
+      val denseLeg = Future {
+        val dOut = clonedIvfPqIndex(s, dir, "e97_ivfpq")
+        deleteFromIvfPqIndex(s, dOut, ids.toDF("vec_id"))
+        compactIvfPqDeletes(s, dOut)
+        ivfPqServedTop(s, dir, dOut)
+      }(ec)
+      // 1. the source-of-truth table (caller thread)
+      val (tableDf, sServe, dServe) = try {
+        db.store(t(s, dir, "documents")
+          .repartitionByRange(8, col("doc_id")), "e97_documents", "overwrite")
+        val dtbl = db.table("e97_documents")
+        dtbl.analyzeStats(Seq("doc_id")): Unit
+        val preFiles = dtbl.df.inputFiles.toSet
+        db.execute(
+          s"DELETE FROM e97_documents WHERE doc_id IN (${ids.mkString(", ")})")
+          .collect(): Unit
+        val postFiles = db.table("e97_documents").df.inputFiles.toSet
+        assert(preFiles.intersect(postFiles).nonEmpty,
+          "the DML DELETE must keep non-matching files by reference " +
+            s"(COW): pre=${preFiles.size} post=${postFiles.size}")
+        assert((preFiles -- postFiles).size < preFiles.size,
+          "a strict subset of files must rewrite")
+        (db.table("e97_documents").df,
+          Await.result(sparseLeg, Duration.Inf),
+          Await.result(denseLeg, Duration.Inf))
+      } finally { pool.shutdown() }
       // the audit: per-artifact served rows + forgotten-id hits, each a
       // bounded count over an already-bounded serve/table relation
       val hitS = col("doc_id").isin(ids.map(_.asInstanceOf[Any]): _*)

@@ -25,8 +25,13 @@ import org.apache.spark.sql.types._
 object Q {
   type Fn = (SparkSession, String) => DataFrame
 
+  /** Source-table read, schema-memoized: the testdata corpus is
+    * immutable for the session, so the footer-inference job
+    * (`parquet at Q.scala`) only runs once per table — the profiler
+    * showed every gate re-paying it per reference (r18 optimization).
+    */
   def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.Caches.readParquetStableSchema(s, s"$dir/$name.parquet")
 
   /** Load the `events` table. Its `ts` is parquet TIMESTAMP(NANOS), which
     * Spark only reads via `spark.sql.legacy.parquet.nanosAsLong=true` (set
@@ -42,6 +47,24 @@ object Q {
           timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
       case _ => raw
     }
+  }
+
+  /** Run independent gate legs on driver threads (r18 optimization,
+    * guide §2.6: actions are only sequential because the driver calls
+    * them sequentially — overlapping independent legs lets each leg's
+    * tail of small jobs back-fill the others' idle cores). Results come
+    * back in `legs` order, so callers' unions/joins stay deterministic.
+    * Only for legs that touch DISJOINT state (own dirs/tables).
+    */
+  def inParallel[A](legs: Seq[() => A]): Seq[A] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(legs.size, 4)))
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = legs.map(l => scala.concurrent.Future(l())(ec))
+      fs.map(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+    } finally { pool.shutdown(); () }
   }
 
   /** Exact 2-decimal view of a money/quantity double. */

@@ -1676,7 +1676,9 @@ object QueriesC {
       implicit val sp: SparkSession = s
       val root = "/root/repo/target/fixtures/out/c15"
       val nation = t(s, dir, "nation").select("n_nationkey", "n_name")
-      Seq("csv", "json", "orc").map { fmt =>
+      // the three format legs are independent (own roots) — overlap
+      // them on driver threads (guide §2.6); result order is the Seq's
+      Q.inParallel(Seq("csv", "json", "orc").map(fmt => () => {
         val fdb = Datum.connect(s"$fmt://$root/$fmt")
         fdb.store(nation, "c15_nation", "overwrite")
         fdb.table("c15_nation").df.agg(
@@ -1685,7 +1687,7 @@ object QueriesC {
           min(col("n_name")).as("min_name"),
           max(col("n_name")).as("max_name"))
           .withColumn("fmt", lit(fmt))
-      }.reduce(_.unionByName(_))
+      })).reduce(_.unionByName(_))
         .select("fmt", "n", "key_sum", "min_name", "max_name")
         .orderBy("fmt")
     }),
@@ -1771,12 +1773,19 @@ object QueriesC {
         }
         wipe(loc)
       }
-      t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
-        .write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("c17_orders")
-      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
-        .write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("c17_lineitem")
+      // the two bucketed builds are independent (own tables) — overlap
+      // them on driver threads (guide §2.6); the small orders build
+      // back-fills cores the lineitem shuffle+sort leaves idle
+      Q.inParallel(Seq(
+        () => t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("c17_orders"),
+        () => t(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("c17_lineitem"))): Unit
       // merge hint: at test scale Catalyst would broadcast the small side,
       // but c17 demonstrates the fact⋈fact shape that is too big to
       // broadcast at 100 TB — the hint pins the intended plan (bucketed

@@ -325,7 +325,7 @@ object EventWindows {
     */
   def enrichedSegmentStats(spark: SparkSession, dir: String,
       sinkName: String = "f13_sink"): DataFrame = withShufflePartitions(spark, 8) {
-    val cust = broadcast(spark.read.parquet(s"$dir/customer.parquet")
+    val cust = broadcast(graft.Caches.readParquetStableSchema(spark, s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment")))
     val enriched = readStreamEvents(spark, dir)
       .join(cust, col("user_id") === col("c_custkey"))
@@ -606,7 +606,7 @@ object EventWindows {
       // 3 source files + maxFilesPerTrigger=1 ⇒ 3 real micro-batches: the
       // accumulation pattern the compactor exists for (any row split
       // yields the same posting union — per-doc rows, no cross-batch agg)
-      spark.read.parquet(s"$dir/documents.parquet").repartition(3)
+      graft.Caches.readParquetStableSchema(spark, s"$dir/documents.parquet").repartition(3)
         .write.parquet(src)
       val q = spark.readStream.schema(graft.llm.Dedup.docsSchema)
         .option("maxFilesPerTrigger", 1).parquet(src)
@@ -684,7 +684,7 @@ object EventWindows {
       val index = s"$outRoot/index"
       val chk = s"$outRoot/chk"
       wipe(src); wipe(index); wipe(chk); Fs.mkdirs(Fs.path(outRoot))
-      spark.read.parquet(s"$dir/documents.parquet").repartition(3)
+      graft.Caches.readParquetStableSchema(spark, s"$dir/documents.parquet").repartition(3)
         .write.parquet(src)
       val q = spark.readStream.schema(graft.llm.Dedup.docsSchema)
         .option("maxFilesPerTrigger", 1).parquet(src)
@@ -764,7 +764,7 @@ object EventWindows {
       val index = s"$outRoot/index"
       val chk = s"$outRoot/chk"
       wipe(src); wipe(index); wipe(chk); Fs.mkdirs(Fs.path(outRoot))
-      spark.read.parquet(s"$dir/embeddings.parquet").repartition(3)
+      graft.Caches.readParquetStableSchema(spark, s"$dir/embeddings.parquet").repartition(3)
         .write.parquet(src)
       val schema = StructType(Seq(StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType))))
@@ -840,7 +840,7 @@ object EventWindows {
       val chk = s"$outRoot/chk"
       wipe(src); wipe(index); wipe(chk); Fs.mkdirs(Fs.path(outRoot))
       // 3 source files + maxFilesPerTrigger=1 ⇒ 3 real micro-batches
-      spark.read.parquet(s"$dir/documents.parquet").repartition(3)
+      graft.Caches.readParquetStableSchema(spark, s"$dir/documents.parquet").repartition(3)
         .write.parquet(src)
       // the budget: one file per bucket dir — the steady state a compacted
       // index maintains; any committed accumulation beyond it triggers
@@ -923,7 +923,7 @@ object EventWindows {
       val chk = s"$outRoot/chk"
       wipe(src); wipe(index); wipe(chk); Fs.mkdirs(Fs.path(outRoot))
       // 3 source files + maxFilesPerTrigger=1 ⇒ 3 real micro-batches
-      spark.read.parquet(s"$dir/embeddings.parquet").repartition(3)
+      graft.Caches.readParquetStableSchema(spark, s"$dir/embeddings.parquet").repartition(3)
         .write.parquet(src)
       val schema = StructType(Seq(StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType))))
@@ -1103,7 +1103,7 @@ object EventWindows {
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
     import graft.llm.Similarity
     val base = graft.Caches.persistTracked(
-      spark.read.parquet(s"$dir/embeddings.parquet")
+      graft.Caches.readParquetStableSchema(spark, s"$dir/embeddings.parquet")
         .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
     val cbs = Similarity.pqCodebooks(base, "vec_id",
       memoKey = s"pqcb|$dir|embeddings|m4|ks4|it2|d64")
@@ -1143,7 +1143,7 @@ object EventWindows {
       import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
       import graft.llm.Similarity
       val base = graft.Caches.persistTracked(
-        spark.read.parquet(s"$dir/embeddings.parquet")
+        graft.Caches.readParquetStableSchema(spark, s"$dir/embeddings.parquet")
           .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb")))
       val cents = Similarity.kmeansCentroids(base, "vec_id", 8, 3,
         memoKey = s"kmeans|$dir|embeddings|k8|it3")

@@ -2632,9 +2632,20 @@ class ApiSpec extends AnyFunSuite {
     val after = segs()
     assert(before.forall { case (n, len) => after.get(n).contains(len) },
       "the analyze-time segment must survive byte-identical (no rewrite)")
-    assert(after.size == before.size + 2,
-      s"exactly one tombstone + one fresh-band segment appended: " +
+    // r18 optimization: the tombstones and the fresh bands land as ONE
+    // fused appended segment (one write job per swap, half the r17
+    // job count) — still O(delta) data, still no rewrite
+    assert(after.size == before.size + 1,
+      s"exactly one fused tombstone+fresh-band segment appended: " +
         s"${before.size} -> ${after.size}")
+    // and that segment carries BOTH row classes: tombstones (n_rows < 0)
+    // masking the rewritten files, fresh bands (n_rows >= 0) covering
+    // the promoted ones
+    val seg = spark.read.parquet(
+      (after.keySet -- before.keySet).map(n =>
+        tbl.path + ".stats/" + n).head)
+    assert(seg.filter(col("n_rows") < 0L).count() > 0, "tombstone rows")
+    assert(seg.filter(col("n_rows") >= 0L).count() > 0, "fresh-band rows")
     // the folded sidecar still serves the exact metadata routes
     val n = tbl.countFromStats.getOrElse(sys.error(
       "the sidecar must keep serving the metadata count after a DML swap"))
