@@ -1108,11 +1108,14 @@ object QueriesE {
     // doc norm is the SUM of the doc's term frequencies, so derive lens
     // from the tf aggregate instead of a second full groupBy over the
     // raw token relation — the corpus-size input shuffles once, not
-    // twice; the lens pass aggregates the (already tiny) tf relation.
+    // twice; the lens pass reshuffles only the (already tiny) tf
+    // relation. A WINDOW (not a self-join) so the tf subplan appears
+    // once — a join would consume tf twice, and exchange reuse is not
+    // guaranteed inside a streaming foreachBatch (f31/f32/f35/f36).
     // len values are identical by construction (Σ tf = token count).
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val lens = tf.groupBy("doc_id").agg(sum(col("tf")).as("len"))
-    tf.join(lens, "doc_id")
+    tf.withColumn("len", sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       .withColumn("bucket", pmod(xxhash64(col("word")), lit(Bm25Buckets)))
   }
 
