@@ -61,7 +61,15 @@ object Q {
       math.max(1, math.min(legs.size, 4)))
     val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
-      val fs = legs.map(l => scala.concurrent.Future(l())(ec))
+      // drain per-query tracked persists ON the leg's own thread (r19,
+      // r18 verdict #5): Caches tracking is ThreadLocal and the harness
+      // drains only the caller thread, so a leg that persistTracked's an
+      // intermediate on a pool thread would otherwise leak it for the
+      // session. Legs materialize their own results before returning
+      // (the inParallel contract: disjoint state, serves folded inside
+      // the leg), so draining here never forces a recompute.
+      val fs = legs.map(l => scala.concurrent.Future(
+        try l() finally graft.Caches.drain())(ec))
       fs.map(f => scala.concurrent.Await.result(f,
         scala.concurrent.duration.Duration.Inf))
     } finally { pool.shutdown(); () }

@@ -86,7 +86,11 @@ object EventWindows {
       .filter(_.getPath.getName.startsWith("events."))
       .sortBy(_.getPath.getName).headOption
       .fold(glob)(_.getPath.toString)
-    val tsNative = spark.read.parquet(tsFile).schema("ts").dataType
+    // schema-memoized (r19): the sniff ran a footer-inference job per
+    // stream gate (~25 ms + driver gap × every events-stream query);
+    // the file is immutable testdata, the shared memo serves it once
+    val tsNative = graft.Caches.readParquetStableSchema(spark, tsFile)
+      .schema("ts").dataType
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsNative) else f))
     val raw = spark.readStream.schema(schema).parquet(glob)
@@ -107,7 +111,7 @@ object EventWindows {
     * order-independent) at a fraction of the trigger cost. On a real
     * cluster size this to the state volume, not the core count.
     */
-  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+  private[stream] def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)

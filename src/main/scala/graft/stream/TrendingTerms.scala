@@ -42,7 +42,12 @@ object TrendingTerms {
     // makes the plain-file multi-bucket commit exactly-once
     graft.api.Database.mergeTouchedPartitionsExactlyOnce(
       termPartial(batch, nBuckets), "bucket", state, stage,
-      batchId)(foldDf)
+      // repartition the folded state by its partition column before the
+      // staged write (r19, the f32 compaction rationale): each touched
+      // bucket lands as ONE file from one task instead of a sliver from
+      // every agg task — up to tasks×buckets fewer file commits per
+      // merge, and the steady-state layout a compacted index maintains
+      batchId)((ex, p) => foldDf(ex, p).repartition(col("bucket")))
 
   /** The per-batch (term, df, bucket) partial (exposed for the
     * crash-replay test, which drives a fold that dies mid-swap).
@@ -69,7 +74,14 @@ object TrendingTerms {
     */
   def trendingStream(spark: SparkSession, dir: String,
       outRoot: String = "/root/repo/target/fixtures/out/f19",
-      k: Int = 20): DataFrame = {
+      // 8 shuffle partitions like the sibling stream gates (r19,
+      // EventWindows.withShufflePartitions' rationale): the per-batch df
+      // partial and the folded vocabulary are tiny relative to the core
+      // count, so 32-way shuffles here are pure per-task overhead — and
+      // the 32-task partitionBy write fanned up to 32×nBuckets small
+      // file commits per merge. On a cluster this sizes to the state
+      // volume, not the local core count.
+      k: Int = 20): DataFrame = EventWindows.withShufflePartitions(spark, 8) {
     val state = s"$outRoot/state"
     val stage = s"$outRoot/stage"
     val chk = s"$outRoot/chk"

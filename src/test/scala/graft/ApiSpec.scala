@@ -2698,6 +2698,12 @@ class ApiSpec extends AnyFunSuite {
     // rewrite through the Fs seam so the local FS checksum stays valid
     api.Fs.writeUtf8(api.Fs.path(mf(v2).getPath),
       body2.map(_ + "\n").mkString)
+    // the fixture edited a manifest header OUT OF BAND (manifests are
+    // write-once through the real publish path, where the `_ts_index`
+    // summary is maintained in the same call) — drop the summary so the
+    // edit is coherent; this also pins the fallback path re-deriving
+    // timestamps from the manifests' own headers (r19)
+    new java.io.File(tbl.path + ".versions", "_ts_index").delete(): Unit
     assert(tbl.versionAt(ts1) == v2,
       "equal timestamps must resolve to the NEWEST version (post-swap " +
         "state), not the first manifest listed")
@@ -2888,5 +2894,92 @@ class ApiSpec extends AnyFunSuite {
       "post-DML appended segments must carry the widened type too")
     assert(post.filter(col("n_rows") < 0).count() >= 1,
       "the swap's tombstone segment landed (O(delta) maintenance)")
+  }
+
+  test("r19: _ts_index summary serves TIMESTAMP AS OF in one read, falls back and self-repairs when torn") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    (1L to 5L).toDF("k").write.mode("overwrite").parquet(db2.pathOf("tsx"))
+    val tbl = db2.table("tsx")
+    val v1 = tbl.snapshot()
+    val v2 = tbl.snapshot()
+    val idx = new java.io.File(tbl.path + ".versions", "_ts_index")
+    assert(idx.isFile, "snapshot() maintains the _ts_index summary")
+    val served = tbl.versionTimestamps
+    assert(served.map(_._1) == Seq(v1, v2))
+    // the summary must agree with the manifests' own #ts= headers
+    def headerTs(v: Int): Long =
+      scala.io.Source.fromFile(new java.io.File(tbl.path + ".versions",
+        s"v$v.manifest")).getLines()
+        .find(_.startsWith("#ts=")).get.stripPrefix("#ts=").toLong
+    assert(served.toMap == Map(v1 -> headerTs(v1), v2 -> headerTs(v2)))
+    // a torn write (no #end terminator, truncated ts) must NOT serve —
+    // fallback re-derives from the manifests and repairs the file
+    api.Fs.writeUtf8(api.Fs.path(idx.getPath), s"v$v1=1\nv$v2=1")
+    assert(tbl.versionTimestamps.toMap ==
+      Map(v1 -> headerTs(v1), v2 -> headerTs(v2)),
+      "an unterminated summary must fall back to the manifest headers")
+    assert(scala.io.Source.fromFile(idx).mkString.contains("#end"),
+      "the fallback repairs the summary for the next caller")
+    // versionAt resolves off the repaired summary
+    assert(tbl.versionAt(headerTs(v2)) == v2)
+  }
+
+  test("r19: _keybands sidecar prunes tombstone-fold discovery to candidate dirs, untouched dirs never rewrite") {
+    import spark.implicits._
+    val db2 = scratchDb()
+    val idx = db2.pathOf("kb_idx")
+    // 4 lists × 100 keys; key → list is NOT derivable from the key (the
+    // layout compactTombstones serves: bucket/list vs doc_id/vec_id)
+    (0L until 400L).map(k => (k, ((k * 7) % 4).toInt)).toDF("vec_id", "list_id")
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(idx)
+    api.Database.writeKeyBlooms(spark, idx, "vec_id", "list_id")
+    val blooms = api.Database.readKeyBlooms(spark, idx).get
+    assert(blooms.keySet == Set("0", "1", "2", "3"))
+    // no false negatives: every key's own list must report membership
+    assert(graft.functions.BloomHelper.contains(blooms("1"), 3L,
+      api.Database.KeyBloomK), "3*7%4=1: key 3 lives in list 1")
+    val untouchedFiles = new java.io.File(idx, "list_id=2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f =>
+        (f.getName, f.lastModified())).toSeq
+    // tombstone two keys of list 1 (3*7%4=1, 7*7%4=1) — discovery must
+    // prune to (at most, modulo fp) the candidate lists and the fold
+    // must leave list 2's files byte-untouched
+    api.Database.addTombstones(spark, idx, Seq(3L, 7L).toDF("vec_id"), "vec_id")
+    api.Database.compactTombstones(spark, idx, "vec_id", "list_id")
+    assert(spark.read.parquet(idx)
+      .filter(col("vec_id").isin(3L, 7L)).count() == 0L,
+      "tombstoned keys physically absent after the fold")
+    assert(spark.read.parquet(idx).count() == 398L)
+    assert(!new java.io.File(idx, "_tombstones").exists(),
+      "the fold reclaims the epoch")
+    assert(new java.io.File(idx, "list_id=2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f =>
+        (f.getName, f.lastModified())).toSeq == untouchedFiles,
+      "a dir holding no tombstoned key must not rewrite")
+    // sidecar absent → same fold result through the full-scan fallback
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(idx, api.Database.KeyBandsDir))
+    api.Database.addTombstones(spark, idx, Seq(8L).toDF("vec_id"), "vec_id")
+    api.Database.compactTombstones(spark, idx, "vec_id", "list_id")
+    assert(spark.read.parquet(idx).count() == 397L,
+      "a missing sidecar degrades to full discovery, same result")
+  }
+
+  test("r19: inParallel legs drain their own thread's tracked persists") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = graft.rel.Q.inParallel(Seq(() => {
+      val df = graft.Caches.persistTracked(
+        spark.range(100).toDF("k"))
+      df.count()
+    }))
+    assert(out == Seq(100L))
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "a pool-thread persistTracked must not outlive its leg")
   }
 }
